@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one pre-warmed SparkSession (JVM + codegen warm), one untimed
+warm-up execution of a trivial query, then each bench query timed end-to-end
+(plan + execute + collect count). At sf0.1 the binding constraint is Spark's
+fixed per-query overhead (BASELINE.md), so session reuse and low shuffle
+partition counts are the honest knobs — the query plans themselves are the
+same ones that run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from universql_spark.queries import load_all
+from universql_spark.session import DEFAULT_SF_DIR, get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+    bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
+
+    spark = get_spark("universql_spark_bench")
+    # warm-up: JVM, parquet footer reads, view registration
+    next(iter(bench_specs.values())).spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §7.1 M5 / the BASELINE extension list:
+
+- brute-force cosine top-k: broadcast the (small) query set, one streaming
+  pass over the corpus, per-query top-k via window. Exact; scales linearly in
+  corpus size with NO corpus shuffle (the only exchange is the final window
+  over q_id, whose input is already cut to candidate rows).
+- random-hyperplane LSH buckets: deterministic hyperplanes derived from
+  xxhash64, corpus bucketed once (reusable, like an index); queries probe
+  only their bucket -> candidate set shrinks by ~2^bits. This is the 100 TB
+  path: the expensive exact scoring runs on a small co-partitioned subset.
+
+Cosine math uses zip_with/aggregate over doubles — strict left-to-right fold,
+which is what lets a sequential-loop oracle reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries MUST be broadcast-sized (it is the probe set, not the corpus).
+    Ranking key is round(cos, 4) with id tiebreak — deliberately coarse so
+    float noise can't flip the top-k boundary between engines.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Brute-force O(n^2) — correctness baseline; at scale run it per LSH bucket
+    (lsh_bucketed_pairs) instead.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(h: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane h as array<double>.
+
+    Coefficient (h, d) = xxhash64(h, d) scaled to [-1, 1] — reproducible
+    across sessions/partitions with zero data movement (no random state).
+    """
+    return F.array(
+        *[(F.xxhash64(F.lit(h), F.lit(d)) % 10000 / F.lit(10000.0)) for d in range(dim)]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 12) -> Column:
+    """Sign-of-projection bucket id (int) from `bits` hyperplanes."""
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for h in range(bits):
+        sign_bit = F.when(dot(v, _hyperplane(h, dim)) > 0, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(sign_bit)
+    return bucket
+
+
+def lsh_bucket_profile(corpus: DataFrame, dim: int = 64, bits: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Bucket the corpus; return (bucket, n_vectors) — the 'index build' step."""
+    return (
+        corpus.select(lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def lsh_bucketed_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs restricted to same-bucket candidates.
+
+    The pair join becomes an equi-join on bucket — co-partitioned, linear in
+    bucket sizes instead of quadratic in the corpus. (Approximate: pairs
+    split across buckets are missed; raise recall with multi-table probing.)
+    """
+    bucketed = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), lsh_bucket(F.col(vec_col), dim, bits).alias("bucket")
+    )
+    l = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    r = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

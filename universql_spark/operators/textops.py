@@ -1,0 +1,90 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure built-in-function column expressions
+(whole-stage codegen; zero Python in the hot path) designed to be exactly
+reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword-count heuristic.
+# The classifier is a deterministic argmax — its point is reproducible
+# engine semantics, not linguistic accuracy on the synthetic fixture text.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "de", "que", "es"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),
+}
+
+
+def occurrence_count(text: Column, word: str) -> Column:
+    """Count of whole-word occurrences via replace-length arithmetic.
+
+    (len(padded) - len(replace(padded, ' w ', ''))) / len(' w ') — only
+    length/replace/concat, which behave identically in Spark and DuckDB.
+    Consecutive marker words are undercounted (shared delimiting space);
+    acceptable for a scoring heuristic and — crucially — identical in both
+    engines.
+    """
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count without split(): count separators + 1."""
+    t = F.trim(text)
+    squashed = F.regexp_replace(t, " +", " ")
+    return F.when(F.length(t) == 0, 0).otherwise(
+        F.length(squashed) - F.length(F.replace(squashed, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + word-length band + alpha ratio.
+
+    Integer/length arithmetic only -> bit-identical across engines.
+    """
+    n_chars = F.length(text)
+    n_words = token_count(text)
+    avg_wlen = (n_chars - n_words + 1) / n_words
+    alpha_ratio = F.length(F.regexp_replace(text, "[^a-z ]", "")) / n_chars
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 2000), 1.0).otherwise(0.0)
+    wlen_ok = F.when((avg_wlen >= 3.0) & (avg_wlen <= 10.0), 1.0).otherwise(0.0)
+    return F.round((len_ok + wlen_ok + alpha_ratio) / 3.0, 4)
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Stopword-hit score for one language, normalized by token count."""
+    total = None
+    for w in LANG_MARKERS[lang]:
+        c = occurrence_count(text, w)
+        total = c if total is None else total + c
+    return F.round(total / token_count(text), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker score; deterministic first-wins tiebreak
+    in LANG_MARKERS key order ('und' when every score is 0)."""
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # forward order + strict '>' => the FIRST language in LANG_MARKERS order
+    # wins ties (later ones only displace on strictly greater score)
+    for lang in LANG_MARKERS:
+        s = lang_score(text, lang)
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Survives word reordering; md5 + binary string sort behave
+    identically in Spark and DuckDB."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), " +")))
+    return F.md5(F.concat_ws(" ", words))

@@ -1,0 +1,114 @@
+"""Query/operator registry — the correctness + bench contract.
+
+Every implemented operator from SURVEY.md §2 registers a :class:`QuerySpec`:
+a Spark builder ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+an equivalent ANSI-SQL oracle string for DuckDB. The driver hash-compares the
+two at sf0.01; ``bench=True`` specs form the sf0.1 benchmark suite.
+
+Cross-engine determinism conventions (both sides MUST follow these, or the
+value-hash comparison turns into FP-noise roulette):
+
+1. **Sums of doubles go through DECIMAL.** Floating-point addition is not
+   associative; Spark sums in partition order, DuckDB in its own order, so raw
+   ``SUM(double)`` differs in ULPs (and by ~1e-3 absolute at 1e9 magnitude).
+   Convention: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`` — the decimal
+   sum is exact and order-independent, the final double conversion is a single
+   deterministic IEEE rounding. Same for AVG: exact decimal sum cast to double,
+   then one double division by the count.
+2. **No raw timestamps in output columns.** Spark emits tz-aware (UTC) arrow
+   timestamps, DuckDB naive ones — equal instants that compare unequal.
+   Output ``CAST(ts AS DATE)`` or an explicitly formatted string.
+3. **Every ORDER BY ... LIMIT carries a full deterministic tiebreak** (unique
+   key last). Without it, ties at the LIMIT boundary select different row SETS
+   per engine, which no order-insensitive compare can fix.
+4. **Alias every computed column identically on both sides** — the driver
+   sorts columns by NAME before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from universql_spark.session import register_testdata
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    bench: bool = False  # include in bench.py sf0.1 suite
+    category: str = ""
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Views are session-scoped; re-register only when sf_dir changes.
+_registered: dict[int, str] = {}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    key = id(spark)
+    if _registered.get(key) != sf_dir:
+        register_testdata(spark, sf_dir)
+        _registered[key] = sf_dir
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    bench: bool = False,
+    category: str = "",
+    doc: str = "",
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    """Decorator: register a Spark query builder under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            spark=wrapped,
+            oracle=oracle,
+            bench=bench,
+            category=category,
+            doc=doc or (fn.__doc__ or ""),
+        )
+        return wrapped
+
+    return deco
+
+
+def register_sql(
+    name: str,
+    sql: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    category: str = "",
+    doc: str = "",
+) -> None:
+    """Register a query whose Spark side is plain Spark SQL.
+
+    ``oracle`` defaults to the same string — most of the inventory is ANSI SQL
+    that parses identically in Spark and DuckDB; pass a separate oracle when
+    dialects diverge (e.g. timestamp formatting functions).
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(sql)
+
+    fn.__doc__ = doc
+    register(name, oracle if oracle is not None else sql, bench=bench, category=category, doc=doc)(fn)
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from universql_spark.queries import clickbench, llmops, relational, tpch  # noqa: F401
+
+    return REGISTRY

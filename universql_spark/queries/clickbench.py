@@ -1,0 +1,243 @@
+"""ClickBench-43 operator inventory (SURVEY.md §2.7), adapted to the fixtures.
+
+The reference publishes numbers for the 43 ClickBench queries
+(/root/reference/resources/dwh-benchmark/clickbench.sql:118-160) over the
+~100M-row ``hits`` table; that query set *is* its declared relational surface.
+The driver fixtures have no ``hits``, so each query is re-expressed over the
+``events`` table (plus ``documents`` for the string-heavy ones) with a column
+mapping that preserves the operator under test — the §2.7 category table is
+implemented 1:1, cb_q0..cb_q42.
+
+Column mapping (hits -> events derivation, defined once in the `hits` CTE):
+    AdvEngineID/ClientIP -> k      (int extracted from JSON props; has zeros)
+    UserID/WatchID       -> user_id / event_id
+    RegionID/CounterID   -> r = user_id % 10
+    SearchEngineID       -> s = user_id % 5
+    IsRefresh            -> b = user_id % 2
+    SearchPhrase         -> event_type  (filter `<> 'click'` stands in for `<> ''`)
+    URL/Title/Referer    -> props (LIKE) / documents.text (regexp)
+    ResolutionWidth      -> value
+    EventTime/EventDate  -> ts / d = CAST(ts AS DATE)
+
+Everything is plain declarative SQL -> Catalyst: scans prune to ReadSchema,
+filters push into the parquet scan, the GROUP BY ... ORDER BY c LIMIT k shape
+compiles to partial_agg -> shuffle -> final_agg -> TakeOrderedAndProject (no
+global sort), which is exactly the plan that survives a 100TB scale-up.
+"""
+
+from __future__ import annotations
+
+from universql_spark.queries import register_sql
+
+# Shared derivation CTE — identical text parses in Spark SQL and DuckDB.
+# regexp_extract(str, pattern, group) exists in both; the pattern avoids
+# backslash classes because Spark string literals eat backslashes.
+HITS = """hits AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+         CAST(user_id % 10 AS INT) AS r,
+         CAST(user_id % 5 AS INT) AS s,
+         CAST(user_id % 2 AS INT) AS b,
+         CAST(ts AS DATE) AS d
+  FROM events
+)"""
+
+
+def dsum(x: str) -> str:
+    """Order-independent double sum: exact DECIMAL sum, one final rounding."""
+    return f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def davg(x: str) -> str:
+    """Deterministic avg: exact decimal sum -> double -> one division."""
+    return f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({x})"
+
+
+# Timestamp -> string formatting diverges by dialect (convention #2).
+TS_SPARK = "date_format({c}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+TS_DUCK = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+def _cb(n: int, body: str, oracle_body: str | None = None, bench: bool = False, doc: str = "") -> None:
+    register_sql(
+        f"cb_q{n:02d}",
+        f"WITH {HITS} {body}",
+        oracle=f"WITH {HITS} {oracle_body}" if oracle_body else None,
+        bench=bench,
+        category="clickbench",
+        doc=doc,
+    )
+
+
+# Q0 full-scan count
+_cb(0, "SELECT COUNT(*) AS c FROM hits", bench=True, doc="full-scan COUNT(*)")
+# Q1 filtered count
+_cb(1, "SELECT COUNT(*) AS c FROM hits WHERE k <> 0", doc="filtered COUNT(*)")
+# Q2 multi-agg SUM/COUNT/AVG
+_cb(2, f"SELECT {dsum('k')} AS sum_k, COUNT(*) AS c, {davg('value')} AS avg_v FROM hits",
+    bench=True, doc="SUM + COUNT + AVG in one aggregate")
+# Q3 avg over bigint
+_cb(3, f"SELECT {davg('user_id')} AS avg_u FROM hits", doc="AVG over bigint")
+# Q4 exact distinct
+_cb(4, "SELECT COUNT(DISTINCT user_id) AS u FROM hits", bench=True, doc="exact COUNT(DISTINCT)")
+# Q5 distinct on string
+_cb(5, "SELECT COUNT(DISTINCT event_type) AS u FROM hits", doc="COUNT(DISTINCT string)")
+# Q6 min/max date
+_cb(6, "SELECT MIN(d) AS mn, MAX(d) AS mx FROM hits", doc="MIN/MAX over date")
+# Q7 group-by single key + order by agg desc
+_cb(7, """SELECT k, COUNT(*) AS c FROM hits WHERE k <> 0
+GROUP BY k ORDER BY c DESC, k""", bench=True, doc="groupBy + orderBy(count desc)")
+# Q8 group-by + distinct-agg + top-k
+_cb(8, """SELECT r, COUNT(DISTINCT user_id) AS u FROM hits
+GROUP BY r ORDER BY u DESC, r LIMIT 10""", doc="groupBy + countDistinct + LIMIT")
+# Q9 group-by + mixed aggs + distinct
+_cb(9, f"""SELECT r, {dsum('k')} AS sum_k, COUNT(*) AS c, {davg('value')} AS avg_v,
+COUNT(DISTINCT user_id) AS u FROM hits GROUP BY r ORDER BY c DESC, r LIMIT 10""",
+    bench=True, doc="multi-agg + countDistinct per group")
+# Q10 filtered group + distinct
+_cb(10, """SELECT event_type, COUNT(DISTINCT user_id) AS u FROM hits
+WHERE event_type <> 'click' GROUP BY event_type ORDER BY u DESC, event_type LIMIT 10""",
+    doc="filtered groupBy + countDistinct")
+# Q11 two-key group + distinct
+_cb(11, """SELECT s, event_type, COUNT(DISTINCT user_id) AS u FROM hits
+WHERE event_type <> 'click' GROUP BY s, event_type ORDER BY u DESC, s, event_type LIMIT 10""",
+    doc="multi-key groupBy + countDistinct")
+# Q12 string group + count top-k
+_cb(12, """SELECT event_type, COUNT(*) AS c FROM hits WHERE event_type <> 'click'
+GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10""",
+    bench=True, doc="string groupBy count top-k")
+# Q13 string group + distinct top-k
+_cb(13, """SELECT event_type, COUNT(DISTINCT user_id) AS u FROM hits
+WHERE event_type <> 'click' GROUP BY event_type ORDER BY u DESC, event_type LIMIT 10""",
+    doc="string groupBy countDistinct top-k")
+# Q14 two-key group count
+_cb(14, """SELECT s, event_type, COUNT(*) AS c FROM hits WHERE event_type <> 'click'
+GROUP BY s, event_type ORDER BY c DESC, s, event_type LIMIT 10""",
+    doc="two-key groupBy count top-k")
+# Q15 high-card group
+_cb(15, """SELECT user_id, COUNT(*) AS c FROM hits GROUP BY user_id
+ORDER BY c DESC, user_id LIMIT 10""", bench=True, doc="high-cardinality groupBy")
+# Q16 two-key high-card group
+_cb(16, """SELECT user_id, event_type, COUNT(*) AS c FROM hits
+GROUP BY user_id, event_type ORDER BY c DESC, user_id, event_type LIMIT 10""",
+    doc="two-key high-card groupBy")
+# Q17 group with no ORDER BY (hash agg only) — add deterministic order for compare
+_cb(17, """SELECT user_id, event_type, COUNT(*) AS c FROM hits
+GROUP BY user_id, event_type ORDER BY user_id, event_type LIMIT 10""",
+    doc="hash agg + LIMIT (deterministic order for hash-compare)")
+# Q18 extract(minute) group key
+_cb(18, """SELECT user_id, extract(minute FROM ts) AS m, event_type, COUNT(*) AS c
+FROM hits GROUP BY user_id, m, event_type ORDER BY c DESC, user_id, m, event_type LIMIT 10""",
+    bench=True, doc="EXTRACT(minute) as group key")
+# Q19 point lookup
+_cb(19, "SELECT user_id FROM hits WHERE user_id = 13 ORDER BY user_id", doc="point lookup on key")
+# Q20 LIKE scan count
+_cb(20, "SELECT COUNT(*) AS c FROM hits WHERE props LIKE '%8%'", bench=True, doc="LIKE substring scan")
+# Q21 LIKE + group + min(string)
+_cb(21, """SELECT event_type, MIN(props) AS mp, COUNT(*) AS c FROM hits
+WHERE props LIKE '%8%' AND event_type <> 'click'
+GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10""",
+    doc="LIKE filter + MIN(string) agg")
+# Q22 LIKE + NOT LIKE conjunction, two min-strings + distinct
+_cb(22, """SELECT event_type, MIN(props) AS mp, MIN(d) AS md, COUNT(*) AS c,
+COUNT(DISTINCT user_id) AS u FROM hits
+WHERE props LIKE '%8%' AND props NOT LIKE '%88%' AND event_type <> 'click'
+GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10""",
+    doc="LIKE + NOT LIKE + multiple MIN(string)")
+# Q23 SELECT * ... ORDER BY ts LIMIT (top-k row fetch); ts stringified (conv #2)
+_cb(23,
+    f"""SELECT event_id, {TS_SPARK.format(c='ts')} AS ts_s, user_id, event_type, value, props
+FROM hits WHERE props LIKE '%8%' ORDER BY ts, event_id LIMIT 10""",
+    f"""SELECT event_id, {TS_DUCK.format(c='ts')} AS ts_s, user_id, event_type, value, props
+FROM hits WHERE props LIKE '%8%' ORDER BY ts, event_id LIMIT 10""",
+    doc="SELECT * + ORDER BY ts + LIMIT (row top-k)")
+# Q24 order by ts limit, single col
+_cb(24, """SELECT event_type FROM hits WHERE event_type <> 'click'
+ORDER BY ts, event_id LIMIT 10""", doc="ORDER BY ts LIMIT, project one col")
+# Q25 order by string
+_cb(25, """SELECT event_type FROM hits WHERE event_type <> 'click'
+ORDER BY event_type, event_id LIMIT 10""", doc="ORDER BY string LIMIT")
+# Q26 order by two cols
+_cb(26, """SELECT event_type FROM hits WHERE event_type <> 'click'
+ORDER BY ts, event_type, event_id LIMIT 10""", doc="ORDER BY multi-col LIMIT")
+# Q27 avg(length) + HAVING
+_cb(27, f"""SELECT r, {davg('length(props)')} AS l, COUNT(*) AS c FROM hits
+WHERE props <> '' GROUP BY r HAVING COUNT(*) > 10 ORDER BY l DESC, r LIMIT 25""",
+    bench=True, doc="AVG(length) + HAVING count>N")
+# Q28 regexp_replace w/ backref as group key (on documents.text)
+register_sql(
+    "cb_q28",
+    f"""SELECT regexp_replace(text, '^([a-z]+) .*$', '$1') AS w,
+{davg('length(text)')} AS l, COUNT(*) AS c, MIN(substr(text, 1, 20)) AS m
+FROM documents GROUP BY w HAVING COUNT(*) > 5 ORDER BY l DESC, w LIMIT 25""",
+    oracle=f"""SELECT regexp_replace(text, '^([a-z]+) .*$', '\\1') AS w,
+{davg('length(text)')} AS l, COUNT(*) AS c, MIN(substr(text, 1, 20)) AS m
+FROM documents GROUP BY w HAVING COUNT(*) > 5 ORDER BY l DESC, w LIMIT 25""",
+    category="clickbench",
+    doc="REGEXP_REPLACE backref ($1 vs \\1 dialect) as group key + HAVING",
+)
+# Q29 wide aggregate: 30 sum expressions (codegen width test)
+_cb(29, "SELECT " + ", ".join(f"{dsum(f'value + {i}')} AS s{i}" for i in range(30)) + " FROM hits",
+    bench=True, doc="wide aggregate: 30 SUM expressions in one pass")
+# Q30 two-key group + sum + avg (filtered)
+_cb(30, f"""SELECT s, k, COUNT(*) AS c, {dsum('b')} AS sum_b, {davg('value')} AS avg_v
+FROM hits WHERE event_type <> 'click' GROUP BY s, k ORDER BY c DESC, s, k LIMIT 10""",
+    doc="two-key group + SUM + AVG, filtered")
+# Q31 watch/client style keys
+_cb(31, f"""SELECT event_id, k, COUNT(*) AS c, {dsum('b')} AS sum_b, {davg('value')} AS avg_v
+FROM hits WHERE event_type <> 'click' GROUP BY event_id, k ORDER BY c DESC, event_id, k LIMIT 10""",
+    doc="near-unique two-key group, filtered")
+# Q32 same, unfiltered (heavier shuffle)
+_cb(32, f"""SELECT event_id, k, COUNT(*) AS c, {dsum('b')} AS sum_b, {davg('value')} AS avg_v
+FROM hits GROUP BY event_id, k ORDER BY c DESC, event_id, k LIMIT 10""",
+    bench=True, doc="near-unique group over full table")
+# Q33 url-style group top-k
+_cb(33, """SELECT props, COUNT(*) AS c FROM hits GROUP BY props
+ORDER BY c DESC, props LIMIT 10""", doc="string group top-k")
+# Q34 GROUP BY ordinal (literal 1 + col)
+_cb(34, """SELECT 1 AS one, props, COUNT(*) AS c FROM hits GROUP BY 1, props
+ORDER BY c DESC, props LIMIT 10""", doc="GROUP BY ordinal")
+# Q35 group by computed cols ClientIP-1,-2,-3
+_cb(35, """SELECT k, k - 1 AS k1, k - 2 AS k2, k - 3 AS k3, COUNT(*) AS c
+FROM hits GROUP BY k, k - 1, k - 2, k - 3 ORDER BY c DESC, k LIMIT 10""",
+    doc="GROUP BY computed expressions")
+# Q36 date-range predicate + group top-k
+_cb(36, """SELECT props, COUNT(*) AS pv FROM hits
+WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0 AND props <> ''
+GROUP BY props ORDER BY pv DESC, props LIMIT 10""",
+    bench=True, doc="date-range + multi-predicate + group top-k")
+# Q37 title variant
+_cb(37, """SELECT event_type, COUNT(*) AS pv FROM hits
+WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND event_type <> ''
+GROUP BY event_type ORDER BY pv DESC, event_type LIMIT 10""",
+    doc="date-range + string group")
+# Q38 LIMIT OFFSET
+_cb(38, """SELECT props, COUNT(*) AS pv FROM hits
+WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31'
+GROUP BY props ORDER BY pv DESC, props LIMIT 10 OFFSET 10""",
+    doc="LIMIT with OFFSET")
+# Q39 CASE WHEN projected + grouped
+_cb(39, """SELECT s, k, CASE WHEN s = 0 AND k = 0 THEN props ELSE '' END AS src,
+event_type AS dst, COUNT(*) AS pv FROM hits
+WHERE d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0
+GROUP BY s, k, src, dst ORDER BY pv DESC, s, k, src, dst LIMIT 10 OFFSET 10""",
+    doc="CASE WHEN as group key + LIMIT OFFSET")
+# Q40 IN-list predicate
+_cb(40, """SELECT event_id % 1000 AS h, d, COUNT(*) AS pv FROM hits
+WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0
+AND s IN (1, 3) GROUP BY h, d ORDER BY pv DESC, h, d LIMIT 10""",
+    doc="IN-list predicate + computed group key")
+# Q41 narrow int group keys
+_cb(41, """SELECT k, r, COUNT(*) AS pv FROM hits
+WHERE d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0 AND k = 7
+GROUP BY k, r ORDER BY pv DESC, k, r LIMIT 10 OFFSET 5""",
+    doc="point + range predicates, int group keys")
+# Q42 DATE_TRUNC minute group + order (ts stringified per conv #2)
+_cb(42,
+    f"""SELECT {TS_SPARK.format(c="date_trunc('minute', ts)")} AS m, COUNT(*) AS pv
+FROM hits WHERE d >= DATE '2024-01-02' AND d <= DATE '2024-01-05'
+GROUP BY date_trunc('minute', ts) ORDER BY m LIMIT 100""",
+    f"""SELECT {TS_DUCK.format(c="date_trunc('minute', ts)")} AS m, COUNT(*) AS pv
+FROM hits WHERE d >= DATE '2024-01-02' AND d <= DATE '2024-01-05'
+GROUP BY date_trunc('minute', ts) ORDER BY m LIMIT 100""",
+    bench=True, doc="DATE_TRUNC group + ORDER BY + LIMIT"),

@@ -1,0 +1,325 @@
+"""Training-data pipeline operators as registered query specs.
+
+Each operator from the build brief (dedup / similarity / text analysis /
+multimodal plumbing) gets a queries() entry; where the computation is exactly
+reproducible in ANSI SQL the oracle is generated from the SAME parameters
+(marker lists, thresholds, shingle size) so the two sides can't drift.
+
+Oracle-parity notes (the hard-won details):
+- DuckDB regexp_replace needs the 'g' flag to replace all matches (Spark
+  always does) — the _rr() helper writes each dialect.
+- Jaccard/cosine are computed as int-size ratios / sequential double folds,
+  then rounded to 4 decimals on BOTH sides before thresholding, so FP noise
+  can't flip set membership.
+- DuckDB list_reduce folds left-to-right exactly like Spark F.aggregate with
+  a 0.0 seed (0.0 + x1 == x1) -> bit-identical cosine values.
+- MinHash-LSH's oracle is the brute-force pair query: every candidate is
+  exact-verified, and at (128 perms, 32 bands) a true pair at j=0.8 is missed
+  w.p. ~4e-8, so LSH output == brute force on this data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universql_spark.operators import dedup, multimodal, similarity, textops
+from universql_spark.queries import register, register_sql
+
+# ---------------------------------------------------------------------------
+# dialect helpers for generated oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _rr(x: str, pat: str, rep: str) -> str:
+    """DuckDB regexp_replace with global flag (Spark replaces all by default)."""
+    return f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+
+
+def _duck_tokens(t: str) -> str:
+    """DuckDB expr: normalized token list of column t."""
+    return f"string_split({_rr(f'lower(trim({t}))', ' +', ' ')}, ' ')"
+
+
+def _duck_token_count(t: str) -> str:
+    squash = _rr(f"trim({t})", " +", " ")
+    return (
+        f"CASE WHEN length(trim({t})) = 0 THEN 0 "
+        f"ELSE length({squash}) - length(replace({squash}, ' ', '')) + 1 END"
+    )
+
+
+def _duck_occurrence(t: str, word: str) -> str:
+    padded = f"concat(' ', {t}, ' ')"
+    needle = f" {word} "
+    return f"(length({padded}) - length(replace({padded}, '{needle}', ''))) / {len(needle)}"
+
+
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, greatest(len(w) - 2, 1) + 1)])"
+)
+
+_DUCK_JACCARD_PAIRS = f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) >= 0.8
+ORDER BY id_a, id_b"""
+
+# sequential-fold cosine in DuckDB (matches similarity.dot/norm exactly)
+_DUCK_COS_CTE = """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+d AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e)"""
+
+_DUCK_COS_AB = (
+    "list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y)"
+    " / (a.nrm * b.nrm)"
+)
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(lower(trim(text))) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(lower(trim(text))) ORDER BY content_hash""",
+    bench=True,
+    category="dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy with min-id survivor (operators/dedup.py)."""
+    return dedup.exact_groups(spark.table("documents")).orderBy("content_hash")
+
+
+register_sql(
+    "dedup_exact_props",
+    """SELECT props, MIN(event_id) AS keep_id, COUNT(*) AS n_copies
+FROM events GROUP BY props ORDER BY props""",
+    category="dedup",
+    doc="exact dedup on a low-cardinality payload column (events.props)",
+)
+
+
+@register("dedup_ngram_jaccard", _DUCK_JACCARD_PAIRS, category="dedup")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram Jaccard pairs >= 0.8 — the exact baseline."""
+    return dedup.jaccard_pairs(spark.table("documents"), threshold=0.8, n=3)
+
+
+@register("dedup_minhash_lsh", _DUCK_JACCARD_PAIRS, bench=True, category="dedup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands) candidates, exact-verified at 0.8.
+
+    Oracle = the brute-force pair query (see module docstring for why the
+    outputs coincide).
+    """
+    return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.8, n=3, num_perm=128, bands=32)
+
+
+@register("dedup_simhash", None, category="dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming<=3). No SQL oracle: the 64-bit
+    signature depends on Spark's xxhash64; tests check recall vs jaccard."""
+    return dedup.simhash_pairs(spark.table("documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding",
+    f"""WITH {_DUCK_COS_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COS_AB}, 4) AS cos
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE round({_DUCK_COS_AB}, 4) >= 0.99
+ORDER BY id_a, id_b""",
+    category="dedup",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.99), brute-force baseline."""
+    return similarity.near_dup_pairs(spark.table("embeddings"), threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH {_DUCK_COS_CTE}
+SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_DUCK_COS_AB}, 4) AS cos,
+       CAST(row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY round({_DUCK_COS_AB}, 4) DESC, b.vec_id) AS INT) AS rank
+FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+QUALIFY rank <= 5
+ORDER BY q_id, rank""",
+    bench=True,
+    category="similarity",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast probe set,
+    one corpus pass, per-query window top-k."""
+    emb = spark.table("embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("ann_lsh_buckets", None, category="similarity")
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN index-build step).
+    Deterministic but xxhash64-dependent -> rows-only check; recall vs brute
+    force is asserted in tests."""
+    return similarity.lsh_bucket_profile(spark.table("embeddings"), dim=64, bits=8)
+
+
+@register("ann_lsh_pairs", None, category="similarity")
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup pairs — the scale path for dedup_embedding."""
+    return similarity.lsh_bucketed_pairs(spark.table("embeddings"), threshold=0.99, dim=64, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    f"""SELECT doc_id, {_duck_token_count('text')} AS n_tokens,
+       len(list_distinct({_duck_tokens('text')})) AS n_distinct
+FROM documents ORDER BY doc_id""",
+    bench=True,
+    category="text",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token + distinct-token counts per document."""
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    f"""SELECT doc_id,
+       round((
+         (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} >= 3.0
+               AND (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} <= 10.0
+          THEN 1.0 ELSE 0.0 END)
+       + length({_rr('text', '[^a-z ]', '')}) * 1.0 / length(text)
+       ) / 3.0, 4) AS quality
+FROM documents ORDER BY doc_id""",
+    category="text",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic in [0,1] (length band + word length + alpha ratio)."""
+    d = spark.table("documents")
+    return d.select("doc_id", textops.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+def _duck_lang_score(lang: str) -> str:
+    total = " + ".join(_duck_occurrence("text", w) for w in textops.LANG_MARKERS[lang])
+    return f"round(({total}) / {_duck_token_count('text')}, 6)"
+
+
+def _duck_lang_id_sql() -> str:
+    """Winner = first language (LANG_MARKERS order) whose score equals the
+    positive max — exactly textops.lang_id's forward/strict-> fold."""
+    score_cols = ",\n       ".join(f"{_duck_lang_score(lang)} AS s_{lang}" for lang in textops.LANG_MARKERS)
+    langs = list(textops.LANG_MARKERS)
+    mx = f"greatest({', '.join('s_' + x for x in langs)})"
+    when = "\n       ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs)
+    return f"""WITH s AS (
+  SELECT doc_id, {score_cols}
+  FROM documents)
+SELECT doc_id, CASE WHEN {mx} <= 0 THEN 'und'
+       {when}
+       ELSE 'und' END AS lang_pred FROM s ORDER BY doc_id"""
+
+
+@register("text_langid", _duck_lang_id_sql(), category="text")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with deterministic argmax."""
+    d = spark.table("documents")
+    return d.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    f"""SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_duck_tokens('text')})), ' ')) AS fp
+FROM documents ORDER BY doc_id""",
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint of the distinct token set."""
+    d = spark.table("documents")
+    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+register_sql(
+    "text_lang_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang""",
+    category="text",
+    doc="per-language corpus statistics",
+)
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_meta",
+    """SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+       3 AS n_channels
+FROM documents ORDER BY media_id""",
+    category="multimodal",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> decoded metadata through the real mapInPandas plumbing
+    (deterministic stub decoder; oracle reproduces its arithmetic)."""
+    media = multimodal.as_media(spark.table("documents"))
+    return multimodal.decode_images(media).withColumn("n_channels", F.col("n_channels").cast("int")).orderBy(
+        "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped (batch-equivalent with oracle; live stream in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, COUNT(*) AS c
+FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+ORDER BY win_start, event_type""",
+    bench=True,
+    category="streaming",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windowed counts — the batch twin of the Structured
+    Streaming pipeline in streaming/windows.py (same window() operator)."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "event_type", "c")
+        .orderBy("win_start", "event_type")
+    )

@@ -1,0 +1,412 @@
+"""Relational surface beyond ClickBench: windows, set ops, grouping sets,
+semi/anti joins, subqueries, JSON/VARIANT functions, the cast/type gallery.
+
+SURVEY.md §2.8 lists what the reference's tests/README declare (UNION ALL,
+CTE joins, PARSE_JSON/OBJECT_CONSTRUCT/ARRAY_CONSTRUCT, the ALL_COLUMNS cast
+matrix from tests/integration/utils.py:35-84); §2.8's closing note covers the
+operators DuckDB gives the reference implicitly (windows, grouping sets,
+semi/anti). All are first-class in Spark SQL — these specs pin their
+semantics against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from universql_spark.queries import register_sql
+from universql_spark.queries.clickbench import davg, dsum
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "win_rank_topn_per_group",
+    """SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn <= 3 ORDER BY c_custkey, rn""",
+    category="window",
+    doc="top-N per group via ROW_NUMBER — one shuffle on the partition key",
+)
+
+register_sql(
+    "win_rank_dense",
+    """SELECT o_orderpriority, o_orderkey,
+       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS drk
+FROM orders ORDER BY o_orderpriority, rk LIMIT 50""",
+    category="window",
+    doc="RANK + DENSE_RANK in one window pass",
+)
+
+register_sql(
+    "win_running_sum",
+    """SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+FROM events ORDER BY user_id, event_id""",
+    category="window",
+    doc="running sum per user (decimal-exact so engines agree bit-for-bit)",
+)
+
+register_sql(
+    "win_lag_lead",
+    """SELECT event_id, user_id,
+       LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+FROM events ORDER BY user_id, event_id LIMIT 200""",
+    category="window",
+    doc="LAG/LEAD navigation",
+)
+
+register_sql(
+    "win_moving_avg",
+    """SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg
+FROM events ORDER BY user_id, event_id LIMIT 200""",
+    category="window",
+    doc="sliding-frame moving average (ROWS BETWEEN)",
+)
+
+register_sql(
+    "win_ntile_cume",
+    """SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+       CAST(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS pr
+FROM orders ORDER BY o_orderkey LIMIT 200""",
+    category="window",
+    doc="NTILE + PERCENT_RANK global window",
+)
+
+# Sessionization in batch SQL: gap > 1800s starts a new session. The epoch
+# extraction differs by dialect (unix_micros vs epoch_us), hence two texts.
+_SESS = """WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN {epoch}(ts) - {epoch}(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+  FROM g)
+SELECT user_id, sess_id, COUNT(*) AS n_events FROM s
+GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
+
+register_sql(
+    "win_sessionize",
+    _SESS.format(epoch="unix_micros"),
+    oracle=_SESS.format(epoch="epoch_us"),
+    category="window",
+    doc="batch sessionization: LAG gap -> cumulative session ids (30 min gap)",
+)
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "agg_rollup",
+    f"""SELECT l_returnflag, l_linestatus, {dsum("l_quantity")} AS sum_qty, COUNT(*) AS c
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    category="grouping",
+    doc="ROLLUP with explicit NULLS FIRST (Spark/DuckDB default null order differs)",
+)
+
+register_sql(
+    "agg_cube",
+    f"""SELECT l_returnflag, l_linestatus, {dsum("l_quantity")} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    category="grouping",
+    doc="CUBE over two keys",
+)
+
+register_sql(
+    "agg_grouping_sets",
+    f"""SELECT l_returnflag, l_linestatus, {dsum("l_extendedprice")} AS sum_price
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    category="grouping",
+    doc="explicit GROUPING SETS",
+)
+
+register_sql(
+    "agg_stats",
+    f"""SELECT l_returnflag,
+       CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS sd,
+       CAST(ROUND(VAR_SAMP(l_quantity), 6) AS DOUBLE) AS vr,
+       MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+       {davg("l_quantity")} AS av
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="agg",
+    doc="statistical aggregates (rounded: stddev is FP-order sensitive)",
+)
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "set_union_all",
+    """SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region
+ORDER BY name""",
+    category="setop",
+    doc="UNION ALL (reference test tests/integration/extract.py:52-55)",
+)
+
+register_sql(
+    "set_union_distinct",
+    """SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k""",
+    category="setop",
+    doc="UNION with dedup",
+)
+
+register_sql(
+    "set_intersect",
+    """SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer ORDER BY k""",
+    category="setop",
+    doc="INTERSECT (distinct semantics both engines)",
+)
+
+register_sql(
+    "set_except",
+    """SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""",
+    category="setop",
+    doc="EXCEPT — customers who never ordered",
+)
+
+# ---------------------------------------------------------------------------
+# Join variants
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "join_semi",
+    """SELECT COUNT(*) AS c FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    category="join",
+    doc="LEFT SEMI via EXISTS",
+)
+
+register_sql(
+    "join_anti",
+    """SELECT COUNT(*) AS c FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    category="join",
+    doc="LEFT ANTI via NOT EXISTS",
+)
+
+register_sql(
+    "join_left_outer",
+    """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+ON c_custkey = o_custkey ORDER BY c_custkey""",
+    category="join",
+    doc="LEFT OUTER join against pre-aggregated side",
+)
+
+register_sql(
+    "join_full_outer",
+    """SELECT COALESCE(a.k, b.k) AS k, a.ca, b.cb FROM
+(SELECT c_nationkey AS k, COUNT(*) AS ca FROM customer GROUP BY c_nationkey) a
+FULL OUTER JOIN
+(SELECT s_nationkey AS k, COUNT(*) AS cb FROM supplier GROUP BY s_nationkey) b
+ON a.k = b.k ORDER BY k""",
+    category="join",
+    doc="FULL OUTER join of two aggregates",
+)
+
+register_sql(
+    "join_cross_small",
+    """SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2
+ORDER BY a, b""",
+    category="join",
+    doc="CROSS JOIN (bounded dims only)",
+)
+
+register_sql(
+    "join_cte_chain",
+    """WITH big_cust AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 2
+)
+SELECT c.c_mktsegment, COUNT(*) AS c, CAST(SUM(CAST(b.n AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM big_cust b JOIN customer c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    category="join",
+    doc="CTE + join + agg (reference demo corpus tests/sql_optimizer.py:22-34)",
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "subq_scalar",
+    f"""SELECT COUNT(*) AS c FROM orders
+WHERE o_totalprice > (SELECT {davg("o_totalprice")} FROM orders)""",
+    category="subquery",
+    doc="scalar subquery threshold (decimal-exact avg so the cut is identical)",
+)
+
+register_sql(
+    "subq_in",
+    """SELECT COUNT(*) AS c FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)""",
+    category="subquery",
+    doc="IN subquery -> semi join",
+)
+
+register_sql(
+    "subq_correlated",
+    """SELECT o_orderkey, o_totalprice FROM orders o
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                                   / COUNT(*)
+                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey""",
+    category="subquery",
+    doc="correlated scalar subquery (decorrelates to an aggregate join)",
+)
+
+# ---------------------------------------------------------------------------
+# JSON / VARIANT-ish surface (props column carries JSON, SURVEY §1.4)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "json_extract",
+    """SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, COUNT(*) AS c
+FROM events GROUP BY CAST(get_json_object(props, '$.k') AS INT) ORDER BY k""",
+    oracle="""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS c
+FROM events GROUP BY CAST(json_extract_string(props, '$.k') AS INT) ORDER BY k""",
+    category="json",
+    doc="JSON path extraction as group key (PARSE_JSON/VARIANT analogue)",
+)
+
+register_sql(
+    "json_object_construct",
+    """SELECT to_json(named_struct('id', o_orderkey, 'price', CAST(o_totalprice AS DOUBLE))) AS j
+FROM orders ORDER BY o_orderkey LIMIT 20""",
+    oracle="""SELECT to_json(struct_pack(id := o_orderkey, price := CAST(o_totalprice AS DOUBLE))) AS j
+FROM orders ORDER BY o_orderkey LIMIT 20""",
+    category="json",
+    doc="OBJECT_CONSTRUCT analogue: struct -> JSON text",
+)
+
+register_sql(
+    "array_construct_ops",
+    """SELECT o_orderkey,
+       size(array(o_orderkey, o_custkey)) AS alen,
+       array(o_orderkey, o_custkey)[0] AS first_el
+FROM orders ORDER BY o_orderkey LIMIT 20""",
+    oracle="""SELECT o_orderkey,
+       len([o_orderkey, o_custkey]) AS alen,
+       [o_orderkey, o_custkey][1] AS first_el
+FROM orders ORDER BY o_orderkey LIMIT 20""",
+    category="json",
+    doc="ARRAY_CONSTRUCT analogue + length + index (0- vs 1-based dialect)",
+)
+
+# ---------------------------------------------------------------------------
+# Type / cast gallery (reference ALL_COLUMNS_QUERY, tests/integration/utils.py:35-84)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "types_cast_gallery",
+    """SELECT CAST(1 AS BIGINT) AS i64, CAST(1 AS INT) AS i32,
+       CAST(1 AS SMALLINT) AS i16, CAST(1 AS TINYINT) AS i8,
+       CAST('1.5' AS DOUBLE) AS f64, CAST(1.5 AS DECIMAL(12,2)) AS dec_c,
+       CAST('text' AS STRING) AS s, CAST(1 = 1 AS BOOLEAN) AS b,
+       CAST('2024-01-02' AS DATE) AS dt,
+       CAST(NULL AS STRING) AS nul""",
+    oracle="""SELECT CAST(1 AS BIGINT) AS i64, CAST(1 AS INT) AS i32,
+       CAST(1 AS SMALLINT) AS i16, CAST(1 AS TINYINT) AS i8,
+       CAST('1.5' AS DOUBLE) AS f64, CAST(1.5 AS DECIMAL(12,2)) AS dec_c,
+       CAST('text' AS VARCHAR) AS s, CAST(1 = 1 AS BOOLEAN) AS b,
+       CAST('2024-01-02' AS DATE) AS dt,
+       CAST(NULL AS VARCHAR) AS nul""",
+    category="types",
+    doc="single-row cast matrix (SELECT <literal> no-FROM included)",
+)
+
+register_sql(
+    "select_literal",
+    "SELECT 1 AS test",
+    category="types",
+    doc="SELECT literal, no FROM (tests/integration/utils.py:31-33)",
+)
+
+register_sql(
+    "func_string_gallery",
+    """SELECT o_orderkey,
+       upper(o_orderstatus) AS up, lower(o_orderpriority) AS lo,
+       substr(o_orderpriority, 1, 1) AS sub,
+       length(o_orderpriority) AS ln,
+       trim(concat(' ', o_orderstatus, ' ')) AS tr,
+       replace(o_orderpriority, '-', '_') AS rep,
+       coalesce(NULL, o_orderstatus) AS co,
+       nullif(o_orderstatus, 'O') AS ni,
+       position('-' IN o_orderpriority) AS pos,
+       reverse(o_orderstatus) AS rev,
+       lpad(o_orderstatus, 3, 'x') AS lp,
+       rpad(o_orderstatus, 3, 'y') AS rp
+FROM orders ORDER BY o_orderkey LIMIT 50""",
+    category="functions",
+    doc="scalar string-function gallery",
+)
+
+register_sql(
+    "func_math_gallery",
+    """SELECT l_orderkey, l_linenumber,
+       abs(-l_quantity) AS ab, round(l_extendedprice, 1) AS rnd,
+       CAST(floor(l_discount * 100) AS BIGINT) AS fl, CAST(ceil(l_tax * 100) AS BIGINT) AS ce,
+       CAST(l_orderkey % 7 AS BIGINT) AS md,
+       greatest(l_quantity, 10.0) AS gr, least(l_quantity, 10.0) AS le,
+       CAST(ROUND(sqrt(l_quantity), 6) AS DOUBLE) AS sq,
+       CAST(ROUND(ln(l_quantity + 1), 6) AS DOUBLE) AS lg,
+       power(2, 3) AS pw, CAST(sign(l_discount - 0.05) AS INT) AS sg
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    category="functions",
+    doc="scalar math-function gallery (transcendentals rounded)",
+)
+
+register_sql(
+    "func_datetime_gallery",
+    """SELECT o_orderkey,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+       hour(o_orderdate) AS h, minute(o_orderdate) AS mi,
+       CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+FROM orders ORDER BY o_orderkey LIMIT 50""",
+    category="functions",
+    doc="datetime function gallery (year/month/day/interval/date_trunc)",
+)
+
+register_sql(
+    "case_insensitive_idents",
+    """SELECT O_ORDERPRIORITY AS P, COUNT(*) AS C FROM Orders GROUP BY o_orderpriority
+ORDER BY p""",
+    oracle="""SELECT O_ORDERPRIORITY AS P, COUNT(*) AS C FROM Orders GROUP BY o_orderpriority
+ORDER BY p""",
+    category="identifiers",
+    doc="case-insensitive identifier resolution (reference object_identifiers matrix)",
+)
+
+register_sql(
+    "distinct_rows",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus""",
+    category="setop",
+    doc="row-level DISTINCT",
+)
+
+register_sql(
+    "multi_distinct_agg",
+    """SELECT COUNT(DISTINCT l_suppkey) AS ds, COUNT(DISTINCT l_partkey) AS dp,
+       COUNT(DISTINCT l_returnflag) AS dr FROM lineitem""",
+    category="agg",
+    doc="multiple DISTINCT aggregates in one query (expand + partial agg)",
+)
