@@ -1,0 +1,153 @@
+"""Engine lifecycle tests, modeled on the reference's integration suite
+(SURVEY.md §5: extract.py / load.py / object_identifiers.py shapes, run
+hermetically against the fixtures instead of live Snowflake)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from universql_spark.dialect import snowflake_to_spark, split_statements
+from universql_spark.engine import Engine, QueryError
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark=spark, sf_dir=sf_dir)
+
+
+# -- dialect unit tests -------------------------------------------------------
+
+
+def test_split_statements_quotes_and_comments():
+    stmts = split_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment\nSELECT 2 /* ; */ AS y;;\nSELECT ';' AS z"
+    )
+    assert len(stmts) == 3
+    assert stmts[0] == "SELECT 'a;b' AS x"
+
+
+def test_dialect_type_renames():
+    out = snowflake_to_spark("SELECT CAST(x AS TIMESTAMP_LTZ), y::VARIANT, z::NUMBER(10,2) FROM t")
+    assert "TIMESTAMP_LTZ" not in out
+    assert "VARIANT" not in out
+    assert "DECIMAL(10,2)" in out
+
+
+def test_dialect_function_renames():
+    out = snowflake_to_spark("SELECT IFF(a > 1, 'x', 'y'), LEN(s), ARRAY_CONSTRUCT(1,2)")
+    assert "if(" in out and "length(" in out and "array(" in out
+
+
+def test_dialect_backrefs():
+    out = snowflake_to_spark(r"SELECT REGEXP_REPLACE(ref, '^https?://([^/]+)/.*$', '\1')")
+    assert "'$1'" in out
+
+
+def test_dialect_table_wrapper_strip():
+    out = snowflake_to_spark("SELECT * FROM table(to_query('select 1'))")
+    assert "table(" not in out.lower()
+    assert "to_query(" in out
+
+
+# -- engine lifecycle ---------------------------------------------------------
+
+
+def test_select_literal(engine):
+    assert engine.execute("SELECT 1 AS test").to_pylist() == [{"test": 1}]
+
+
+def test_multi_statement_returns_last(engine):
+    out = engine.execute("SELECT 1 AS a; SELECT 2 AS b")
+    assert out.to_pylist() == [{"b": 2}]
+
+
+def test_snowflake_dialect_query(engine):
+    out = engine.execute(
+        "SELECT IFF(o_totalprice > 0, 'pos', 'neg') AS s, o_orderkey "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    )
+    assert out.to_pylist()[0]["s"] == "pos"
+
+
+def test_error_then_recover(engine):
+    # reference: a failed query must not kill the session (extract.py:45-50)
+    with pytest.raises(QueryError):
+        engine.execute("SELECT * FROM no_such_table_xyz")
+    assert engine.execute("SELECT 1 AS ok").to_pylist() == [{"ok": 1}]
+
+
+def test_temp_ctas_and_readback(engine):
+    engine.execute(
+        "CREATE TEMP TABLE my_temp AS SELECT o_orderkey, o_totalprice FROM orders LIMIT 5"
+    )
+    out = engine.execute("SELECT COUNT(*) AS c FROM my_temp")
+    assert out.to_pylist() == [{"c": 5}]
+
+
+def test_create_or_replace_view(engine):
+    engine.execute("CREATE OR REPLACE TEMP VIEW v_orders AS SELECT o_orderkey FROM orders LIMIT 3")
+    assert engine.execute("SELECT COUNT(*) AS c FROM v_orders").to_pylist() == [{"c": 3}]
+
+
+def test_use_database_state(engine):
+    engine.execute("USE DATABASE analytics")
+    assert engine.current_database == "analytics"
+    engine.execute("USE SCHEMA public")
+    assert engine.current_schema == "public"
+
+
+def test_to_query_duckdb_escape_hatch(engine):
+    out = engine.execute("SELECT * FROM table(to_query('SELECT 41 + 1 AS answer'))")
+    assert out.to_pylist() == [{"answer": 42}]
+
+
+def test_ctas_insert_drop_roundtrip(engine):
+    engine.execute("CREATE OR REPLACE TABLE managed_t AS SELECT o_orderkey, o_orderstatus FROM orders LIMIT 10")
+    assert engine.execute("SELECT COUNT(*) AS c FROM managed_t").to_pylist() == [{"c": 10}]
+    engine.execute("INSERT INTO managed_t SELECT o_orderkey, o_orderstatus FROM orders LIMIT 2")
+    assert engine.execute("SELECT COUNT(*) AS c FROM managed_t").to_pylist() == [{"c": 12}]
+    engine.execute("DROP TABLE managed_t")
+    with pytest.raises(QueryError):
+        engine.execute("SELECT * FROM managed_t")
+
+
+def test_copy_into_csv(engine, tmp_path):
+    # reference shape: COPY INTO t FROM @stage/file.csv FILE_FORMAT=(SKIP_HEADER=1)
+    # then count (tests/integration/extract.py:58-82)
+    p = tmp_path / "stage_data.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "name"])
+        for i in range(7):
+            w.writerow([i, f"row{i}"])
+    engine.execute("CREATE OR REPLACE TABLE copy_target AS SELECT CAST(1 AS INT) AS id, 'x' AS name WHERE 1 = 0")
+    out = engine.execute(
+        f"COPY INTO copy_target FROM '{p}' FILE_FORMAT = (TYPE = CSV, SKIP_HEADER = 1)"
+    )
+    assert out.to_pylist()[0]["rows_loaded"] == 7
+    assert engine.execute("SELECT COUNT(*) AS c FROM copy_target").to_pylist() == [{"c": 7}]
+    engine.execute("DROP TABLE copy_target")
+
+
+def test_show_tables(engine):
+    out = engine.execute("SHOW TABLES")
+    names = {r["tableName"] for r in out.to_pylist()}
+    assert "orders" in names and "lineitem" in names
+
+
+def test_multi_statement_script_ddl(engine):
+    # reference object_identifiers-style batch: DDL x N + final SELECT
+    out = engine.execute(
+        """CREATE OR REPLACE TEMP VIEW s1 AS SELECT 1 AS v;
+           CREATE OR REPLACE TEMP VIEW s2 AS SELECT 2 AS v;
+           SELECT (SELECT v FROM s1) + (SELECT v FROM s2) AS total"""
+    )
+    assert out.to_pylist() == [{"total": 3}]
+
+
+def test_case_insensitive_identifiers(engine):
+    out = engine.execute('SELECT O_OrderKey FROM ORDERS ORDER BY o_orderkey LIMIT 1')
+    assert len(out.to_pylist()) == 1

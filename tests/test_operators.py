@@ -1,0 +1,92 @@
+"""Operator-library unit tests: properties the oracle comparison can't see
+(LSH recall, simhash blocking soundness, multimodal batch plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from universql_spark.operators import dedup, multimodal, similarity
+from universql_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_lsh_equals_bruteforce(docs):
+    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    brute = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert lsh == brute
+    assert len(brute) > 0, "fixture should contain near-duplicate pairs"
+
+
+def test_simhash_finds_high_jaccard_pairs(docs):
+    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    near_identical = {
+        (r.id_a, r.id_b) for r in dedup.jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    missed = near_identical - sim
+    assert len(missed) <= max(1, len(near_identical) // 5), (
+        f"simhash missed too many near-identical pairs: {missed}"
+    )
+
+
+def test_exact_groups_partition_of_corpus(docs):
+    groups = dedup.exact_groups(docs)
+    total = groups.agg(F.sum("n_copies")).first()[0]
+    assert total == docs.count()
+
+
+def test_lsh_bucket_recall_vs_bruteforce(emb):
+    exact = {(r.id_a, r.id_b) for r in similarity.near_dup_pairs(emb, threshold=0.99).collect()}
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_bucketed_pairs(emb, threshold=0.99, dim=64, bits=8).collect()
+    }
+    assert bucketed <= exact, "bucketed path must be a subset (no false positives)"
+    if exact:
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_brute_force_topk_shape(emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        cos = [r.cos for r in sorted(rows, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.n_id != q for r in rows)
+
+
+def test_multimodal_decode_batches(docs):
+    media = multimodal.as_media(docs)
+    # simpleString ignores nullability (Spark infers its own nullable flags)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    decoded = multimodal.decode_images(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    assert all(r.width >= 16 and r.height >= 16 and r.n_channels == 3 for r in rows)
+
+
+def test_multimodal_features_normalized(docs):
+    feats = multimodal.extract_features(multimodal.as_media(docs)).collect()
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    s = sum(feats[0].features)
+    assert abs(s - 1.0) < 1e-3
+
+
+def test_frame_sample_is_explicit_stub(docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(multimodal.as_media(docs))

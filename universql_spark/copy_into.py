@@ -1,0 +1,130 @@
+"""COPY INTO: Snowflake stage-load rewritten onto spark.read + append.
+
+The reference rewrites `COPY INTO t FROM @stage (params)` into
+`INSERT INTO t SELECT * FROM read_<fmt>([urls], mapped_params)` with a ~35
+entry option-translation table (plugins/snow.py:89-300, 371-437). Here the
+same contract maps onto the DataFrameReader: option table below, then
+`df.write.insertInto(t)`. Paths are plain file/object-store URLs (the @stage
+indirection is a Snowflake-catalog concept; a local path or s3a:// URL plays
+the same role for Spark — SURVEY.md §2.1 'Stage resolution').
+
+Scale note: spark.read on a glob/directory parallelizes by file split —
+loading N files is an N-way scan, and the append is a write-side shuffle-free
+pipeline. The option mapping is metadata-only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+([\w.\"]+)\s+FROM\s+'([^']+)'\s*(.*)$",
+    re.I | re.S,
+)
+_FILE_FORMAT_RE = re.compile(r"FILE_FORMAT\s*=\s*\((.*?)\)", re.I | re.S)
+_KV_RE = re.compile(r"(\w+)\s*=\s*('(?:[^']|'')*'|\([^)]*\)|[\w.]+)")
+
+# Snowflake format option -> (spark reader option, value mapper). Options the
+# reference explicitly drops (snow.py DISREGARDED/not-supported lists) map to
+# None and are ignored here too.
+_CSV_OPTIONS = {
+    "SKIP_HEADER": ("header", lambda v: "true" if v.strip() in ("1", "TRUE", "true") else "false"),
+    "FIELD_DELIMITER": ("sep", lambda v: _unq(v)),
+    "FIELD_OPTIONALLY_ENCLOSED_BY": ("quote", lambda v: _unq(v)),
+    "ESCAPE": ("escape", lambda v: _unq(v)),
+    "NULL_IF": ("nullValue", lambda v: _unq(v.strip("()").split(",")[0])),
+    "COMPRESSION": ("compression", lambda v: _unq(v).lower().replace("gzip", "gzip").replace("auto", "")),
+    "RECORD_DELIMITER": ("lineSep", lambda v: _unq(v)),
+    "SKIP_BLANK_LINES": ("ignoreEmptyLines", lambda v: v.lower()),
+    "ENCODING": ("encoding", lambda v: _unq(v)),
+    "TRIM_SPACE": ("ignoreLeadingWhiteSpace", lambda v: v.lower()),
+    "DATE_FORMAT": ("dateFormat", lambda v: _map_datetime_format(_unq(v))),
+    "TIMESTAMP_FORMAT": ("timestampFormat", lambda v: _map_datetime_format(_unq(v))),
+    "ERROR_ON_COLUMN_COUNT_MISMATCH": (None, None),
+    "EMPTY_FIELD_AS_NULL": (None, None),
+    "PARSE_HEADER": ("header", lambda v: v.lower()),
+}
+
+_SNOW_TO_SPARK_DATETIME = [
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MON", "MMM"),
+    ("MM", "MM"),
+    ("DD", "dd"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("FF3", "SSS"),
+    ("FF6", "SSSSSS"),
+    ("TZH:TZM", "XXX"),
+]
+
+
+def _map_datetime_format(fmt: str) -> str:
+    """Snowflake datetime format tokens -> Spark/JDK patterns. The reference
+    has the same table (plugins/snow.py:41-68) — including an upstream bug
+    where the .replace result is discarded; here it is actually applied."""
+    for sf, spark in _SNOW_TO_SPARK_DATETIME:
+        fmt = fmt.replace(sf, spark)
+    return fmt
+
+
+def _unq(v: str) -> str:
+    v = v.strip()
+    if v.startswith("'") and v.endswith("'"):
+        return v[1:-1].replace("''", "'")
+    return v
+
+
+def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
+    """-> (table, path, fmt, spark reader options)"""
+    m = _COPY_RE.match(stmt)
+    if not m:
+        raise ValueError(f"unsupported COPY syntax: {stmt[:120]}")
+    table, path, rest = m.group(1).strip('"'), m.group(2), m.group(3) or ""
+    fmt = "csv"
+    options: dict[str, str] = {}
+    ff = _FILE_FORMAT_RE.search(rest)
+    if ff:
+        for k, v in _KV_RE.findall(ff.group(1)):
+            k = k.upper()
+            if k == "TYPE":
+                fmt = _unq(v).lower()
+            elif fmt == "csv" and k in _CSV_OPTIONS:
+                opt, mapper = _CSV_OPTIONS[k]
+                if opt is not None:
+                    options[opt] = mapper(v)
+    if fmt == "parquet":
+        # reference forces hive_partitioning + union_by_name (snow.py:77-87)
+        options.setdefault("mergeSchema", "true")
+    if fmt == "json":
+        # reference forces auto_detect (snow.py:70-76) = Spark schema inference
+        options.setdefault("multiLine", "false")
+    return table, path, fmt, options
+
+
+def read_stage(spark: SparkSession, path: str, fmt: str, options: dict[str, str]) -> DataFrame:
+    reader = spark.read.options(**options)
+    if fmt == "csv":
+        reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "avro":
+        return reader.format("avro").load(path)
+    raise ValueError(f"unsupported COPY format: {fmt}")
+
+
+def execute_copy(spark: SparkSession, stmt: str) -> pa.Table:
+    table, path, fmt, options = parse_copy(stmt)
+    df = read_stage(spark, path, fmt, options)
+    target = table.split(".")[-1].lower()
+    df.write.insertInto(target, overwrite=False)
+    n = df.count()
+    return pa.table({"rows_loaded": [n], "status": ["LOADED"]})

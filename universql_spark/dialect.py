@@ -1,0 +1,187 @@
+"""Snowflake-SQL -> Spark-SQL text transforms (no sqlglot in this container,
+so this is a deliberately small hand-rolled layer covering the reference's
+declared dialect surface — SURVEY.md §2.3/§4.3):
+
+- statement splitting on ';' outside quotes/comments
+- `table(f(...))` wrapper strip            (reference duckdb.py:428-434)
+- TIMESTAMP_LTZ/_TZ/_NTZ + TIMESTAMPLTZ... (reference duckdb.py:436-446)
+- `::VARIANT` / PARSE_JSON                 (Spark: parse_json / variant)
+- regexp_replace backrefs '\\N' -> '$N'    (Java regex dialect; §2.7 row 19)
+- function renames with arg-order fixes where needed (IFF->if,
+  DATEADD/DATEDIFF -> timestampadd/timestampdiff unit form, etc.)
+
+Anything outside this surface passes through untouched — Spark SQL is the
+target dialect, and most Snowflake constructs (::casts, GROUP BY ordinal,
+LIMIT/OFFSET, CTEs) already parse. Unknown constructs fail loudly in
+Engine.execute with a QueryError carrying Spark's message.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# statement splitting (quote/comment-aware)
+# ---------------------------------------------------------------------------
+
+
+def split_statements(sql: str) -> list[str]:
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_s: str | None = None  # "'" or '"'
+    while i < n:
+        ch = sql[i]
+        if in_s:
+            buf.append(ch)
+            if ch == in_s:
+                if i + 1 < n and sql[i + 1] == in_s:  # escaped '' or ""
+                    buf.append(sql[i + 1])
+                    i += 1
+                else:
+                    in_s = None
+        elif ch in ("'", '"'):
+            in_s = ch
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# literal-safe token replacement
+# ---------------------------------------------------------------------------
+
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _outside_literals(sql: str, fn) -> str:
+    """Apply fn to the chunks of sql that are not string literals."""
+    parts: list[str] = []
+    last = 0
+    for m in _STRING_RE.finditer(sql):
+        parts.append(fn(sql[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(fn(sql[last:]))
+    return "".join(parts)
+
+
+# simple rename map (same arity/arg-order in Spark)
+_FN_RENAMES = {
+    "IFF": "if",
+    "NVL2": "nvl2",
+    "TO_VARCHAR": "string",
+    "TO_CHAR": "string",
+    "TO_NUMBER": "double",
+    "TO_DOUBLE": "double",
+    "ARRAY_CONSTRUCT": "array",
+    "OBJECT_CONSTRUCT": "named_struct",
+    "STRTOK_TO_ARRAY": "split",
+    "LEN": "length",
+    "CHARINDEX": "instr",
+    "DATEADD": "timestampadd",
+    "DATEDIFF": "timestampdiff",
+    "TO_TIMESTAMP_NTZ": "to_timestamp",
+    "SYSDATE": "current_timestamp",
+}
+
+_TYPE_RENAMES = [
+    (re.compile(r"\bTIMESTAMP_?(?:LTZ|TZ)\b", re.I), "TIMESTAMP"),
+    (re.compile(r"\bTIMESTAMP_?NTZ\b", re.I), "TIMESTAMP_NTZ"),
+    (re.compile(r"\bNUMBER\s*\(", re.I), "DECIMAL("),
+    (re.compile(r"\bNUMBER\b", re.I), "DECIMAL(38,0)"),
+    (re.compile(r"\bVARIANT\b", re.I), "STRING"),
+    (re.compile(r"\bOBJECT\b(?!_)", re.I), "STRING"),
+    (re.compile(r"\bVARCHAR\b(?!\s*\()", re.I), "STRING"),
+    (re.compile(r"\bCHAR\b(?!\s*\()(?!INDEX)", re.I), "STRING"),
+]
+
+_TABLE_WRAPPER_RE = re.compile(
+    r"\btable\s*\(\s*(to_query\s*\(\s*'(?:[^']|'')*'\s*\))\s*\)", re.I
+)
+_BACKREF_RE = re.compile(r"\\\\(\d)|\\(\d)")
+
+
+def _rename_functions(chunk: str) -> str:
+    def repl(m: re.Match) -> str:
+        name = m.group(1).upper()
+        return _FN_RENAMES.get(name, m.group(1)) + "("
+
+    return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", repl, chunk)
+
+
+def _rename_types(chunk: str) -> str:
+    for pat, rep in _TYPE_RENAMES:
+        chunk = pat.sub(rep, chunk)
+    return chunk
+
+
+def _fix_regexp_replace_backrefs(sql: str) -> str:
+    """Inside the literal args of REGEXP_REPLACE, rewrite '\\2'-style
+    replacement backrefs to Java's '$2' (reference query Q29 relies on this,
+    clickbench.sql:146)."""
+    out: list[str] = []
+    i = 0
+    lowered = sql.lower()
+    while True:
+        j = lowered.find("regexp_replace", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        # find the extent of the call by paren matching
+        k = sql.find("(", j)
+        depth, m = 0, k
+        while m < len(sql):
+            if sql[m] == "(":
+                depth += 1
+            elif sql[m] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            m += 1
+        call = sql[j : m + 1]
+        # only the replacement literal (3rd arg) carries backrefs; applying to
+        # all literals in the call is safe because '\N' has no other meaning here
+        call = _STRING_RE.sub(lambda mm: _BACKREF_RE.sub(lambda b: "$" + (b.group(1) or b.group(2)), mm.group(0)), call)
+        out.append(call)
+        i = m + 1
+        lowered = sql.lower()
+    return "".join(out)
+
+
+def strip_table_wrapper(sql: str) -> str:
+    """`SELECT * FROM table(to_query('...'))` -> `SELECT * FROM to_query('...')`
+    (the engine then intercepts to_query; reference duckdb.py:428-434)."""
+    return _TABLE_WRAPPER_RE.sub(r"\1", sql)
+
+
+def snowflake_to_spark(sql: str) -> str:
+    """One statement of Snowflake-ish SQL -> Spark SQL text."""
+    sql = strip_table_wrapper(sql)
+    sql = _outside_literals(sql, _rename_functions)
+    sql = _outside_literals(sql, _rename_types)
+    sql = _fix_regexp_replace_backrefs(sql)
+    # PARSE_JSON(x)::VARIANT — VARIANT was neutralized to STRING above, so the
+    # JSON text passes through unchanged (the reference likewise maps
+    # VARIANT -> JSON text, duckdb.py:443-444 / snowflake.py:196-198)
+    sql = re.sub(r"\bPARSE_JSON\s*\(", "(", sql, flags=re.I)
+    return sql

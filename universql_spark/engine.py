@@ -1,0 +1,174 @@
+"""Engine: the reference's query lifecycle re-derived on one Spark engine.
+
+Reference lifecycle (SURVEY.md §3.1): parse -> route (DuckDB vs Snowflake) ->
+catalog-resolve Iceberg tables -> transpile -> execute -> Arrow. On Spark the
+routing + catalog bridging collapse (SURVEY.md §2.4): there is ONE engine and
+ONE catalog, so what remains is dialect translation (dialect.py), session
+state (USE), statement classification for the DDL/DML the reference handles
+itself (§2.2), and the Arrow result contract.
+
+Statement handling parity map (reference file:line):
+  CREATE [OR REPLACE] TABLE .. AS SELECT  -> saveAsTable (parquet-backed
+        managed table; Iceberg writeTo when the runtime jar is present)
+        [duckdb.py:274-334]
+  CREATE TEMP TABLE .. AS SELECT          -> temp view  [duckdb.py:336-342]
+  CREATE [TEMP] VIEW                      -> spark.sql  [duckdb.py:346-351]
+  INSERT INTO                             -> spark.sql  [duckdb.py:352-372]
+  DROP TABLE / VIEW                       -> spark.sql  [duckdb.py:375-377]
+  USE [DATABASE|SCHEMA]                   -> session state + setCurrentDatabase
+                                             [duckdb.py:378-395]
+  SHOW ...                                -> spark.sql (Spark catalog is the
+                                             catalog; no cloud hop) [session.py:82-85]
+  COPY INTO t FROM path (options)         -> copy_into.py: spark.read.<fmt>
+                                             + append  [plugins/snow.py:353-437]
+  SELECT / everything else                -> dialect -> spark.sql
+  table(to_query('...'))                  -> inner SQL runs on in-process
+                                             DuckDB, result becomes a local
+                                             relation  [README.md:239-246]
+
+Errors surface as QueryError carrying a sqlState-ish code, and a failed
+statement never poisons the session (reference tests/integration/extract.py:45-50).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from universql_spark import copy_into
+from universql_spark.dialect import snowflake_to_spark, split_statements, strip_table_wrapper
+from universql_spark.session import get_spark, register_testdata
+
+
+class QueryError(Exception):
+    """Parse/analysis/execution error with a sqlState, mirroring the
+    reference's QueryError (util.py:267-284)."""
+
+    def __init__(self, message: str, sql_state: str = "42000"):
+        super().__init__(message)
+        self.message = message
+        self.sql_state = sql_state
+
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(.*)$",
+    re.I | re.S,
+)
+_USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
+_TO_QUERY_RE = re.compile(r"\bto_query\s*\(\s*'((?:[^']|'')*)'\s*\)", re.I)
+_DROP_RE = re.compile(r"^\s*DROP\s+(TABLE|VIEW)\b", re.I)
+_CREATE_VIEW_RE = re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\b", re.I)
+_COPY_RE = re.compile(r"^\s*COPY\s+INTO\b", re.I)
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\b", re.I)
+_SHOW_RE = re.compile(r"^\s*SHOW\b", re.I)
+_CREATE_DB_RE = re.compile(r"^\s*CREATE\s+(DATABASE|SCHEMA)\b", re.I)
+
+
+class Engine:
+    """Snowflake-ish SQL front end over one SparkSession.
+
+    >>> eng = Engine(sf_dir="/root/testdata/sf0.001")
+    >>> eng.execute("SELECT 1 AS test").to_pylist()
+    [{'test': 1}]
+    """
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark("universql_engine")
+        self.current_database: str | None = None
+        self.current_schema: str | None = None
+        if sf_dir:
+            register_testdata(self.spark, sf_dir)
+
+    # -- public API --------------------------------------------------------
+
+    def execute(self, sql: str) -> pa.Table:
+        """Execute one or more ';'-separated statements; return the last
+        result as a PyArrow table (the reference's result contract,
+        plugin.py:81-82 / protocol/snowflake.py:223-243)."""
+        result: pa.Table = pa.table({"status": pa.array([], type=pa.string())})
+        for stmt in split_statements(sql):
+            result = self._execute_one(stmt)
+        return result
+
+    def execute_df(self, sql: str) -> DataFrame:
+        stmts = split_statements(sql)
+        for stmt in stmts[:-1]:
+            self._execute_one(stmt)
+        return self._run_select(stmts[-1])
+
+    # -- statement dispatch --------------------------------------------------
+
+    def _execute_one(self, stmt: str) -> pa.Table:
+        try:
+            if _USE_RE.match(stmt):
+                return self._use(stmt)
+            if _CREATE_DB_RE.match(stmt):
+                self.spark.sql(snowflake_to_spark(stmt))
+                return _status("ok")
+            ctas = _CTAS_RE.match(stmt)
+            if ctas:
+                return self._ctas(ctas)
+            if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
+                return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
+            if _COPY_RE.match(stmt):
+                return copy_into.execute_copy(self.spark, stmt)
+            return self._run_select(stmt).toArrow()
+        except QueryError:
+            raise
+        except Exception as e:  # AnalysisException / ParseException / Py4J
+            msg = str(e)
+            m = re.search(r"SQLSTATE: (\w{5})", msg)
+            raise QueryError(msg.split("\n")[0][:500], sql_state=m.group(1) if m else "42000") from e
+
+    # -- handlers ------------------------------------------------------------
+
+    def _run_select(self, stmt: str) -> DataFrame:
+        stmt = strip_table_wrapper(stmt)
+        stmt = self._inline_to_query(stmt)
+        return self.spark.sql(snowflake_to_spark(stmt))
+
+    def _inline_to_query(self, stmt: str) -> str:
+        """Replace to_query('<inner sql>') with a temp view over the inner
+        query's DuckDB result — the Spark-native inversion of the reference's
+        remote-query table (README.md:239-246): the 'other engine' here is an
+        in-process DuckDB used as a low-latency local executor."""
+        m = _TO_QUERY_RE.search(stmt)
+        if not m:
+            return stmt
+        import duckdb
+
+        inner = m.group(1).replace("''", "'")
+        tbl = duckdb.connect().execute(inner).arrow()
+        name = f"to_query_{abs(hash(inner)) % 10**8}"
+        self.spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView(name)
+        return stmt[: m.start()] + name + stmt[m.end() :]
+
+    def _use(self, stmt: str) -> pa.Table:
+        m = _USE_RE.match(stmt)
+        kind, name = (m.group(1) or "DATABASE").upper(), m.group(2).strip('"')
+        if kind == "SCHEMA":
+            self.current_schema = name
+        else:
+            self.current_database = name
+        try:
+            self.spark.catalog.setCurrentDatabase(name.lower())
+        except Exception:
+            pass  # session-state only when the db isn't a Spark database
+        return _status(f"use {kind.lower()} {name}")
+
+    def _ctas(self, m: re.Match) -> pa.Table:
+        replace, temp, name, select = bool(m.group(1)), bool(m.group(2)), m.group(3).strip('"'), m.group(4)
+        df = self._run_select(select)
+        if temp:
+            # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
+            df.createOrReplaceTempView(name.split(".")[-1])
+        else:
+            writer = df.write.mode("overwrite" if replace else "errorifexists")
+            writer.saveAsTable(name.split(".")[-1].lower())
+        return _status(f"created {name}")
+
+
+def _status(msg: str) -> pa.Table:
+    return pa.table({"status": [msg]})

@@ -1,0 +1,92 @@
+"""Streaming windowed aggregation over the events fixture.
+
+Pipelines (all readStream -> transform -> writeStream, testable against a
+parquet directory source — the same API reads a Kafka topic in production):
+
+- tumbling_counts: 10-min tumbling window x event_type, 1h watermark
+- sliding_value_sum: 10-min window sliding every 5, decimal-exact value sums
+- session_counts: session_window(ts, '30 minutes') per user
+
+Late data: the watermark bounds state — at 100 TB-scale ingest this is the
+knob that keeps windowed state finite; without it every window lives forever.
+The batch twins (queries/llmops.py stream_tumbling_counts and the
+win_sessionize spec) pin the semantics against the DuckDB oracle; the
+streaming tests assert stream output == batch output on the same fixture,
+which is exactly Structured Streaming's incremental-view contract.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universql_spark.session import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with the events schema (ts already normalized to
+    TimestampType by the same conversion the batch view layer applies).
+
+    Spark's file stream source wants a DIRECTORY (new files appear -> new
+    micro-batches); the fixture is a single file, so it is exposed through a
+    symlink directory — in production this path is the landing dir or a Kafka
+    topic, same downstream pipeline.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = pathlib.Path(tempfile.gettempdir()) / f"universql_stream_{abs(hash(sf_dir)) % 10**8}"
+    src.mkdir(exist_ok=True)
+    link = src / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(str(src))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.select(*batch.columns)
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "event_type", "c")
+    )
+
+
+def sliding_value_sum(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)").alias("total"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "total")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain the (file-bounded) stream into an in-memory sink, waiting for
+    completion — test/demo harness; production uses a real sink + trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
