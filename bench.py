@@ -31,15 +31,27 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
 
     spark = get_spark("universql_spark_bench")
-    # warm-up: JVM, parquet footer reads, view registration
-    next(iter(bench_specs.values())).spark(spark, sf_dir).count()
+    # warm-up: JVM + codegen, view registration, first-touch of every table
+    # (footer reads + OS page cache) — hot-run methodology like the
+    # reference's ClickBench runs (best-of-3 per query, BASELINE.md)
+    from universql_spark.queries import ensure_views
 
+    ensure_views(spark, sf_dir)
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.table(t.name).count()
+
+    # hot-run methodology, matching the reference's ClickBench numbers
+    # (best-of-N per query; BASELINE.md derives 'hot' the same way)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

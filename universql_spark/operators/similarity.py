@@ -40,6 +40,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, vec, norm) with the vector pre-cast to double and the norm
+    computed ONCE per vector — the pairwise stage then does one dot product
+    per pair instead of re-deriving both norms (3x fewer flops, and the same
+    precompute shape as the DuckDB oracle's CTE, keeping values identical)."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}_vec"),
+        norm(v).alias(f"{prefix}_nrm"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,11 +66,12 @@ def brute_force_topk(
     Ranking key is round(cos, 4) with id tiebreak — deliberately coarse so
     float noise can't flip the top-k boundary between engines.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    q = _with_norm(queries, id_col, vec_col, "q")
+    c = _with_norm(corpus, id_col, vec_col, "n")
+    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("cos"))
+        .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
@@ -78,11 +92,12 @@ def near_dup_pairs(
     Brute-force O(n^2) — correctness baseline; at scale run it per LSH bucket
     (lsh_bucketed_pairs) instead.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = _with_norm(corpus, id_col, vec_col, "a")
+    b = _with_norm(corpus, id_col, vec_col, "b")
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -140,15 +155,20 @@ def lsh_bucketed_pairs(
     bucket sizes instead of quadratic in the corpus. (Approximate: pairs
     split across buckets are missed; raise recall with multi-table probing.)
     """
+    v = _as_double(F.col(vec_col))
     bucketed = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), lsh_bucket(F.col(vec_col), dim, bits).alias("bucket")
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        norm(v).alias("nrm"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
-    l = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    r = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    l = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
+    r = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         l.join(r, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .distinct()
         .orderBy("id_a", "id_b")
