@@ -151,3 +151,46 @@ def test_multi_statement_script_ddl(engine):
 def test_case_insensitive_identifiers(engine):
     out = engine.execute('SELECT O_OrderKey FROM ORDERS ORDER BY o_orderkey LIMIT 1')
     assert len(out.to_pylist()) == 1
+
+
+# -- DML (DELETE / UPDATE / MERGE) -------------------------------------------
+
+
+def test_delete_update_roundtrip(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE dml_t AS SELECT o_orderkey AS id, o_totalprice AS price, o_orderstatus AS st FROM orders LIMIT 20"
+    )
+    out = engine.execute("DELETE FROM dml_t WHERE id % 2 = 0")
+    deleted = out.to_pylist()[0]["rows_deleted"]
+    assert deleted > 0
+    assert engine.execute("SELECT COUNT(*) AS c FROM dml_t WHERE id % 2 = 0").to_pylist() == [{"c": 0}]
+    out = engine.execute("UPDATE dml_t SET price = price * 2, st = 'X' WHERE id > 10")
+    n = out.to_pylist()[0]["rows_updated"]
+    assert n >= 0
+    assert engine.execute(
+        "SELECT COUNT(*) AS c FROM dml_t WHERE id > 10 AND st <> 'X'"
+    ).to_pylist() == [{"c": 0}]
+    engine.execute("DROP TABLE dml_t")
+
+
+def test_merge_upsert(engine):
+    engine.execute("CREATE OR REPLACE TABLE m_target AS SELECT CAST(1 AS BIGINT) AS id, 'a' AS v "
+                   "UNION ALL SELECT 2, 'b'")
+    engine.execute("CREATE OR REPLACE TABLE m_source AS SELECT CAST(2 AS BIGINT) AS id, 'B' AS v "
+                   "UNION ALL SELECT 3, 'c'")
+    engine.execute(
+        """MERGE INTO m_target t USING m_source s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+    )
+    rows = sorted(engine.execute("SELECT id, v FROM m_target").to_pylist(), key=lambda r: r["id"])
+    assert rows == [{"id": 1, "v": "a"}, {"id": 2, "v": "B"}, {"id": 3, "v": "c"}]
+    engine.execute("DROP TABLE m_target; DROP TABLE m_source")
+
+
+def test_lateral_flatten(engine):
+    out = engine.execute(
+        "SELECT t.id, f.value AS el FROM (SELECT 1 AS id, ARRAY_CONSTRUCT(10, 20) AS arr) t, "
+        "LATERAL FLATTEN(input => t.arr) f"
+    )
+    assert sorted(r["el"] for r in out.to_pylist()) == [10, 20]

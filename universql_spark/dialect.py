@@ -168,6 +168,24 @@ def _fix_regexp_replace_backrefs(sql: str) -> str:
     return "".join(out)
 
 
+_FLATTEN_RE = re.compile(
+    r",?\s*LATERAL\s+FLATTEN\s*\(\s*(?:INPUT\s*=>\s*)?([^)]+)\)\s*(?:AS\s+)?(\w+)?",
+    re.I,
+)
+
+
+def rewrite_flatten(sql: str) -> str:
+    """Snowflake `, LATERAL FLATTEN(input => expr) f` -> Spark
+    `LATERAL VIEW explode(expr) f AS value` (f.value keeps working; the
+    reference flags FLATTEN as a dialect hard part, SURVEY.md §7.3)."""
+
+    def repl(m: re.Match) -> str:
+        alias = m.group(2) or "f"
+        return f" LATERAL VIEW explode({m.group(1).strip()}) {alias} AS value"
+
+    return _FLATTEN_RE.sub(repl, sql)
+
+
 def strip_table_wrapper(sql: str) -> str:
     """`SELECT * FROM table(to_query('...'))` -> `SELECT * FROM to_query('...')`
     (the engine then intercepts to_query; reference duckdb.py:428-434)."""
@@ -177,6 +195,7 @@ def strip_table_wrapper(sql: str) -> str:
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     sql = strip_table_wrapper(sql)
+    sql = rewrite_flatten(sql)
     sql = _outside_literals(sql, _rename_functions)
     sql = _outside_literals(sql, _rename_types)
     sql = _fix_regexp_replace_backrefs(sql)

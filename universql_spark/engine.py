@@ -37,7 +37,7 @@ import re
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from universql_spark import copy_into
+from universql_spark import copy_into, engine_dml
 from universql_spark.dialect import snowflake_to_spark, split_statements, strip_table_wrapper
 from universql_spark.session import get_spark, register_testdata
 
@@ -64,6 +64,9 @@ _COPY_RE = re.compile(r"^\s*COPY\s+INTO\b", re.I)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\b", re.I)
 _SHOW_RE = re.compile(r"^\s*SHOW\b", re.I)
 _CREATE_DB_RE = re.compile(r"^\s*CREATE\s+(DATABASE|SCHEMA)\b", re.I)
+_DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.I)
+_UPDATE_RE = re.compile(r"^\s*UPDATE\b", re.I)
+_MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\b", re.I)
 
 
 class Engine:
@@ -114,6 +117,12 @@ class Engine:
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
                 return copy_into.execute_copy(self.spark, stmt)
+            if _DELETE_RE.match(stmt):
+                return engine_dml.execute_delete(self.spark, snowflake_to_spark(stmt))
+            if _UPDATE_RE.match(stmt):
+                return engine_dml.execute_update(self.spark, snowflake_to_spark(stmt))
+            if _MERGE_RE.match(stmt):
+                return engine_dml.execute_merge(self.spark, snowflake_to_spark(stmt))
             return self._run_select(stmt).toArrow()
         except QueryError:
             raise

@@ -1,0 +1,66 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+interval/range join helpers.
+
+as-of join (for each left row, the latest right row with right.ts <=
+left.ts per key) is implemented with the union + window trick rather than a
+pairwise join:
+
+    tag rows (right=0, left=1) -> union -> one window per key ordered by
+    (ts, tag) -> last(right payload, ignorenulls) -> keep left rows
+
+This is THE scalable formulation: a single shuffle on the join key, no
+range-condition nested-loop join, state bounded by one payload struct per
+row. A naive `left join right on key and rts <= lts` + max-window would
+materialize every (left, right-before-it) pair — quadratic per key at
+100 TB. DuckDB's native ASOF JOIN serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right row at or
+    before its timestamp (per key). Right side should be unique per
+    (key, ts) — pre-dedup it for deterministic results.
+
+    Output: all left columns + payload columns (null when no prior right row).
+    """
+    payload = payload or [c for c in right.columns if c not in (key, right_ts)]
+    left_cols = left.columns
+
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts => '<=' semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(l).withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    out = unioned.filter(F.col("__tag") == 1).select(
+        *left_cols, *[F.col("__match")[c].alias(c) for c in payload]
+    )
+    return out

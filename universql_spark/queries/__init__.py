@@ -109,6 +109,6 @@ def register_sql(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from universql_spark.queries import clickbench, llmops, relational, tpch  # noqa: F401
+    from universql_spark.queries import advanced, clickbench, llmops, relational, tpch  # noqa: F401
 
     return REGISTRY

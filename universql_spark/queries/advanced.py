@@ -1,0 +1,146 @@
+"""Advanced operator specs: as-of join, range join, pivot, ordered string
+agg, exact percentiles, correlation — plus approximate aggregates (rows-only:
+sketch implementations differ by engine by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from universql_spark.operators import temporal
+from universql_spark.queries import register, register_sql
+from universql_spark.queries.clickbench import dsum
+
+# ---------------------------------------------------------------------------
+# as-of join — Spark: union+window operator; oracle: DuckDB native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """WITH p AS (
+  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type IN ('click', 'view'))
+SELECT l.event_id, p.p_event_id, p.p_value
+FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+ORDER BY l.event_id"""
+
+
+@register("join_asof", _ASOF_ORACLE, bench=True, category="temporal")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click/view, the user's most recent purchase at or before it.
+    union+window formulation (operators/temporal.py) — one shuffle on the
+    key vs DuckDB's native ASOF JOIN as oracle."""
+    from pyspark.sql.window import Window
+
+    ev = spark.table("events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("p_value"))
+    )
+    left = ev.filter(F.col("event_type").isin("click", "view")).select("event_id", "user_id", "ts")
+    out = temporal.asof_join(left, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                             payload=["p_event_id", "p_value"])
+    return out.select("event_id", "p_event_id", "p_value").orderBy("event_id")
+
+
+register_sql(
+    "join_range_interval",
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+ORDER BY signup_id, purchase_id""",
+    category="temporal",
+    doc="interval/range join: purchases within 30 min after a signup",
+)
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot-ish
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pivot",
+    f"""SELECT l_returnflag,
+       {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_o,
+       {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_f
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="grouping",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on l_linestatus (DataFrame .pivot with explicit values — explicit
+    values keep the plan single-pass, no distinct-scan to discover columns);
+    oracle is the equivalent conditional aggregation."""
+    li = spark.table("lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)"))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return out
+
+
+register_sql(
+    "agg_string_ordered",
+    """SELECT n_regionkey,
+       array_join(array_sort(collect_list(n_name)), ',') AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    oracle="""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    category="agg",
+    doc="LISTAGG/STRING_AGG with deterministic ordering",
+)
+
+register_sql(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+       CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS p50,
+       CAST(percentile(l_quantity, 0.9) AS DOUBLE) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    oracle="""SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="agg",
+    doc="exact interpolated percentiles (both engines: linear interpolation)",
+)
+
+register_sql(
+    "agg_corr",
+    """SELECT l_returnflag,
+       CAST(ROUND(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS c,
+       CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS cv
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="agg",
+    doc="correlation/covariance (rounded: co-moment accumulation is FP-order sensitive)",
+)
+
+
+@register("agg_approx_distinct", None, category="agg")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — rows-only check by construction
+    (sketches differ across engines); tests bound the relative error."""
+    return spark.table("lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register("agg_approx_quantile", None, category="agg")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx sketch — rows-only (engine-specific sketch)."""
+    return spark.table("orders").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx")
+    )
