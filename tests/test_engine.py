@@ -194,3 +194,39 @@ def test_lateral_flatten(engine):
         "LATERAL FLATTEN(input => t.arr) f"
     )
     assert sorted(r["el"] for r in out.to_pylist()) == [10, 20]
+
+
+def test_stage_positional_columns(engine, tmp_path):
+    # reference scratch probe: SELECT ascii(t.$1) FROM @stage (file_format => f) t
+    # (tests/scratch/sqlglot_tests.py:20-25)
+    p = tmp_path / "raw.csv"
+    p.write_text("a,1\nb,2\nc,3\n")
+    engine.execute(f"CREATE STAGE raw_stage URL = '{tmp_path}'")
+    engine.execute("CREATE FILE FORMAT ff_csv TYPE = CSV")
+    out = engine.execute(
+        "SELECT t.$1 AS letter, t.$2 AS num FROM @raw_stage/raw.csv (FILE_FORMAT => ff_csv) t "
+        "ORDER BY letter"
+    )
+    rows = out.to_pylist()
+    assert [r["letter"] for r in rows] == ["a", "b", "c"]
+    assert [r["num"] for r in rows] == [1, 2, 3]
+
+
+def test_current_warehouse_udf(engine):
+    assert engine.execute("SELECT current_warehouse() AS w").to_pylist() == [{"w": "x-spark"}]
+
+
+def test_result_contract():
+    import pyarrow as pa
+    from universql_spark.result import normalize, rowtype
+
+    t = pa.table({
+        "i": pa.array([1, 2], pa.int64()),
+        "s": pa.array(["x", None], pa.utf8()),
+        "arr": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+    })
+    rt = rowtype(t)
+    assert [r["type"] for r in rt] == ["fixed", "text", "array"]
+    norm = normalize(t)
+    assert norm.schema.field("arr").type == pa.utf8()
+    assert norm.column("arr").to_pylist() == ["[1, 2]", "[3]"]

@@ -80,6 +80,24 @@ def _unq(v: str) -> str:
     return v
 
 
+def parse_format_options(text: str) -> tuple[str, dict[str, str]]:
+    """'TYPE = CSV, SKIP_HEADER = 1, ...' -> (fmt, spark reader options).
+    Shared by COPY INTO's FILE_FORMAT=(...) and CREATE FILE FORMAT."""
+    fmt = "csv"
+    options: dict[str, str] = {}
+    pairs = _KV_RE.findall(text)
+    for k, v in pairs:  # TYPE may appear after other keys; resolve it first
+        if k.upper() == "TYPE":
+            fmt = _unq(v).lower()
+    for k, v in pairs:
+        k = k.upper()
+        if k != "TYPE" and fmt == "csv" and k in _CSV_OPTIONS:
+            opt, mapper = _CSV_OPTIONS[k]
+            if opt is not None:
+                options[opt] = mapper(v)
+    return fmt, options
+
+
 def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
     """-> (table, path, fmt, spark reader options)"""
     m = _COPY_RE.match(stmt)
@@ -87,17 +105,10 @@ def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
         raise ValueError(f"unsupported COPY syntax: {stmt[:120]}")
     table, path, rest = m.group(1).strip('"'), m.group(2), m.group(3) or ""
     fmt = "csv"
-    options: dict[str, str] = {}
+    options = {}
     ff = _FILE_FORMAT_RE.search(rest)
     if ff:
-        for k, v in _KV_RE.findall(ff.group(1)):
-            k = k.upper()
-            if k == "TYPE":
-                fmt = _unq(v).lower()
-            elif fmt == "csv" and k in _CSV_OPTIONS:
-                opt, mapper = _CSV_OPTIONS[k]
-                if opt is not None:
-                    options[opt] = mapper(v)
+        fmt, options = parse_format_options(ff.group(1))
     if fmt == "parquet":
         # reference forces hive_partitioning + union_by_name (snow.py:77-87)
         options.setdefault("mergeSchema", "true")

@@ -192,10 +192,20 @@ def strip_table_wrapper(sql: str) -> str:
     return _TABLE_WRAPPER_RE.sub(r"\1", sql)
 
 
+_POSITIONAL_RE = re.compile(r"(?<![\w$])\$(\d+)\b")
+
+
+def _rewrite_positional(chunk: str) -> str:
+    """Snowflake positional stage columns `$1` -> Spark headerless-CSV `_c0`
+    (reference parses these in tests/scratch/sqlglot_tests.py:20-25)."""
+    return _POSITIONAL_RE.sub(lambda m: f"_c{int(m.group(1)) - 1}", chunk)
+
+
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)
+    sql = _outside_literals(sql, _rewrite_positional)
     sql = _outside_literals(sql, _rename_functions)
     sql = _outside_literals(sql, _rename_types)
     sql = _fix_regexp_replace_backrefs(sql)

@@ -67,6 +67,15 @@ _CREATE_DB_RE = re.compile(r"^\s*CREATE\s+(DATABASE|SCHEMA)\b", re.I)
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.I)
 _UPDATE_RE = re.compile(r"^\s*UPDATE\b", re.I)
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\b", re.I)
+_CREATE_STAGE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(\w+)\s+URL\s*=\s*'([^']+)'\s*$", re.I
+)
+_CREATE_FF_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(\w+)\s+(.*)$", re.I | re.S
+)
+_STAGE_REF_RE = re.compile(
+    r"@(\w+)((?:/[\w.\-*]+)*)\s*(?:\(\s*FILE_FORMAT\s*=>\s*([\w']+)\s*\))?", re.I
+)
 
 
 class Engine:
@@ -81,8 +90,19 @@ class Engine:
         self.spark = spark or get_spark("universql_engine")
         self.current_database: str | None = None
         self.current_schema: str | None = None
+        #: name -> base URL/path (reference resolves @stage via DESCRIBE STAGE,
+        #: plugins/snow.py:400-414; here a stage IS its path)
+        self.stages: dict[str, str] = {}
+        #: name -> (fmt, reader options) from CREATE FILE FORMAT
+        self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
         if sf_dir:
             register_testdata(self.spark, sf_dir)
+        try:
+            # reference registers CURRENT_WAREHOUSE() returning 'x-duck'
+            # (protocol/utils.py:11-18); ours tells the truth about the engine
+            self.spark.udf.register("current_warehouse", lambda: "x-spark")
+        except Exception:
+            pass
 
     # -- public API --------------------------------------------------------
 
@@ -107,6 +127,15 @@ class Engine:
         try:
             if _USE_RE.match(stmt):
                 return self._use(stmt)
+            m = _CREATE_STAGE_RE.match(stmt)
+            if m:
+                self.stages[m.group(1).lower()] = m.group(2).rstrip("/")
+                return _status(f"stage {m.group(1)} created")
+            m = _CREATE_FF_RE.match(stmt)
+            if m:
+                fmt, options = copy_into.parse_format_options(m.group(2))
+                self.file_formats[m.group(1).lower()] = (fmt, options)
+                return _status(f"file format {m.group(1)} created")
             if _CREATE_DB_RE.match(stmt):
                 self.spark.sql(snowflake_to_spark(stmt))
                 return _status("ok")
@@ -136,7 +165,32 @@ class Engine:
     def _run_select(self, stmt: str) -> DataFrame:
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
+        stmt = self._resolve_stage_refs(stmt)
         return self.spark.sql(snowflake_to_spark(stmt))
+
+    def _resolve_stage_refs(self, stmt: str) -> str:
+        """`@stage/path (FILE_FORMAT => f)` in a FROM clause -> temp view over
+        spark.read of the stage path (reference: snow.py:400-414, 496-504;
+        its trailing-'/'-to-glob rule applies the same way here)."""
+        if "@" not in stmt or not self.stages:
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name = m.group(1).lower()
+            if name not in self.stages:
+                return m.group(0)
+            path = self.stages[name] + (m.group(2) or "")
+            fmt, options = "csv", {"header": "false", "inferSchema": "true"}
+            ff = (m.group(3) or "").strip().strip("'").lower()
+            if ff and ff in self.file_formats:
+                fmt, options = self.file_formats[ff]
+                options = {"inferSchema": "true", **options}
+            df = copy_into.read_stage(self.spark, path, fmt, options)
+            view = f"stage_{name}_{abs(hash(path)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _STAGE_REF_RE.sub(repl, stmt)
 
     def _inline_to_query(self, stmt: str) -> str:
         """Replace to_query('<inner sql>') with a temp view over the inner
