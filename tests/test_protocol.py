@@ -1,0 +1,93 @@
+"""Protocol veneer: login -> query -> Arrow IPC decode roundtrip, mirroring
+the reference's integration harness shape (proxy in-process + client decode,
+tests/integration/utils.py:100-154) via flask's test client."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import io
+import json
+
+import pyarrow as pa
+import pytest
+
+from universql_spark.engine import Engine
+
+flask = pytest.importorskip("flask")
+
+from universql_spark.protocol import create_app  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def client(spark, sf_dir):
+    app = create_app(Engine(spark=spark, sf_dir=sf_dir))
+    return app.test_client()
+
+
+def _login(client):
+    r = client.post("/session/v1/login-request", json={"data": {"schemaName": "PUBLIC"}})
+    return r.get_json()["data"]["token"]
+
+
+def _query(client, token, sql):
+    return client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": sql},
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    ).get_json()
+
+
+def _decode(payload) -> pa.Table:
+    raw = base64.b64decode(payload["data"]["rowsetBase64"])
+    return pa.ipc.open_stream(io.BytesIO(raw)).read_all()
+
+
+def test_login_query_roundtrip(client):
+    token = _login(client)
+    out = _query(client, token, "SELECT 1 AS test")
+    assert out["success"]
+    assert out["data"]["queryResultFormat"] == "arrow"
+    assert out["data"]["rowtype"][0]["name"] == "test"
+    assert _decode(out).to_pylist() == [{"test": 1}]
+
+
+def test_query_against_fixtures(client):
+    token = _login(client)
+    out = _query(client, token, "SELECT COUNT(*) AS c FROM orders")
+    assert out["success"] and _decode(out).to_pylist()[0]["c"] > 0
+
+
+def test_error_envelope_and_recovery(client):
+    token = _login(client)
+    bad = _query(client, token, "SELECT * FROM missing_table_abc")
+    assert bad["success"] is False and bad["data"]["sqlState"]
+    ok = _query(client, token, "SELECT 2 AS two")
+    assert ok["success"]
+
+
+def test_auth_required(client):
+    r = client.post("/queries/v1/query-request", json={"sqlText": "SELECT 1"})
+    assert r.status_code == 401
+
+
+def test_gzip_body(client):
+    token = _login(client)
+    body = gzip.compress(json.dumps({"sqlText": "SELECT 3 AS three"}).encode())
+    r = client.post(
+        "/queries/v1/query-request",
+        data=body,
+        headers={"Authorization": f'Snowflake Token="{token}"', "Content-Type": "application/json"},
+    )
+    assert _decode(r.get_json()).to_pylist() == [{"three": 3}]
+
+
+def test_heartbeat_and_logout(client):
+    token = _login(client)
+    assert client.post("/session/heartbeat", headers={"Authorization": f'Snowflake Token="{token}"'}).get_json()[
+        "success"
+    ]
+    client.post("/session?delete=true", headers={"Authorization": f'Snowflake Token="{token}"'})
+    assert not client.post(
+        "/session/heartbeat", headers={"Authorization": f'Snowflake Token="{token}"'}
+    ).get_json()["success"]

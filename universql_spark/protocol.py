@@ -1,0 +1,131 @@
+"""Snowflake-V1-ish REST front end over the Engine (SURVEY.md §2.6, M6).
+
+Ports the reference's protocol surface (universql/protocol/snowflake.py):
+  POST /session/v1/login-request   -> token + session parameters  [:51-118]
+  POST /queries/v1/query-request   -> rowtype + base64 Arrow IPC  [:188-264]
+  POST /session/heartbeat          -> {success: true}             [:145-155]
+  POST /queries/v1/abort-request   -> {success: true}             [:182-186]
+  POST /session?delete=true        -> drop session                [:121-135]
+
+Result encoding matches the reference's contract: the Arrow table is
+serialized as a RecordBatch IPC stream and base64-encoded into
+`rowsetBase64` with `queryResultFormat: "arrow"` (snowflake.py:223-243);
+gzip-compressed request bodies are accepted (util.py:258-264). Failures map
+to the reference's error envelope with sqlState (snowflake.py:200-218).
+
+One Engine (= one SparkSession) serves all sessions; per-session state is
+the (database, schema) pair — the Spark-native collapse of the reference's
+per-session DuckDB instances (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import io
+import json
+import secrets
+
+import pyarrow as pa
+
+from universql_spark.engine import Engine, QueryError
+from universql_spark.result import normalize, rowtype
+
+try:
+    from flask import Flask, request
+
+    HAS_FLASK = True
+except ImportError:  # pragma: no cover - flask is present in this container
+    HAS_FLASK = False
+
+
+def _arrow_b64(table: pa.Table) -> str:
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        for batch in table.to_batches():
+            writer.write_batch(batch)
+    return base64.b64encode(sink.getvalue()).decode()
+
+
+def _body() -> dict:
+    raw = request.get_data()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    return json.loads(raw) if raw else {}
+
+
+def create_app(engine: Engine | None = None) -> "Flask":
+    if not HAS_FLASK:
+        raise RuntimeError("flask not available")
+    app = Flask("universql_spark")
+    eng = engine or Engine()
+    sessions: dict[str, dict] = {}
+
+    @app.post("/session/v1/login-request")
+    def login():
+        body = _body().get("data", {})
+        token = secrets.token_urlsafe(32)
+        sessions[token] = {
+            "database": request.args.get("databaseName") or body.get("databaseName"),
+            "schema": request.args.get("schemaName") or body.get("schemaName", "PUBLIC"),
+            "warehouse": request.args.get("warehouse") or body.get("warehouse"),
+        }
+        return {
+            "success": True,
+            "data": {
+                "token": token,
+                "masterToken": token,
+                "sessionInfo": sessions[token],
+                "parameters": [
+                    {"name": "TIMEZONE", "value": "UTC"},
+                    {"name": "QUERY_RESULT_FORMAT", "value": "arrow"},
+                ],
+            },
+        }
+
+    def _session():
+        auth = request.headers.get("Authorization", "")
+        token = auth.split('Token="')[-1].rstrip('"') if 'Token="' in auth else None
+        return token if token in sessions else None
+
+    @app.post("/queries/v1/query-request")
+    def query():
+        token = _session()
+        if token is None:
+            return {"success": False, "message": "invalid token", "code": "390104"}, 401
+        sql = _body().get("sqlText", "")
+        try:
+            table = normalize(eng.execute(sql))
+        except QueryError as e:
+            return {
+                "success": False,
+                "message": e.message,
+                "data": {"sqlState": e.sql_state, "errorCode": "002003", "queryId": secrets.token_hex(8)},
+            }
+        return {
+            "success": True,
+            "data": {
+                "queryId": secrets.token_hex(8),
+                "queryResultFormat": "arrow",
+                "rowtype": rowtype(table),
+                "returned": table.num_rows,
+                "rowsetBase64": _arrow_b64(table),
+            },
+        }
+
+    @app.post("/session/heartbeat")
+    def heartbeat():
+        return {"success": _session() is not None}
+
+    @app.post("/queries/v1/abort-request")
+    def abort():
+        return {"success": True}
+
+    @app.post("/session")
+    def delete_session():
+        token = _session()
+        if request.args.get("delete") == "true" and token:
+            sessions.pop(token, None)
+        return {"success": True}
+
+    return app
