@@ -90,3 +90,36 @@ def test_multimodal_features_normalized(docs):
 def test_frame_sample_is_explicit_stub(docs):
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(multimodal.as_media(docs))
+
+
+def test_salted_sum_equals_direct(spark, sf_dir):
+    from universql_spark.operators import scale
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = scale.salted_sum(
+        ev, "event_type", F.expr("CAST(value AS DECIMAL(28,6))"), "total", salt_source="event_id"
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(value AS DECIMAL(28,6))")).alias("total"),
+        F.count("*").alias("total_count"),
+    )
+    got = {(r.event_type, str(r.total), r.total_count) for r in salted.collect()}
+    want = {(r.event_type, str(r.total), r.total_count) for r in direct.collect()}
+    assert got == want
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    from universql_spark.operators import scale
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    scale.write_bucketed(orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"), "b_orders", "k")
+    scale.write_bucketed(li.select(F.col("l_orderkey").alias("k"), "l_quantity"), "b_lineitem", "k")
+    joined = scale.bucketed_join(spark, "b_orders", "b_lineitem", "k", force_sortmerge=True)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = joined._jdf.queryExecution().explainString(mode)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, "bucketed join must not shuffle"
+    assert joined.count() == li.count()
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")

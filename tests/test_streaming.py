@@ -43,3 +43,27 @@ def test_stream_sliding_runs(spark, sf_dir):
     stream = windows.sliding_value_sum(windows.events_stream(spark, sf_dir))
     windows.run_to_memory(stream, "t_sliding")
     assert spark.table("t_sliding").count() > 0
+
+
+def test_stateful_user_profiles(spark, sf_dir):
+    from universql_spark.streaming import stateful
+
+    stream = stateful.user_profiles(windows.events_stream(spark, sf_dir))
+    stateful.run_update_to_memory(stream, "t_profiles")
+    # bounded input + update mode: keep the LAST emission per user
+    out = (
+        spark.table("t_profiles")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("value_sum").alias("value_sum"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("value_sum")
+    )
+    joined = out.alias("got").join(want.alias("w"), "user_id")
+    bad = joined.filter(
+        (F.col("got.n_events") != F.col("w.n_events"))
+        | (F.abs(F.col("got.value_sum") - F.col("w.value_sum")) > 1e-6)
+    ).count()
+    assert bad == 0
+    assert out.count() == want.count()

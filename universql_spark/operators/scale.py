@@ -1,0 +1,88 @@
+"""Scale-pattern operators: salted aggregation for skewed keys, bucketed
+co-located joins. These are the knobs the brief calls out ("skewed keys ->
+salting, bucketing for co-located joins") packaged as reusable helpers whose
+outputs are provably identical to the naive formulation (the salted agg has
+a plain GROUP BY oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value_expr: Column,
+    alias: str,
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase SUM for skew-heavy group keys.
+
+    Phase 1 groups by (key, salt) so one hot key spreads over salt_buckets
+    reducers; phase 2 combines the partial sums per key. SUM/COUNT/MIN/MAX
+    decompose exactly, so the result is identical to a direct groupBy — at
+    the cost of a second (tiny: |keys| x salt_buckets rows) shuffle. Spark's
+    partial aggregation already handles *moderate* skew map-side; explicit
+    salting is for the pathological case where even the merged partials for
+    one key overload a single reducer (billions of rows per key at 100 TB).
+
+    salt derives from a value column (or spark_partition_id) — NOT rand(),
+    which would break retry determinism.
+    """
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+        if salt_source
+        else F.spark_partition_id() % salt_buckets
+    )
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.sum(value_expr).alias("__partial"), F.count("*").alias("__n"))
+    )
+    return phase1.groupBy(key).agg(
+        F.sum("__partial").alias(alias), F.sum("__n").alias(f"{alias}_count")
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 8
+) -> None:
+    """Persist as a bucketed+sorted managed table: subsequent equi-joins on
+    bucket_col between tables bucketed the same way need NO exchange (the
+    scan is already hash-distributed) — the batch analogue of co-partitioned
+    state, and the single biggest shuffle-eliminator for repeated big joins.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # clear an orphaned location (e.g. a previously interrupted write) —
+    # saveAsTable refuses to create a managed table over leftover files
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, force_sortmerge: bool = False
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket column (no exchange).
+
+    force_sortmerge pins the shuffle-free SortMergeJoin even when the tables
+    are broadcast-sized (the planner otherwise broadcasts and disables the
+    bucketed scan — right call on small inputs, wrong at 100 TB where the
+    bucketed path is the point).
+    """
+    left = spark.table(left_table)
+    if force_sortmerge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on)

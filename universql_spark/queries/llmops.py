@@ -266,6 +266,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@register(
+    "text_tfidf_topk",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest({_duck_tokens('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       round(tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1.0), 6) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY round(tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1.0), 6) DESC,
+                                    term) <= 3
+ORDER BY doc_id, score DESC, term""",
+    bench=True,
+    category="text",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the canonical multi-stage agg
+    pipeline: tokenize -> (doc,term) counts -> doc-frequency join (term side
+    is small: broadcast) -> per-doc window top-k. Two shuffles total
+    ((doc,term) agg; window by doc), both on bounded keys.
+    """
+    from pyspark.sql.window import Window
+
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0), 6
+    ).alias("score")
+    scored = tf.join(F.broadcast(dfq), "term").crossJoin(F.broadcast(n_docs)).select("doc_id", "term", score)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )
+
+
 register_sql(
     "text_lang_stats",
     """SELECT lang, COUNT(*) AS n_docs,
