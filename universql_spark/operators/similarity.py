@@ -119,14 +119,15 @@ def _hyperplane(h: int, dim: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 12) -> Column:
-    """Sign-of-projection bucket id (int) from `bits` hyperplanes."""
+def lsh_bucket(vec: Column, dim: int, bits: int = 12, plane_offset: int = 0) -> Column:
+    """Sign-of-projection bucket id (int) from `bits` hyperplanes; the
+    offset selects a disjoint hyperplane family per hash table."""
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
     for h in range(bits):
-        sign_bit = F.when(dot(v, _hyperplane(h, dim)) > 0, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(
-            F.lit(0).cast("long")
-        )
+        sign_bit = F.when(
+            dot(v, _hyperplane(plane_offset + h, dim)) > 0, F.shiftleft(F.lit(1).cast("long"), h)
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(sign_bit)
     return bucket
 
@@ -146,27 +147,44 @@ def lsh_bucketed_pairs(
     threshold: float = 0.9,
     dim: int = 64,
     bits: int = 8,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs restricted to same-bucket candidates.
+    """Near-dup pairs restricted to same-bucket candidates, multi-table.
 
-    The pair join becomes an equi-join on bucket — co-partitioned, linear in
-    bucket sizes instead of quadratic in the corpus. (Approximate: pairs
-    split across buckets are missed; raise recall with multi-table probing.)
+    Each of `tables` independent hash tables buckets every vector with its
+    own `bits` hyperplanes; candidates join on (table, bucket) —
+    co-partitioned equi-join, linear in bucket sizes instead of quadratic in
+    the corpus. Per-table collision prob for angle θ is (1-θ/π)^bits; recall
+    over T tables is 1-(1-p)^T — at cos≈0.5 (θ≈60°), bits=4/tables=8 gives
+    ~0.8 recall where a single 8-bit table gives ~0.03. Exact verification
+    removes all false positives, so precision stays 1.
     """
     v = _as_double(F.col(vec_col))
-    bucketed = corpus.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        norm(v).alias("nrm"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    table_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), dim, bits, plane_offset=t * bits).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
     )
-    l = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
-    r = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+    bucketed = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            norm(v).alias("nrm"),
+            F.explode(table_buckets).alias("tb"),
+        )
+        .select("id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+    l = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "tbl", "bucket")
+    r = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "tbl", "bucket")
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        l.join(r, "bucket")
+        l.join(r, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)

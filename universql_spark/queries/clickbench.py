@@ -203,7 +203,7 @@ FROM hits GROUP BY k, k - 1, k - 2, k - 3 ORDER BY c DESC, k LIMIT 10""",
     doc="GROUP BY computed expressions")
 # Q36 date-range predicate + group top-k
 _cb(36, """SELECT props, COUNT(*) AS pv FROM hits
-WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0 AND props <> ''
+WHERE r = 4 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0 AND props <> ''
 GROUP BY props ORDER BY pv DESC, props LIMIT 10""",
     bench=True, doc="date-range + multi-predicate + group top-k")
 # Q37 title variant
@@ -224,13 +224,13 @@ GROUP BY s, k, src, dst ORDER BY pv DESC, s, k, src, dst LIMIT 10 OFFSET 10""",
     doc="CASE WHEN as group key + LIMIT OFFSET")
 # Q40 IN-list predicate
 _cb(40, """SELECT event_id % 1000 AS h, d, COUNT(*) AS pv FROM hits
-WHERE r = 3 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0
-AND s IN (1, 3) GROUP BY h, d ORDER BY pv DESC, h, d LIMIT 10""",
+WHERE r = 4 AND d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0
+AND s IN (0, 4) GROUP BY h, d ORDER BY pv DESC, h, d LIMIT 10""",
     doc="IN-list predicate + computed group key")
 # Q41 narrow int group keys
 _cb(41, """SELECT k, r, COUNT(*) AS pv FROM hits
 WHERE d >= DATE '2024-01-02' AND d <= DATE '2024-03-31' AND b = 0 AND k = 7
-GROUP BY k, r ORDER BY pv DESC, k, r LIMIT 10 OFFSET 5""",
+GROUP BY k, r ORDER BY pv DESC, k, r LIMIT 10 OFFSET 2""",
     doc="point + range predicates, int group keys")
 # Q42 DATE_TRUNC minute group + order (ts stringified per conv #2)
 _cb(42,

