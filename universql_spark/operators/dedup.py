@@ -54,12 +54,23 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     posexplode(words) -> LEAD window per doc: everything stays in whole-stage
     codegen (the transform/slice formulation above interprets per element and
-    is ~10x slower). One shuffle on id (the window partition key). Shingle
-    semantics match `shingles`: docs shorter than n words yield their whole
-    text as a single shingle (concat_ws skips the null leads).
+    is ~10x slower). Shingle semantics match `shingles`: docs shorter than n
+    words yield their whole text as a single shingle (concat_ws skips the
+    null leads).
+
+    Parallelism: an explicit repartition(N, id) ahead of the heavy stage when
+    the input has too few splits. Explicit-N matters: it is exempt from AQE
+    partition coalescing (which sizes by BYTES and would re-serialize this
+    CPU-bound small-data stage onto one task — measured 2-3x), and it
+    pre-satisfies the window's and the downstream groupBy(id)'s hash
+    distribution, so the whole pipeline runs N-wide with exactly one tiny
+    exchange.
     """
     from pyspark.sql.window import Window
 
+    target = min(16, docs.sparkSession.sparkContext.defaultParallelism)
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, id_col)
     w = tokens(F.col(text_col))
     tok = docs.select(
         F.col(id_col).alias("id"),
