@@ -230,3 +230,16 @@ def test_result_contract():
     norm = normalize(t)
     assert norm.schema.field("arr").type == pa.utf8()
     assert norm.column("arr").to_pylist() == ["[1, 2]", "[3]"]
+
+
+def test_identifier_indirection(engine):
+    out = engine.execute("SELECT COUNT(*) AS c FROM IDENTIFIER('orders')")
+    assert out.to_pylist()[0]["c"] > 0
+
+
+def test_query_log_cost(engine):
+    n0 = len(engine.query_log)
+    engine.execute("SELECT 1 AS a; SELECT 2 AS b")
+    assert len(engine.query_log) == n0 + 2
+    entry = engine.query_log[-1]
+    assert entry["duration_sec"] >= 0 and entry["estimated_cost_usd"] >= 0

@@ -123,3 +123,15 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert joined.count() == li.count()
     spark.sql("DROP TABLE b_orders")
     spark.sql("DROP TABLE b_lineitem")
+
+
+def test_kmeans_inertia_monotone(emb):
+    from universql_spark.operators import cluster
+
+    out, hist = cluster.kmeans(emb, k=8, iters=4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster for r in rows} <= set(range(8))
+    # Lloyd's algorithm never increases inertia
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
+    assert hist[-1] < hist[0]

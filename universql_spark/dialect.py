@@ -192,6 +192,8 @@ def strip_table_wrapper(sql: str) -> str:
     return _TABLE_WRAPPER_RE.sub(r"\1", sql)
 
 
+_IDENTIFIER_RE = re.compile(r"\bIDENTIFIER\s*\(\s*'([\w.\"]+)'\s*\)", re.I)
+
 _POSITIONAL_RE = re.compile(r"(?<![\w$])\$(\d+)\b")
 
 
@@ -205,6 +207,8 @@ def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)
+    # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
+    sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
     sql = _outside_literals(sql, _rename_functions)
     sql = _outside_literals(sql, _rename_types)

@@ -32,7 +32,9 @@ statement never poisons the session (reference tests/integration/extract.py:45-5
 
 from __future__ import annotations
 
+import os
 import re
+import time
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +97,8 @@ class Engine:
         self.stages: dict[str, str] = {}
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
+        #: per-statement duration + cost estimate (reference util.py:375-406)
+        self.query_log: list[dict] = []
         if sf_dir:
             register_testdata(self.spark, sf_dir)
         try:
@@ -109,10 +113,20 @@ class Engine:
     def execute(self, sql: str) -> pa.Table:
         """Execute one or more ';'-separated statements; return the last
         result as a PyArrow table (the reference's result contract,
-        plugin.py:81-82 / protocol/snowflake.py:223-243)."""
+        plugin.py:81-82 / protocol/snowflake.py:223-243). Each statement is
+        appended to query_log with duration + estimated local-compute cost
+        (port of the reference's cost logger, util.py:375-406)."""
         result: pa.Table = pa.table({"status": pa.array([], type=pa.string())})
         for stmt in split_statements(sql):
+            t0 = time.perf_counter()
             result = self._execute_one(stmt)
+            dur = time.perf_counter() - t0
+            # hardware-depreciation + power model like the reference's:
+            # ~$0.05 per fully-loaded cpu-hour across all local cores
+            cost = dur / 3600 * 0.05 * (os.cpu_count() or 1)
+            self.query_log.append(
+                {"sql": stmt[:200], "duration_sec": round(dur, 4), "estimated_cost_usd": round(cost, 8)}
+            )
         return result
 
     def execute_df(self, sql: str) -> DataFrame:

@@ -128,6 +128,41 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 
 
+@register(
+    "agg_salted_sum",
+    """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       COUNT(*) AS total_count
+FROM events GROUP BY event_type ORDER BY event_type""",
+    category="agg",
+)
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted SUM (operators/scale.py) — the oracle is
+    the plain GROUP BY, proving the decomposition is exact."""
+    from universql_spark.operators import scale
+
+    out = scale.salted_sum(
+        spark.table("events"),
+        "event_type",
+        F.expr("CAST(value AS DECIMAL(28,6))"),
+        "total",
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type", F.col("total").cast("double").alias("total"), "total_count"
+    ).orderBy("event_type")
+
+
+@register("embed_kmeans", None, category="similarity")
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means(8, 4 iters) cluster assignments over the embeddings — an
+    iterative algorithm (non-SQL-expressible: rows-only check; tests assert
+    monotone inertia + full coverage)."""
+    from universql_spark.operators import cluster
+
+    out, _ = cluster.kmeans(spark.table("embeddings"), k=8, iters=4)
+    return out
+
+
 @register("agg_approx_distinct", None, category="agg")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — rows-only check by construction
