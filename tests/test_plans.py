@@ -81,3 +81,21 @@ def test_minhash_partial_aggregation(spark, sf_dir):
 def test_date_predicates_push(spark, sf_dir, name):
     p = plan(spark, sf_dir, name)
     assert "PushedFilters: [" in p
+
+
+def test_partition_pruning(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators import scale
+    from universql_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    scale.write_partitioned(ev, "p_events", "d")
+    q = spark.table("p_events").filter(F.col("d") == "2024-01-01").groupBy("event_type").count()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = q._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters:")[1].split("]")[0]
+    assert "d" in pf and "2024-01-01" in pf, pf
+    assert q.count() > 0
+    spark.sql("DROP TABLE p_events")

@@ -86,3 +86,18 @@ def bucketed_join(
     if force_sortmerge:
         left = left.hint("merge")
     return left.join(spark.table(right_table), on)
+
+
+def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
+    """Persist hive-style partitioned: queries filtering on partition_col
+    prune whole directories at planning time (PartitionFilters in the scan) —
+    the table layout that makes date-ranged queries at 100 TB read only the
+    days they touch."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(partition_col).saveAsTable(table)

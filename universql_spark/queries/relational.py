@@ -410,3 +410,44 @@ register_sql(
     category="agg",
     doc="multiple DISTINCT aggregates in one query (expand + partial agg)",
 )
+
+register_sql(
+    "win_range_frame",
+    """SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+FROM orders ORDER BY o_orderkey LIMIT 100""",
+    category="window",
+    doc="RANGE frame (value-based) window, vs the ROWS frames elsewhere",
+)
+
+# The fixtures are NULL-free, so NULL semantics are exercised by *introducing*
+# NULLs with NULLIF/CASE and checking aggregation/grouping/ordering behavior
+# matches the oracle (SURVEY §7.3 lists NULL-ordering drift as an expected trap).
+register_sql(
+    "null_agg_semantics",
+    """SELECT COUNT(*) AS n_rows, COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull,
+       CAST(SUM(CAST(NULLIF(l_quantity, 1.0) AS DECIMAL(28,6))) AS DOUBLE) AS sum_skip_nulls,
+       COUNT(DISTINCT NULLIF(l_returnflag, 'N')) AS d_nonnull
+FROM lineitem""",
+    category="nulls",
+    doc="aggregates skip NULLs; COUNT(*) vs COUNT(col) distinction",
+)
+
+register_sql(
+    "null_group_keys",
+    """SELECT NULLIF(l_returnflag, 'N') AS rf, COUNT(*) AS c
+FROM lineitem GROUP BY NULLIF(l_returnflag, 'N')
+ORDER BY rf NULLS FIRST""",
+    category="nulls",
+    doc="NULL forms its own group; explicit NULLS FIRST (engine defaults differ)",
+)
+
+register_sql(
+    "null_join_semantics",
+    """SELECT COUNT(*) AS c FROM
+(SELECT NULLIF(c_nationkey, 0) AS k FROM customer) a
+JOIN (SELECT NULLIF(s_nationkey, 0) AS k FROM supplier) b ON a.k = b.k""",
+    category="nulls",
+    doc="NULL never equi-joins with NULL",
+)
