@@ -41,17 +41,35 @@ def main() -> None:
         if t.isTemporary:
             spark.table(t.name).count()
 
-    # hot-run methodology, matching the reference's ClickBench numbers
-    # (best-of-N per query; BASELINE.md derives 'hot' the same way)
+    # Three timing tiers per query, so the comparison against BASELINE.md is
+    # explicit about what each number includes:
+    #   queries (primary)  — best-of-N FULL executions: fresh DataFrame each
+    #     run (fresh plan + codegen + every stage re-executed). Matches what
+    #     DuckDB pays on a repeated query; session/tables warm.
+    #   prepared_queries   — re-collect of the SAME DataFrame: plan amortized
+    #     AND Spark silently reuses shuffle map outputs (stages skip), i.e.
+    #     prepared-statement + materialized-exchange replay. Lower bound.
+    #   cold_queries       — the first full run (includes ~0.2-1.2s per-plan
+    #     analysis+codegen that the primary tier's best-of-N also pays but
+    #     amortizes less visibly).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    prepared: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
-        for _ in range(runs):
+        for r in range(runs):
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            df = spec.spark(spark, sf_dir)
+            df.collect()
+            dur = time.perf_counter() - t0
+            if r == 0:
+                cold[name] = round(dur, 4)
+            best = min(best, dur)
         timings[name] = round(best, 4)
+        t0 = time.perf_counter()
+        df.collect()
+        prepared[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -61,6 +79,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "prepared_total": round(sum(prepared.values()), 4),
+                "prepared_queries": prepared,
+                "cold_total": round(sum(cold.values()), 4),
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
