@@ -243,3 +243,16 @@ def test_query_log_cost(engine):
     assert len(engine.query_log) == n0 + 2
     entry = engine.query_log[-1]
     assert entry["duration_sec"] >= 0 and entry["estimated_cost_usd"] >= 0
+
+
+def test_object_construct_scalar_subquery(engine):
+    # reference ALL_COLUMNS gallery includes OBJECT_CONSTRUCT('k', (SELECT 1))
+    out = engine.execute("SELECT OBJECT_CONSTRUCT('k', (SELECT 1)) AS o")
+    assert out.to_pylist()[0]["o"] == {"k": 1}
+
+
+def test_tablesample_sql(engine):
+    out = engine.execute("SELECT COUNT(*) AS c FROM orders TABLESAMPLE (20 PERCENT) REPEATABLE (42)")
+    total = engine.execute("SELECT COUNT(*) AS c FROM orders").to_pylist()[0]["c"]
+    c = out.to_pylist()[0]["c"]
+    assert 0 < c < total

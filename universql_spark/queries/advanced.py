@@ -179,3 +179,11 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("orders").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx")
     )
+
+
+@register("sample_reservoir", None, category="sampling")
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded TABLESAMPLE (the reference ships a disabled reservoir-sample
+    rewrite, plugins/snow.py:843-856). Sampling is engine-specific ->
+    rows-only; the test bounds the fraction."""
+    return spark.table("lineitem").sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

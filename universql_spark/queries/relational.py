@@ -451,3 +451,26 @@ JOIN (SELECT NULLIF(s_nationkey, 0) AS k FROM supplier) b ON a.k = b.k""",
     category="nulls",
     doc="NULL never equi-joins with NULL",
 )
+
+register_sql(
+    "order_by_ordinal",
+    """SELECT o_orderpriority AS p, COUNT(*) AS c FROM orders
+GROUP BY 1 ORDER BY 2 DESC, 1""",
+    category="identifiers",
+    doc="GROUP BY / ORDER BY ordinals (reference ClickBench Q35 uses GROUP BY 1)",
+)
+
+register_sql(
+    "unpivot_stack",
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber,
+         stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, val)
+  FROM lineitem) t ORDER BY l_orderkey, l_linenumber, metric LIMIT 100""",
+    oracle="""SELECT l_orderkey, l_linenumber, metric, val FROM (
+  SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val FROM lineitem
+) t ORDER BY l_orderkey, l_linenumber, metric LIMIT 100""",
+    category="grouping",
+    doc="UNPIVOT via stack() vs UNION ALL oracle",
+)
