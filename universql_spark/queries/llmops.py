@@ -146,6 +146,35 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(spark.table("embeddings"), threshold=0.45)
 
 
+_DUCK_COMPONENTS = f"""WITH RECURSIVE t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)
+SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id ORDER BY doc_id"""
+
+
+@register("dedup_components", _DUCK_COMPONENTS, category="dedup")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: LSH pairs -> connected components (min-label
+    propagation, operators/components.py) vs a recursive-CTE oracle."""
+    from universql_spark.operators import components
+
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    out = components.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return out.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
