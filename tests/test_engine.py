@@ -256,3 +256,45 @@ def test_tablesample_sql(engine):
     total = engine.execute("SELECT COUNT(*) AS c FROM orders").to_pylist()[0]["c"]
     c = out.to_pylist()[0]["c"]
     assert 0 < c < total
+
+
+def test_qualify_window_form(engine):
+    out = engine.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2 "
+        "ORDER BY o_custkey, o_totalprice DESC LIMIT 10"
+    )
+    rows = out.to_pylist()
+    assert 0 < len(rows) <= 10
+    assert "__qualify" not in out.column_names
+    per_cust = {}
+    for r in rows:
+        per_cust[r["o_custkey"]] = per_cust.get(r["o_custkey"], 0) + 1
+    assert all(v <= 2 for v in per_cust.values())
+
+
+def test_qualify_alias_form(engine):
+    out = engine.execute(
+        "SELECT o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn "
+        "FROM orders QUALIFY rn = 1 ORDER BY o_custkey LIMIT 5"
+    )
+    assert all(r["rn"] == 1 for r in out.to_pylist())
+
+
+def test_copy_into_json(engine, tmp_path):
+    import json as _json
+
+    p = tmp_path / "data.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"id": i, "name": f"j{i}"}) + "\n")
+    engine.execute("CREATE OR REPLACE TABLE json_target AS SELECT CAST(1 AS BIGINT) AS id, 'x' AS name WHERE 1 = 0")
+    out = engine.execute(f"COPY INTO json_target FROM '{p}' FILE_FORMAT = (TYPE = JSON)")
+    assert out.to_pylist()[0]["rows_loaded"] == 5
+    engine.execute("DROP TABLE json_target")
+
+
+def test_describe_table(engine):
+    out = engine.execute("DESCRIBE orders")
+    cols = {r["col_name"] for r in out.to_pylist()}
+    assert "o_orderkey" in cols

@@ -186,6 +186,52 @@ def rewrite_flatten(sql: str) -> str:
     return _FLATTEN_RE.sub(repl, sql)
 
 
+_QUALIFY_KW_RE = re.compile(r"\bQUALIFY\b", re.I)
+_TAIL_KW_RE = re.compile(r"\bORDER\s+BY\b|\bLIMIT\b", re.I)
+_QUALIFY_WIN_RE = re.compile(
+    r"^\s*(?P<win>.+?\bOVER\s*\([^)]*\))\s*(?P<op><=|>=|=|<|>)\s*(?P<rhs>\d+)\s*$",
+    re.I | re.S,
+)
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Snowflake/DuckDB QUALIFY -> Spark subquery + WHERE.
+
+    Two supported shapes (the ones the declared surface uses):
+      QUALIFY <select-alias-cond>          -> outer WHERE on the alias
+      QUALIFY <winexpr> <op> <n>           -> window projected as a helper
+                                              column, filtered outside
+    Spark cannot filter on window functions in WHERE, hence the projection.
+    """
+    km = _QUALIFY_KW_RE.search(sql)
+    if not km:
+        return sql
+    body = sql[: km.start()].rstrip()
+    rest = sql[km.end() :]
+    # find the first ORDER BY / LIMIT at paren depth 0 (the one inside an
+    # OVER(...) clause must not split the condition)
+    depth, split_at = 0, len(rest)
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            tm = _TAIL_KW_RE.match(rest, i)
+            if tm:
+                split_at = i
+                break
+    cond, tail = rest[:split_at].strip(), rest[split_at:].strip()
+    wm = _QUALIFY_WIN_RE.match(cond)
+    if wm:
+        win, op, rhs = wm.group("win").strip(), wm.group("op"), wm.group("rhs")
+        # inject the window expression as a projected helper column
+        inner = re.sub(r"^\s*SELECT\s+", f"SELECT {win} AS __qualify, ", body, count=1, flags=re.I)
+        # Spark 3.4+ star-EXCEPT keeps the helper column out of the result
+        return f"SELECT * EXCEPT (__qualify) FROM ({inner}) __q WHERE __qualify {op} {rhs} {tail}".rstrip()
+    return f"SELECT * FROM ({body}) __q WHERE {cond} {tail}".rstrip()
+
+
 def strip_table_wrapper(sql: str) -> str:
     """`SELECT * FROM table(to_query('...'))` -> `SELECT * FROM to_query('...')`
     (the engine then intercepts to_query; reference duckdb.py:428-434)."""
@@ -207,6 +253,7 @@ def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)
+    sql = rewrite_qualify(sql)
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
