@@ -298,3 +298,11 @@ def test_describe_table(engine):
     out = engine.execute("DESCRIBE orders")
     cols = {r["col_name"] for r in out.to_pylist()}
     assert "o_orderkey" in cols
+
+
+def test_to_date_format_mapping(engine):
+    out = engine.execute("SELECT TO_DATE('2024/03/05', 'YYYY/MM/DD') AS d, "
+                         "TO_TIMESTAMP('2024-03-05 13:45:07', 'YYYY-MM-DD HH24:MI:SS') AS ts_h")
+    row = out.to_pylist()[0]
+    assert str(row["d"]) == "2024-03-05"
+    assert "13:45:07" in str(row["ts_h"])

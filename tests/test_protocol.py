@@ -91,3 +91,12 @@ def test_heartbeat_and_logout(client):
     assert not client.post(
         "/session/heartbeat", headers={"Authorization": f'Snowflake Token="{token}"'}
     ).get_json()["success"]
+
+
+def test_monitoring_endpoint(client):
+    token = _login(client)
+    _query(client, token, "SELECT 1 AS one")
+    r = client.get("/monitoring/queries", headers={"Authorization": f'Snowflake Token="{token}"'})
+    data = r.get_json()
+    assert data["success"] and len(data["data"]["queries"]) >= 1
+    assert "duration_sec" in data["data"]["queries"][-1]

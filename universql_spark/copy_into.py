@@ -128,7 +128,14 @@ def read_stage(spark: SparkSession, path: str, fmt: str, options: dict[str, str]
     if fmt == "parquet":
         return reader.parquet(path)
     if fmt == "avro":
-        return reader.format("avro").load(path)
+        try:
+            return reader.format("avro").load(path)
+        except Exception as e:  # spark-avro is an external module; this
+            # container ships core avro jars only — fail with a clear message
+            raise ValueError(
+                "avro reads need the spark-avro module on the classpath "
+                "(spark.jars.packages org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from e
     raise ValueError(f"unsupported COPY format: {fmt}")
 
 

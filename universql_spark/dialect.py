@@ -249,8 +249,23 @@ def _rewrite_positional(chunk: str) -> str:
     return _POSITIONAL_RE.sub(lambda m: f"_c{int(m.group(1)) - 1}", chunk)
 
 
+_TO_DATETIME_RE = re.compile(
+    r"\b(TO_DATE|TO_TIMESTAMP|TO_TIMESTAMP_NTZ)\s*\(([^,()]+),\s*'([^']+)'\s*\)", re.I
+)
+
+
+def _map_to_datetime(m: re.Match) -> str:
+    """TO_DATE(x, 'YYYY-MM-DD') -> to_date(x, 'yyyy-MM-dd') etc. — Snowflake
+    format tokens mapped to JDK patterns (shared table with COPY options)."""
+    from universql_spark.copy_into import _map_datetime_format
+
+    fn = {"TO_DATE": "to_date"}.get(m.group(1).upper(), "to_timestamp")
+    return f"{fn}({m.group(2)}, '{_map_datetime_format(m.group(3))}')"
+
+
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
+    sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)
     sql = rewrite_qualify(sql)

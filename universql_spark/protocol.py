@@ -117,6 +117,14 @@ def create_app(engine: Engine | None = None) -> "Flask":
     def heartbeat():
         return {"success": _session() is not None}
 
+    @app.get("/monitoring/queries")
+    def monitoring():
+        # reference exposes query monitoring (protocol/snowflake.py:337-343);
+        # ours surfaces the engine's per-statement duration/cost log
+        if _session() is None:
+            return {"success": False}, 401
+        return {"success": True, "data": {"queries": eng.query_log[-100:]}}
+
     @app.post("/queries/v1/abort-request")
     def abort():
         return {"success": True}
