@@ -351,6 +351,57 @@ FROM documents GROUP BY lang ORDER BY lang""",
 )
 
 # ---------------------------------------------------------------------------
+# data-quality layer: profiling + constraint checks
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _duck_profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("profile_documents", _duck_profile_sql(), category="quality")
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of documents (operators/profiling.py):
+    one scan computes every column's stats, stack() pivots to rows — vs a
+    per-column UNION ALL oracle."""
+    from universql_spark.operators import profiling
+
+    return profiling.profile(spark.table("documents"), _PROFILE_COLS).orderBy("column_name")
+
+
+_CHECKS = [
+    ("orders_pk_unique", "(SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders)"),
+    ("lineitem_fk_orders", "(SELECT COUNT(*) = 0 FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))"),
+    ("orders_fk_customer", "(SELECT COUNT(*) = 0 FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))"),
+    ("quantity_range", "(SELECT MIN(l_quantity) >= 1 AND MAX(l_quantity) <= 50 FROM lineitem)"),
+    ("docs_nonempty", "(SELECT COUNT(*) = 0 FROM documents WHERE length(trim(text)) = 0)"),
+]
+
+
+@register(
+    "quality_constraints",
+    " UNION ALL ".join(f"SELECT '{n}' AS check_name, {s} AS passed" for n, s in _CHECKS)
+    + " ORDER BY check_name",
+    category="quality",
+)
+def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingestion gates as data: PK uniqueness, referential
+    integrity, value ranges — (check_name, passed) rows, oracle-identical."""
+    from universql_spark.operators import profiling
+
+    return profiling.check_constraints(spark, _CHECKS).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
