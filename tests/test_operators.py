@@ -135,3 +135,11 @@ def test_kmeans_inertia_monotone(emb):
     # Lloyd's algorithm never increases inertia
     assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:])), hist
     assert hist[-1] < hist[0]
+
+
+def test_pandas_topk_equals_builtin(emb):
+    builtin = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=4).collect()
+    vectorized = similarity.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=4).collect()
+    b = {(r.q_id, r.rank): (r.n_id, r.cos) for r in builtin}
+    v = {(r.q_id, r.rank): (r.n_id, r.cos) for r in vectorized}
+    assert b == v

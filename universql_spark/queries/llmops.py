@@ -200,6 +200,26 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "ann_cosine_topk_pandas",
+    f"""WITH {_DUCK_COS_CTE}
+SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_DUCK_COS_AB}, 4) AS cos,
+       CAST(row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY round({_DUCK_COS_AB}, 4) DESC, b.vec_id) AS INT) AS rank
+FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+QUALIFY rank <= 5
+ORDER BY q_id, rank""",
+    category="similarity",
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas-UDF twin of ann_cosine_topk (numpy GEMM per
+    batch via mapInPandas) — same oracle, proving the vectorized path is
+    value-identical at round-4 precision."""
+    emb = spark.table("embeddings")
+    out = similarity.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @register("ann_lsh_buckets", None, category="similarity")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN index-build step).
@@ -348,6 +368,37 @@ register_sql(
 FROM documents GROUP BY lang ORDER BY lang""",
     category="text",
     doc="per-language corpus statistics",
+)
+
+register_sql(
+    "text_lm_score",
+    """WITH bg AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, greatest(length(text) - 1, 1)),
+                           i -> substr(text, i, 2))) AS b
+  FROM documents),
+cnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+tot AS (SELECT COUNT(*) AS t FROM bg),
+p AS (SELECT b, CAST(c AS DOUBLE) / t AS pv FROM cnt CROSS JOIN tot)
+SELECT bg.doc_id,
+       CAST(SUM(CAST(pv AS DECIMAL(20,15))) AS DOUBLE) / COUNT(*) AS lm_score
+FROM bg JOIN p ON bg.b = p.b
+GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    oracle="""WITH bg AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 2) for i in range(1, greatest(length(text) - 1, 1) + 1)]) AS b
+  FROM documents),
+cnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+tot AS (SELECT COUNT(*) AS t FROM bg),
+p AS (SELECT b, CAST(c AS DOUBLE) / t AS pv FROM cnt CROSS JOIN tot)
+SELECT bg.doc_id,
+       CAST(SUM(CAST(pv AS DECIMAL(20,15))) AS DOUBLE) / COUNT(*) AS lm_score
+FROM bg JOIN p ON bg.b = p.b
+GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    category="text",
+    doc="char-bigram LM likelihood per doc: corpus bigram distribution -> "
+    "avg per-occurrence probability (decimal-exact sum; a fluency/outlier "
+    "signal for corpus filtering)",
 )
 
 # ---------------------------------------------------------------------------
