@@ -306,3 +306,21 @@ def test_to_date_format_mapping(engine):
     row = out.to_pylist()[0]
     assert str(row["d"]) == "2024-03-05"
     assert "13:45:07" in str(row["ts_h"])
+
+
+def test_merge_matched_delete(engine):
+    engine.execute("CREATE OR REPLACE TABLE md_t AS SELECT CAST(1 AS BIGINT) AS id UNION ALL SELECT 2 UNION ALL SELECT 3")
+    engine.execute("CREATE OR REPLACE TABLE md_s AS SELECT CAST(2 AS BIGINT) AS id")
+    engine.execute("MERGE INTO md_t t USING md_s s ON t.id = s.id WHEN MATCHED THEN DELETE")
+    ids = sorted(r["id"] for r in engine.execute("SELECT id FROM md_t").to_pylist())
+    assert ids == [1, 3]
+    engine.execute("DROP TABLE md_t; DROP TABLE md_s")
+
+
+def test_update_without_where(engine):
+    engine.execute("CREATE OR REPLACE TABLE uw_t AS SELECT CAST(1 AS BIGINT) AS id, 10.0 AS v UNION ALL SELECT 2, 20.0")
+    out = engine.execute("UPDATE uw_t SET v = v + 1")
+    assert out.to_pylist()[0]["rows_updated"] == 2
+    vals = sorted(r["v"] for r in engine.execute("SELECT v FROM uw_t").to_pylist())
+    assert vals == [11.0, 21.0]
+    engine.execute("DROP TABLE uw_t")
