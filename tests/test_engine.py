@@ -324,3 +324,12 @@ def test_update_without_where(engine):
     vals = sorted(r["v"] for r in engine.execute("SELECT v FROM uw_t").to_pylist())
     assert vals == [11.0, 21.0]
     engine.execute("DROP TABLE uw_t")
+
+
+def test_update_simultaneous_assignment(engine):
+    # SQL UPDATE semantics: SET a = b, b = a swaps (no sequential leakage)
+    engine.execute("CREATE OR REPLACE TABLE swap_t AS SELECT 1.0 AS a, 2.0 AS b")
+    engine.execute("UPDATE swap_t SET a = b, b = a")
+    row = engine.execute("SELECT a, b FROM swap_t").to_pylist()[0]
+    assert row == {"a": 2.0, "b": 1.0}
+    engine.execute("DROP TABLE swap_t")

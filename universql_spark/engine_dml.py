@@ -93,9 +93,15 @@ def execute_update(spark: SparkSession, stmt: str) -> pa.Table:
     df = spark.table(table)
     match = F.expr(cond) if cond else F.lit(True)
     n = df.filter(match).count()
-    out = df
-    for col, expr in assignments:
-        out = out.withColumn(col, F.when(match, F.expr(expr)).otherwise(F.col(col)))
+    # all assignment expressions evaluate against the ORIGINAL row in one
+    # select — SQL UPDATE is simultaneous (SET a = b, b = a swaps)
+    assign_map = dict(assignments)
+    out = df.select(
+        *[
+            F.when(match, F.expr(assign_map[c])).otherwise(F.col(c)).alias(c) if c in assign_map else F.col(c)
+            for c in df.columns
+        ]
+    )
     _replace_table(spark, table, out)
     return pa.table({"rows_updated": [n]})
 
