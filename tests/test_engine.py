@@ -333,3 +333,13 @@ def test_update_simultaneous_assignment(engine):
     row = engine.execute("SELECT a, b FROM swap_t").to_pylist()[0]
     assert row == {"a": 2.0, "b": 1.0}
     engine.execute("DROP TABLE swap_t")
+
+
+def test_ctas_parenthesized_body(engine):
+    engine.execute("CREATE OR REPLACE TEMP TABLE par_t AS (SELECT 7 AS x)")
+    assert engine.execute("SELECT x FROM par_t").to_pylist() == [{"x": 7}]
+
+
+def test_ctas_union_of_parens(engine):
+    engine.execute("CREATE OR REPLACE TEMP TABLE pu_t AS (SELECT 1 AS x) UNION ALL (SELECT 2 AS x)")
+    assert sorted(r["x"] for r in engine.execute("SELECT x FROM pu_t").to_pylist()) == [1, 2]

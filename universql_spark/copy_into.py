@@ -36,7 +36,7 @@ _CSV_OPTIONS = {
     "FIELD_OPTIONALLY_ENCLOSED_BY": ("quote", lambda v: _unq(v)),
     "ESCAPE": ("escape", lambda v: _unq(v)),
     "NULL_IF": ("nullValue", lambda v: _unq(v.strip("()").split(",")[0])),
-    "COMPRESSION": ("compression", lambda v: _unq(v).lower().replace("gzip", "gzip").replace("auto", "")),
+    "COMPRESSION": ("compression", lambda v: _unq(v).lower()),
     "RECORD_DELIMITER": ("lineSep", lambda v: _unq(v)),
     "SKIP_BLANK_LINES": ("ignoreEmptyLines", lambda v: v.lower()),
     "ENCODING": ("encoding", lambda v: _unq(v)),
@@ -94,7 +94,9 @@ def parse_format_options(text: str) -> tuple[str, dict[str, str]]:
         if k != "TYPE" and fmt == "csv" and k in _CSV_OPTIONS:
             opt, mapper = _CSV_OPTIONS[k]
             if opt is not None:
-                options[opt] = mapper(v)
+                mapped = mapper(v)
+                if mapped not in ("", "auto", "none"):  # AUTO/NONE -> reader default
+                    options[opt] = mapped
     return fmt, options
 
 

@@ -237,6 +237,24 @@ class Engine:
 
     def _ctas(self, m: re.Match) -> pa.Table:
         replace, temp, name, select = bool(m.group(1)), bool(m.group(2)), m.group(3).strip('"'), m.group(4)
+        select = select.strip()
+        # CREATE TABLE t AS (SELECT ...) — strip wrapping parens, but only a
+        # pair that actually spans the whole text ("(SELECT a) UNION
+        # (SELECT b)" must stay untouched)
+        while select.startswith("(") and select.endswith(")"):
+            depth = 0
+            spans_all = True
+            for i, ch in enumerate(select):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i < len(select) - 1:
+                        spans_all = False
+                        break
+            if not spans_all:
+                break
+            select = select[1:-1].strip()
         df = self._run_select(select)
         if temp:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
