@@ -67,3 +67,13 @@ def test_stateful_user_profiles(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() == want.count()
+
+
+def test_stream_dedup_matches_batch_distincts(spark, sf_dir):
+    stream = windows.stream_dedup(windows.events_stream(spark, sf_dir), key="props")
+    windows.run_append_to_memory(stream, "t_dedup")
+    got = spark.table("t_dedup")
+    ev = load_table(spark, sf_dir, "events")
+    n_distinct = ev.select("props").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("props").distinct().count() == n_distinct

@@ -79,6 +79,27 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def stream_dedup(events: DataFrame, key: str = "props", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first event per key value within the watermark
+    horizon. dropDuplicates on a streaming frame keeps per-key state; the
+    watermark bounds it (keys older than the horizon are evicted) — the
+    streaming twin of dedup_exact, and the state-size story that matters at
+    ingest scale: state = one row per distinct key in the horizon, not per
+    event."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def run_append_to_memory(stream_df: DataFrame, name: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain the (file-bounded) stream into an in-memory sink, waiting for
     completion — test/demo harness; production uses a real sink + trigger."""
