@@ -261,3 +261,113 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+register_q7 = register(
+    "tpch_q7_volume",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year, {dsum(REVENUE)} AS revenue
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year""",
+    category="tpch",
+)
+
+
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations: disjunctive nation-pair filter
+    applied post-join on two broadcast nation dims."""
+    cutlo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cuthi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = spark.table("lineitem").filter((F.col("l_shipdate") >= cutlo) & (F.col("l_shipdate") < cuthi))
+    sup = spark.table("supplier")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    n1 = spark.table("nation").select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = spark.table("nation").select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(REVENUE, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register_q7(tpch_q7_volume)
+
+register_q14 = register(
+    "tpch_q14_promo",
+    f"""SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100.0 AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+    category="tpch",
+)
+
+
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue ratio: conditional aggregate over a broadcast dim
+    join; the ratio of two exact decimal sums is one deterministic double op."""
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    part = spark.table("part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    num = F.expr(
+        "CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    den = F.expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)")
+    return joined.agg((num / den * F.lit(100.0)).alias("promo_revenue"))
+
+
+register_q14(tpch_q14_promo)
+
+register_q19 = register(
+    "tpch_q19_disjunct",
+    f"""SELECT {dsum(REVENUE)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+    category="tpch",
+)
+
+
+def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue with disjunctive cross-table predicates — the
+    filter can only apply post-join, but each disjunct's single-table parts
+    still push into the scans."""
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(_dsum(REVENUE, "revenue"))
+
+
+register_q19(tpch_q19_disjunct)
