@@ -474,3 +474,24 @@ register_sql(
     category="grouping",
     doc="UNPIVOT via stack() vs UNION ALL oracle",
 )
+
+register_sql(
+    "agg_rollup_grouping_fn",
+    f"""SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       {dsum("l_quantity")} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    category="grouping",
+    doc="GROUPING() flags disambiguate subtotal rows from genuine NULL keys",
+)
+
+register_sql(
+    "subq_min_cost_supplier",
+    """SELECT s.s_suppkey, s.s_name, s.s_acctbal FROM supplier s
+WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY s.s_suppkey""",
+    category="subquery",
+    doc="TPC-H q2-style correlated equality on an aggregate (min per group)",
+)
