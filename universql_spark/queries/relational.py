@@ -495,3 +495,55 @@ ORDER BY s.s_suppkey""",
     category="subquery",
     doc="TPC-H q2-style correlated equality on an aggregate (min per group)",
 )
+
+register_sql(
+    "win_first_last_value",
+    """SELECT o_orderkey,
+       first_value(o_orderkey) OVER w AS first_in_prio,
+       last_value(o_orderkey) OVER w AS last_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey LIMIT 200""",
+    category="window",
+    doc="FIRST_VALUE/LAST_VALUE with a named WINDOW clause",
+)
+
+register_sql(
+    "func_split_part",
+    """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_num,
+       split_part(o_orderpriority, '-', 2) AS prio_name
+FROM orders ORDER BY o_orderkey LIMIT 50""",
+    category="functions",
+    doc="split_part (same 1-based semantics both engines)",
+)
+
+register_sql(
+    "agg_bool",
+    """SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.09) AS any_high_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="agg",
+    doc="BOOL_AND/BOOL_OR aggregates",
+)
+
+register_sql(
+    "agg_min_max_by",
+    """SELECT l_returnflag,
+       max_by(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS key_of_max_price,
+       min_by(l_orderkey, l_extendedprice + l_orderkey * 1e-9) AS key_of_min_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="agg",
+    doc="MAX_BY/MIN_BY (ordering key made unique so arg-max is well-defined)",
+)
+
+register_sql(
+    "join_self_pairs",
+    """SELECT a.o_custkey AS k, COUNT(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+GROUP BY a.o_custkey ORDER BY n_pairs DESC, k LIMIT 20""",
+    category="join",
+    doc="self-join pair counting per key",
+)
