@@ -343,3 +343,102 @@ def test_ctas_parenthesized_body(engine):
 def test_ctas_union_of_parens(engine):
     engine.execute("CREATE OR REPLACE TEMP TABLE pu_t AS (SELECT 1 AS x) UNION ALL (SELECT 2 AS x)")
     assert sorted(r["x"] for r in engine.execute("SELECT x FROM pu_t").to_pylist()) == [1, 2]
+
+
+# -- round-2 dialect/DML fixes (ADVICE r1) ------------------------------------
+
+
+def test_charindex_arg_order(engine):
+    # Snowflake CHARINDEX(substr, str) — instr would silently swap the args
+    assert engine.execute("SELECT CHARINDEX('lo', 'hello') AS p").to_pylist() == [{"p": 4}]
+    assert engine.execute("SELECT CHARINDEX('zz', 'hello') AS p").to_pylist() == [{"p": 0}]
+
+
+def test_strtok_to_array_char_delims(engine):
+    # delimiter is a CHARACTER SET, not a regex; empty tokens are dropped
+    out = engine.execute("SELECT STRTOK_TO_ARRAY('a.b..c', '.') AS a").to_pylist()
+    assert out[0]["a"] == ["a", "b", "c"]
+    out = engine.execute("SELECT STRTOK_TO_ARRAY('x,y;z', ',;') AS a").to_pylist()
+    assert out[0]["a"] == ["x", "y", "z"]
+    out = engine.execute("SELECT STRTOK_TO_ARRAY('a b') AS a").to_pylist()
+    assert out[0]["a"] == ["a", "b"]
+
+
+def test_backref_pattern_arg_preserved(engine):
+    # \1 in the PATTERN argument is a real regex backreference and must
+    # survive; only the replacement argument maps \N -> $N
+    out = engine.execute(r"SELECT REGEXP_REPLACE('aa-pat', '(a)\\1', 'z') AS r").to_pylist()
+    assert out[0]["r"] == "z-pat"
+    out = engine.execute(r"SELECT REGEXP_REPLACE('pat', 'p(a)t', '\\1!') AS r").to_pylist()
+    assert out[0]["r"] == "a!"
+
+
+def test_flatten_nested_parens(engine):
+    out = engine.execute(
+        "SELECT f.value AS v FROM (SELECT 'a,b' AS s) t, "
+        "LATERAL FLATTEN(input => split(concat(s, ',c'), ',')) f"
+    ).to_pylist()
+    assert [r["v"] for r in out] == ["a", "b", "c"]
+
+
+def test_merge_nondeterministic_errors(engine):
+    engine.execute("CREATE OR REPLACE TABLE nd_t AS SELECT CAST(1 AS BIGINT) AS id, 'a' AS v")
+    engine.execute(
+        "CREATE OR REPLACE TABLE nd_s AS SELECT CAST(1 AS BIGINT) AS id, 'x' AS v "
+        "UNION ALL SELECT 1, 'y'"
+    )
+    with pytest.raises(QueryError, match="(?i)more than one source row"):
+        engine.execute(
+            "MERGE INTO nd_t t USING nd_s s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    # target untouched after the error
+    assert engine.execute("SELECT v FROM nd_t").to_pylist() == [{"v": "a"}]
+    engine.execute("DROP TABLE nd_t; DROP TABLE nd_s")
+
+
+def test_qualified_ctas_no_collision(engine):
+    # reference object-identifier matrix is 3-part qualified
+    # (tests/integration/object_identifiers.py:79-117): db1.s.t and db2.s.t
+    # must be distinct objects
+    engine.execute("CREATE OR REPLACE TABLE qdb1.s.t AS SELECT 1 AS x")
+    engine.execute("CREATE OR REPLACE TABLE qdb2.s.t AS SELECT 2 AS x")
+    assert engine.execute("SELECT x FROM qdb1.s.t").to_pylist() == [{"x": 1}]
+    assert engine.execute("SELECT x FROM qdb2.s.t").to_pylist() == [{"x": 2}]
+    engine.execute("DROP TABLE qdb1.s.t; DROP TABLE qdb2.s.t")
+
+
+def test_qualified_two_part_ctas(engine):
+    engine.execute("CREATE OR REPLACE TABLE qdb3.t2 AS SELECT 5 AS x")
+    assert engine.execute("SELECT x FROM qdb3.t2").to_pylist() == [{"x": 5}]
+    engine.execute("DROP TABLE qdb3.t2")
+
+
+def test_qualified_dml_targets(engine):
+    engine.execute("CREATE OR REPLACE TABLE qdb4.s.d AS SELECT 1 AS id UNION ALL SELECT 2")
+    engine.execute("DELETE FROM qdb4.s.d WHERE id = 1")
+    assert engine.execute("SELECT id FROM qdb4.s.d").to_pylist() == [{"id": 2}]
+    engine.execute("UPDATE qdb4.s.d SET id = 9")
+    assert engine.execute("SELECT id FROM qdb4.s.d").to_pylist() == [{"id": 9}]
+    engine.execute("DROP TABLE qdb4.s.d")
+
+
+def test_copy_into_single_scan(engine, tmp_path, monkeypatch):
+    # VERDICT r1 #1: COPY must read the source once — rows_loaded rides the
+    # write as an Observation metric; df.count() (a second scan) is banned
+    from pyspark.sql import DataFrame
+
+    p = tmp_path / "single.csv"
+    p.write_text("id,v\n1,a\n2,b\n")
+    engine.execute("CREATE OR REPLACE TABLE cis_t AS SELECT CAST(1 AS INT) AS id, 'x' AS v WHERE 1 = 0")
+
+    def boom(self):
+        raise AssertionError("COPY INTO must not rescan the source via count()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    out = engine.execute(
+        f"COPY INTO cis_t FROM '{p}' FILE_FORMAT = (TYPE = CSV, SKIP_HEADER = 1)"
+    )
+    monkeypatch.undo()
+    assert out.to_pylist()[0]["rows_loaded"] == 2
+    engine.execute("DROP TABLE cis_t")

@@ -94,9 +94,10 @@ _FN_RENAMES = {
     "TO_DOUBLE": "double",
     "ARRAY_CONSTRUCT": "array",
     "OBJECT_CONSTRUCT": "named_struct",
-    "STRTOK_TO_ARRAY": "split",
     "LEN": "length",
-    "CHARINDEX": "instr",
+    # Snowflake CHARINDEX(substr, str[, start]) == Spark position(substr,
+    # str[, start]) — same arg order. (instr would silently swap the args.)
+    "CHARINDEX": "position",
     "DATEADD": "timestampadd",
     "DATEDIFF": "timestampdiff",
     "TO_TIMESTAMP_NTZ": "to_timestamp",
@@ -134,56 +135,182 @@ def _rename_types(chunk: str) -> str:
     return chunk
 
 
-def _fix_regexp_replace_backrefs(sql: str) -> str:
-    """Inside the literal args of REGEXP_REPLACE, rewrite '\\2'-style
-    replacement backrefs to Java's '$2' (reference query Q29 relies on this,
-    clickbench.sql:146)."""
+def _match_paren(sql: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx (quote-aware)."""
+    depth, m, n = 0, open_idx, len(sql)
+    in_s: str | None = None
+    while m < n:
+        ch = sql[m]
+        if in_s:
+            if ch == in_s:
+                if m + 1 < n and sql[m + 1] == in_s:
+                    m += 1
+                else:
+                    in_s = None
+        elif ch in ("'", '"'):
+            in_s = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return m
+        m += 1
+    return n - 1
+
+
+def _split_top_args(argtext: str) -> list[str]:
+    """Split a call's argument text at depth-0 commas (quote/paren-aware)."""
+    parts: list[str] = []
+    depth, buf = 0, []
+    in_s: str | None = None
+    i, n = 0, len(argtext)
+    while i < n:
+        ch = argtext[i]
+        if in_s:
+            buf.append(ch)
+            if ch == in_s:
+                if i + 1 < n and argtext[i + 1] == in_s:
+                    buf.append(argtext[i + 1])
+                    i += 1
+                else:
+                    in_s = None
+        elif ch in ("'", '"'):
+            in_s = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _rewrite_calls(sql: str, fname: str, rewrite) -> str:
+    """Find every `fname(...)` call (paren-matched) and replace it with
+    rewrite(list_of_top_level_args) -> str (None keeps the original text)."""
     out: list[str] = []
     i = 0
     lowered = sql.lower()
+    target = fname.lower()
     while True:
-        j = lowered.find("regexp_replace", i)
+        j = lowered.find(target, i)
         if j < 0:
             out.append(sql[i:])
             break
+        # word boundary + must be a call
+        if (j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+            out.append(sql[i : j + len(target)])
+            i = j + len(target)
+            continue
+        k = j + len(target)
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            out.append(sql[i : j + len(target)])
+            i = j + len(target)
+            continue
+        m = _match_paren(sql, k)
+        args = _split_top_args(sql[k + 1 : m])
+        new = rewrite(args)
         out.append(sql[i:j])
-        # find the extent of the call by paren matching
-        k = sql.find("(", j)
-        depth, m = 0, k
-        while m < len(sql):
-            if sql[m] == "(":
-                depth += 1
-            elif sql[m] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            m += 1
-        call = sql[j : m + 1]
-        # only the replacement literal (3rd arg) carries backrefs; applying to
-        # all literals in the call is safe because '\N' has no other meaning here
-        call = _STRING_RE.sub(lambda mm: _BACKREF_RE.sub(lambda b: "$" + (b.group(1) or b.group(2)), mm.group(0)), call)
-        out.append(call)
+        out.append(new if new is not None else sql[j : m + 1])
         i = m + 1
-        lowered = sql.lower()
     return "".join(out)
 
 
-_FLATTEN_RE = re.compile(
-    r",?\s*LATERAL\s+FLATTEN\s*\(\s*(?:INPUT\s*=>\s*)?([^)]+)\)\s*(?:AS\s+)?(\w+)?",
-    re.I,
-)
+def _fix_regexp_replace_backrefs(sql: str) -> str:
+    """Inside REGEXP_REPLACE's REPLACEMENT argument (3rd arg only), rewrite
+    '\\2'-style backrefs to Java's '$2' (reference query Q29 relies on this,
+    clickbench.sql:146). The pattern (2nd) argument is left untouched — there
+    '\\1' is a legitimate regex backreference and must survive."""
+
+    def rw(args: list[str]) -> str | None:
+        if len(args) < 3:
+            return None
+        args = list(args)
+        args[2] = _STRING_RE.sub(
+            lambda mm: _BACKREF_RE.sub(lambda b: "$" + (b.group(1) or b.group(2)), mm.group(0)),
+            args[2],
+        )
+        return "regexp_replace(" + ",".join(args) + ")"
+
+    return _rewrite_calls(sql, "regexp_replace", rw)
+
+
+def _char_class(delims: str) -> str:
+    """Delimiter-set string -> Spark-SQL-literal text of a Java regex char
+    class matching any one of those characters ('.,' -> '[\\\\.\\\\,]')."""
+    body = "".join(c if c.isalnum() else "\\\\" + c for c in delims)
+    return "'[" + body.replace("'", "''") + "]'"
+
+
+def _rewrite_strtok_to_array(sql: str) -> str:
+    """Snowflake STRTOK_TO_ARRAY(str[, delims]) splits on ANY single char of
+    the delimiter set and drops empty tokens; Spark split() takes a Java
+    REGEX (so split(col, '.') silently returns all-empties). Rewrite to a
+    char-class split + empty-token filter."""
+
+    def rw(args: list[str]) -> str | None:
+        expr = args[0].strip()
+        if len(args) == 1:
+            cls = "'[ ]'"
+        else:
+            d = args[1].strip()
+            lit = _STRING_RE.fullmatch(d)
+            if lit:
+                cls = _char_class(d[1:-1].replace("''", "'"))
+            else:
+                # non-literal delimiter: quote it at runtime with \Q..\E
+                cls = f"concat('[\\\\Q', {d}, '\\\\E]')"
+        return f"filter(split({expr}, {cls}), __t -> __t != '')"
+
+    return _rewrite_calls(sql, "strtok_to_array", rw)
+
+
+_FLATTEN_START_RE = re.compile(r",?\s*\bLATERAL\s+FLATTEN\s*\(", re.I)
+_FLATTEN_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.I)
+_NOT_ALIAS_KWS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "ON", "JOIN",
+    "LEFT", "RIGHT", "INNER", "OUTER", "CROSS", "FULL", "UNION", "EXCEPT",
+    "INTERSECT", "LATERAL", "AS",
+}
 
 
 def rewrite_flatten(sql: str) -> str:
     """Snowflake `, LATERAL FLATTEN(input => expr) f` -> Spark
     `LATERAL VIEW explode(expr) f AS value` (f.value keeps working; the
-    reference flags FLATTEN as a dialect hard part, SURVEY.md §7.3)."""
+    reference flags FLATTEN as a dialect hard part, SURVEY.md §7.3).
 
-    def repl(m: re.Match) -> str:
-        alias = m.group(2) or "f"
-        return f" LATERAL VIEW explode({m.group(1).strip()}) {alias} AS value"
-
-    return _FLATTEN_RE.sub(repl, sql)
+    The argument is paren-MATCHED, not regex-scanned, so nested calls like
+    FLATTEN(input => split(f(x), ',')) rewrite correctly."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _FLATTEN_START_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        open_idx = m.end() - 1
+        close = _match_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close].strip()
+        inner = re.sub(r"^\s*INPUT\s*=>\s*", "", inner, flags=re.I)
+        alias, j = "f", close + 1
+        am = _FLATTEN_ALIAS_RE.match(sql, close + 1)
+        if am and am.group(1).upper() not in _NOT_ALIAS_KWS:
+            alias, j = am.group(1), am.end()
+        out.append(sql[i : m.start()])
+        out.append(f" LATERAL VIEW explode({inner}) {alias} AS value")
+        i = j
+    return "".join(out)
 
 
 _QUALIFY_KW_RE = re.compile(r"\bQUALIFY\b", re.I)
@@ -272,6 +399,7 @@ def snowflake_to_spark(sql: str) -> str:
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
+    sql = _rewrite_strtok_to_array(sql)
     sql = _outside_literals(sql, _rename_functions)
     sql = _outside_literals(sql, _rename_types)
     sql = _fix_regexp_replace_backrefs(sql)

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from universql_spark import copy_into, engine_dml
 from universql_spark.dialect import snowflake_to_spark, split_statements, strip_table_wrapper
+from universql_spark.names import bare_name, split_ident
 from universql_spark.session import get_spark, register_testdata
 
 
@@ -97,6 +98,10 @@ class Engine:
         self.stages: dict[str, str] = {}
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
+        #: 3-part (db, schema, table) names created this session — rewritten
+        #: to their Spark db__schema.table mapping in every later statement
+        #: (names.py; VERDICT r1 "What's wrong" #3)
+        self.qualified_tables: set[tuple[str, str, str]] = set()
         #: per-statement duration + cost estimate (reference util.py:375-406)
         self.query_log: list[dict] = []
         if sf_dir:
@@ -137,8 +142,43 @@ class Engine:
 
     # -- statement dispatch --------------------------------------------------
 
+    def _resolve_name(self, name: str) -> str:
+        """Snowflake identifier -> Spark table name, against session state:
+        db.schema.table -> db__schema.table; schema.table resolves against the
+        current database when that mangled database exists; bare names pass
+        through to the Spark current database."""
+        parts = [p.lower() for p in split_ident(name)]
+        if len(parts) >= 3:
+            return f"{parts[-3]}__{parts[-2]}.{parts[-1]}"
+        if len(parts) == 2:
+            if self.current_database:
+                cand = f"{self.current_database.lower()}__{parts[0]}"
+                try:
+                    if self.spark.catalog.databaseExists(cand):
+                        return f"{cand}.{parts[1]}"
+                except Exception:
+                    pass
+            return f"{parts[0]}.{parts[1]}"
+        return parts[0]
+
+    def _rewrite_qualified(self, stmt: str) -> str:
+        """Rewrite known 3-part names (db.schema.table) to their 2-level Spark
+        mapping. Only names REGISTERED by this session's DDL are touched, so
+        struct-field access like t.col.field can never be clobbered."""
+        if not self.qualified_tables or "." not in stmt:
+            return stmt
+        for db, sch, tbl in self.qualified_tables:
+            stmt = re.sub(
+                rf'(?<![\w."])"?{re.escape(db)}"?\."?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
+                f"{db}__{sch}.{tbl}",
+                stmt,
+                flags=re.I,
+            )
+        return stmt
+
     def _execute_one(self, stmt: str) -> pa.Table:
         try:
+            stmt = self._rewrite_qualified(stmt)
             if _USE_RE.match(stmt):
                 return self._use(stmt)
             m = _CREATE_STAGE_RE.match(stmt)
@@ -159,13 +199,13 @@ class Engine:
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
-                return copy_into.execute_copy(self.spark, stmt)
+                return copy_into.execute_copy(self.spark, stmt, resolve=self._resolve_name)
             if _DELETE_RE.match(stmt):
-                return engine_dml.execute_delete(self.spark, snowflake_to_spark(stmt))
+                return engine_dml.execute_delete(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
             if _UPDATE_RE.match(stmt):
-                return engine_dml.execute_update(self.spark, snowflake_to_spark(stmt))
+                return engine_dml.execute_update(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
             if _MERGE_RE.match(stmt):
-                return engine_dml.execute_merge(self.spark, snowflake_to_spark(stmt))
+                return engine_dml.execute_merge(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
             return self._run_select(stmt).toArrow()
         except QueryError:
             raise
@@ -227,12 +267,22 @@ class Engine:
         kind, name = (m.group(1) or "DATABASE").upper(), m.group(2).strip('"')
         if kind == "SCHEMA":
             self.current_schema = name
+            # Snowflake resolves unqualified names against db.schema; our
+            # mapping is the db__schema Spark database when it exists
+            candidates = []
+            if self.current_database:
+                candidates.append(f"{self.current_database.lower()}__{name.lower()}")
+            candidates.append(name.lower())
         else:
             self.current_database = name
-        try:
-            self.spark.catalog.setCurrentDatabase(name.lower())
-        except Exception:
-            pass  # session-state only when the db isn't a Spark database
+            self.current_schema = None
+            candidates = [name.lower()]
+        for cand in candidates:
+            try:
+                self.spark.catalog.setCurrentDatabase(cand)
+                break
+            except Exception:
+                continue  # session-state only when the db isn't a Spark database
         return _status(f"use {kind.lower()} {name}")
 
     def _ctas(self, m: re.Match) -> pa.Table:
@@ -258,10 +308,18 @@ class Engine:
         df = self._run_select(select)
         if temp:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
-            df.createOrReplaceTempView(name.split(".")[-1])
+            df.createOrReplaceTempView(bare_name(name))
         else:
+            resolved = self._resolve_name(name)
+            if "." in resolved:
+                # qualified create: make the (mangled) database real first, so
+                # db1.s.t and db2.s.t land in distinct namespaces
+                self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {resolved.rsplit('.', 1)[0]}")
             writer = df.write.mode("overwrite" if replace else "errorifexists")
-            writer.saveAsTable(name.split(".")[-1].lower())
+            writer.saveAsTable(resolved)
+            parts = [p.lower() for p in split_ident(name)]
+            if len(parts) >= 3:
+                self.qualified_tables.add((parts[-3], parts[-2], parts[-1]))
         return _status(f"created {name}")
 
 

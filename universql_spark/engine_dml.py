@@ -31,6 +31,12 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from universql_spark.names import bare_name, resolve_name
+
+
+class NondeterministicMergeError(ValueError):
+    """Snowflake's ERROR_ON_NONDETERMINISTIC_MERGE=TRUE behavior."""
+
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\s+([\w.\"]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S)
 _UPDATE_RE = re.compile(r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S)
 _MERGE_RE = re.compile(
@@ -74,9 +80,9 @@ def _replace_table(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     spark.sql(f"ALTER TABLE {shadow} RENAME TO {table}")
 
 
-def execute_delete(spark: SparkSession, stmt: str) -> pa.Table:
+def execute_delete(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
     m = _DELETE_RE.match(stmt)
-    table = m.group(1).strip('"').split(".")[-1].lower()
+    table = resolve(m.group(1))
     cond = m.group(2)
     df = spark.table(table)
     before = df.count()
@@ -86,9 +92,9 @@ def execute_delete(spark: SparkSession, stmt: str) -> pa.Table:
     return pa.table({"rows_deleted": [before - after]})
 
 
-def execute_update(spark: SparkSession, stmt: str) -> pa.Table:
+def execute_update(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
     m = _UPDATE_RE.match(stmt)
-    table = m.group(1).strip('"').split(".")[-1].lower()
+    table = resolve(m.group(1))
     assignments, cond = _split_assignments(m.group(2)), m.group(3)
     df = spark.table(table)
     match = F.expr(cond) if cond else F.lit(True)
@@ -106,14 +112,14 @@ def execute_update(spark: SparkSession, stmt: str) -> pa.Table:
     return pa.table({"rows_updated": [n]})
 
 
-def execute_merge(spark: SparkSession, stmt: str) -> pa.Table:
+def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
     m = _MERGE_RE.match(stmt)
     if not m:
         raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
-    t_name = m.group(1).strip('"').split(".")[-1].lower()
-    t_alias = m.group(2) or t_name
-    s_name = m.group(3).strip('"').split(".")[-1].lower()
-    s_alias = m.group(4) or s_name
+    t_name = resolve(m.group(1))
+    t_alias = m.group(2) or bare_name(t_name)
+    s_name = resolve(m.group(3))
+    s_alias = m.group(4) or bare_name(s_name)
     on_cond, clauses = m.group(5), m.group(6)
 
     target = spark.table(t_name).alias(t_alias)
@@ -127,6 +133,23 @@ def execute_merge(spark: SparkSession, stmt: str) -> pa.Table:
 
     # matched target rows, with updates applied (or dropped for DELETE)
     if mu:
+        # Snowflake default ERROR_ON_NONDETERMINISTIC_MERGE=TRUE: a target
+        # row matched by >1 source row is an error, not a silent duplicate
+        # (the inner join below would otherwise emit it once per source row)
+        rid = target.withColumn("__t_rid", F.monotonically_increasing_id())
+        dup = (
+            rid.join(source, cond, "inner")
+            .groupBy("__t_rid")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise NondeterministicMergeError(
+                "MERGE: a target row matches more than one source row "
+                "(ERROR_ON_NONDETERMINISTIC_MERGE)"
+            )
         joined = target.join(source, cond, "inner")
         assigns = dict(_split_assignments(mu.group(1)))
         matched = joined.select(
