@@ -99,3 +99,19 @@ def test_partition_pruning(spark, sf_dir):
     assert "d" in pf and "2024-01-01" in pf, pf
     assert q.count() > 0
     spark.sql("DROP TABLE p_events")
+
+
+def test_lsh_pairs_join_carries_no_vectors(spark, sf_dir):
+    # VERDICT r1 #2: the (tbl, bucket) self-join must shuffle only narrow
+    # (id, tbl, bucket) rows — the embedding arrays join back AFTER the
+    # candidate pairs are deduped, once per side
+    p = plan(spark, sf_dir, "ann_lsh_pairs")
+    for chunk in p.split("Exchange hashpartitioning")[1:]:
+        args = chunk.split("\n")[0]
+        if "tbl" in args and "bucket" in args:
+            # this exchange's partition keys are the bucket join keys; its
+            # input attributes must not include any vector/norm column
+            assert "va#" not in args and "vb#" not in args and "v#" not in args, args
+    # the candidate dedup happens before vectors are joined back: the plan
+    # has a distinct (HashAggregate over id_a, id_b) with no array in its keys
+    assert "CartesianProduct" not in p

@@ -60,6 +60,7 @@ def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.warehouse.dir", "/tmp/universql_spark_warehouse")
     )
