@@ -442,3 +442,121 @@ def test_copy_into_single_scan(engine, tmp_path, monkeypatch):
     monkeypatch.undo()
     assert out.to_pylist()[0]["rows_loaded"] == 2
     engine.execute("DROP TABLE cis_t")
+
+
+def _table_files(engine, table):
+    import os
+
+    loc = (
+        engine.spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    ).replace("file:", "")
+    out = {}
+    for root, _dirs, files in os.walk(loc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_partitioned_merge_rewrites_one_partition(engine):
+    # VERDICT r1 'Next round' #1 done-criterion: a 1-row MERGE on a
+    # partitioned table rewrites LESS than the full table — untouched
+    # partitions keep their exact files (same paths, same mtimes)
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgm_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id * 10 AS BIGINT) AS v, CAST(id % 3 AS INT) AS p "
+        "FROM range(30) AS r(id)"
+    )
+    before = _table_files(engine, "pgm_t")
+    assert len(before) >= 3  # one file per partition at least
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgm_s AS SELECT CAST(4 AS BIGINT) AS id, "
+        "CAST(999 AS BIGINT) AS v, CAST(1 AS INT) AS p"
+    )
+    engine.execute(
+        "MERGE INTO pgm_t t USING pgm_s s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    after = _table_files(engine, "pgm_t")
+    untouched_before = {f: m for f, m in before.items() if "/p=1/" not in f}
+    untouched_after = {f: m for f, m in after.items() if "/p=1/" not in f}
+    assert untouched_before == untouched_after  # p=0, p=2 files identical
+    assert {f for f in before if "/p=1/" in f} != {f for f in after if "/p=1/" in f}
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM pgm_t").to_pylist()}
+    assert rows[4] == 999 and rows[5] == 50 and len(rows) == 30
+    engine.execute("DROP TABLE pgm_t; DROP TABLE pgm_s")
+
+
+def test_partitioned_merge_insert_appends_only(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgi_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id AS BIGINT) AS v, CAST(id % 2 AS INT) AS p FROM range(10) AS r(id)"
+    )
+    before = _table_files(engine, "pgi_t")
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgi_s AS SELECT CAST(100 AS BIGINT) AS id, "
+        "CAST(7 AS BIGINT) AS v, CAST(0 AS INT) AS p"
+    )
+    out = engine.execute(
+        "MERGE INTO pgi_t t USING pgi_s s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)"
+    )
+    assert out.to_pylist()[0]["rows_inserted"] == 1
+    after = _table_files(engine, "pgi_t")
+    # pure insert: every pre-existing file survives byte-identical (append),
+    # in EVERY partition including the one receiving the new row
+    assert all(after.get(f) == m for f, m in before.items())
+    assert engine.execute("SELECT COUNT(*) AS c FROM pgi_t").to_pylist() == [{"c": 11}]
+    engine.execute("DROP TABLE pgi_t; DROP TABLE pgi_s")
+
+
+def test_partitioned_delete_drops_dead_partition(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgd_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id % 3 AS INT) AS p FROM range(30) AS r(id)"
+    )
+    before = _table_files(engine, "pgd_t")
+    engine.execute("DELETE FROM pgd_t WHERE p = 2 OR id = 3")  # kills p=2; 1 row from p=0
+    after = _table_files(engine, "pgd_t")
+    # p=1 untouched
+    assert {f: m for f, m in before.items() if "/p=1/" in f} == {
+        f: m for f, m in after.items() if "/p=1/" in f
+    }
+    assert not any("/p=2/" in f for f in after)  # dead partition dropped
+    ids = sorted(r["id"] for r in engine.execute("SELECT id FROM pgd_t").to_pylist())
+    assert len(ids) == 19 and 3 not in ids and all(i % 3 != 2 for i in ids)
+    engine.execute("DROP TABLE pgd_t")
+
+
+def test_partitioned_update_rewrites_matched_partitions_only(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgu_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id AS BIGINT) AS v, CAST(id % 3 AS INT) AS p FROM range(30) AS r(id)"
+    )
+    before = _table_files(engine, "pgu_t")
+    engine.execute("UPDATE pgu_t SET v = v * 100 WHERE p = 0")
+    after = _table_files(engine, "pgu_t")
+    for part in ("/p=1/", "/p=2/"):
+        assert {f: m for f, m in before.items() if part in f} == {
+            f: m for f, m in after.items() if part in f
+        }, part
+    vals = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM pgu_t").to_pylist()}
+    assert vals[0] == 0 and vals[3] == 300 and vals[1] == 1 and vals[2] == 2
+    engine.execute("DROP TABLE pgu_t")
+
+
+def test_update_partition_column_falls_back(engine):
+    # assignment writes the partition column -> rows migrate partitions ->
+    # whole-table path; correctness over cleverness
+    engine.execute(
+        "CREATE OR REPLACE TABLE pgf_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id % 2 AS INT) AS p FROM range(6) AS r(id)"
+    )
+    engine.execute("UPDATE pgf_t SET p = 5 WHERE id = 0")
+    rows = {r["id"]: r["p"] for r in engine.execute("SELECT id, p FROM pgf_t").to_pylist()}
+    assert rows[0] == 5 and rows[1] == 1 and len(rows) == 6
+    engine.execute("DROP TABLE pgf_t")

@@ -56,7 +56,8 @@ class QueryError(Exception):
 
 
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(.*)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
+    r"(?:(?:PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
     re.I | re.S,
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
@@ -305,7 +306,11 @@ class Engine:
         return _status(f"use {kind.lower()} {name}")
 
     def _ctas(self, m: re.Match) -> pa.Table:
-        replace, temp, name, select = bool(m.group(1)), bool(m.group(2)), m.group(3).strip('"'), m.group(4)
+        replace, temp, name, select = bool(m.group(1)), bool(m.group(2)), m.group(3).strip('"'), m.group(5)
+        # PARTITION BY / CLUSTER BY (Snowflake's clustering-key clause) maps
+        # to a hive-partitioned layout — the unit of copy-on-write DML
+        # (engine_dml) and of partition pruning
+        pcols = [c.strip().strip('"').lower() for c in (m.group(4) or "").split(",") if c.strip()]
         select = select.strip()
         # CREATE TABLE t AS (SELECT ...) — strip wrapping parens, but only a
         # pair that actually spans the whole text ("(SELECT a) UNION
@@ -335,7 +340,26 @@ class Engine:
                 # db1.s.t and db2.s.t land in distinct namespaces
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {resolved.rsplit('.', 1)[0]}")
             writer = df.write.mode("overwrite" if replace else "errorifexists")
-            writer.saveAsTable(resolved)
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            try:
+                writer.saveAsTable(resolved)
+            except Exception as e:
+                # LOCATION_ALREADY_EXISTS: a previous process's in-memory
+                # catalog died but its managed-table directory survived.
+                # OR REPLACE owns the name, so reclaim the orphan location
+                # (exactly what a catalog-managed table format does) and retry.
+                if replace and "LOCATION_ALREADY_EXISTS" in str(e):
+                    lm = re.search(r"location 'file:([^']+)'", str(e))
+                    if lm:
+                        import shutil
+
+                        shutil.rmtree(lm.group(1), ignore_errors=True)
+                        writer.saveAsTable(resolved)
+                    else:
+                        raise
+                else:
+                    raise
             parts = [p.lower() for p in split_ident(name)]
             if len(parts) >= 3:
                 self.qualified_tables.add((parts[-3], parts[-2], parts[-1]))

@@ -4,16 +4,36 @@ The reference's README support matrix declares MERGE/DELETE (SURVEY.md §2.2;
 its own tests for them are all @skip — transform.py:6-25). With an Iceberg
 catalog these are native Spark SQL (`MERGE INTO` / `DELETE FROM` on v2
 tables); this container has no Iceberg runtime jar, so managed parquet
-tables get the copy-on-write equivalent, which is exactly what
-Iceberg/Delta do under the hood anyway:
+tables get the copy-on-write equivalent — at the same granularity Iceberg's
+copy-on-write operates at: the files that actually hold affected rows.
 
+Two paths, chosen by the table's layout:
+
+**Partitioned tables (CTAS ... PARTITION BY/CLUSTER BY)** — partition-
+granular copy-on-write, the Iceberg/Hive-native mechanism
+(`/root/reference/universql/warehouse/duckdb.py:274-334` CTAS->Iceberg is
+the reference's analogue):
+    1. compute the AFFECTED partition set (distinct partition values of
+       matched rows — a narrow aggregate, metadata-scale)
+    2. rebuild only those partitions' rows (semi-join against the affected
+       set, so the scan prunes to those partitions)
+    3. stage via localCheckpoint (breaks lineage -> no read-overwrite
+       conflict; only affected-partition data is materialized)
+    4. dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
+       replaces exactly the partitions present in the staged frame;
+       partitions whose rows all vanished are dropped by ALTER TABLE
+       (a metadata op on a driver-collected, manifest-sized value list)
+    5. MERGE inserts never rewrite anything — they APPEND new files into
+       their partitions.
+A 1-row MERGE/DELETE/UPDATE therefore rewrites one partition, not the
+table (tests/test_engine.py::test_partitioned_merge_rewrites_one_partition
+pins this by file mtimes). UPDATE/MERGE falls back to the full path if an
+assignment writes a partition column (the row would migrate partitions).
+
+**Unpartitioned tables** — whole-table shadow-swap:
     read table -> compute surviving/updated rows -> write to a shadow table
     -> atomic-ish swap (DROP + RENAME)
-
-The shadow-table swap avoids Spark's you-cannot-overwrite-what-you-read
-error without ever collecting data to the driver. At scale these rewrites
-are full-table-scan + full-table-write — the same cost profile as
-copy-on-write Iceberg without file pruning; fine for the declared surface.
+the same cost profile as copy-on-write on an unpartitioned Iceberg table.
 
 Supported grammar (documented subset, QueryError beyond it):
   DELETE FROM t WHERE <cond>
@@ -80,16 +100,84 @@ def _replace_table(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     spark.sql(f"ALTER TABLE {shadow} RENAME TO {table}")
 
 
+def _partition_cols(spark: SparkSession, table: str) -> list[str]:
+    try:
+        return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    except Exception:
+        return []
+
+
+class _dynamic_overwrite:
+    """Scoped `partitionOverwriteMode=dynamic`: INSERT OVERWRITE replaces
+    only the partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
+def _overwrite_partitions(
+    spark: SparkSession,
+    table: str,
+    pcols: list[str],
+    affected: DataFrame,
+    new_rows: DataFrame,
+) -> None:
+    """Partition-granular copy-on-write: replace the `affected` partitions of
+    `table` with `new_rows` (which must contain rows ONLY from those
+    partitions). Partitions in `affected` that have no rows in `new_rows`
+    (fully deleted) are dropped via metadata ops."""
+    tcols = spark.table(table).columns
+    # localCheckpoint materializes the staged rows (executor memory/disk) and
+    # cuts lineage to the table's files — otherwise Spark refuses to
+    # overwrite a path it is reading. Only affected partitions are staged.
+    staged = new_rows.select(*tcols).localCheckpoint(eager=True)
+    with _dynamic_overwrite(spark):
+        staged.write.insertInto(table, overwrite=True)
+    # affected partitions that kept zero rows were not overwritten by the
+    # dynamic write — drop them explicitly (metadata-only, manifest-sized)
+    dead = affected.exceptAll(staged.select(*pcols).distinct()).collect()
+    for row in dead:
+        spec = ", ".join(f"{c} = '{row[c]}'" for c in pcols)
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})")
+
+
 def execute_delete(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
     m = _DELETE_RE.match(stmt)
     table = resolve(m.group(1))
     cond = m.group(2)
     df = spark.table(table)
+    pcols = _partition_cols(spark, table) if cond else []
+    if pcols:
+        match = F.expr(cond)
+        n_del = df.filter(match).count()
+        if n_del:
+            affected = df.filter(match).select(*pcols).distinct()
+            sub = df.join(F.broadcast(affected), pcols, "left_semi")
+            _overwrite_partitions(spark, table, pcols, affected, sub.filter(~match))
+        return pa.table({"rows_deleted": [n_del]})
     before = df.count()
     kept = df.filter(~F.expr(cond)) if cond else df.limit(0)
     _replace_table(spark, table, kept)
     after = spark.table(table).count()
     return pa.table({"rows_deleted": [before - after]})
+
+
+def _apply_assignments(df: DataFrame, assign_map: dict[str, str], match) -> DataFrame:
+    """All assignment expressions evaluate against the ORIGINAL row in one
+    select — SQL UPDATE is simultaneous (SET a = b, b = a swaps)."""
+    return df.select(
+        *[
+            F.when(match, F.expr(assign_map[c])).otherwise(F.col(c)).alias(c) if c in assign_map else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def execute_update(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
@@ -99,16 +187,18 @@ def execute_update(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.T
     df = spark.table(table)
     match = F.expr(cond) if cond else F.lit(True)
     n = df.filter(match).count()
-    # all assignment expressions evaluate against the ORIGINAL row in one
-    # select — SQL UPDATE is simultaneous (SET a = b, b = a swaps)
     assign_map = dict(assignments)
-    out = df.select(
-        *[
-            F.when(match, F.expr(assign_map[c])).otherwise(F.col(c)).alias(c) if c in assign_map else F.col(c)
-            for c in df.columns
-        ]
-    )
-    _replace_table(spark, table, out)
+    pcols = _partition_cols(spark, table)
+    # partition-granular path: rewrite only partitions holding matched rows.
+    # Requires a WHERE (else every partition is affected anyway) and that no
+    # assignment writes a partition column (the row would change partitions).
+    if pcols and cond and not (set(assign_map) & set(pcols)):
+        if n:
+            affected = df.filter(match).select(*pcols).distinct()
+            sub = df.join(F.broadcast(affected), pcols, "left_semi")
+            _overwrite_partitions(spark, table, pcols, affected, _apply_assignments(sub, assign_map, match))
+        return pa.table({"rows_updated": [n]})
+    _replace_table(spark, table, _apply_assignments(df, assign_map, match))
     return pa.table({"rows_updated": [n]})
 
 
@@ -130,8 +220,8 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
     mu = _WHEN_MATCHED_RE.search(clauses)
     md = _WHEN_MATCHED_DEL_RE.search(clauses) if not mu else None
     nm = _WHEN_NOT_MATCHED_RE.search(clauses)
+    assigns = dict(_split_assignments(mu.group(1))) if mu else {}
 
-    # matched target rows, with updates applied (or dropped for DELETE)
     if mu:
         # Snowflake default ERROR_ON_NONDETERMINISTIC_MERGE=TRUE: a target
         # row matched by >1 source row is an error, not a silent duplicate
@@ -150,14 +240,55 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
                 "MERGE: a target row matches more than one source row "
                 "(ERROR_ON_NONDETERMINISTIC_MERGE)"
             )
-        joined = target.join(source, cond, "inner")
-        assigns = dict(_split_assignments(mu.group(1)))
-        matched = joined.select(
+
+    def _matched_updated(tgt: DataFrame) -> DataFrame:
+        joined = tgt.join(source, cond, "inner")
+        return joined.select(
             *[
                 F.expr(assigns[c]).alias(c) if c in assigns else F.col(f"{t_alias}.{c}").alias(c)
                 for c in tcols
             ]
         )
+
+    def _inserts() -> DataFrame:
+        unmatched_src = source.join(target, cond, "left_anti")
+        if nm.group(1):
+            cols = [c.strip().strip('"') for c in nm.group(1).split(",")]
+            vals = [v.strip() for v in nm.group(2).split(",")]
+            val_map = dict(zip(cols, vals))
+            return unmatched_src.select(
+                *[
+                    F.expr(val_map[c]).alias(c) if c in val_map else F.lit(None).alias(c)
+                    for c in tcols
+                ]
+            )
+        return unmatched_src.select(*tcols)  # INSERT *
+
+    pcols = _partition_cols(spark, t_name)
+    if pcols and not (set(assigns) & set(pcols)):
+        # partition-granular: rewrite only partitions holding MATCHED rows;
+        # inserts append new files without touching any existing partition
+        if mu or md:
+            affected = (
+                target.join(source, cond, "left_semi").select(*pcols).distinct()
+            )
+            sub = target.join(F.broadcast(affected), pcols, "left_semi").alias(t_alias)
+            untouched = sub.join(source, cond, "left_anti").select(*tcols)
+            new_rows = untouched if md else untouched.unionByName(_matched_updated(sub))
+            if affected.limit(1).count():
+                _overwrite_partitions(spark, t_name, pcols, affected, new_rows)
+        n_inserted = 0
+        if nm:
+            ins = _inserts().localCheckpoint(eager=True)
+            n_inserted = ins.count()
+            if n_inserted:
+                ins.select(*tcols).write.insertInto(t_name, overwrite=False)
+        return pa.table(
+            {"rows_affected": [spark.table(t_name).count()], "rows_inserted": [n_inserted]}
+        )
+
+    if mu:
+        matched = _matched_updated(target)
     elif md:
         matched = None  # matched rows are deleted
     else:
@@ -168,19 +299,7 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
     pieces = [untouched] + ([matched] if matched is not None else [])
     n_inserted = 0
     if nm:
-        unmatched_src = source.join(target, cond, "left_anti")
-        if nm.group(1):
-            cols = [c.strip().strip('"') for c in nm.group(1).split(",")]
-            vals = [v.strip() for v in nm.group(2).split(",")]
-            val_map = dict(zip(cols, vals))
-            inserts = unmatched_src.select(
-                *[
-                    F.expr(val_map[c]).alias(c) if c in val_map else F.lit(None).alias(c)
-                    for c in tcols
-                ]
-            )
-        else:  # INSERT *
-            inserts = unmatched_src.select(*tcols)
+        inserts = _inserts()
         n_inserted = inserts.count()
         pieces.append(inserts)
 

@@ -1,0 +1,121 @@
+"""DML specs: driver-visible proof that MERGE/DELETE/UPDATE produce correct
+table states — including the partition-granular copy-on-write path
+(engine_dml.py), the Spark re-derivation of the reference's Iceberg-backed
+DML (reference: warehouse/duckdb.py:274-334 CTAS->Iceberg; README.md:256-266
+support matrix declares MERGE/DELETE).
+
+Each spec drives the full Engine (SQL text in, statements dispatched), then
+returns the final table state; the DuckDB oracle computes the same final
+state declaratively (base data + merge semantics as joins). Values are
+deterministic: everything derives from COUNT(*) aggregates of the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from universql_spark.queries import register
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+  FROM events GROUP BY 1, 2
+), src AS (
+  SELECT CAST(ts AS DATE) AS d, 'click' AS etype, COUNT(*) * 2 AS total
+  FROM events WHERE event_type = 'click' GROUP BY 1
+  UNION ALL SELECT DATE '2030-01-01', 'synthetic', CAST(7 AS BIGINT)
+), merged AS (
+  SELECT b.d, b.etype, COALESCE(s.total, b.total) AS total
+  FROM base b LEFT JOIN src s ON b.d = s.d AND b.etype = s.etype
+  UNION ALL
+  SELECT s.d, s.etype, s.total FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.d = s.d AND b.etype = s.etype)
+)
+SELECT d, etype, total FROM merged ORDER BY etype, d
+"""
+
+
+@register("dml_merge_partitioned", _MERGE_ORACLE, category="dml")
+def dml_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert MERGE into a PARTITION BY table: matched partitions are
+    rewritten via dynamic partition overwrite, inserts append — a 1-row
+    MERGE touches one partition, not the table (engine_dml.py docstring;
+    efficiency pinned by test_partitioned_merge_rewrites_one_partition)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE dmlp_t PARTITION BY (etype) AS
+          SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+          FROM events GROUP BY CAST(ts AS DATE), event_type;
+        CREATE OR REPLACE TABLE dmlp_s AS
+          SELECT CAST(ts AS DATE) AS d, 'click' AS etype, COUNT(*) * 2 AS total
+          FROM events WHERE event_type = 'click' GROUP BY CAST(ts AS DATE)
+          UNION ALL SELECT DATE '2030-01-01' AS d, 'synthetic' AS etype, CAST(7 AS BIGINT) AS total;
+        MERGE INTO dmlp_t t USING dmlp_s s ON t.d = s.d AND t.etype = s.etype
+          WHEN MATCHED THEN UPDATE SET total = s.total
+          WHEN NOT MATCHED THEN INSERT (d, etype, total) VALUES (s.d, s.etype, s.total)
+        """
+    )
+    return eng.execute_df("SELECT d, etype, total FROM dmlp_t ORDER BY etype, d")
+
+
+_DELETE_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT d, etype, total FROM base
+WHERE NOT (etype = 'click' OR d = DATE '2024-01-03')
+ORDER BY etype, d
+"""
+
+
+@register("dml_delete_partitioned", _DELETE_ORACLE, category="dml")
+def dml_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE on a partitioned table: the all-rows-deleted partition
+    ('click') is dropped by a metadata op; the cross-partition predicate
+    (d = …) rewrites only partitions that held matching rows."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE dmld_t PARTITION BY (etype) AS
+          SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+          FROM events GROUP BY CAST(ts AS DATE), event_type;
+        DELETE FROM dmld_t WHERE etype = 'click' OR d = DATE '2024-01-03'
+        """
+    )
+    return eng.execute_df("SELECT d, etype, total FROM dmld_t ORDER BY etype, d")
+
+
+_UPDATE_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT d, etype,
+       CASE WHEN etype = 'view' THEN total * 10 ELSE total END AS total
+FROM base ORDER BY etype, d
+"""
+
+
+@register("dml_update_partitioned", _UPDATE_ORACLE, category="dml")
+def dml_update_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with a partition-pruning predicate: only the 'view' partition
+    is rewritten (dynamic partition overwrite), every other partition's
+    files are untouched."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE dmlu_t PARTITION BY (etype) AS
+          SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+          FROM events GROUP BY CAST(ts AS DATE), event_type;
+        UPDATE dmlu_t SET total = total * 10 WHERE etype = 'view'
+        """
+    )
+    return eng.execute_df("SELECT d, etype, total FROM dmlu_t ORDER BY etype, d")
