@@ -70,14 +70,41 @@ def test_brute_force_topk_shape(emb):
         assert all(r.n_id != q for r in rows)
 
 
+def test_bmp_codec_roundtrip_bytes():
+    # pure byte-level: encode a padded-width BMP, decode without Spark
+    b = multimodal.encode_bmp(5, 3, 77)  # 5*3=15 bytes/row -> 1 pad byte
+    w, h, c, mean = multimodal._decode_bmp(b)
+    assert (w, h, c) == (5, 3, 3)
+    assert mean == 77.0  # padding stripped — polluted mean would differ
+
+
+def test_wav_codec_roundtrip_bytes():
+    b = multimodal.encode_wav(8000, 1234, 500)
+    rate, ch, nf, dur, rms = multimodal._decode_wav(b)
+    assert (rate, ch, nf) == (8000, 1, 1234)
+    assert abs(dur - 1234 / 8000) < 1e-12
+    assert rms == 500.0  # square wave: RMS == amplitude exactly
+
+
 def test_multimodal_decode_batches(docs):
-    media = multimodal.as_media(docs)
+    media = multimodal.synthesize_bmp_media(docs)
     # simpleString ignores nullability (Spark infers its own nullable flags)
     assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
-    decoded = multimodal.decode_images(media)
-    rows = decoded.collect()
+    rows = multimodal.decode_images(media).collect()
     assert len(rows) == docs.count()
-    assert all(r.width >= 16 and r.height >= 16 and r.n_channels == 3 for r in rows)
+    assert all(r.format == "bmp" and r.width >= 4 and r.height >= 4 and r.n_channels == 3 for r in rows)
+    assert all(r.mean_intensity == float(r.media_id % 256) for r in rows)
+
+
+def test_multimodal_non_image_payload_is_unknown(docs):
+    rows = multimodal.decode_images(multimodal.as_media(docs)).collect()
+    assert all(r.format == "unknown" and r.width is None for r in rows)
+
+
+def test_multimodal_audio_decode(docs):
+    rows = multimodal.decode_audio(multimodal.synthesize_wav_media(docs)).collect()
+    assert all(r.sample_rate == 8000 and r.n_channels == 1 for r in rows)
+    assert all(r.rms == float(r.media_id % 2000 + 1) for r in rows)
 
 
 def test_multimodal_features_normalized(docs):
@@ -87,9 +114,18 @@ def test_multimodal_features_normalized(docs):
     assert abs(s - 1.0) < 1e-3
 
 
-def test_frame_sample_is_explicit_stub(docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(multimodal.as_media(docs))
+def test_frame_sample_decodes_sampled_frames(docs):
+    media = multimodal.synthesize_ppm_video_media(docs)
+    rows = multimodal.frame_sample(media, every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_id.items():
+        n_frames = mid % 4 + 2
+        assert sorted(f.frame_no for f in frames) == list(range(0, n_frames, 2))
+        for f in frames:
+            assert (f.width, f.height) == (mid % 5 + 2, mid % 3 + 2)
+            assert f.mean_intensity == float((mid + f.frame_no) % 256)
 
 
 def test_salted_sum_equals_direct(spark, sf_dir):

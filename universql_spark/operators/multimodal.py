@@ -1,15 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Design (per the build brief): image/audio/video travel as `binary` columns
-with a typed metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched Pandas functions over mapInPandas, so each Python worker
+with a typed metadata struct; decode / feature-extract / frame-sample run as
+Arrow-batched Pandas functions over mapInPandas, so each Python worker
 processes a columnar batch (not a row) and the exchange is Arrow both ways.
 
-The actual codec libraries (PIL/librosa/av) are NOT in this container, so the
-decode kernels are STUBS: a clearly-marked deterministic fake derived from the
-payload bytes, behind an import-try that would use the real library when
-present. The Spark-side plumbing — schema, batch iteration, partitioning —
-is real and tested.
+The heavy codec libraries (PIL/librosa/av) are NOT in this container, so the
+decoders implement the UNCOMPRESSED formats those libraries would delegate
+to anyway — pure numpy byte-level parsers, no stubs:
+
+- **BMP**  (24-bit BITMAPINFOHEADER): header parse + bottom-up padded-row
+  pixel decode -> width/height/channels/mean intensity.
+- **WAV**  (RIFF PCM16): chunk walk (fmt /data) -> sample rate/channels/
+  frames/duration + RMS over the actual samples.
+- **PPM**  (P6): ASCII header + raw RGB; a "video" is a concatenation of P6
+  frames, which frame_sample() walks, decoding every Nth frame.
+
+Compressed formats (JPEG/MP3/H.264) raise a clear error naming the library
+they need — the dispatch, schema, batching and partitioning do not change
+when a real codec is dropped in.
 
 At scale: mapInPandas is a narrow transformation (no shuffle); repartition
 upstream by size so one batch of decoded frames fits executor memory
@@ -18,8 +27,10 @@ upstream by size so one batch of decoded frames fits executor memory
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,9 +57,32 @@ MEDIA_SCHEMA = T.StructType(
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+    ]
+)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
     ]
 )
 
@@ -60,17 +94,118 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-try:  # real decoder if the environment ever provides it
-    from PIL import Image  # noqa: F401
 
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+# ---------------------------------------------------------------------------
+# encoders (test/fixture synthesis — byte-faithful files, not mocks)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, intensity: int) -> bytes:
+    """A real 24-bit BMP: 54-byte headers + bottom-up rows padded to 4 bytes,
+    every pixel (intensity, intensity, intensity)."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rowbytes = bytes([intensity] * row) + b"\x00" * pad
+    return header + info + rowbytes * height
+
+
+def encode_wav(sample_rate: int, n_frames: int, amplitude: int, n_channels: int = 1) -> bytes:
+    """A real RIFF/WAVE PCM16 file: fmt + data chunks, a square wave of
+    +/-amplitude (so RMS == amplitude exactly)."""
+    samples = np.empty(n_frames * n_channels, dtype="<i2")
+    samples[0::2] = amplitude
+    samples[1::2] = -amplitude
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def encode_ppm(width: int, height: int, intensity: int) -> bytes:
+    """A real binary PPM (P6) frame, every pixel gray `intensity`."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([intensity] * (width * height * 3))
+
+
+def encode_ppm_video(width: int, height: int, intensities: list[int]) -> bytes:
+    """'Video' container: concatenated P6 frames (what frame_sample walks)."""
+    return b"".join(encode_ppm(width, height, i) for i in intensities)
+
+
+# ---------------------------------------------------------------------------
+# decoders (numpy byte-level parsers)
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int, float]:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp} (24-bit only without a codec lib)")
+    row = width * 3
+    stride = row + (4 - row % 4) % 4
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * abs(height), offset=data_offset)
+    px = px.reshape(abs(height), stride)[:, :row]  # strip row padding
+    return width, abs(height), 3, float(px.mean())
+
+
+def _decode_ppm(b: bytes, offset: int = 0) -> tuple[int, int, int, float, int]:
+    """-> (width, height, channels, mean, next_offset) — next_offset supports
+    walking concatenated frames."""
+    if b[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = three whitespace-separated tokens after the magic
+    i, tokens = offset + 2, []
+    while len(tokens) < 3:
+        while b[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, _maxval = tokens
+    n = width * height * 3
+    px = np.frombuffer(b, dtype=np.uint8, count=n, offset=i)
+    return width, height, 3, float(px.mean()), i + n
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int, float, float]:
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        if cid == b"fmt ":
+            _fmt, n_ch, rate = struct.unpack_from("<HHI", b, pos + 8)
+            bits = struct.unpack_from("<H", b, pos + 22)[0]
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported WAV bits={bits} (PCM16 only without a codec lib)")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    n_frames = len(samples) // n_ch
+    rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+    return rate, n_ch, n_frames, n_frames / rate, rms
+
+
+# ---------------------------------------------------------------------------
+# media construction
+# ---------------------------------------------------------------------------
 
 
 def as_media(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
-    """Wrap any table into the media schema (payload bytes = encoded text —
-    a deterministic stand-in for real image bytes)."""
+    """Wrap any table into the media schema (payload bytes = encoded text)."""
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(payload_col), "UTF-8").alias("content"),
@@ -82,6 +217,81 @@ def as_media(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text")
     )
 
 
+def synthesize_bmp_media(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Deterministic BMP fixture: per row, a real (len%13+4) x (len%7+4)
+    24-bit BMP filled with intensity id%256 — encode runs in the same
+    Arrow-batched kernel shape as decode (len = octet_length(payload))."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                blen = len(payload.encode("utf-8"))
+                out.append(encode_bmp(blen % 13 + 4, blen % 7 + 4, int(mid) % 256))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col],
+                    "content": out,
+                    "meta": [
+                        {"mime": "image/bmp", "byte_len": len(c), "source": "synthetic"} for c in out
+                    ],
+                }
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id", payload_col: str = "text") -> DataFrame:
+    """Deterministic WAV fixture: 8kHz PCM16 square wave, len%4000+100
+    frames, amplitude id%2000+1 (RMS == amplitude exactly)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                blen = len(payload.encode("utf-8"))
+                out.append(encode_wav(8000, blen % 4000 + 100, int(mid) % 2000 + 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col],
+                    "content": out,
+                    "meta": [
+                        {"mime": "audio/wav", "byte_len": len(c), "source": "synthetic"} for c in out
+                    ],
+                }
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthesize_ppm_video_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 'video' fixture: id%4+2 concatenated P6 frames of
+    (id%5+2) x (id%3+2), frame f filled with intensity (id+f)%256."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for mid in batch[id_col]:
+                mid = int(mid)
+                out.append(
+                    encode_ppm_video(
+                        mid % 5 + 2, mid % 3 + 2, [(mid + f) % 256 for f in range(mid % 4 + 2)]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch[id_col],
+                    "content": out,
+                    "meta": [
+                        {"mime": "video/x-ppm-seq", "byte_len": len(c), "source": "synthetic"}
+                        for c in out
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def media_repartition(media: DataFrame, target_batch_bytes: int = 64 << 20) -> DataFrame:
     """Repartition so decoded batches stay memory-bounded. With real media a
     partition holds ~target_batch_bytes of payload; here we approximate via
@@ -89,41 +299,75 @@ def media_repartition(media: DataFrame, target_batch_bytes: int = 64 << 20) -> D
     return media.repartition("media_id")
 
 
-def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode: deterministic dimensions derived from payload length.
-    Replace with PIL decode when available."""
-    blen = batch["content"].map(lambda b: 0 if b is None else len(b))
-    return pd.DataFrame(
-        {
-            "media_id": batch["media_id"],
-            "width": (blen % 640 + 16).astype("int32"),
-            "height": (blen % 480 + 16).astype("int32"),
-            "n_channels": pd.Series([3] * len(batch), dtype="int32"),
-        }
-    )
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """binary -> (width, height, channels) via mapInPandas (Arrow batches)."""
+    """binary -> (format, width, height, channels, mean intensity) via
+    mapInPandas. BMP and PPM decode for real (numpy parsers above); other
+    magic bytes yield format='unknown' with null dimensions rather than
+    failing the batch (bad files are data, not bugs, at 100 TB)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            if _HAS_PIL:
-                raise NotImplementedError(
-                    "real PIL decode path intentionally not implemented in this container"
-                )
-            yield _fake_decode(batch)
+            rows = []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                rec = {"media_id": mid, "format": "unknown", "width": None,
+                       "height": None, "n_channels": None, "mean_intensity": None}
+                try:
+                    if b and b[:2] == b"BM":
+                        w, h, c, m = _decode_bmp(b)
+                        rec.update(format="bmp", width=w, height=h, n_channels=c, mean_intensity=m)
+                    elif b and b[:2] == b"P6":
+                        w, h, c, m, _ = _decode_ppm(b)
+                        rec.update(format="ppm", width=w, height=h, n_channels=c, mean_intensity=m)
+                except ValueError:
+                    pass  # malformed header -> stays 'unknown'
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["n_channels"] = out["n_channels"].astype("Int32")
+            yield out
 
     return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """binary -> fixed-dim float feature vector (STUB featurizer: byte
-    histogram folded to FEATURE_DIM, deterministic)."""
+def decode_audio(media: DataFrame) -> DataFrame:
+    """binary -> (sample_rate, channels, frames, duration, RMS) for RIFF
+    PCM16 payloads; non-WAV rows come back null-metered."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+        for batch in batches:
+            rows = []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                rec = {"media_id": mid, "sample_rate": None, "n_channels": None,
+                       "n_frames": None, "duration_sec": None, "rms": None}
+                try:
+                    if b and b[:4] == b"RIFF":
+                        rate, ch, nf, dur, rms = _decode_wav(b)
+                        rec.update(sample_rate=rate, n_channels=ch, n_frames=nf,
+                                   duration_sec=dur, rms=rms)
+                except ValueError:
+                    pass
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_channels"] = out["n_channels"].astype("Int32")
+            out["n_frames"] = out["n_frames"].astype("Int64")
+            yield out
 
+    return media.mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary -> fixed-dim float feature vector (byte-histogram baseline
+    featurizer folded to FEATURE_DIM; a neural featurizer would slot into
+    the same kernel signature)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             feats = []
             for b in batch["content"]:
@@ -136,7 +380,28 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling STUB — requires a codec library; the Spark-side
-    signature (explode to one row per sampled frame) is the real contract."""
-    raise NotImplementedError("frame sampling needs a video codec library (not in container)")
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """PPM-sequence video -> one row per SAMPLED frame (frame 0, n, 2n, ...),
+    decoded for real. Compressed video would swap the per-frame parser for a
+    codec call; the explode contract and batching stay identical."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                if not b or b[:2] != b"P6":
+                    continue
+                offset, frame_no = 0, 0
+                while offset < len(b):
+                    w, h, _c, m, offset = _decode_ppm(b, offset)
+                    if frame_no % every_n == 0:
+                        rows.append(
+                            {"media_id": mid, "frame_no": frame_no, "width": w,
+                             "height": h, "mean_intensity": m}
+                        )
+                    frame_no += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "width", "height", "mean_intensity"]
+            )
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -459,20 +459,58 @@ def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_meta",
-    """SELECT doc_id AS media_id,
-       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
-       3 AS n_channels
+    """SELECT doc_id AS media_id, 'bmp' AS format,
+       CAST(octet_length(encode(text)) % 13 + 4 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 7 + 4 AS INT) AS height,
+       3 AS n_channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
 FROM documents ORDER BY media_id""",
     category="multimodal",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> decoded metadata through the real mapInPandas plumbing
-    (deterministic stub decoder; oracle reproduces its arithmetic)."""
-    media = multimodal.as_media(spark.table("documents"))
-    return multimodal.decode_images(media).withColumn("n_channels", F.col("n_channels").cast("int")).orderBy(
-        "media_id"
-    )
+    """Real byte-level round trip: per doc a true 24-bit BMP is encoded
+    (dims/intensity arithmetic on the doc), then decode_images parses the
+    headers AND the padded pixel rows back out of the bytes. The oracle
+    reproduces the arithmetic; any header/stride/padding bug in either
+    codec path breaks the value-hash."""
+    media = multimodal.synthesize_bmp_media(spark.table("documents"))
+    return multimodal.decode_images(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_meta",
+    """SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+       CAST(octet_length(encode(text)) % 4000 + 100 AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) % 4000 + 100 AS DOUBLE) / 8000.0 AS duration_sec,
+       CAST(doc_id % 2000 + 1 AS DOUBLE) AS rms
+FROM documents ORDER BY media_id""",
+    category="multimodal",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE PCM16 round trip: synthesized square-wave WAVs (RMS ==
+    amplitude exactly) -> chunk-walking decoder -> rate/frames/duration/RMS."""
+    media = multimodal.synthesize_wav_media(spark.table("documents"))
+    return multimodal.decode_audio(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    """WITH fr AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 4 + 1 AS BIGINT), 2)) AS g
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(g AS INT) AS frame_no,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 3 + 2 AS INT) AS height,
+       CAST((doc_id + g) % 256 AS DOUBLE) AS mean_intensity
+FROM fr ORDER BY media_id, frame_no""",
+    category="multimodal",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over concatenated-P6 'videos', each sampled
+    frame pixel-decoded; oracle enumerates the same frames arithmetically."""
+    media = multimodal.synthesize_ppm_video_media(spark.table("documents"))
+    return multimodal.frame_sample(media, every_n=2).orderBy("media_id", "frame_no")
 
 
 # ---------------------------------------------------------------------------
