@@ -560,3 +560,78 @@ def test_update_partition_column_falls_back(engine):
     rows = {r["id"]: r["p"] for r in engine.execute("SELECT id, p FROM pgf_t").to_pylist()}
     assert rows[0] == 5 and rows[1] == 1 and len(rows) == 6
     engine.execute("DROP TABLE pgf_t")
+
+
+def test_merge_multi_clause(engine):
+    # first-true-clause-wins across conditional UPDATE / DELETE / INSERT
+    engine.execute(
+        "CREATE OR REPLACE TABLE mc_t AS "
+        "SELECT CAST(1 AS BIGINT) AS id, 10.0 AS v UNION ALL SELECT 2, 20.0 "
+        "UNION ALL SELECT 3, 30.0 UNION ALL SELECT 4, 40.0"
+    )
+    engine.execute(
+        "CREATE OR REPLACE TABLE mc_s AS "
+        "SELECT CAST(1 AS BIGINT) AS id, 'del' AS op, 0.0 AS nv "
+        "UNION ALL SELECT 2, 'upd', 99.0 UNION ALL SELECT 3, 'other', 7.0 "
+        "UNION ALL SELECT 5, 'big', 500.0 UNION ALL SELECT 6, 'small', 6.0"
+    )
+    engine.execute(
+        """MERGE INTO mc_t t USING mc_s s ON t.id = s.id
+           WHEN MATCHED AND s.op = 'del' THEN DELETE
+           WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET v = s.nv
+           WHEN MATCHED THEN UPDATE SET v = t.v + 1
+           WHEN NOT MATCHED AND s.nv > 100 THEN INSERT (id, v) VALUES (s.id, s.nv)
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1.0)"""
+    )
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM mc_t").to_pylist()}
+    # 1 deleted; 2 -> 99 (second clause); 3 -> 31 (fallthrough update);
+    # 4 untouched; 5 inserted at 500 (nv>100); 6 inserted at -1 (fallthrough)
+    assert rows == {2: 99.0, 3: 31.0, 4: 40.0, 5: 500.0, 6: -1.0}
+    engine.execute("DROP TABLE mc_t; DROP TABLE mc_s")
+
+
+def test_merge_multi_clause_partitioned(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE mcp_t PARTITION BY (p) AS "
+        "SELECT id, CAST(id AS BIGINT) AS v, CAST(id % 2 AS INT) AS p FROM range(8) AS r(id)"
+    )
+    engine.execute(
+        "CREATE OR REPLACE TABLE mcp_s AS SELECT CAST(2 AS BIGINT) AS id "
+        "UNION ALL SELECT 3 UNION ALL SELECT 4"
+    )
+    before = _table_files(engine, "mcp_t")
+    engine.execute(
+        """MERGE INTO mcp_t t USING mcp_s s ON t.id = s.id
+           WHEN MATCHED AND t.id = 3 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = t.v * 100"""
+    )
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM mcp_t").to_pylist()}
+    assert 3 not in rows and rows[2] == 200 and rows[4] == 400 and rows[5] == 5
+    assert len(rows) == 7
+    engine.execute("DROP TABLE mcp_t; DROP TABLE mcp_s")
+
+
+def test_qualify_anded_window_predicates(engine):
+    out = engine.execute(
+        """SELECT user_id, n FROM (
+             SELECT CAST(1 AS BIGINT) AS user_id, 5 AS n UNION ALL SELECT 2, 3
+             UNION ALL SELECT 3, 8 UNION ALL SELECT 4, 1)
+           QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, user_id) <= 3
+               AND RANK() OVER (ORDER BY n DESC, user_id) > 1
+           ORDER BY user_id"""
+    ).to_pylist()
+    # top-3 by n are users 3(8),1(5),2(3); rank>1 removes user 3
+    assert out == [{"user_id": 1, "n": 5}, {"user_id": 2, "n": 3}]
+
+
+def test_qualify_window_or_alias_mix(engine):
+    out = engine.execute(
+        """SELECT user_id, n FROM (
+             SELECT CAST(1 AS BIGINT) AS user_id, 5 AS n UNION ALL SELECT 2, 3
+             UNION ALL SELECT 3, 8)
+           QUALIFY SUM(n) OVER (PARTITION BY user_id % 2) > 10 OR n = 3
+           ORDER BY user_id"""
+    ).to_pylist()
+    # partition {1,3}: sum 13 > 10 -> keep 1 and 3; partition {2}: 3 not >10
+    # but n=3 keeps it
+    assert out == [{"user_id": 1, "n": 5}, {"user_id": 2, "n": 3}, {"user_id": 3, "n": 8}]

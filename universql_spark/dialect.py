@@ -315,20 +315,49 @@ def rewrite_flatten(sql: str) -> str:
 
 _QUALIFY_KW_RE = re.compile(r"\bQUALIFY\b", re.I)
 _TAIL_KW_RE = re.compile(r"\bORDER\s+BY\b|\bLIMIT\b", re.I)
-_QUALIFY_WIN_RE = re.compile(
-    r"^\s*(?P<win>.+?\bOVER\s*\([^)]*\))\s*(?P<op><=|>=|=|<|>)\s*(?P<rhs>\d+)\s*$",
-    re.I | re.S,
-)
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.I)
+
+
+def _window_spans(cond: str) -> list[tuple[int, int]]:
+    """(start, end) spans of full window expressions `fn(args) OVER (spec)`
+    inside a QUALIFY condition — found by paren-matching in both directions
+    from each OVER, so arbitrarily nested arguments survive."""
+    spans: list[tuple[int, int]] = []
+    for m in _OVER_RE.finditer(cond):
+        close = _match_paren(cond, m.end() - 1)
+        # walk left over the window function's own (args)
+        j = m.start() - 1
+        while j >= 0 and cond[j].isspace():
+            j -= 1
+        start = m.start()
+        if j >= 0 and cond[j] == ")":
+            depth = 0
+            while j >= 0:
+                if cond[j] == ")":
+                    depth += 1
+                elif cond[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            j -= 1
+            while j >= 0 and (cond[j].isalnum() or cond[j] == "_"):
+                j -= 1
+            start = j + 1
+        spans.append((start, close + 1))
+    return spans
 
 
 def rewrite_qualify(sql: str) -> str:
     """Snowflake/DuckDB QUALIFY -> Spark subquery + WHERE.
 
-    Two supported shapes (the ones the declared surface uses):
-      QUALIFY <select-alias-cond>          -> outer WHERE on the alias
-      QUALIFY <winexpr> <op> <n>           -> window projected as a helper
-                                              column, filtered outside
-    Spark cannot filter on window functions in WHERE, hence the projection.
+    General shape: every `fn(...) OVER (...)` window expression in the
+    condition is projected as a helper column (`__q0`, `__q1`, ...) in the
+    inner select; the condition — arbitrary boolean structure, AND/OR'd
+    window predicates included — is filtered OUTSIDE with the windows
+    replaced by their aliases. Spark cannot filter on window functions in
+    WHERE, hence the projection. A condition with no window expression
+    (select-alias form) filters the aliased subquery directly.
     """
     km = _QUALIFY_KW_RE.search(sql)
     if not km:
@@ -349,13 +378,21 @@ def rewrite_qualify(sql: str) -> str:
                 split_at = i
                 break
     cond, tail = rest[:split_at].strip(), rest[split_at:].strip()
-    wm = _QUALIFY_WIN_RE.match(cond)
-    if wm:
-        win, op, rhs = wm.group("win").strip(), wm.group("op"), wm.group("rhs")
-        # inject the window expression as a projected helper column
-        inner = re.sub(r"^\s*SELECT\s+", f"SELECT {win} AS __qualify, ", body, count=1, flags=re.I)
-        # Spark 3.4+ star-EXCEPT keeps the helper column out of the result
-        return f"SELECT * EXCEPT (__qualify) FROM ({inner}) __q WHERE __qualify {op} {rhs} {tail}".rstrip()
+    spans = _window_spans(cond)
+    if spans:
+        helpers, out_cond, last = [], [], 0
+        for n, (s, e) in enumerate(spans):
+            helpers.append(f"{cond[s:e]} AS __q{n}")
+            out_cond.append(cond[last:s])
+            out_cond.append(f"__q{n}")
+            last = e
+        out_cond.append(cond[last:])
+        inner = re.sub(
+            r"^\s*SELECT\s+", f"SELECT {', '.join(helpers)}, ", body, count=1, flags=re.I
+        )
+        drop = ", ".join(f"__q{n}" for n in range(len(spans)))
+        # Spark 3.4+ star-EXCEPT keeps the helper columns out of the result
+        return f"SELECT * EXCEPT ({drop}) FROM ({inner}) __q WHERE {''.join(out_cond)} {tail}".rstrip()
     return f"SELECT * FROM ({body}) __q WHERE {cond} {tail}".rstrip()
 
 

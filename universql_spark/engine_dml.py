@@ -39,8 +39,10 @@ Supported grammar (documented subset, QueryError beyond it):
   DELETE FROM t WHERE <cond>
   UPDATE t SET c1 = e1[, c2 = e2 ...] [WHERE <cond>]
   MERGE INTO t [AS] ta USING s [AS] sa ON <cond>
-    [WHEN MATCHED THEN UPDATE SET c = e, ...]
-    [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *]
+    { WHEN MATCHED [AND <cond>] THEN { UPDATE SET c = e, ... | DELETE } }*
+    { WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs) | INSERT * }*
+with SQL-standard first-true-clause-wins dispatch across multiple WHEN
+clauses of either kind.
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from universql_spark.dialect import _split_top_args
 from universql_spark.names import bare_name, resolve_name
 
 
@@ -64,11 +67,16 @@ _MERGE_RE = re.compile(
     r"\s+ON\s+(.*?)(\s+WHEN\s+.*)$",
     re.I | re.S,
 )
-_WHEN_MATCHED_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)(?=\s+WHEN\s+|$)", re.I | re.S)
-_WHEN_MATCHED_DEL_RE = re.compile(r"WHEN\s+MATCHED\s+THEN\s+DELETE", re.I)
-_WHEN_NOT_MATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)", re.I | re.S
+#: one WHEN clause: [NOT] MATCHED [AND <cond>] THEN <action>, scanned in
+#: statement order — first-true-clause-wins semantics (SQL standard / the
+#: reference's Snowflake dialect)
+_WHEN_CLAUSE_RE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:\s+AND\s+(.*?))?\s*THEN\s+"
+    r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s*(?:\([^)]*\)\s*VALUES\s*\([^)]*\)|\*))"
+    r"(?=\s+WHEN\s+|\s*$)",
+    re.I | re.S,
 )
+_INSERT_ACTION_RE = re.compile(r"INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)", re.I | re.S)
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -217,12 +225,30 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
     cond = F.expr(on_cond)
     tcols = spark.table(t_name).columns
 
-    mu = _WHEN_MATCHED_RE.search(clauses)
-    md = _WHEN_MATCHED_DEL_RE.search(clauses) if not mu else None
-    nm = _WHEN_NOT_MATCHED_RE.search(clauses)
-    assigns = dict(_split_assignments(mu.group(1))) if mu else {}
+    # ordered clause lists: matched -> (cond|None, assigns|None-for-DELETE),
+    # not-matched -> (cond|None, col->expr map | None for INSERT *)
+    matched_clauses: list[tuple[str | None, dict[str, str] | None]] = []
+    insert_clauses: list[tuple[str | None, dict[str, str] | None]] = []
+    for cm in _WHEN_CLAUSE_RE.finditer(clauses):
+        is_not, extra_cond, action = bool(cm.group(1)), cm.group(2), cm.group(3).strip()
+        if is_not:
+            im = _INSERT_ACTION_RE.match(action)
+            if not im:
+                raise ValueError(f"unsupported MERGE insert action: {action[:80]}")
+            val_map = None
+            if im.group(1):
+                cols = [c.strip().strip('"') for c in im.group(1).split(",")]
+                vals = [v.strip() for v in _split_top_args(im.group(2))]
+                val_map = dict(zip(cols, vals))
+            insert_clauses.append((extra_cond, val_map))
+        elif action.upper() == "DELETE":
+            matched_clauses.append((extra_cond, None))
+        else:
+            matched_clauses.append((extra_cond, dict(_split_assignments(action[action.upper().index("SET") + 3 :]))))
 
-    if mu:
+    all_assigned = set().union(*[set(a) for _c, a in matched_clauses if a], set())
+
+    if matched_clauses:
         # Snowflake default ERROR_ON_NONDETERMINISTIC_MERGE=TRUE: a target
         # row matched by >1 source row is an error, not a silent duplicate
         # (the inner join below would otherwise emit it once per source row)
@@ -241,44 +267,72 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
                 "(ERROR_ON_NONDETERMINISTIC_MERGE)"
             )
 
-    def _matched_updated(tgt: DataFrame) -> DataFrame:
+    def _matched_result(tgt: DataFrame) -> DataFrame:
+        """Matched rows after clause application: first-true clause wins —
+        UPDATE rewrites the row, DELETE drops it, no-true-clause keeps it."""
         joined = tgt.join(source, cond, "inner")
-        return joined.select(
-            *[
-                F.expr(assigns[c]).alias(c) if c in assigns else F.col(f"{t_alias}.{c}").alias(c)
-                for c in tcols
-            ]
-        )
+        conds = [F.expr(c) if c else F.lit(True) for c, _a in matched_clauses]
+        keep = F.lit(True)
+        for c, (_cond, a) in zip(conds, matched_clauses):
+            if a is None:  # DELETE clause: drop when it is the first true one
+                prior = F.lit(False)
+                for c2, (_c2, _a2) in zip(conds, matched_clauses):
+                    if c2 is c:
+                        break
+                    prior = prior | F.coalesce(c2, F.lit(False))
+                keep = keep & ~(F.coalesce(c, F.lit(False)) & ~prior)
+        out_cols = []
+        for col in tcols:
+            expr = F.col(f"{t_alias}.{col}")
+            # build CASE from last clause backwards so first-true wins
+            for c, (_cond, a) in reversed(list(zip(conds, matched_clauses))):
+                if a and col in a:
+                    expr = F.when(F.coalesce(c, F.lit(False)), F.expr(a[col])).otherwise(expr)
+                elif a is None:
+                    pass  # deletes handled by `keep`
+            out_cols.append(expr.alias(col))
+        return joined.filter(keep).select(*out_cols)
 
     def _inserts() -> DataFrame:
+        """Unmatched source rows routed to the first not-matched clause whose
+        AND-condition holds."""
         unmatched_src = source.join(target, cond, "left_anti")
-        if nm.group(1):
-            cols = [c.strip().strip('"') for c in nm.group(1).split(",")]
-            vals = [v.strip() for v in nm.group(2).split(",")]
-            val_map = dict(zip(cols, vals))
-            return unmatched_src.select(
-                *[
-                    F.expr(val_map[c]).alias(c) if c in val_map else F.lit(None).alias(c)
-                    for c in tcols
-                ]
-            )
-        return unmatched_src.select(*tcols)  # INSERT *
+        pieces = []
+        prior = F.lit(False)
+        for extra_cond, val_map in insert_clauses:
+            c = F.expr(extra_cond) if extra_cond else F.lit(True)
+            sel = unmatched_src.filter(~prior & F.coalesce(c, F.lit(False)))
+            if val_map is not None:
+                sel = sel.select(
+                    *[
+                        F.expr(val_map[col]).alias(col) if col in val_map else F.lit(None).alias(col)
+                        for col in tcols
+                    ]
+                )
+            else:
+                sel = sel.select(*tcols)  # INSERT *
+            pieces.append(sel)
+            prior = prior | F.coalesce(c, F.lit(False))
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     pcols = _partition_cols(spark, t_name)
-    if pcols and not (set(assigns) & set(pcols)):
+    if pcols and not (all_assigned & set(pcols)):
         # partition-granular: rewrite only partitions holding MATCHED rows;
         # inserts append new files without touching any existing partition
-        if mu or md:
+        if matched_clauses:
             affected = (
                 target.join(source, cond, "left_semi").select(*pcols).distinct()
             )
             sub = target.join(F.broadcast(affected), pcols, "left_semi").alias(t_alias)
             untouched = sub.join(source, cond, "left_anti").select(*tcols)
-            new_rows = untouched if md else untouched.unionByName(_matched_updated(sub))
+            new_rows = untouched.unionByName(_matched_result(sub))
             if affected.limit(1).count():
                 _overwrite_partitions(spark, t_name, pcols, affected, new_rows)
         n_inserted = 0
-        if nm:
+        if insert_clauses:
             ins = _inserts().localCheckpoint(eager=True)
             n_inserted = ins.count()
             if n_inserted:
@@ -287,18 +341,16 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
             {"rows_affected": [spark.table(t_name).count()], "rows_inserted": [n_inserted]}
         )
 
-    if mu:
-        matched = _matched_updated(target)
-    elif md:
-        matched = None  # matched rows are deleted
+    if matched_clauses:
+        matched = _matched_result(target)
     else:
         matched = target.join(source, cond, "left_semi").select(*tcols)
 
     untouched = target.join(source, cond, "left_anti").select(*tcols)
 
-    pieces = [untouched] + ([matched] if matched is not None else [])
+    pieces = [untouched, matched]
     n_inserted = 0
-    if nm:
+    if insert_clauses:
         inserts = _inserts()
         n_inserted = inserts.count()
         pieces.append(inserts)
