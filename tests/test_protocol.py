@@ -100,3 +100,62 @@ def test_monitoring_endpoint(client):
     data = r.get_json()
     assert data["success"] and len(data["data"]["queries"]) >= 1
     assert "duration_sec" in data["data"]["queries"][-1]
+
+
+def test_login_session_parameter_surface(client):
+    r = client.post("/session/v1/login-request", json={"data": {}}).get_json()
+    params = {p["name"]: p["value"] for p in r["data"]["parameters"]}
+    # the parameter surface Snowflake clients read (reference util.py:63-204)
+    assert len(params) >= 35
+    assert params["TIMEZONE"] == "UTC"
+    assert params["QUERY_RESULT_FORMAT"] == "arrow"
+    assert params["DATE_OUTPUT_FORMAT"] == "YYYY-MM-DD"
+    assert params["CLIENT_TELEMETRY_ENABLED"] is False
+    assert params["AUTOCOMMIT"] is True
+
+
+def test_abort_cancels_running_query(client):
+    import threading
+    import time
+
+    token = _login(client)
+    results = {}
+
+    def run():
+        t0 = time.monotonic()
+        results["resp"] = client.post(
+            "/queries/v1/query-request?requestId=abort-me",
+            json={"sqlText": "SELECT COUNT(*) AS c FROM range(500000000000) WHERE id % 7 = 3"},
+            headers={"Authorization": f'Snowflake Token="{token}"'},
+        ).get_json()
+        results["dur"] = time.monotonic() - t0
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(2.0)  # let the job actually start
+    client.post(
+        "/queries/v1/abort-request",
+        json={"requestId": "abort-me"},
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    )
+    t.join(timeout=60)
+    assert not t.is_alive(), "query did not terminate after abort"
+    assert results["resp"]["success"] is False  # cancelled, not completed
+    assert results["dur"] < 55  # a full count over 5e11 rows would take far longer
+
+
+def test_to_query_decimal_timestamp_roundtrip(client):
+    token = _login(client)
+    out = _query(
+        client,
+        token,
+        "SELECT * FROM table(to_query('SELECT CAST(1.25 AS DECIMAL(10,2)) AS d, "
+        "TIMESTAMP ''2024-03-01 12:30:00'' AS ts, 42 AS n'))",
+    )
+    assert out["success"], out
+    tbl = _decode(out)
+    row = tbl.to_pylist()[0]
+    types = {f.name: str(f.type) for f in tbl.schema}
+    assert "decimal" in types["d"]  # not degraded to float/object via pandas
+    assert row["n"] == 42 and str(row["d"]) == "1.25"
+    assert "2024-03-01" in str(row["ts"])

@@ -279,7 +279,10 @@ class Engine:
         inner = m.group(1).replace("''", "'")
         tbl = duckdb.connect().execute(inner).arrow()
         name = f"to_query_{abs(hash(inner)) % 10**8}"
-        self.spark.createDataFrame(tbl.to_pandas()).createOrReplaceTempView(name)
+        # Arrow table straight into Spark (Spark 4 accepts pa.Table) — one
+        # zero-copy-ish crossing, and decimals/timestamps keep their types
+        # (the old pandas hop degraded decimal -> object and copied twice)
+        self.spark.createDataFrame(tbl).createOrReplaceTempView(name)
         return stmt[: m.start()] + name + stmt[m.end() :]
 
     def _use(self, stmt: str) -> pa.Table:

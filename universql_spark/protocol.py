@@ -38,6 +38,49 @@ try:
 except ImportError:  # pragma: no cover - flask is present in this container
     HAS_FLASK = False
 
+#: Session parameters advertised at login — the parameter surface Snowflake
+#: clients read (reference ships the same list, util.py:63-204). Values are
+#: this engine's truth: UTC session timezone (session.py), arrow results,
+#: no telemetry.
+SESSION_PARAMETERS: list[dict] = [
+    {"name": "TIMESTAMP_OUTPUT_FORMAT", "value": "YYYY-MM-DD HH24:MI:SS.FF3 TZHTZM"},
+    {"name": "TIMESTAMP_NTZ_OUTPUT_FORMAT", "value": "YYYY-MM-DD HH24:MI:SS.FF3"},
+    {"name": "TIMESTAMP_TZ_OUTPUT_FORMAT", "value": ""},
+    {"name": "TIME_OUTPUT_FORMAT", "value": "HH24:MI:SS"},
+    {"name": "DATE_OUTPUT_FORMAT", "value": "YYYY-MM-DD"},
+    {"name": "BINARY_OUTPUT_FORMAT", "value": "HEX"},
+    {"name": "CSV_TIMESTAMP_FORMAT", "value": ""},
+    {"name": "TIMEZONE", "value": "UTC"},
+    {"name": "QUERY_RESULT_FORMAT", "value": "arrow"},
+    {"name": "CLIENT_TIMESTAMP_TYPE_MAPPING", "value": "TIMESTAMP_LTZ"},
+    {"name": "CLIENT_PREFETCH_THREADS", "value": 4},
+    {"name": "CLIENT_RESULT_CHUNK_SIZE", "value": 640},
+    {"name": "CLIENT_RESULT_PREFETCH_THREADS", "value": 1},
+    {"name": "CLIENT_RESULT_PREFETCH_SLOTS", "value": 2},
+    {"name": "CLIENT_MEMORY_LIMIT", "value": 15360},
+    {"name": "CLIENT_SESSION_KEEP_ALIVE", "value": False},
+    {"name": "CLIENT_SESSION_KEEP_ALIVE_HEARTBEAT_FREQUENCY", "value": 36000},
+    {"name": "CLIENT_SESSION_CLONE", "value": False},
+    {"name": "CLIENT_METADATA_USE_SESSION_DATABASE", "value": False},
+    {"name": "CLIENT_METADATA_REQUEST_USE_CONNECTION_CTX", "value": False},
+    {"name": "CLIENT_HONOR_CLIENT_TZ_FOR_TIMESTAMP_NTZ", "value": True},
+    {"name": "CLIENT_RESULT_COLUMN_CASE_INSENSITIVE", "value": False},
+    {"name": "CLIENT_USE_V1_QUERY_API", "value": False},
+    {"name": "CLIENT_STAGE_ARRAY_BINDING_THRESHOLD", "value": 65280},
+    {"name": "CLIENT_CONSENT_CACHE_ID_TOKEN", "value": False},
+    {"name": "CLIENT_FORCE_PROTECT_ID_TOKEN", "value": True},
+    {"name": "CLIENT_TELEMETRY_ENABLED", "value": False},
+    {"name": "CLIENT_TELEMETRY_SESSIONLESS_ENABLED", "value": False},
+    {"name": "CLIENT_OUT_OF_BAND_TELEMETRY_ENABLED", "value": False},
+    {"name": "CLIENT_DISABLE_INCIDENTS", "value": True},
+    {"name": "CLIENT_ENABLE_LOG_INFO_STATEMENT_PARAMETERS", "value": False},
+    {"name": "QUERY_CONTEXT_CACHE_SIZE", "value": 5},
+    {"name": "AUTOCOMMIT", "value": True},
+    {"name": "PYTHON_SNOWPARK_USE_SQL_SIMPLIFIER", "value": True},
+    {"name": "PYTHON_CONNECTOR_USE_NANOARROW", "value": True},
+    {"name": "SNOWPARK_REQUEST_TIMEOUT_IN_SECONDS", "value": 86400},
+]
+
 
 def _arrow_b64(table: pa.Table) -> str:
     sink = io.BytesIO()
@@ -76,10 +119,7 @@ def create_app(engine: Engine | None = None) -> "Flask":
                 "token": token,
                 "masterToken": token,
                 "sessionInfo": sessions[token],
-                "parameters": [
-                    {"name": "TIMEZONE", "value": "UTC"},
-                    {"name": "QUERY_RESULT_FORMAT", "value": "arrow"},
-                ],
+                "parameters": SESSION_PARAMETERS,
             },
         }
 
@@ -93,19 +133,29 @@ def create_app(engine: Engine | None = None) -> "Flask":
         token = _session()
         if token is None:
             return {"success": False, "message": "invalid token", "code": "390104"}, 401
-        sql = _body().get("sqlText", "")
+        body = _body()
+        sql = body.get("sqlText", "")
+        # the client's requestId IS the cancellation handle: all Spark jobs
+        # this statement schedules run under a job group named after it, so
+        # abort-request can cancelJobGroup (reference cancels the DuckDB
+        # interrupt the same way, protocol/snowflake.py:182-186)
+        query_id = request.args.get("requestId") or body.get("requestId") or secrets.token_hex(8)
+        sc = eng.spark.sparkContext
+        sc.setJobGroup(query_id, sql[:120], interruptOnCancel=True)
         try:
             table = normalize(eng.execute(sql))
         except QueryError as e:
             return {
                 "success": False,
                 "message": e.message,
-                "data": {"sqlState": e.sql_state, "errorCode": "002003", "queryId": secrets.token_hex(8)},
+                "data": {"sqlState": e.sql_state, "errorCode": "002003", "queryId": query_id},
             }
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
         return {
             "success": True,
             "data": {
-                "queryId": secrets.token_hex(8),
+                "queryId": query_id,
                 "queryResultFormat": "arrow",
                 "rowtype": rowtype(table),
                 "returned": table.num_rows,
@@ -127,6 +177,11 @@ def create_app(engine: Engine | None = None) -> "Flask":
 
     @app.post("/queries/v1/abort-request")
     def abort():
+        # cancel every Spark job tagged with the statement's requestId;
+        # running tasks are interrupted (interruptOnCancel above)
+        qid = _body().get("requestId") or request.args.get("requestId")
+        if qid:
+            eng.spark.sparkContext.cancelJobGroup(qid)
         return {"success": True}
 
     @app.post("/session")
