@@ -635,3 +635,44 @@ def test_qualify_window_or_alias_mix(engine):
     # partition {1,3}: sum 13 > 10 -> keep 1 and 3; partition {2}: 3 not >10
     # but n=3 keeps it
     assert out == [{"user_id": 1, "n": 5}, {"user_id": 2, "n": 3}, {"user_id": 3, "n": 8}]
+
+
+def test_copy_into_avro_pure_python_reader(engine, tmp_path):
+    # no spark-avro jar in this container: COPY's avro path decodes object
+    # container files with the from-spec reader (avro_io.py), distributed
+    # one-task-per-file over binaryFile
+    from universql_spark.avro_io import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    }
+    write_avro(
+        str(tmp_path / "a.avro"),
+        schema,
+        [{"id": 1, "name": "a", "score": 1.5, "tag": "x"},
+         {"id": 2, "name": "b", "score": -2.0, "tag": None}],
+    )
+    write_avro(
+        str(tmp_path / "b.avro"),
+        schema,
+        [{"id": 3, "name": "c", "score": 0.25, "tag": "y"}],
+    )
+    engine.execute(
+        "CREATE OR REPLACE TABLE av_t AS SELECT CAST(1 AS BIGINT) AS id, 'x' AS name, "
+        "1.0 AS score, 'x' AS tag WHERE 1 = 0"
+    )
+    out = engine.execute(
+        f"COPY INTO av_t FROM '{tmp_path}' FILE_FORMAT = (TYPE = AVRO)"
+    )
+    assert out.to_pylist()[0]["rows_loaded"] == 3
+    rows = sorted(engine.execute("SELECT * FROM av_t").to_pylist(), key=lambda r: r["id"])
+    assert rows[0] == {"id": 1, "name": "a", "score": 1.5, "tag": "x"}
+    assert rows[1]["tag"] is None and rows[2]["name"] == "c"
+    engine.execute("DROP TABLE av_t")

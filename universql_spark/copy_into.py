@@ -132,12 +132,12 @@ def read_stage(spark: SparkSession, path: str, fmt: str, options: dict[str, str]
     if fmt == "avro":
         try:
             return reader.format("avro").load(path)
-        except Exception as e:  # spark-avro is an external module; this
-            # container ships core avro jars only — fail with a clear message
-            raise ValueError(
-                "avro reads need the spark-avro module on the classpath "
-                "(spark.jars.packages org.apache.spark:spark-avro_2.13:<ver>)"
-            ) from e
+        except Exception:  # spark-avro is an external module; this container
+            # ships core avro jars only — fall back to the pure-Python
+            # object-container reader (binaryFile + mapInPandas, avro_io.py)
+            from universql_spark.avro_io import read_avro
+
+            return read_avro(spark, path)
     raise ValueError(f"unsupported COPY format: {fmt}")
 
 
