@@ -159,3 +159,24 @@ def test_to_query_decimal_timestamp_roundtrip(client):
     assert "decimal" in types["d"]  # not degraded to float/object via pandas
     assert row["n"] == 42 and str(row["d"]) == "1.25"
     assert "2024-03-01" in str(row["ts"])
+
+
+def test_large_result_chunking(client):
+    token = _login(client)
+    out = _query(client, token, "SELECT id, id * 2 AS dbl FROM range(25000) ORDER BY id")
+    assert out["success"], out
+    first = _decode(out)
+    assert first.num_rows == 10000  # inline chunk
+    assert out["data"]["returned"] == 25000
+    chunks = out["data"]["chunks"]
+    assert [c["rowCount"] for c in chunks] == [10000, 5000]
+    total = first.num_rows
+    for c in chunks:
+        r = client.get(c["url"], headers={"Authorization": f'Snowflake Token="{token}"'}).get_json()
+        tbl = pa.ipc.open_stream(io.BytesIO(base64.b64decode(r["data"]["rowsetBase64"]))).read_all()
+        total += tbl.num_rows
+    assert total == 25000
+
+
+def test_telemetry_endpoint(client):
+    assert client.post("/telemetry/send", json={"logs": []}).get_json()["success"] is True

@@ -103,6 +103,11 @@ def create_app(engine: Engine | None = None) -> "Flask":
     app = Flask("universql_spark")
     eng = engine or Engine()
     sessions: dict[str, dict] = {}
+    #: queryId -> remaining result chunks (the reference returns everything
+    #: in rowsetBase64 and leaves chunk URLs unimplemented,
+    #: protocol/snowflake.py:223-243; here large results chunk for real)
+    result_chunks: dict[str, list[pa.Table]] = {}
+    CHUNK_ROWS = 10_000
 
     @app.post("/session/v1/login-request")
     def login():
@@ -152,16 +157,49 @@ def create_app(engine: Engine | None = None) -> "Flask":
             }
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
-        return {
-            "success": True,
-            "data": {
-                "queryId": query_id,
-                "queryResultFormat": "arrow",
-                "rowtype": rowtype(table),
-                "returned": table.num_rows,
-                "rowsetBase64": _arrow_b64(table),
-            },
+        data = {
+            "queryId": query_id,
+            "queryResultFormat": "arrow",
+            "rowtype": rowtype(table),
+            "returned": table.num_rows,
         }
+        if table.num_rows > CHUNK_ROWS:
+            # first CHUNK_ROWS inline, the rest behind chunk URLs — the
+            # Snowflake result-set contract for large results
+            data["rowsetBase64"] = _arrow_b64(table.slice(0, CHUNK_ROWS))
+            chunks, entries = [], []
+            offset = CHUNK_ROWS
+            while offset < table.num_rows:
+                sl = table.slice(offset, CHUNK_ROWS)
+                entries.append(
+                    {
+                        "url": f"/results/{query_id}/chunk/{len(chunks)}",
+                        "rowCount": sl.num_rows,
+                        "uncompressedSize": sl.nbytes,
+                    }
+                )
+                chunks.append(sl)
+                offset += CHUNK_ROWS
+            result_chunks[query_id] = chunks
+            data["chunks"] = entries
+        else:
+            data["rowsetBase64"] = _arrow_b64(table)
+        return {"success": True, "data": data}
+
+    @app.get("/results/<query_id>/chunk/<int:idx>")
+    def result_chunk(query_id: str, idx: int):
+        if _session() is None:
+            return {"success": False}, 401
+        chunks = result_chunks.get(query_id)
+        if chunks is None or idx >= len(chunks):
+            return {"success": False, "message": "unknown chunk"}, 404
+        return {"success": True, "data": {"rowsetBase64": _arrow_b64(chunks[idx])}}
+
+    @app.post("/telemetry/send")
+    def telemetry():
+        # accepted and dropped — telemetry is a client-compat no-op here,
+        # matching the reference's disabled-telemetry posture
+        return {"success": True, "data": None}
 
     @app.post("/session/heartbeat")
     def heartbeat():
