@@ -676,3 +676,14 @@ def test_copy_into_avro_pure_python_reader(engine, tmp_path):
     assert rows[0] == {"id": 1, "name": "a", "score": 1.5, "tag": "x"}
     assert rows[1]["tag"] is None and rows[2]["name"] == "c"
     engine.execute("DROP TABLE av_t")
+
+
+def test_scalar_fn_emulations(engine):
+    out = engine.execute(
+        "SELECT NULLIFZERO(0) AS a, NULLIFZERO(5) AS b, ZEROIFNULL(NULL) AS c, "
+        "SQUARE(4) AS d, TO_BOOLEAN('true') AS e, TRY_TO_NUMBER('12.5') AS f, "
+        "TRY_TO_NUMBER('nope') AS g, REGEXP_SUBSTR('ab12cd34', '[0-9]+') AS h"
+    ).to_pylist()[0]
+    assert out["a"] is None and out["b"] == 5 and out["c"] == 0
+    assert out["d"] == 16.0 and out["e"] is True
+    assert out["f"] == 12.5 and out["g"] is None and out["h"] == "12"

@@ -253,6 +253,32 @@ def _char_class(delims: str) -> str:
     return "'[" + body.replace("'", "''") + "]'"
 
 
+def _rewrite_scalar_emulations(sql: str) -> str:
+    """Snowflake scalar functions with no same-shape Spark twin, rewritten by
+    paren-matched call surgery (arity-changing, so the plain rename map can't
+    express them): NULLIFZERO/ZEROIFNULL/SQUARE/TO_BOOLEAN/TRY_TO_*/
+    REGEXP_SUBSTR."""
+    one_arg = {
+        "nullifzero": lambda a: f"nullif({a[0]}, 0)",
+        "zeroifnull": lambda a: f"coalesce({a[0]}, 0)",
+        "square": lambda a: f"power({a[0]}, 2)",
+        "to_boolean": lambda a: f"cast({a[0]} AS BOOLEAN)",
+        "try_to_boolean": lambda a: f"try_cast({a[0]} AS BOOLEAN)",
+        "try_to_number": lambda a: f"try_cast({a[0]} AS DOUBLE)",
+        "try_to_double": lambda a: f"try_cast({a[0]} AS DOUBLE)",
+        "try_to_date": lambda a: f"try_cast({a[0]} AS DATE)",
+    }
+    for name, rw in one_arg.items():
+        sql = _rewrite_calls(sql, name, lambda args, rw=rw: rw(args) if len(args) == 1 else None)
+    # REGEXP_SUBSTR(subject, pattern) -> first-match substring = group 0
+    sql = _rewrite_calls(
+        sql,
+        "regexp_substr",
+        lambda args: f"regexp_extract({args[0]}, {args[1]}, 0)" if len(args) == 2 else None,
+    )
+    return sql
+
+
 def _rewrite_strtok_to_array(sql: str) -> str:
     """Snowflake STRTOK_TO_ARRAY(str[, delims]) splits on ANY single char of
     the delimiter set and drops empty tokens; Spark split() takes a Java
@@ -437,6 +463,7 @@ def snowflake_to_spark(sql: str) -> str:
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
     sql = _rewrite_strtok_to_array(sql)
+    sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)
     sql = _outside_literals(sql, _rename_types)
     sql = _fix_regexp_replace_backrefs(sql)

@@ -547,3 +547,35 @@ GROUP BY a.o_custkey ORDER BY n_pairs DESC, k LIMIT 20""",
     category="join",
     doc="self-join pair counting per key",
 )
+
+register_sql(
+    "agg_listagg_ordered",
+    """SELECT n_regionkey,
+       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    oracle="""SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    category="agg",
+    doc="LISTAGG WITHIN GROUP (ordered string agg; DuckDB spells it string_agg)",
+)
+
+register_sql(
+    "fn_scalar_gallery",
+    """SELECT n_nationkey AS k,
+       nullif(n_nationkey % 5, 0) AS nz,
+       coalesce(nullif(n_nationkey % 5, 0), 0) AS zn,
+       power(n_nationkey, 2) AS sq,
+       regexp_extract(n_name, '[A-Z]+', 0) AS first_caps,
+       try_cast(n_name AS DOUBLE) AS not_a_number
+FROM nation ORDER BY k""",
+    oracle="""SELECT n_nationkey AS k,
+       nullif(n_nationkey % 5, 0) AS nz,
+       coalesce(nullif(n_nationkey % 5, 0), 0) AS zn,
+       power(n_nationkey, 2) AS sq,
+       regexp_extract(n_name, '[A-Z]+', 0) AS first_caps,
+       try_cast(n_name AS DOUBLE) AS not_a_number
+FROM nation ORDER BY k""",
+    category="scalar",
+    doc="scalar gallery backing the NULLIFZERO/ZEROIFNULL/SQUARE/TRY_TO_NUMBER/REGEXP_SUBSTR dialect rewrites",
+)
