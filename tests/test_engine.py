@@ -687,3 +687,80 @@ def test_scalar_fn_emulations(engine):
     assert out["a"] is None and out["b"] == 5 and out["c"] == 0
     assert out["d"] == 16.0 and out["e"] is True
     assert out["f"] == 12.5 and out["g"] is None and out["h"] == "12"
+
+
+# -- snapshot-format tables (tableformat.py: Iceberg mechanism, no jar) -------
+
+
+def test_iceberg_ctas_select_drop(engine):
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_a AS SELECT 1 AS x UNION ALL SELECT 2")
+    assert sorted(r["x"] for r in engine.execute("SELECT x FROM ice_a").to_pylist()) == [1, 2]
+    engine.execute("DROP TABLE ice_a")
+    import os
+
+    assert not os.path.exists(engine._snap_root("ice_a"))
+
+
+def test_iceberg_file_granular_delete_and_time_travel(engine):
+    # many files: repartition the CTAS body so each id range lands in its own
+    # file, then delete ONE row — only its file should be rewritten
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ice_t AS "
+        "SELECT /*+ REPARTITION(8, id) */ id, id * 10 AS v FROM range(100)"
+    )
+    snap = engine.snap_tables["ice_t"]
+    files_before = set(snap.current_files())
+    assert len(files_before) >= 4  # genuinely multi-file
+    out = engine.execute("DELETE FROM ice_t WHERE id = 7")
+    rec = out.to_pylist()[0]
+    assert rec["rows_deleted"] == 1 and rec["files_rewritten"] == 1
+    files_after = set(snap.current_files())
+    # all but one original file still live — copy-on-write at file grain
+    assert len(files_before & files_after) == len(files_before) - 1
+    assert engine.execute("SELECT COUNT(*) AS c FROM ice_t").to_pylist() == [{"c": 99}]
+    # time travel: snapshot 1 still sees the deleted row
+    old = engine.execute("SELECT COUNT(*) AS c FROM ice_t AT(SNAPSHOT => 1)").to_pylist()
+    assert old == [{"c": 100}]
+    engine.execute("DROP TABLE ice_t")
+
+
+def test_iceberg_update_file_granular(engine):
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ice_u AS "
+        "SELECT /*+ REPARTITION(4, id) */ id, CAST(0 AS BIGINT) AS v FROM range(40)"
+    )
+    snap = engine.snap_tables["ice_u"]
+    before = set(snap.current_files())
+    out = engine.execute("UPDATE ice_u SET v = 99 WHERE id = 11")
+    assert out.to_pylist()[0]["files_rewritten"] == 1
+    assert len(before & set(snap.current_files())) == len(before) - 1
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM ice_u WHERE id IN (10, 11)").to_pylist()}
+    assert rows == {10: 0, 11: 99}
+    engine.execute("DROP TABLE ice_u")
+
+
+def test_iceberg_merge_insert_appends_only(engine):
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ice_m AS "
+        "SELECT /*+ REPARTITION(3, id) */ id, CAST(id AS BIGINT) AS v FROM range(20)"
+    )
+    engine.execute(
+        "CREATE OR REPLACE TABLE ice_src AS SELECT CAST(5 AS BIGINT) AS id, CAST(500 AS BIGINT) AS v "
+        "UNION ALL SELECT 100, 1000"
+    )
+    snap = engine.snap_tables["ice_m"]
+    before = set(snap.current_files())
+    out = engine.execute(
+        "MERGE INTO ice_m t USING ice_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    ).to_pylist()[0]
+    assert out["rows_inserted"] == 1 and out["files_rewritten"] == 1
+    after = set(snap.current_files())
+    assert len(before & after) == len(before) - 1  # one file rewritten
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM ice_m").to_pylist()}
+    assert rows[5] == 500 and rows[100] == 1000 and rows[4] == 4 and len(rows) == 21
+    # history: snapshot 1 = pre-merge
+    pre = engine.execute("SELECT COUNT(*) AS c FROM ice_m AT(SNAPSHOT => 1)").to_pylist()
+    assert pre == [{"c": 20}]
+    engine.execute("DROP TABLE ice_m; DROP TABLE ice_src")

@@ -56,9 +56,14 @@ class QueryError(Exception):
 
 
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
     r"(?:(?:PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
     re.I | re.S,
+)
+#: `t AT(SNAPSHOT => 3)` / `t AT(TIMESTAMP => '...')` time travel on
+#: snapshot tables (Snowflake's AT clause over the Iceberg-like format)
+_AT_RE = re.compile(
+    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP)\s*=>\s*('[^']*'|\d+)\s*\)", re.I
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
 _TO_QUERY_RE = re.compile(r"\bto_query\s*\(\s*'((?:[^']|'')*)'\s*\)", re.I)
@@ -105,6 +110,9 @@ class Engine:
         self.qualified_tables: set[tuple[str, str, str]] = set()
         #: SQL text -> analyzed DataFrame (prepared-statement cache)
         self._prepared: dict[str, DataFrame] = {}
+        #: CREATE ICEBERG TABLE targets -> SnapshotTable (tableformat.py):
+        #: snapshot manifests + file-granular copy-on-write DML + time travel
+        self.snap_tables: dict[str, "object"] = {}
         #: per-statement duration + cost estimate (reference util.py:375-406)
         self.query_log: list[dict] = []
         if sf_dir:
@@ -216,16 +224,45 @@ class Engine:
             ctas = _CTAS_RE.match(stmt)
             if ctas:
                 return self._ctas(ctas)
+            dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
+            if dm and bare_name(dm.group(1)) in self.snap_tables:
+                import shutil
+
+                bn = bare_name(dm.group(1))
+                snap = self.snap_tables.pop(bn)
+                self.spark.catalog.dropTempView(bn)
+                shutil.rmtree(snap.root, ignore_errors=True)
+                return _status(f"dropped iceberg {bn}")
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
                 return copy_into.execute_copy(self.spark, stmt, resolve=self._resolve_name)
             if _DELETE_RE.match(stmt):
-                return engine_dml.execute_delete(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
+                sql = snowflake_to_spark(stmt)
+                snap = self._snap_target(engine_dml._DELETE_RE, sql)
+                if snap:
+                    out = engine_dml.execute_delete_snap(self.spark, sql, snap[1])
+                    self._refresh_snap_view(snap[0])
+                    return out
+                return engine_dml.execute_delete(self.spark, sql, resolve=self._resolve_name)
             if _UPDATE_RE.match(stmt):
-                return engine_dml.execute_update(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
+                sql = snowflake_to_spark(stmt)
+                snap = self._snap_target(engine_dml._UPDATE_RE, sql)
+                if snap:
+                    out = engine_dml.execute_update_snap(self.spark, sql, snap[1])
+                    self._refresh_snap_view(snap[0])
+                    return out
+                return engine_dml.execute_update(self.spark, sql, resolve=self._resolve_name)
             if _MERGE_RE.match(stmt):
-                return engine_dml.execute_merge(self.spark, snowflake_to_spark(stmt), resolve=self._resolve_name)
+                sql = snowflake_to_spark(stmt)
+                snap = self._snap_target(engine_dml._MERGE_RE, sql)
+                if snap:
+                    out = engine_dml.execute_merge_snap(
+                        self.spark, sql, snap[1], read_table=self._read_table
+                    )
+                    self._refresh_snap_view(snap[0])
+                    return out
+                return engine_dml.execute_merge(self.spark, sql, resolve=self._resolve_name)
             return self._run_select(stmt).toArrow()
         except QueryError:
             raise
@@ -240,6 +277,7 @@ class Engine:
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
         stmt = self._resolve_stage_refs(stmt)
+        stmt = self._resolve_time_travel(stmt)
         return self.spark.sql(snowflake_to_spark(stmt))
 
     def _resolve_stage_refs(self, stmt: str) -> str:
@@ -308,12 +346,70 @@ class Engine:
                 continue  # session-state only when the db isn't a Spark database
         return _status(f"use {kind.lower()} {name}")
 
+    # -- snapshot tables (tableformat.py) ----------------------------------
+
+    def _snap_root(self, name: str) -> str:
+        base = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        return os.path.join(base.replace("file:", ""), "_snap", bare_name(name))
+
+    def _snap_target(self, pattern: re.Pattern, sql: str):
+        """(name, SnapshotTable) when the statement's target is one."""
+        m = pattern.match(sql)
+        if not m:
+            return None
+        name = bare_name(m.group(1))
+        snap = self.snap_tables.get(name)
+        return (name, snap) if snap else None
+
+    def _refresh_snap_view(self, name: str) -> None:
+        """SELECTs resolve snapshot tables through a temp view over the
+        CURRENT snapshot's file list (re-registered after every commit)."""
+        self.snap_tables[name].read(self.spark).createOrReplaceTempView(name)
+
+    def _read_table(self, name: str):
+        bn = bare_name(name)
+        if bn in self.snap_tables:
+            return self.snap_tables[bn].read(self.spark)
+        return self.spark.table(self._resolve_name(name))
+
+    def _resolve_time_travel(self, stmt: str) -> str:
+        """`t AT(SNAPSHOT => 2)` -> temp view over that snapshot's files."""
+        if " AT" not in stmt.upper():
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name = bare_name(m.group(1))
+            snap = self.snap_tables.get(name)
+            if snap is None:
+                return m.group(0)
+            kind, val = m.group(2).upper(), m.group(3)
+            if kind == "SNAPSHOT":
+                df = snap.read(self.spark, snapshot_id=int(val))
+                view = f"{name}__snap_{val}"
+            else:
+                import datetime as dt
+
+                ts = dt.datetime.fromisoformat(val.strip("'"))
+                ms = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+                df = snap.read(self.spark, timestamp_ms=ms)
+                view = f"{name}__at_{ms}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _AT_RE.sub(repl, stmt)
+
     def _ctas(self, m: re.Match) -> pa.Table:
-        replace, temp, name, select = bool(m.group(1)), bool(m.group(2)), m.group(3).strip('"'), m.group(5)
+        replace, temp, iceberg, name, select = (
+            bool(m.group(1)),
+            bool(m.group(2)),
+            bool(m.group(3)),
+            m.group(4).strip('"'),
+            m.group(6),
+        )
         # PARTITION BY / CLUSTER BY (Snowflake's clustering-key clause) maps
         # to a hive-partitioned layout — the unit of copy-on-write DML
         # (engine_dml) and of partition pruning
-        pcols = [c.strip().strip('"').lower() for c in (m.group(4) or "").split(",") if c.strip()]
+        pcols = [c.strip().strip('"').lower() for c in (m.group(5) or "").split(",") if c.strip()]
         select = select.strip()
         # CREATE TABLE t AS (SELECT ...) — strip wrapping parens, but only a
         # pair that actually spans the whole text ("(SELECT a) UNION
@@ -333,6 +429,17 @@ class Engine:
                 break
             select = select[1:-1].strip()
         df = self._run_select(select)
+        if iceberg and not temp:
+            # CREATE ICEBERG TABLE -> snapshot-format table (tableformat.py):
+            # manifest-listed immutable files, file-granular COW DML, AT()
+            # time travel — the reference's CTAS->Iceberg (duckdb.py:274-334)
+            from universql_spark.tableformat import SnapshotTable
+
+            bn = bare_name(name)
+            snap = SnapshotTable.create(self._snap_root(name), df, replace=replace)
+            self.snap_tables[bn] = snap
+            self._refresh_snap_view(bn)
+            return _status(f"created iceberg {name}")
         if temp:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
             df.createOrReplaceTempView(bare_name(name))

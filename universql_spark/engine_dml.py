@@ -210,23 +210,9 @@ def execute_update(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.T
     return pa.table({"rows_updated": [n]})
 
 
-def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
-    m = _MERGE_RE.match(stmt)
-    if not m:
-        raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
-    t_name = resolve(m.group(1))
-    t_alias = m.group(2) or bare_name(t_name)
-    s_name = resolve(m.group(3))
-    s_alias = m.group(4) or bare_name(s_name)
-    on_cond, clauses = m.group(5), m.group(6)
-
-    target = spark.table(t_name).alias(t_alias)
-    source = spark.table(s_name).alias(s_alias)
-    cond = F.expr(on_cond)
-    tcols = spark.table(t_name).columns
-
-    # ordered clause lists: matched -> (cond|None, assigns|None-for-DELETE),
-    # not-matched -> (cond|None, col->expr map | None for INSERT *)
+def _parse_when_clauses(clauses: str) -> tuple[list, list]:
+    """Ordered clause lists: matched -> (cond|None, assigns|None-for-DELETE),
+    not-matched -> (cond|None, col->expr map | None for INSERT *)."""
     matched_clauses: list[tuple[str | None, dict[str, str] | None]] = []
     insert_clauses: list[tuple[str | None, dict[str, str] | None]] = []
     for cm in _WHEN_CLAUSE_RE.finditer(clauses):
@@ -245,78 +231,112 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
             matched_clauses.append((extra_cond, None))
         else:
             matched_clauses.append((extra_cond, dict(_split_assignments(action[action.upper().index("SET") + 3 :]))))
+    return matched_clauses, insert_clauses
 
+
+def _check_deterministic(target: DataFrame, source: DataFrame, cond) -> None:
+    """Snowflake default ERROR_ON_NONDETERMINISTIC_MERGE=TRUE: a target row
+    matched by >1 source row is an error, not a silent duplicate (the inner
+    join would otherwise emit it once per source row)."""
+    rid = target.withColumn("__t_rid", F.monotonically_increasing_id())
+    dup = (
+        rid.join(source, cond, "inner")
+        .groupBy("__t_rid")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise NondeterministicMergeError(
+            "MERGE: a target row matches more than one source row "
+            "(ERROR_ON_NONDETERMINISTIC_MERGE)"
+        )
+
+
+def _matched_result_df(
+    tgt: DataFrame, source: DataFrame, cond, t_alias: str, tcols: list[str], matched_clauses: list
+) -> DataFrame:
+    """Matched rows after clause application: first-true clause wins —
+    UPDATE rewrites the row, DELETE drops it, no-true-clause keeps it."""
+    joined = tgt.join(source, cond, "inner")
+    conds = [F.expr(c) if c else F.lit(True) for c, _a in matched_clauses]
+    keep = F.lit(True)
+    for c, (_cond, a) in zip(conds, matched_clauses):
+        if a is None:  # DELETE clause: drop when it is the first true one
+            prior = F.lit(False)
+            for c2, (_c2, _a2) in zip(conds, matched_clauses):
+                if c2 is c:
+                    break
+                prior = prior | F.coalesce(c2, F.lit(False))
+            keep = keep & ~(F.coalesce(c, F.lit(False)) & ~prior)
+    out_cols = []
+    for col in tcols:
+        expr = F.col(f"{t_alias}.{col}")
+        # build CASE from last clause backwards so first-true wins
+        for c, (_cond, a) in reversed(list(zip(conds, matched_clauses))):
+            if a and col in a:
+                expr = F.when(F.coalesce(c, F.lit(False)), F.expr(a[col])).otherwise(expr)
+            elif a is None:
+                pass  # deletes handled by `keep`
+        out_cols.append(expr.alias(col))
+    return joined.filter(keep).select(*out_cols)
+
+
+def _inserts_df(
+    target: DataFrame, source: DataFrame, cond, tcols: list[str], insert_clauses: list
+) -> DataFrame:
+    """Unmatched source rows routed to the first not-matched clause whose
+    AND-condition holds."""
+    unmatched_src = source.join(target, cond, "left_anti")
+    pieces = []
+    prior = F.lit(False)
+    for extra_cond, val_map in insert_clauses:
+        c = F.expr(extra_cond) if extra_cond else F.lit(True)
+        sel = unmatched_src.filter(~prior & F.coalesce(c, F.lit(False)))
+        if val_map is not None:
+            sel = sel.select(
+                *[
+                    F.expr(val_map[col]).alias(col) if col in val_map else F.lit(None).alias(col)
+                    for col in tcols
+                ]
+            )
+        else:
+            sel = sel.select(*tcols)  # INSERT *
+        pieces.append(sel)
+        prior = prior | F.coalesce(c, F.lit(False))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
+    m = _MERGE_RE.match(stmt)
+    if not m:
+        raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
+    t_name = resolve(m.group(1))
+    t_alias = m.group(2) or bare_name(t_name)
+    s_name = resolve(m.group(3))
+    s_alias = m.group(4) or bare_name(s_name)
+    on_cond, clauses = m.group(5), m.group(6)
+
+    target = spark.table(t_name).alias(t_alias)
+    source = spark.table(s_name).alias(s_alias)
+    cond = F.expr(on_cond)
+    tcols = spark.table(t_name).columns
+
+    matched_clauses, insert_clauses = _parse_when_clauses(clauses)
     all_assigned = set().union(*[set(a) for _c, a in matched_clauses if a], set())
 
     if matched_clauses:
-        # Snowflake default ERROR_ON_NONDETERMINISTIC_MERGE=TRUE: a target
-        # row matched by >1 source row is an error, not a silent duplicate
-        # (the inner join below would otherwise emit it once per source row)
-        rid = target.withColumn("__t_rid", F.monotonically_increasing_id())
-        dup = (
-            rid.join(source, cond, "inner")
-            .groupBy("__t_rid")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise NondeterministicMergeError(
-                "MERGE: a target row matches more than one source row "
-                "(ERROR_ON_NONDETERMINISTIC_MERGE)"
-            )
+        _check_deterministic(target, source, cond)
 
     def _matched_result(tgt: DataFrame) -> DataFrame:
-        """Matched rows after clause application: first-true clause wins —
-        UPDATE rewrites the row, DELETE drops it, no-true-clause keeps it."""
-        joined = tgt.join(source, cond, "inner")
-        conds = [F.expr(c) if c else F.lit(True) for c, _a in matched_clauses]
-        keep = F.lit(True)
-        for c, (_cond, a) in zip(conds, matched_clauses):
-            if a is None:  # DELETE clause: drop when it is the first true one
-                prior = F.lit(False)
-                for c2, (_c2, _a2) in zip(conds, matched_clauses):
-                    if c2 is c:
-                        break
-                    prior = prior | F.coalesce(c2, F.lit(False))
-                keep = keep & ~(F.coalesce(c, F.lit(False)) & ~prior)
-        out_cols = []
-        for col in tcols:
-            expr = F.col(f"{t_alias}.{col}")
-            # build CASE from last clause backwards so first-true wins
-            for c, (_cond, a) in reversed(list(zip(conds, matched_clauses))):
-                if a and col in a:
-                    expr = F.when(F.coalesce(c, F.lit(False)), F.expr(a[col])).otherwise(expr)
-                elif a is None:
-                    pass  # deletes handled by `keep`
-            out_cols.append(expr.alias(col))
-        return joined.filter(keep).select(*out_cols)
+        return _matched_result_df(tgt, source, cond, t_alias, tcols, matched_clauses)
 
     def _inserts() -> DataFrame:
-        """Unmatched source rows routed to the first not-matched clause whose
-        AND-condition holds."""
-        unmatched_src = source.join(target, cond, "left_anti")
-        pieces = []
-        prior = F.lit(False)
-        for extra_cond, val_map in insert_clauses:
-            c = F.expr(extra_cond) if extra_cond else F.lit(True)
-            sel = unmatched_src.filter(~prior & F.coalesce(c, F.lit(False)))
-            if val_map is not None:
-                sel = sel.select(
-                    *[
-                        F.expr(val_map[col]).alias(col) if col in val_map else F.lit(None).alias(col)
-                        for col in tcols
-                    ]
-                )
-            else:
-                sel = sel.select(*tcols)  # INSERT *
-            pieces.append(sel)
-            prior = prior | F.coalesce(c, F.lit(False))
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        return out
+        return _inserts_df(target, source, cond, tcols, insert_clauses)
 
     pcols = _partition_cols(spark, t_name)
     if pcols and not (all_assigned & set(pcols)):
@@ -360,3 +380,71 @@ def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Ta
         new_df = new_df.unionByName(p)
     _replace_table(spark, t_name, new_df)
     return pa.table({"rows_affected": [spark.table(t_name).count()], "rows_inserted": [n_inserted]})
+
+
+# ---------------------------------------------------------------------------
+# snapshot-table (tableformat.py) DML: file-granular copy-on-write
+# ---------------------------------------------------------------------------
+
+
+def execute_delete_snap(spark: SparkSession, stmt: str, snap) -> pa.Table:
+    m = _DELETE_RE.match(stmt)
+    cond = m.group(2)
+    match = F.expr(cond) if cond else F.lit(True)
+    n, n_files = snap.delete_where(spark, match)
+    return pa.table({"rows_deleted": [n], "files_rewritten": [n_files]})
+
+
+def execute_update_snap(spark: SparkSession, stmt: str, snap) -> pa.Table:
+    m = _UPDATE_RE.match(stmt)
+    assign_map = dict(_split_assignments(m.group(2)))
+    cond = m.group(3)
+    match = F.expr(cond) if cond else F.lit(True)
+    n, n_files = snap.update_where(spark, match, assign_map)
+    return pa.table({"rows_updated": [n], "files_rewritten": [n_files]})
+
+
+def execute_merge_snap(spark: SparkSession, stmt: str, snap, read_table) -> pa.Table:
+    """MERGE into a snapshot table: only data files holding matched target
+    rows are rewritten (input_file_name targeting); inserts append files."""
+    m = _MERGE_RE.match(stmt)
+    if not m:
+        raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
+    t_alias = m.group(2) or bare_name(m.group(1))
+    s_alias = m.group(4) or bare_name(m.group(3))
+    on_cond, clauses = m.group(5), m.group(6)
+
+    source = read_table(m.group(3)).alias(s_alias)
+    cond = F.expr(on_cond)
+    target = snap.read(spark).alias(t_alias)
+    tcols = target.columns
+
+    matched_clauses, insert_clauses = _parse_when_clauses(clauses)
+    if matched_clauses:
+        _check_deterministic(target, source, cond)
+
+    inserts = None
+    if insert_clauses:
+        inserts = _inserts_df(target, source, cond, tcols, insert_clauses)
+
+    if matched_clauses:
+        n_ins, n_files = snap.merge_apply(
+            spark,
+            source,
+            cond,
+            t_alias,
+            lambda sub: _matched_result_df(sub, source, cond, t_alias, tcols, matched_clauses),
+            inserts,
+        )
+    else:
+        n_ins = inserts.count() if inserts is not None else 0
+        n_files = 0
+        if n_ins:
+            snap.append(inserts)
+    return pa.table(
+        {
+            "rows_affected": [snap.read(spark).count()],
+            "rows_inserted": [n_ins],
+            "files_rewritten": [n_files],
+        }
+    )

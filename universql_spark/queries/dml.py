@@ -119,3 +119,52 @@ def dml_update_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return eng.execute_df("SELECT d, etype, total FROM dmlu_t ORDER BY etype, d")
+
+
+_ICE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+), src AS (
+  SELECT 'click' AS etype, CAST(-1 AS BIGINT) AS total
+  UNION ALL SELECT 'synthetic', CAST(7 AS BIGINT)
+), merged AS (
+  SELECT b.etype, COALESCE(s.total, b.total) AS total
+  FROM base b LEFT JOIN src s ON b.etype = s.etype
+  UNION ALL
+  SELECT s.etype, s.total FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.etype = s.etype)
+)
+SELECT 'current' AS state, etype, total FROM merged
+UNION ALL
+SELECT 'orig' AS state, etype, total FROM base
+ORDER BY state, etype
+"""
+
+
+@register("dml_iceberg_merge_timetravel", _ICE_ORACLE, category="dml")
+def dml_iceberg_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-format table (tableformat.py — the Iceberg mechanism without
+    the jar): MERGE rewrites only data files holding matched rows, and the
+    pre-merge snapshot stays queryable via AT(SNAPSHOT => 1). The single
+    result carries BOTH states so the oracle checks time travel too."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE icev_t AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        CREATE OR REPLACE TABLE icev_s AS
+          SELECT 'click' AS etype, CAST(-1 AS BIGINT) AS total
+          UNION ALL SELECT 'synthetic', CAST(7 AS BIGINT);
+        MERGE INTO icev_t t USING icev_s s ON t.etype = s.etype
+          WHEN MATCHED THEN UPDATE SET total = s.total
+          WHEN NOT MATCHED THEN INSERT (etype, total) VALUES (s.etype, s.total)
+        """
+    )
+    return eng.execute_df(
+        """SELECT 'current' AS state, etype, total FROM icev_t
+           UNION ALL
+           SELECT 'orig' AS state, etype, total FROM icev_t AT(SNAPSHOT => 1)
+           ORDER BY state, etype"""
+    )

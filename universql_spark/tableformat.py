@@ -1,0 +1,224 @@
+"""Snapshot table format: Iceberg's data model without the Iceberg jar.
+
+The reference's entire table abstraction is catalog-managed Iceberg
+(warehouse/snowflake.py:97-111 resolves tables to Iceberg metadata;
+duckdb.py:223-225 reads them via iceberg_scan; duckdb.py:274-334 CTAS
+creates them through PyIceberg). This container has no iceberg-spark
+runtime jar, so this module re-derives the MECHANISM — the part that makes
+Iceberg Iceberg — from first principles on plain parquet + JSON:
+
+- a table is a metadata file listing immutable data files per SNAPSHOT
+  (`metadata.json`: [{id, timestamp_ms, operation, files[]}]);
+- readers plan from a snapshot's file list (`spark.read.parquet(*files)`),
+  so every read is a consistent point-in-time view and TIME TRAVEL is just
+  reading an older snapshot;
+- writes never mutate files: appends add files + a new snapshot;
+  DELETE/UPDATE/MERGE are FILE-GRANULAR copy-on-write — the files that
+  contain affected rows are found with `input_file_name()` (a
+  manifest-sized distinct), ONLY those files are rewritten, and the new
+  snapshot lists (live - affected) + rewritten + appended.
+
+File-granular COW is strictly finer than the hive-partition path in
+engine_dml.py (it bounds rewrite cost on UNPARTITIONED tables too) and is
+exactly what Iceberg's copy-on-write write mode does. At 100 TB the
+`input_file_name()` distinct is a narrow aggregate over matched rows only
+(filter pushdown cuts the scan), and the rewrite touches as many bytes as
+the matched files hold — independent of table size.
+
+Concurrency note: single-writer per table (metadata.json swap is
+last-writer-wins). Iceberg's optimistic-commit protocol would layer a
+compare-and-swap on top; out of scope for this engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "metadata.json")
+
+    def _load(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)  # atomic snapshot swap
+
+    def snapshots(self) -> list[dict]:
+        return self._load()["snapshots"]
+
+    def current_files(self) -> list[str]:
+        snaps = self.snapshots()
+        return snaps[-1]["files"]
+
+    def files_at(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> list[str]:
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["id"] == snapshot_id:
+                    return s["files"]
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if timestamp_ms is not None:
+            live: list[str] | None = None
+            for s in snaps:
+                if s["timestamp_ms"] <= timestamp_ms:
+                    live = s["files"]
+            if live is None:
+                raise ValueError(f"no snapshot at or before {timestamp_ms}")
+            return live
+        return snaps[-1]["files"]
+
+    # -- data --------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as new immutable parquet files; return their paths."""
+        out = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
+        df.write.parquet(out)
+        return sorted(
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        )
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             timestamp_ms: int | None = None) -> DataFrame:
+        files = self.files_at(snapshot_id, timestamp_ms)
+        if not files:
+            # empty table: preserve schema from any historical snapshot
+            for s in reversed(self.snapshots()):
+                if s["files"]:
+                    return spark.read.parquet(*s["files"]).limit(0)
+            raise ValueError("table has no data files in any snapshot")
+        return spark.read.parquet(*files)
+
+    def _append_snapshot(self, files: list[str], operation: str) -> int:
+        meta = self._load()
+        sid = meta["snapshots"][-1]["id"] + 1 if meta["snapshots"] else 1
+        meta["snapshots"].append(
+            {"id": sid, "timestamp_ms": int(time.time() * 1000), "operation": operation, "files": files}
+        )
+        self._commit(meta)
+        return sid
+
+    # -- operations --------------------------------------------------------
+
+    @classmethod
+    def create(cls, root: str, df: DataFrame, replace: bool = False) -> "SnapshotTable":
+        if os.path.exists(root):
+            if not replace:
+                raise ValueError(f"snapshot table already exists at {root}")
+            shutil.rmtree(root)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(root)
+        with open(t._meta_path, "w") as f:
+            json.dump({"snapshots": []}, f)
+        files = t._write_files(df)
+        t._append_snapshot(files, "append")
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        new = self._write_files(df)
+        return self._append_snapshot(self.current_files() + new, "append")
+
+    def _affected_files(self, spark: SparkSession, match) -> list[str]:
+        """Files holding at least one matched row — Iceberg's COW targeting,
+        via input_file_name() (manifest-sized distinct; the scan prunes with
+        the pushed-down match predicate)."""
+        df = self.read(spark)
+        rows = (
+            df.filter(match)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        # input_file_name returns URIs (file:///...); manifest stores paths
+        return sorted({r["f"].replace("file://", "").replace("file:", "") for r in rows})
+
+    def delete_where(self, spark: SparkSession, match) -> tuple[int, int]:
+        """-> (rows_deleted, n_files_rewritten)"""
+        affected = self._affected_files(spark, match)
+        if not affected:
+            return 0, 0
+        sub = spark.read.parquet(*affected)
+        n_del = sub.filter(match).count()
+        survivors = sub.filter(~match)
+        new = self._write_files(survivors) if survivors.limit(1).count() else []
+        keep = [f for f in self.current_files() if f not in set(affected)]
+        self._append_snapshot(keep + new, "delete")
+        return n_del, len(affected)
+
+    def update_where(self, spark: SparkSession, match, assign_exprs: dict[str, str]) -> tuple[int, int]:
+        """-> (rows_updated, n_files_rewritten); simultaneous assignment."""
+        affected = self._affected_files(spark, match)
+        if not affected:
+            return 0, 0
+        sub = spark.read.parquet(*affected)
+        n_upd = sub.filter(match).count()
+        out = sub.select(
+            *[
+                F.when(match, F.expr(assign_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in assign_exprs
+                else F.col(c)
+                for c in sub.columns
+            ]
+        )
+        new = self._write_files(out)
+        keep = [f for f in self.current_files() if f not in set(affected)]
+        self._append_snapshot(keep + new, "update")
+        return n_upd, len(affected)
+
+    def merge_apply(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        cond,
+        t_alias: str,
+        matched_result,
+        inserts: DataFrame | None,
+    ) -> tuple[int, int]:
+        """File-granular MERGE: rewrite only files holding matched target
+        rows (matched_result(sub_df) -> their post-merge rows), append
+        insert files untouched-by-rewrite. -> (n_inserted, n_files_rewritten)
+        """
+        # input_file_name() must bind to a single scan: stamp the file path
+        # on the TARGET before the join touches any other source
+        tagged = self.read(spark).withColumn("__file", F.input_file_name()).alias(t_alias)
+        match_rows = tagged.join(source, cond, "left_semi")
+        affected = sorted(
+            {
+                r["__file"].replace("file://", "").replace("file:", "")
+                for r in match_rows.select("__file").distinct().collect()
+            }
+        )
+        new: list[str] = []
+        keep = self.current_files()
+        if affected:
+            sub = spark.read.parquet(*affected).alias(t_alias)
+            untouched = sub.join(source, cond, "left_anti").select(*self.read(spark).columns)
+            rewritten = untouched.unionByName(matched_result(sub))
+            new += self._write_files(rewritten)
+            keep = [f for f in keep if f not in set(affected)]
+        n_ins = 0
+        if inserts is not None:
+            n_ins = inserts.count()
+            if n_ins:
+                new += self._write_files(inserts)
+        self._append_snapshot(keep + new, "merge")
+        return n_ins, len(affected)
+
