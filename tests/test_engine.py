@@ -764,3 +764,43 @@ def test_iceberg_merge_insert_appends_only(engine):
     pre = engine.execute("SELECT COUNT(*) AS c FROM ice_m AT(SNAPSHOT => 1)").to_pylist()
     assert pre == [{"c": 20}]
     engine.execute("DROP TABLE ice_m; DROP TABLE ice_src")
+
+
+def test_iceberg_insert_copy_truncate(engine, tmp_path):
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_l AS SELECT CAST(1 AS BIGINT) AS id, 'a' AS v")
+    engine.execute("INSERT INTO ice_l SELECT CAST(2 AS BIGINT), 'b'")
+    engine.execute("INSERT INTO ice_l (id) VALUES (CAST(3 AS BIGINT))")
+    rows = {r["id"]: r["v"] for r in engine.execute("SELECT id, v FROM ice_l").to_pylist()}
+    assert rows == {1: "a", 2: "b", 3: None}
+    # COPY appends a new snapshot without touching existing files
+    p = tmp_path / "ice.csv"
+    p.write_text("id,v\n9,z\n")
+    snap = engine.snap_tables["ice_l"]
+    before = set(snap.current_files())
+    out = engine.execute(f"COPY INTO ice_l FROM '{p}' FILE_FORMAT = (TYPE = CSV, SKIP_HEADER = 1)")
+    assert out.to_pylist()[0]["rows_loaded"] == 1
+    assert before <= set(snap.current_files())
+    assert engine.execute("SELECT COUNT(*) AS c FROM ice_l").to_pylist() == [{"c": 4}]
+    # TRUNCATE = empty snapshot; history intact
+    engine.execute("TRUNCATE TABLE ice_l")
+    assert engine.execute("SELECT COUNT(*) AS c FROM ice_l").to_pylist() == [{"c": 0}]
+    hist = engine.execute("SELECT COUNT(*) AS c FROM ice_l AT(SNAPSHOT => 4)").to_pylist()
+    assert hist == [{"c": 4}]
+    engine.execute("DROP TABLE ice_l")
+
+
+def test_iceberg_schema_evolution_add_column(engine):
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_e AS SELECT CAST(1 AS BIGINT) AS id")
+    engine.execute("ALTER TABLE ice_e ADD COLUMN score DOUBLE")
+    # metadata-only: old file untouched, column reads as NULL
+    snap = engine.snap_tables["ice_e"]
+    assert len(snap.snapshots()) == 1
+    assert engine.execute("SELECT id, score FROM ice_e").to_pylist() == [{"id": 1, "score": None}]
+    # new writes carry the column; old files still never rewritten
+    engine.execute("INSERT INTO ice_e SELECT CAST(2 AS BIGINT), CAST(0.5 AS DOUBLE)")
+    rows = {r["id"]: r["score"] for r in engine.execute("SELECT id, score FROM ice_e").to_pylist()}
+    assert rows == {1: None, 2: 0.5}
+    engine.execute("UPDATE ice_e SET score = 9.0 WHERE id = 1")
+    rows = {r["id"]: r["score"] for r in engine.execute("SELECT id, score FROM ice_e").to_pylist()}
+    assert rows == {1: 9.0, 2: 0.5}
+    engine.execute("DROP TABLE ice_e")

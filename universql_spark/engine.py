@@ -224,6 +224,53 @@ class Engine:
             ctas = _CTAS_RE.match(stmt)
             if ctas:
                 return self._ctas(ctas)
+            # snapshot-table lifecycle statements (INSERT/COPY/ALTER/TRUNCATE
+            # route to manifest commits; plain tables fall through to Spark)
+            im = re.match(
+                r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\(([^)]*)\))?\s*(SELECT|VALUES)(.*)$",
+                stmt,
+                re.I | re.S,
+            )
+            if im and bare_name(im.group(1)) in self.snap_tables:
+                bn = bare_name(im.group(1))
+                snap = self.snap_tables[bn]
+                df = self._run_select(im.group(4) + im.group(5))
+                tdf = snap.read(self.spark)
+                tcols, ttypes = tdf.columns, dict(tdf.dtypes)
+                if im.group(3):  # explicit column list; missing cols -> NULL
+                    from pyspark.sql import functions as F  # noqa: PLC0415
+
+                    given = [c.strip().strip('"').lower() for c in im.group(3).split(",")]
+                    df = df.toDF(*given)
+                    df = df.select(
+                        *[
+                            F.col(c).cast(ttypes[c]).alias(c)
+                            if c in given
+                            else F.lit(None).cast(ttypes[c]).alias(c)
+                            for c in tcols
+                        ]
+                    )
+                else:
+                    df = self._align_to_snap(df, tdf)
+                snap.append(df)
+                self._refresh_snap_view(bn)
+                return _status(f"inserted into iceberg {bn}")
+            am = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()0-9,]+)\s*$",
+                stmt,
+                re.I,
+            )
+            if am and bare_name(am.group(1)) in self.snap_tables:
+                bn = bare_name(am.group(1))
+                self.snap_tables[bn].add_column(am.group(2).lower(), snowflake_to_spark(am.group(3)))
+                self._refresh_snap_view(bn)
+                return _status(f"altered iceberg {bn}")
+            tm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
+            if tm and bare_name(tm.group(1)) in self.snap_tables:
+                bn = bare_name(tm.group(1))
+                self.snap_tables[bn].truncate()
+                self._refresh_snap_view(bn)
+                return _status(f"truncated iceberg {bn}")
             dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
             if dm and bare_name(dm.group(1)) in self.snap_tables:
                 import shutil
@@ -236,6 +283,15 @@ class Engine:
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
+                cp = copy_into.parse_copy(stmt)
+                if bare_name(cp[0]) in self.snap_tables:
+                    bn = bare_name(cp[0])
+                    snap = self.snap_tables[bn]
+                    df = copy_into.read_stage(self.spark, cp[1], cp[2], cp[3])
+                    n = df.count()
+                    snap.append(self._align_to_snap(df, snap.read(self.spark)))
+                    self._refresh_snap_view(bn)
+                    return pa.table({"rows_loaded": [n], "status": ["LOADED"]})
                 return copy_into.execute_copy(self.spark, stmt, resolve=self._resolve_name)
             if _DELETE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
@@ -360,6 +416,15 @@ class Engine:
         name = bare_name(m.group(1))
         snap = self.snap_tables.get(name)
         return (name, snap) if snap else None
+
+    def _align_to_snap(self, df: DataFrame, tdf: DataFrame) -> DataFrame:
+        """Positional rename + cast to the table's column types, so appended
+        files stay schema-compatible with the manifest's existing files."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        tcols, ttypes = tdf.columns, dict(tdf.dtypes)
+        df = df.toDF(*tcols)
+        return df.select(*[F.col(c).cast(ttypes[c]).alias(c) for c in tcols])
 
     def _refresh_snap_view(self, name: str) -> None:
         """SELECTs resolve snapshot tables through a temp view over the

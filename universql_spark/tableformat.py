@@ -96,6 +96,17 @@ class SnapshotTable:
             os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
         )
 
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Schema-normalized read of a file subset: mergeSchema unions the
+        per-file schemas (files written before an ADD COLUMN lack it —
+        Iceberg-style evolution, old files untouched) and columns added
+        after every one of these files were written surface as NULL."""
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        for col, sql_type in self._load().get("added_columns", []):
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(None).cast(sql_type))
+        return df
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              timestamp_ms: int | None = None) -> DataFrame:
         files = self.files_at(snapshot_id, timestamp_ms)
@@ -103,9 +114,20 @@ class SnapshotTable:
             # empty table: preserve schema from any historical snapshot
             for s in reversed(self.snapshots()):
                 if s["files"]:
-                    return spark.read.parquet(*s["files"]).limit(0)
+                    return self._read_files(spark, s["files"]).limit(0)
             raise ValueError("table has no data files in any snapshot")
-        return spark.read.parquet(*files)
+        return self._read_files(spark, files)
+
+    def add_column(self, col: str, sql_type: str) -> None:
+        """Schema evolution as a METADATA operation: no file is rewritten;
+        readers surface the column as NULL for pre-evolution files."""
+        meta = self._load()
+        meta.setdefault("added_columns", []).append([col, sql_type])
+        self._commit(meta)
+
+    def truncate(self) -> int:
+        """New empty snapshot; history (and time travel) keeps the data."""
+        return self._append_snapshot([], "truncate")
 
     def _append_snapshot(self, files: list[str], operation: str) -> int:
         meta = self._load()
@@ -155,7 +177,7 @@ class SnapshotTable:
         affected = self._affected_files(spark, match)
         if not affected:
             return 0, 0
-        sub = spark.read.parquet(*affected)
+        sub = self._read_files(spark, affected)
         n_del = sub.filter(match).count()
         survivors = sub.filter(~match)
         new = self._write_files(survivors) if survivors.limit(1).count() else []
@@ -168,7 +190,7 @@ class SnapshotTable:
         affected = self._affected_files(spark, match)
         if not affected:
             return 0, 0
-        sub = spark.read.parquet(*affected)
+        sub = self._read_files(spark, affected)
         n_upd = sub.filter(match).count()
         out = sub.select(
             *[
@@ -209,7 +231,7 @@ class SnapshotTable:
         new: list[str] = []
         keep = self.current_files()
         if affected:
-            sub = spark.read.parquet(*affected).alias(t_alias)
+            sub = self._read_files(spark, affected).alias(t_alias)
             untouched = sub.join(source, cond, "left_anti").select(*self.read(spark).columns)
             rewritten = untouched.unionByName(matched_result(sub))
             new += self._write_files(rewritten)
