@@ -175,6 +175,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+_DUCK_SURVIVORS = f"""WITH RECURSIVE t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
+comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, d.lang, octet_length(encode(d.text)) AS n_bytes
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+WHERE d.doc_id = c.component
+ORDER BY d.doc_id"""
+
+
+@register("dedup_pipeline_survivors", _DUCK_SURVIVORS, category="dedup")
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup step a training-data pipeline actually runs:
+    MinHash-LSH candidate pairs -> connected components -> keep ONE canonical
+    doc per near-dup group (min doc_id) -> surviving corpus. Every stage is
+    the scale-path operator (banded LSH, iterative label propagation,
+    broadcast-joinable component map); the oracle recomputes it exactly with
+    brute-force pairs + a recursive CTE."""
+    from universql_spark.operators import components
+
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    comp = components.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    return (
+        docs.join(comp, "doc_id")
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id", "lang", F.octet_length("text").cast("long").alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

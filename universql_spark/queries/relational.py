@@ -579,3 +579,27 @@ FROM nation ORDER BY k""",
     category="scalar",
     doc="scalar gallery backing the NULLIFZERO/ZEROIFNULL/SQUARE/TRY_TO_NUMBER/REGEXP_SUBSTR dialect rewrites",
 )
+
+register_sql(
+    "agg_group_by_all",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""",
+    category="agg",
+    doc="GROUP BY ALL (infer grouping keys from non-aggregate select items)",
+)
+
+register_sql(
+    "agg_pivot_sql",
+    """SELECT * FROM (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(l_quantity AS DECIMAL(28,6)) AS q
+  FROM lineitem
+) PIVOT (CAST(SUM(q) AS DOUBLE) FOR ls IN ('O' AS o, 'F' AS f))
+ORDER BY rf""",
+    oracle="""SELECT l_returnflag AS rf,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS o,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS f
+FROM lineitem GROUP BY l_returnflag ORDER BY rf""",
+    category="agg",
+    doc="SQL PIVOT clause (oracle: equivalent conditional aggregation)",
+)
