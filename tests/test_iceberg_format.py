@@ -1,0 +1,138 @@
+"""Iceberg v2 format conformance + behavior (iceberg_format.py).
+
+The reference resolves every table to Iceberg metadata and scans it with
+iceberg_scan (warehouse/snowflake.py:97-111, duckdb.py:223-225); these
+tests pin that our pure-Python writer produces the spec's actual layout —
+metadata.json with the v2 required fields and field-id'd schemas, Avro
+manifest lists (`manifest_file`) and manifests (`manifest_entry`) our own
+from-spec Avro reader can decode — and that the inherited copy-on-write
+DML stays file-granular on top of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from universql_spark.iceberg_format import IcebergTable, _read_avro_records
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(20).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    return IcebergTable.create(str(tmp_path / "t"), df)
+
+
+def test_round_trip_and_time_travel(spark, table):
+    assert table.read(spark).count() == 20
+    table.append(spark.range(20, 25).select("id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("v")))
+    n_del, _ = table.delete_where(spark, F.col("id") >= 22)
+    assert n_del == 3
+    assert table.read(spark).count() == 22
+    # every historical snapshot stays readable (spec: snapshots are immutable)
+    assert table.read(spark, snapshot_id=1).count() == 20
+    assert table.read(spark, snapshot_id=2).count() == 25
+    snaps = table.snapshots()
+    assert [s["operation"] for s in snaps] == ["append", "append", "delete"]
+    assert table.read(spark, timestamp_ms=snaps[1]["timestamp_ms"]).count() == 25
+
+
+def test_delete_is_file_granular(spark, table):
+    before = set(table.current_files())
+    # ids 0..4 live in one of the range-partitioned files; the rest must
+    # survive the commit UNREWRITTEN (same physical paths in the manifest)
+    _, n_rewritten = table.delete_where(spark, F.col("id") < 5)
+    after = set(table.current_files())
+    assert n_rewritten < len(before)
+    untouched = before & after
+    assert len(untouched) == len(before) - n_rewritten
+
+
+def test_metadata_v2_required_fields(table):
+    v, meta = table._read_metadata()
+    for key in [
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "last-partition-id",
+        "sort-orders", "default-sort-order-id", "snapshots", "snapshot-log",
+    ]:
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    schema = meta["schemas"][meta["current-schema-id"]]
+    assert schema["type"] == "struct"
+    # every column carries a unique field id (the property that makes
+    # Iceberg schema evolution safe)
+    ids = [f["id"] for f in schema["fields"]]
+    assert len(ids) == len(set(ids)) == meta["last-column-id"]
+    assert {f["name"]: f["type"] for f in schema["fields"]} == {
+        "id": "long", "g": "long", "v": "double"
+    }
+    snap = meta["snapshots"][-1]
+    assert snap["snapshot-id"] == meta["current-snapshot-id"]
+    assert snap["summary"]["operation"] == "append"
+    assert meta["snapshot-log"][-1]["snapshot-id"] == snap["snapshot-id"]
+
+
+def test_manifest_chain_decodes_and_counts(spark, table):
+    table.append(
+        spark.range(100, 110).select("id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("v"))
+    )
+    _, meta = table._read_metadata()
+    snap = meta["snapshots"][-1]
+    mlist = _read_avro_records(snap["manifest-list"])
+    assert len(mlist) == 1
+    mf = mlist[0]
+    assert mf["content"] == 0 and mf["partition_spec_id"] == 0
+    assert mf["added_snapshot_id"] == snap["snapshot-id"]
+    assert os.path.getsize(mf["manifest_path"]) == mf["manifest_length"]
+    entries = _read_avro_records(mf["manifest_path"])
+    # second commit: new files ADDED (1), first-commit files EXISTING (0)
+    # with their ORIGINAL snapshot lineage
+    assert {e["status"] for e in entries} == {0, 1}
+    first_id = meta["snapshots"][0]["snapshot-id"]
+    for e in entries:
+        expect = first_id if e["status"] == 0 else snap["snapshot-id"]
+        assert e["snapshot_id"] == expect
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert os.path.getsize(e["data_file"]["file_path"]) == e["data_file"]["file_size_in_bytes"]
+    assert sum(e["data_file"]["record_count"] for e in entries) == 30
+    assert mf["added_rows_count"] == 10 and mf["existing_rows_count"] == 20
+    # the avro writer embedded the spec's field-ids for external readers
+    with open(mf["manifest_path"], "rb") as f:
+        head = f.read(4096)
+    assert b'"field-id": 134' in head or b'"field-id":134' in head
+
+
+def test_schema_evolution_is_metadata_only(spark, table):
+    files_before = set(table.current_files())
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    table.add_column("tag", "string")
+    _, meta = table._read_metadata()
+    assert meta["current-schema-id"] == 1
+    new = meta["schemas"][1]["fields"][-1]
+    assert new == {"id": 4, "name": "tag", "required": False, "type": "string"}
+    # no data file was touched — evolution is a metadata commit
+    assert set(table.current_files()) == files_before
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files_before)
+    df = table.read(spark)
+    assert df.columns == ["id", "g", "v", "tag"]
+    assert df.filter(F.col("tag").isNull()).count() == 20
+
+
+def test_each_commit_writes_new_metadata_version(spark, table):
+    v0 = table.current_version()
+    table.append(spark.range(1).select("id", F.lit(0).alias("g"), F.lit(0.0).alias("v")))
+    table.truncate()
+    assert table.current_version() == v0 + 2
+    _, meta = table._read_metadata()
+    # metadata-log chains every previous version file (spec: metadata-log)
+    logged = [m["metadata-file"] for m in meta["metadata-log"]]
+    assert logged[-1].endswith(f"v{v0 + 1}.metadata.json")
+    assert all(os.path.exists(p) for p in logged)
+    # truncate kept history: the data is still reachable via time travel
+    assert table.read(spark, snapshot_id=1).count() == 20

@@ -495,13 +495,15 @@ class Engine:
             select = select[1:-1].strip()
         df = self._run_select(select)
         if iceberg and not temp:
-            # CREATE ICEBERG TABLE -> snapshot-format table (tableformat.py):
-            # manifest-listed immutable files, file-granular COW DML, AT()
-            # time travel — the reference's CTAS->Iceberg (duckdb.py:274-334)
-            from universql_spark.tableformat import SnapshotTable
+            # CREATE ICEBERG TABLE -> real Iceberg v2 metadata
+            # (iceberg_format.py: metadata.json + Avro manifest lists +
+            # manifests, written pure-Python) over file-granular COW DML and
+            # AT() time travel — the reference's CTAS->Iceberg
+            # (duckdb.py:274-334) without the jar
+            from universql_spark.iceberg_format import IcebergTable
 
             bn = bare_name(name)
-            snap = SnapshotTable.create(self._snap_root(name), df, replace=replace)
+            snap = IcebergTable.create(self._snap_root(name), df, replace=replace)
             self.snap_tables[bn] = snap
             self._refresh_snap_view(bn)
             return _status(f"created iceberg {name}")

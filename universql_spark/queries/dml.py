@@ -141,6 +141,44 @@ ORDER BY state, etype
 """
 
 
+_ICEH_ORACLE = """
+WITH n AS (SELECT COUNT(DISTINCT event_type) AS c FROM events)
+SELECT 1 AS snap_id, 'append' AS op, c AS n_rows FROM n
+UNION ALL SELECT 2, 'append', c + 1 FROM n
+UNION ALL SELECT 3, 'delete', c FROM n
+ORDER BY snap_id
+"""
+
+
+@register("dml_iceberg_snapshot_history", _ICEH_ORACLE, category="dml")
+def dml_iceberg_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Iceberg v2 metadata end to end (iceberg_format.py): CTAS +
+    INSERT + DELETE each commit a new snapshot through Avro manifest
+    lists/manifests and a new metadata.json version; the result reads EVERY
+    snapshot back through that metadata chain (scan planning = version-hint
+    -> metadata.json -> manifest list -> manifests -> parquet), proving
+    append/delete lineage and time travel against a declarative oracle."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE iceh_t AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        INSERT INTO iceh_t SELECT 'synthetic' AS etype, CAST(42 AS BIGINT) AS total;
+        DELETE FROM iceh_t WHERE etype = 'click'
+        """
+    )
+    t = eng.snap_tables["iceh_t"]
+    rows = [
+        (s["id"], s["operation"], t.read(spark, snapshot_id=s["id"]).count())
+        for s in t.snapshots()
+    ]
+    return spark.createDataFrame(
+        rows, "snap_id int, op string, n_rows bigint"
+    ).orderBy("snap_id")
+
+
 @register("dml_iceberg_merge_timetravel", _ICE_ORACLE, category="dml")
 def dml_iceberg_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-format table (tableformat.py — the Iceberg mechanism without
