@@ -804,3 +804,59 @@ def test_iceberg_schema_evolution_add_column(engine):
     rows = {r["id"]: r["score"] for r in engine.execute("SELECT id, score FROM ice_e").to_pylist()}
     assert rows == {1: 9.0, 2: 0.5}
     engine.execute("DROP TABLE ice_e")
+
+
+def test_merge_subquery_source(engine):
+    """USING (SELECT ...) inline source — the reference's Snowflake dialect
+    allows any table expression as the MERGE source."""
+    engine.execute("CREATE OR REPLACE TABLE msq_t AS SELECT CAST(1 AS BIGINT) AS id, 'a' AS v "
+                   "UNION ALL SELECT 2, 'b'")
+    engine.execute(
+        """MERGE INTO msq_t t
+           USING (SELECT CAST(2 AS BIGINT) AS id, 'B' AS v
+                  UNION ALL SELECT 3, upper('c')) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+    )
+    rows = sorted(engine.execute("SELECT id, v FROM msq_t").to_pylist(), key=lambda r: r["id"])
+    assert rows == [{"id": 1, "v": "a"}, {"id": 2, "v": "B"}, {"id": 3, "v": "C"}]
+    engine.execute("DROP TABLE msq_t")
+
+
+def test_merge_subquery_source_iceberg(engine):
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE msqi_t AS SELECT CAST(1 AS BIGINT) AS id, 10 AS n")
+    engine.execute(
+        """MERGE INTO msqi_t t USING (SELECT CAST(1 AS BIGINT) AS id, 99 AS n) s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET n = s.n"""
+    )
+    assert engine.execute("SELECT n FROM msqi_t").to_pylist() == [{"n": 99}]
+    engine.execute("DROP TABLE msqi_t")
+
+
+def test_flatten_outer_keeps_empty_rows(engine):
+    out = engine.execute(
+        "SELECT t.id, f.value AS el FROM "
+        "(SELECT 1 AS id, ARRAY_CONSTRUCT(10) AS arr "
+        " UNION ALL SELECT 2, ARRAY_CONSTRUCT()) t, "
+        "LATERAL FLATTEN(input => t.arr, outer => true) f ORDER BY id"
+    )
+    assert out.to_pylist() == [{"id": 1, "el": 10}, {"id": 2, "el": None}]
+
+
+def test_flatten_path_navigates_struct(engine):
+    out = engine.execute(
+        "SELECT f.value AS el FROM "
+        "(SELECT named_struct('a', named_struct('b', ARRAY_CONSTRUCT(1, 2))) AS obj) t, "
+        "LATERAL FLATTEN(input => t.obj, path => 'a.b') f"
+    )
+    assert sorted(r["el"] for r in out.to_pylist()) == [1, 2]
+
+
+def test_flatten_recursive_fails_loud(engine):
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="RECURSIVE"):
+        engine.execute(
+            "SELECT f.value FROM (SELECT ARRAY_CONSTRUCT(1) AS a) t, "
+            "LATERAL FLATTEN(input => t.a, recursive => true) f"
+        )

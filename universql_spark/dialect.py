@@ -311,10 +311,37 @@ _NOT_ALIAS_KWS = {
 }
 
 
+def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool]:
+    """FLATTEN's kwargs -> (input expr, path or None, outer).
+    MODE => 'ARRAY'/'BOTH' is accepted (arrays are the only thing explode
+    flattens here); RECURSIVE => TRUE has no Spark equivalent: fail loud."""
+    input_expr, path, outer = None, None, False
+    for arg in _split_top_args(inner):
+        m = re.match(r"(?is)\s*(INPUT|PATH|OUTER|MODE|RECURSIVE)\s*=>\s*(.*)", arg)
+        if not m:
+            input_expr = arg.strip()  # positional input
+            continue
+        key, val = m.group(1).upper(), m.group(2).strip()
+        if key == "INPUT":
+            input_expr = val
+        elif key == "PATH":
+            path = val.strip("'\"")
+        elif key == "OUTER":
+            outer = val.upper() == "TRUE"
+        elif key == "RECURSIVE" and val.upper() == "TRUE":
+            raise ValueError("FLATTEN(RECURSIVE => TRUE) is not supported")
+    if input_expr is None:
+        raise ValueError(f"FLATTEN without an input argument: {inner[:80]}")
+    return input_expr, path, outer
+
+
 def rewrite_flatten(sql: str) -> str:
-    """Snowflake `, LATERAL FLATTEN(input => expr) f` -> Spark
-    `LATERAL VIEW explode(expr) f AS value` (f.value keeps working; the
-    reference flags FLATTEN as a dialect hard part, SURVEY.md §7.3).
+    """Snowflake `, LATERAL FLATTEN(input => expr [, path/outer/mode]) f` ->
+    Spark `LATERAL VIEW [explode|explode_outer](expr[path]) f AS value`
+    (f.value keeps working; the reference flags FLATTEN as a dialect hard
+    part, SURVEY.md §7.3). PATH => 'a.b' becomes bracket navigation
+    (works on struct fields and map keys alike); OUTER => TRUE keeps rows
+    whose input is empty/NULL via explode_outer.
 
     The argument is paren-MATCHED, not regex-scanned, so nested calls like
     FLATTEN(input => split(f(x), ',')) rewrite correctly."""
@@ -327,14 +354,17 @@ def rewrite_flatten(sql: str) -> str:
             break
         open_idx = m.end() - 1
         close = _match_paren(sql, open_idx)
-        inner = sql[open_idx + 1 : close].strip()
-        inner = re.sub(r"^\s*INPUT\s*=>\s*", "", inner, flags=re.I)
+        input_expr, path, outer = _parse_flatten_args(sql[open_idx + 1 : close].strip())
+        if path:
+            nav = "".join(f"['{p}']" for p in path.split("."))
+            input_expr = f"({input_expr}){nav}"
         alias, j = "f", close + 1
         am = _FLATTEN_ALIAS_RE.match(sql, close + 1)
         if am and am.group(1).upper() not in _NOT_ALIAS_KWS:
             alias, j = am.group(1), am.end()
+        fn = "explode_outer" if outer else "explode"
         out.append(sql[i : m.start()])
-        out.append(f" LATERAL VIEW explode({inner}) {alias} AS value")
+        out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS value")
         i = j
     return "".join(out)
 

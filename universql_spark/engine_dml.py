@@ -38,7 +38,7 @@ the same cost profile as copy-on-write on an unpartitioned Iceberg table.
 Supported grammar (documented subset, QueryError beyond it):
   DELETE FROM t WHERE <cond>
   UPDATE t SET c1 = e1[, c2 = e2 ...] [WHERE <cond>]
-  MERGE INTO t [AS] ta USING s [AS] sa ON <cond>
+  MERGE INTO t [AS] ta USING { s | (<subquery>) } [AS] sa ON <cond>
     { WHEN MATCHED [AND <cond>] THEN { UPDATE SET c = e, ... | DELETE } }*
     { WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs) | INSERT * }*
 with SQL-standard first-true-clause-wins dispatch across multiple WHEN
@@ -53,7 +53,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from universql_spark.dialect import _split_top_args
+from universql_spark.dialect import _match_paren, _split_top_args
 from universql_spark.names import bare_name, resolve_name
 
 
@@ -77,6 +77,23 @@ _WHEN_CLAUSE_RE = re.compile(
     re.I | re.S,
 )
 _INSERT_ACTION_RE = re.compile(r"INSERT\s*(?:\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)|\*)", re.I | re.S)
+_USING_PAREN_RE = re.compile(r"\bUSING\s*\(", re.I)
+
+
+def _lift_subquery_source(spark: SparkSession, stmt: str) -> str:
+    """`MERGE INTO t USING (SELECT ...) s ON ...` -> materialize the
+    inline source as a temp view so the named-source grammar applies. The
+    subquery arrives already dialect-transpiled (the engine rewrites the
+    whole statement before dispatch), so spark.sql can plan it directly."""
+    m = _USING_PAREN_RE.search(stmt)
+    if not m:
+        return stmt
+    open_idx = m.end() - 1
+    close = _match_paren(stmt, open_idx)
+    inner = stmt[open_idx + 1 : close].strip()
+    view = f"__merge_src_{abs(hash(inner)) % 10**8}"
+    spark.sql(inner).createOrReplaceTempView(view)
+    return f"{stmt[:m.start()]}USING {view} {stmt[close + 1:]}"
 
 
 def _split_assignments(s: str) -> list[tuple[str, str]]:
@@ -312,6 +329,7 @@ def _inserts_df(
 
 
 def execute_merge(spark: SparkSession, stmt: str, resolve=resolve_name) -> pa.Table:
+    stmt = _lift_subquery_source(spark, stmt)
     m = _MERGE_RE.match(stmt)
     if not m:
         raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
@@ -407,6 +425,7 @@ def execute_update_snap(spark: SparkSession, stmt: str, snap) -> pa.Table:
 def execute_merge_snap(spark: SparkSession, stmt: str, snap, read_table) -> pa.Table:
     """MERGE into a snapshot table: only data files holding matched target
     rows are rewritten (input_file_name targeting); inserts append files."""
+    stmt = _lift_subquery_source(spark, stmt)
     m = _MERGE_RE.match(stmt)
     if not m:
         raise ValueError(f"unsupported MERGE syntax: {stmt[:120]}")
