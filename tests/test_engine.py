@@ -860,3 +860,56 @@ def test_flatten_recursive_fails_loud(engine):
             "SELECT f.value FROM (SELECT ARRAY_CONSTRUCT(1) AS a) t, "
             "LATERAL FLATTEN(input => t.a, recursive => true) f"
         )
+
+
+def test_avro_snappy_and_deflate_codecs(engine, tmp_path):
+    """COPY's avro reader handles all three container codecs; the snappy
+    block decoder is exercised both on our literal-only encoder's output
+    and on a handcrafted block with overlapping back-reference copies."""
+    from universql_spark.avro_io import _snappy_compress, _snappy_decompress, write_avro
+
+    # copy-path coverage: 'ab' + copy(off=2, len=8) -> 'ab'*5 (overlapping)
+    hand = bytes([10 << 1 >> 1])  # varint 10
+    hand += bytes([(2 - 1) << 2]) + b"ab"          # literal 'ab'
+    hand += bytes([1 | ((8 - 4) << 2)]) + b"\x02"  # 01-copy len 8 off 2
+    assert _snappy_decompress(hand) == b"ab" * 5
+    # round-trip through the literal-only encoder
+    assert _snappy_decompress(_snappy_compress(b"hello snappy" * 100)) == b"hello snappy" * 100
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "v", "type": "string"}]}
+    recs = [{"id": i, "v": f"row{i}"} for i in range(50)]
+    for codec in ("null", "deflate", "snappy"):
+        write_avro(str(tmp_path / f"{codec}.avro"), schema, recs, codec=codec)
+        engine.execute(
+            "CREATE OR REPLACE TABLE avc_t AS SELECT CAST(1 AS BIGINT) AS id, 'x' AS v WHERE 1 = 0"
+        )
+        out = engine.execute(
+            f"COPY INTO avc_t FROM '{tmp_path / (codec + '.avro')}' FILE_FORMAT = (TYPE = AVRO)"
+        )
+        assert out.to_pylist()[0]["rows_loaded"] == 50, codec
+        got = sorted(engine.execute("SELECT * FROM avc_t").to_pylist(), key=lambda r: r["id"])
+        assert got == recs, codec
+    engine.execute("DROP TABLE avc_t")
+
+
+def test_variant_colon_paths(engine):
+    out = engine.execute(
+        """SELECT PARSE_JSON('{"a": {"b": [10, 20]}}'):a.b[1]::int AS x,
+                  GET_PATH(PARSE_JSON('{"u": {"n": "ann"}}'), 'u.n') AS nm,
+                  '{"k": 7}':k::bigint AS lit_lhs"""
+    ).to_pylist()[0]
+    assert out["x"] == 20 and out["nm"] == "ann" and out["lit_lhs"] == 7
+
+
+def test_variant_colon_path_on_column(engine):
+    engine.execute(
+        "CREATE OR REPLACE TABLE vcp_t AS "
+        "SELECT 1 AS id, '{\"user\": {\"name\": \"bo\", \"tags\": [\"x\",\"y\"]}}' AS payload"
+    )
+    out = engine.execute(
+        "SELECT payload:user.name::string AS nm, payload:user.tags[0]::string AS t0, "
+        "payload:missing AS gone FROM vcp_t"
+    ).to_pylist()[0]
+    assert out == {"nm": "bo", "t0": "x", "gone": None}
+    engine.execute("DROP TABLE vcp_t")

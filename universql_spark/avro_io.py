@@ -4,7 +4,8 @@ The container ships neither spark-avro nor any Python avro package, so this
 is a from-the-spec implementation (Apache Avro 1.11 spec, "Object Container
 Files" + "Binary Encoding") covering the subset COPY INTO loads use:
 
-- codecs: null, deflate (raw zlib)
+- codecs: null, deflate (raw zlib), snappy (from-format-spec pure-Python
+  block decoder + CRC32 frame check)
 - types: null, boolean, int, long, float, double, bytes, string, record,
   array, map, fixed, enum, and unions (decoded by branch index — the
   ubiquitous ["null", T] nullable pattern included)
@@ -141,6 +142,73 @@ def parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block format (public format description: a varint
+    uncompressed length, then tagged elements — 00 literal, 01/10/11
+    back-reference copies with 1/2/4-byte little-endian offsets)."""
+    pos, n, shift = 0, 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # length stored in the next (ln-59) bytes
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        start = len(out) - off
+        for i in range(ln):  # byte-wise: copies may overlap their output
+            out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(f"snappy: expected {n} bytes, got {len(out)}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Minimal VALID snappy encoder: one all-literal element. Every snappy
+    decoder accepts it (compression ratio 1; used for fixtures/parity)."""
+    n = len(data)
+    header = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        header.append(b | 0x80 if n else b)
+        if not n:
+            break
+    ln = len(data) - 1
+    if ln < 60:
+        tag = bytes([ln << 2])
+    else:
+        nb = (ln.bit_length() + 7) // 8
+        tag = bytes([(59 + nb) << 2]) + ln.to_bytes(nb, "little")
+    return bytes(header) + tag + data
+
+
 def _iter_records(buf: bytes, schema: dict, codec: str, start: int):
     pos, len_buf = start, len(buf)
     while pos < len_buf:
@@ -150,6 +218,13 @@ def _iter_records(buf: bytes, schema: dict, codec: str, start: int):
         pos += size + 16  # skip sync marker
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # avro frames snappy blocks with a trailing big-endian CRC32
+            # of the UNCOMPRESSED data
+            crc = int.from_bytes(block[-4:], "big")
+            block = _snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy block CRC mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported avro codec: {codec}")
         bpos = 0
@@ -292,9 +367,9 @@ def _encode(schema: Any, v: Any) -> bytes:
     raise ValueError(f"writer does not support avro type: {kind}")
 
 
-def write_avro(path: str, schema: dict, records: list[dict]) -> None:
+def write_avro(path: str, schema: dict, records: list[dict], codec: str = "null") -> None:
     sync = b"\x00" * 15 + b"\x01"
-    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     out = io.BytesIO()
     out.write(MAGIC)
     out.write(_write_long(len(meta)))
@@ -304,6 +379,12 @@ def write_avro(path: str, schema: dict, records: list[dict]) -> None:
     out.write(_write_long(0))
     out.write(sync)
     body = b"".join(_encode(schema, r) for r in records)
+    if codec == "deflate":
+        body = zlib.compress(body)[2:-4]  # raw deflate: strip zlib header+adler
+    elif codec == "snappy":
+        body = _snappy_compress(body) + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec: {codec}")
     out.write(_write_long(len(records)) + _write_long(len(body)) + body + sync)
     with open(path, "wb") as f:
         f.write(out.getvalue())

@@ -276,6 +276,14 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         "regexp_substr",
         lambda args: f"regexp_extract({args[0]}, {args[1]}, 0)" if len(args) == 2 else None,
     )
+    # GET_PATH(v, 'a.b') == v:a.b (VARIANT is JSON text here)
+    sql = _rewrite_calls(
+        sql,
+        "get_path",
+        lambda args: f"get_json_object({args[0]}, '$.{args[1].strip()[1:-1]}')"
+        if len(args) == 2 and _STRING_RE.fullmatch(args[1].strip())
+        else None,
+    )
     return sql
 
 
@@ -483,6 +491,62 @@ def _map_to_datetime(m: re.Match) -> str:
     return f"{fn}({m.group(2)}, '{_map_datetime_format(m.group(3))}')"
 
 
+_COLON_PATH_RE = re.compile(r":((?:[A-Za-z_]\w*|\[\d+\])(?:\.[A-Za-z_]\w*|\[\d+\])*)")
+
+
+def _rewrite_colon_paths(sql: str) -> str:
+    """Snowflake semi-structured access `v:a.b[0]` -> Spark
+    `get_json_object(v, '$.a.b[0]')` — VARIANT here IS JSON text (the
+    reference's own mapping, duckdb.py:443-444), so JSONPath extraction is
+    the faithful semantics. The lhs may be a dotted column chain
+    (t.payload:k), a parenthesized/call expression ((x):k after the
+    PARSE_JSON strip, f(x):k), or a string literal ('{"k":1}':k). `::`
+    casts never match (':' is not a path character and ':' is not a valid
+    lhs end). Scans a literal-MASKED copy so colons/parens inside strings
+    are structurally invisible while literal lhs spans stay recoverable."""
+    spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked = "".join(masked)
+    ends = {b: a for a, b in spans}
+    out, i = [], 0
+    while True:
+        m = _COLON_PATH_RE.search(masked, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        j = m.start()
+        prev = masked[j - 1] if j else ""
+        if prev == ")":
+            k, depth = j - 1, 0
+            while k >= 0:
+                if masked[k] == ")":
+                    depth += 1
+                elif masked[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] in "_."):
+                k -= 1  # include the call's function name: f(x):k
+        elif prev == "\x00":
+            k = ends[j]  # string-literal lhs
+        elif prev.isalnum() or prev == "_":
+            k = j - 1
+            while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] in "_."):
+                k -= 1
+        else:
+            # '::' cast or stray colon: copy through untouched
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        out.append(sql[i:k])
+        out.append(f"get_json_object({sql[k:j]}, '$.{m.group(1)}')")
+        i = m.end()
+    return "".join(out)
+
+
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
@@ -501,4 +565,5 @@ def snowflake_to_spark(sql: str) -> str:
     # JSON text passes through unchanged (the reference likewise maps
     # VARIANT -> JSON text, duckdb.py:443-444 / snowflake.py:196-198)
     sql = re.sub(r"\bPARSE_JSON\s*\(", "(", sql, flags=re.I)
+    sql = _rewrite_colon_paths(sql)  # self-masks literals (lhs may BE one)
     return sql

@@ -311,6 +311,9 @@ class Engine:
                 return engine_dml.execute_update(self.spark, sql, resolve=self._resolve_name)
             if _MERGE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
+                # inline USING (subquery) -> named temp view FIRST, so
+                # snap-target detection sees the named-source grammar
+                sql = engine_dml._lift_subquery_source(self.spark, sql)
                 snap = self._snap_target(engine_dml._MERGE_RE, sql)
                 if snap:
                     out = engine_dml.execute_merge_snap(

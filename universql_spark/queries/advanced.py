@@ -187,3 +187,30 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite, plugins/snow.py:843-856). Sampling is engine-specific ->
     rows-only; the test bounds the fraction."""
     return spark.table("lineitem").sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# semi-structured (VARIANT-as-JSON-text) access — Snowflake colon paths
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """SELECT event_type AS etype,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS c
+FROM events GROUP BY event_type ORDER BY etype"""
+
+
+@register("adv_variant_colon_path", _VARIANT_ORACLE, category="variant")
+def adv_variant_colon_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake `props:k::bigint` colon-path access through the dialect
+    layer (dialect._rewrite_colon_paths -> get_json_object; VARIANT is JSON
+    text per the reference's own mapping, duckdb.py:443-444). The JSON
+    extraction runs JVM-side (Jackson), aggregated in one partial-agg pass —
+    no Python in the path."""
+    from universql_spark.dialect import snowflake_to_spark
+
+    return spark.sql(
+        snowflake_to_spark(
+            "SELECT event_type AS etype, SUM(props:k::bigint) AS sum_k, COUNT(*) AS c "
+            "FROM events GROUP BY event_type ORDER BY etype"
+        )
+    )
