@@ -913,3 +913,26 @@ def test_variant_colon_path_on_column(engine):
     ).to_pylist()[0]
     assert out == {"nm": "bo", "t0": "x", "gone": None}
     engine.execute("DROP TABLE vcp_t")
+
+
+def test_iceberg_metadata_tables(engine):
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_md AS SELECT CAST(1 AS BIGINT) AS id "
+                   "UNION ALL SELECT 2")
+    engine.execute("INSERT INTO ice_md SELECT CAST(3 AS BIGINT)")
+    engine.execute("DELETE FROM ice_md WHERE id = 1")
+    snaps = engine.execute(
+        "SELECT snapshot_id, operation FROM ice_md$snapshots ORDER BY snapshot_id"
+    ).to_pylist()
+    assert [(s["snapshot_id"], s["operation"]) for s in snaps] == [
+        (1, "append"), (2, "append"), (3, "delete")]
+    files = engine.execute(
+        "SELECT CAST(SUM(record_count) AS BIGINT) AS n, COUNT(*) AS nf FROM ice_md$files"
+    ).to_pylist()[0]
+    assert files["n"] == 2
+    hist = engine.execute("SELECT COUNT(*) AS c FROM ice_md$history").to_pylist()[0]["c"]
+    assert hist == 3
+    mf = engine.execute(
+        "SELECT partition_spec_id, added_data_files_count FROM ice_md$manifests"
+    ).to_pylist()
+    assert len(mf) == 1 and mf[0]["partition_spec_id"] == 0
+    engine.execute("DROP TABLE ice_md")

@@ -136,3 +136,52 @@ def test_each_commit_writes_new_metadata_version(spark, table):
     assert all(os.path.exists(p) for p in logged)
     # truncate kept history: the data is still reachable via time travel
     assert table.read(spark, snapshot_id=1).count() == 20
+
+
+def test_manifest_column_bounds_and_pruning(spark, tmp_path):
+    """Bounds (spec field-ids 125/128) enable manifest-level file skipping:
+    planning a filtered scan reads metadata only and returns just the files
+    whose [min,max] intersects the predicate."""
+    from universql_spark.iceberg_format import parse_simple_conjuncts
+
+    # 4 range-partitioned files with disjoint id ranges 0-24 / 25-49 / ...
+    df = (
+        spark.range(100)
+        .select("id", (F.col("id") % 4).alias("g"), F.format_string("s%05d", "id").alias("s"))
+        .repartitionByRange(4, "id")
+    )
+    t = IcebergTable.create(str(tmp_path / "b"), df)
+    all_files = t.current_files()
+    assert len(all_files) == 4
+    # metadata-only planning
+    assert len(t.plan_files([("id", "<", 10)])) == 1
+    assert len(t.plan_files([("id", ">=", 50)])) == 2
+    assert len(t.plan_files([("id", "=", 25)])) == 1
+    assert len(t.plan_files([("s", ">=", "s00075")])) == 1  # string bounds too
+    assert t.plan_files([("id", ">", 1000)]) == []
+    # unknown column / unparsable conjuncts keep every file (sound fallback)
+    assert len(t.plan_files([("nope", "=", 1)])) == 4
+    assert parse_simple_conjuncts("id < 5 OR g = 1") == []
+    assert parse_simple_conjuncts("f(id) = 1 AND id < 5") == [("id", "<", 5)]
+    # DML rides the pruning: a 1-file DELETE rewrites exactly that file
+    n_del, n_rw = t.delete_where(spark, F.expr("id < 10"), cond_str="id < 10")
+    assert n_del == 10 and n_rw == 1
+    assert t.read(spark).count() == 90
+    # the three unpruned files survived physically untouched
+    assert len(set(all_files) & set(t.current_files())) == 3
+
+
+def test_bounds_roundtrip_types(spark, tmp_path):
+    import datetime as dt
+
+    from universql_spark.iceberg_format import _deser_bound, _ser_bound
+
+    assert _deser_bound(_ser_bound(-7, "long"), "long") == -7
+    assert _deser_bound(_ser_bound(3, "int"), "int") == 3
+    assert _deser_bound(_ser_bound(2.5, "double"), "double") == 2.5
+    assert _deser_bound(_ser_bound("abc", "string"), "string") == "abc"
+    assert _deser_bound(_ser_bound(True, "boolean"), "boolean") is True
+    d = dt.date(2024, 3, 1)
+    assert _deser_bound(_ser_bound(d, "date"), "date") == d
+    ts = dt.datetime(2024, 3, 1, 12, 30, 0, 250)
+    assert _deser_bound(_ser_bound(ts, "timestamp"), "timestamp") == ts

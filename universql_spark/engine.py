@@ -337,7 +337,29 @@ class Engine:
         stmt = self._inline_to_query(stmt)
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
+        stmt = self._resolve_metadata_tables(stmt)
         return self.spark.sql(snowflake_to_spark(stmt))
+
+    _META_TABLE_RE = re.compile(r"\b([A-Za-z_]\w*)\$(snapshots|files|history|manifests)\b", re.I)
+
+    def _resolve_metadata_tables(self, stmt: str) -> str:
+        """`t$snapshots` / `t$files` / `t$history` / `t$manifests` ->
+        temp view over the table's Iceberg metadata chain (manifest-sized,
+        no data scan) — the Hive/Trino metadata-table convention over
+        Iceberg's snapshots/files/manifests inspection tables."""
+        if "$" not in stmt:
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name, kind = bare_name(m.group(1)), m.group(2).lower()
+            snap = self.snap_tables.get(name)
+            if snap is None:
+                return m.group(0)
+            view = f"{name}__meta_{kind}"
+            snap.metadata_table(self.spark, kind).createOrReplaceTempView(view)
+            return view
+
+        return self._META_TABLE_RE.sub(repl, stmt)
 
     def _resolve_stage_refs(self, stmt: str) -> str:
         """`@stage/path (FILE_FORMAT => f)` in a FROM clause -> temp view over

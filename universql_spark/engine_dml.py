@@ -409,7 +409,8 @@ def execute_delete_snap(spark: SparkSession, stmt: str, snap) -> pa.Table:
     m = _DELETE_RE.match(stmt)
     cond = m.group(2)
     match = F.expr(cond) if cond else F.lit(True)
-    n, n_files = snap.delete_where(spark, match)
+    # cond_str lets IcebergTable prune candidate files from manifest bounds
+    n, n_files = snap.delete_where(spark, match, cond_str=cond)
     return pa.table({"rows_deleted": [n], "files_rewritten": [n_files]})
 
 
@@ -418,7 +419,7 @@ def execute_update_snap(spark: SparkSession, stmt: str, snap) -> pa.Table:
     assign_map = dict(_split_assignments(m.group(2)))
     cond = m.group(3)
     match = F.expr(cond) if cond else F.lit(True)
-    n, n_files = snap.update_where(spark, match, assign_map)
+    n, n_files = snap.update_where(spark, match, assign_map, cond_str=cond)
     return pa.table({"rows_updated": [n], "files_rewritten": [n_files]})
 
 

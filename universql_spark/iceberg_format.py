@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -70,7 +71,31 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 # data_file struct (spec: "Manifests", field-ids 100-134; partition is the
-# empty struct r102 for the unpartitioned spec-id 0)
+# empty struct r102 for the unpartitioned spec-id 0; lower/upper_bounds are
+# the spec's per-file column stats — field-ids 125/128 — that make
+# manifest-level FILE SKIPPING possible: a 100 TB scan or DELETE opens only
+# files whose [min,max] intersects the predicate)
+def _bounds_field(name: str, fid: int, kid: int, vid: int) -> dict:
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": "bytes", "field-id": vid},
+                    ],
+                },
+            },
+        ],
+        "field-id": fid,
+    }
+
+
 _DATA_FILE_SCHEMA = {
     "type": "record",
     "name": "r2",
@@ -85,6 +110,8 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        _bounds_field("lower_bounds", 125, 126, 127),
+        _bounds_field("upper_bounds", 128, 129, 130),
     ],
 }
 
@@ -191,6 +218,131 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+# -- per-file column bounds (spec: single-value binary serialization) -------
+
+_BOUNDABLE = {"int", "long", "float", "double", "string", "boolean", "date",
+              "timestamp", "timestamptz"}
+
+
+def _ser_bound(v: Any, itype: str) -> bytes:
+    import datetime as dt
+    import struct as st
+
+    if itype == "int":
+        return st.pack("<i", int(v))
+    if itype == "long":
+        return st.pack("<q", int(v))
+    if itype == "float":
+        return st.pack("<f", float(v))
+    if itype == "double":
+        return st.pack("<d", float(v))
+    if itype == "boolean":
+        return b"\x01" if v else b"\x00"
+    if itype == "date":
+        return st.pack("<i", (v - dt.date(1970, 1, 1)).days)
+    if itype in ("timestamp", "timestamptz"):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return st.pack("<q", int((v - epoch).total_seconds() * 1_000_000))
+    return str(v).encode("utf-8")  # string
+
+
+def _deser_bound(b: bytes, itype: str):
+    import datetime as dt
+    import struct as st
+
+    if itype == "int":
+        return st.unpack("<i", b)[0]
+    if itype == "long":
+        return st.unpack("<q", b)[0]
+    if itype == "float":
+        return st.unpack("<f", b)[0]
+    if itype == "double":
+        return st.unpack("<d", b)[0]
+    if itype == "boolean":
+        return b == b"\x01"
+    if itype == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=st.unpack("<i", b)[0])
+    if itype in ("timestamp", "timestamptz"):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=st.unpack("<q", b)[0])
+    return b.decode("utf-8")
+
+
+def _file_bounds(path: str, fields: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Per-column [min,max] from the parquet FOOTER (row-group stats —
+    metadata-only, no data read) -> (lower_bounds, upper_bounds) entries
+    keyed by Iceberg field id."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    arrow_schema = pf.schema_arrow
+    lower, upper = [], []
+    for f in fields:
+        if not isinstance(f["type"], str) or f["type"] not in _BOUNDABLE:
+            continue
+        idx = arrow_schema.get_field_index(f["name"])
+        if idx < 0:
+            continue
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            st_ = pf.metadata.row_group(rg).column(idx).statistics
+            if st_ is None or not st_.has_min_max:
+                mins = []
+                break
+            mins.append(st_.min)
+            maxs.append(st_.max)
+        if not mins:
+            continue
+        lower.append({"key": f["id"], "value": _ser_bound(min(mins), f["type"])})
+        upper.append({"key": f["id"], "value": _ser_bound(max(maxs), f["type"])})
+    return lower, upper
+
+
+_SIMPLE_COND_RE = re.compile(
+    r"^\s*(?:\w+\.)?(\w+)\s*(=|==|<=|>=|<|>)\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def parse_simple_conjuncts(cond: str | None) -> list[tuple[str, str, Any]]:
+    """Extract `col <op> literal` conjuncts from a predicate string.
+    Pruning on a SUBSET of AND-ed conjuncts is sound (every conjunct must
+    hold), so unparsable parts are dropped; any OR/NOT disables pruning
+    entirely (a disjunct could match rows a conjunct-prune would skip)."""
+    if not cond or re.search(r"\b(OR|NOT)\b", cond, re.I):
+        return []
+    out = []
+    for part in re.split(r"(?i)\bAND\b", cond):
+        m = _SIMPLE_COND_RE.match(part)
+        if not m:
+            continue
+        col, op, lit = m.group(1).lower(), m.group(2), m.group(3)
+        val: Any
+        if lit.startswith("'"):
+            val = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _range_overlaps(op: str, v: Any, lo: Any, hi: Any) -> bool:
+    try:
+        if op == "=":
+            return not (v < lo or v > hi)
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+    except TypeError:
+        return True  # incomparable literal/bound types: keep the file
+    return True
+
+
 class IcebergTable(SnapshotTable):
     """SnapshotTable whose persistence layer is the Iceberg v2 format."""
 
@@ -265,6 +417,10 @@ class IcebergTable(SnapshotTable):
         (status ADDED for files first seen in this snapshot, EXISTING with
         their original snapshot/sequence otherwise) -> (path, manifest_file
         record for the manifest list)."""
+        _v, meta = self._read_metadata()
+        fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
         entries, counts = [], {"added": [0, 0], "existing": [0, 0]}
         min_seq = seq
         for path in snap["files"]:
@@ -275,6 +431,7 @@ class IcebergTable(SnapshotTable):
             counts[key][0] += 1
             counts[key][1] += n
             min_seq = min(min_seq, o_seq)
+            lower, upper = _file_bounds(path, fields)
             entries.append(
                 {
                     "status": status,
@@ -288,6 +445,8 @@ class IcebergTable(SnapshotTable):
                         "partition": {},
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(path),
+                        "lower_bounds": lower or None,
+                        "upper_bounds": upper or None,
                     },
                 }
             )
@@ -398,6 +557,120 @@ class IcebergTable(SnapshotTable):
             f.write(str(new_v))
         os.replace(tmp, self._hint_path)  # atomic version swap (HadoopCatalog)
         self._version_cache.pop(new_v, None)
+
+    def plan_files(self, conds: list[tuple[str, str, Any]]) -> list[str]:
+        """Manifest-level file skipping: keep only live files whose
+        [lower,upper] column bounds can satisfy EVERY `col <op> literal`
+        conjunct. Bounds live in the manifests (spec field-ids 125/128), so
+        planning reads KBs of metadata — never the data — exactly how
+        iceberg-spark prunes a 100 TB scan down to the matching files."""
+        _v, meta = self._read_metadata()
+        fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_name = {
+            f["name"].lower(): (f["id"], f["type"])
+            for f in fields
+            if isinstance(f["type"], str)
+        }
+        current = next(
+            (s for s in meta.get("snapshots", [])
+             if s["snapshot-id"] == meta.get("current-snapshot-id")),
+            None,
+        )
+        if current is None:
+            return []
+        keep: list[str] = []
+        for mf in _read_avro_records(current["manifest-list"]):
+            for e in _read_avro_records(mf["manifest_path"]):
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                d = e["data_file"]
+                lb = {x["key"]: x["value"] for x in (d.get("lower_bounds") or [])}
+                ub = {x["key"]: x["value"] for x in (d.get("upper_bounds") or [])}
+                ok = True
+                for col, op, v in conds:
+                    if col not in by_name:
+                        continue
+                    fid, t = by_name[col]
+                    if fid not in lb or fid not in ub:
+                        continue
+                    if not _range_overlaps(op, v, _deser_bound(lb[fid], t), _deser_bound(ub[fid], t)):
+                        ok = False
+                        break
+                if ok:
+                    keep.append(d["file_path"])
+        return keep
+
+    def _candidate_files(self, cond_str: str | None) -> list[str] | None:
+        conds = parse_simple_conjuncts(cond_str)
+        return self.plan_files(conds) if conds else None
+
+    def metadata_table(self, spark, kind: str):
+        """Metadata tables read straight from the Iceberg metadata chain
+        (the counts come from the manifests, not a data scan)."""
+        _v, meta = self._read_metadata()
+        if kind == "snapshots":
+            return spark.createDataFrame(
+                [
+                    (
+                        s["snapshot-id"],
+                        s.get("parent-snapshot-id"),
+                        s["sequence-number"],
+                        s["timestamp-ms"],
+                        s["summary"]["operation"],
+                        s["manifest-list"],
+                    )
+                    for s in meta.get("snapshots", [])
+                ],
+                "snapshot_id bigint, parent_id bigint, sequence_number bigint, "
+                "timestamp_ms bigint, operation string, manifest_list string",
+            )
+        if kind == "history":
+            return spark.createDataFrame(
+                [(h["timestamp-ms"], h["snapshot-id"]) for h in meta.get("snapshot-log", [])],
+                "timestamp_ms bigint, snapshot_id bigint",
+            )
+        current = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == meta.get("current-snapshot-id")),
+            None,
+        )
+        mlist = _read_avro_records(current["manifest-list"]) if current else []
+        if kind == "manifests":
+            return spark.createDataFrame(
+                [
+                    (
+                        m["manifest_path"],
+                        m["manifest_length"],
+                        m["partition_spec_id"],
+                        m["added_snapshot_id"],
+                        m["added_files_count"],
+                        m["existing_files_count"],
+                        m["deleted_files_count"],
+                        m["added_rows_count"],
+                        m["existing_rows_count"],
+                    )
+                    for m in mlist
+                ],
+                "path string, length bigint, partition_spec_id int, added_snapshot_id bigint, "
+                "added_data_files_count int, existing_data_files_count int, "
+                "deleted_data_files_count int, added_rows_count bigint, existing_rows_count bigint",
+            )
+        if kind == "files":
+            rows = []
+            for m in mlist:
+                for e in _read_avro_records(m["manifest_path"]):
+                    if e["status"] == _STATUS_DELETED:
+                        continue
+                    d = e["data_file"]
+                    rows.append(
+                        (d["file_path"], d["file_format"], d["record_count"], d["file_size_in_bytes"])
+                    )
+            return spark.createDataFrame(
+                rows,
+                "file_path string, file_format string, record_count bigint, file_size_in_bytes bigint",
+            )
+        raise ValueError(f"no metadata table ${kind}")
 
     # -- lifecycle ---------------------------------------------------------
 

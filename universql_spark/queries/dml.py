@@ -206,3 +206,40 @@ def dml_iceberg_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT 'orig' AS state, etype, total FROM icev_t AT(SNAPSHOT => 1)
            ORDER BY state, etype"""
     )
+
+
+_ICEMD_ORACLE = """
+WITH n AS (SELECT COUNT(DISTINCT event_type) AS c FROM events)
+SELECT 1 AS k, 'append' AS v FROM n
+UNION ALL SELECT 2, 'append' FROM n
+UNION ALL SELECT 3, 'delete' FROM n
+UNION ALL SELECT 100, CAST(c AS VARCHAR) FROM n
+ORDER BY k
+"""
+
+
+@register("dml_iceberg_metadata_tables", _ICEMD_ORACLE, category="dml")
+def dml_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg inspection tables (`t$snapshots` / `t$files`): snapshot
+    lineage and live-file row counts read from the metadata chain alone —
+    no data scan (the manifests carry record_count per file, spec field-id
+    103). Counts are deterministic: distinct event types +1 insert -1
+    delete."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE icemd_t AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        INSERT INTO icemd_t SELECT 'synthetic' AS etype, CAST(1 AS BIGINT) AS total;
+        DELETE FROM icemd_t WHERE etype = 'click'
+        """
+    )
+    snaps = eng.execute_df(
+        "SELECT snapshot_id AS k, operation AS v FROM icemd_t$snapshots"
+    )
+    live = eng.execute_df(
+        "SELECT 100 AS k, CAST(CAST(SUM(record_count) AS BIGINT) AS STRING) AS v FROM icemd_t$files"
+    )
+    return snaps.unionByName(live).orderBy("k")

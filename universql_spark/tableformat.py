@@ -118,6 +118,32 @@ class SnapshotTable:
             raise ValueError("table has no data files in any snapshot")
         return self._read_files(spark, files)
 
+    def metadata_table(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Iceberg-style metadata tables (`t$snapshots` etc. in the engine):
+        driver-side manifest-sized lists, never a data scan."""
+        snaps = self.snapshots()
+        if kind == "snapshots":
+            return spark.createDataFrame(
+                [(s["id"], s["timestamp_ms"], s["operation"], len(s["files"])) for s in snaps],
+                "snapshot_id bigint, timestamp_ms bigint, operation string, n_files int",
+            )
+        if kind == "history":
+            return spark.createDataFrame(
+                [(s["timestamp_ms"], s["id"]) for s in snaps],
+                "timestamp_ms bigint, snapshot_id bigint",
+            )
+        if kind == "files":
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            return spark.createDataFrame(
+                [
+                    (f, "PARQUET", pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f))
+                    for f in self.current_files()
+                ],
+                "file_path string, file_format string, record_count bigint, file_size_in_bytes bigint",
+            )
+        raise ValueError(f"no metadata table ${kind} for this table format")
+
     def add_column(self, col: str, sql_type: str) -> None:
         """Schema evolution as a METADATA operation: no file is rewritten;
         readers surface the column as NULL for pre-evolution files."""
@@ -158,11 +184,23 @@ class SnapshotTable:
         new = self._write_files(df)
         return self._append_snapshot(self.current_files() + new, "append")
 
-    def _affected_files(self, spark: SparkSession, match) -> list[str]:
+    def _candidate_files(self, cond_str: str | None) -> list[str] | None:
+        """Metadata-level file pruning hook (None = all files are
+        candidates). IcebergTable overrides this with manifest column-bound
+        skipping; the base format has no per-file stats."""
+        return None
+
+    def _affected_files(
+        self, spark: SparkSession, match, candidates: list[str] | None = None
+    ) -> list[str]:
         """Files holding at least one matched row — Iceberg's COW targeting,
         via input_file_name() (manifest-sized distinct; the scan prunes with
-        the pushed-down match predicate)."""
-        df = self.read(spark)
+        the pushed-down match predicate). `candidates` restricts the scan to
+        metadata-pruned files — sound because pruning only drops files whose
+        stats PROVE no row can match."""
+        if candidates is not None and not candidates:
+            return []
+        df = self.read(spark) if candidates is None else self._read_files(spark, candidates)
         rows = (
             df.filter(match)
             .select(F.input_file_name().alias("f"))
@@ -172,9 +210,11 @@ class SnapshotTable:
         # input_file_name returns URIs (file:///...); manifest stores paths
         return sorted({r["f"].replace("file://", "").replace("file:", "") for r in rows})
 
-    def delete_where(self, spark: SparkSession, match) -> tuple[int, int]:
+    def delete_where(
+        self, spark: SparkSession, match, cond_str: str | None = None
+    ) -> tuple[int, int]:
         """-> (rows_deleted, n_files_rewritten)"""
-        affected = self._affected_files(spark, match)
+        affected = self._affected_files(spark, match, self._candidate_files(cond_str))
         if not affected:
             return 0, 0
         sub = self._read_files(spark, affected)
@@ -185,9 +225,15 @@ class SnapshotTable:
         self._append_snapshot(keep + new, "delete")
         return n_del, len(affected)
 
-    def update_where(self, spark: SparkSession, match, assign_exprs: dict[str, str]) -> tuple[int, int]:
+    def update_where(
+        self,
+        spark: SparkSession,
+        match,
+        assign_exprs: dict[str, str],
+        cond_str: str | None = None,
+    ) -> tuple[int, int]:
         """-> (rows_updated, n_files_rewritten); simultaneous assignment."""
-        affected = self._affected_files(spark, match)
+        affected = self._affected_files(spark, match, self._candidate_files(cond_str))
         if not affected:
             return 0, 0
         sub = self._read_files(spark, affected)
