@@ -185,3 +185,44 @@ def test_bounds_roundtrip_types(spark, tmp_path):
     assert _deser_bound(_ser_bound(d, "date"), "date") == d
     ts = dt.datetime(2024, 3, 1, 12, 30, 0, 250)
     assert _deser_bound(_ser_bound(ts, "timestamp"), "timestamp") == ts
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Maintenance ops: OPTIMIZE merges small files into a `replace`
+    snapshot with identical data; expire_snapshots reclaims files no kept
+    snapshot references while the kept window stays readable."""
+    df = spark.range(40).select("id", (F.col("id") * 2).alias("v")).repartition(8)
+    t = IcebergTable.create(str(tmp_path / "c"), df)
+    t.append(spark.range(40, 44).select("id", (F.col("id") * 2).alias("v")).repartition(4))
+    assert len(t.current_files()) >= 10
+    total_before = t.read(spark).agg(F.sum("v")).collect()[0][0]
+    before, after = t.compact(spark, target_files=2)
+    assert after <= 2 < before
+    assert t.read(spark).count() == 44
+    assert t.read(spark).agg(F.sum("v")).collect()[0][0] == total_before
+    assert [s["operation"] for s in t.snapshots()][-1] == "replace"
+    # pre-compaction snapshots still time-travel (their files still exist)
+    assert t.read(spark, snapshot_id=1).count() == 40
+    # expire everything but the compacted snapshot: old small files deleted
+    import os as _os
+    old_files = set(t.files_at(snapshot_id=1)) | set(t.files_at(snapshot_id=2))
+    dropped, deleted = t.expire_snapshots(keep_last=1)
+    assert dropped == 2 and deleted == len(old_files)
+    assert all(not _os.path.exists(f) for f in old_files)
+    assert t.read(spark).count() == 44  # current snapshot unaffected
+    assert len(t.snapshots()) == 1
+
+
+def test_engine_optimize_vacuum_statements(spark, tmp_path):
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute("CREATE OR REPLACE ICEBERG TABLE ice_opt AS SELECT CAST(1 AS BIGINT) AS id")
+    for i in range(2, 6):
+        eng.execute(f"INSERT INTO ice_opt SELECT CAST({i} AS BIGINT)")
+    out = eng.execute("OPTIMIZE ice_opt").to_pylist()[0]
+    assert out["files_after"] < out["files_before"]
+    out = eng.execute("VACUUM ice_opt RETAIN 1 SNAPSHOTS").to_pylist()[0]
+    assert out["snapshots_expired"] >= 4
+    assert eng.execute("SELECT COUNT(*) AS c FROM ice_opt").to_pylist() == [{"c": 5}]
+    eng.execute("DROP TABLE ice_opt")

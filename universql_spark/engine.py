@@ -265,6 +265,24 @@ class Engine:
                 self.snap_tables[bn].add_column(am.group(2).lower(), snowflake_to_spark(am.group(3)))
                 self._refresh_snap_view(bn)
                 return _status(f"altered iceberg {bn}")
+            om = re.match(r"^\s*OPTIMIZE\s+([\w.\"]+)\s*$", stmt, re.I)
+            if om and bare_name(om.group(1)) in self.snap_tables:
+                bn = bare_name(om.group(1))
+                before, after = self.snap_tables[bn].compact(self.spark)
+                self._refresh_snap_view(bn)
+                return pa.table({"files_before": [before], "files_after": [after]})
+            vm = re.match(
+                r"^\s*VACUUM\s+([\w.\"]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", stmt, re.I
+            )
+            if vm and bare_name(vm.group(1)) in self.snap_tables:
+                bn = bare_name(vm.group(1))
+                dropped, deleted = self.snap_tables[bn].expire_snapshots(
+                    keep_last=int(vm.group(2) or 1)
+                )
+                self._refresh_snap_view(bn)
+                return pa.table(
+                    {"snapshots_expired": [dropped], "data_files_deleted": [deleted]}
+                )
             tm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
             if tm and bare_name(tm.group(1)) in self.snap_tables:
                 bn = bare_name(tm.group(1))

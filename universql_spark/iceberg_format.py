@@ -672,6 +672,64 @@ class IcebergTable(SnapshotTable):
             )
         raise ValueError(f"no metadata table ${kind}")
 
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark, target_files: int | None = None) -> tuple[int, int]:
+        """Small-file compaction (iceberg-spark's rewrite_data_files): read
+        the current snapshot, rewrite it as ~target_files larger files, and
+        commit a `replace` snapshot. History is untouched — old snapshots
+        still reference the old files until expire_snapshots. At 100 TB this
+        is the defragmentation pass that keeps scan task counts sane after
+        many small streaming/merge appends. -> (files_before, files_after)"""
+        files = self.current_files()
+        if target_files is None:
+            # ~128 MB target, the parquet sweet spot
+            total = sum(os.path.getsize(f) for f in files)
+            target_files = max(1, total // (128 << 20) + (1 if total % (128 << 20) else 0))
+        if len(files) <= target_files:
+            return len(files), len(files)
+        df = self._read_files(spark, files).coalesce(int(target_files))
+        new = self._write_files(df)
+        self._append_snapshot(new, "replace")
+        return len(files), len(new)
+
+    def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
+        """Drop all but the last `keep_last` snapshots and DELETE data files
+        no surviving snapshot references (Iceberg's expire_snapshots
+        maintenance). Bounds metadata growth and reclaims storage; time
+        travel remains for the kept window. -> (snapshots_removed,
+        data_files_deleted)"""
+        v, meta = self._read_metadata()
+        snaps = meta.get("snapshots", [])
+        if keep_last < 1 or len(snaps) <= keep_last:
+            return 0, 0
+        dropped, kept = snaps[:-keep_last], snaps[-keep_last:]
+        live: set[str] = set()
+        for s in kept:
+            live.update(self._live_files(s["manifest-list"]))
+        dead: set[str] = set()
+        for s in dropped:
+            dead.update(f for f in self._live_files(s["manifest-list"]) if f not in live)
+        for f in dead:
+            if os.path.exists(f):
+                os.remove(f)
+        for s in dropped:
+            if os.path.exists(s["manifest-list"]):
+                os.remove(s["manifest-list"])
+        meta["snapshots"] = kept
+        keep_ids = {s["snapshot-id"] for s in kept}
+        meta["snapshot-log"] = [h for h in meta.get("snapshot-log", []) if h["snapshot-id"] in keep_ids]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        new_v = v + 1
+        with open(self._version_path(new_v), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = self._hint_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._hint_path)
+        self._version_cache.clear()
+        return len(dropped), len(dead)
+
     # -- lifecycle ---------------------------------------------------------
 
     @classmethod
@@ -720,4 +778,5 @@ _ICEBERG_OP = {
     "update": "overwrite",
     "delete": "delete",
     "truncate": "delete",
+    "replace": "replace",  # compaction: data identical, files rewritten
 }

@@ -243,3 +243,31 @@ def dml_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 100 AS k, CAST(CAST(SUM(record_count) AS BIGINT) AS STRING) AS v FROM icemd_t$files"
     )
     return snaps.unionByName(live).orderBy("k")
+
+
+_ICEM_ORACLE = """
+SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type
+UNION ALL SELECT 'synthetic', 1
+ORDER BY etype
+"""
+
+
+@register("dml_iceberg_maintenance", _ICEM_ORACLE, category="dml")
+def dml_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-file compaction into a `replace` snapshot) then
+    VACUUM (snapshot expiry + dead-file reclamation) preserve the exact
+    table contents — the maintenance pair that keeps a 100 TB table's file
+    count and metadata bounded after many small appends."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE icem_t AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        INSERT INTO icem_t SELECT 'synthetic' AS etype, CAST(1 AS BIGINT) AS total;
+        OPTIMIZE icem_t;
+        VACUUM icem_t RETAIN 1 SNAPSHOTS
+        """
+    )
+    return eng.execute_df("SELECT etype, total FROM icem_t ORDER BY etype")
