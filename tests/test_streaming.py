@@ -77,3 +77,30 @@ def test_stream_dedup_matches_batch_distincts(spark, sf_dir):
     n_distinct = ev.select("props").distinct().count()
     assert got.count() == n_distinct
     assert got.select("props").distinct().count() == n_distinct
+
+
+def test_stream_ingest_to_iceberg(spark, sf_dir, tmp_path):
+    """File stream -> foreachBatch -> Iceberg append commits: every
+    micro-batch becomes one `append` snapshot; final contents equal the
+    batch read; replaying a committed batch id is a no-op (idempotence)."""
+    from universql_spark.iceberg_format import IcebergTable
+    from universql_spark.streaming import ingest, windows
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    t = IcebergTable.create(str(tmp_path / "ice_stream"), ev.limit(0))
+    stream = windows.events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    ingest.stream_to_iceberg(stream, t, str(tmp_path / "ckpt"))
+
+    assert t.read(spark).count() == ev.count()
+    snaps = t.snapshots()
+    assert all(s["operation"] == "append" for s in snaps)
+    last = ingest._last_batch_id(t)
+    assert last is not None
+    # replay protection: re-delivering a committed batch id is a no-op
+    n_snaps, before = len(snaps), t.read(spark).count()
+    assert ingest.commit_batch(t, ev.limit(5), last) is False
+    assert t.read(spark).count() == before
+    assert len(t.snapshots()) == n_snaps
+    # a NEW batch id does commit
+    assert ingest.commit_batch(t, ev.limit(5), last + 1) is True
+    assert t.read(spark).count() == before + 5

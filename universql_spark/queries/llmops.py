@@ -579,3 +579,82 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "event_type", "c")
         .orderBy("win_start", "event_type")
     )
+
+
+def _duck_corpus_mix_sql() -> str:
+    langs = list(textops.LANG_MARKERS)
+    mx = f"greatest({', '.join('s_' + x for x in langs)})"
+    when = "\n         ".join(f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs)
+    score_cols = ",\n         ".join(f"{_duck_lang_score(lg)} AS s_{lg}" for lg in langs)
+    qual = f"""round((
+      (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} >= 3.0
+            AND (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} <= 10.0
+       THEN 1.0 ELSE 0.0 END)
+    + length({_rr('text', '[^a-z ]', '')}) * 1.0 / length(text)
+    ) / 3.0, 4)"""
+    return f"""WITH RECURSIVE t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),
+comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+  WHERE d.doc_id = c.component),
+scored AS (
+  SELECT doc_id, text, {score_cols} FROM surv),
+enr AS (
+  SELECT doc_id,
+         CASE WHEN {mx} <= 0 THEN 'und'
+         {when}
+         ELSE 'und' END AS lang_pred,
+         {qual} AS q,
+         {_duck_token_count('text')} AS toks
+  FROM scored)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(round(q * 10000) AS BIGINT)) AS BIGINT) AS sum_q4
+FROM enr WHERE q >= 0.5 AND toks >= 5
+GROUP BY lang_pred ORDER BY lang_pred"""
+
+
+@register("corpus_training_mix", _duck_corpus_mix_sql(), category="dedup")
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data funnel in one plan: MinHash-LSH near-dup
+    survivors -> language ID -> quality scoring -> token counting -> filter
+    -> per-language corpus mix. Every stage is the scale-path operator
+    (banded LSH equi-join, pure built-in text expressions, one final
+    shuffle on the language key); the oracle recomputes the funnel exactly
+    with brute-force pairs + a recursive CTE. Quality mass is summed as
+    round(q*1e4) integers so the cross-engine hash is FP-order-proof."""
+    from universql_spark.operators import components
+
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3)
+    comp = components.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "component")
+    surv = docs.join(comp, "doc_id").filter(F.col("doc_id") == F.col("component"))
+    enr = surv.select(
+        textops.lang_id(F.col("text")).alias("lang_pred"),
+        textops.quality_score(F.col("text")).alias("q"),
+        textops.token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    kept = enr.filter((F.col("q") >= 0.5) & (F.col("toks") >= 5))
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum(F.round(F.col("q") * 10000).cast("bigint")).cast("bigint").alias("sum_q4"),
+        )
+        .orderBy("lang_pred")
+    )

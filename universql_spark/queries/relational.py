@@ -603,3 +603,24 @@ FROM lineitem GROUP BY l_returnflag ORDER BY rf""",
     category="agg",
     doc="SQL PIVOT clause (oracle: equivalent conditional aggregation)",
 )
+
+register_sql(
+    "win_ignore_nulls_locf",
+    """SELECT event_id,
+       last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       lag(CASE WHEN event_type = 'view' THEN NULL ELSE value END) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_nn
+FROM events ORDER BY event_id""",
+    oracle="""SELECT event_id,
+       last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       lag(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_nn
+FROM events ORDER BY event_id""",
+    category="window",
+    doc="IGNORE NULLS last_value/lag: last-observation-carried-forward gap fill "
+        "(the sensor/ticker pattern; one shuffle on user_id, no self-join)",
+)
