@@ -226,3 +226,29 @@ def test_engine_optimize_vacuum_statements(spark, tmp_path):
     assert out["snapshots_expired"] >= 4
     assert eng.execute("SELECT COUNT(*) AS c FROM ice_opt").to_pylist() == [{"c": 5}]
     eng.execute("DROP TABLE ice_opt")
+
+
+def test_cluster_by_records_sort_order_and_prunes(spark, tmp_path):
+    """CLUSTER BY through the engine: the Iceberg sort order is recorded
+    and the range-clustered write gives files disjoint bounds, so a
+    cluster-key predicate prunes to a file subset."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ice_cl CLUSTER BY (id) AS "
+        "SELECT id, id % 5 AS g FROM range(1000)"
+    )
+    t = eng.snap_tables["ice_cl"]
+    _v, meta = t._read_metadata()
+    so = meta["sort-orders"][meta["default-sort-order-id"]]
+    assert so["order-id"] == 1
+    assert so["fields"][0]["transform"] == "identity"
+    id_fid = next(f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "id")
+    assert so["fields"][0]["source-id"] == id_fid
+    n_all = len(t.current_files())
+    if n_all > 1:  # clustering => disjoint id bounds => cluster-key pruning
+        pruned = t.plan_files([("id", "<", 10)])
+        assert 0 < len(pruned) < n_all
+    assert eng.execute("SELECT COUNT(*) AS c FROM ice_cl").to_pylist() == [{"c": 1000}]
+    eng.execute("DROP TABLE ice_cl")

@@ -546,7 +546,13 @@ class Engine:
             from universql_spark.iceberg_format import IcebergTable
 
             bn = bare_name(name)
-            snap = IcebergTable.create(self._snap_root(name), df, replace=replace)
+            # PARTITION/CLUSTER BY on an Iceberg target = clustering keys:
+            # range-cluster the write + record the Iceberg sort order, so
+            # manifest bounds on those columns become disjoint and
+            # plan_files() can skip whole files on cluster-key predicates
+            snap = IcebergTable.create(
+                self._snap_root(name), df, replace=replace, cluster_by=pcols or None
+            )
             self.snap_tables[bn] = snap
             self._refresh_snap_view(bn)
             return _status(f"created iceberg {name}")

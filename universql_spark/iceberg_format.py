@@ -733,11 +733,24 @@ class IcebergTable(SnapshotTable):
     # -- lifecycle ---------------------------------------------------------
 
     @classmethod
-    def create(cls, root: str, df: DataFrame, replace: bool = False) -> "IcebergTable":
+    def create(
+        cls,
+        root: str,
+        df: DataFrame,
+        replace: bool = False,
+        cluster_by: list[str] | None = None,
+    ) -> "IcebergTable":
+        """`cluster_by` = Snowflake clustering keys: the data is
+        range-clustered on those columns before the first write (so files
+        get tight, mostly-disjoint [min,max] bounds on them → manifest
+        file skipping on cluster-key predicates) and the keys are recorded
+        as the table's Iceberg sort order."""
         if os.path.exists(root):
             if not replace:
                 raise ValueError(f"iceberg table already exists at {root}")
             shutil.rmtree(root)
+        if cluster_by:
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         os.makedirs(os.path.join(root, "data"))
         t = cls(root)
         os.makedirs(t._meta_dir)
@@ -755,8 +768,26 @@ class IcebergTable(SnapshotTable):
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "default-spec-id": 0,
             "last-partition-id": 999,  # partition field ids start at 1000
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}]
+            if not cluster_by
+            else [
+                {"order-id": 0, "fields": []},
+                {
+                    "order-id": 1,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": next(
+                                f["id"] for f in fields if f["name"].lower() == c.lower()
+                            ),
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in cluster_by
+                    ],
+                },
+            ],
+            "default-sort-order-id": 0 if not cluster_by else 1,
             "properties": {"write.format.default": "parquet"},
             "snapshots": [],
             "snapshot-log": [],
