@@ -252,3 +252,147 @@ def test_cluster_by_records_sort_order_and_prunes(spark, tmp_path):
         assert 0 < len(pruned) < n_all
     assert eng.execute("SELECT COUNT(*) AS c FROM ice_cl").to_pylist() == [{"c": 1000}]
     eng.execute("DROP TABLE ice_cl")
+
+
+# -- merge-on-read positional deletes (spec: "Position Delete Files") -------
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    df = spark.range(20).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    t = IcebergTable.create(str(tmp_path / "mor"), df)
+    t.set_property("write.delete.mode", "merge-on-read")
+    return t
+
+
+def test_mor_delete_writes_no_data_files(spark, mor_table):
+    before = set(mor_table.current_files())
+    n, n_rewritten = mor_table.delete_where(spark, F.col("id") < 5)
+    assert (n, n_rewritten) == (5, 0)
+    # data files are untouched — the commit added only a delete file
+    assert set(mor_table.current_files()) == before
+    dels = mor_table.current_delete_files()
+    assert len(dels) == 1
+    assert mor_table.read(spark).count() == 15
+    assert mor_table.read(spark).filter(F.col("id") < 5).count() == 0
+    # time travel: the pre-delete snapshot has no deletes applied
+    assert mor_table.read(spark, snapshot_id=1).count() == 20
+
+
+def test_mor_delete_file_is_spec_conformant(spark, mor_table):
+    import pyarrow.parquet as pq
+
+    mor_table.delete_where(spark, F.col("id") >= 18)
+    [delf] = mor_table.current_delete_files()
+    schema = pq.ParquetFile(delf).schema
+    names = {schema.column(i).name for i in range(len(schema))}
+    assert names == {"file_path", "pos"}
+    text = str(schema)
+    assert "2147483546" in text and "2147483545" in text
+    # rows sorted by (file_path, pos) as the spec requires
+    tbl = pq.read_table(delf).to_pydict()
+    pairs = list(zip(tbl["file_path"], tbl["pos"]))
+    assert pairs == sorted(pairs)
+    # the delete manifest chain is declared content=1 end to end
+    _v, meta = mor_table._read_metadata()
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = _read_avro_records(cur["manifest-list"])
+    assert sorted(m["content"] for m in mlist) == [0, 1]
+    delm = next(m for m in mlist if m["content"] == 1)
+    entries = _read_avro_records(delm["manifest_path"])
+    assert all(e["data_file"]["content"] == 1 for e in entries)
+
+
+def test_mor_second_delete_does_not_double_count(spark, mor_table):
+    n1, _ = mor_table.delete_where(spark, F.col("g") == 0)  # ids 0,4,8,12,16
+    n2, _ = mor_table.delete_where(spark, F.col("id") < 8)  # 1,2,3,5,6,7 remain
+    assert (n1, n2) == (5, 6)
+    assert mor_table.read(spark).count() == 9
+    assert len(mor_table.current_delete_files()) == 2
+
+
+def test_mor_update_deletes_positions_and_appends(spark, mor_table):
+    before = set(mor_table.current_files())
+    n, n_rewritten = mor_table.update_where(
+        spark, F.col("g") == 1, {"v": "v + 100.0", "g": "g * 10"}
+    )
+    assert (n, n_rewritten) == (5, 0)
+    # old data files all survive; ONE new file holds the updated rows
+    assert before <= set(mor_table.current_files())
+    new = set(mor_table.current_files()) - before
+    assert len(new) >= 1
+    out = mor_table.read(spark)
+    assert out.count() == 20
+    assert out.filter(F.col("g") == 1).count() == 0
+    assert out.filter((F.col("g") == 10) & (F.col("v") > 100)).count() == 5
+
+
+def test_mor_cow_merge_does_not_resurrect(spark, mor_table):
+    """A copy-on-write MERGE after MoR deletes must keep them applied."""
+    mor_table.delete_where(spark, F.col("id") < 10)
+    src = spark.range(8, 12).select("id", F.lit(-1.0).alias("nv"))
+    n_ins, _ = mor_table.merge_apply(
+        spark,
+        src.alias("s"),
+        F.expr("t.id = s.id"),
+        "t",
+        lambda sub: sub.join(src.alias("s"), F.expr("t.id = s.id")).select(
+            "t.id", "t.g", F.col("s.nv").alias("v")
+        ),
+        inserts=None,
+    )
+    out = mor_table.read(spark)
+    assert out.count() == 10  # 10..19; deleted 8,9 must NOT come back
+    assert out.filter(F.col("id") < 10).count() == 0
+    assert out.filter(F.col("v") == -1.0).count() == 2  # ids 10,11 updated
+
+
+def test_mor_compact_folds_deletes(spark, mor_table):
+    mor_table.delete_where(spark, F.col("id") % 2 == 0)
+    rows = {r["id"] for r in mor_table.read(spark).collect()}
+    n_before, n_after = mor_table.compact(spark, target_files=1)
+    assert n_after == 1
+    assert mor_table.current_delete_files() == []
+    assert {r["id"] for r in mor_table.read(spark).collect()} == rows
+
+
+def test_mor_vacuum_removes_dead_delete_files(spark, mor_table):
+    mor_table.delete_where(spark, F.col("id") < 3)
+    [delf] = mor_table.current_delete_files()
+    mor_table.compact(spark, target_files=1)
+    dropped, dead = mor_table.expire_snapshots(keep_last=1)
+    assert dropped == 2
+    assert not os.path.exists(delf)
+    assert mor_table.read(spark).count() == 17
+
+
+def test_engine_mor_statements(spark, tmp_path):
+    """End-to-end through Engine.execute: ALTER ... SET TBLPROPERTIES flips
+    the mode, DELETE reports files_rewritten=0, SELECT sees the deletes."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE mt AS SELECT id, id % 3 AS g FROM range(30)"
+    )
+    eng.execute(
+        "ALTER TABLE mt SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    out = eng.execute("DELETE FROM mt WHERE g = 1").to_pydict()
+    assert out["rows_deleted"] == [10]
+    assert out["files_rewritten"] == [0]
+    assert eng.execute("SELECT COUNT(*) AS n FROM mt").to_pydict()["n"] == [20]
+    upd = eng.execute("UPDATE mt SET g = 99 WHERE g = 2").to_pydict()
+    assert upd["rows_updated"] == [10]
+    assert upd["files_rewritten"] == [0]
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM mt WHERE g = 99"
+    ).to_pydict()["n"] == [10]
+    # $files now reports both contents
+    files = eng.execute("SELECT content, COUNT(*) AS n FROM mt$files GROUP BY content ORDER BY content").to_pydict()
+    assert "POSITION_DELETES" in files["content"]

@@ -265,6 +265,22 @@ class Engine:
                 self.snap_tables[bn].add_column(am.group(2).lower(), snowflake_to_spark(am.group(3)))
                 self._refresh_snap_view(bn)
                 return _status(f"altered iceberg {bn}")
+            pm = re.match(
+                r"^\s*ALTER\s+(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+SET\s+"
+                r"(?:TBLPROPERTIES\s*\(|PROPERTIES\s*\(|)(.*?)\)?\s*$",
+                stmt,
+                re.I | re.S,
+            )
+            if (
+                pm
+                and bare_name(pm.group(1)) in self.snap_tables
+                and re.search(r"'[^']+'\s*=\s*'[^']*'", pm.group(2) or "")
+            ):
+                # ALTER TABLE t SET TBLPROPERTIES('write.delete.mode'='merge-on-read')
+                bn = bare_name(pm.group(1))
+                for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", pm.group(2)):
+                    self.snap_tables[bn].set_property(k, v)
+                return _status(f"properties set on iceberg {bn}")
             om = re.match(r"^\s*OPTIMIZE\s+([\w.\"]+)\s*$", stmt, re.I)
             if om and bare_name(om.group(1)) in self.snap_tables:
                 bn = bare_name(om.group(1))

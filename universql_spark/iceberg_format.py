@@ -374,27 +374,40 @@ class IcebergTable(SnapshotTable):
 
     # -- scan planning (spec: snapshot -> manifest list -> manifests) ------
 
-    def _live_files(self, manifest_list_path: str) -> list[str]:
-        files: list[str] = []
+    def _snapshot_files(self, manifest_list_path: str) -> tuple[list[str], list[str]]:
+        """(live data files, live positional-delete files) of one snapshot:
+        manifest-list entries with content=0 chain to data manifests,
+        content=1 to delete manifests (spec field-id 517)."""
+        data: list[str] = []
+        deletes: list[str] = []
         for mf in _read_avro_records(manifest_list_path):
+            bucket = deletes if mf.get("content") == 1 else data
             for entry in _read_avro_records(mf["manifest_path"]):
                 if entry["status"] != _STATUS_DELETED:
-                    files.append(entry["data_file"]["file_path"])
-        return files
+                    bucket.append(entry["data_file"]["file_path"])
+        return data, deletes
+
+    def _live_files(self, manifest_list_path: str) -> list[str]:
+        """Every file a snapshot references (data + deletes) — liveness set
+        for expire_snapshots' dead-file sweep."""
+        data, deletes = self._snapshot_files(manifest_list_path)
+        return data + deletes
 
     def _load(self) -> dict:
         v, meta = self._read_metadata()
         if v not in self._version_cache:
             snaps = []
             for s in meta.get("snapshots", []):
-                snaps.append(
-                    {
-                        "id": s["snapshot-id"],
-                        "timestamp_ms": s["timestamp-ms"],
-                        "operation": s["summary"]["operation"],
-                        "files": self._live_files(s["manifest-list"]),
-                    }
-                )
+                data, deletes = self._snapshot_files(s["manifest-list"])
+                snap = {
+                    "id": s["snapshot-id"],
+                    "timestamp_ms": s["timestamp-ms"],
+                    "operation": s["summary"]["operation"],
+                    "files": data,
+                }
+                if deletes:
+                    snap["delete_files"] = deletes
+                snaps.append(snap)
             self._version_cache[v] = {
                 "snapshots": snaps,
                 "added_columns": json.loads(
@@ -407,6 +420,25 @@ class IcebergTable(SnapshotTable):
             "snapshots": [dict(s) for s in cached["snapshots"]],
             "added_columns": [list(c) for c in cached["added_columns"]],
         }
+
+    # -- table properties --------------------------------------------------
+
+    def get_property(self, key: str, default: str | None = None) -> str | None:
+        _v, meta = self._read_metadata()
+        return meta.get("properties", {}).get(key, default)
+
+    def set_property(self, key: str, value: str) -> None:
+        """Property change = a new metadata.json version (no snapshot)."""
+        v, meta = self._read_metadata()
+        meta.setdefault("properties", {})[key] = value
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        new_v = v + 1
+        with open(self._version_path(new_v), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = self._hint_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, self._hint_path)
 
     # -- commit (one new metadata version per operation) -------------------
 
@@ -468,6 +500,59 @@ class IcebergTable(SnapshotTable):
             "deleted_rows_count": 0,
         }
 
+    def _write_delete_manifest(
+        self, snap: dict, seq: int, first_seen: dict[str, tuple[int, int]]
+    ) -> tuple[str, dict]:
+        """DELETE manifest (spec: manifest content=1) listing the snapshot's
+        live POSITION-delete files (data_file content=1). Shape mirrors
+        _write_manifest; bounds are omitted (delete files are tiny and
+        always read whole during scan planning)."""
+        entries, counts = [], {"added": [0, 0], "existing": [0, 0]}
+        min_seq = seq
+        for path in snap.get("delete_files", []):
+            o_snap, o_seq = first_seen.get(path, (snap["id"], seq))
+            status = _STATUS_ADDED if o_snap == snap["id"] else _STATUS_EXISTING
+            n = _parquet_row_count(path)
+            key = "added" if status == _STATUS_ADDED else "existing"
+            counts[key][0] += 1
+            counts[key][1] += n
+            min_seq = min(min_seq, o_seq)
+            entries.append(
+                {
+                    "status": status,
+                    "snapshot_id": o_snap,
+                    "sequence_number": o_seq,
+                    "file_sequence_number": o_seq,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": os.path.getsize(path),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+            )
+        mpath = os.path.join(self._meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+        avro_io.write_avro(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+        return mpath, {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 1,  # deletes
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snap["id"],
+            "added_files_count": counts["added"][0],
+            "existing_files_count": counts["existing"][0],
+            "deleted_files_count": 0,
+            "added_rows_count": counts["added"][1],
+            "existing_rows_count": counts["existing"][1],
+            "deleted_rows_count": 0,
+        }
+
     def _commit(self, d: dict) -> None:
         v, meta = self._read_metadata()
         known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
@@ -477,7 +562,7 @@ class IcebergTable(SnapshotTable):
         # carried-over files keep their original lineage in EXISTING entries
         first_seen: dict[str, tuple[int, int]] = {}
         for i, snap in enumerate(d["snapshots"]):
-            for f in snap["files"]:
+            for f in snap["files"] + snap.get("delete_files", []):
                 first_seen.setdefault(f, (snap["id"], i + 1))
 
         seq = meta.get("last-sequence-number", 0)
@@ -486,11 +571,15 @@ class IcebergTable(SnapshotTable):
             if snap["id"] in known:
                 continue
             seq = i + 1  # one sequence number per snapshot, in commit order
-            mpath, mf_record = self._write_manifest(snap, seq, first_seen)
+            _mpath, mf_record = self._write_manifest(snap, seq, first_seen)
+            records = [mf_record]
+            if snap.get("delete_files"):
+                _dpath, del_record = self._write_delete_manifest(snap, seq, first_seen)
+                records.append(del_record)
             mlist = os.path.join(
                 self._meta_dir, f"snap-{snap['id']}-{uuid.uuid4().hex}.avro"
             )
-            avro_io.write_avro(mlist, _MANIFEST_FILE_SCHEMA, [mf_record])
+            avro_io.write_avro(mlist, _MANIFEST_FILE_SCHEMA, records)
             s_json = {
                 "snapshot-id": snap["id"],
                 "sequence-number": seq,
@@ -582,6 +671,8 @@ class IcebergTable(SnapshotTable):
             return []
         keep: list[str] = []
         for mf in _read_avro_records(current["manifest-list"]):
+            if mf.get("content") == 1:
+                continue  # delete manifests are not scan candidates
             for e in _read_avro_records(mf["manifest_path"]):
                 if e["status"] == _STATUS_DELETED:
                     continue
@@ -605,6 +696,175 @@ class IcebergTable(SnapshotTable):
     def _candidate_files(self, cond_str: str | None) -> list[str] | None:
         conds = parse_simple_conjuncts(cond_str)
         return self.plan_files(conds) if conds else None
+
+    # -- merge-on-read positional deletes (spec: "Position Delete Files") --
+    #
+    # DELETE/UPDATE with `write.delete.mode=merge-on-read` never rewrite
+    # data files: they commit a tiny parquet file of (file_path, pos) rows
+    # (spec field-ids 2147483546/2147483545) and every subsequent scan
+    # anti-joins it away. At 100 TB this turns "delete 1k rows spread over
+    # 1k × 1 GB files" from a 1 TB rewrite (copy-on-write) into a KB-sized
+    # write; the read-side cost is one anti-join against a dataset that is
+    # ~rows-deleted big (AQE broadcasts it while small). OPTIMIZE folds the
+    # deletes back into data files. Parity: the reference's Iceberg tables
+    # declare format-version 2 merge-on-read capability via PyIceberg
+    # (reference duckdb.py:274-334); the mechanism here is the spec's.
+
+    _PATH_NORM = r"^file:(//)?"
+
+    def _delete_mode(self) -> str:
+        return self.get_property("write.delete.mode", "copy-on-write")
+
+    def _scan_with_pos(self, spark, files: list[str], delete_files: list[str]):
+        """Scan `files` with `__path`/`__pos` columns (normalized file path
+        + row position from the parquet reader's `_metadata.row_index` —
+        computed JVM-side, no UDF) and `delete_files` anti-joined away."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        df = super()._read_files(spark, files)
+        df = df.withColumn(
+            "__path", F.regexp_replace(F.col("_metadata.file_path"), self._PATH_NORM, "")
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if delete_files:
+            dels = spark.read.parquet(*delete_files).select(
+                F.col("file_path").alias("__dpath"), F.col("pos").alias("__dpos")
+            )
+            df = df.join(
+                dels,
+                (df["__path"] == dels["__dpath"]) & (df["__pos"] == dels["__dpos"]),
+                "left_anti",
+            )
+        return df
+
+    def _read_files(self, spark, files: list[str], deletes: list[str] | None = None):
+        """`deletes=None` applies the CURRENT snapshot's positional deletes
+        — the right default for every DML/compaction path, which all operate
+        on current files (a rewrite must not resurrect MoR-deleted rows).
+        Pass an explicit list ([] or a historical snapshot's) to override."""
+        if deletes is None:
+            deletes = self.current_delete_files()
+        if not deletes:
+            return super()._read_files(spark, files)
+        return self._scan_with_pos(spark, files, deletes).drop("__path", "__pos")
+
+    def read(self, spark, snapshot_id=None, timestamp_ms=None):
+        files = self.files_at(snapshot_id, timestamp_ms)
+        if not files:
+            return super().read(spark, snapshot_id, timestamp_ms)
+        # time travel applies THAT snapshot's delete files, not the current
+        return self._read_files(
+            spark, files, deletes=self.deletes_at(snapshot_id, timestamp_ms)
+        )
+
+    def _affected_files(self, spark, match, candidates=None):
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if candidates is not None and not candidates:
+            return []
+        files = candidates if candidates is not None else self.current_files()
+        df = self._scan_with_pos(spark, files, self.current_delete_files())
+        rows = df.filter(match).select(F.col("__path").alias("f")).distinct().collect()
+        return sorted({r["f"] for r in rows})
+
+    def _tagged_read(self, spark):
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        files = self.current_files()
+        if not files:
+            return super()._tagged_read(spark)
+        return (
+            self._scan_with_pos(spark, files, self.current_delete_files())
+            .withColumnRenamed("__path", "__file")
+            .drop("__pos")
+        )
+
+    def _write_position_deletes(self, positions) -> list[str]:
+        """Write (file_path, pos) rows as spec-conformant position-delete
+        parquet: field-ids 2147483546/2147483545 (via Spark's parquet
+        field-id metadata), rows sorted by (file_path, pos) within each
+        file as the spec requires."""
+        out = os.path.join(self.root, "data", f"delete-{uuid.uuid4().hex[:12]}")
+        (
+            positions.repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+            .withMetadata("file_path", {"parquet.field.id": 2147483546})
+            .withMetadata("pos", {"parquet.field.id": 2147483545})
+            .write.parquet(out)
+        )
+        return sorted(
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        )
+
+    def delete_where(self, spark, match, cond_str: str | None = None):
+        if self._delete_mode() != "merge-on-read":
+            return super().delete_where(spark, match, cond_str=cond_str)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        candidates = self._candidate_files(cond_str)
+        if candidates is not None and not candidates:
+            return 0, 0
+        files = candidates if candidates is not None else self.current_files()
+        if not files:
+            return 0, 0
+        # scan only metadata-pruned candidates, with existing deletes applied
+        # so already-deleted rows are not re-counted or re-written
+        matched = (
+            self._scan_with_pos(spark, files, self.current_delete_files())
+            .filter(match)
+            .select(F.col("__path").alias("file_path"), F.col("__pos").alias("pos"))
+        )
+        n = matched.count()
+        if not n:
+            return 0, 0
+        new_dels = self._write_position_deletes(matched)
+        self._append_snapshot(
+            self.current_files(), "delete",
+            delete_files=self.current_delete_files() + new_dels,
+        )
+        return n, 0  # zero data files rewritten — the point of merge-on-read
+
+    def update_where(self, spark, match, assign_exprs, cond_str: str | None = None):
+        if self._delete_mode() != "merge-on-read":
+            return super().update_where(spark, match, assign_exprs, cond_str=cond_str)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        candidates = self._candidate_files(cond_str)
+        if candidates is not None and not candidates:
+            return 0, 0
+        files = candidates if candidates is not None else self.current_files()
+        if not files:
+            return 0, 0
+        hit = self._scan_with_pos(spark, files, self.current_delete_files()).filter(match)
+        hit.cache()
+        try:
+            n = hit.count()
+            if not n:
+                return 0, 0
+            # MoR UPDATE = position-delete the old rows + append the new ones
+            new_dels = self._write_position_deletes(
+                hit.select(F.col("__path").alias("file_path"), F.col("__pos").alias("pos"))
+            )
+            cols = [c for c in hit.columns if c not in ("__path", "__pos")]
+            # cast assignments back to the table's column types: the new file
+            # sits NEXT TO the old ones and mergeSchema cannot reconcile e.g.
+            # an INT-typed literal with a BIGINT column
+            ttypes = dict(hit.dtypes)
+            updated = hit.select(
+                *[
+                    F.expr(assign_exprs[c]).cast(ttypes[c]).alias(c)
+                    if c in assign_exprs
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            new_data = self._write_files(updated)
+        finally:
+            hit.unpersist()
+        self._append_snapshot(
+            self.current_files() + new_data, "update",
+            delete_files=self.current_delete_files() + new_dels,
+        )
+        return n, 0
 
     def metadata_table(self, spark, kind: str):
         """Metadata tables read straight from the Iceberg metadata chain
@@ -659,16 +919,19 @@ class IcebergTable(SnapshotTable):
         if kind == "files":
             rows = []
             for m in mlist:
+                kind_label = "POSITION_DELETES" if m.get("content") == 1 else "DATA"
                 for e in _read_avro_records(m["manifest_path"]):
                     if e["status"] == _STATUS_DELETED:
                         continue
                     d = e["data_file"]
                     rows.append(
-                        (d["file_path"], d["file_format"], d["record_count"], d["file_size_in_bytes"])
+                        (d["file_path"], d["file_format"], d["record_count"],
+                         d["file_size_in_bytes"], kind_label)
                     )
             return spark.createDataFrame(
                 rows,
-                "file_path string, file_format string, record_count bigint, file_size_in_bytes bigint",
+                "file_path string, file_format string, record_count bigint, "
+                "file_size_in_bytes bigint, content string",
             )
         raise ValueError(f"no metadata table ${kind}")
 
@@ -682,15 +945,19 @@ class IcebergTable(SnapshotTable):
         is the defragmentation pass that keeps scan task counts sane after
         many small streaming/merge appends. -> (files_before, files_after)"""
         files = self.current_files()
+        deletes = self.current_delete_files()
         if target_files is None:
             # ~128 MB target, the parquet sweet spot
             total = sum(os.path.getsize(f) for f in files)
             target_files = max(1, total // (128 << 20) + (1 if total % (128 << 20) else 0))
-        if len(files) <= target_files:
+        if len(files) <= target_files and not deletes:
             return len(files), len(files)
-        df = self._read_files(spark, files).coalesce(int(target_files))
+        # _read_files applies outstanding positional deletes, so compaction
+        # doubles as Iceberg's rewrite_position_delete_files: the new
+        # snapshot carries no delete files at all
+        df = self._read_files(spark, files, deletes=deletes).coalesce(int(target_files))
         new = self._write_files(df)
-        self._append_snapshot(new, "replace")
+        self._append_snapshot(new, "replace", delete_files=[])
         return len(files), len(new)
 
     def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:

@@ -271,3 +271,55 @@ def dml_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return eng.execute_df("SELECT etype, total FROM icem_t ORDER BY etype")
+
+
+_ICEMOR_ORACLE = """
+WITH base AS (SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1)
+SELECT 'cur:' || etype AS k,
+       CAST(CASE WHEN etype = 'view' THEN total + 1000000 ELSE total END AS VARCHAR) AS v
+FROM base WHERE etype <> 'click'
+UNION ALL SELECT 'orig:' || etype, CAST(total AS VARCHAR) FROM base
+UNION ALL SELECT 'meta:delete_files', '2'
+UNION ALL SELECT 'meta:data_files_rewritten', '0'
+ORDER BY k
+"""
+
+
+@register("dml_iceberg_merge_on_read", _ICEMOR_ORACLE, category="dml")
+def dml_iceberg_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ (iceberg_format.py): with
+    `write.delete.mode=merge-on-read`, DELETE and UPDATE commit position-
+    delete files (spec field-ids 2147483546/2147483545, content=1 manifest
+    chain) instead of rewriting data files — at 100 TB a 1k-row delete
+    writes KBs, not TBs. The result proves (a) scans apply the deletes,
+    (b) time travel ignores them, and (c) ZERO original data files were
+    rewritten (the meta rows, computed from the manifest chain)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE icemor_t AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        ALTER TABLE icemor_t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read');
+        DELETE FROM icemor_t WHERE etype = 'click';
+        UPDATE icemor_t SET total = total + 1000000 WHERE etype = 'view'
+        """
+    )
+    t = eng.snap_tables["icemor_t"]
+    rewritten = len(set(t.files_at(snapshot_id=1)) - set(t.current_files()))
+    cur = eng.execute_df(
+        "SELECT 'cur:' || etype AS k, CAST(total AS STRING) AS v FROM icemor_t"
+    )
+    orig = eng.execute_df(
+        "SELECT 'orig:' || etype AS k, CAST(total AS STRING) AS v "
+        "FROM icemor_t AT(SNAPSHOT => 1)"
+    )
+    meta = spark.createDataFrame(
+        [
+            ("meta:delete_files", str(len(t.current_delete_files()))),
+            ("meta:data_files_rewritten", str(rewritten)),
+        ],
+        "k string, v string",
+    )
+    return cur.unionByName(orig).unionByName(meta).orderBy("k")

@@ -69,6 +69,37 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1]["files"]
 
+    def current_delete_files(self) -> list[str]:
+        """Positional-delete files of the current snapshot (Iceberg v2
+        merge-on-read; always [] for the base format)."""
+        snaps = self.snapshots()
+        return snaps[-1].get("delete_files", []) if snaps else []
+
+    def deletes_at(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> list[str]:
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            for s in snaps:
+                if s["id"] == snapshot_id:
+                    return s.get("delete_files", [])
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if timestamp_ms is not None:
+            live: list[str] = []
+            for s in snaps:
+                if s["timestamp_ms"] <= timestamp_ms:
+                    live = s.get("delete_files", [])
+            return live
+        return snaps[-1].get("delete_files", []) if snaps else []
+
+    # -- table properties (Iceberg-style `write.delete.mode` etc.) ---------
+
+    def get_property(self, key: str, default: str | None = None) -> str | None:
+        return self._load().get("properties", {}).get(key, default)
+
+    def set_property(self, key: str, value: str) -> None:
+        meta = self._load()
+        meta.setdefault("properties", {})[key] = value
+        self._commit(meta)
+
     def files_at(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> list[str]:
         snaps = self.snapshots()
         if snapshot_id is not None:
@@ -153,14 +184,29 @@ class SnapshotTable:
 
     def truncate(self) -> int:
         """New empty snapshot; history (and time travel) keeps the data."""
-        return self._append_snapshot([], "truncate")
+        return self._append_snapshot([], "truncate", delete_files=[])
 
-    def _append_snapshot(self, files: list[str], operation: str) -> int:
+    def _append_snapshot(
+        self, files: list[str], operation: str, delete_files: list[str] | None = None
+    ) -> int:
+        """`delete_files=None` inherits the previous snapshot's positional
+        deletes (appends and copy-on-write rewrites leave them applicable:
+        they target exact file paths, and a rewritten file gets a NEW path,
+        so stale entries can never match resurrected rows)."""
         meta = self._load()
-        sid = meta["snapshots"][-1]["id"] + 1 if meta["snapshots"] else 1
-        meta["snapshots"].append(
-            {"id": sid, "timestamp_ms": int(time.time() * 1000), "operation": operation, "files": files}
-        )
+        snaps = meta["snapshots"]
+        sid = snaps[-1]["id"] + 1 if snaps else 1
+        if delete_files is None:
+            delete_files = snaps[-1].get("delete_files", []) if snaps else []
+        snap = {
+            "id": sid,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": files,
+        }
+        if delete_files:
+            snap["delete_files"] = delete_files
+        snaps.append(snap)
         self._commit(meta)
         return sid
 
@@ -183,6 +229,13 @@ class SnapshotTable:
     def append(self, df: DataFrame) -> int:
         new = self._write_files(df)
         return self._append_snapshot(self.current_files() + new, "append")
+
+    def _tagged_read(self, spark: SparkSession) -> DataFrame:
+        """Current-snapshot read with a `__file` column naming each row's
+        source data file. IcebergTable overrides this with a deletes-aware
+        `_metadata`-based scan (input_file_name() cannot bind once the plan
+        joins a second file source — the positional-delete anti-join)."""
+        return self.read(spark).withColumn("__file", F.input_file_name())
 
     def _candidate_files(self, cond_str: str | None) -> list[str] | None:
         """Metadata-level file pruning hook (None = all files are
@@ -266,7 +319,7 @@ class SnapshotTable:
         """
         # input_file_name() must bind to a single scan: stamp the file path
         # on the TARGET before the join touches any other source
-        tagged = self.read(spark).withColumn("__file", F.input_file_name()).alias(t_alias)
+        tagged = self._tagged_read(spark).alias(t_alias)
         match_rows = tagged.join(source, cond, "left_semi")
         affected = sorted(
             {
