@@ -76,6 +76,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - events.ts: int64 nanos (via nanosAsLong) -> TimestampType at µs
       precision using integer division — `div` not `/` because float division
       of ~1.7e18 ns loses precision past 2^53.
+    - any TIMESTAMP_NTZ column -> TimestampType (LTZ): fixture parquet that
+      stores plain timestamp[us] without a timezone is inferred as NTZ by
+      Spark 4; with the session pinned to UTC the cast is value-identical,
+      and it keeps the whole engine on one timestamp type (functions like
+      unix_micros are LTZ-only).
     """
     if name == "events":
         # The caller may hand us a vanilla SparkSession (the driver does);
@@ -88,6 +93,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
