@@ -45,6 +45,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(str(src))
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # Same normalization load_table applies to the batch view: watermarks
+        # and window() require event time on TIMESTAMP (LTZ), and the session
+        # runs in UTC so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.select(*batch.columns)
 
 
