@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from universql_spark import avro_io
-from universql_spark.tableformat import SnapshotTable
+from universql_spark.tableformat import MAX_COMMIT_RETRIES, CommitConflict, SnapshotTable
 
 # manifest-list entry (spec: "Manifest Lists", field-ids 500-517)
 _MANIFEST_FILE_SCHEMA = {
@@ -364,13 +364,47 @@ class IcebergTable(SnapshotTable):
         return os.path.join(self._meta_dir, f"v{v}.metadata.json")
 
     def current_version(self) -> int:
+        """Version hint, then roll forward past any newer committed version
+        files: a writer that crashed between the exclusive version-file
+        create and the hint swap must not wedge every later committer into
+        an unwinnable CAS against an already-taken version."""
         with open(self._hint_path) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        return v
 
     def _read_metadata(self) -> tuple[int, dict]:
         v = self.current_version()
         with open(self._version_path(v)) as f:
             return v, json.load(f)
+
+    def _cas_write_version(self, base_v: int, meta: dict) -> bool:
+        """HadoopCatalog optimistic commit: exactly one writer can publish
+        v{base_v+1}.metadata.json — the loser returns False and the caller
+        re-reads and rebases/retries. The hint swap after a won race is
+        advisory (current_version rolls forward past it), so hint lag
+        cannot corrupt the table."""
+        new_v = base_v + 1
+        tmp = self._version_path(new_v) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        try:
+            # os.link is the CAS: atomic on POSIX, fails iff the destination
+            # exists, and publishes the COMPLETE file (an O_EXCL create +
+            # write would expose partially-written JSON to a concurrent
+            # reader rolling forward past the hint).
+            os.link(tmp, self._version_path(new_v))
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.remove(tmp)
+        hint_tmp = self._hint_path + f".{uuid.uuid4().hex}.tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(hint_tmp, self._hint_path)
+        self._version_cache.pop(new_v, None)
+        return True
 
     # -- scan planning (spec: snapshot -> manifest list -> manifests) ------
 
@@ -395,6 +429,12 @@ class IcebergTable(SnapshotTable):
 
     def _load(self) -> dict:
         v, meta = self._read_metadata()
+        # Commit lineage: _commit CASes against the version this state was
+        # READ from, not a re-read — the _load->_commit window is exactly
+        # what the optimistic protocol must detect. (One table instance is
+        # one writer; concurrent writers use separate instances, as with a
+        # real catalog's per-commit table handles.)
+        self._base_version = v
         if v not in self._version_cache:
             snaps = []
             for s in meta.get("snapshots", []):
@@ -429,16 +469,13 @@ class IcebergTable(SnapshotTable):
 
     def set_property(self, key: str, value: str) -> None:
         """Property change = a new metadata.json version (no snapshot)."""
-        v, meta = self._read_metadata()
-        meta.setdefault("properties", {})[key] = value
-        meta["last-updated-ms"] = int(time.time() * 1000)
-        new_v = v + 1
-        with open(self._version_path(new_v), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = self._hint_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._hint_path)
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            meta.setdefault("properties", {})[key] = value
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            if self._cas_write_version(v, meta):
+                return
+        raise CommitConflict(f"set_property({key}) lost the commit race {MAX_COMMIT_RETRIES} times")
 
     # -- commit (one new metadata version per operation) -------------------
 
@@ -553,8 +590,16 @@ class IcebergTable(SnapshotTable):
             "deleted_rows_count": 0,
         }
 
-    def _commit(self, d: dict) -> None:
-        v, meta = self._read_metadata()
+    def _commit(self, d: dict) -> bool:
+        # Translate the logical state `d` (built from the metadata version
+        # _load read) back onto THAT version's Iceberg metadata, and CAS the
+        # result in. A concurrent commit in the _load->here window makes the
+        # CAS fail; the caller's retry loop re-loads and rebases.
+        v = getattr(self, "_base_version", None)
+        if v is None:
+            v = self.current_version()
+        with open(self._version_path(v)) as f:
+            meta = json.load(f)
         known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
         now_ms = int(time.time() * 1000)
 
@@ -638,14 +683,7 @@ class IcebergTable(SnapshotTable):
         meta.setdefault("metadata-log", []).append(
             {"timestamp-ms": now_ms, "metadata-file": self._version_path(v)}
         )
-        new_v = v + 1
-        with open(self._version_path(new_v), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = self._hint_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._hint_path)  # atomic version swap (HadoopCatalog)
-        self._version_cache.pop(new_v, None)
+        return self._cas_write_version(v, meta)
 
     def plan_files(self, conds: list[tuple[str, str, Any]]) -> list[str]:
         """Manifest-level file skipping: keep only live files whose
@@ -806,10 +844,11 @@ class IcebergTable(SnapshotTable):
         files = candidates if candidates is not None else self.current_files()
         if not files:
             return 0, 0
+        base_dels = self.current_delete_files()
         # scan only metadata-pruned candidates, with existing deletes applied
         # so already-deleted rows are not re-counted or re-written
         matched = (
-            self._scan_with_pos(spark, files, self.current_delete_files())
+            self._scan_with_pos(spark, files, base_dels)
             .filter(match)
             .select(F.col("__path").alias("file_path"), F.col("__pos").alias("pos"))
         )
@@ -817,9 +856,9 @@ class IcebergTable(SnapshotTable):
         if not n:
             return 0, 0
         new_dels = self._write_position_deletes(matched)
-        self._append_snapshot(
-            self.current_files(), "delete",
-            delete_files=self.current_delete_files() + new_dels,
+        self._commit_delta(
+            "delete", added=[], removed=[],
+            delete_files=base_dels + new_dels, base_delete_files=base_dels,
         )
         return n, 0  # zero data files rewritten — the point of merge-on-read
 
@@ -834,7 +873,8 @@ class IcebergTable(SnapshotTable):
         files = candidates if candidates is not None else self.current_files()
         if not files:
             return 0, 0
-        hit = self._scan_with_pos(spark, files, self.current_delete_files()).filter(match)
+        base_dels = self.current_delete_files()
+        hit = self._scan_with_pos(spark, files, base_dels).filter(match)
         hit.cache()
         try:
             n = hit.count()
@@ -860,9 +900,9 @@ class IcebergTable(SnapshotTable):
             new_data = self._write_files(updated)
         finally:
             hit.unpersist()
-        self._append_snapshot(
-            self.current_files() + new_data, "update",
-            delete_files=self.current_delete_files() + new_dels,
+        self._commit_delta(
+            "update", added=new_data, removed=[],
+            delete_files=base_dels + new_dels, base_delete_files=base_dels,
         )
         return n, 0
 
@@ -957,7 +997,12 @@ class IcebergTable(SnapshotTable):
         # snapshot carries no delete files at all
         df = self._read_files(spark, files, deletes=deletes).coalesce(int(target_files))
         new = self._write_files(df)
-        self._append_snapshot(new, "replace", delete_files=[])
+        # Delta commit: a concurrent append's files survive the compaction
+        # (only the files this rewrite READ are replaced); a concurrent
+        # rewrite of one of them, or new positional deletes, conflict.
+        self._commit_delta(
+            "replace", added=new, removed=files, delete_files=[], base_delete_files=deletes
+        )
         return len(files), len(new)
 
     def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
@@ -966,36 +1011,38 @@ class IcebergTable(SnapshotTable):
         maintenance). Bounds metadata growth and reclaims storage; time
         travel remains for the kept window. -> (snapshots_removed,
         data_files_deleted)"""
-        v, meta = self._read_metadata()
-        snaps = meta.get("snapshots", [])
-        if keep_last < 1 or len(snaps) <= keep_last:
-            return 0, 0
-        dropped, kept = snaps[:-keep_last], snaps[-keep_last:]
-        live: set[str] = set()
-        for s in kept:
-            live.update(self._live_files(s["manifest-list"]))
-        dead: set[str] = set()
-        for s in dropped:
-            dead.update(f for f in self._live_files(s["manifest-list"]) if f not in live)
-        for f in dead:
-            if os.path.exists(f):
-                os.remove(f)
-        for s in dropped:
-            if os.path.exists(s["manifest-list"]):
-                os.remove(s["manifest-list"])
-        meta["snapshots"] = kept
-        keep_ids = {s["snapshot-id"] for s in kept}
-        meta["snapshot-log"] = [h for h in meta.get("snapshot-log", []) if h["snapshot-id"] in keep_ids]
-        meta["last-updated-ms"] = int(time.time() * 1000)
-        new_v = v + 1
-        with open(self._version_path(new_v), "w") as f:
-            json.dump(meta, f, indent=1)
-        tmp = self._hint_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._hint_path)
-        self._version_cache.clear()
-        return len(dropped), len(dead)
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            snaps = meta.get("snapshots", [])
+            if keep_last < 1 or len(snaps) <= keep_last:
+                return 0, 0
+            dropped, kept = snaps[:-keep_last], snaps[-keep_last:]
+            live: set[str] = set()
+            for s in kept:
+                live.update(self._live_files(s["manifest-list"]))
+            dead: set[str] = set()
+            for s in dropped:
+                dead.update(f for f in self._live_files(s["manifest-list"]) if f not in live)
+            meta["snapshots"] = kept
+            keep_ids = {s["snapshot-id"] for s in kept}
+            meta["snapshot-log"] = [
+                h for h in meta.get("snapshot-log", []) if h["snapshot-id"] in keep_ids
+            ]
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            # Commit the expiry FIRST, physically delete after: under a race
+            # the loser must not have removed files a concurrent commit's
+            # snapshot still references.
+            if not self._cas_write_version(v, meta):
+                continue
+            for f in dead:
+                if os.path.exists(f):
+                    os.remove(f)
+            for s in dropped:
+                if os.path.exists(s["manifest-list"]):
+                    os.remove(s["manifest-list"])
+            self._version_cache.clear()
+            return len(dropped), len(dead)
+        raise CommitConflict(f"expire_snapshots lost the commit race {MAX_COMMIT_RETRIES} times")
 
     # -- lifecycle ---------------------------------------------------------
 

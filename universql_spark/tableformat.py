@@ -25,9 +25,14 @@ exactly what Iceberg's copy-on-write write mode does. At 100 TB the
 (filter pushdown cuts the scan), and the rewrite touches as many bytes as
 the matched files hold — independent of table size.
 
-Concurrency note: single-writer per table (metadata.json swap is
-last-writer-wins). Iceberg's optimistic-commit protocol would layer a
-compare-and-swap on top; out of scope for this engine.
+Concurrency: commits are DELTA-based (added/removed files) and go through
+an optimistic retry loop. The base format's `_commit` is single-writer
+(metadata.json swap, always succeeds); IcebergTable overrides it with the
+HadoopCatalog compare-and-swap (exclusive creation of the next
+vN.metadata.json — the loser's create fails and the operation REBASES:
+appends re-apply on the winner's snapshot, rewrites re-validate that every
+file they rewrote is still live and raise CommitConflict if not — Iceberg's
+snapshot-isolation validation).
 """
 
 from __future__ import annotations
@@ -40,6 +45,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: a concurrent commit invalidated this
+    operation (a file it rewrote is no longer live) or the commit lost the
+    version race more times than MAX_COMMIT_RETRIES."""
+
+
+MAX_COMMIT_RETRIES = 10
 
 
 class SnapshotTable:
@@ -56,11 +70,15 @@ class SnapshotTable:
         with open(self._meta_path) as f:
             return json.load(f)
 
-    def _commit(self, meta: dict) -> None:
+    def _commit(self, meta: dict) -> bool:
+        """Persist metadata. Returns False when the commit lost an
+        optimistic-concurrency race (the caller re-loads and retries); the
+        base format is single-writer and always wins."""
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self._meta_path)  # atomic snapshot swap
+        return True
 
     def snapshots(self) -> list[dict]:
         return self._load()["snapshots"]
@@ -96,9 +114,12 @@ class SnapshotTable:
         return self._load().get("properties", {}).get(key, default)
 
     def set_property(self, key: str, value: str) -> None:
-        meta = self._load()
-        meta.setdefault("properties", {})[key] = value
-        self._commit(meta)
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            meta.setdefault("properties", {})[key] = value
+            if self._commit(meta):
+                return
+        raise CommitConflict(f"set_property({key}) lost the commit race {MAX_COMMIT_RETRIES} times")
 
     def files_at(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> list[str]:
         snaps = self.snapshots()
@@ -178,9 +199,12 @@ class SnapshotTable:
     def add_column(self, col: str, sql_type: str) -> None:
         """Schema evolution as a METADATA operation: no file is rewritten;
         readers surface the column as NULL for pre-evolution files."""
-        meta = self._load()
-        meta.setdefault("added_columns", []).append([col, sql_type])
-        self._commit(meta)
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            meta.setdefault("added_columns", []).append([col, sql_type])
+            if self._commit(meta):
+                return
+        raise CommitConflict(f"add_column({col}) lost the commit race {MAX_COMMIT_RETRIES} times")
 
     def truncate(self) -> int:
         """New empty snapshot; history (and time travel) keeps the data."""
@@ -189,26 +213,87 @@ class SnapshotTable:
     def _append_snapshot(
         self, files: list[str], operation: str, delete_files: list[str] | None = None
     ) -> int:
-        """`delete_files=None` inherits the previous snapshot's positional
+        """Commit an ABSOLUTE file list (create/truncate semantics: the new
+        snapshot is exactly `files`, regardless of concurrent commits).
+        `delete_files=None` inherits the previous snapshot's positional
         deletes (appends and copy-on-write rewrites leave them applicable:
         they target exact file paths, and a rewritten file gets a NEW path,
         so stale entries can never match resurrected rows)."""
-        meta = self._load()
-        snaps = meta["snapshots"]
-        sid = snaps[-1]["id"] + 1 if snaps else 1
-        if delete_files is None:
-            delete_files = snaps[-1].get("delete_files", []) if snaps else []
-        snap = {
-            "id": sid,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "files": files,
-        }
-        if delete_files:
-            snap["delete_files"] = delete_files
-        snaps.append(snap)
-        self._commit(meta)
-        return sid
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            snaps = meta["snapshots"]
+            sid = snaps[-1]["id"] + 1 if snaps else 1
+            dfiles = delete_files
+            if dfiles is None:
+                dfiles = snaps[-1].get("delete_files", []) if snaps else []
+            snap = {
+                "id": sid,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "files": files,
+            }
+            if dfiles:
+                snap["delete_files"] = dfiles
+            snaps.append(snap)
+            if self._commit(meta):
+                return sid
+        raise CommitConflict(f"{operation} lost the commit race {MAX_COMMIT_RETRIES} times")
+
+    def _commit_delta(
+        self,
+        operation: str,
+        added: list[str],
+        removed: list[str],
+        delete_files: list[str] | None = None,
+        base_delete_files: list[str] | None = None,
+    ) -> int:
+        """Optimistic DELTA commit: the new snapshot is
+        (current live files - removed) + added, recomputed against the
+        LATEST committed snapshot on every attempt.
+
+        - Pure appends (removed == []) rebase automatically onto whatever a
+          concurrent writer committed — no lost updates, like Iceberg's
+          fast-append.
+        - Rewrites validate that every file they replace is STILL live; a
+          file concurrently rewritten or deleted raises CommitConflict
+          (Iceberg's copy-on-write validation under snapshot isolation).
+        - Overriding `delete_files` (e.g. compaction clearing positional
+          deletes) additionally requires the delete-file set to be unchanged
+          since the operation read it (`base_delete_files`); a concurrent
+          merge-on-read DELETE otherwise silently loses its tombstones.
+        """
+        removed_set = set(removed)
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            snaps = meta["snapshots"]
+            current = snaps[-1]["files"] if snaps else []
+            missing = removed_set - set(current)
+            if missing:
+                raise CommitConflict(
+                    f"{operation}: {len(missing)} file(s) this operation rewrote were "
+                    f"removed by a concurrent commit (e.g. {sorted(missing)[0]})"
+                )
+            cur_deletes = snaps[-1].get("delete_files", []) if snaps else []
+            if delete_files is not None and base_delete_files is not None and sorted(
+                cur_deletes
+            ) != sorted(base_delete_files):
+                raise CommitConflict(
+                    f"{operation}: positional-delete files changed under the operation"
+                )
+            sid = snaps[-1]["id"] + 1 if snaps else 1
+            snap = {
+                "id": sid,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "files": [f for f in current if f not in removed_set] + added,
+            }
+            dfiles = cur_deletes if delete_files is None else delete_files
+            if dfiles:
+                snap["delete_files"] = dfiles
+            snaps.append(snap)
+            if self._commit(meta):
+                return sid
+        raise CommitConflict(f"{operation} lost the commit race {MAX_COMMIT_RETRIES} times")
 
     # -- operations --------------------------------------------------------
 
@@ -228,7 +313,7 @@ class SnapshotTable:
 
     def append(self, df: DataFrame) -> int:
         new = self._write_files(df)
-        return self._append_snapshot(self.current_files() + new, "append")
+        return self._commit_delta("append", added=new, removed=[])
 
     def _tagged_read(self, spark: SparkSession) -> DataFrame:
         """Current-snapshot read with a `__file` column naming each row's
@@ -274,8 +359,7 @@ class SnapshotTable:
         n_del = sub.filter(match).count()
         survivors = sub.filter(~match)
         new = self._write_files(survivors) if survivors.limit(1).count() else []
-        keep = [f for f in self.current_files() if f not in set(affected)]
-        self._append_snapshot(keep + new, "delete")
+        self._commit_delta("delete", added=new, removed=affected)
         return n_del, len(affected)
 
     def update_where(
@@ -300,8 +384,7 @@ class SnapshotTable:
             ]
         )
         new = self._write_files(out)
-        keep = [f for f in self.current_files() if f not in set(affected)]
-        self._append_snapshot(keep + new, "update")
+        self._commit_delta("update", added=new, removed=affected)
         return n_upd, len(affected)
 
     def merge_apply(
@@ -328,18 +411,16 @@ class SnapshotTable:
             }
         )
         new: list[str] = []
-        keep = self.current_files()
         if affected:
             sub = self._read_files(spark, affected).alias(t_alias)
             untouched = sub.join(source, cond, "left_anti").select(*self.read(spark).columns)
             rewritten = untouched.unionByName(matched_result(sub))
             new += self._write_files(rewritten)
-            keep = [f for f in keep if f not in set(affected)]
         n_ins = 0
         if inserts is not None:
             n_ins = inserts.count()
             if n_ins:
                 new += self._write_files(inserts)
-        self._append_snapshot(keep + new, "merge")
+        self._commit_delta("merge", added=new, removed=affected)
         return n_ins, len(affected)
 
