@@ -853,13 +853,30 @@ def test_flatten_path_navigates_struct(engine):
     assert sorted(r["el"] for r in out.to_pylist()) == [1, 2]
 
 
-def test_flatten_recursive_fails_loud(engine):
-    import pytest as _pytest
-    with _pytest.raises(Exception, match="RECURSIVE"):
-        engine.execute(
-            "SELECT f.value FROM (SELECT ARRAY_CONSTRUCT(1) AS a) t, "
-            "LATERAL FLATTEN(input => t.a, recursive => true) f"
-        )
+def test_flatten_recursive_expands_all_depths(engine):
+    """RECURSIVE => TRUE walks nested arrays/objects at every depth via the
+    flatten_recursive UDTF (operators/flatten.py); VALUE is compact JSON."""
+    out = engine.execute(
+        'SELECT f.path AS p, f.idx AS i, f.key AS k, f.value AS v FROM '
+        '(SELECT PARSE_JSON(\'{"a": [1, {"b": 2}]}\') AS doc) t, '
+        "LATERAL FLATTEN(input => t.doc, recursive => true) f ORDER BY p"
+    )
+    assert out.to_pylist() == [
+        {"p": "a", "i": None, "k": "a", "v": '[1,{"b":2}]'},
+        {"p": "a[0]", "i": 0, "k": None, "v": "1"},
+        {"p": "a[1]", "i": 1, "k": None, "v": '{"b":2}'},
+        {"p": "a[1].b", "i": None, "k": "b", "v": "2"},
+    ]
+
+
+def test_flatten_recursive_outer_keeps_empty_docs(engine):
+    out = engine.execute(
+        "SELECT t.id, f.path AS p FROM "
+        "(SELECT 1 AS id, PARSE_JSON('{\"x\": 5}') AS doc "
+        " UNION ALL SELECT 2, PARSE_JSON('{}')) t, "
+        "LATERAL FLATTEN(input => t.doc, recursive => true, outer => true) f ORDER BY id"
+    )
+    assert out.to_pylist() == [{"id": 1, "p": "x"}, {"id": 2, "p": None}]
 
 
 def test_avro_snappy_and_deflate_codecs(engine, tmp_path):

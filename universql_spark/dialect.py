@@ -319,11 +319,12 @@ _NOT_ALIAS_KWS = {
 }
 
 
-def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool]:
-    """FLATTEN's kwargs -> (input expr, path or None, outer).
+def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool, bool]:
+    """FLATTEN's kwargs -> (input expr, path or None, outer, recursive).
     MODE => 'ARRAY'/'BOTH' is accepted (arrays are the only thing explode
-    flattens here); RECURSIVE => TRUE has no Spark equivalent: fail loud."""
-    input_expr, path, outer = None, None, False
+    flattens here); RECURSIVE => TRUE routes to the flatten_recursive UDTF
+    (operators/flatten.py)."""
+    input_expr, path, outer, recursive = None, None, False, False
     for arg in _split_top_args(inner):
         m = re.match(r"(?is)\s*(INPUT|PATH|OUTER|MODE|RECURSIVE)\s*=>\s*(.*)", arg)
         if not m:
@@ -336,11 +337,11 @@ def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool]:
             path = val.strip("'\"")
         elif key == "OUTER":
             outer = val.upper() == "TRUE"
-        elif key == "RECURSIVE" and val.upper() == "TRUE":
-            raise ValueError("FLATTEN(RECURSIVE => TRUE) is not supported")
+        elif key == "RECURSIVE":
+            recursive = val.upper() == "TRUE"
     if input_expr is None:
         raise ValueError(f"FLATTEN without an input argument: {inner[:80]}")
-    return input_expr, path, outer
+    return input_expr, path, outer, recursive
 
 
 def rewrite_flatten(sql: str) -> str:
@@ -362,7 +363,7 @@ def rewrite_flatten(sql: str) -> str:
             break
         open_idx = m.end() - 1
         close = _match_paren(sql, open_idx)
-        input_expr, path, outer = _parse_flatten_args(sql[open_idx + 1 : close].strip())
+        input_expr, path, outer, recursive = _parse_flatten_args(sql[open_idx + 1 : close].strip())
         if path:
             nav = "".join(f"['{p}']" for p in path.split("."))
             input_expr = f"({input_expr}){nav}"
@@ -370,9 +371,15 @@ def rewrite_flatten(sql: str) -> str:
         am = _FLATTEN_ALIAS_RE.match(sql, close + 1)
         if am and am.group(1).upper() not in _NOT_ALIAS_KWS:
             alias, j = am.group(1), am.end()
-        fn = "explode_outer" if outer else "explode"
         out.append(sql[i : m.start()])
-        out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS value")
+        if recursive:
+            # Lateral-correlated Python UDTF (operators/flatten.py) — emits
+            # (key, path, idx, value) for every element at every depth.
+            fn = "flatten_recursive_outer" if outer else "flatten_recursive"
+            out.append(f", LATERAL {fn}({input_expr}) {alias}")
+        else:
+            fn = "explode_outer" if outer else "explode"
+            out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS value")
         i = j
     return "".join(out)
 

@@ -123,6 +123,13 @@ class Engine:
             self.spark.udf.register("current_warehouse", lambda: "x-spark")
         except Exception:
             pass
+        try:
+            # FLATTEN(RECURSIVE => TRUE) rewrites to these UDTFs
+            from universql_spark.operators.flatten import register_udtfs  # noqa: PLC0415
+
+            register_udtfs(self.spark)
+        except Exception:
+            pass
 
     # -- public API --------------------------------------------------------
 

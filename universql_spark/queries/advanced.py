@@ -214,3 +214,67 @@ def adv_variant_colon_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM events GROUP BY event_type ORDER BY etype"
         )
     )
+
+
+_FLATTEN_REC_ORACLE = """WITH RECURSIVE src AS (
+  SELECT n_nationkey AS id,
+         '{"name": "' || n_name || '", "tags": [' || n_nationkey || ', {"r": ' || n_regionkey || '}]}' AS doc
+  FROM nation
+),
+walk(id, key, path, idx, value) AS (
+    SELECT s.id, c.kv.key, c.kv.path, c.kv.idx, c.kv.value
+    FROM src s, LATERAL (
+      SELECT unnest(list_transform(json_keys(s.doc::JSON), k ->
+        struct_pack(key := k, path := k, idx := NULL::BIGINT,
+                    value := CAST(json_extract(s.doc::JSON, '$."' || k || '"') AS VARCHAR)))) AS kv
+    ) c
+  UNION ALL
+    SELECT w.id, c.kv.key, c.kv.path, c.kv.idx, c.kv.value
+    FROM walk w, LATERAL (
+      SELECT unnest(
+        CASE WHEN json_type(w.value::JSON) = 'OBJECT' THEN
+          list_transform(json_keys(w.value::JSON), k ->
+            struct_pack(key := k, path := w.path || '.' || k, idx := NULL::BIGINT,
+                        value := CAST(json_extract(w.value::JSON, '$."' || k || '"') AS VARCHAR)))
+        WHEN json_type(w.value::JSON) = 'ARRAY' THEN
+          list_transform(range(CAST(json_array_length(w.value::JSON) AS BIGINT)), i ->
+            struct_pack(key := NULL::VARCHAR, path := w.path || '[' || i || ']', idx := i,
+                        value := CAST(json_extract(w.value::JSON, '$[' || i || ']') AS VARCHAR)))
+        ELSE [] END) AS kv
+    ) c
+)
+SELECT id, key, path, idx, value FROM walk"""
+
+
+@register("adv_flatten_recursive", _FLATTEN_REC_ORACLE, category="variant")
+def adv_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake FLATTEN(RECURSIVE => TRUE): every element at every depth of
+    a nested VARIANT document, as (key, path, idx, value) rows.
+
+    Spark side: the flatten_recursive Python UDTF (operators/flatten.py) in
+    a lateral correlation — the same plan shape the dialect layer emits for
+    `, LATERAL FLATTEN(INPUT => doc, RECURSIVE => TRUE) f`. The oracle is a
+    DuckDB recursive CTE walking the identical document with
+    json_keys/json_extract; VALUE compares byte-identical because both
+    sides emit compact JSON text.
+
+    The documents are constructed from nation columns (fixture VARIANTs are
+    flat, so the nesting — object > array > object — is synthesized
+    deterministically on both engines).
+    """
+    from universql_spark.operators.flatten import register_udtfs
+
+    register_udtfs(spark)
+    src = spark.table("nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.concat(
+            F.lit('{"name": "'), F.col("n_name"),
+            F.lit('", "tags": ['), F.col("n_nationkey").cast("string"),
+            F.lit(', {"r": '), F.col("n_regionkey").cast("string"), F.lit("}]}"),
+        ).alias("doc"),
+    )
+    src.createOrReplaceTempView("_flatten_rec_src")
+    return spark.sql(
+        "SELECT id, f.key AS key, f.path AS path, f.idx AS idx, f.value AS value "
+        "FROM _flatten_rec_src, LATERAL flatten_recursive(doc) f"
+    )
