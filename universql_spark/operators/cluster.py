@@ -38,17 +38,17 @@ def _assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str) -> Da
     return corpus.withColumn("cluster", best_c).withColumn("dist2", best_d)
 
 
-def kmeans(
+def train_centroids(
     corpus: DataFrame,
     k: int = 10,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[float]]:
-    """-> (assignments DataFrame(id, cluster, dist2), inertia history).
-
-    Empty clusters keep their previous centroid (standard Lloyd fallback).
-    """
+) -> tuple[list[list[float]], list[float], DataFrame]:
+    """Lloyd iterations -> (final centroids, inertia history, last
+    pre-update assignment). Deterministic init (k lowest-id vectors); empty
+    clusters keep their previous centroid (standard fallback). Also the
+    coarse-quantizer trainer for the IVF ANN index (similarity.ivf_topk)."""
     dim = len(corpus.select(vec_col).first()[0])
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
@@ -67,5 +67,17 @@ def kmeans(
             [rows[ci][f"s{d}"] / rows[ci]["n"] for d in range(dim)] if ci in rows else centroids[ci]
             for ci in range(k)
         ]
+    return centroids, inertia_hist, assigned
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """-> (assignments DataFrame(id, cluster, dist2), inertia history)."""
+    _centroids, inertia_hist, assigned = train_centroids(corpus, k, iters, id_col, vec_col)
     out = assigned.select(F.col(id_col).alias("id"), "cluster", F.round("dist2", 4).alias("dist2"))
     return out.orderBy("id"), inertia_hist

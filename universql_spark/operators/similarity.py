@@ -273,3 +273,82 @@ def lsh_bucketed_pairs(
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+
+def _probe_clusters(
+    queries: DataFrame, centroids: list[list[float]], n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(q_id, q_vec, q_nrm, cluster) — each query exploded to its n_probe
+    NEAREST coarse cells (array_sort over (dist2, cell) structs; ties break
+    on cell id, so probing is deterministic)."""
+    from universql_spark.operators.cluster import _dist2  # noqa: PLC0415
+
+    v = _as_double(F.col(vec_col))
+    cells = F.array(
+        *[
+            F.struct(_dist2(v, c).alias("d"), F.lit(ci).alias("c"))
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    nearest = F.slice(F.array_sort(cells), 1, n_probe)
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        v.alias("q_vec"),
+        norm(v).alias("q_nrm"),
+        F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means cells are the inverted lists; queries probe only
+    their n_probe nearest cells and score exactly within them.
+
+    Scale shape (the reason IVF exists at 100 TB):
+    - index build = the k-means loop (driver sees only the k x dim centroid
+      matrix) + ONE narrow assignment pass over the corpus — no shuffle;
+      in production the assignment is written once (partitioned/clustered
+      BY cell) and reused across query batches, like any index.
+    - query = broadcast the (tiny) probe list, equi-join on the cell id:
+      the exact scoring touches ~n_probe/n_cells of the corpus instead of
+      all of it, and the join is the only exchange.
+    - n_probe == n_cells degenerates to exact brute force (every cell is
+      searched) — which is what lets the ann_ivf_topk spec share the exact
+      oracle while the pruned path is covered by a recall test.
+
+    Same scoring/tiebreak conventions as brute_force_topk (round-4 cosine,
+    id tiebreaks), so full-probe results are value-identical to it.
+    """
+    from universql_spark.operators.cluster import _assign, train_centroids  # noqa: PLC0415
+
+    centroids, _hist, _ = train_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = _as_double(F.col(vec_col))
+    index = _assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("n_id"), v.alias("n_vec"), norm(v).alias("n_nrm"), "cluster"
+    )
+    probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
+    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    scored = (
+        index.join(F.broadcast(probes), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )

@@ -262,6 +262,29 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "ann_ivf_topk",
+    f"""WITH {_DUCK_COS_CTE}
+SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_DUCK_COS_AB}, 4) AS cos,
+       CAST(row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY round({_DUCK_COS_AB}, 4) DESC, b.vec_id) AS INT) AS rank
+FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+QUALIFY rank <= 5
+ORDER BY q_id, rank""",
+    category="similarity",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists + nearest-cell probing,
+    similarity.ivf_topk) run at FULL probe width, where IVF degenerates to
+    exact search — so the whole index-build/probe/score pipeline is
+    value-checked against the exact-cosine oracle. The pruned path
+    (n_probe < n_cells, the actual 100 TB configuration) is covered by the
+    recall floor in tests/test_operators.py."""
+    emb = spark.table("embeddings")
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @register("ann_lsh_buckets", None, category="similarity")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN index-build step).
