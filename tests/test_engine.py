@@ -953,3 +953,39 @@ def test_iceberg_metadata_tables(engine):
     ).to_pylist()
     assert len(mf) == 1 and mf[0]["partition_spec_id"] == 0
     engine.execute("DROP TABLE ice_md")
+
+
+def test_dynamic_table_create_and_manual_refresh(engine):
+    """CREATE DYNAMIC TABLE materializes its defining query; ALTER ...
+    REFRESH re-materializes as a `replace` snapshot (history kept)."""
+    engine.execute(
+        "CREATE OR REPLACE TABLE dyn_base AS SELECT 1 AS id UNION ALL SELECT 2;"
+        "CREATE OR REPLACE DYNAMIC TABLE dyn_t TARGET_LAG = '1 hour' WAREHOUSE = compute_xs "
+        "AS SELECT COUNT(*) AS n FROM dyn_base"
+    )
+    assert engine.execute("SELECT n FROM dyn_t").to_pylist() == [{"n": 2}]
+    # base grows; within the 1-hour lag the materialization may stay stale
+    engine.execute("INSERT INTO dyn_base SELECT 3")
+    assert engine.execute("SELECT n FROM dyn_t").to_pylist() == [{"n": 2}]
+    engine.execute("ALTER DYNAMIC TABLE dyn_t REFRESH")
+    assert engine.execute("SELECT n FROM dyn_t").to_pylist() == [{"n": 3}]
+    snaps = engine.execute("SELECT operation FROM dyn_t$snapshots ORDER BY snapshot_id")
+    assert [r["operation"] for r in snaps.to_pylist()] == ["append", "replace"]
+    # time travel reads the pre-refresh materialization
+    assert engine.execute(
+        "SELECT n FROM dyn_t AT(SNAPSHOT => 1)"
+    ).to_pylist() == [{"n": 2}]
+
+
+def test_dynamic_table_auto_refresh_past_lag(engine):
+    """A read of a dynamic table older than TARGET_LAG triggers the refresh
+    before the read — the lag contract without a scheduler."""
+    engine.execute(
+        "CREATE OR REPLACE TABLE dyn_base2 AS SELECT 10 AS v;"
+        "CREATE OR REPLACE DYNAMIC TABLE dyn_auto TARGET_LAG = '0 seconds' "
+        "AS SELECT CAST(SUM(v) AS BIGINT) AS total FROM dyn_base2"
+    )
+    engine.execute("INSERT INTO dyn_base2 SELECT 5")
+    import time as _t
+    _t.sleep(0.01)  # ensure now - last_refresh > 0s
+    assert engine.execute("SELECT total FROM dyn_auto").to_pylist() == [{"total": 15}]

@@ -60,6 +60,23 @@ _CTAS_RE = re.compile(
     r"(?:(?:PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
     re.I | re.S,
 )
+#: CREATE DYNAMIC [ICEBERG] TABLE t TARGET_LAG = '1 hour' WAREHOUSE = w AS …
+#: (reference README.md:225-237 tells users to create these for replicating
+#: native tables; here they are first-class: Iceberg-backed materializations
+#: that re-run their defining query when older than TARGET_LAG)
+_DYNAMIC_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?DYNAMIC\s+(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
+    r"(.*?)\bAS\s+(.*)$",
+    re.I | re.S,
+)
+_TARGET_LAG_RE = re.compile(r"\bTARGET_LAG\s*=\s*(?:'([^']*)'|(DOWNSTREAM))", re.I)
+_DYN_REFRESH_RE = re.compile(
+    r"^\s*ALTER\s+DYNAMIC\s+TABLE\s+([\w.\"]+)\s+REFRESH\s*$", re.I
+)
+_LAG_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
 #: `t AT(SNAPSHOT => 3)` / `t AT(TIMESTAMP => '...')` time travel on
 #: snapshot tables (Snowflake's AT clause over the Iceberg-like format)
 _AT_RE = re.compile(
@@ -110,6 +127,8 @@ class Engine:
         self.qualified_tables: set[tuple[str, str, str]] = set()
         #: SQL text -> analyzed DataFrame (prepared-statement cache)
         self._prepared: dict[str, DataFrame] = {}
+        #: dynamic tables currently mid-refresh (re-entrancy guard)
+        self._refreshing: set[str] = set()
         #: CREATE ICEBERG TABLE targets -> SnapshotTable (tableformat.py):
         #: snapshot manifests + file-granular copy-on-write DML + time travel
         self.snap_tables: dict[str, "object"] = {}
@@ -228,6 +247,13 @@ class Engine:
             if _CREATE_DB_RE.match(stmt):
                 self.spark.sql(snowflake_to_spark(stmt))
                 return _status("ok")
+            dyn = _DYNAMIC_RE.match(stmt)
+            if dyn:
+                return self._create_dynamic(dyn)
+            rm = _DYN_REFRESH_RE.match(stmt)
+            if rm and bare_name(rm.group(1)) in self.snap_tables:
+                self._refresh_dynamic(bare_name(rm.group(1)))
+                return _status(f"refreshed dynamic table {bare_name(rm.group(1))}")
             ctas = _CTAS_RE.match(stmt)
             if ctas:
                 return self._ctas(ctas)
@@ -374,12 +400,75 @@ class Engine:
     # -- handlers ------------------------------------------------------------
 
     def _run_select(self, stmt: str) -> DataFrame:
+        self._refresh_stale_dynamic(stmt)
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
         return self.spark.sql(snowflake_to_spark(stmt))
+
+    # -- dynamic tables (reference README.md:225-237) -----------------------
+
+    def _create_dynamic(self, m: re.Match) -> pa.Table:
+        """CREATE DYNAMIC [ICEBERG] TABLE: materialize the defining query
+        into an Iceberg table and record (query, target lag, refresh time)
+        as table properties, so the schedule survives the session. Refresh
+        is a `replace` snapshot — time travel covers every materialization."""
+        from universql_spark.iceberg_format import IcebergTable  # noqa: PLC0415
+
+        replace, name, opts, select = (
+            bool(m.group(1)), m.group(2).strip('"'), m.group(3) or "", m.group(4).strip()
+        )
+        lag_s = -1  # DOWNSTREAM / unspecified: manual refresh only
+        lm = _TARGET_LAG_RE.search(opts)
+        if lm and lm.group(1):
+            qty, _, unit = lm.group(1).strip().partition(" ")
+            try:
+                lag_s = int(qty) * _LAG_UNITS[unit.strip().lower()]
+            except (KeyError, ValueError) as e:
+                raise QueryError(f"unparseable TARGET_LAG {lm.group(1)!r}") from e
+        bn = bare_name(name)
+        df = self._run_select(select)
+        snap = IcebergTable.create(self._snap_root(name), df, replace=replace)
+        snap.set_property("universql-spark.dynamic.query", select)
+        snap.set_property("universql-spark.dynamic.target-lag-seconds", str(lag_s))
+        snap.set_property("universql-spark.dynamic.last-refresh-ms", str(int(time.time() * 1000)))
+        self.snap_tables[bn] = snap
+        self._refresh_snap_view(bn)
+        return _status(f"created dynamic table {name} (target lag {lag_s}s)")
+
+    def _refresh_dynamic(self, bn: str) -> None:
+        """Full refresh: re-run the stored defining query, commit as a
+        `replace` snapshot (Snowflake refreshes incrementally when it can,
+        fully otherwise; full refresh is the always-correct mode)."""
+        snap = self.snap_tables[bn]
+        query = snap.get_property("universql-spark.dynamic.query")
+        if not query:
+            raise QueryError(f"{bn} is not a dynamic table")
+        self._refreshing.add(bn)
+        try:
+            snap.replace_contents(self._run_select(query))
+        finally:
+            self._refreshing.discard(bn)
+        snap.set_property("universql-spark.dynamic.last-refresh-ms", str(int(time.time() * 1000)))
+        self._refresh_snap_view(bn)
+
+    def _refresh_stale_dynamic(self, stmt: str) -> None:
+        """Lag enforcement at read time: any dynamic table referenced by the
+        statement whose materialization is older than TARGET_LAG is refreshed
+        before the read runs (the serverless scheduler's job, folded into the
+        read path — the lag CONTRACT is identical)."""
+        now_ms = int(time.time() * 1000)
+        for bn, snap in list(self.snap_tables.items()):
+            if bn in self._refreshing or not re.search(rf"\b{re.escape(bn)}\b", stmt, re.I):
+                continue
+            lag = snap.get_property("universql-spark.dynamic.target-lag-seconds")
+            if lag is None or int(lag) < 0:
+                continue
+            last = int(snap.get_property("universql-spark.dynamic.last-refresh-ms") or 0)
+            if now_ms - last > int(lag) * 1000:
+                self._refresh_dynamic(bn)
 
     _META_TABLE_RE = re.compile(r"\b([A-Za-z_]\w*)\$(snapshots|files|history|manifests)\b", re.I)
 

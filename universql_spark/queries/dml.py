@@ -323,3 +323,42 @@ def dml_iceberg_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k string, v string",
     )
     return cur.unionByName(orig).unionByName(meta).orderBy("k")
+
+
+_DYNAMIC_ORACLE = """
+WITH refreshed AS (
+  SELECT event_type AS etype, COUNT(*) * 2 AS total FROM events GROUP BY event_type
+  UNION ALL SELECT 'synthetic', CAST(14 AS BIGINT)
+)
+SELECT 'stale:' || etype AS k, CAST(CASE WHEN etype = 'synthetic' THEN NULL ELSE total END AS BIGINT) AS v
+FROM refreshed WHERE etype <> 'synthetic'
+UNION ALL
+SELECT 'fresh:' || etype, total FROM refreshed
+ORDER BY k
+"""
+
+
+@register("dml_dynamic_table", _DYNAMIC_ORACLE, category="dml")
+def dml_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TABLE lifecycle (reference README.md:225-237 tells users to
+    create `DYNAMIC ICEBERG TABLE ... TARGET_LAG`): the materialization
+    serves reads without re-running its query while within TARGET_LAG
+    ('stale:' rows — the base table already changed underneath), and
+    ALTER ... REFRESH re-materializes as a `replace` Iceberg snapshot
+    ('fresh:' rows include the base change)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE dynsrc AS
+          SELECT event_type AS etype, COUNT(*) AS n FROM events GROUP BY event_type;
+        CREATE OR REPLACE DYNAMIC TABLE dynmat TARGET_LAG = '1 hour' WAREHOUSE = compute_xs AS
+          SELECT etype, CAST(n * 2 AS BIGINT) AS total FROM dynsrc;
+        INSERT INTO dynsrc SELECT 'synthetic' AS etype, CAST(7 AS BIGINT) AS n
+        """
+    )
+    stale = eng.execute_df("SELECT 'stale:' || etype AS k, total AS v FROM dynmat")
+    eng.execute("ALTER DYNAMIC TABLE dynmat REFRESH")
+    fresh = eng.execute_df("SELECT 'fresh:' || etype AS k, total AS v FROM dynmat")
+    return stale.unionByName(fresh).orderBy("k")

@@ -315,6 +315,13 @@ class SnapshotTable:
         new = self._write_files(df)
         return self._commit_delta("append", added=new, removed=[])
 
+    def replace_contents(self, df: DataFrame) -> int:
+        """Full-refresh commit: the new snapshot is exactly df (history and
+        time travel keep the old contents) — the materialization step of a
+        dynamic table refresh."""
+        new = self._write_files(df)
+        return self._append_snapshot(new, "replace", delete_files=[])
+
     def _tagged_read(self, spark: SparkSession) -> DataFrame:
         """Current-snapshot read with a `__file` column naming each row's
         source data file. IcebergTable overrides this with a deletes-aware
