@@ -989,3 +989,38 @@ def test_dynamic_table_auto_refresh_past_lag(engine):
     import time as _t
     _t.sleep(0.01)  # ensure now - last_refresh > 0s
     assert engine.execute("SELECT total FROM dyn_auto").to_pylist() == [{"total": 15}]
+
+
+def test_dynamic_table_name_in_string_literal_no_refresh(engine):
+    """A dynamic table's name inside a string literal or comment must not
+    trigger a refresh; the staleness probe matches literal-stripped SQL."""
+    engine.execute(
+        "CREATE OR REPLACE TABLE dyn_base3 AS SELECT 1 AS v;"
+        "CREATE OR REPLACE DYNAMIC TABLE dyn_lit TARGET_LAG = '0 seconds' "
+        "AS SELECT CAST(SUM(v) AS BIGINT) AS total FROM dyn_base3"
+    )
+    engine.execute("INSERT INTO dyn_base3 SELECT 9")
+    import time as _t
+    _t.sleep(0.01)
+    # mentions the name only in a literal and a comment -> stays stale
+    out = engine.execute("SELECT 'dyn_lit' AS s -- dyn_lit\n")
+    assert out.to_pylist() == [{"s": "dyn_lit"}]
+    assert len(engine.snap_tables["dyn_lit"].snapshots()) == 1  # no refresh
+    # a real reference does refresh
+    assert engine.execute("SELECT total FROM dyn_lit").to_pylist() == [{"total": 10}]
+
+
+def test_flatten_cross_join_separator(engine):
+    """CROSS JOIN LATERAL FLATTEN must rewrite to valid Spark for both the
+    explode path and the recursive-UDTF path (the separator is swallowed and
+    re-emitted canonically; ADVICE r2)."""
+    out = engine.execute(
+        "SELECT f.value AS el FROM (SELECT ARRAY_CONSTRUCT(1, 2) AS a) t "
+        "CROSS JOIN LATERAL FLATTEN(input => t.a) f ORDER BY el"
+    )
+    assert [r["el"] for r in out.to_pylist()] == [1, 2]
+    out = engine.execute(
+        "SELECT f.path AS p FROM (SELECT PARSE_JSON('{\"x\": 1}') AS doc) t "
+        "CROSS JOIN LATERAL FLATTEN(input => t.doc, recursive => true) f"
+    )
+    assert [r["p"] for r in out.to_pylist()] == ["x"]

@@ -181,3 +181,37 @@ def test_concurrent_mor_deletes_conflict(spark, tmp_path):
 
     final = IcebergTable(a.root)
     assert _rows(spark, final) == set(range(20)) - {7}
+
+
+def test_mor_delete_conflicts_with_concurrent_compaction(spark, tmp_path):
+    """A merge-on-read DELETE whose scanned data files are compacted away
+    before its tombstone commit must raise CommitConflict (Iceberg's
+    validateDataFilesExist): the new positional deletes reference paths no
+    longer in the snapshot, so committing them would silently resurrect the
+    'deleted' rows. The compaction leaves the delete-file set unchanged
+    (empty), so only data-file liveness can catch this."""
+    a = _mk(spark, tmp_path)
+    a.append(
+        spark.range(100, 110).select(
+            "id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("v")
+        )
+    )
+    a.set_property("write.delete.mode", "merge-on-read")
+    b = IcebergTable(a.root)
+
+    orig_cd = a._commit_delta
+
+    def racy_commit(*args, **kwargs):
+        n_before, n_after = b.compact(spark, target_files=1)
+        assert n_after < n_before  # the race partner really rewrote files
+        return orig_cd(*args, **kwargs)
+
+    a._commit_delta = racy_commit
+    with pytest.raises(CommitConflict):
+        a.delete_where(spark, F.col("id") == 3)
+    a._commit_delta = orig_cd
+
+    # the delete failed LOUDLY: row 3 is still present, compaction intact
+    final = IcebergTable(a.root)
+    assert _rows(spark, final) == set(range(20)) | set(range(100, 110))
+    assert len(final.current_files()) == 1

@@ -310,7 +310,10 @@ def _rewrite_strtok_to_array(sql: str) -> str:
     return _rewrite_calls(sql, "strtok_to_array", rw)
 
 
-_FLATTEN_START_RE = re.compile(r",?\s*\bLATERAL\s+FLATTEN\s*\(", re.I)
+# the separator (`,` or `CROSS JOIN`) is swallowed with the match and
+# re-emitted canonically: `LATERAL VIEW` must not follow `CROSS JOIN`, and
+# the recursive UDTF join must not gain a double separator
+_FLATTEN_START_RE = re.compile(r"(?:,|\bCROSS\s+JOIN\b)?\s*\bLATERAL\s+FLATTEN\s*\(", re.I)
 _FLATTEN_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.I)
 _NOT_ALIAS_KWS = {
     "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "ON", "JOIN",

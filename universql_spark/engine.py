@@ -129,6 +129,10 @@ class Engine:
         self._prepared: dict[str, DataFrame] = {}
         #: dynamic tables currently mid-refresh (re-entrancy guard)
         self._refreshing: set[str] = set()
+        #: bare name -> (target_lag_seconds, last_refresh_ms); -1 lag means
+        #: "not dynamic / manual refresh". In-memory cache so the read-path
+        #: staleness check does not re-read metadata files per SELECT
+        self._dynamic_meta: dict[str, tuple[int, int]] = {}
         #: CREATE ICEBERG TABLE targets -> SnapshotTable (tableformat.py):
         #: snapshot manifests + file-granular copy-on-write DML + time travel
         self.snap_tables: dict[str, "object"] = {}
@@ -147,8 +151,15 @@ class Engine:
             from universql_spark.operators.flatten import register_udtfs  # noqa: PLC0415
 
             register_udtfs(self.spark)
-        except Exception:
-            pass
+        except Exception as e:
+            # Surface the real cause now: a swallowed failure would later
+            # die as an opaque "unresolved function flatten_recursive".
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "flatten_recursive UDTF registration failed; "
+                "FLATTEN(RECURSIVE => TRUE) will not work: %s", e
+            )
 
     # -- public API --------------------------------------------------------
 
@@ -344,6 +355,7 @@ class Engine:
 
                 bn = bare_name(dm.group(1))
                 snap = self.snap_tables.pop(bn)
+                self._dynamic_meta.pop(bn, None)
                 self.spark.catalog.dropTempView(bn)
                 shutil.rmtree(snap.root, ignore_errors=True)
                 return _status(f"dropped iceberg {bn}")
@@ -435,6 +447,7 @@ class Engine:
         snap.set_property("universql-spark.dynamic.target-lag-seconds", str(lag_s))
         snap.set_property("universql-spark.dynamic.last-refresh-ms", str(int(time.time() * 1000)))
         self.snap_tables[bn] = snap
+        self._dynamic_meta[bn] = (lag_s, int(time.time() * 1000))
         self._refresh_snap_view(bn)
         return _status(f"created dynamic table {name} (target lag {lag_s}s)")
 
@@ -451,23 +464,44 @@ class Engine:
             snap.replace_contents(self._run_select(query))
         finally:
             self._refreshing.discard(bn)
-        snap.set_property("universql-spark.dynamic.last-refresh-ms", str(int(time.time() * 1000)))
+        now_ms = int(time.time() * 1000)
+        snap.set_property("universql-spark.dynamic.last-refresh-ms", str(now_ms))
+        lag_s = self._dynamic_meta.get(bn, (None, 0))[0]
+        if lag_s is None:
+            lag_s = int(snap.get_property("universql-spark.dynamic.target-lag-seconds") or -1)
+        self._dynamic_meta[bn] = (lag_s, now_ms)
         self._refresh_snap_view(bn)
+
+    _SQL_LITERAL_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.S)
 
     def _refresh_stale_dynamic(self, stmt: str) -> None:
         """Lag enforcement at read time: any dynamic table referenced by the
         statement whose materialization is older than TARGET_LAG is refreshed
         before the read runs (the serverless scheduler's job, folded into the
-        read path — the lag CONTRACT is identical)."""
+        read path — the lag CONTRACT is identical). Lag/refresh metadata is
+        cached in memory (invalidated on create/drop/refresh), and names are
+        matched against literal-and-comment-stripped SQL, so a table name
+        inside a string literal cannot trigger a refresh and non-dynamic
+        snapshot tables cost zero metadata reads per SELECT."""
         now_ms = int(time.time() * 1000)
+        probe: str | None = None  # stripped lazily, only if a dynamic table exists
         for bn, snap in list(self.snap_tables.items()):
-            if bn in self._refreshing or not re.search(rf"\b{re.escape(bn)}\b", stmt, re.I):
+            if bn in self._refreshing:
                 continue
-            lag = snap.get_property("universql-spark.dynamic.target-lag-seconds")
-            if lag is None or int(lag) < 0:
+            meta = self._dynamic_meta.get(bn)
+            if meta is None:  # first sight (e.g. table adopted from disk)
+                lag = snap.get_property("universql-spark.dynamic.target-lag-seconds")
+                last = int(snap.get_property("universql-spark.dynamic.last-refresh-ms") or 0)
+                meta = (int(lag) if lag is not None else -1, last)
+                self._dynamic_meta[bn] = meta
+            lag_s, last = meta
+            if lag_s < 0:
                 continue
-            last = int(snap.get_property("universql-spark.dynamic.last-refresh-ms") or 0)
-            if now_ms - last > int(lag) * 1000:
+            if probe is None:
+                probe = self._SQL_LITERAL_RE.sub(" ", stmt)
+            if not re.search(rf"\b{re.escape(bn)}\b", probe, re.I):
+                continue
+            if now_ms - last > lag_s * 1000:
                 self._refresh_dynamic(bn)
 
     _META_TABLE_RE = re.compile(r"\b([A-Za-z_]\w*)\$(snapshots|files|history|manifests)\b", re.I)
@@ -666,6 +700,7 @@ class Engine:
                 self._snap_root(name), df, replace=replace, cluster_by=pcols or None
             )
             self.snap_tables[bn] = snap
+            self._dynamic_meta.pop(bn, None)  # CTAS over a dynamic table demotes it
             self._refresh_snap_view(bn)
             return _status(f"created iceberg {name}")
         if temp:

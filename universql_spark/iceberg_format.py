@@ -833,6 +833,19 @@ class IcebergTable(SnapshotTable):
             os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
         )
 
+    @staticmethod
+    def _delete_targets(delete_files: list[str]) -> list[str]:
+        """Distinct data files a set of position-delete files points at —
+        the liveness set a MOR commit must validate (validateDataFilesExist).
+        Read back from the just-written local parquet (metadata-scale; no
+        extra Spark scan)."""
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        targets: set[str] = set()
+        for f in delete_files:
+            targets.update(pq.read_table(f, columns=["file_path"])["file_path"].to_pylist())
+        return sorted(targets)
+
     def delete_where(self, spark, match, cond_str: str | None = None):
         if self._delete_mode() != "merge-on-read":
             return super().delete_where(spark, match, cond_str=cond_str)
@@ -859,6 +872,7 @@ class IcebergTable(SnapshotTable):
         self._commit_delta(
             "delete", added=[], removed=[],
             delete_files=base_dels + new_dels, base_delete_files=base_dels,
+            required_live=self._delete_targets(new_dels),
         )
         return n, 0  # zero data files rewritten — the point of merge-on-read
 
@@ -903,6 +917,7 @@ class IcebergTable(SnapshotTable):
         self._commit_delta(
             "update", added=new_data, removed=[],
             delete_files=base_dels + new_dels, base_delete_files=base_dels,
+            required_live=self._delete_targets(new_dels),
         )
         return n, 0
 

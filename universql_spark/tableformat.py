@@ -246,6 +246,7 @@ class SnapshotTable:
         removed: list[str],
         delete_files: list[str] | None = None,
         base_delete_files: list[str] | None = None,
+        required_live: list[str] | None = None,
     ) -> int:
         """Optimistic DELTA commit: the new snapshot is
         (current live files - removed) + added, recomputed against the
@@ -261,6 +262,12 @@ class SnapshotTable:
           deletes) additionally requires the delete-file set to be unchanged
           since the operation read it (`base_delete_files`); a concurrent
           merge-on-read DELETE otherwise silently loses its tombstones.
+        - `required_live` names data files the operation depends on staying
+          in the snapshot WITHOUT rewriting them — the files a merge-on-read
+          commit's new positional deletes point at (Iceberg's
+          validateDataFilesExist). If a concurrent compaction/COW rewrite
+          replaced one, the new tombstones would dangle and the "deleted"
+          rows silently resurrect; conflict instead.
         """
         removed_set = set(removed)
         for _ in range(MAX_COMMIT_RETRIES):
@@ -273,6 +280,14 @@ class SnapshotTable:
                     f"{operation}: {len(missing)} file(s) this operation rewrote were "
                     f"removed by a concurrent commit (e.g. {sorted(missing)[0]})"
                 )
+            if required_live:
+                dangling = set(required_live) - set(current)
+                if dangling:
+                    raise CommitConflict(
+                        f"{operation}: {len(dangling)} data file(s) targeted by this "
+                        f"operation's positional deletes were rewritten or removed by a "
+                        f"concurrent commit (e.g. {sorted(dangling)[0]})"
+                    )
             cur_deletes = snaps[-1].get("delete_files", []) if snaps else []
             if delete_files is not None and base_delete_files is not None and sorted(
                 cur_deletes
