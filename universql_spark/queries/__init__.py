@@ -107,13 +107,50 @@ def register_sql(
     register(name, oracle if oracle is not None else sql, bench=bench, category=category, doc=doc)(fn)
 
 
+# The driver's correctness gate samples the FIRST 50 oracled specs in
+# REGISTRY order. Rotation policy (VERDICT r2 'Next round' #1): specs with no
+# sf0.01 driver evidence yet go first — newest additions, then the specs the
+# r1/r2 gates never sampled — so every spec accumulates a driver-verified row
+# over rounds. The full registry is additionally gated locally each round at
+# sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
+_GATE_PRIORITY: list[str] = [
+    # round-3 additions (zero evidence anywhere yet) are inserted here as
+    # they land, before the backlog below.
+    # round-2 specs with NO sf0.01 evidence (never driver-gated, added after
+    # the r1 local gate ran):
+    "adv_flatten_recursive", "ann_ivf_topk",
+    "tpch_q2_mincost", "tpch_q8_mktshare", "tpch_q9_profit",
+    "tpch_q11_important", "tpch_q12_late", "tpch_q13_custdist",
+    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
+    "tpch_q20_supply", "tpch_q21_waiting", "tpch_q22_opportunity",
+    # driver-gated in r1 only, fell off the r2 sample:
+    "cb_q41", "cb_q42",
+    # local-gate evidence only (r1 local, sf0.01) — never driver-gated;
+    # rotate through the driver sample, LLM-pipeline operators first:
+    "dedup_exact", "dedup_exact_props", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_embedding", "dedup_components",
+    "dedup_pipeline_survivors", "ann_cosine_topk", "ann_cosine_topk_pandas",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_tfidf_topk", "text_lang_stats", "text_lm_score",
+    "profile_documents", "quality_constraints", "multimodal_decode_meta",
+    "multimodal_audio_meta", "multimodal_frame_sample",
+    "stream_tumbling_counts", "corpus_training_mix", "adv_variant_colon_path",
+    "win_rank_topn_per_group", "win_sessionize", "win_ignore_nulls_locf",
+    "agg_grouping_sets", "agg_listagg_ordered", "agg_min_max_by",
+    "join_full_outer", "subq_correlated", "json_extract", "fn_scalar_gallery",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY)."""
-    # `dml` first: the driver's correctness gate samples the first 50 oracled
-    # specs in REGISTRY insertion order, and the partition-granular DML specs
-    # are the round's headline item (VERDICT r1 'Next round' #1). The full
-    # registry is gated locally every round in CORRECTNESS_LOCAL.json.
+    """Import every query module (side effect: fills REGISTRY), then apply
+    the driver-gate rotation order above."""
     from universql_spark.queries import dml  # noqa: F401  (isort: skip)
     from universql_spark.queries import advanced, clickbench, llmops, relational, tpch  # noqa: F401
 
+    order = [n for n in _GATE_PRIORITY if n in REGISTRY] + [
+        n for n in REGISTRY if n not in _GATE_PRIORITY
+    ]
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY
