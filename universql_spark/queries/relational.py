@@ -11,7 +11,9 @@ semantics against the DuckDB oracle.
 
 from __future__ import annotations
 
-from universql_spark.queries import register_sql
+from pyspark.sql import DataFrame, SparkSession
+
+from universql_spark.queries import register, register_sql
 from universql_spark.queries.clickbench import davg, dsum
 
 # ---------------------------------------------------------------------------
@@ -624,3 +626,41 @@ FROM events ORDER BY event_id""",
     doc="IGNORE NULLS last_value/lag: last-observation-carried-forward gap fill "
         "(the sensor/ticker pattern; one shuffle on user_id, no self-join)",
 )
+
+
+_DIALECT_EXT_ORACLE = """SELECT n_nationkey AS k,
+       CASE WHEN (n_nationkey % 3) = 1 THEN 'one'
+            WHEN (n_nationkey % 3) = 2 THEN 'two' ELSE 'other' END AS dcode,
+       CASE WHEN (n_regionkey) = 0 THEN 0
+            ELSE CAST(n_nationkey AS DOUBLE) / n_regionkey END AS safe_div,
+       CASE WHEN n_regionkey % 2 = 0 THEN NULL ELSE 'odd' END AS nv,
+       try_cast('12.345' AS DECIMAL(10,2)) AS exact_num,
+       'it''s raw' AS dq
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_dialect_ext",
+    _DIALECT_EXT_ORACLE,
+    category="scalar",
+    doc="round-3 dialect ring: DECODE, DIV0, NVL2, 3-arg TRY_TO_NUMBER, "
+        "$$-quoted strings — Snowflake text through Engine.execute",
+)
+def fn_dialect_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-dialect scalar surface the reference accepts via
+    sqlglot+fakesnow (warehouse/duckdb.py:15): DECODE with null-safe match,
+    DIV0, NVL2, TRY_TO_NUMBER(expr, p, s), $$-quoted string literals. Runs
+    VERBATIM Snowflake text through the engine's dialect layer; the oracle
+    states the same semantics in ANSI SQL."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       DECODE(n_nationkey % 3, 1, 'one', 2, 'two', 'other') AS dcode,
+       DIV0(n_nationkey, n_regionkey) AS safe_div,
+       NVL2(NULLIF(n_regionkey % 2, 0), 'odd', NULL) AS nv,
+       TRY_TO_NUMBER('12.345', 10, 2) AS exact_num,
+       $$it's raw$$ AS dq
+FROM nation ORDER BY k"""
+    )
