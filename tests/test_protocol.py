@@ -99,7 +99,11 @@ def test_monitoring_endpoint(client):
     r = client.get("/monitoring/queries", headers={"Authorization": f'Snowflake Token="{token}"'})
     data = r.get_json()
     assert data["success"] and len(data["data"]["queries"]) >= 1
-    assert "duration_sec" in data["data"]["queries"][-1]
+    last = data["data"]["queries"][-1]
+    assert "duration_sec" in last
+    # per-query cost estimate (reference util.py:375-406 model): positive,
+    # and tiny — a sub-second local query must cost well under a cent
+    assert 0 < last["estimated_cost_usd"] < 0.01
 
 
 def test_login_session_parameter_surface(client):
@@ -180,3 +184,41 @@ def test_large_result_chunking(client):
 
 def test_telemetry_endpoint(client):
     assert client.post("/telemetry/send", json={"logs": []}).get_json()["success"] is True
+
+
+def test_information_schema_metadata_queries(client):
+    """The metadata queries a JDBC/BI client issues at connect time
+    (reference serves these through fakesnow's info_schema emulation,
+    warehouse/duckdb.py:212-214): tables/columns/schemata views over the
+    Spark catalog, rows matching the actual catalog state."""
+    token = _login(client)
+    _query(client, token, "CREATE OR REPLACE TABLE infoschema_t AS SELECT 1 AS a, 'x' AS b")
+
+    out = _query(
+        client, token,
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_name = 'INFOSCHEMA_T'",
+    )
+    assert out["success"]
+    rows = _decode(out).to_pylist()
+    assert rows == [{"table_name": "INFOSCHEMA_T", "table_type": "BASE TABLE"}]
+
+    out = _query(
+        client, token,
+        "SELECT column_name, data_type, ordinal_position FROM information_schema.columns "
+        "WHERE table_name = 'INFOSCHEMA_T' ORDER BY ordinal_position",
+    )
+    rows = _decode(out).to_pylist()
+    assert [r["column_name"] for r in rows] == ["A", "B"]
+    assert rows[0]["data_type"] == "NUMBER(38,0)" and rows[1]["data_type"] == "TEXT"
+
+    out = _query(client, token, "SELECT schema_name FROM information_schema.schemata")
+    assert {r["schema_name"] for r in _decode(out).to_pylist()} >= {"PUBLIC"}
+
+    # db-qualified form clients emit after USE
+    out = _query(
+        client, token,
+        "SELECT COUNT(*) AS n FROM mydb.information_schema.tables",
+    )
+    assert out["success"] and _decode(out).to_pylist()[0]["n"] >= 1
+    _query(client, token, "DROP TABLE infoschema_t")

@@ -174,9 +174,7 @@ class Engine:
             t0 = time.perf_counter()
             result = self._execute_one(stmt)
             dur = time.perf_counter() - t0
-            # hardware-depreciation + power model like the reference's:
-            # ~$0.05 per fully-loaded cpu-hour across all local cores
-            cost = dur / 3600 * 0.05 * (os.cpu_count() or 1)
+            cost = _estimate_cost_usd(dur)
             self.query_log.append(
                 {"sql": stmt[:200], "duration_sec": round(dur, 4), "estimated_cost_usd": round(cost, 8)}
             )
@@ -424,6 +422,12 @@ class Engine:
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
+        if "information_schema" in stmt.lower():
+            from universql_spark import info_schema  # noqa: PLC0415
+
+            stmt = info_schema.resolve(
+                self.spark, stmt, default_catalog=self.current_database or "UNIVERSQL"
+            )
         return self.spark.sql(snowflake_to_spark(stmt))
 
     # -- dynamic tables (reference README.md:225-237) -----------------------
@@ -818,6 +822,26 @@ class Engine:
             if len(parts) >= 3:
                 self.qualified_tables.add((parts[-3], parts[-2], parts[-1]))
         return _status(f"created {name}")
+
+
+def _estimate_cost_usd(
+    duration_sec: float, electricity_rate: float = 0.15, pc_lifetime_years: int = 5
+) -> float:
+    """Local-compute cost estimate, the reference's hardware-depreciation +
+    power model (util.py:375-406 calculate_script_cost): hardware priced at
+    $50/core + $5/GB RAM amortized over the machine's lifetime, plus
+    electricity at 50% utilization (25 W/core + 0.3 W/GB). This is the
+    README-level 'local vs cloud cost' pitch — the number that gets compared
+    against a warehouse's per-second credit price."""
+    hours = duration_sec / 3600
+    cpu_count = os.cpu_count() or 1
+    try:
+        mem_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        mem_gb = 16.0
+    hardware_cost = (cpu_count * 50 + mem_gb * 5) / (pc_lifetime_years * 365 * 24) * hours
+    power_kwh = (cpu_count * 25 + mem_gb * 0.3) * 0.5 * hours / 1000
+    return power_kwh * electricity_rate + hardware_cost
 
 
 def _status(msg: str) -> pa.Table:
