@@ -110,3 +110,76 @@ def test_success_after_failure(engine):
 def test_union(engine):
     # extract.py TestSelect.test_union
     assert len(engine.execute("select 1 union all select 2")) == 2
+
+
+def test_copy_into_for_ryan(engine, tmp_path):
+    """extract.py TestSelect.test_copy_into_for_ryan — column-def TEMP table
+    + COPY INTO from an @stage path with SKIP_HEADER. The reference's
+    pre-hook creates landing_stage in Snowflake; here CREATE STAGE points it
+    at a local URL (same resolution path as s3://, minus the network)."""
+    d = tmp_path / "initial_objects"
+    d.mkdir()
+    (d / "device_metadata.csv").write_text(
+        "device_id,device_name,device_type,manufacturer,model_number,"
+        "firmware_version,installation_date,location_id,location_name,"
+        "facility_zone,is_active,expected_lifetime_months,"
+        "maintenance_interval_days,last_maintenance_date\n"
+        "d1,Sensor A,sensor,Acme,M1,1.0,2023-01-01,l1,Plant,zone1,true,60,30,2024-01-01\n"
+        "d2,Sensor B,sensor,Acme,M2,1.1,2023-02-01,l2,Plant,zone2,false,48,45,2024-02-01\n"
+    )
+    engine.execute(f"CREATE OR REPLACE STAGE landing_stage URL='{tmp_path}'")
+    result = engine.execute("""
+                CREATE OR REPLACE TEMPORARY TABLE DEVICE_METADATA_REF (
+                device_id VARCHAR,
+                device_name VARCHAR,
+                device_type VARCHAR,
+                manufacturer VARCHAR,
+                model_number VARCHAR,
+                firmware_version VARCHAR,
+                installation_date DATE,
+                location_id VARCHAR,
+                location_name VARCHAR,
+                facility_zone VARCHAR,
+                is_active BOOLEAN,
+                expected_lifetime_months INT,
+                maintenance_interval_days INT,
+                last_maintenance_date DATE
+            );
+
+             COPY INTO DEVICE_METADATA_REF
+             FROM @landing_stage/initial_objects/device_metadata.csv
+             FILE_FORMAT = (SKIP_HEADER = 1);
+             """)
+    assert len(result) != 0
+    rows = engine.execute(
+        "SELECT device_id, is_active, expected_lifetime_months "
+        "FROM DEVICE_METADATA_REF ORDER BY device_id"
+    ).to_pylist()
+    assert rows == [
+        {"device_id": "d1", "is_active": True, "expected_lifetime_months": 60},
+        {"device_id": "d2", "is_active": False, "expected_lifetime_months": 48},
+    ]
+    assert str(
+        engine.execute(
+            "SELECT installation_date FROM DEVICE_METADATA_REF WHERE device_id = 'd1'"
+        ).to_pylist()[0]["installation_date"]
+    ) == "2023-01-01"
+    engine.execute("DROP TABLE DEVICE_METADATA_REF")
+
+
+def test_describe_stage_and_s3_url_mapping(engine):
+    """DESCRIBE STAGE surfaces the URL; s3:// normalizes to s3a:// and the
+    credentials land per-bucket in the hadoop conf (never echoed back)."""
+    engine.execute(
+        "CREATE OR REPLACE STAGE s3stage URL='s3://my-bucket/prefix' "
+        "CREDENTIALS=(AWS_KEY_ID='AKIATEST' AWS_SECRET_KEY='sekret')"
+    )
+    assert engine.stages["s3stage"] == "s3a://my-bucket/prefix"
+    hconf = engine.spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.bucket.my-bucket.access.key") == "AKIATEST"
+    assert hconf.get("fs.s3a.bucket.my-bucket.secret.key") == "sekret"
+    desc = engine.execute("DESCRIBE STAGE s3stage").to_pylist()
+    by_prop = {r["property"]: r["property_value"] for r in desc}
+    assert by_prop["URL"] == "s3://my-bucket/prefix"
+    assert by_prop["AWS_KEY_ID"] == "AKIATEST"
+    assert "sekret" not in str(desc)

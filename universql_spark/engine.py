@@ -94,7 +94,18 @@ _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.I)
 _UPDATE_RE = re.compile(r"^\s*UPDATE\b", re.I)
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\b", re.I)
 _CREATE_STAGE_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(\w+)\s+URL\s*=\s*'([^']+)'\s*$", re.I
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(\w+)(?:\s+URL\s*=\s*'([^']+)')?\s*(.*)$",
+    re.I | re.S,
+)
+_STAGE_CREDS_RE = re.compile(r"CREDENTIALS\s*=\s*\(([^)]*)\)", re.I | re.S)
+_KV_QUOTED_RE = re.compile(r"(\w+)\s*=\s*'([^']*)'")
+_DESCRIBE_STAGE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+STAGE\s+(\w+)\s*$", re.I)
+_COPY_STAGE_REF_RE = re.compile(r"\bFROM\s+@(\w+)((?:/[^\s(;]*)?)", re.I)
+#: CREATE TABLE with a column list (no AS SELECT) — checked AFTER the CTAS
+#: regex, so `(...)` here is a column-definition list
+_CREATE_TABLE_COLS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+([\w.\"]+)\s*\((.+)\)\s*$",
+    re.I | re.S,
 )
 _CREATE_FF_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(\w+)\s+(.*)$", re.I | re.S
@@ -116,9 +127,12 @@ class Engine:
         self.spark = spark or get_spark("universql_engine")
         self.current_database: str | None = None
         self.current_schema: str | None = None
-        #: name -> base URL/path (reference resolves @stage via DESCRIBE STAGE,
-        #: plugins/snow.py:400-414; here a stage IS its path)
+        #: name -> base URL/path, already in Spark-readable form (s3-> s3a
+        #: etc.). Reference resolves @stage via DESCRIBE STAGE metadata,
+        #: plugins/snow.py:400-414, 496-629; here CREATE STAGE records it
         self.stages: dict[str, str] = {}
+        #: name -> DESCRIBE STAGE surface (original url, masked creds)
+        self.stage_meta: dict[str, dict] = {}
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
         #: 3-part (db, schema, table) names created this session — rewritten
@@ -246,8 +260,24 @@ class Engine:
                 return self._use(stmt)
             m = _CREATE_STAGE_RE.match(stmt)
             if m:
-                self.stages[m.group(1).lower()] = m.group(2).rstrip("/")
-                return _status(f"stage {m.group(1)} created")
+                return self._create_stage(m)
+            m = _DESCRIBE_STAGE_RE.match(stmt)
+            if m:
+                name = m.group(1).lower()
+                if name not in self.stages:
+                    raise QueryError(f"stage {name} does not exist", sql_state="02000")
+                meta = self.stage_meta.get(name, {})
+                return pa.table(
+                    {
+                        "parent_property": ["STAGE_LOCATION", "STAGE_CREDENTIALS"],
+                        "property": ["URL", "AWS_KEY_ID"],
+                        "property_type": ["String", "String"],
+                        "property_value": [
+                            meta.get("url", self.stages[name]),
+                            meta.get("aws_key_id", ""),
+                        ],
+                    }
+                )
             m = _CREATE_FF_RE.match(stmt)
             if m:
                 fmt, options = copy_into.parse_format_options(m.group(2))
@@ -266,6 +296,22 @@ class Engine:
             ctas = _CTAS_RE.match(stmt)
             if ctas:
                 return self._ctas(ctas)
+            cm = _CREATE_TABLE_COLS_RE.match(stmt)
+            if cm:
+                # column-definition CREATE TABLE (the reference's DDL->DuckDB
+                # passthrough, duckdb.py:336-345). TEMP tables land in the
+                # catalog too (one engine process == one session), so COPY
+                # INTO / insertInto work against them uniformly.
+                replace, _temp, name, cols = (
+                    bool(cm.group(1)), bool(cm.group(2)), cm.group(3).strip('"'), cm.group(4)
+                )
+                target = self._resolve_name(name)
+                if replace:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+                self.spark.sql(
+                    snowflake_to_spark(f"CREATE TABLE {target} ({cols}) USING PARQUET")
+                )
+                return _status(f"created {name}")
             # snapshot-table lifecycle statements (INSERT/COPY/ALTER/TRUNCATE
             # route to manifest commits; plain tables fall through to Spark)
             im = re.match(
@@ -360,6 +406,7 @@ class Engine:
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
+                stmt = self._resolve_copy_stage(stmt)
                 cp = copy_into.parse_copy(stmt)
                 if bare_name(cp[0]) in self.snap_tables:
                     bn = bare_name(cp[0])
@@ -534,6 +581,63 @@ class Engine:
             return view
 
         return self._META_TABLE_RE.sub(repl, stmt)
+
+    def _create_stage(self, m: re.Match) -> pa.Table:
+        """CREATE STAGE with an object-store URL + credentials (reference:
+        DESCRIBE STAGE metadata -> s3/gcs path + creds, plugins/snow.py:
+        496-629, lake/cloud.py:14-36). The URL is normalized to the Spark/
+        Hadoop scheme (s3 -> s3a) and credentials land in the session's
+        hadoop conf PER BUCKET (fs.s3a.bucket.<b>.* keys), so two stages on
+        different buckets with different keys coexist — the cluster-scale
+        configuration shape. No URL = a local named stage rooted under the
+        warehouse dir (COPY INTO @stage targets, PUT-style loads)."""
+        name = m.group(1).lower()
+        url = (m.group(2) or "").rstrip("/")
+        rest = m.group(3) or ""
+        creds = {}
+        cm = _STAGE_CREDS_RE.search(rest)
+        if cm:
+            creds = {k.upper(): v for k, v in _KV_QUOTED_RE.findall(cm.group(1))}
+        if not url:
+            url = os.path.join(self._snap_root(f"_stage_{name}"))
+            os.makedirs(url, exist_ok=True)
+        spark_url = url
+        if url.startswith("s3://"):
+            spark_url = "s3a://" + url[len("s3://"):]
+        elif url.startswith("gcs://"):
+            spark_url = "gs://" + url[len("gcs://"):]
+        elif url.startswith("azure://"):
+            spark_url = "wasbs://" + url[len("azure://"):]
+        if spark_url.startswith("s3a://"):
+            bucket = spark_url[len("s3a://"):].split("/", 1)[0]
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            if creds.get("AWS_KEY_ID"):
+                hconf.set(f"fs.s3a.bucket.{bucket}.access.key", creds["AWS_KEY_ID"])
+            if creds.get("AWS_SECRET_KEY"):
+                hconf.set(f"fs.s3a.bucket.{bucket}.secret.key", creds["AWS_SECRET_KEY"])
+            if creds.get("AWS_TOKEN"):
+                hconf.set(f"fs.s3a.bucket.{bucket}.session.token", creds["AWS_TOKEN"])
+        self.stages[name] = spark_url
+        self.stage_meta[name] = {
+            "url": url,
+            # DESCRIBE STAGE shows the key id, never the secret (Snowflake
+            # masks secrets the same way)
+            "aws_key_id": creds.get("AWS_KEY_ID", ""),
+        }
+        return _status(f"stage {name} created")
+
+    def _resolve_copy_stage(self, stmt: str) -> str:
+        """`COPY INTO t FROM @stage/path ...` -> quoted resolved URL, so the
+        COPY parser sees a plain path (the reference's stage->URL rewrite,
+        snow.py:400-414)."""
+
+        def repl(m: re.Match) -> str:
+            name = m.group(1).lower()
+            if name not in self.stages:
+                raise QueryError(f"stage {name} does not exist", sql_state="02000")
+            return f"FROM '{self.stages[name]}{m.group(2) or ''}'"
+
+        return _COPY_STAGE_REF_RE.sub(repl, stmt)
 
     def _resolve_stage_refs(self, stmt: str) -> str:
         """`@stage/path (FILE_FORMAT => f)` in a FROM clause -> temp view over
