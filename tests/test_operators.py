@@ -193,3 +193,42 @@ def test_pandas_topk_equals_builtin(emb):
     b = {(r.q_id, r.rank): (r.n_id, r.cos) for r in builtin}
     v = {(r.q_id, r.rank): (r.n_id, r.cos) for r in vectorized}
     assert b == v
+
+
+def test_components_chain_logarithmic_rounds(spark, tmp_path):
+    """Large-star/small-star on a chain of diameter 31 must converge in
+    O(log d) rounds (plain propagation needs 31) and label every node with
+    the chain min — under RELIABLE checkpointing (VERDICT r2 #5)."""
+    from universql_spark.operators import components
+
+    n = 32
+    nodes = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels, rounds = components.connected_components(
+        nodes, edges, checkpoint_dir=str(tmp_path / "ckpt"), with_stats=True
+    )
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 8, f"chain d=31 took {rounds} rounds (propagation-like)"
+    # reliable checkpoint actually wrote to the configured dir
+    import os
+    assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
+def test_components_skewed_hub_and_isolates(spark):
+    """A skewed star (one hub, many spokes) plus isolated nodes: hub
+    components resolve to the min id, isolates keep their own id."""
+    from universql_spark.operators import components
+
+    nodes = spark.range(40).select(F.col("id"))
+    # hub node 7 connected to 10..29; separate pair (30, 31); 0..6, 32..39 isolated
+    hub = spark.range(10, 30).select(F.lit(7).alias("id_a"), F.col("id").alias("id_b"))
+    pair = spark.createDataFrame([(30, 31)], "id_a long, id_b long")
+    labels = components.connected_components(nodes, hub.unionAll(pair))
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got[7] == 7 and all(got[i] == 7 for i in range(10, 30))
+    assert got[30] == 30 and got[31] == 30
+    for i in list(range(7)) + list(range(32, 40)):
+        assert got[i] == i
