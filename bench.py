@@ -3,25 +3,28 @@
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology (three tiers, most-comparable first — BENCH_NOTES.md has the
-same-machine DuckDB calibration):
+The HEADLINE (`value` / `queries`) is the **full-replan tier**: best-of-N
+complete executions — fresh DataFrame, fresh plan, every stage re-executed.
+This is the r1 headline meaning, restored per VERDICT r2 ("Restore an honest
+bench headline"); the prepared tier moved to `prepared_*`.
 
-  queries (primary)  — hot executions of a PREPARED query: the DataFrame is
-    built once per query (parse + Catalyst analysis amortized, the
-    prepared-statement model Engine.prepare exposes) and each timed rep
-    re-collects it. This is the model the reference's published hot runs use
-    — repeated identical statements with a warm engine and a warm OS cache —
-    re-expressed for Spark, where the reusable artifact is the analyzed plan
-    rather than the page cache. Spark may additionally replay materialized
-    shuffle outputs across reps; that reuse is part of the engine (the same
-    mechanism AQE relies on) and is reported as-is, with the no-reuse number
-    kept in replan_queries so the comparison is explicit.
-  replan_queries     — best-of-N FULL executions: fresh DataFrame each run
-    (fresh plan + every stage re-executed). Upper bound; at sf0.1 this is
-    dominated by a fixed ~0.2-0.5s/query plan+scheduling constant that is
-    data-volume-independent (it is the same ~0.3s at sf0.001), i.e. it
-    VANISHES relative to work at 100TB scale.
-  cold_queries       — the first full run (plan + codegen compile included).
+Tiers, most-pessimistic first (BENCH_NOTES.md has the same-machine DuckDB
+calibration and the overhead decomposition):
+
+  queries / value (HEADLINE) — best-of-N FULL executions: fresh DataFrame
+    each run (fresh plan + every stage re-executed). At sf0.1 this carries a
+    fixed ~0.2-0.5s/query plan+scheduling constant that is data-volume-
+    independent (same ~0.3s at sf0.001), i.e. it vanishes relative to work
+    at 100 TB — and a scan-parallelism penalty specific to the fixture: the
+    sf0.1 parquet files are single-row-group, so Spark's scan stage is one
+    task while DuckDB parallelizes internally (BENCH_NOTES).
+  prepared_queries — hot executions of a PREPARED query: DataFrame built
+    once (parse + analysis amortized — the Engine.prepare model), each timed
+    rep re-collects. The closest analog of the reference's published hot
+    runs (repeated identical statements, warm engine, warm OS cache); Spark
+    may additionally reuse materialized shuffle outputs across reps, which
+    is reported as-is since the no-reuse number is the headline now.
+  cold_queries — the first full run (plan + codegen compile included).
 """
 
 from __future__ import annotations
@@ -54,9 +57,9 @@ def main() -> None:
         if t.isTemporary:
             spark.table(t.name).count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     replan: dict[str, float] = {}
+    prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, spec in bench_specs.items():
         best = float("inf")
@@ -76,18 +79,18 @@ def main() -> None:
             t0 = time.perf_counter()
             df.collect()
             best_hot = min(best_hot, time.perf_counter() - t0)
-        timings[name] = round(best_hot, 4)
+        prepared[name] = round(best_hot, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(replan.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "bench_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "replan_total": round(sum(replan.values()), 4),
-                "replan_queries": replan,
+                "queries": replan,
+                "prepared_total": round(sum(prepared.values()), 4),
+                "prepared_queries": prepared,
                 "cold_total": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

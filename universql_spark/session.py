@@ -55,6 +55,15 @@ def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce to target SIZE, not parallelism: tiny post-shuffle stages
+        # collapse to few tasks locally; at cluster scale 64 MB partitions
+        # are the shuffle sweet spot and skew still splits via skewJoin
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
+        # local mode has no data locality to wait for; on a cluster the
+        # default 3s wait trades latency for locality — here it's pure stall
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
