@@ -789,6 +789,22 @@ class Engine:
         CURRENT snapshot's file list (re-registered after every commit)."""
         self.snap_tables[name].read(self.spark).createOrReplaceTempView(name)
 
+    def register_external_iceberg(
+        self, name: str, uri: str, namespace: str, table: str, token: str | None = None
+    ) -> None:
+        """Attach a REST-catalog (Polaris-style) Iceberg table as a readable
+        relation: SELECTs resolve through the same snap-view path as local
+        Iceberg tables, scan planning + manifest file-skipping included;
+        DML is refused (the external catalog owns commits). Reference:
+        catalog/iceberg.py:41-52 (PyIceberg RestCatalog -> scan)."""
+        from universql_spark.catalogs import CatalogIcebergTable  # noqa: PLC0415
+
+        bn = bare_name(name)
+        self.snap_tables[bn] = CatalogIcebergTable.from_rest(
+            uri, namespace, table, token=token
+        )
+        self._refresh_snap_view(bn)
+
     def _read_table(self, name: str):
         bn = bare_name(name)
         if bn in self.snap_tables:
