@@ -268,6 +268,21 @@ def test_snowflake_sample_clause(engine):
     assert a.to_pylist() == b.to_pylist()
 
 
+def test_generator_rowcount(engine):
+    """TABLE(GENERATOR(ROWCOUNT => n)) + SEQ4() — the Snowflake synthetic
+    rows idiom -> Spark's range TVF."""
+    out = engine.execute(
+        "SELECT SEQ4() AS n FROM TABLE(GENERATOR(ROWCOUNT => 5)) ORDER BY n"
+    )
+    assert [r["n"] for r in out.to_pylist()] == [0, 1, 2, 3, 4]
+    out = engine.execute(
+        "SELECT COUNT(*) AS c, MIN(u) AS lo, MAX(u) AS hi FROM "
+        "(SELECT UNIFORM(1, 6, RANDOM()) AS u FROM TABLE(GENERATOR(ROWCOUNT => 200)))"
+    )
+    row = out.to_pylist()[0]
+    assert row["c"] == 200 and 1 <= row["lo"] and row["hi"] <= 6
+
+
 def test_decode_function(engine):
     out = engine.execute(
         "SELECT DECODE(x, 1, 'one', 2, 'two', NULL, 'none', 'other') AS d "

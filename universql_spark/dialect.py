@@ -102,6 +102,24 @@ _FN_RENAMES = {
     "DATEDIFF": "timestampdiff",
     "TO_TIMESTAMP_NTZ": "to_timestamp",
     "SYSDATE": "current_timestamp",
+    # array surface (same shape in Spark; arg-order divergences are handled
+    # in _rewrite_scalar_emulations instead)
+    "ARRAY_SIZE": "size",
+    "ARRAY_CAT": "concat",
+    "ARRAY_DISTINCT": "array_distinct",
+    "ARRAYS_OVERLAP": "arrays_overlap",
+    "ARRAY_EXCEPT": "array_except",
+    "ARRAY_INTERSECTION": "array_intersect",
+    "ARRAY_TO_STRING": "array_join",
+    "ARRAY_FLATTEN": "flatten",
+    "ARRAY_MAX": "array_max",
+    "ARRAY_MIN": "array_min",
+    # string
+    "EDITDISTANCE": "levenshtein",
+    "STARTSWITH": "startswith",
+    "ENDSWITH": "endswith",
+    # datetime
+    "WEEKISO": "weekofyear",
 }
 
 _TYPE_RENAMES = [
@@ -291,6 +309,75 @@ def _rewrite_scalar_emulations(sql: str) -> str:
                 else None
             ),
         )
+    # Snowflake ARRAY_CONTAINS(value, array) / ARRAY_POSITION(value, array)
+    # take (value, array) — Spark's take (array, value). ARRAY_POSITION is
+    # additionally 0-based returning NULL-if-absent vs Spark's 1-based
+    # 0-if-absent.
+    sql = _rewrite_calls(
+        sql,
+        "array_contains",
+        lambda a: f"array_contains({a[1]}, {a[0]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "array_position",
+        lambda a: f"(nullif(array_position({a[1]}, {a[0]}), 0) - 1)" if len(a) == 2 else None,
+    )
+    # ARRAY_SLICE(arr, from, to): 0-based, end-exclusive -> Spark slice(arr,
+    # start 1-based, LENGTH)
+    sql = _rewrite_calls(
+        sql,
+        "array_slice",
+        lambda a: f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))" if len(a) == 3 else None,
+    )
+    # ARRAY_COMPACT drops NULL elements
+    sql = _rewrite_calls(
+        sql,
+        "array_compact",
+        lambda a: f"filter({a[0]}, __e -> __e IS NOT NULL)" if len(a) == 1 else None,
+    )
+    # DATE_PART(part, expr): Snowflake accepts a BARE part keyword; Spark's
+    # date_part needs a string literal
+    sql = _rewrite_calls(
+        sql,
+        "date_part",
+        lambda a: f"date_part('{a[0].strip()}', {a[1]})"
+        if len(a) == 2 and re.fullmatch(r"[A-Za-z_]+", a[0].strip())
+        else None,
+    )
+    # DAYNAME/MONTHNAME: 3-letter abbreviations
+    sql = _rewrite_calls(
+        sql, "dayname", lambda a: f"date_format({a[0]}, 'EEE')" if len(a) == 1 else None
+    )
+    sql = _rewrite_calls(
+        sql, "monthname", lambda a: f"date_format({a[0]}, 'MMM')" if len(a) == 1 else None
+    )
+    # DAYOFWEEKISO: 1=Monday..7=Sunday (Spark weekday() is 0=Monday..6)
+    sql = _rewrite_calls(
+        sql, "dayofweekiso", lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None
+    )
+    # TYPEOF over our JSON-text VARIANTs: classify by JSON syntax (the same
+    # mapping Snowflake reports for VARIANT values)
+    sql = _rewrite_calls(
+        sql,
+        "typeof",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL"
+            f" WHEN ({a[0]}) LIKE '{{%' THEN 'OBJECT'"
+            f" WHEN ({a[0]}) LIKE '[%' THEN 'ARRAY'"
+            f" WHEN ({a[0]}) = 'null' THEN 'NULL_VALUE'"
+            f" WHEN ({a[0]}) IN ('true', 'false') THEN 'BOOLEAN'"
+            f" WHEN ({a[0]}) RLIKE '^-?[0-9]+$' THEN 'INTEGER'"
+            f" WHEN ({a[0]}) RLIKE '^-?[0-9]*\\\\.[0-9]+([eE][+-]?[0-9]+)?$' THEN 'DECIMAL'"
+            f" ELSE 'VARCHAR' END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    # OBJECT_KEYS over our JSON-text VARIANTs
+    sql = _rewrite_calls(
+        sql, "object_keys", lambda a: f"json_object_keys({a[0]})" if len(a) == 1 else None
+    )
     # DIV0 / DIV0NULL: division that yields 0 instead of erroring on a zero
     # (or NULL, for DIV0NULL) divisor
     sql = _rewrite_calls(
@@ -640,11 +727,35 @@ def _rewrite_decode(sql: str) -> str:
     return _rewrite_calls(sql, "decode", rw)
 
 
+#: `TABLE(GENERATOR(ROWCOUNT => n))` -> Spark's range(n) TVF; SEQ4()-style
+#: row counters become range's `id` column. UNIFORM(a, b, RANDOM()) -> a
+#: uniform integer draw (nondeterministic, like the original).
+_GENERATOR_RE = re.compile(
+    r"\bTABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)", re.I
+)
+_SEQ_RE = re.compile(r"\bSEQ[1248]\s*\(\s*\)", re.I)
+
+
+def _rewrite_generator(sql: str) -> str:
+    if not _GENERATOR_RE.search(sql):
+        return sql
+    sql = _GENERATOR_RE.sub(lambda m: f"range({m.group(1)})", sql)
+    sql = _SEQ_RE.sub("id", sql)
+    return _rewrite_calls(
+        sql,
+        "uniform",
+        lambda a: f"(({a[0]}) + CAST(floor(rand() * (({a[1]}) - ({a[0]}) + 1)) AS BIGINT))"
+        if len(a) == 3
+        else None,
+    )
+
+
 def snowflake_to_spark(sql: str) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text."""
     # $$-quoted strings first: their bodies are literals and must be masked
     # from every later rewrite ('' is the only escape in the '-quoted form)
     sql = _DOLLAR_QUOTE_RE.sub(lambda m: "'" + m.group(1).replace("'", "''") + "'", sql)
+    sql = _rewrite_generator(sql)
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
     sql = strip_table_wrapper(sql)
     sql = rewrite_flatten(sql)

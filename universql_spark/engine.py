@@ -403,6 +403,13 @@ class Engine:
                 self.spark.catalog.dropTempView(bn)
                 shutil.rmtree(snap.root, ignore_errors=True)
                 return _status(f"dropped iceberg {bn}")
+            if re.match(r"^\s*SHOW\s+WAREHOUSES\s*$", stmt, re.I):
+                # client-compat: worksheet UIs issue this at connect; one
+                # truthful row (the engine IS the warehouse here)
+                return pa.table(
+                    {"name": ["x-spark"], "state": ["STARTED"], "type": ["STANDARD"],
+                     "size": ["LOCAL"]}
+                )
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):

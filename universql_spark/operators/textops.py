@@ -88,3 +88,19 @@ def fingerprint(text: Column) -> Column:
     identically in Spark and DuckDB."""
     words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), " +")))
     return F.md5(F.concat_ws(" ", words))
+
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def pii_scrub(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_urls, redacted_text): count + redact email/URL spans —
+    the PII-scrub pass of a training-data pipeline. Pure codegen expressions
+    (regexp_extract_all / regexp_replace), no UDF."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]"), URL_PATTERN, "[URL]"
+    )
+    return n_emails, n_urls, redacted

@@ -116,7 +116,8 @@ def register_sql(
 _GATE_PRIORITY: list[str] = [
     # round-3 additions (zero evidence anywhere yet) are inserted here as
     # they land, before the backlog below.
-    "dml_plain_file_granular", "fn_dialect_ext",
+    "dml_plain_file_granular", "fn_dialect_ext", "fn_array_gallery",
+    "fn_datetime_ext", "dedup_decontaminate", "text_pii_scrub",
     # round-2 specs with NO sf0.01 evidence (never driver-gated, added after
     # the r1 local gate ran):
     "adv_flatten_recursive", "ann_ivf_topk",

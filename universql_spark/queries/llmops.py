@@ -681,3 +681,82 @@ def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_pred")
     )
+
+
+_DUCK_DECONTAM = f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t),
+train AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 != 0),
+ev AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 = 0),
+hit AS (
+  SELECT e.doc_id, COUNT(*) AS n_shingles, COUNT(tr.g) AS n_contaminated
+  FROM ev e LEFT JOIN train tr ON e.g = tr.g GROUP BY e.doc_id)
+SELECT doc_id, n_shingles, n_contaminated,
+       round(n_contaminated * 1.0 / n_shingles, 4) AS frac,
+       n_contaminated * 1.0 / n_shingles >= 0.5 AS contaminated
+FROM hit ORDER BY doc_id"""
+
+
+@register("dedup_decontaminate", _DUCK_DECONTAM, category="dedup")
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval split (doc_id % 5 = 0) checked for
+    word-3-gram overlap against the train split — the leakage gate an LLM
+    pipeline runs before training (operators/dedup.py cross_contamination).
+    One shuffle on the shingle string + one groupBy(doc_id); the train side
+    joins as a DISTINCT shingle set, never full text."""
+    from universql_spark.operators import dedup
+
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.cross_contamination(train, ev).orderBy("doc_id")
+
+
+_DUCK_PII = """WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com now' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' see https://site' || doc_id || '.example/path ok' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS n_urls,
+       length(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         'https?://[^ \t\n]+', '[URL]', 'g')) AS redacted_len
+FROM aug ORDER BY doc_id"""
+
+
+@register("text_pii_scrub", _DUCK_PII, category="text")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count + redact email/URL spans (deterministic PII is
+    synthesized from doc_id on both engines — the fixture text has none).
+    Pure regexp codegen expressions (operators/textops.py pii_scrub), no
+    UDF, no shuffle beyond the final sort."""
+    from universql_spark.operators import textops
+
+    docs = spark.table("documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".example/path ok"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    n_emails, n_urls, redacted = textops.pii_scrub(F.col("t"))
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")

@@ -664,3 +664,82 @@ def fn_dialect_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        $$it's raw$$ AS dq
 FROM nation ORDER BY k"""
     )
+
+
+_ARRAY_EXT_ORACLE = """SELECT n_nationkey AS k,
+       len(list_distinct([n_nationkey % 3, n_regionkey, n_nationkey % 3])) AS n_uniq,
+       list_contains([n_regionkey, 99], n_nationkey % 5) AS has_el,
+       CASE WHEN list_position([10, 20, 30], (n_nationkey % 3) * 10 + 10) IS NULL
+            THEN NULL ELSE list_position([10, 20, 30], (n_nationkey % 3) * 10 + 10) - 1
+       END AS pos0,
+       array_to_string([n_nationkey, n_regionkey], '-') AS joined,
+       [n_nationkey, n_regionkey, 7][2] AS sliced_first,
+       len([n_nationkey]) + len(list_filter([n_regionkey, NULL], x -> x IS NOT NULL)) AS compacted
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_array_gallery",
+    _ARRAY_EXT_ORACLE,
+    category="scalar",
+    doc="Snowflake array surface: ARRAY_DISTINCT/CONTAINS/POSITION/SLICE/"
+        "TO_STRING/COMPACT with the (value, array) arg order and 0-based "
+        "position semantics rewritten for Spark",
+)
+def fn_array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake array functions VERBATIM through the engine's dialect layer.
+    Divergences handled: ARRAY_CONTAINS/ARRAY_POSITION take (value, array)
+    in Snowflake vs (array, value) in Spark; ARRAY_POSITION is 0-based
+    NULL-if-absent vs 1-based 0-if-absent; ARRAY_SLICE is 0-based
+    end-exclusive vs 1-based length-counted. Oracle states the same values
+    with DuckDB list functions."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       ARRAY_SIZE(ARRAY_DISTINCT(ARRAY_CONSTRUCT(n_nationkey % 3, n_regionkey, n_nationkey % 3))) AS n_uniq,
+       ARRAY_CONTAINS(n_nationkey % 5, ARRAY_CONSTRUCT(n_regionkey, 99)) AS has_el,
+       ARRAY_POSITION((n_nationkey % 3) * 10 + 10, ARRAY_CONSTRUCT(10, 20, 30)) AS pos0,
+       ARRAY_TO_STRING(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), '-') AS joined,
+       ARRAY_SLICE(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 1, 2)[0] AS sliced_first,
+       ARRAY_SIZE(ARRAY_CAT(ARRAY_CONSTRUCT(n_nationkey), ARRAY_COMPACT(ARRAY_CONSTRUCT(n_regionkey, NULL)))) AS compacted
+FROM nation ORDER BY k"""
+    )
+
+
+_DT_EXT_ORACLE = """SELECT o_orderkey AS k,
+       date_part('quarter', o_orderdate) AS qtr,
+       strftime(o_orderdate, '%a') AS dname,
+       strftime(o_orderdate, '%b') AS mname,
+       CAST(isodow(o_orderdate) AS BIGINT) AS dow_iso,
+       last_day(o_orderdate) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+FROM orders ORDER BY o_orderkey LIMIT 50"""
+
+
+@register(
+    "fn_datetime_ext",
+    _DT_EXT_ORACLE,
+    category="scalar",
+    doc="DATE_PART with bare part keyword, DAYNAME/MONTHNAME abbreviations, "
+        "DAYOFWEEKISO 1=Monday, LAST_DAY, ADD_MONTHS",
+)
+def fn_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake datetime surface through the dialect layer: DATE_PART
+    accepts a bare part keyword (quoted for Spark), DAYNAME/MONTHNAME emit
+    3-letter abbreviations, DAYOFWEEKISO is 1=Monday..7 (Spark weekday()+1).
+    """
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT o_orderkey AS k,
+       DATE_PART(quarter, o_orderdate) AS qtr,
+       DAYNAME(o_orderdate) AS dname,
+       MONTHNAME(o_orderdate) AS mname,
+       DAYOFWEEKISO(o_orderdate) AS dow_iso,
+       LAST_DAY(o_orderdate) AS month_end,
+       ADD_MONTHS(o_orderdate, 3) AS plus3m
+FROM orders ORDER BY o_orderkey LIMIT 50"""
+    )
