@@ -1126,3 +1126,47 @@ def test_flatten_cross_join_separator(engine):
         "CROSS JOIN LATERAL FLATTEN(input => t.doc, recursive => true) f"
     )
     assert [r["p"] for r in out.to_pylist()] == ["x"]
+
+
+def test_put_list_remove_stage(engine, tmp_path):
+    """SnowSQL's PUT/LIST/REMOVE stage file ops: PUT gzips by default
+    (AUTO_COMPRESS=TRUE like Snowflake), COPY reads the .gz transparently,
+    LIST/REMOVE address files by @stage path prefix."""
+    src = tmp_path / "up.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    engine.execute(f"CREATE OR REPLACE STAGE putstage URL='{tmp_path}/stg'")
+    out = engine.execute(f"PUT 'file://{src}' @putstage/sub").to_pylist()[0]
+    assert out["status"] == "UPLOADED" and out["target"] == "up.csv.gz"
+    assert out["target_compression"] == "GZIP"
+    listed = engine.execute("LIST @putstage").to_pylist()
+    assert [r["name"] for r in listed] == ["@putstage/sub/up.csv.gz"]
+    # the gzipped upload round-trips through COPY INTO
+    engine.execute(
+        "CREATE OR REPLACE TABLE put_t (a INT, b VARCHAR);"
+        "COPY INTO put_t FROM @putstage/sub/up.csv.gz FILE_FORMAT = (SKIP_HEADER = 1)"
+    )
+    assert sorted(
+        (r["a"], r["b"]) for r in engine.execute("SELECT a, b FROM put_t").to_pylist()
+    ) == [(1, "x"), (2, "y")]
+    removed = engine.execute("REMOVE @putstage/sub").to_pylist()
+    assert len(removed) == 1
+    assert engine.execute("LIST @putstage").to_pylist() == []
+    engine.execute("DROP TABLE put_t")
+
+
+def test_txn_and_alter_session(engine):
+    for s in ("BEGIN", "COMMIT", "ROLLBACK", "BEGIN TRANSACTION"):
+        assert "status" in engine.execute(s).column_names
+    engine.execute("ALTER SESSION SET QUERY_TAG = 'etl_run_42'")
+    assert engine.session_params["QUERY_TAG"] == "etl_run_42"
+    engine.execute("ALTER SESSION SET TIMEZONE = 'UTC'")
+    assert engine.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_result_scan_last_query_id(engine):
+    engine.execute("SELECT 41 + 1 AS answer")
+    out = engine.execute("SELECT answer FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))")
+    assert out.to_pylist() == [{"answer": 42}]
+    qid = engine.query_log[-2]["query_id"]
+    out = engine.execute(f"SELECT answer * 2 AS d FROM TABLE(RESULT_SCAN('{qid}'))")
+    assert out.to_pylist() == [{"d": 84}]

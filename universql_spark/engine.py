@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 import re
 import time
+import uuid
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
@@ -107,6 +108,18 @@ _CREATE_TABLE_COLS_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+([\w.\"]+)\s*\((.+)\)\s*$",
     re.I | re.S,
 )
+_TXN_RE = re.compile(r"^\s*(BEGIN|COMMIT|ROLLBACK)(\s+(?:WORK|TRANSACTION|NAME\s+\w+))?\s*$", re.I)
+_ALTER_SESSION_RE = re.compile(r"^\s*ALTER\s+SESSION\s+SET\s+(\w+)\s*=\s*(.+?)\s*$", re.I)
+_PUT_RE = re.compile(
+    r"^\s*PUT\s+'?(file://[^'\s]+)'?\s+@(\w+)((?:/[\w.\-/]*)?)\s*(.*)$", re.I | re.S
+)
+_LIST_RE = re.compile(r"^\s*(?:LIST|LS)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
+_REMOVE_RE = re.compile(r"^\s*(?:REMOVE|RM)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
+_RESULT_SCAN_RE = re.compile(
+    r"\btable\s*\(\s*RESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*\))\s*\)\s*\)"
+    r"|\bRESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*\))\s*\)",
+    re.I,
+)
 _CREATE_FF_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(\w+)\s+(.*)$", re.I | re.S
 )
@@ -133,6 +146,12 @@ class Engine:
         self.stages: dict[str, str] = {}
         #: name -> DESCRIBE STAGE surface (original url, masked creds)
         self.stage_meta: dict[str, dict] = {}
+        #: ALTER SESSION SET parameters (TIMEZONE also applied to the Spark
+        #: session conf)
+        self.session_params: dict[str, str] = {}
+        #: query id -> result table (RESULT_SCAN surface; bounded ring)
+        self._results: dict[str, pa.Table] = {}
+        self._last_qid: str | None = None
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
         #: 3-part (db, schema, table) names created this session — rewritten
@@ -189,9 +208,16 @@ class Engine:
             result = self._execute_one(stmt)
             dur = time.perf_counter() - t0
             cost = _estimate_cost_usd(dur)
+            qid = uuid.uuid4().hex
             self.query_log.append(
-                {"sql": stmt[:200], "duration_sec": round(dur, 4), "estimated_cost_usd": round(cost, 8)}
+                {"sql": stmt[:200], "duration_sec": round(dur, 4),
+                 "estimated_cost_usd": round(cost, 8), "query_id": qid}
             )
+            # RESULT_SCAN surface: retain the last few result sets by id
+            self._results[qid] = result
+            self._last_qid = qid
+            while len(self._results) > 20:
+                self._results.pop(next(iter(self._results)))
         return result
 
     def execute_df(self, sql: str) -> DataFrame:
@@ -258,6 +284,28 @@ class Engine:
             stmt = self._rewrite_qualified(stmt)
             if _USE_RE.match(stmt):
                 return self._use(stmt)
+            if _TXN_RE.match(stmt):
+                # BEGIN/COMMIT/ROLLBACK accepted for client compat: every
+                # statement here is auto-committed (snapshot commits are the
+                # atomicity unit), like the reference running autocommit
+                # DuckDB. A ROLLBACK therefore cannot undo — honest status.
+                return _status(f"{stmt.split()[0].lower()} (autocommit engine: no-op)")
+            m = _ALTER_SESSION_RE.match(stmt)
+            if m:
+                k, v = m.group(1).upper(), m.group(2).strip().strip("'")
+                self.session_params[k] = v
+                if k == "TIMEZONE":
+                    self.spark.conf.set("spark.sql.session.timeZone", v)
+                return _status(f"session parameter {k} set")
+            m = _PUT_RE.match(stmt)
+            if m:
+                return self._put_file(m)
+            m = _LIST_RE.match(stmt)
+            if m:
+                return self._list_stage(m)
+            m = _REMOVE_RE.match(stmt)
+            if m:
+                return self._remove_from_stage(m)
             m = _CREATE_STAGE_RE.match(stmt)
             if m:
                 return self._create_stage(m)
@@ -473,6 +521,7 @@ class Engine:
         self._refresh_stale_dynamic(stmt)
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
+        stmt = self._resolve_result_scan(stmt)
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
@@ -632,6 +681,97 @@ class Engine:
             "aws_key_id": creds.get("AWS_KEY_ID", ""),
         }
         return _status(f"stage {name} created")
+
+    def _local_stage_dir(self, name: str, sub: str) -> str:
+        """Local filesystem dir of @name/sub (PUT/LIST/REMOVE operate on
+        local or file:// stages; object-store stages go through COPY/read)."""
+        if name not in self.stages:
+            raise QueryError(f"stage {name} does not exist", sql_state="02000")
+        base = self.stages[name]
+        if base.startswith("file://"):
+            base = base[len("file://"):]
+        if "://" in base:
+            raise QueryError(
+                f"PUT/LIST on object-store stage @{name} not supported here; "
+                "use COPY INTO with the stage URL"
+            )
+        return base + (sub or "")
+
+    def _put_file(self, m: re.Match) -> pa.Table:
+        """SnowSQL's PUT: upload a local file into a stage. AUTO_COMPRESS
+        defaults TRUE like Snowflake (gzip, .gz suffix) — COPY's readers
+        decompress by extension, so the round trip is seamless."""
+        import gzip  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        src = m.group(1)[len("file://"):]
+        dest_dir = self._local_stage_dir(m.group(2).lower(), m.group(3))
+        opts = m.group(4) or ""
+        compress = not re.search(r"AUTO_COMPRESS\s*=\s*FALSE", opts, re.I)
+        os.makedirs(dest_dir, exist_ok=True)
+        base = os.path.basename(src)
+        if compress:
+            target = os.path.join(dest_dir, base + ".gz")
+            with open(src, "rb") as fi, gzip.open(target, "wb") as fo:
+                shutil.copyfileobj(fi, fo)
+        else:
+            target = os.path.join(dest_dir, base)
+            shutil.copyfile(src, target)
+        return pa.table(
+            {
+                "source": [base],
+                "target": [os.path.basename(target)],
+                "source_size": [os.path.getsize(src)],
+                "target_size": [os.path.getsize(target)],
+                "source_compression": ["NONE"],
+                "target_compression": ["GZIP" if compress else "NONE"],
+                "status": ["UPLOADED"],
+            }
+        )
+
+    def _list_stage(self, m: re.Match) -> pa.Table:
+        prefix = self._local_stage_dir(m.group(1).lower(), m.group(2))
+        names, sizes, mtimes = [], [], []
+        base_root = self._local_stage_dir(m.group(1).lower(), "")
+        for root, _dirs, files in os.walk(base_root):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                if not p.startswith(prefix):
+                    continue
+                names.append(f"@{m.group(1).lower()}{p[len(base_root):]}")
+                sizes.append(os.path.getsize(p))
+                mtimes.append(int(os.path.getmtime(p) * 1000))
+        return pa.table({"name": names, "size": sizes, "last_modified_ms": mtimes})
+
+    def _remove_from_stage(self, m: re.Match) -> pa.Table:
+        prefix = self._local_stage_dir(m.group(1).lower(), m.group(2))
+        base_root = self._local_stage_dir(m.group(1).lower(), "")
+        removed = []
+        for root, _dirs, files in os.walk(base_root):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                if p.startswith(prefix):
+                    os.remove(p)
+                    removed.append(f"@{m.group(1).lower()}{p[len(base_root):]}")
+        return pa.table({"name": removed, "result": ["removed"] * len(removed)})
+
+    def _resolve_result_scan(self, stmt: str) -> str:
+        """RESULT_SCAN('<qid>') / RESULT_SCAN(LAST_QUERY_ID()) -> temp view
+        over the retained result table (Snowflake's re-query-the-last-result
+        idiom; clients use it to page a previous statement's output)."""
+        if "result_scan" not in stmt.lower():
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            arg = (m.group(1) or m.group(2)).strip()
+            qid = self._last_qid if arg.upper().startswith("LAST_QUERY_ID") else arg.strip("'")
+            if not qid or qid not in self._results:
+                raise QueryError(f"RESULT_SCAN: unknown query id {qid!r}", sql_state="02000")
+            view = f"__result_scan_{qid[:16]}"
+            self.spark.createDataFrame(self._results[qid]).createOrReplaceTempView(view)
+            return view
+
+        return _RESULT_SCAN_RE.sub(repl, stmt)
 
     def _resolve_copy_stage(self, stmt: str) -> str:
         """`COPY INTO t FROM @stage/path ...` -> quoted resolved URL, so the
