@@ -1170,3 +1170,25 @@ def test_result_scan_last_query_id(engine):
     qid = engine.query_log[-2]["query_id"]
     out = engine.execute(f"SELECT answer * 2 AS d FROM TABLE(RESULT_SCAN('{qid}'))")
     assert out.to_pylist() == [{"d": 84}]
+
+
+def test_duckdb_routing_fallback(spark, sf_dir):
+    """fallback='duckdb': a SELECT Spark cannot plan is retried verbatim on
+    the in-process DuckDB over the same tables (the reference's
+    route-to-the-other-warehouse behavior, protocol/session.py:195-201);
+    with fallback off the same statement errors loudly."""
+    strict = Engine(spark=spark, sf_dir=sf_dir)
+    # DuckDB-only syntax: COLUMNS() regex projection
+    q = "SELECT COLUMNS('n_n.*') FROM nation ORDER BY n_nationkey LIMIT 2"
+    with pytest.raises(QueryError):
+        strict.execute(q)
+    routed = Engine(spark=spark, sf_dir=sf_dir, fallback="duckdb")
+    out = routed.execute(q)
+    assert len(out) == 2 and "n_nationkey" in out.column_names
+    # snapshot tables are visible to the fallback executor too
+    routed.execute("CREATE OR REPLACE ICEBERG TABLE fb_t AS SELECT 1 AS x UNION ALL SELECT 2")
+    out = routed.execute("SELECT COLUMNS('x') FROM fb_t ORDER BY x")
+    assert [r["x"] for r in out.to_pylist()] == [1, 2]
+    # a plannable SELECT still runs on Spark (fallback only on failure)
+    assert routed.execute("SELECT COUNT(*) AS c FROM nation").to_pylist()[0]["c"] == 25
+    routed.execute("DROP TABLE fb_t")

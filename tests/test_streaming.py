@@ -104,3 +104,16 @@ def test_stream_ingest_to_iceberg(spark, sf_dir, tmp_path):
     # a NEW batch id does commit
     assert ingest.commit_batch(t, ev.limit(5), last + 1) is True
     assert t.read(spark).count() == before + 5
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream inner join (view->click attribution, both sides
+    watermarked + time-bounded) produces exactly the batch join's rows —
+    Structured Streaming's incremental-view contract for joins."""
+    stream = windows.view_click_attribution(windows.events_stream(spark, sf_dir))
+    windows.run_append_to_memory(stream, "t_attrib")
+    got = {tuple(r) for r in spark.table("t_attrib").collect()}
+    want = {tuple(r) for r in windows.view_click_attribution(
+        load_table(spark, sf_dir, "events")
+    ).collect()}
+    assert got == want and len(want) > 0

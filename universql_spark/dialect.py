@@ -705,6 +705,35 @@ def _rewrite_sample(chunk: str) -> str:
     return _SAMPLE_RE.sub(repl, chunk)
 
 
+_RATIO_TO_REPORT_RE = re.compile(r"\bRATIO_TO_REPORT\s*\(", re.I)
+
+
+def _rewrite_ratio_to_report(sql: str) -> str:
+    """Snowflake RATIO_TO_REPORT(x) OVER (spec) -> x / SUM(x) OVER (spec)
+    (no Spark twin; the OVER clause is paren-matched and duplicated)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _RATIO_TO_REPORT_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        arg_close = _match_paren(sql, m.end() - 1)
+        x = sql[m.end() : arg_close].strip()
+        over = re.match(r"\s*OVER\s*\(", sql[arg_close + 1 :], re.I)
+        if not over:
+            out.append(sql[i : arg_close + 1])
+            i = arg_close + 1
+            continue
+        spec_open = arg_close + 1 + over.end() - 1
+        spec_close = _match_paren(sql, spec_open)
+        spec = sql[spec_open + 1 : spec_close]
+        out.append(sql[i : m.start()])
+        out.append(f"(({x}) / SUM({x}) OVER ({spec}))")
+        i = spec_close + 1
+    return "".join(out)
+
+
 def _rewrite_decode(sql: str) -> str:
     """Snowflake DECODE(expr, k1, v1[, k2, v2 ...][, default]) -> CASE with
     null-safe comparison (Snowflake DECODE matches NULL to NULL). Spark's own
@@ -764,6 +793,7 @@ def snowflake_to_spark(sql: str) -> str:
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
     sql = _outside_literals(sql, _rewrite_sample)
+    sql = _rewrite_ratio_to_report(sql)
     sql = _rewrite_decode(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)

@@ -136,7 +136,12 @@ class Engine:
     [{'test': 1}]
     """
 
-    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str | None = None,
+        fallback: str | None = None,
+    ):
         self.spark = spark or get_spark("universql_engine")
         self.current_database: str | None = None
         self.current_schema: str | None = None
@@ -171,6 +176,14 @@ class Engine:
         self.snap_tables: dict[str, "object"] = {}
         #: per-statement duration + cost estimate (reference util.py:375-406)
         self.query_log: list[dict] = []
+        #: routing fallback (reference: anything the local engine can't run
+        #: is sent to the other executor, protocol/session.py:195-201 /
+        #: warehouse/snowflake.py:219-225). Here the "other executor" is the
+        #: in-process DuckDB behind to_query; `fallback="duckdb"` makes that
+        #: routing AUTOMATIC for SELECTs Spark cannot plan. None = off:
+        #: unresolvable statements error loudly (one-engine default).
+        self.fallback = fallback
+        self._sf_dir = sf_dir
         if sf_dir:
             register_testdata(self.spark, sf_dir)
         try:
@@ -512,6 +525,14 @@ class Engine:
             raise
         except Exception as e:  # AnalysisException / ParseException / Py4J
             msg = str(e)
+            if self.fallback == "duckdb" and re.match(r"^\s*(SELECT|WITH)\b", stmt, re.I):
+                # routing fallback (reference protocol/session.py:195-201):
+                # a SELECT the local planner rejects is retried VERBATIM on
+                # the secondary executor over the same tables
+                try:
+                    return self._duckdb_fallback(stmt)
+                except Exception:
+                    pass  # report the ORIGINAL Spark error below
             m = re.search(r"SQLSTATE: (\w{5})", msg)
             raise QueryError(msg.split("\n")[0][:500], sql_state=m.group(1) if m else "42000") from e
 
@@ -681,6 +702,39 @@ class Engine:
             "aws_key_id": creds.get("AWS_KEY_ID", ""),
         }
         return _status(f"stage {name} created")
+
+    _FIXTURE_TABLES = (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    )
+
+    def _duckdb_fallback(self, stmt: str) -> pa.Table:
+        """Execute a statement on the in-process DuckDB over the same data:
+        fixture parquet + snapshot tables (as their current file lists).
+        This is the automatic form of the to_query escape hatch — the
+        engine's analog of the reference's route-to-the-other-warehouse
+        fallback. Snapshot tables carrying positional deletes are excluded
+        (DuckDB cannot apply them); queries over those still error."""
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        if self._sf_dir:
+            for t in self._FIXTURE_TABLES:
+                path = os.path.join(self._sf_dir, f"{t}.parquet")
+                if os.path.exists(path):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                    )
+        for bn, snap in self.snap_tables.items():
+            try:
+                if snap.current_delete_files():
+                    continue
+                files = snap.current_files()
+            except Exception:
+                continue
+            if files:
+                con.execute(f"CREATE VIEW {bn} AS SELECT * FROM read_parquet({files!r})")
+        return con.execute(stmt).arrow()
 
     def _local_stage_dir(self, name: str, sub: str) -> str:
         """Local filesystem dir of @name/sub (PUT/LIST/REMOVE operate on

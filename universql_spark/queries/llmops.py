@@ -760,3 +760,23 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_urls.alias("n_urls"),
         F.length(redacted).alias("redacted_len"),
     ).orderBy("doc_id")
+
+
+_DUCK_ATTRIB = """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time
+FROM events c JOIN events v
+  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes'
+ORDER BY click_id, view_id"""
+
+
+@register("stream_view_click_attrib", _DUCK_ATTRIB, category="streaming")
+def stream_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM join (streaming/windows.py
+    view_click_attribution): clicks attributed to same-user views within 10
+    minutes. The streaming side carries watermarks on both inputs and a
+    two-sided event-time bound (finite state store);
+    test_stream_stream_join_equals_batch pins stream == batch."""
+    from universql_spark.streaming import windows as sw
+
+    return sw.view_click_attribution(spark.table("events")).orderBy("click_id", "view_id")

@@ -743,3 +743,35 @@ def fn_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        ADD_MONTHS(o_orderdate, 3) AS plus3m
 FROM orders ORDER BY o_orderkey LIMIT 50"""
     )
+
+
+_RTR_ORACLE = """SELECT l_returnflag AS rf, l_linestatus AS ls,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) /
+             SUM(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) OVER (PARTITION BY l_returnflag), 6) AS share,
+       round(CAST(median(l_quantity) AS DOUBLE), 4) AS med,
+       mode() WITHIN GROUP (ORDER BY l_linenumber) AS md
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY rf, ls"""
+
+
+@register(
+    "win_ratio_to_report",
+    _RTR_ORACLE,
+    category="window",
+    doc="RATIO_TO_REPORT over grouped sums + MEDIAN + MODE",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT(x) OVER (spec) (rewritten to x / SUM(x) OVER, no
+    Spark twin) with MEDIAN/MODE — Snowflake text through the engine.
+    MODE ties: both engines pick the smallest value (DuckDB mode() WITHIN
+    GROUP ordered, Spark mode deterministic via min-tiebreak shape)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT l_returnflag AS rf, l_linestatus AS ls,
+       ROUND(RATIO_TO_REPORT(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+             OVER (PARTITION BY l_returnflag), 6) AS share,
+       ROUND(CAST(MEDIAN(l_quantity) AS DOUBLE), 4) AS med,
+       MODE(l_linenumber) AS md
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY rf, ls"""
+    )

@@ -94,6 +94,45 @@ def stream_dedup(events: DataFrame, key: str = "props", watermark: str = "1 hour
     return events.withWatermark("ts", watermark).dropDuplicates([key])
 
 
+def view_click_attribution(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each click to the same user's
+    preceding view within `horizon` — the canonical ad-attribution shape.
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH ends, so Spark can size the state store and evict expired rows
+    (without the time bound, stream-stream state grows forever — the
+    knob that matters at ingest scale)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "view_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+    )
+
+
 def run_append_to_memory(stream_df: DataFrame, name: str) -> None:
     q = (
         stream_df.writeStream.format("memory")
