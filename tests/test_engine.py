@@ -1192,3 +1192,19 @@ def test_duckdb_routing_fallback(spark, sf_dir):
     # a plannable SELECT still runs on Spark (fallback only on failure)
     assert routed.execute("SELECT COUNT(*) AS c FROM nation").to_pylist()[0]["c"] == 25
     routed.execute("DROP TABLE fb_t")
+
+
+def test_connect_by_level(engine):
+    """CONNECT BY / START WITH / PRIOR / LEVEL -> recursive CTE rewrite."""
+    engine.execute(
+        "CREATE OR REPLACE TEMP VIEW cbt AS "
+        "SELECT id, CASE WHEN id = 0 THEN NULL ELSE CAST((id - 1) / 3 AS BIGINT) END AS pid "
+        "FROM range(13) AS r(id)"
+    )
+    out = engine.execute(
+        "SELECT id, LEVEL FROM cbt START WITH pid IS NULL "
+        "CONNECT BY pid = PRIOR id ORDER BY LEVEL, id"
+    ).to_pylist()
+    assert len(out) == 13
+    assert out[0] == {"id": 0, "LEVEL": 1}
+    assert {r["LEVEL"] for r in out} == {1, 2, 3}

@@ -705,6 +705,47 @@ def _rewrite_sample(chunk: str) -> str:
     return _SAMPLE_RE.sub(repl, chunk)
 
 
+#: Snowflake hierarchical query: SELECT ... FROM t START WITH <cond>
+#: CONNECT BY <child> = PRIOR <parent> [ORDER BY ...]. Rewritten to an ANSI
+#: recursive CTE (Spark 4.1 supports WITH RECURSIVE), with the LEVEL
+#: pseudo-column materialized as the recursion depth.
+_CONNECT_BY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>[\w.\"]+)\s+"
+    r"START\s+WITH\s+(?P<start>.*?)\s+CONNECT\s+BY\s+(?P<cond>.*?)"
+    r"(?P<tail>\s+ORDER\s+BY\s+.*)?$",
+    re.I | re.S,
+)
+_PRIOR_COND_RE = re.compile(
+    r"^(?:(?P<a>[\w.\"]+)\s*=\s*PRIOR\s+(?P<b>[\w.\"]+)"
+    r"|PRIOR\s+(?P<c>[\w.\"]+)\s*=\s*(?P<d>[\w.\"]+))$",
+    re.I,
+)
+
+
+def rewrite_connect_by(sql: str) -> str:
+    m = _CONNECT_BY_RE.match(sql)
+    if not m:
+        return sql
+    pc = _PRIOR_COND_RE.match(m.group("cond").strip())
+    if not pc:
+        raise ValueError(
+            "CONNECT BY supports the form `<child_col> = PRIOR <parent_col>` "
+            f"(got: {m.group('cond').strip()[:80]})"
+        )
+    # normalize: child column on the new row joins the PRIOR row's parent col
+    child = pc.group("a") or pc.group("d")
+    parent = pc.group("b") or pc.group("c")
+    t, start, tail = m.group("table"), m.group("start").strip(), m.group("tail") or ""
+    select = m.group("select").strip()
+    return (
+        f"WITH RECURSIVE __cb AS ("
+        f"SELECT {t}.*, 1 AS level FROM {t} WHERE {start} "
+        f"UNION ALL "
+        f"SELECT {t}.*, __cb.level + 1 FROM {t} JOIN __cb ON {t}.{child} = __cb.{parent}"
+        f") SELECT {select} FROM __cb{tail}"
+    )
+
+
 _RATIO_TO_REPORT_RE = re.compile(r"\bRATIO_TO_REPORT\s*\(", re.I)
 
 
@@ -784,6 +825,8 @@ def snowflake_to_spark(sql: str) -> str:
     # $$-quoted strings first: their bodies are literals and must be masked
     # from every later rewrite ('' is the only escape in the '-quoted form)
     sql = _DOLLAR_QUOTE_RE.sub(lambda m: "'" + m.group(1).replace("'", "''") + "'", sql)
+    if "connect by" in sql.lower():
+        sql = rewrite_connect_by(sql)
     sql = _rewrite_generator(sql)
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
     sql = strip_table_wrapper(sql)

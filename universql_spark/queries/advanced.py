@@ -278,3 +278,48 @@ def adv_flatten_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT id, f.key AS key, f.path AS path, f.idx AS idx, f.value AS value "
         "FROM _flatten_rec_src, LATERAL flatten_recursive(doc) f"
     )
+
+
+_TREE_SQL = """SELECT n_nationkey AS id,
+       CASE WHEN n_nationkey = 0 THEN NULL
+            ELSE CAST(floor((n_nationkey - 1) / 5) AS BIGINT) END AS parent_id,
+       n_name AS name FROM nation"""
+
+_DUCK_CONNECT_BY = f"""WITH RECURSIVE tree AS ({_TREE_SQL}),
+walk AS (
+  SELECT id, parent_id, name, 1 AS level FROM tree WHERE parent_id IS NULL
+  UNION ALL
+  SELECT t.id, t.parent_id, t.name, w.level + 1
+  FROM tree t JOIN walk w ON t.parent_id = w.id)
+SELECT id, parent_id, name, level FROM walk ORDER BY level, id"""
+
+
+@register("adv_connect_by", _DUCK_CONNECT_BY, category="advanced")
+def adv_connect_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CONNECT BY hierarchy walk (START WITH / PRIOR / LEVEL)
+    rewritten to an ANSI recursive CTE (dialect.rewrite_connect_by; Spark
+    4.1 WITH RECURSIVE executes it). Tree synthesized from nation: 25
+    nodes, branching 5, depth 3."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(f"CREATE OR REPLACE TEMP VIEW cb_tree AS {_TREE_SQL}")
+    return eng.execute_df(
+        "SELECT id, parent_id, name, LEVEL AS level FROM cb_tree "
+        "START WITH parent_id IS NULL CONNECT BY parent_id = PRIOR id "
+        "ORDER BY level, id"
+    )
+
+
+_DUCK_REC_CTE = """WITH RECURSIVE fib(n, a, b) AS (
+  SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, b, a + b FROM fib WHERE n < 20)
+SELECT n, a AS fib_n FROM fib ORDER BY n"""
+
+
+@register("adv_recursive_cte", _DUCK_REC_CTE, category="advanced")
+def adv_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI WITH RECURSIVE passes through VERBATIM on both engines (Spark
+    4.1 native recursive CTE execution — no dialect rewrite involved)."""
+    return spark.sql(_DUCK_REC_CTE)
