@@ -1208,3 +1208,14 @@ def test_connect_by_level(engine):
     assert len(out) == 13
     assert out[0] == {"id": 0, "LEVEL": 1}
     assert {r["LEVEL"] for r in out} == {1, 2, 3}
+
+
+def test_get_downloads_staged_files(engine, tmp_path):
+    src = tmp_path / "g.csv"
+    src.write_text("x\n1\n")
+    engine.execute(f"CREATE OR REPLACE STAGE getstage URL='{tmp_path}/gstg'")
+    engine.execute(f"PUT 'file://{src}' @getstage AUTO_COMPRESS=FALSE")
+    dl = tmp_path / "down"
+    out = engine.execute(f"GET @getstage 'file://{dl}'").to_pylist()
+    assert out == [{"file": "g.csv", "size": 4, "status": "DOWNLOADED"}]
+    assert (dl / "g.csv").read_text() == "x\n1\n"

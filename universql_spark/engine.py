@@ -114,6 +114,7 @@ _PUT_RE = re.compile(
     r"^\s*PUT\s+'?(file://[^'\s]+)'?\s+@(\w+)((?:/[\w.\-/]*)?)\s*(.*)$", re.I | re.S
 )
 _LIST_RE = re.compile(r"^\s*(?:LIST|LS)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
+_GET_RE = re.compile(r"^\s*GET\s+@(\w+)((?:/[\w.\-/]*)?)\s+'?(file://[^'\s]+)'?\s*$", re.I)
 _REMOVE_RE = re.compile(r"^\s*(?:REMOVE|RM)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
 _RESULT_SCAN_RE = re.compile(
     r"\btable\s*\(\s*RESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*\))\s*\)\s*\)"
@@ -319,6 +320,9 @@ class Engine:
             m = _REMOVE_RE.match(stmt)
             if m:
                 return self._remove_from_stage(m)
+            m = _GET_RE.match(stmt)
+            if m:
+                return self._get_files(m)
             m = _CREATE_STAGE_RE.match(stmt)
             if m:
                 return self._create_stage(m)
@@ -808,6 +812,27 @@ class Engine:
                     os.remove(p)
                     removed.append(f"@{m.group(1).lower()}{p[len(base_root):]}")
         return pa.table({"name": removed, "result": ["removed"] * len(removed)})
+
+    def _get_files(self, m: re.Match) -> pa.Table:
+        """SnowSQL's GET: download staged files matching the @stage path
+        prefix into a local directory (the inverse of PUT)."""
+        import shutil  # noqa: PLC0415
+
+        prefix = self._local_stage_dir(m.group(1).lower(), m.group(2))
+        base_root = self._local_stage_dir(m.group(1).lower(), "")
+        dest = m.group(3)[len("file://"):]
+        os.makedirs(dest, exist_ok=True)
+        names, sizes = [], []
+        for root, _dirs, files in os.walk(base_root):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                if p.startswith(prefix):
+                    shutil.copyfile(p, os.path.join(dest, f))
+                    names.append(f)
+                    sizes.append(os.path.getsize(p))
+        return pa.table(
+            {"file": names, "size": sizes, "status": ["DOWNLOADED"] * len(names)}
+        )
 
     def _resolve_result_scan(self, stmt: str) -> str:
         """RESULT_SCAN('<qid>') / RESULT_SCAN(LAST_QUERY_ID()) -> temp view

@@ -780,3 +780,87 @@ def stream_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universql_spark.streaming import windows as sw
 
     return sw.view_click_attribution(spark.table("events")).orderBy("click_id", "view_id")
+
+
+_DUCK_STRATIFIED = """WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END AS keep_pct
+  FROM documents)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM rated WHERE doc_id % 100 < keep_pct
+GROUP BY lang ORDER BY lang"""
+
+
+@register("corpus_stratified_sample", _DUCK_STRATIFIED, category="dedup")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-language rates (down-weight the
+    dominant language, keep the tail) via a DETERMINISTIC id-hash threshold
+    — reproducible across runs and engines, no RNG state. The corpus-mix
+    knob every multilingual training set needs; at 100 TB this is a pure
+    narrow filter (no shuffle before the final stats)."""
+    docs = spark.table("documents")
+    keep = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(80)
+    )
+    return (
+        docs.withColumn("keep_pct", keep)
+        .filter(F.col("doc_id") % 100 < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DUCK_QUALITY_PCTL = f"""WITH scored AS (
+  SELECT doc_id, lang,
+         round((
+           (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} >= 3.0
+                 AND (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} <= 10.0
+            THEN 1.0 ELSE 0.0 END)
+         + length({_rr('text', '[^a-z ]', '')}) * 1.0 / length(text)
+         ) / 3.0, 4) AS q
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, q,
+         percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+  FROM scored)
+SELECT lang, COUNT(*) AS n_kept,
+       round(MIN(q), 4) AS min_q, round(MAX(q), 4) AS max_q
+FROM ranked WHERE pr >= 0.25 GROUP BY lang ORDER BY lang"""
+
+
+@register("text_quality_percentile", _DUCK_QUALITY_PCTL, category="text")
+def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile filtering PER LANGUAGE: drop each language's
+    bottom quartile by quality score (textops.quality_score). percent_rank
+    windows partition by lang — one shuffle on lang, no global sort; the
+    per-language cut avoids the classic bias of a global threshold starving
+    low-resource languages."""
+    from pyspark.sql.window import Window
+
+    from universql_spark.operators import textops
+
+    docs = spark.table("documents")
+    scored = docs.select(
+        "doc_id", "lang", textops.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("q"), 4).alias("min_q"),
+            F.round(F.max("q"), 4).alias("max_q"),
+        )
+        .orderBy("lang")
+    )
