@@ -222,3 +222,34 @@ def test_information_schema_metadata_queries(client):
     )
     assert out["success"] and _decode(out).to_pylist()[0]["n"] >= 1
     _query(client, token, "DROP TABLE infoschema_t")
+
+
+def test_describe_only_returns_schema_without_executing(client):
+    """JDBC's prepared-statement metadata request: describeOnly analyzes the
+    plan and returns rowtype with ZERO rows executed (and DDL describes as a
+    status row without running)."""
+    token = _login(client)
+    out = _query_body(
+        client, token,
+        {"sqlText": "SELECT o_orderkey, o_totalprice FROM orders", "describeOnly": True},
+    )
+    assert out["success"] and out["data"]["returned"] == 0
+    names = [c["name"] for c in out["data"]["rowtype"]]
+    assert names == ["o_orderkey", "o_totalprice"]
+    assert _decode(out).num_rows == 0
+    # DDL describeOnly must NOT create the table
+    out = _query_body(
+        client, token,
+        {"sqlText": "CREATE OR REPLACE TABLE desc_only_t AS SELECT 1 AS x", "describeOnly": True},
+    )
+    assert out["success"] and out["data"]["returned"] == 0
+    out = _query(client, token, "SELECT COUNT(*) AS c FROM desc_only_t")
+    assert not out["success"]  # table was never created
+
+
+def _query_body(client, token, body):
+    return client.post(
+        "/queries/v1/query-request",
+        json=body,
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    ).get_json()

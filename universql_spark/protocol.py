@@ -148,6 +148,28 @@ def create_app(engine: Engine | None = None) -> "Flask":
         sc = eng.spark.sparkContext
         sc.setJobGroup(query_id, sql[:120], interruptOnCancel=True)
         try:
+            if body.get("describeOnly"):
+                # JDBC prepared-statement metadata: analyze the plan, return
+                # the rowtype, execute NOTHING (SELECT/WITH only — DDL/DML
+                # describe as a status row without side effects)
+                import re as _re  # noqa: PLC0415
+
+                if _re.match(r"^\s*(SELECT|WITH)\b", sql, _re.I):
+                    table = normalize(eng.execute_df(sql).limit(0).toArrow())
+                else:
+                    import pyarrow as _pa  # noqa: PLC0415
+
+                    table = normalize(_pa.table({"status": _pa.array([], _pa.string())}))
+                return {
+                    "success": True,
+                    "data": {
+                        "queryId": query_id,
+                        "queryResultFormat": "arrow",
+                        "rowtype": rowtype(table),
+                        "returned": 0,
+                        "rowsetBase64": _arrow_b64(table),
+                    },
+                }
             table = normalize(eng.execute(sql))
         except QueryError as e:
             return {
