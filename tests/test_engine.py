@@ -1219,3 +1219,14 @@ def test_get_downloads_staged_files(engine, tmp_path):
     out = engine.execute(f"GET @getstage 'file://{dl}'").to_pylist()
     assert out == [{"file": "g.csv", "size": 4, "status": "DOWNLOADED"}]
     assert (dl / "g.csv").read_text() == "x\n1\n"
+
+
+def test_object_agg_sorted_keys(engine):
+    """OBJECT_AGG emits one JSON object per group with SORTED keys
+    (deterministic under any partitioning; Snowflake leaves order
+    undefined)."""
+    out = engine.execute(
+        "SELECT OBJECT_AGG(k, v) AS o FROM "
+        "(SELECT 'b' AS k, 2 AS v UNION ALL SELECT 'a', 1 UNION ALL SELECT 'c', 3)"
+    )
+    assert out.to_pylist() == [{"o": '{"a":1,"b":2,"c":3}'}]

@@ -378,6 +378,17 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "object_keys", lambda a: f"json_object_keys({a[0]})" if len(a) == 1 else None
     )
+    # OBJECT_AGG(k, v) -> one JSON object per group (VARIANT is JSON text).
+    # Entries sort by key: Snowflake leaves key order undefined, and sorted
+    # output is deterministic under any partitioning
+    sql = _rewrite_calls(
+        sql,
+        "object_agg",
+        lambda a: "to_json(map_from_entries(array_sort("
+        f"array_agg(struct({a[0]}, {a[1]})))))"
+        if len(a) == 2
+        else None,
+    )
     # DIV0 / DIV0NULL: division that yields 0 instead of erroring on a zero
     # (or NULL, for DIV0NULL) divisor
     sql = _rewrite_calls(
@@ -746,6 +757,49 @@ def rewrite_connect_by(sql: str) -> str:
     )
 
 
+_ARRAY_AGG_WG_RE = re.compile(r"\bARRAY_AGG\s*\(", re.I)
+_WITHIN_GROUP_RE = re.compile(r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+", re.I)
+
+
+def _rewrite_array_agg_within_group(sql: str) -> str:
+    """ARRAY_AGG(x) WITHIN GROUP (ORDER BY y [DESC]) — Spark's array_agg
+    has no WITHIN GROUP. Same-expression ordering becomes sort_array;
+    order-by-another-expression packs (order key, value) structs, sorts,
+    and projects the value back out."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _ARRAY_AGG_WG_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        arg_close = _match_paren(sql, m.end() - 1)
+        wg = _WITHIN_GROUP_RE.match(sql[arg_close + 1 :])
+        if not wg:
+            out.append(sql[i : arg_close + 1])
+            i = arg_close + 1
+            continue
+        # wg matched through 'ORDER BY '; the enclosing paren opened inside it
+        close = _match_paren(sql, arg_close + 1 + wg.group(0).rindex("("))
+        order = sql[arg_close + 1 + wg.end() : close].strip()
+        x = sql[m.end() : arg_close].strip()
+        desc = bool(re.search(r"\bDESC\b", order, re.I))
+        key = re.sub(r"\s+(ASC|DESC)\s*$", "", order, flags=re.I).strip()
+        out.append(sql[i : m.start()])
+        if key == x:
+            arr = f"sort_array(array_agg({x})" + (", false)" if desc else ")")
+        else:
+            arr = (
+                f"transform(array_sort(array_agg(struct(({key}) AS o, ({x}) AS v))), "
+                f"__s -> __s.v)"
+            )
+            if desc:
+                arr = f"reverse({arr})"
+        out.append(arr)
+        i = close + 1
+    return "".join(out)
+
+
 _RATIO_TO_REPORT_RE = re.compile(r"\bRATIO_TO_REPORT\s*\(", re.I)
 
 
@@ -837,6 +891,7 @@ def snowflake_to_spark(sql: str) -> str:
     sql = _outside_literals(sql, _rewrite_positional)
     sql = _outside_literals(sql, _rewrite_sample)
     sql = _rewrite_ratio_to_report(sql)
+    sql = _rewrite_array_agg_within_group(sql)
     sql = _rewrite_decode(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)

@@ -119,7 +119,7 @@ _GATE_PRIORITY: list[str] = [
     "dml_plain_file_granular", "fn_dialect_ext", "fn_array_gallery",
     "fn_datetime_ext", "dedup_decontaminate", "text_pii_scrub",
     "win_ratio_to_report", "stream_view_click_attrib", "adv_connect_by",
-    "adv_recursive_cte", "corpus_stratified_sample", "text_quality_percentile",
+    "adv_recursive_cte", "corpus_stratified_sample", "text_quality_percentile", "agg_array_object_agg",
     # round-2 specs with NO sf0.01 evidence (never driver-gated, added after
     # the r1 local gate ran):
     "adv_flatten_recursive", "ann_ivf_topk",

@@ -775,3 +775,33 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
        MODE(l_linenumber) AS md
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY rf, ls"""
     )
+
+
+_AGG_ARR_OBJ_ORACLE = """SELECT n_regionkey AS rk,
+       array_to_string(array_agg(n_name ORDER BY n_name), ',') AS names_asc,
+       array_to_string(array_agg(n_name ORDER BY n_nationkey DESC), ',') AS by_key_desc
+FROM nation GROUP BY n_regionkey ORDER BY rk"""
+
+
+@register(
+    "agg_array_object_agg",
+    _AGG_ARR_OBJ_ORACLE,
+    category="agg",
+    doc="ARRAY_AGG WITHIN GROUP (same-key and cross-key ordering) + "
+        "OBJECT_AGG -> JSON, keyed extraction for deterministic compare",
+)
+def agg_array_object_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake ordered ARRAY_AGG: WITHIN GROUP has no Spark twin —
+    same-key ordering becomes sort_array, cross-key ordering packs
+    (key, value) structs, sorts, projects the value back. (OBJECT_AGG is
+    covered by test_object_agg_sorted_keys — its JSON output is engine-
+    deterministic only after our sorted-entry rewrite.)"""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_regionkey AS rk,
+       ARRAY_TO_STRING(ARRAY_AGG(n_name) WITHIN GROUP (ORDER BY n_name), ',') AS names_asc,
+       ARRAY_TO_STRING(ARRAY_AGG(n_name) WITHIN GROUP (ORDER BY n_nationkey DESC), ',') AS by_key_desc
+FROM nation GROUP BY n_regionkey ORDER BY rk"""
+    )
