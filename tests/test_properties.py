@@ -1,0 +1,165 @@
+"""Property-based + randomized differential tests for the pure-Python and
+graph layers (hypothesis is available in this container).
+
+- split_statements: no statement content is ever lost or invented, for
+  generated scripts mixing quoted ';', line/block comments, and blanks.
+- avro_io: write->read roundtrip over random records and all three codecs
+  (the Iceberg manifest chain depends on this byte-level fidelity).
+- connected_components: differential vs a pure-Python union-find on random
+  graphs — chains, stars, cliques, and noise edges (the large-star/
+  small-star contraction must agree with the ground truth labeling).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from universql_spark.dialect import split_statements  # noqa: E402
+
+# -- split_statements ---------------------------------------------------------
+
+_stmt_body = st.text(
+    alphabet=st.sampled_from(list("abcXYZ09_ ()*,=<>.\n\t")), min_size=1, max_size=30
+).map(lambda s: "SELECT " + s.strip() if s.strip() else "SELECT 1")
+_quoted = st.text(
+    alphabet=st.sampled_from(list("ab;—'x ")), max_size=10
+).map(lambda s: "SELECT '" + s.replace("'", "''") + "' AS v")
+_commented = _stmt_body.map(lambda s: s + " -- trailing; comment")
+_statement = st.one_of(_stmt_body, _quoted)
+
+
+@given(st.lists(_statement, min_size=1, max_size=6))
+@settings(max_examples=120, deadline=None)
+def test_split_statements_preserves_each_statement(stmts):
+    script = ";\n".join(stmts) + ";"
+    out = split_statements(script)
+    # every non-empty input statement survives in order, whitespace-trimmed;
+    # quoted ';' never splits — the quoted payload stays intact
+    expected = [s.strip() for s in stmts if s.strip()]
+    assert len(out) == len(expected)
+    for got, want in zip(out, expected):
+        assert got == want
+
+
+@given(st.lists(_commented, min_size=1, max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_split_statements_comment_semicolons_never_split(stmts):
+    """';' inside a '--' comment is not a separator; with separators on
+    fresh lines the statement COUNT is preserved (comment text itself may be
+    normalized away by the splitter)."""
+    script = "\n;\n".join(stmts) + "\n;"
+    out = split_statements(script)
+    assert len(out) == len(stmts)
+    for got, want in zip(out, stmts):
+        assert got.startswith(want.split(" -- ")[0].strip())
+
+
+@given(st.text(alphabet=st.sampled_from(list("ab';- \n/*")), max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_split_statements_never_crashes(script):
+    out = split_statements(script)
+    assert isinstance(out, list)
+
+
+# -- avro roundtrip -----------------------------------------------------------
+
+_record = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "name": st.text(max_size=24),
+        "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "ok": st.booleans(),
+    }
+)
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+
+
+@given(st.lists(_record, min_size=0, max_size=40), st.sampled_from(["null", "deflate", "snappy"]))
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_avro_roundtrip_random_records(tmp_path_factory, records, codec):
+    from universql_spark.avro_io import write_avro
+    from universql_spark.iceberg_format import _read_avro_records
+
+    path = str(tmp_path_factory.mktemp("avro") / f"p_{codec}.avro")
+    write_avro(path, _AVRO_SCHEMA, records, codec=codec)
+    assert _read_avro_records(path) == records
+
+
+# -- connected components vs union-find ---------------------------------------
+
+def _union_find_labels(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp[i] = min(comp.get(r, i), i) if False else r
+    # roots are already minimal under min-merge union; normalize anyway
+    label: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        label.setdefault(r, i)
+    return {i: label[find(i)] for i in range(n)}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """5 seeded random graphs (chain + star + clique + noise edges): the
+    distributed star-contraction labeling equals exact union-find."""
+    from universql_spark.operators import components
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(20, 60)
+        edges: list[tuple[int, int]] = []
+        # chain segment
+        lo = rng.randrange(0, n // 2)
+        hi = min(n - 1, lo + rng.randint(3, 10))
+        edges += [(i, i + 1) for i in range(lo, hi)]
+        # star
+        hub = rng.randrange(n)
+        edges += [(hub, rng.randrange(n)) for _ in range(rng.randint(2, 8))]
+        # clique
+        kq = rng.sample(range(n), k=min(n, rng.randint(3, 6)))
+        edges += [(a, b) for i, a in enumerate(kq) for b in kq[i + 1 :]]
+        # noise
+        edges += [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(0, 10))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = _union_find_labels(n, edges)
+        nodes = spark.range(n).toDF("id")
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in components.connected_components(nodes, edf).collect()
+        }
+        assert got == want, f"trial {trial}: n={n}, edges={edges}"

@@ -200,6 +200,10 @@ def _snappy_compress(data: bytes) -> bytes:
         header.append(b | 0x80 if n else b)
         if not n:
             break
+    if not data:
+        # uncompressed-length 0, no elements — the valid empty stream
+        # (an empty avro block body, found by the hypothesis roundtrip)
+        return bytes(header)
     ln = len(data) - 1
     if ln < 60:
         tag = bytes([ln << 2])
