@@ -115,3 +115,36 @@ def test_lsh_pairs_join_carries_no_vectors(spark, sf_dir):
     # the candidate dedup happens before vectors are joined back: the plan
     # has a distinct (HashAggregate over id_a, id_b) with no array in its keys
     assert "CartesianProduct" not in p
+
+
+def test_decontaminate_shingle_join_shape(spark, sf_dir):
+    """Decontamination joins eval shingles against the DISTINCT train
+    shingle set as an equi-hash join keyed by the shingle — never a
+    cartesian/nested-loop — and aggregates partially before the final
+    per-doc counts."""
+    p = plan(spark, sf_dir, "dedup_decontaminate")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p  # broadcast at toy scale, SMJ past the threshold
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_attribution_equi_join_with_time_bound(spark, sf_dir):
+    """The view->click attribution joins on user_id (equi) with the time
+    window as a post-join filter — the plan stream-stream joins share."""
+    p = plan(spark, sf_dir, "stream_view_click_attrib")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p
+
+
+def test_stratified_sample_no_shuffle_before_filter(spark, sf_dir):
+    """The stratified-sample filter is a narrow map stage: the only
+    exchange in the plan feeds the final per-language aggregate."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "corpus_stratified_sample")
+    # exactly two exchanges: partial->final agg, then the orderBy sort;
+    # the sample filter itself is a narrow map stage over the scan
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Scan parquet" in p
+    # node order scan(1) -> filter(2) -> partial agg(3): filter BELOW the agg
+    assert "(2) Filter" in p and "(3) HashAggregate" in p
