@@ -1230,3 +1230,94 @@ def test_object_agg_sorted_keys(engine):
         "(SELECT 'b' AS k, 2 AS v UNION ALL SELECT 'a', 1 UNION ALL SELECT 'c', 3)"
     )
     assert out.to_pylist() == [{"o": '{"a":1,"b":2,"c":3}'}]
+
+
+def test_null_strict_greatest_least(engine):
+    """Snowflake GREATEST/LEAST return NULL on any NULL argument (Spark's
+    skip NULLs); *_IGNORE_NULLS expose the Spark behavior."""
+    out = engine.execute(
+        "SELECT GREATEST(1, NULL, 3) AS g, LEAST(NULL, 2) AS l, "
+        "GREATEST_IGNORE_NULLS(1, NULL, 3) AS gi, LEAST_IGNORE_NULLS(NULL, 2) AS li"
+    ).to_pylist()[0]
+    assert out == {"g": None, "l": None, "gi": 3, "li": 2}
+
+
+def test_split_literal_delimiter(engine):
+    """Snowflake SPLIT takes a LITERAL delimiter; '.' must not be a regex."""
+    out = engine.execute("SELECT SPLIT('a.b.c', '.') AS s, SPLIT('a||b', '|') AS s2").to_pylist()[0]
+    assert out["s"] == ["a", "b", "c"]
+    assert out["s2"] == ["a", "", "b"]
+
+
+def test_regexp_like_full_match(engine):
+    """Snowflake REGEXP_LIKE is a FULL match; 'i' param maps to (?i)."""
+    out = engine.execute(
+        "SELECT REGEXP_LIKE('abc', 'b') AS part, REGEXP_LIKE('abc', 'a.c') AS full, "
+        "REGEXP_LIKE('ABC', 'abc', 'i') AS ci, RLIKE('abc', 'ab') AS rl"
+    ).to_pylist()[0]
+    assert out == {"part": False, "full": True, "ci": True, "rl": False}
+
+
+def test_insert_overlay_and_regexp_all(engine):
+    out = engine.execute(
+        "SELECT INSERT('abcdef', 2, 3, 'ZZ') AS ins, "
+        "REGEXP_SUBSTR_ALL('abcab', 'ab') AS am, REGEXP_COUNT('abcab', 'ab') AS cnt"
+    ).to_pylist()[0]
+    assert out == {"ins": "aZZef", "am": ["ab", "ab"], "cnt": 2}
+    # statement-form INSERT INTO is untouched by the function rewrite
+    from universql_spark.dialect import snowflake_to_spark
+    assert "overlay" not in snowflake_to_spark("INSERT INTO t (a, b) VALUES (1, 2)").lower()
+
+
+def test_time_slice_and_to_char(engine):
+    out = engine.execute(
+        "SELECT TIME_SLICE(TIMESTAMP'2024-03-05 10:47:31', 15, 'MINUTE') AS m15, "
+        "TIME_SLICE(TIMESTAMP'2024-03-05 10:47:31', 15, 'MINUTE', 'END') AS m15e, "
+        "TO_CHAR(TIME_SLICE(TIMESTAMP'2024-03-05 10:47:31', 2, 'MONTH'), 'YYYY-MM-DD') AS m2, "
+        "TO_CHAR(TIMESTAMP'2024-03-05 14:47:31', 'YYYY-MM-DD HH24:MI') AS tc, "
+        "PREVIOUS_DAY(DATE'2024-03-06', 'WED') AS pd"
+    ).to_pylist()[0]
+    assert str(out["m15"]).startswith("2024-03-05 10:45")
+    assert str(out["m15e"]).startswith("2024-03-05 11:00")
+    assert out["m2"] == "2024-03-01"
+    assert out["tc"] == "2024-03-05 14:47"
+    assert str(out["pd"]) == "2024-02-28"  # input IS a Wednesday: strictly before
+
+
+def test_sample_corrected_skew_kurtosis(engine):
+    """SKEW/KURTOSIS must equal DuckDB's sample-corrected G1/G2."""
+    import duckdb
+
+    vals = "(VALUES (1.0),(2.0),(2.5),(4.0),(7.5),(9.0)) t(x)"
+    got = engine.execute(f"SELECT SKEW(x) AS sk, KURTOSIS(x) AS ku FROM {vals}").to_pylist()[0]
+    want = duckdb.connect().execute(f"SELECT skewness(x), kurtosis(x) FROM {vals}").fetchone()
+    assert abs(got["sk"] - want[0]) < 1e-9
+    assert abs(got["ku"] - want[1]) < 1e-9
+
+
+def test_conditional_true_event_rows_frame(engine):
+    out = engine.execute(
+        "SELECT x, CONDITIONAL_TRUE_EVENT(x > 1) OVER (ORDER BY x) AS ev "
+        "FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"
+    ).to_pylist()
+    assert [r["ev"] for r in out] == [0, 1, 2]
+
+
+def test_star_modifiers(engine):
+    """SELECT * EXCLUDE/RENAME/REPLACE -> Spark * EXCEPT + trailing aliases."""
+    out = engine.execute(
+        "SELECT * EXCLUDE (o_orderpriority) RENAME (o_orderstatus AS status) "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    )
+    cols = set(out.column_names)
+    assert "status" in cols and "o_orderstatus" not in cols and "o_orderpriority" not in cols
+    out = engine.execute(
+        "SELECT * REPLACE (o_custkey % 10 AS o_custkey) FROM orders ORDER BY o_orderkey LIMIT 5"
+    ).to_pylist()
+    assert all(r["o_custkey"] < 10 for r in out)
+    # a '*' multiply followed by the REPLACE *function* is untouched
+    out = engine.execute(
+        "SELECT o_custkey * LENGTH(REPLACE(o_orderstatus, 'O', '')) AS x "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    )
+    assert out.column_names == ["x"]

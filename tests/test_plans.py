@@ -146,5 +146,8 @@ def test_stratified_sample_no_shuffle_before_filter(spark, sf_dir):
     # the sample filter itself is a narrow map stage over the scan
     assert len(_re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "Scan parquet" in p
-    # node order scan(1) -> filter(2) -> partial agg(3): filter BELOW the agg
-    assert "(2) Filter" in p and "(3) HashAggregate" in p
+    # the filter sits BELOW the partial aggregate (formatted plans number
+    # nodes bottom-up; exact ids shift with session state, so compare them)
+    mf = _re.search(r"\((\d+)\) Filter", p)
+    ma = _re.search(r"\((\d+)\) HashAggregate", p)
+    assert mf and ma and int(mf.group(1)) < int(ma.group(1))

@@ -61,6 +61,9 @@ _SNOW_TO_SPARK_DATETIME = [
     ("FF3", "SSS"),
     ("FF6", "SSSSSS"),
     ("TZH:TZM", "XXX"),
+    ("DY", "EEE"),
+    ("AM", "a"),
+    ("PM", "a"),
 ]
 
 

@@ -120,6 +120,20 @@ _FN_RENAMES = {
     "ENDSWITH": "endswith",
     # datetime
     "WEEKISO": "weekofyear",
+    # aggregates (same shape in Spark)
+    "BOOLAND_AGG": "bool_and",
+    "BOOLOR_AGG": "bool_or",
+    "BITAND_AGG": "bit_and",
+    "BITOR_AGG": "bit_or",
+    "BITXOR_AGG": "bit_xor",
+    "HLL": "approx_count_distinct",
+    # NULL-skipping variants = the Spark natives (the bare names are
+    # NULL-strict in Snowflake and rewritten in _rewrite_scalar_emulations_r3)
+    "GREATEST_IGNORE_NULLS": "greatest",
+    "LEAST_IGNORE_NULLS": "least",
+    "BASE64_ENCODE": "base64",
+    "HEX_ENCODE": "hex",
+    "UUID_STRING": "uuid",
 }
 
 _TYPE_RENAMES = [
@@ -441,6 +455,303 @@ def _rewrite_strtok_to_array(sql: str) -> str:
         return f"filter(split({expr}, {cls}), __t -> __t != '')"
 
     return _rewrite_calls(sql, "strtok_to_array", rw)
+
+
+_TIME_SLICE_SEC = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800}
+_TIME_SLICE_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}
+_DT_FMT_TOKENS = re.compile(r"YYYY|MON|MM|DD|HH24|HH12|MI|SS|DY", re.I)
+
+
+def _rewrite_scalar_emulations_r3(sql: str) -> str:
+    """Round-3 dialect ring — Snowflake functions whose Spark twin diverges
+    in NULL handling, match mode, or delimiter interpretation (the silent-
+    wrong-answer traps a real client hits first), plus sketch/stat surface:
+
+    - GREATEST/LEAST are NULL-STRICT in Snowflake (any NULL arg -> NULL);
+      Spark's skip NULLs. GREATEST_IGNORE_NULLS/LEAST_IGNORE_NULLS map to
+      the Spark natives.
+    - SPLIT(str, delim) splits on the LITERAL delimiter (Spark split takes a
+      Java regex — SPLIT(x, '.') silently explodes to empties). Empty tokens
+      are kept, matching Snowflake.
+    - REGEXP_LIKE / RLIKE(subject, pattern[, params]) FULL-match in
+      Snowflake; Spark regexp_like is partial. Anchor with ^(?:...)$ and map
+      'i'/'s'/'m' params to inline flags.
+    - REGEXP_SUBSTR_ALL -> regexp_extract_all(s, p, 0) (Spark requires the
+      explicit group-0 index when the pattern has no capture groups).
+    - INSERT(str, pos, len, repl) -> overlay (SQL-statement INSERT INTO is
+      never matched: the scanner requires '(' directly after the name).
+    - TO_CHAR/TO_VARCHAR(ts, 'YYYY-MM-DD...') -> date_format with the shared
+      Snowflake->JDK token table (copy_into._map_datetime_format); the 1-arg
+      form still falls through to the TO_CHAR->string rename.
+    - TIME_SLICE(ts, n, 'unit'[, 'START'|'END']): epoch-aligned bucketing
+      for SECOND..WEEK (matches DuckDB time_bucket with epoch origin),
+      months-since-1970 arithmetic for MONTH/QUARTER/YEAR.
+    - PREVIOUS_DAY(d, dow) = next_day(d - 8 days, dow): the unique dow in
+      (d-8, d-1] IS the strictly-previous one.
+    - SKEW/KURTOSIS: Snowflake (and DuckDB) report SAMPLE-corrected G1/G2;
+      Spark's are population g1/g2. Correct via G1 = g1*sqrt(n(n-1))/(n-2),
+      G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)); NULL below the defined n.
+    - BOOLXOR_AGG = parity of true count (XOR is associative), NULL on empty.
+    - BASE64/HEX_DECODE_STRING return STRING (Spark unbase64/unhex -> binary).
+    - ARRAY_UNIQUE_AGG -> sorted collect_set (Snowflake leaves order
+      undefined; sorted is deterministic under any partitioning).
+    """
+    from universql_spark.copy_into import _map_datetime_format
+
+    def nullstrict(fname):
+        def rw(a):
+            if len(a) < 2:
+                return None
+            guard = " OR ".join(f"({x}) IS NULL" for x in a)
+            return f"CASE WHEN {guard} THEN NULL ELSE {fname}({', '.join(x.strip() for x in a)}) END"
+        return rw
+
+    sql = _rewrite_calls(sql, "greatest", nullstrict("greatest"))
+    sql = _rewrite_calls(sql, "least", nullstrict("least"))
+
+    def split_rw(a):
+        if len(a) != 2:
+            return None
+        d = a[1].strip()
+        if _STRING_RE.fullmatch(d):
+            body = d[1:-1].replace("''", "'")
+            quoted = "\\\\Q" + body + "\\\\E"
+            return f"split({a[0]}, '{quoted.replace(chr(39), chr(39)*2)}')"
+        return f"split({a[0]}, concat('\\\\Q', {d}, '\\\\E'))"
+
+    sql = _rewrite_calls(sql, "split", split_rw)
+
+    def regexp_like_rw(a):
+        if len(a) not in (2, 3):
+            return None
+        flags = ""
+        if len(a) == 3:
+            p = a[2].strip()
+            if not _STRING_RE.fullmatch(p):
+                return None
+            chars = p[1:-1]
+            flags = "".join(f"(?{c})" for c in chars if c in "ism")
+        pat = a[1].strip()
+        if _STRING_RE.fullmatch(pat):
+            return f"regexp_like({a[0]}, '{flags}^(?:{pat[1:-1]})$')"
+        return f"regexp_like({a[0]}, concat('{flags}^(?:', {pat}, ')$'))"
+
+    sql = _rewrite_calls(sql, "regexp_like", regexp_like_rw)
+    sql = _rewrite_calls(sql, "rlike", regexp_like_rw)
+    sql = _rewrite_calls(
+        sql,
+        "regexp_substr_all",
+        lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "insert",
+        lambda a: f"overlay({a[0]}, {a[3]}, {a[1]}, {a[2]})" if len(a) == 4 else None,
+    )
+
+    def to_char_rw(a):
+        if len(a) != 2:
+            return None
+        f = a[1].strip()
+        if not _STRING_RE.fullmatch(f) or not _DT_FMT_TOKENS.search(f):
+            return None
+        mapped = _map_datetime_format(f[1:-1])
+        return f"date_format({a[0]}, '{mapped}')"
+
+    sql = _rewrite_calls(sql, "to_char", to_char_rw)
+    sql = _rewrite_calls(sql, "to_varchar", to_char_rw)
+
+    def time_slice_rw(a):
+        if len(a) not in (3, 4):
+            return None
+        try:
+            n = int(a[1].strip())
+        except ValueError:
+            return None
+        u = a[2].strip().strip("'\"").upper()
+        end = len(a) == 4 and a[3].strip().strip("'\"").upper() == "END"
+        if u in _TIME_SLICE_SEC:
+            s = n * _TIME_SLICE_SEC[u]
+            off = f" + {s}" if end else ""
+            return f"to_timestamp(floor(unix_timestamp({a[0]}) / {s}) * {s}{off})"
+        if u in _TIME_SLICE_MONTHS:
+            m = n * _TIME_SLICE_MONTHS[u]
+            mexpr = f"(year({a[0]}) - 1970) * 12 + month({a[0]}) - 1"
+            off = f" + {m}" if end else ""
+            return f"cast(add_months(date'1970-01-01', cast(floor(({mexpr}) / {m}) * {m}{off} AS INT)) AS TIMESTAMP)"
+        return None
+
+    sql = _rewrite_calls(sql, "time_slice", time_slice_rw)
+    sql = _rewrite_calls(
+        sql,
+        "previous_day",
+        lambda a: f"next_day(date_sub({a[0]}, 8), {a[1]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "skew",
+        lambda a: (
+            f"CASE WHEN count({a[0]}) >= 3 THEN skewness({a[0]})"
+            f" * sqrt(count({a[0]}) * (count({a[0]}) - 1)) / (count({a[0]}) - 2)"
+            f" ELSE NULL END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "kurtosis",
+        lambda a: (
+            f"CASE WHEN count({a[0]}) >= 4 THEN"
+            f" ((count({a[0]}) + 1) * kurtosis({a[0]}) + 6)"
+            f" * (count({a[0]}) - 1) / ((count({a[0]}) - 2) * (count({a[0]}) - 3))"
+            f" ELSE NULL END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "boolxor_agg",
+        lambda a: f"CASE WHEN count({a[0]}) = 0 THEN NULL ELSE (count_if({a[0]}) % 2) = 1 END"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "base64_decode_string",
+        lambda a: f"cast(unbase64({a[0]}) AS STRING)" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "hex_decode_string",
+        lambda a: f"cast(unhex({a[0]}) AS STRING)" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "array_unique_agg",
+        lambda a: f"array_sort(collect_set({a[0]}))" if len(a) == 1 else None,
+    )
+    return sql
+
+
+_STAR_MOD_RE = re.compile(
+    r"\*\s+(?=(?:EXCLUDE|RENAME|REPLACE)\b)", re.I
+)
+_IDENT_RE_TXT = r"[A-Za-z_][A-Za-z0-9_$]*"
+
+
+def rewrite_star_modifiers(sql: str) -> str:
+    """Snowflake SELECT-star modifiers -> Spark:
+
+      * EXCLUDE (a, b)            -> * EXCEPT (a, b)
+      * RENAME (a AS b)           -> * EXCEPT (a), a AS b
+      * REPLACE (expr AS a)       -> * EXCEPT (a), expr AS a
+      * EXCLUDE x RENAME (a AS b) -> * EXCEPT (x, a), a AS b
+
+    Spark 4 parses `* EXCEPT (...)` natively; RENAME/REPLACE become an
+    EXCEPT plus trailing aliased columns. Divergence (documented): the
+    renamed/replaced columns move to the END of the projection — Snowflake
+    keeps them in place. Qualified `t.*` works the same way.
+    """
+    while True:
+        # search on a literal-masked copy: '* EXCLUDE (x)' inside a string
+        # must not trigger (offsets are preserved by same-length masking)
+        masked = _STRING_RE.sub(lambda mm: "'" + " " * (len(mm.group(0)) - 2) + "'", sql)
+        m = _STAR_MOD_RE.search(masked)
+        if m is None:
+            return sql
+        i = m.end()
+        excepts: list[str] = []
+        extras: list[str] = []
+        while True:
+            mm = re.match(r"(EXCLUDE|RENAME|REPLACE)\s*", sql[i:], re.I)
+            if not mm:
+                break
+            kw = mm.group(1).upper()
+            j = i + mm.end()
+            if j < len(sql) and sql[j] == "(":
+                close = _match_paren(sql, j)
+                items = _split_top_args(sql[j + 1 : close])
+                nxt = close + 1
+            else:  # single bare item without parens (EXCLUDE col / RENAME a AS b)
+                mo = re.match(
+                    rf"({_IDENT_RE_TXT}(?:\s+AS\s+{_IDENT_RE_TXT})?)", sql[j:], re.I
+                ) if kw in ("RENAME", "REPLACE") else re.match(
+                    rf"({_IDENT_RE_TXT})", sql[j:]
+                )
+                if not mo:
+                    break
+                items = [mo.group(1)]
+                nxt = j + mo.end()
+            for it in items:
+                it = it.strip()
+                if kw == "EXCLUDE":
+                    excepts.append(it)
+                else:
+                    # split on the LAST depth-0 ' AS ' (REPLACE exprs may
+                    # contain their own, e.g. CAST(a AS INT) AS a)
+                    depth, split_at = 0, -1
+                    for mo in re.finditer(r"[()\[\]]|\bAS\b", it, re.I):
+                        tok = mo.group(0)
+                        if tok in "([":
+                            depth += 1
+                        elif tok in ")]":
+                            depth -= 1
+                        elif depth == 0:
+                            split_at = mo.start()
+                    if split_at < 0:
+                        return sql  # malformed — leave for Spark to report
+                    src = it[:split_at].strip()
+                    dst = it[split_at + 2 :].strip()
+                    excepts.append(src if kw == "RENAME" else dst)
+                    extras.append(f"{src} AS {dst}")
+            i = nxt
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+        repl = f"* EXCEPT ({', '.join(excepts)})"
+        if extras:
+            repl += ", " + ", ".join(extras)
+        sql = sql[: m.start()] + repl + " " + sql[i:]
+
+
+_CTE_EVENT_RE = re.compile(r"conditional_true_event", re.I)
+
+
+def _rewrite_window_events(sql: str) -> str:
+    """CONDITIONAL_TRUE_EVENT(expr) OVER (spec) -> running SUM of the
+    condition with an explicit ROWS frame (Spark's default ordered-window
+    frame is RANGE, which would merge ORDER-BY ties into one event number).
+    CONDITIONAL_CHANGE_EVENT needs a nested LAG and cannot be a single
+    expression — it stays a DataFrame-level operator (win_change_event spec).
+    """
+    while True:
+        m = _CTE_EVENT_RE.search(sql)
+        if m is None:
+            return sql
+        j = m.start()
+        k = m.end()
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            return sql  # not a call — leave (will fail loudly downstream)
+        close = _match_paren(sql, k)
+        expr = sql[k + 1 : close]
+        p = close + 1
+        while p < len(sql) and sql[p].isspace():
+            p += 1
+        if sql[p : p + 4].lower() != "over":
+            return sql
+        q = p + 4
+        while q < len(sql) and sql[q].isspace():
+            q += 1
+        if q >= len(sql) or sql[q] != "(":
+            return sql
+        oclose = _match_paren(sql, q)
+        body = sql[q + 1 : oclose]
+        frame = "" if re.search(r"\brows\b|\brange\b", body, re.I) else " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        repl = f"SUM(CASE WHEN ({expr}) THEN 1 ELSE 0 END) OVER ({body}{frame})"
+        sql = sql[:j] + repl + sql[oclose + 1 :]
 
 
 # the separator (`,` or `CROSS JOIN`) is swallowed with the match and
@@ -889,10 +1200,16 @@ def snowflake_to_spark(sql: str) -> str:
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
     sql = _outside_literals(sql, _rewrite_positional)
+    sql = rewrite_star_modifiers(sql)
     sql = _outside_literals(sql, _rewrite_sample)
     sql = _rewrite_ratio_to_report(sql)
     sql = _rewrite_array_agg_within_group(sql)
     sql = _rewrite_decode(sql)
+    # the r3 ring runs BEFORE strtok: STRTOK_TO_ARRAY emits an internal
+    # regex-char-class split() that the literal-delimiter SPLIT rewrite
+    # must never see (it only applies to user-written SPLIT calls)
+    sql = _rewrite_window_events(sql)
+    sql = _rewrite_scalar_emulations_r3(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

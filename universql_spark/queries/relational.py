@@ -805,3 +805,281 @@ def agg_array_object_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
        ARRAY_TO_STRING(ARRAY_AGG(n_name) WITHIN GROUP (ORDER BY n_nationkey DESC), ',') AS by_key_desc
 FROM nation GROUP BY n_regionkey ORDER BY rk"""
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 function ring: aggregates, stats, strings, time slicing, window
+# events — Snowflake text VERBATIM through the dialect layer, every value
+# pinned against the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_AGG_EXT_ORACLE = """SELECT l_linestatus AS ls,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.09) AS any_hi_disc,
+       (count_if(l_linenumber = 1) % 2) = 1 AS parity_first,
+       bit_and(l_linenumber) AS band,
+       bit_or(l_linenumber) AS bor,
+       bit_xor(l_linenumber) AS bxor,
+       CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_ret,
+       min_by(l_quantity, l_orderkey * 10000000 + l_linenumber * 1000000 + CAST(l_quantity * 100 AS BIGINT)) AS q_first,
+       max_by(l_quantity, l_orderkey * 10000000 + l_linenumber * 1000000 + CAST(l_quantity * 100 AS BIGINT)) AS q_last
+FROM lineitem GROUP BY l_linestatus ORDER BY ls"""
+
+
+@register(
+    "fn_agg_ext",
+    _AGG_EXT_ORACLE,
+    category="agg",
+    doc="BOOLAND/BOOLOR/BOOLXOR_AGG, BITAND/BITOR/BITXOR_AGG, COUNT_IF, "
+        "MIN_BY/MAX_BY — Snowflake aggregate surface through the dialect",
+)
+def fn_agg_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake boolean/bitwise aggregate surface. BOOLXOR_AGG is the
+    parity of the true-count (XOR is associative/commutative, so any
+    partitioning order gives the same answer); MIN_BY/MAX_BY keys embed the
+    VALUE itself (the fixture has duplicate (orderkey, linenumber) pairs),
+    so tied keys always carry equal values and the answer is deterministic."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT l_linestatus AS ls,
+       BOOLAND_AGG(l_quantity > 0) AS all_pos,
+       BOOLOR_AGG(l_discount > 0.09) AS any_hi_disc,
+       BOOLXOR_AGG(l_linenumber = 1) AS parity_first,
+       BITAND_AGG(l_linenumber) AS band,
+       BITOR_AGG(l_linenumber) AS bor,
+       BITXOR_AGG(l_linenumber) AS bxor,
+       COUNT_IF(l_returnflag = 'R') AS n_ret,
+       MIN_BY(l_quantity, l_orderkey * 10000000 + l_linenumber * 1000000 + CAST(l_quantity * 100 AS BIGINT)) AS q_first,
+       MAX_BY(l_quantity, l_orderkey * 10000000 + l_linenumber * 1000000 + CAST(l_quantity * 100 AS BIGINT)) AS q_last
+FROM lineitem GROUP BY l_linestatus ORDER BY ls"""
+    )
+
+
+_STATS_EXT_ORACLE = """SELECT l_returnflag AS rf,
+       round(skewness(CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS sk,
+       round(kurtosis(CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS ku,
+       round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) + 0.0 AS c,
+       round(covar_pop(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4) + 0.0 AS cvp,
+       round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4) + 0.0 AS cvs,
+       round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS slope,
+       round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS icept,
+       round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS r2,
+       regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY rf"""
+
+
+@register(
+    "fn_stats_ext",
+    _STATS_EXT_ORACLE,
+    category="agg",
+    doc="SKEW/KURTOSIS (sample-corrected from Spark's population moments), "
+        "CORR, COVAR_POP/SAMP, REGR_SLOPE/INTERCEPT/R2/COUNT",
+)
+def fn_stats_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface. Snowflake's SKEW/KURTOSIS (like
+    DuckDB's) are SAMPLE-corrected G1/G2 while Spark's skewness/kurtosis are
+    population g1/g2 — the dialect rewrites via G1 = g1*sqrt(n(n-1))/(n-2),
+    G2 = ((n+1)g2+6)(n-1)/((n-2)(n-3)). Values rounded: these are
+    well-conditioned second/third/fourth moments over ~thousands of rows, so
+    4 (2 for the ~1e3-magnitude slope/intercept) decimals are stable under
+    any partitioning order."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT l_returnflag AS rf,
+       ROUND(SKEW(CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS sk,
+       ROUND(KURTOSIS(CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS ku,
+       ROUND(CORR(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) + 0.0 AS c,
+       ROUND(COVAR_POP(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4) + 0.0 AS cvp,
+       ROUND(COVAR_SAMP(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4) + 0.0 AS cvs,
+       ROUND(REGR_SLOPE(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS slope,
+       ROUND(REGR_INTERCEPT(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS icept,
+       ROUND(REGR_R2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS r2,
+       REGR_COUNT(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY rf"""
+    )
+
+
+_STRING_EXT_ORACLE = """SELECT p_partkey AS k,
+       string_split(p_type, ' ')[2] AS second_word,
+       regexp_full_match(p_name, '.*ros.*') AS has_ros,
+       len(regexp_extract_all(p_name, 'o')) AS n_o,
+       strpos(p_name, regexp_extract(p_name, '[aeiou]', 0)) AS first_vowel,
+       regexp_extract_all(p_name, '[aeiou]')[1] AS v1,
+       substr(p_name, 1, 0) || 'XX' || substr(p_name, 4) AS ins,
+       decode(from_base64(to_base64(p_brand::BLOB))) AS b64rt,
+       hex(p_brand) AS hx
+FROM part ORDER BY k LIMIT 60"""
+
+
+@register(
+    "fn_string_ext",
+    _STRING_EXT_ORACLE,
+    category="scalar",
+    doc="SPLIT (literal delimiter), full-match REGEXP_LIKE, REGEXP_COUNT/"
+        "INSTR/SUBSTR_ALL, INSERT->overlay, BASE64/HEX encode-decode",
+)
+def fn_string_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-surface divergences: Snowflake SPLIT takes a LITERAL delimiter
+    (Spark split takes a regex), REGEXP_LIKE is a FULL match (Spark's is
+    partial), REGEXP_SUBSTR_ALL needs the explicit group-0 index in Spark,
+    INSERT is Spark overlay with reordered args. Array indexing is 0-based
+    in both Snowflake and Spark; the DuckDB oracle is 1-based."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT p_partkey AS k,
+       GET(SPLIT(p_type, ' '), 1) AS second_word,
+       REGEXP_LIKE(p_name, '.*ros.*') AS has_ros,
+       REGEXP_COUNT(p_name, 'o') AS n_o,
+       REGEXP_INSTR(p_name, '[aeiou]') AS first_vowel,
+       GET(REGEXP_SUBSTR_ALL(p_name, '[aeiou]'), 0) AS v1,
+       INSERT(p_name, 1, 3, 'XX') AS ins,
+       BASE64_DECODE_STRING(BASE64_ENCODE(p_brand)) AS b64rt,
+       HEX_ENCODE(p_brand) AS hx
+FROM part ORDER BY k LIMIT 60"""
+    )
+
+
+_TIME_SLICE_ORACLE = """SELECT o_orderkey AS k,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M') AS tc,
+       strftime(time_bucket(INTERVAL '15 days', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1970-01-01'), '%Y-%m-%d') AS slice15d,
+       strftime(time_bucket(INTERVAL '2 months', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1970-01-01'), '%Y-%m-%d') AS slice2m,
+       strftime(time_bucket(INTERVAL '3 months', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1970-01-01') + INTERVAL 3 MONTH, '%Y-%m-%d') AS sliceq_end,
+       (o_orderdate - INTERVAL (((isodow(o_orderdate) - 5 + 6) % 7) + 1) DAY)::DATE AS prev_fri,
+       (o_orderdate + INTERVAL (((5 - isodow(o_orderdate) + 6) % 7) + 1) DAY)::DATE AS next_fri
+FROM orders ORDER BY o_orderkey LIMIT 50"""
+
+
+@register(
+    "fn_time_slice",
+    _TIME_SLICE_ORACLE,
+    category="scalar",
+    doc="TIME_SLICE (epoch-aligned sec..week, month-arithmetic month/quarter/"
+        "year, START/END), TO_CHAR datetime formats, PREVIOUS_DAY/NEXT_DAY",
+)
+def fn_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake time bucketing: TIME_SLICE aligns slices to the epoch
+    (DuckDB time_bucket with an explicit 1970-01-01 origin states the same
+    buckets); MONTH/QUARTER/YEAR slices count months since 1970-01. The
+    'END' kind returns the exclusive upper bound. PREVIOUS_DAY =
+    next_day(d - 8, dow): the unique dow inside (d-8, d-1] is the
+    strictly-previous occurrence."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT o_orderkey AS k,
+       TO_CHAR(CAST(o_orderdate AS TIMESTAMP), 'YYYY-MM-DD HH24:MI') AS tc,
+       TO_CHAR(TIME_SLICE(CAST(o_orderdate AS TIMESTAMP), 15, 'DAY'), 'YYYY-MM-DD') AS slice15d,
+       TO_CHAR(TIME_SLICE(CAST(o_orderdate AS TIMESTAMP), 2, 'MONTH'), 'YYYY-MM-DD') AS slice2m,
+       TO_CHAR(TIME_SLICE(CAST(o_orderdate AS TIMESTAMP), 1, 'QUARTER', 'END'), 'YYYY-MM-DD') AS sliceq_end,
+       PREVIOUS_DAY(o_orderdate, 'FRI') AS prev_fri,
+       NEXT_DAY(o_orderdate, 'FRI') AS next_fri
+FROM orders ORDER BY o_orderkey LIMIT 50"""
+    )
+
+
+_COND_TRUE_ORACLE = """SELECT event_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS clicks_so_far
+FROM events ORDER BY event_id LIMIT 500"""
+
+
+@register(
+    "win_cond_true_event",
+    _COND_TRUE_ORACLE,
+    category="window",
+    doc="CONDITIONAL_TRUE_EVENT -> running SUM with an explicit ROWS frame",
+)
+def win_cond_true_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake CONDITIONAL_TRUE_EVENT(expr) OVER (w): running count of
+    rows where expr held, inclusive. The rewrite forces a ROWS frame —
+    Spark's default ordered frame is RANGE, which would merge ORDER BY ties
+    into one event number."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT event_id,
+       CONDITIONAL_TRUE_EVENT(event_type = 'click')
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clicks_so_far
+FROM events ORDER BY event_id LIMIT 500"""
+    )
+
+
+_CHANGE_EVENT_ORACLE = """SELECT event_id,
+       CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS change_event
+FROM (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+                   AND event_type IS DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events) t
+ORDER BY event_id LIMIT 500"""
+
+
+@register(
+    "win_change_event",
+    _CHANGE_EVENT_ORACLE,
+    category="window",
+    doc="CONDITIONAL_CHANGE_EVENT as a two-step window (lag diff -> running "
+        "sum) — not single-expression-rewritable (nested window functions)",
+)
+def win_change_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL_CHANGE_EVENT(expr) OVER (w): event number that increments
+    whenever expr changes value from the previous row in the window. Needs a
+    LAG inside a running SUM — nested window functions are illegal in one
+    expression in every engine, so this is a DataFrame-level operator: one
+    shuffle on user_id, both windows reuse the same sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNotNull() & ~F.col("event_type").eqNullSafe(prev), 1).otherwise(0)
+    stepped = ev.select("user_id", "ts", "event_id", chg.alias("chg"))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        stepped.select("event_id", F.sum("chg").over(run).alias("change_event"))
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+_STAR_MOD_ORACLE = """SELECT * EXCLUDE (o_orderpriority, o_orderstatus, o_custkey),
+       o_orderstatus AS status,
+       o_custkey % 100 AS o_custkey
+FROM orders ORDER BY o_orderkey LIMIT 100"""
+
+
+@register(
+    "fn_star_modifiers",
+    _STAR_MOD_ORACLE,
+    category="scalar",
+    doc="SELECT * EXCLUDE/RENAME/REPLACE -> Spark * EXCEPT + trailing aliases",
+)
+def fn_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake star modifiers: EXCLUDE maps to Spark 4's native
+    * EXCEPT; RENAME/REPLACE become EXCEPT plus trailing aliased columns
+    (position divergence documented in dialect.rewrite_star_modifiers —
+    irrelevant here, the compare sorts columns by name). The oracle uses
+    DuckDB's own EXCLUDE."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT * EXCLUDE (o_orderpriority)
+       RENAME (o_orderstatus AS status)
+       REPLACE (o_custkey % 100 AS o_custkey)
+FROM orders ORDER BY o_orderkey LIMIT 100"""
+    )
