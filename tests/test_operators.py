@@ -232,3 +232,42 @@ def test_components_skewed_hub_and_isolates(spark):
     assert got[30] == 30 and got[31] == 30
     for i in list(range(7)) + list(range(32, 40)):
         assert got[i] == i
+
+
+def test_repetition_signals_values(spark):
+    from universql_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 5 2-grams: "a b"x3 + "b a"x2 -> all dup
+            (2, "w x y z"),              # 3 distinct 2-grams, no dups
+            (3, "solo"),                 # single-token doc: one 1-token shingle
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].n_2grams == 5 and out[1].top_frac == 0.6 and out[1].dup_frac == 1.0
+    assert out[1].repetitive
+    assert out[2].n_2grams == 3 and out[2].dup_frac == 0.0 and not out[2].repetitive
+    assert out[3].n_2grams == 1 and out[3].top_frac == 1.0
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one sequence; a sequence exceeds the
+    budget only by its final (straddling) document."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators.scale import pack_sequences
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 * 10 + 5).alias("n_tokens"),
+    )
+    budget = 400
+    packed = pack_sequences(docs, budget=budget, n_shards=4).collect()
+    assert sum(r.n_docs for r in packed) == 200
+    max_doc = 36 * 10 + 5
+    assert all(r.n_tokens < budget + max_doc for r in packed)
+    # deterministic: same input -> identical packing
+    again = pack_sequences(docs, budget=budget, n_shards=4).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))

@@ -151,3 +151,21 @@ def test_stratified_sample_no_shuffle_before_filter(spark, sf_dir):
     mf = _re.search(r"\((\d+)\) Filter", p)
     ma = _re.search(r"\((\d+)\) HashAggregate", p)
     assert mf and ma and int(mf.group(1)) < int(ma.group(1))
+
+
+def test_repetition_partial_agg_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "text_repetition")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Packing = one shuffle on the shard key feeding the window; the
+    groupBy(shard, seq_id) reuses the window's hash distribution, so no
+    second exchange for the aggregate."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "corpus_pack_sequences")
+    assert "Window" in p
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 2  # window shuffle + final orderBy sort only

@@ -101,3 +101,42 @@ def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
     shutil.rmtree(f"{wh.path}/{table.lower()}", ignore_errors=True)
     df.write.mode("overwrite").partitionBy(partition_col).saveAsTable(table)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into training sequences of <= ``budget`` tokens
+    (streaming next-fit packing): within a shard, documents are taken in
+    id order and a document starts a new sequence when the running total
+    before it crosses a budget boundary. The standard pretraining
+    sequence-packing step, made deterministic and distributed.
+
+    Scale shape: sharding bounds the window's partition size — each shard's
+    cumulative sum is an independent window over (shard) with one shuffle,
+    so parallelism = n_shards regardless of corpus size (pick n_shards ~
+    cluster cores; the real pipelines pack per input shard exactly like
+    this). No collect, no global sort.
+
+    -> (shard, seq_id, n_docs, n_tokens) one row per packed sequence.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(shard, F.col(id_col), F.col(token_col).alias("tok"))
+    cum = F.sum("tok").over(w)
+    seq = F.floor((cum - F.col("tok")) / F.lit(budget)).alias("seq_id")
+    return (
+        staged.select("shard", seq, "tok")
+        .groupBy("shard", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
+    )

@@ -104,3 +104,37 @@ def pii_scrub(text: Column) -> tuple[Column, Column, Column]:
         F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]"), URL_PATTERN, "[URL]"
     )
     return n_emails, n_urls, redacted
+
+
+def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals per document over word
+    2-grams: the fraction of 2-gram occurrences taken by the single most
+    frequent 2-gram (top_frac) and the fraction covered by 2-grams that
+    occur more than once (dup_frac). High values flag boilerplate /
+    machine-generated text in a pretraining-corpus filter (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher', table A1 repetition filters).
+
+    Shape at 100 TB: shingle explode -> groupBy(id, gram) -> groupBy(id),
+    both with partial aggregation; shuffle rows carry (id, gram-hash-sized
+    strings) and counts only, never the document payload.
+
+    -> (doc_id, n_2grams, top_frac, dup_frac, repetitive)
+    """
+    from universql_spark.operators.dedup import shingle_rows
+
+    grams = shingle_rows(docs, text_col, id_col, n=2)
+    per_gram = grams.groupBy("id", "s").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+    )
+    top_frac = F.round(F.col("top_cnt") / F.col("n_2grams"), 4)
+    dup_frac = F.round(F.col("dup_cnt") / F.col("n_2grams"), 4)
+    return per_doc.select(
+        F.col("id").alias("doc_id"),
+        "n_2grams",
+        top_frac.alias("top_frac"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= 0.2).alias("repetitive"),
+    )

@@ -864,3 +864,60 @@ def text_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DUCK_REPETITION = f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                         for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS s
+  FROM t),
+pg AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY 1, 2),
+pd AS (SELECT doc_id, sum(cnt) AS n2, max(cnt) AS top_cnt,
+              sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+       FROM pg GROUP BY 1)
+SELECT doc_id, CAST(n2 AS BIGINT) AS n_2grams,
+       round(top_cnt * 1.0 / n2, 4) AS top_frac,
+       round(dup_cnt * 1.0 / n2, 4) AS dup_frac,
+       round(dup_cnt * 1.0 / n2, 4) >= 0.2 AS repetitive
+FROM pd ORDER BY doc_id"""
+
+
+@register("text_repetition", _DUCK_REPETITION, category="text")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-doc top-2-gram fraction and
+    duplicate-2-gram fraction (operators/textops.repetition_signals).
+    Two partial-aggregated shuffles carrying (id, gram, count) only."""
+    from universql_spark.operators.textops import repetition_signals
+
+    return repetition_signals(spark.table("documents")).orderBy("doc_id")
+
+
+_DUCK_PACK = f"""WITH d AS (
+  SELECT doc_id, {_duck_token_count('text')} AS tok FROM documents),
+s AS (SELECT doc_id % 8 AS shard, doc_id, tok FROM d),
+c AS (SELECT shard, doc_id, tok,
+             sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s)
+SELECT shard, CAST(floor((cum - tok) * 1.0 / 1000) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
+
+
+@register("corpus_pack_sequences", _DUCK_PACK, category="dedup")
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents -> <=1000-token training
+    sequences via deterministic per-shard next-fit packing
+    (operators/scale.pack_sequences; 8 shards so the oracle is engine-
+    independent). The window runs per shard — parallelism is n_shards,
+    independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators.scale import pack_sequences
+    from universql_spark.operators.textops import token_count
+
+    docs = spark.table("documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=1000, n_shards=8).orderBy("shard", "seq_id")
