@@ -1321,3 +1321,17 @@ def test_star_modifiers(engine):
         "FROM orders ORDER BY o_orderkey LIMIT 1"
     )
     assert out.column_names == ["x"]
+
+
+def test_dynamic_pivot_table_operand(engine):
+    """FOR x IN (ANY) against a plain table operand (not a subquery)."""
+    engine.execute(
+        "CREATE OR REPLACE TEMP VIEW pv AS "
+        "SELECT o_orderstatus AS st, o_totalprice AS tp FROM orders"
+    )
+    out = engine.execute(
+        "SELECT * FROM pv PIVOT (COUNT(tp) FOR st IN (ANY)) "
+    )
+    cols = out.column_names
+    assert len(cols) >= 2  # one column per distinct status
+    assert len(out) == 1

@@ -550,6 +550,7 @@ class Engine:
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
+        stmt = self._resolve_dynamic_pivot(stmt)
         if "information_schema" in stmt.lower():
             from universql_spark import info_schema  # noqa: PLC0415
 
@@ -557,6 +558,79 @@ class Engine:
                 self.spark, stmt, default_catalog=self.current_database or "UNIVERSQL"
             )
         return self.spark.sql(snowflake_to_spark(stmt))
+
+    _PIVOT_ANY_RE = re.compile(
+        r"FOR\s+([A-Za-z_][\w$]*)\s+IN\s*\(\s*ANY(?:\s+ORDER\s+BY\s+[^)]*)?\s*\)", re.I
+    )
+
+    def _resolve_dynamic_pivot(self, stmt: str) -> str:
+        """Snowflake dynamic PIVOT: `PIVOT (agg FOR col IN (ANY [ORDER BY
+        ...]))` — Spark's PIVOT needs the value list spelled out, so resolve
+        it here: run SELECT DISTINCT col over the pivot input (column
+        cardinality rows to the driver — the same k-scale collect the
+        DataFrame .pivot() API does without values) and substitute sorted
+        literals for ANY. NULL pivot values are skipped (a NULL never
+        matches a PIVOT IN value in either engine)."""
+        from universql_spark.dialect import _match_paren  # noqa: PLC0415
+
+        while True:
+            lowered = stmt.lower()
+            p = lowered.find("pivot")
+            start = None
+            while p >= 0:
+                k = p + 5
+                while k < len(stmt) and stmt[k].isspace():
+                    k += 1
+                if k < len(stmt) and stmt[k] == "(":
+                    close = _match_paren(stmt, k)
+                    m = self._PIVOT_ANY_RE.search(stmt, k, close)
+                    if m:
+                        start = (p, k, close, m)
+                        break
+                p = lowered.find("pivot", p + 5)
+            if start is None:
+                return stmt
+            p, k, close, m = start
+            # pivot input = the FROM operand directly before PIVOT: either a
+            # parenthesized subquery or a (qualified) table name
+            j = p - 1
+            while j >= 0 and stmt[j].isspace():
+                j -= 1
+            if stmt[j] == ")":
+                depth, i = 0, j
+                while i >= 0:
+                    if stmt[i] == ")":
+                        depth += 1
+                    elif stmt[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i -= 1
+                operand = stmt[i : j + 1]
+            else:
+                im = re.search(r'([A-Za-z_][\w.$"]*)\s*$', stmt[: j + 1])
+                if not im:
+                    return stmt  # unparseable — let Spark report the ANY
+                operand = im.group(1)
+            col = m.group(1)
+            rows = self.spark.sql(
+                snowflake_to_spark(
+                    f"SELECT DISTINCT {col} AS v FROM {operand} WHERE {col} IS NOT NULL ORDER BY 1"
+                )
+            ).collect()
+            vals = []
+            for r in rows:
+                v = r.v
+                if isinstance(v, str):
+                    vals.append("'" + v.replace("'", "''") + "'")
+                elif isinstance(v, bool):
+                    vals.append("true" if v else "false")
+                else:
+                    vals.append(str(v))
+            if not vals:
+                raise QueryError(f"dynamic PIVOT: no non-NULL values in {col}")
+            repl = f"FOR {col} IN ({', '.join(vals)})"
+            stmt = stmt[: m.start()] + repl + stmt[m.end() :]
 
     # -- dynamic tables (reference README.md:225-237) -----------------------
 

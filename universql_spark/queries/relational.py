@@ -1083,3 +1083,31 @@ def fn_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
        REPLACE (o_custkey % 100 AS o_custkey)
 FROM orders ORDER BY o_orderkey LIMIT 100"""
     )
+
+
+_PIVOT_DYN_ORACLE = """SELECT rf,
+       CAST(SUM(CASE WHEN ls = 'F' THEN q END) AS DOUBLE) AS "F",
+       CAST(SUM(CASE WHEN ls = 'O' THEN q END) AS DOUBLE) AS "O"
+FROM (SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q FROM lineitem) t
+GROUP BY rf ORDER BY rf"""
+
+
+@register(
+    "agg_pivot_dynamic",
+    _PIVOT_DYN_ORACLE,
+    category="grouping",
+    doc="dynamic PIVOT: FOR col IN (ANY) resolved via SELECT DISTINCT "
+        "(k-scale driver collect, exactly what DataFrame.pivot() does)",
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dynamic pivot — `IN (ANY ORDER BY ls)`: the engine resolves
+    the value list with a DISTINCT subquery (pivot-column cardinality rows
+    to the driver, same as Spark's own .pivot() without explicit values)
+    and substitutes sorted literals, then Spark's native PIVOT runs."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT * FROM (SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q FROM lineitem)
+PIVOT (CAST(SUM(q) AS DOUBLE) FOR ls IN (ANY ORDER BY ls)) ORDER BY rf"""
+    )
