@@ -1335,3 +1335,61 @@ def test_dynamic_pivot_table_operand(engine):
     cols = out.column_names
     assert len(cols) >= 2  # one column per distinct status
     assert len(out) == 1
+
+
+def test_match_recognize_v_shape(engine, spark):
+    """The classic stock V-shape: STRT DOWN+ UP+, Snowflake doc example
+    semantics — leftmost-greedy, skip past last row, undefined STRT
+    matches any row."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 8, 6, 7, 9, 12, 5, 4, 7, 8])]
+        + [(2, i, v) for i, v in enumerate([3, 3, 3, 2, 4])],
+        ["sym", "t", "price"],
+    ).createOrReplaceTempView("ticks")
+    out = engine.execute(
+        """SELECT * FROM ticks MATCH_RECOGNIZE (
+  PARTITION BY sym ORDER BY t
+  MEASURES FIRST(t) AS start_t, LAST(t) AS end_t, MIN(price) AS bottom,
+           COUNT(*) AS n_rows, MATCH_NUMBER() AS mn
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (STRT DOWN+ UP+)
+  DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+) ORDER BY sym, mn"""
+    ).to_pylist()
+    assert out == [
+        {"sym": 1, "start_t": 0, "end_t": 5, "bottom": 6, "n_rows": 6, "mn": 1},
+        {"sym": 1, "start_t": 6, "end_t": 9, "bottom": 4, "n_rows": 4, "mn": 2},
+        {"sym": 2, "start_t": 2, "end_t": 4, "bottom": 2, "n_rows": 3, "mn": 1},
+    ]
+
+
+def test_match_recognize_alternation_and_bounds(engine, spark):
+    """Alternation and bounded quantifiers compile to the regex engine."""
+    spark.createDataFrame(
+        [(1, i, s) for i, s in enumerate("aabbaab")],
+        ["g", "t", "v"],
+    ).createOrReplaceTempView("seq")
+    out = engine.execute(
+        """SELECT * FROM seq MATCH_RECOGNIZE (
+  PARTITION BY g ORDER BY t
+  MEASURES FIRST(t) AS s, COUNT(*) AS n
+  PATTERN (A{2} B+)
+  DEFINE A AS v = 'a', B AS v = 'b'
+) ORDER BY s"""
+    ).to_pylist()
+    # "aabbaab": A{2}B+ matches t0..3 (aabb), then t4..6 (aab)
+    assert out == [{"g": 1, "s": 0, "n": 4}, {"g": 1, "s": 4, "n": 3}]
+
+
+def test_match_recognize_errors(engine, spark):
+    from universql_spark.engine import QueryError
+
+    spark.range(3).selectExpr("1 AS g", "id AS t", "id AS v").createOrReplaceTempView("mr_err")
+    import pytest as _pytest
+
+    with _pytest.raises(QueryError, match="ALL ROWS PER MATCH"):
+        engine.execute(
+            "SELECT * FROM mr_err MATCH_RECOGNIZE (PARTITION BY g ORDER BY t "
+            "MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (X+) DEFINE X AS v > 0)"
+        )

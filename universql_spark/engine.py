@@ -550,6 +550,7 @@ class Engine:
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
+        stmt = self._resolve_match_recognize(stmt)
         stmt = self._resolve_dynamic_pivot(stmt)
         if "information_schema" in stmt.lower():
             from universql_spark import info_schema  # noqa: PLC0415
@@ -562,6 +563,66 @@ class Engine:
     _PIVOT_ANY_RE = re.compile(
         r"FOR\s+([A-Za-z_][\w$]*)\s+IN\s*\(\s*ANY(?:\s+ORDER\s+BY\s+[^)]*)?\s*\)", re.I
     )
+
+    @staticmethod
+    def _from_operand(stmt: str, pos: int) -> tuple[int, str] | None:
+        """The FROM operand ending just before ``pos``: a parenthesized
+        subquery or a (qualified) table name. -> (start_index, text)."""
+        j = pos - 1
+        while j >= 0 and stmt[j].isspace():
+            j -= 1
+        if j >= 0 and stmt[j] == ")":
+            depth, i = 0, j
+            while i >= 0:
+                if stmt[i] == ")":
+                    depth += 1
+                elif stmt[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        return i, stmt[i : j + 1]
+                i -= 1
+            return None
+        im = re.search(r'([A-Za-z_][\w.$"]*)\s*$', stmt[: j + 1])
+        return (im.start(1), im.group(1)) if im else None
+
+    def _resolve_match_recognize(self, stmt: str) -> str:
+        """FROM <operand> MATCH_RECOGNIZE (...) [alias] -> execute the
+        pattern match (operators/match_recognize.py: JVM-evaluated DEFINE
+        predicates + per-partition leftmost-greedy regex via applyInPandas),
+        register the result as a temp view, splice the view name in."""
+        from universql_spark.dialect import _match_paren  # noqa: PLC0415
+        from universql_spark.operators.match_recognize import (  # noqa: PLC0415
+            MatchRecognizeError,
+            match_recognize,
+        )
+
+        while True:
+            m = re.search(r"\bMATCH_RECOGNIZE\s*\(", stmt, re.I)
+            if m is None:
+                return stmt
+            k = stmt.index("(", m.start())
+            close = _match_paren(stmt, k)
+            op = self._from_operand(stmt, m.start())
+            if op is None:
+                raise QueryError("MATCH_RECOGNIZE without a FROM operand")
+            start, operand = op
+            am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", stmt[close + 1 :], re.I)
+            alias = ""
+            end = close + 1
+            if am and am.group(1).upper() not in (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "UNION",
+                "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "ON",
+            ):
+                alias = " " + am.group(1)
+                end = close + 1 + am.end()
+            df = self.spark.sql(snowflake_to_spark(f"SELECT * FROM {operand}"))
+            try:
+                out = match_recognize(df, stmt[k + 1 : close])
+            except MatchRecognizeError as e:
+                raise QueryError(str(e)) from e
+            view = f"__mr_{uuid.uuid4().hex[:8]}"
+            out.createOrReplaceTempView(view)
+            stmt = stmt[:start] + view + alias + stmt[end:]
 
     def _resolve_dynamic_pivot(self, stmt: str) -> str:
         """Snowflake dynamic PIVOT: `PIVOT (agg FOR col IN (ANY [ORDER BY

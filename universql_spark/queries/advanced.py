@@ -323,3 +323,60 @@ def adv_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI WITH RECURSIVE passes through VERBATIM on both engines (Spark
     4.1 native recursive CTE execution — no dialect rewrite involved)."""
     return spark.sql(_DUCK_REC_CTE)
+
+
+_DUCK_MATCH_RECOGNIZE = """WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN value < lag(value) OVER w THEN 'D'
+              WHEN value > lag(value) OVER w THEN 'U'
+              ELSE 'O' END AS sym
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sl AS (
+  SELECT *, CASE WHEN sym IS DISTINCT FROM lag(sym)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 THEN 1 ELSE 0 END AS chg
+  FROM s),
+r AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS run_id
+  FROM sl),
+runs AS (
+  SELECT user_id, run_id, any_value(sym) AS sym, CAST(count(*) AS BIGINT) AS n,
+         min(event_id) AS first_eid, max(event_id) AS last_eid
+  FROM r GROUP BY user_id, run_id),
+m AS (
+  SELECT d.user_id, d.first_eid AS start_eid, u.last_eid AS end_eid,
+         d.n + u.n AS n_rows
+  FROM runs d JOIN runs u
+    ON u.user_id = d.user_id AND u.run_id = d.run_id + 1
+  WHERE d.sym = 'D' AND u.sym = 'U')
+SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_eid) AS BIGINT) AS mn,
+       start_eid, end_eid, CAST(n_rows AS BIGINT) AS n_rows
+FROM m ORDER BY user_id, mn"""
+
+
+@register("adv_match_recognize", _DUCK_MATCH_RECOGNIZE, category="advanced")
+def adv_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE (operators/match_recognize.py): V-shape detection
+    PATTERN (DOWN+ UP+) over per-user value series. DEFINE predicates and
+    PREV() lags evaluate JVM-side; the per-partition leftmost-greedy regex
+    walk runs in applyInPandas over symbol-set-encoded characters. The
+    DuckDB oracle states the same matches via run-length grouping: a
+    leftmost-greedy DOWN+ UP+ match is exactly a maximal strictly-falling
+    run immediately followed by a strictly-rising run."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT user_id, mn, start_eid, end_eid, n_rows
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS mn, FIRST(event_id) AS start_eid,
+           LAST(event_id) AS end_eid, COUNT(*) AS n_rows
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (DOWN+ UP+)
+  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+) ORDER BY user_id, mn"""
+    )
