@@ -1393,3 +1393,30 @@ def test_match_recognize_errors(engine, spark):
             "SELECT * FROM mr_err MATCH_RECOGNIZE (PARTITION BY g ORDER BY t "
             "MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (X+) DEFINE X AS v > 0)"
         )
+
+
+def test_session_variables(engine):
+    """SET x = expr (eager evaluation), $x substitution outside literals,
+    SHOW VARIABLES, UNSET."""
+    engine.execute("SET min_k = 5 + 5")
+    engine.execute("SET tag = 'it''s'")
+    out = engine.execute(
+        "SELECT COUNT(*) AS c FROM orders WHERE o_orderkey <= $min_k"
+    ).to_pylist()
+    assert out[0]["c"] > 0
+    out = engine.execute("SELECT $tag AS t, '$tag stays' AS lit").to_pylist()[0]
+    assert out == {"t": "it's", "lit": "$tag stays"}
+    rows = engine.execute("SHOW VARIABLES").to_pylist()
+    assert {r["name"] for r in rows} >= {"MIN_K", "TAG"}
+    engine.execute("UNSET tag")
+    rows = engine.execute("SHOW VARIABLES").to_pylist()
+    assert "TAG" not in {r["name"] for r in rows}
+    # multi-statement script shares the variable state
+    out = engine.execute("SET a = 2; SELECT $a + $min_k AS s").to_pylist()
+    assert out == [{"s": 12}]
+
+
+def test_explain_select(engine):
+    out = engine.execute("EXPLAIN SELECT COUNT(*) AS c FROM orders").to_pylist()
+    assert len(out) > 3
+    assert any("HashAggregate" in r["plan"] for r in out)

@@ -155,6 +155,8 @@ class Engine:
         #: ALTER SESSION SET parameters (TIMEZONE also applied to the Spark
         #: session conf)
         self.session_params: dict[str, str] = {}
+        #: Snowflake session variables (SET x = expr; $x references)
+        self.session_vars: dict[str, str] = {}
         #: query id -> result table (RESULT_SCAN surface; bounded ring)
         self._results: dict[str, pa.Table] = {}
         self._last_qid: str | None = None
@@ -293,9 +295,82 @@ class Engine:
             )
         return stmt
 
+    _SET_VAR_RE = re.compile(r"^\s*SET\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*$", re.I | re.S)
+    _UNSET_VAR_RE = re.compile(r"^\s*UNSET\s+([A-Za-z_]\w*)\s*;?\s*$", re.I)
+    _SHOW_VARS_RE = re.compile(r"^\s*SHOW\s+VARIABLES\s*;?\s*$", re.I)
+    _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(?:USING\s+(?:TEXT|TABULAR|JSON)\s+)?(.+)$", re.I | re.S)
+    _VAR_REF_RE = re.compile(r"\$([A-Za-z_]\w*)")
+
+    def _substitute_vars(self, stmt: str) -> str:
+        """$name session-variable references -> their literal values.
+        $$-quoted and '-quoted spans are masked first so literal bodies
+        survive; $1-style positional stage columns are untouched (digits)."""
+        if not self.session_vars or "$" not in stmt:
+            return stmt
+        spans: list[tuple[int, int]] = []
+        for mm in re.finditer(r"\$\$.*?\$\$|'(?:[^']|'')*'", stmt, re.S):
+            spans.append(mm.span())
+
+        def sub(mm: re.Match) -> str:
+            if any(a <= mm.start() < b for a, b in spans):
+                return mm.group(0)
+            name = mm.group(1).lower()
+            return self.session_vars.get(name, mm.group(0))
+
+        return self._VAR_REF_RE.sub(sub, stmt)
+
+    @staticmethod
+    def _render_literal(v) -> str:
+        import datetime as _dt  # noqa: PLC0415
+        import decimal as _dec  # noqa: PLC0415
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float, _dec.Decimal)):
+            return str(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
     def _execute_one(self, stmt: str) -> pa.Table:
         try:
             stmt = self._rewrite_qualified(stmt)
+            m = self._SET_VAR_RE.match(stmt)
+            if m and not re.match(r"^\s*SET\s+\(", stmt):
+                # Snowflake session variables: SET x = <expr> evaluates the
+                # expression EAGERLY (util parity: SELECT it) and stores the
+                # literal; $x references substitute before translation
+                name, expr = m.group(1).lower(), self._substitute_vars(m.group(2))
+                row = self.spark.sql(snowflake_to_spark(f"SELECT ({expr}) AS v")).collect()[0]
+                self.session_vars[name] = self._render_literal(row.v)
+                return _status(f"variable {name} set")
+            m = self._UNSET_VAR_RE.match(stmt)
+            if m:
+                self.session_vars.pop(m.group(1).lower(), None)
+                return _status(f"variable {m.group(1).lower()} unset")
+            if self._SHOW_VARS_RE.match(stmt):
+                names = sorted(self.session_vars)
+                return pa.table(
+                    {"name": [n.upper() for n in names],
+                     "value": [self.session_vars[n] for n in names]}
+                )
+            stmt = self._substitute_vars(stmt)
+            m = self._EXPLAIN_RE.match(stmt)
+            if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE", stmt, re.I):
+                # Snowflake EXPLAIN returns plan rows; surface Spark's
+                # formatted physical plan, one row per line (client parity —
+                # the reference proxies EXPLAIN to its executor the same way)
+                df = self._run_select(m.group(1))
+                mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+                plan = df._jdf.queryExecution().explainString(mode)
+                lines = plan.splitlines()
+                return pa.table({"step": list(range(1, len(lines) + 1)), "plan": lines})
             if _USE_RE.match(stmt):
                 return self._use(stmt)
             if _TXN_RE.match(stmt):
