@@ -1420,3 +1420,16 @@ def test_explain_select(engine):
     out = engine.execute("EXPLAIN SELECT COUNT(*) AS c FROM orders").to_pylist()
     assert len(out) > 3
     assert any("HashAggregate" in r["plan"] for r in out)
+
+
+def test_parse_url_and_generators(engine):
+    out = engine.execute(
+        "SELECT PARSE_URL('https://sub.example.com/a/b?q=1#frag'):host::STRING AS h, "
+        "PARSE_URL('http://x.io/p'):scheme::STRING AS s, "
+        "TO_ARRAY(5) AS a, TO_ARRAY(NULL) AS n, "
+        "ARRAY_GENERATE_RANGE(0, 10, 3) AS r, ARRAY_GENERATE_RANGE(5, 0, -2) AS rneg"
+    ).to_pylist()[0]
+    assert out == {
+        "h": "sub.example.com", "s": "http", "a": [5], "n": None,
+        "r": [0, 3, 6, 9], "rneg": [5, 3, 1],
+    }

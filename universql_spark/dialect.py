@@ -632,6 +632,48 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         "array_unique_agg",
         lambda a: f"array_sort(collect_set({a[0]}))" if len(a) == 1 else None,
     )
+
+    # PARSE_URL(u[, permissive]) -> VARIANT object (JSON text here, like
+    # every VARIANT): the scheme/host/path/query/fragment subset of
+    # Snowflake's output, built from Spark's per-part parse_url so colon
+    # paths (u:host) work on the result. `parameters`/`port` omitted.
+    def parse_url_rw(a):
+        if len(a) not in (1, 2):
+            return None
+        u = a[0]
+        return (
+            "to_json(named_struct("
+            f"'fragment', parse_url({u}, 'REF'), "
+            f"'host', parse_url({u}, 'HOST'), "
+            f"'path', parse_url({u}, 'PATH'), "
+            f"'query', parse_url({u}, 'QUERY'), "
+            f"'scheme', lower(parse_url({u}, 'PROTOCOL'))))"
+        )
+
+    sql = _rewrite_calls(sql, "parse_url", parse_url_rw)
+    # TO_ARRAY(x): scalar -> 1-element array, NULL -> NULL (array-typed
+    # inputs would need type info; VARIANTs here are JSON text, so the
+    # scalar wrap is the supported subset)
+    sql = _rewrite_calls(
+        sql,
+        "to_array",
+        lambda a: f"CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE array({a[0]}) END"
+        if len(a) == 1
+        else None,
+    )
+
+    # ARRAY_GENERATE_RANGE(a, b[, step]): end-EXCLUSIVE (Spark sequence is
+    # inclusive); negative literal steps flip the bound adjustment
+    def gen_range_rw(a):
+        if len(a) == 2:
+            return f"sequence({a[0]}, ({a[1]}) - 1)"
+        if len(a) == 3:
+            step = a[2].strip()
+            adj = "+ 1" if step.startswith("-") else "- 1"
+            return f"sequence({a[0]}, ({a[1]}) {adj}, {a[2]})"
+        return None
+
+    sql = _rewrite_calls(sql, "array_generate_range", gen_range_rw)
     return sql
 
 

@@ -1111,3 +1111,88 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT * FROM (SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity AS q FROM lineitem)
 PIVOT (CAST(SUM(q) AS DOUBLE) FOR ls IN (ANY ORDER BY ls)) ORDER BY rf"""
     )
+
+
+_PARSE_URL_ORACLE = """SELECT o_orderkey AS k,
+       regexp_extract(u, '^([a-z]+)://', 1) AS scheme,
+       regexp_extract(u, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(u, '\\?([^#]*)', 1) AS query
+FROM (SELECT o_orderkey,
+             'https://shop' || (o_custkey % 5) || '.example.com/orders/' || o_orderkey
+             || '?p=' || (o_custkey % 9) AS u
+      FROM orders) t
+ORDER BY k LIMIT 100"""
+
+
+@register(
+    "fn_parse_url",
+    _PARSE_URL_ORACLE,
+    category="scalar",
+    doc="PARSE_URL -> VARIANT object (scheme/host/path/query/fragment "
+        "subset) with colon-path extraction",
+)
+def fn_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake PARSE_URL returns a VARIANT object; the dialect builds the
+    JSON from Spark's per-part parse_url (JVM-side), so colon paths and
+    GET_PATH work on the result like any VARIANT."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT o_orderkey AS k,
+       PARSE_URL(u):scheme::STRING AS scheme,
+       PARSE_URL(u):host::STRING AS host,
+       PARSE_URL(u):path::STRING AS path,
+       PARSE_URL(u):query::STRING AS query
+FROM (SELECT o_orderkey,
+             'https://shop' || (o_custkey % 5) || '.example.com/orders/' || o_orderkey
+             || '?p=' || (o_custkey % 9) AS u
+      FROM orders) t
+ORDER BY k LIMIT 100"""
+    )
+
+
+_DOMAIN_STATS_ORACLE = """WITH u AS (
+  SELECT 's' || (user_id % 7) || '.domain' || (user_id % 5) || '.org' AS host,
+         value
+  FROM events),
+d AS (
+  SELECT array_to_string(h[greatest(len(h) - 1, 1):], '.') AS domain, value
+  FROM (SELECT string_split(host, '.') AS h, value FROM u) t)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
+FROM d GROUP BY domain ORDER BY domain"""
+
+
+@register(
+    "corpus_domain_stats",
+    _DOMAIN_STATS_ORACLE,
+    category="text",
+    doc="registered-domain rollup (last two host labels) — the CCNet/"
+        "RefinedWeb URL-filtering aggregation, pure codegen",
+)
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus statistics: host -> registered domain (last two
+    labels) -> per-domain page counts and value sums. The web-corpus
+    filtering step (blocklists, per-domain quotas) runs on exactly this
+    rollup; one partial-aggregated shuffle on the domain."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    host = F.concat(
+        F.lit("s"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".domain"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".org"),
+    )
+    labels = F.split(host, r"\.")
+    domain = F.array_join(F.slice(labels, -2, 2), ".")
+    return (
+        ev.select(domain.alias("domain"), F.col("value"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("total_value"),
+        )
+        .orderBy("domain")
+    )
