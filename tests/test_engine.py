@@ -1388,10 +1388,10 @@ def test_match_recognize_errors(engine, spark):
     spark.range(3).selectExpr("1 AS g", "id AS t", "id AS v").createOrReplaceTempView("mr_err")
     import pytest as _pytest
 
-    with _pytest.raises(QueryError, match="ALL ROWS PER MATCH"):
+    with _pytest.raises(QueryError, match="unsupported MEASURES"):
         engine.execute(
             "SELECT * FROM mr_err MATCH_RECOGNIZE (PARTITION BY g ORDER BY t "
-            "MEASURES COUNT(*) AS n ALL ROWS PER MATCH PATTERN (X+) DEFINE X AS v > 0)"
+            "MEASURES AVG(A.v) AS n PATTERN (X+) DEFINE X AS v > 0)"
         )
 
 
@@ -1433,3 +1433,47 @@ def test_parse_url_and_generators(engine):
         "h": "sub.example.com", "s": "http", "a": [5], "n": None,
         "r": [0, 3, 6, 9], "rneg": [5, 3, 1],
     }
+
+
+def test_match_recognize_all_rows_running(engine, spark):
+    """ALL ROWS PER MATCH emits every matched row with RUNNING measures."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 8, 6, 7, 9])],
+        ["sym", "t", "price"],
+    ).createOrReplaceTempView("mr_all_t")
+    out = engine.execute(
+        """SELECT t, mn, running_n, running_last FROM mr_all_t MATCH_RECOGNIZE (
+  PARTITION BY sym ORDER BY t
+  MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS running_n, LAST(price) AS running_last
+  ALL ROWS PER MATCH
+  PATTERN (DOWN+ UP+)
+  DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+) ORDER BY t"""
+    ).to_pylist()
+    assert out == [
+        {"t": 1, "mn": 1, "running_n": 1, "running_last": 8},
+        {"t": 2, "mn": 1, "running_n": 2, "running_last": 6},
+        {"t": 3, "mn": 1, "running_n": 3, "running_last": 7},
+        {"t": 4, "mn": 1, "running_n": 4, "running_last": 9},
+    ]
+
+
+def test_match_recognize_skip_to_next_row(engine, spark):
+    """SKIP TO NEXT ROW finds overlapping matches."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([5, 4, 6, 3, 7])],
+        ["sym", "t", "price"],
+    ).createOrReplaceTempView("mr_skip_t")
+    out = engine.execute(
+        """SELECT mn, s, e FROM mr_skip_t MATCH_RECOGNIZE (
+  PARTITION BY sym ORDER BY t
+  MEASURES MATCH_NUMBER() AS mn, FIRST(t) AS s, LAST(t) AS e
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (DOWN UP)
+  DEFINE DOWN AS price < PREV(price), UP AS price > PREV(price)
+) ORDER BY mn"""
+    ).to_pylist()
+    # 5,4,6,3,7: (t1 down, t2 up) and (t3 down, t4 up) — with PAST LAST ROW
+    # it'd be the same here, but SKIP TO NEXT ROW re-scans from t2 and still
+    # finds the t3/t4 match
+    assert out == [{"mn": 1, "s": 1, "e": 2}, {"mn": 2, "s": 3, "e": 4}]

@@ -24,8 +24,11 @@ operators:
 Scale shape: the only data movement is the one hash shuffle on the
 partition key; the Python stage sees (partition, order, symbol-bool,
 measure-input) columns only — Arrow-batched via applyInPandas, no
-driver collect anywhere. Limits (raise QueryError): <= 16 symbols,
-unqualified measure references, ONE ROW PER MATCH output.
+driver collect anywhere. ONE ROW PER MATCH and ALL ROWS PER MATCH (with
+RUNNING-semantics measures) are both supported, as are AFTER MATCH SKIP
+PAST LAST ROW (default; non-overlapping) and SKIP TO NEXT ROW
+(overlapping — the scan resumes one row after the match start). Limits
+(raise QueryError): <= 16 symbols, unqualified measure references.
 """
 
 from __future__ import annotations
@@ -90,10 +93,8 @@ def parse_clause(inner: str) -> dict:
             "MATCH_RECOGNIZE needs PARTITION BY ... ORDER BY ... [MEASURES ...] "
             "PATTERN (...) DEFINE ..."
         )
-    if m.group("rows") and m.group("rows").upper().startswith("ALL"):
-        raise MatchRecognizeError("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
-    if m.group("skip") and "NEXT" in m.group("skip").upper():
-        raise MatchRecognizeError("AFTER MATCH SKIP TO NEXT ROW is not supported")
+    all_rows = bool(m.group("rows")) and m.group("rows").upper().startswith("ALL")
+    skip_next = bool(m.group("skip")) and "NEXT" in m.group("skip").upper()
     defines: list[tuple[str, str]] = []
     for d in _split_top(m.group("define")):
         dm = re.match(r"([A-Za-z_]\w*)\s+AS\s+(.*)$", d, re.I | re.S)
@@ -118,6 +119,8 @@ def parse_clause(inner: str) -> dict:
         "measures": measures,
         "pattern": m.group("pattern").strip(),
         "defines": defines,
+        "all_rows": all_rows,
+        "skip_next": skip_next,
     }
 
 
@@ -203,7 +206,16 @@ def match_recognize(df: DataFrame, inner: str) -> DataFrame:
         for fn, arg, out in spec["measures"]
     ]
     part_cols = [in_fields[c.lower()].name for c in part_cols]
-    fields = [in_fields[c.lower()] for c in part_cols]
+    all_rows = spec["all_rows"]
+    skip_next = spec["skip_next"]
+    if all_rows:
+        # every input column (original spelling, helper cols dropped) plus
+        # the measures, Snowflake's ALL ROWS PER MATCH shape
+        base_cols = [f.name for f in df.schema.fields]
+        fields = [in_fields[c.lower()] for c in base_cols]
+    else:
+        base_cols = part_cols
+        fields = [in_fields[c.lower()] for c in part_cols]
     for fn, arg, out in spec["measures"]:
         if fn in ("COUNT", "MATCH_NUMBER"):
             fields.append(StructField(out, LongType()))
@@ -216,33 +228,54 @@ def match_recognize(df: DataFrame, inner: str) -> DataFrame:
     measures = spec["measures"]
     out_names = [f.name for f in fields]
 
+    def _measure_row(sl: pd.DataFrame, mn: int, upto: int | None) -> list:
+        """Measure values over the match slice; RUNNING semantics when
+        ``upto`` is set (ALL ROWS PER MATCH row i sees rows 0..i)."""
+        view = sl if upto is None else sl.iloc[: upto + 1]
+        out = []
+        for fn, arg, _o in measures:
+            if fn == "MATCH_NUMBER":
+                out.append(mn)
+            elif fn == "COUNT":
+                out.append(len(view))
+            elif fn == "FIRST":
+                out.append(view[arg].iloc[0])
+            elif fn == "LAST":
+                out.append(view[arg].iloc[-1])
+            elif fn == "MIN":
+                out.append(view[arg].min())
+            elif fn == "MAX":
+                out.append(view[arg].max())
+            elif fn == "SUM":
+                out.append(view[arg].sum())
+        return out
+
     def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             order_cols, ascending=[asc for _, asc in order_specs], kind="mergesort"
         ).reset_index(drop=True)
         s = "".join(chr(_BASE + int(v)) for v in pdf["__sym_mask"])
         rows = []
-        for mn, m in enumerate(rx.finditer(s), start=1):
+        mn, pos = 0, 0
+        while True:
+            m = rx.search(s, pos)
+            if m is None:
+                break
             if m.start() == m.end():
-                continue  # zero-length match: no rows, skip
+                pos = m.start() + 1  # zero-length match: no rows, step past
+                continue
+            mn += 1
             sl = pdf.iloc[m.start() : m.end()]
-            row = [pdf[c].iloc[0] for c in part_cols]
-            for fn, arg, _out in measures:
-                if fn == "MATCH_NUMBER":
-                    row.append(mn)
-                elif fn == "COUNT":
-                    row.append(len(sl))
-                elif fn == "FIRST":
-                    row.append(sl[arg].iloc[0])
-                elif fn == "LAST":
-                    row.append(sl[arg].iloc[-1])
-                elif fn == "MIN":
-                    row.append(sl[arg].min())
-                elif fn == "MAX":
-                    row.append(sl[arg].max())
-                elif fn == "SUM":
-                    row.append(sl[arg].sum())
-            rows.append(row)
+            if all_rows:
+                for i in range(len(sl)):
+                    rows.append(
+                        [sl[c].iloc[i] for c in base_cols] + _measure_row(sl, mn, i)
+                    )
+            else:
+                rows.append([pdf[c].iloc[0] for c in part_cols] + _measure_row(sl, mn, None))
+            # SKIP PAST LAST ROW resumes after the match; SKIP TO NEXT ROW
+            # resumes one row after the match START (overlapping matches)
+            pos = m.start() + 1 if skip_next else m.end()
         return pd.DataFrame(rows, columns=out_names)
 
     return staged.groupBy(*part_cols).applyInPandas(one_group, schema=schema)
