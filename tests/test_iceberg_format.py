@@ -396,3 +396,56 @@ def test_engine_mor_statements(spark, tmp_path):
     # $files now reports both contents
     files = eng.execute("SELECT content, COUNT(*) AS n FROM mt$files GROUP BY content ORDER BY content").to_pydict()
     assert "POSITION_DELETES" in files["content"]
+
+
+def test_identity_partition_spec(spark, tmp_path):
+    """PARTITION BY records a real identity spec: per-file single partition
+    tuples in the manifests, partition pruning in plan_files, and
+    partition-granular DML."""
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(40)], ["id", "grp", "v"]
+    )
+    t = IcebergTable.create(str(tmp_path / "pt"), df, partition_by=["grp"])
+    _v, meta = t._read_metadata()
+    spec = meta["partition-specs"][0]
+    assert spec["fields"] == [
+        {"name": "grp", "transform": "identity", "source-id": 2, "field-id": 1000}
+    ]
+    assert meta["last-partition-id"] == 1000
+
+    # manifests carry the typed partition struct, one value per file
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    entries = []
+    for mf in _read_avro_records(snap["manifest-list"]):
+        entries += _read_avro_records(mf["manifest_path"])
+    parts = [e["data_file"]["partition"] for e in entries]
+    assert all(p["grp"] in ("A", "B") for p in parts)
+    assert {p["grp"] for p in parts} == {"A", "B"}
+    # every data file contains ONLY its tuple's rows (self-contained column)
+    for e in entries:
+        vals = {r.grp for r in spark.read.parquet(e["data_file"]["file_path"]).collect()}
+        assert vals == {e["data_file"]["partition"]["grp"]}
+
+    # partition pruning: equality on the partition column keeps one side
+    all_files = t.plan_files([])
+    a_files = t.plan_files([("grp", "=", "A")])
+    assert 0 < len(a_files) < len(all_files)
+    assert all("__p_grp=A" in f for f in a_files)
+
+    # partition-granular DELETE: B files untouched (same paths survive)
+    b_before = set(t.plan_files([("grp", "=", "B")]))
+    t.delete_where(spark, F.col("grp") == "A", "grp = 'A'")
+    after = set(t.plan_files([]))
+    assert b_before <= after
+    assert t.read(spark).count() == 20
+    assert {r.grp for r in t.read(spark).collect()} == {"B"}
+
+
+def test_partitioned_iceberg_appends_keep_spec(spark, tmp_path):
+    """INSERT-style appends route through the partition-aware writer."""
+    df = spark.createDataFrame([(i, "XY"[i % 2]) for i in range(10)], ["id", "grp"])
+    t = IcebergTable.create(str(tmp_path / "pt2"), df, partition_by=["grp"])
+    t.append(spark.createDataFrame([(100, "Z")], ["id", "grp"]))
+    z = t.plan_files([("grp", "=", "Z")])
+    assert len(z) == 1 and "__p_grp=Z" in z[0]
+    assert t.read(spark).count() == 11

@@ -58,7 +58,7 @@ class QueryError(Exception):
 
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
-    r"(?:(?:PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
+    r"(?:(PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
     re.I | re.S,
 )
 #: CREATE DYNAMIC [ICEBERG] TABLE t TARGET_LAG = '1 hour' WAREHOUSE = w AS …
@@ -1284,12 +1284,16 @@ class Engine:
             bool(m.group(2)),
             bool(m.group(3)),
             m.group(4).strip('"'),
-            m.group(6),
+            m.group(7),
         )
-        # PARTITION BY / CLUSTER BY (Snowflake's clustering-key clause) maps
-        # to a hive-partitioned layout — the unit of copy-on-write DML
-        # (engine_dml) and of partition pruning
-        pcols = [c.strip().strip('"').lower() for c in (m.group(5) or "").split(",") if c.strip()]
+        # PARTITION BY / CLUSTER BY: on plain tables both map to a
+        # hive-partitioned layout — the unit of copy-on-write DML
+        # (engine_dml) and of partition pruning. On Iceberg targets the
+        # keyword matters: PARTITION BY records an identity partition spec
+        # (per-file partition tuples + manifest pruning), CLUSTER BY
+        # range-clusters the write and records the sort order.
+        pkind = (m.group(5) or "").upper()
+        pcols = [c.strip().strip('"').lower() for c in (m.group(6) or "").split(",") if c.strip()]
         select = select.strip()
         # CREATE TABLE t AS (SELECT ...) — strip wrapping parens, but only a
         # pair that actually spans the whole text ("(SELECT a) UNION
@@ -1323,7 +1327,11 @@ class Engine:
             # manifest bounds on those columns become disjoint and
             # plan_files() can skip whole files on cluster-key predicates
             snap = IcebergTable.create(
-                self._snap_root(name), df, replace=replace, cluster_by=pcols or None
+                self._snap_root(name),
+                df,
+                replace=replace,
+                cluster_by=pcols if pcols and pkind == "CLUSTER" else None,
+                partition_by=pcols if pcols and pkind == "PARTITION" else None,
             )
             self.snap_tables[bn] = snap
             self._dynamic_meta.pop(bn, None)  # CTAS over a dynamic table demotes it

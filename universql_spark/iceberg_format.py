@@ -129,6 +129,71 @@ _MANIFEST_ENTRY_SCHEMA = {
 
 _STATUS_ADDED, _STATUS_EXISTING, _STATUS_DELETED = 1, 0, 2
 
+# -- identity partition specs -------------------------------------------------
+#
+# PARTITION BY on an Iceberg CTAS records a real identity partition spec
+# (spec-id 0 with fields, field-ids from 1000) and writes data files that
+# each belong to exactly ONE partition tuple (hive-style writer layout with
+# the source column DUPLICATED so data files stay self-contained). Manifest
+# entries then carry the typed partition struct (spec field-id 102), and
+# plan_files() prunes on partition values before consulting column bounds —
+# the spec's partition-pruning mechanism, independent of per-file stats.
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_AVRO_PART_TYPES = {
+    "long": "long",
+    "int": "int",
+    "date": {"type": "int", "logicalType": "date"},
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def _manifest_entry_schema(part_fields: list[tuple[str, str, int]]) -> dict:
+    """Manifest-entry Avro schema with the r102 partition struct typed per
+    the table's identity spec fields [(name, iceberg_type, field_id)]."""
+    if not part_fields:
+        return _MANIFEST_ENTRY_SCHEMA
+    r102 = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": n, "type": ["null", _AVRO_PART_TYPES.get(t, "string")], "field-id": fid}
+            for n, t, fid in part_fields
+        ],
+    }
+    data_file = json.loads(json.dumps(_DATA_FILE_SCHEMA))
+    for f in data_file["fields"]:
+        if f["name"] == "partition":
+            f["type"] = r102
+    entry = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    for f in entry["fields"]:
+        if f["name"] == "data_file":
+            f["type"] = data_file
+    return entry
+
+
+def _parse_part_value(raw: str, itype: str) -> Any:
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    if raw == _HIVE_NULL:
+        return None
+    raw = unquote(raw)
+    if itype in ("long", "int"):
+        return int(raw)
+    if itype in ("double", "float"):
+        return float(raw)
+    if itype == "boolean":
+        return raw.lower() == "true"
+    if itype == "date":
+        import datetime as _dt  # noqa: PLC0415
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    return raw
+
 
 def _iceberg_type(dt: T.DataType, next_id: list[int]) -> Any:
     """Spark type -> Iceberg schema-JSON type, assigning nested field ids
@@ -479,6 +544,59 @@ class IcebergTable(SnapshotTable):
 
     # -- commit (one new metadata version per operation) -------------------
 
+    def _part_spec_fields(self, meta: dict | None = None) -> list[tuple[str, str, int]]:
+        """Default spec's identity fields -> [(name, iceberg_type, field_id)]."""
+        if meta is None:
+            _v, meta = self._read_metadata()
+        spec = next(
+            (s for s in meta.get("partition-specs", []) if s["spec-id"] == meta.get("default-spec-id", 0)),
+            None,
+        )
+        if not spec or not spec.get("fields"):
+            return []
+        schema_fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_id = {f["id"]: f for f in schema_fields}
+        return [
+            (pf["name"], by_id[pf["source-id"]]["type"], pf["field-id"])
+            for pf in spec["fields"]
+            if pf.get("transform") == "identity" and isinstance(by_id.get(pf["source-id"], {}).get("type"), str)
+        ]
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Partition-aware write: each data file belongs to exactly one
+        partition tuple. The partition columns are DUPLICATED as hive
+        layout keys (__p_<col>=<value>/ dirs) so the originals stay inside
+        the files — Iceberg data files are self-contained."""
+        try:
+            pf = self._part_spec_fields()
+        except Exception:
+            pf = []
+        if not pf:
+            return super()._write_files(df)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        out = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
+        dup = {f"__p_{n}": F.col(n) for n, _t, _f in pf}
+        df.withColumns(dup).write.partitionBy(*dup).parquet(out)
+        paths = []
+        for dirpath, _dirs, files in os.walk(out):
+            paths += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return sorted(paths)
+
+    @staticmethod
+    def _file_partition(path: str, part_fields: list[tuple[str, str, int]]) -> dict:
+        """Partition tuple of a data file, parsed from its __p_<col>=<raw>
+        path segments (hive encoding: URL-quoted values, null sentinel)."""
+        raw = {}
+        for seg in path.split(os.sep):
+            if seg.startswith("__p_") and "=" in seg:
+                k, _, v = seg.partition("=")
+                raw[k[4:].lower()] = v
+        return {n: _parse_part_value(raw[n.lower()], t) if n.lower() in raw else None
+                for n, t, _f in part_fields}
+
     def _write_manifest(
         self, snap: dict, seq: int, first_seen: dict[str, tuple[int, int]]
     ) -> tuple[str, dict]:
@@ -490,6 +608,7 @@ class IcebergTable(SnapshotTable):
         fields = next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
+        part_fields = self._part_spec_fields(meta)
         entries, counts = [], {"added": [0, 0], "existing": [0, 0]}
         min_seq = seq
         for path in snap["files"]:
@@ -511,7 +630,9 @@ class IcebergTable(SnapshotTable):
                         "content": 0,
                         "file_path": path,
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": self._file_partition(path, part_fields)
+                        if part_fields
+                        else {},
                         "record_count": n,
                         "file_size_in_bytes": os.path.getsize(path),
                         "lower_bounds": lower or None,
@@ -520,7 +641,7 @@ class IcebergTable(SnapshotTable):
                 }
             )
         mpath = os.path.join(self._meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        avro_io.write_avro(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+        avro_io.write_avro(mpath, _manifest_entry_schema(part_fields), entries)
         return mpath, {
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
@@ -707,6 +828,13 @@ class IcebergTable(SnapshotTable):
         )
         if current is None:
             return []
+        # identity-partition columns prune on the manifest's typed partition
+        # tuple (the spec's mechanism) BEFORE any bounds are consulted
+        part_types = {
+            n.lower(): (n, t)
+            for n, t, _f in self._part_spec_fields(meta)
+            if t in ("long", "int", "string")
+        }
         keep: list[str] = []
         for mf in _read_avro_records(current["manifest-list"]):
             if mf.get("content") == 1:
@@ -717,8 +845,15 @@ class IcebergTable(SnapshotTable):
                 d = e["data_file"]
                 lb = {x["key"]: x["value"] for x in (d.get("lower_bounds") or [])}
                 ub = {x["key"]: x["value"] for x in (d.get("upper_bounds") or [])}
+                part = d.get("partition") or {}
                 ok = True
                 for col, op, v in conds:
+                    if col in part_types:
+                        name, _t = part_types[col]
+                        pv = part.get(name)
+                        if pv is not None and not _range_overlaps(op, v, pv, pv):
+                            ok = False
+                            break
                     if col not in by_name:
                         continue
                     fid, t = by_name[col]
@@ -1068,12 +1203,16 @@ class IcebergTable(SnapshotTable):
         df: DataFrame,
         replace: bool = False,
         cluster_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> "IcebergTable":
         """`cluster_by` = Snowflake clustering keys: the data is
         range-clustered on those columns before the first write (so files
         get tight, mostly-disjoint [min,max] bounds on them → manifest
         file skipping on cluster-key predicates) and the keys are recorded
-        as the table's Iceberg sort order."""
+        as the table's Iceberg sort order. `partition_by` = IDENTITY
+        partition spec: recorded as spec-id 0 fields (ids from 1000), data
+        files each belong to one partition tuple, manifests carry the
+        typed partition struct, and plan_files() prunes on it."""
         if os.path.exists(root):
             if not replace:
                 raise ValueError(f"iceberg table already exists at {root}")
@@ -1094,9 +1233,25 @@ class IcebergTable(SnapshotTable):
             "last-column-id": next_id[0] - 1,
             "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c.lower(),
+                            "transform": "identity",
+                            "source-id": next(
+                                f["id"] for f in fields if f["name"].lower() == c.lower()
+                            ),
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(partition_by or [])
+                    ],
+                }
+            ],
             "default-spec-id": 0,
-            "last-partition-id": 999,  # partition field ids start at 1000
+            # partition field ids start at 1000
+            "last-partition-id": 999 + len(partition_by or []),
             "sort-orders": [{"order-id": 0, "fields": []}]
             if not cluster_by
             else [

@@ -397,3 +397,55 @@ def dml_dynamic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("ALTER DYNAMIC TABLE dynmat REFRESH")
     fresh = eng.execute_df("SELECT 'fresh:' || etype AS k, total AS v FROM dynmat")
     return stale.unionByName(fresh).orderBy("k")
+
+
+_ICEPART_ORACLE = """
+WITH base AS (
+  SELECT o_orderstatus AS st, o_orderkey AS k, o_totalprice AS tp FROM orders
+),
+after_delete AS (SELECT * FROM base WHERE st <> 'F')
+SELECT 'cur:' || st AS k, CAST(COUNT(*) AS BIGINT) AS v FROM after_delete GROUP BY st
+UNION ALL
+SELECT 'orig:' || st AS k, CAST(COUNT(*) AS BIGINT) AS v FROM base GROUP BY st
+UNION ALL
+SELECT 'meta:pruned_is_subset' AS k, CAST(1 AS BIGINT) AS v
+ORDER BY k"""
+
+
+@register("dml_iceberg_partitioned", _ICEPART_ORACLE, category="dml")
+def dml_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg IDENTITY partition spec (iceberg_format.py): PARTITION BY on
+    an Iceberg CTAS records spec-id 0 identity fields (ids from 1000),
+    writes one-partition-per-file data, stores the typed partition struct
+    in the manifests, and plan_files() prunes on partition tuples. The
+    result proves: per-partition counts after a partition DELETE, time
+    travel to before it, and that pruning on the partition column selects a
+    strict subset of live files all under the matching hive segment."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE icepart_t PARTITION BY (st) AS
+          SELECT o_orderstatus AS st, o_orderkey AS k, o_totalprice AS tp FROM orders;
+        DELETE FROM icepart_t WHERE st = 'F'
+        """
+    )
+    t = eng.snap_tables["icepart_t"]
+    live = t.plan_files([])
+    pruned = t.plan_files([("st", "=", "O")])
+    subset_ok = (
+        0 < len(pruned) < len(live)
+        and all("__p_st=O" in f for f in pruned)
+        and set(pruned) <= set(live)
+    )
+    cur = eng.execute_df(
+        "SELECT 'cur:' || st AS k, COUNT(*) AS v FROM icepart_t GROUP BY st"
+    )
+    orig = eng.execute_df(
+        "SELECT 'orig:' || st AS k, COUNT(*) AS v FROM icepart_t AT(SNAPSHOT => 1) GROUP BY st"
+    )
+    meta = spark.createDataFrame(
+        [("meta:pruned_is_subset", int(subset_ok))], "k string, v long"
+    )
+    return cur.unionByName(orig).unionByName(meta).orderBy("k")
