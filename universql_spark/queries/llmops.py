@@ -921,3 +921,57 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(docs, budget=1000, n_shards=8).orderBy("shard", "seq_id")
+
+
+register(
+    "stream_sliding_sum",
+    """WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE]) AS ws,
+         value
+  FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+FROM w GROUP BY ws ORDER BY win_start""",
+    category="streaming",
+)(lambda spark, sf_dir: (
+    spark.table("events")
+    .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+    .agg(F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)").alias("total"))
+    .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "total")
+    .orderBy("win_start")
+))
+
+
+_SESSION_WIN_ORACLE = """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM g)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"""
+
+
+@register("stream_session_counts", _SESSION_WIN_ORACLE, category="streaming")
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, '30 minutes') per user — the batch twin of the
+    streaming sessionization in streaming/windows.py (same operator). The
+    oracle states the identical sessions via the lag-gap formulation:
+    a session closes when the next event is >30 min after the last."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
