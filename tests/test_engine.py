@@ -1477,3 +1477,16 @@ def test_match_recognize_skip_to_next_row(engine, spark):
     # it'd be the same here, but SKIP TO NEXT ROW re-scans from t2 and still
     # finds the t3/t4 match
     assert out == [{"mn": 1, "s": 1, "e": 2}, {"mn": 2, "s": 3, "e": 4}]
+
+
+def test_json_validation_and_array_insert(engine):
+    out = engine.execute(
+        "SELECT TRY_PARSE_JSON('{\"a\": 1}') AS ok, TRY_PARSE_JSON('nope{') AS bad, "
+        "CHECK_JSON('[1,2]') AS valid_msg, CHECK_JSON('oops[') AS invalid_msg, "
+        "ARRAY_INSERT(ARRAY_CONSTRUCT(1, 2, 3), 1, 99) AS ins"
+    ).to_pylist()[0]
+    assert out["ok"] == '{"a": 1}'
+    assert out["bad"] is None
+    assert out["valid_msg"] is None
+    assert out["invalid_msg"] == "invalid JSON"
+    assert out["ins"] == [1, 99, 2, 3]  # Snowflake 0-based position 1

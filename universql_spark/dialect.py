@@ -674,6 +674,41 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         return None
 
     sql = _rewrite_calls(sql, "array_generate_range", gen_range_rw)
+
+    # TRY_PARSE_JSON(s): VARIANT here is JSON text, so valid JSON passes
+    # through unchanged and invalid input becomes NULL (Spark 4's
+    # try_parse_json is the validity probe). CHECK_JSON returns NULL when
+    # the input parses and an error string otherwise.
+    sql = _rewrite_calls(
+        sql,
+        "try_parse_json",
+        lambda a: f"CASE WHEN try_parse_json({a[0]}) IS NULL THEN NULL ELSE {a[0]} END"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "check_json",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) IS NULL OR try_parse_json({a[0]}) IS NOT NULL"
+            f" THEN NULL ELSE 'invalid JSON' END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    # ARRAY_INSERT(arr, pos, elem): Snowflake 0-based -> Spark 1-based for
+    # non-negative positions (negative positions keep Spark's from-the-end
+    # meaning, which counts slots differently — documented divergence)
+    sql = _rewrite_calls(
+        sql,
+        "array_insert",
+        lambda a: (
+            f"array_insert({a[0]}, CASE WHEN ({a[1]}) >= 0 THEN ({a[1]}) + 1"
+            f" ELSE ({a[1]}) END, {a[2]})"
+        )
+        if len(a) == 3
+        else None,
+    )
     return sql
 
 
