@@ -449,3 +449,34 @@ def test_partitioned_iceberg_appends_keep_spec(spark, tmp_path):
     z = t.plan_files([("grp", "=", "Z")])
     assert len(z) == 1 and "__p_grp=Z" in z[0]
     assert t.read(spark).count() == 11
+
+
+def test_partition_transforms_day_truncate(spark, tmp_path):
+    """day()/truncate() partition transforms: transformed values in the
+    spec and manifests, sound predicate mapping in plan_files."""
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 5, 10), i * 7 % 1000) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "ts", "v"])
+    t = IcebergTable.create(str(tmp_path / "day_t"), df, partition_by=["day(ts)"])
+    _v, meta = t._read_metadata()
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "day"
+    assert meta["partition-specs"][0]["fields"][0]["name"] == "ts_day"
+    live = t.plan_files([])
+    assert len(live) == 5  # one file per day
+    one = t.plan_files([("ts", ">=", "2024-01-03"), ("ts", "<", "2024-01-04")])
+    # '<' relaxes to '<=' on the day transform (sound), so two day buckets
+    assert len(one) == 2
+    eq = t.plan_files([("ts", "=", "2024-01-02")])
+    assert len(eq) == 1
+
+    t2 = IcebergTable.create(
+        str(tmp_path / "trunc_t"),
+        spark.createDataFrame([(i, i * 37 % 500) for i in range(40)], ["id", "v"]),
+        partition_by=["truncate(v, 100)"],
+    )
+    _v2, meta2 = t2._read_metadata()
+    assert meta2["partition-specs"][0]["fields"][0]["transform"] == "truncate[100]"
+    pruned = t2.plan_files([("v", "=", 250)])
+    assert all("__p_v_truncate=200" in f for f in pruned) and pruned
+    assert t2.read(spark).count() == 40

@@ -58,7 +58,7 @@ class QueryError(Exception):
 
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
-    r"(?:(PARTITION|CLUSTER)\s+BY\s*\(([^)]*)\)\s+)?AS\s+(.*)$",
+    r"(?:(PARTITION|CLUSTER)\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?AS\s+(.*)$",
     re.I | re.S,
 )
 #: CREATE DYNAMIC [ICEBERG] TABLE t TARGET_LAG = '1 hour' WAREHOUSE = w AS …
@@ -1293,7 +1293,18 @@ class Engine:
         # (per-file partition tuples + manifest pruning), CLUSTER BY
         # range-clusters the write and records the sort order.
         pkind = (m.group(5) or "").upper()
-        pcols = [c.strip().strip('"').lower() for c in (m.group(6) or "").split(",") if c.strip()]
+        from universql_spark.dialect import _split_top_args  # noqa: PLC0415
+
+        pcols = [
+            c.strip().strip('"').lower()
+            for c in _split_top_args(m.group(6) or "")
+            if c.strip()
+        ]
+        if pcols and not bool(m.group(3)) and any("(" in c for c in pcols):
+            raise QueryError(
+                "partition TRANSFORMS (day/month/year/hour/truncate) require an "
+                "ICEBERG table; plain tables take bare partition columns"
+            )
         select = select.strip()
         # CREATE TABLE t AS (SELECT ...) — strip wrapping parens, but only a
         # pair that actually spans the whole text ("(SELECT a) UNION

@@ -195,6 +195,73 @@ def _parse_part_value(raw: str, itype: str) -> Any:
     return raw
 
 
+#: PARTITION BY entry syntax -> Iceberg transform. `col` = identity,
+#: `day(col)`/`month(col)`/`year(col)`/`hour(col)` = time transforms,
+#: `truncate(col, W)` = width truncation (ints: floor to a multiple of W,
+#: strings: W-char prefix). Transform RESULT types per the spec: time
+#: transforms -> int (offsets from the epoch), truncate/identity -> source.
+_PART_ENTRY_RE = re.compile(
+    r"^(?:(day|days|month|months|year|years|hour|hours)\s*\(\s*(\w+)\s*\)"
+    r"|truncate\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)"
+    r"|(\w+))$",
+    re.I,
+)
+
+
+def _parse_partition_entry(entry: str) -> tuple[str, str]:
+    """'day(ts)' -> (source_col, 'day'); 'truncate(s, 4)' -> (s,
+    'truncate[4]'); bare name -> identity."""
+    m = _PART_ENTRY_RE.match(entry.strip())
+    if not m:
+        raise ValueError(f"unsupported PARTITION BY entry: {entry!r}")
+    if m.group(1):
+        return m.group(2).lower(), m.group(1).lower().rstrip("s")
+    if m.group(3):
+        return m.group(3).lower(), f"truncate[{m.group(4)}]"
+    return m.group(5).lower(), "identity"
+
+
+def _transform_result_type(transform: str, source_type: str) -> str:
+    if transform in ("day", "month", "year", "hour"):
+        return "int"
+    return source_type  # identity / truncate keep the source type
+
+
+def _transform_literal(transform: str, v: Any) -> Any:
+    """Apply a partition transform to a PREDICATE literal (pruning side).
+    Returns NotImplemented when the literal cannot be mapped."""
+    import datetime as _dt  # noqa: PLC0415
+
+    if transform == "identity":
+        return v
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(v, int):
+            return v - (((v % w) + w) % w)
+        if isinstance(v, str):
+            return v[:w]
+        return NotImplemented
+    if not isinstance(v, str):
+        return NotImplemented
+    try:
+        d = _dt.date.fromisoformat(v[:10])
+    except ValueError:
+        return NotImplemented
+    if transform == "day":
+        return (d - _dt.date(1970, 1, 1)).days
+    if transform == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if transform == "year":
+        return d.year - 1970
+    if transform == "hour":
+        try:
+            ts = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            ts = _dt.datetime(d.year, d.month, d.day)
+        return int((ts - _dt.datetime(1970, 1, 1)).total_seconds() // 3600)
+    return NotImplemented
+
+
 def _iceberg_type(dt: T.DataType, next_id: list[int]) -> Any:
     """Spark type -> Iceberg schema-JSON type, assigning nested field ids
     from the shared counter (spec: ids unique across the whole schema)."""
@@ -545,7 +612,12 @@ class IcebergTable(SnapshotTable):
     # -- commit (one new metadata version per operation) -------------------
 
     def _part_spec_fields(self, meta: dict | None = None) -> list[tuple[str, str, int]]:
-        """Default spec's identity fields -> [(name, iceberg_type, field_id)]."""
+        """Default spec's fields -> [(field_name, RESULT iceberg_type,
+        field_id)] (identity + day/month/year/hour + truncate[W])."""
+        return [(n, t, fid) for n, t, fid, _tr, _src in self._part_spec_full(meta)]
+
+    def _part_spec_full(self, meta: dict | None = None) -> list[tuple[str, str, int, str, str]]:
+        """-> [(field_name, result_type, field_id, transform, source_col)]."""
         if meta is None:
             _v, meta = self._read_metadata()
         spec = next(
@@ -558,11 +630,16 @@ class IcebergTable(SnapshotTable):
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )["fields"]
         by_id = {f["id"]: f for f in schema_fields}
-        return [
-            (pf["name"], by_id[pf["source-id"]]["type"], pf["field-id"])
-            for pf in spec["fields"]
-            if pf.get("transform") == "identity" and isinstance(by_id.get(pf["source-id"], {}).get("type"), str)
-        ]
+        out = []
+        for pf in spec["fields"]:
+            src = by_id.get(pf["source-id"], {})
+            if not isinstance(src.get("type"), str):
+                continue
+            tr = pf.get("transform", "identity")
+            out.append(
+                (pf["name"], _transform_result_type(tr, src["type"]), pf["field-id"], tr, src["name"])
+            )
+        return out
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Partition-aware write: each data file belongs to exactly one
@@ -570,16 +647,41 @@ class IcebergTable(SnapshotTable):
         layout keys (__p_<col>=<value>/ dirs) so the originals stay inside
         the files — Iceberg data files are self-contained."""
         try:
-            pf = self._part_spec_fields()
+            pf = self._part_spec_full()
         except Exception:
             pf = []
         if not pf:
             return super()._write_files(df)
         from pyspark.sql import functions as F  # noqa: PLC0415
 
+        def texpr(transform: str, src: str):
+            c = F.col(src)
+            if transform == "identity":
+                return c
+            if transform == "day":
+                return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+            if transform == "month":
+                return (F.year(c) - 1970) * 12 + F.month(c) - 1
+            if transform == "year":
+                return F.year(c) - 1970
+            if transform == "hour":
+                return F.floor(F.unix_timestamp(c) / 3600).cast("int")
+            if transform.startswith("truncate["):
+                w = int(transform[9:-1])
+                if dict(df.dtypes).get(src) == "string":
+                    return F.substring(c, 1, w)
+                return c - (((c % w) + w) % w)
+            raise ValueError(f"unsupported partition transform {transform}")
+
         out = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
-        dup = {f"__p_{n}": F.col(n) for n, _t, _f in pf}
-        df.withColumns(dup).write.partitionBy(*dup).parquet(out)
+        dup = {f"__p_{n}": texpr(tr, src) for n, _t, _f, tr, src in pf}
+        staged = df.withColumns(dup)
+        # shuffle on the partition keys first: without it every input task
+        # writes one file per value it happens to hold (tasks x values small
+        # files). One hash exchange -> one file per partition tuple; a hot
+        # tuple is AQE-skew territory, same as any partitioned table write.
+        staged = staged.repartition(*[F.col(k) for k in dup])
+        staged.write.partitionBy(*dup).parquet(out)
         paths = []
         for dirpath, _dirs, files in os.walk(out):
             paths += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
@@ -828,13 +930,15 @@ class IcebergTable(SnapshotTable):
         )
         if current is None:
             return []
-        # identity-partition columns prune on the manifest's typed partition
-        # tuple (the spec's mechanism) BEFORE any bounds are consulted
-        part_types = {
-            n.lower(): (n, t)
-            for n, t, _f in self._part_spec_fields(meta)
-            if t in ("long", "int", "string")
-        }
+        # partition columns prune on the manifest's typed partition tuple
+        # (the spec's mechanism) BEFORE any bounds are consulted; predicate
+        # literals map through the transform, with strict ops relaxed for
+        # the non-injective time/truncate transforms (sound: the partition
+        # value only narrows to whole transform buckets)
+        part_by_source: dict[str, list[tuple[str, str]]] = {}
+        for n, t, _f, tr, src in self._part_spec_full(meta):
+            if t in ("long", "int", "string"):
+                part_by_source.setdefault(src.lower(), []).append((n, tr))
         keep: list[str] = []
         for mf in _read_avro_records(current["manifest-list"]):
             if mf.get("content") == 1:
@@ -848,12 +952,17 @@ class IcebergTable(SnapshotTable):
                 part = d.get("partition") or {}
                 ok = True
                 for col, op, v in conds:
-                    if col in part_types:
-                        name, _t = part_types[col]
+                    for name, tr in part_by_source.get(col, []):
+                        tv = _transform_literal(tr, v)
+                        if tv is NotImplemented:
+                            continue
+                        top = op if tr == "identity" else {"<": "<=", ">": ">="}.get(op, op)
                         pv = part.get(name)
-                        if pv is not None and not _range_overlaps(op, v, pv, pv):
+                        if pv is not None and not _range_overlaps(top, tv, pv, pv):
                             ok = False
                             break
+                    if not ok:
+                        break
                     if col not in by_name:
                         continue
                     fid, t = by_name[col]
@@ -1238,14 +1347,18 @@ class IcebergTable(SnapshotTable):
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c.lower(),
-                            "transform": "identity",
+                            # identity keeps the column name; transforms get
+                            # the conventional <col>_<transform> field name
+                            "name": src if tr == "identity" else f"{src}_{tr.split('[')[0]}",
+                            "transform": tr,
                             "source-id": next(
-                                f["id"] for f in fields if f["name"].lower() == c.lower()
+                                f["id"] for f in fields if f["name"].lower() == src
                             ),
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(partition_by or [])
+                        for i, (src, tr) in enumerate(
+                            _parse_partition_entry(c) for c in (partition_by or [])
+                        )
                     ],
                 }
             ],
