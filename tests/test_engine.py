@@ -1490,3 +1490,35 @@ def test_json_validation_and_array_insert(engine):
     assert out["valid_msg"] is None
     assert out["invalid_msg"] == "invalid JSON"
     assert out["ins"] == [1, 99, 2, 3]  # Snowflake 0-based position 1
+
+
+def test_asof_join_sql_directions(engine, spark):
+    """ASOF JOIN MATCH_CONDITION: all four operators, keyed and keyless."""
+    spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)], ["sym", "qt", "quote"]
+    ).createOrReplaceTempView("asof_q")
+    spark.createDataFrame(
+        [("A", 2, 100), ("A", 5, 200), ("A", 0, 300), ("B", 4, 400)],
+        ["sym", "tt", "size"],
+    ).createOrReplaceTempView("asof_t")
+    back = engine.execute(
+        "SELECT tt, quote FROM asof_t t ASOF JOIN asof_q q "
+        "MATCH_CONDITION (t.tt >= q.qt) ON t.sym = q.sym ORDER BY sym, tt"
+    ).to_pylist()
+    assert [r["quote"] for r in back] == [None, 10.0, 11.0, 20.0]
+    strict_back = engine.execute(
+        "SELECT tt, quote FROM asof_t t ASOF JOIN asof_q q "
+        "MATCH_CONDITION (t.tt > q.qt) ON t.sym = q.sym ORDER BY sym, tt"
+    ).to_pylist()
+    assert [r["quote"] for r in strict_back] == [None, 10.0, 10.0, 20.0]  # tt=5 excludes qt=5
+    fwd = engine.execute(
+        "SELECT tt, quote FROM asof_t t ASOF JOIN asof_q q "
+        "MATCH_CONDITION (t.tt < q.qt) ON t.sym = q.sym ORDER BY sym, tt"
+    ).to_pylist()
+    assert [r["quote"] for r in fwd] == [10.0, 11.0, None, None]
+    # keyless: global as-of ordering, colliding right column suffixed _r
+    keyless = engine.execute(
+        "SELECT tt, sym, sym_r, quote FROM asof_t ASOF JOIN asof_q "
+        "MATCH_CONDITION (tt >= qt) ORDER BY tt"
+    ).to_pylist()
+    assert [r["quote"] for r in keyless] == [None, 10.0, 20.0, 11.0]

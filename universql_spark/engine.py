@@ -626,6 +626,7 @@ class Engine:
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_metadata_tables(stmt)
         stmt = self._resolve_match_recognize(stmt)
+        stmt = self._resolve_asof_join(stmt)
         stmt = self._resolve_dynamic_pivot(stmt)
         if "information_schema" in stmt.lower():
             from universql_spark import info_schema  # noqa: PLC0415
@@ -697,6 +698,184 @@ class Engine:
                 raise QueryError(str(e)) from e
             view = f"__mr_{uuid.uuid4().hex[:8]}"
             out.createOrReplaceTempView(view)
+            stmt = stmt[:start] + view + alias + stmt[end:]
+
+    _ASOF_RE = re.compile(r"\bASOF\s+JOIN\b", re.I)
+    _SQL_KWS = r"(?:FROM|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ON|WHERE|AND|OR|SELECT|UNION|ALL|AS|ASOF)\b"
+    _OPERAND_ALIAS_RE = re.compile(
+        rf'\b(?!{_SQL_KWS})([A-Za-z_][\w.$"]*)'
+        rf"(?:\s+(?:AS\s+)?(?!{_SQL_KWS})([A-Za-z_]\w*))?\s*$",
+        re.I,
+    )
+    _ASOF_TAIL_KWS = r"(?:WHERE|GROUP|ORDER|LIMIT|QUALIFY|HAVING|UNION|EXCEPT|INTERSECT)\b"
+
+    def _resolve_asof_join(self, stmt: str) -> str:
+        """Snowflake `l ASOF JOIN r MATCH_CONDITION(l.ts >= r.ts) [ON
+        l.k = r.k [AND ...]]` -> operators/temporal.asof_join (one shuffle
+        on the key, union+window — never a range nested-loop). The joined
+        result becomes a temp view spliced in under the LEFT alias; >=/>
+        map to backward (latest at-or-before / strictly-before), <=/< to
+        forward. Column names must be disjoint apart from the keys."""
+        from universql_spark.dialect import _match_paren  # noqa: PLC0415
+        from universql_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+        while True:
+            m = self._ASOF_RE.search(stmt)
+            if m is None:
+                return stmt
+            # LEFT operand [alias] — named table or (subquery)
+            prefix = stmt[: m.start()].rstrip()
+            l_alias = None
+            am = re.search(
+                rf"\)\s*(?:AS\s+)?(?!{self._SQL_KWS})([A-Za-z_]\w*)?\s*$", prefix, re.I
+            )
+            if prefix.endswith(")") or (am and am.group(1)):
+                if not prefix.endswith(")"):
+                    l_alias = am.group(1)
+                    prefix = prefix[: am.start() + 1]  # keep the ')'
+                depth, i = 0, len(prefix) - 1
+                while i >= 0:
+                    if prefix[i] == ")":
+                        depth += 1
+                    elif prefix[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i -= 1
+                l_op, start = prefix[i:], i
+            else:
+                lm = self._OPERAND_ALIAS_RE.search(stmt[: m.start()])
+                if not lm:
+                    raise QueryError("ASOF JOIN without a left operand")
+                l_op, l_alias = lm.group(1), lm.group(2)
+                start = lm.start(1)
+            # RIGHT operand [alias] MATCH_CONDITION (...)
+            j = m.end()
+            while j < len(stmt) and stmt[j].isspace():
+                j += 1
+            if j < len(stmt) and stmt[j] == "(":
+                rclose = _match_paren(stmt, j)
+                r_op = stmt[j : rclose + 1]
+                ram = re.match(
+                    rf"\s*(?:AS\s+)?(?!MATCH_CONDITION\b|{self._SQL_KWS})([A-Za-z_]\w*)?",
+                    stmt[rclose + 1 :],
+                    re.I,
+                )
+                r_alias = ram.group(1) if ram else None
+                j = rclose + 1 + (ram.end() if ram else 0)
+            else:
+                rm = re.match(
+                    r'([A-Za-z_][\w.$"]*)(?:\s+(?:AS\s+)?(?!MATCH_CONDITION\b)([A-Za-z_]\w*))?',
+                    stmt[j:],
+                    re.I,
+                )
+                if not rm:
+                    raise QueryError("ASOF JOIN requires MATCH_CONDITION (...)")
+                r_op, r_alias = rm.group(1), rm.group(2)
+                j += rm.end()
+            mm = re.match(r"\s*MATCH_CONDITION\s*", stmt[j:], re.I)
+            if not mm:
+                raise QueryError("ASOF JOIN requires MATCH_CONDITION (...)")
+            k = j + mm.end()
+            if k >= len(stmt) or stmt[k] != "(":
+                raise QueryError("ASOF JOIN requires MATCH_CONDITION (...)")
+            close = _match_paren(stmt, k)
+            cond = stmt[k + 1 : close]
+            end = close + 1
+            on_pairs: list[tuple[str, str]] = []
+            om = re.match(
+                rf"\s*ON\s+(.*?)(?=\s*{self._ASOF_TAIL_KWS}|\s*$|\s*\))",
+                stmt[end:],
+                re.I | re.S,
+            )
+            if om:
+                for part in re.split(r"(?i)\bAND\b", om.group(1)):
+                    em = re.match(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*$", part)
+                    if not em:
+                        raise QueryError(f"ASOF JOIN ON supports equi-conditions only: {part!r}")
+                    on_pairs.append((em.group(1), em.group(2)))
+                end += om.end()
+
+            cm = re.match(r"\s*([\w.]+)\s*(>=|<=|>|<)\s*([\w.]+)\s*$", cond)
+            if not cm:
+                raise QueryError(f"unsupported MATCH_CONDITION: {cond!r}")
+
+            def operand_df(op: str):
+                # subqueries translate as their own top-level statement so
+                # QUALIFY/FLATTEN rewrites see them in root position
+                inner = op[1:-1] if op.startswith("(") else f"SELECT * FROM {op}"
+                return self.spark.sql(snowflake_to_spark(inner))
+
+            ldf = operand_df(l_op)
+            rdf = operand_df(r_op)
+
+            l_name = l_op.lower().split(".")[-1] if not l_op.startswith("(") else ""
+            r_name = r_op.lower().split(".")[-1] if not r_op.startswith("(") else ""
+
+            def side_of(ref: str) -> tuple[str, str]:
+                """qualified/bare column ref -> ('l'|'r', column)."""
+                if "." in ref:
+                    q, _, c = ref.rpartition(".")
+                    ql = q.lower()
+                    if ql in ((l_alias or "").lower(), l_name) and ql:
+                        return "l", c
+                    if ql in ((r_alias or "").lower(), r_name) and ql:
+                        return "r", c
+                    raise QueryError(f"ASOF JOIN: unknown qualifier {q!r}")
+                cl = ref.lower()
+                in_l = cl in [c.lower() for c in ldf.columns]
+                in_r = cl in [c.lower() for c in rdf.columns]
+                if in_l and not in_r:
+                    return "l", ref
+                if in_r and not in_l:
+                    return "r", ref
+                raise QueryError(f"ASOF JOIN: ambiguous or unknown column {ref!r} — qualify it")
+
+            a_side, a_col = side_of(cm.group(1))
+            b_side, b_col = side_of(cm.group(3))
+            op = cm.group(2)
+            if a_side == b_side:
+                raise QueryError("MATCH_CONDITION must compare a left and a right column")
+            if a_side == "r":  # normalize to left <op> right
+                a_col, b_col = b_col, a_col
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+            direction = "backward" if op in (">", ">=") else "forward"
+            strict = op in (">", "<")
+
+            keys: list[str] = []
+            for x, y in on_pairs:
+                xs, xc = side_of(x)
+                ys, yc = side_of(y)
+                if xs == ys:
+                    raise QueryError("ASOF JOIN ON must pair left and right columns")
+                lk, rk = (xc, yc) if xs == "l" else (yc, xc)
+                if rk.lower() != lk.lower():
+                    rdf = rdf.withColumnRenamed(rk, lk)
+                keys.append(lk)
+            if not keys:
+                # keyless as-of: a constant key keeps one global ordering
+                from pyspark.sql import functions as F  # noqa: PLC0415
+
+                ldf = ldf.withColumn("__asof_k", F.lit(1))
+                rdf = rdf.withColumn("__asof_k", F.lit(1))
+                keys = ["__asof_k"]
+            # right payload columns colliding with left names get an _r
+            # suffix (the flattened view can't carry two same-named columns
+            # the way Snowflake's qualified output does — documented)
+            lc = {c.lower() for c in ldf.columns}
+            for c in rdf.columns:
+                if c.lower() in lc and c.lower() not in [k.lower() for k in keys] and c != b_col:
+                    rdf = rdf.withColumnRenamed(c, f"{c}_r")
+
+            out = asof_join(
+                ldf, rdf, keys, left_ts=a_col, right_ts=b_col,
+                direction=direction, strict=strict,
+            )
+            if "__asof_k" in out.columns:
+                out = out.drop("__asof_k")
+            view = f"__asof_{uuid.uuid4().hex[:8]}"
+            out.createOrReplaceTempView(view)
+            alias = f" {l_alias}" if l_alias else ""
             stmt = stmt[:start] + view + alias + stmt[end:]
 
     def _resolve_dynamic_pivot(self, stmt: str) -> str:

@@ -25,38 +25,48 @@ from pyspark.sql.window import Window
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
 ) -> DataFrame:
-    """Left as-of join: every left row + the most recent right row at or
-    before its timestamp (per key). Right side should be unique per
+    """Left as-of join: every left row + the single closest right row per
+    key. ``direction='backward'`` (default) takes the most recent right row
+    at-or-before the left timestamp (strictly before with ``strict``);
+    ``'forward'`` the earliest at-or-after. Right side should be unique per
     (key, ts) — pre-dedup it for deterministic results.
 
-    Output: all left columns + payload columns (null when no prior right row).
+    Output: all left columns + payload columns (null when no matching right
+    row). Still ONE shuffle on the key(s): direction flips the window sort,
+    strictness flips whether right rows at EQUAL ts sort before or after
+    the left row (and are therefore visible to its running last()).
     """
-    payload = payload or [c for c in right.columns if c not in (key, right_ts)]
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = payload or [c for c in right.columns if c not in (*keys, right_ts)]
     left_cols = left.columns
 
+    # at equal ts: right sorts BEFORE left (visible) unless strict
+    right_tag = 2 if strict else 0
     r = right.select(
-        F.col(key).alias("__k"),
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
+        F.lit(right_tag).alias("__tag"),
         F.struct(*[F.col(c) for c in payload]).alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     l = left.select(
-        F.col(key).alias("__k"),
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(c) for c in left_cols],
     )
-    # right rows sort BEFORE left rows at equal ts => '<=' semantics
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        Window.partitionBy(*[f"__k{i}" for i in range(len(keys))])
+        .orderBy(ts_order, "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l).withColumn("__match", F.last("__p", ignorenulls=True).over(w))

@@ -380,3 +380,25 @@ FROM events MATCH_RECOGNIZE (
   DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
 ) ORDER BY user_id, mn"""
     )
+
+
+@register("join_asof_sql", _ASOF_ORACLE, category="temporal")
+def join_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as join_asof, but through Snowflake's SQL
+    surface: `ASOF JOIN ... MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k`
+    (engine._resolve_asof_join -> operators/temporal.asof_join, one
+    key-shuffle union+window plan). Verbatim text a Snowflake client would
+    send; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT l.event_id, p_event_id, p_value FROM (
+  SELECT event_id, user_id, ts FROM events WHERE event_type IN ('click', 'view')
+) l ASOF JOIN (
+  SELECT user_id, ts AS pts, event_id AS p_event_id, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+) p MATCH_CONDITION (l.ts >= p.pts) ON l.user_id = p.user_id
+ORDER BY l.event_id"""
+    )
