@@ -1522,3 +1522,60 @@ def test_asof_join_sql_directions(engine, spark):
         "MATCH_CONDITION (tt >= qt) ORDER BY tt"
     ).to_pylist()
     assert [r["quote"] for r in keyless] == [None, 10.0, 20.0, 11.0]
+
+
+def test_scripting_block(engine):
+    """Snowflake Scripting: DECLARE/LET/IF/FOR/RETURN + :var binds in SQL."""
+    out = engine.execute(
+        """DECLARE
+  x INT DEFAULT 0;
+  msg STRING;
+BEGIN
+  LET y := 10;
+  x := x + y;
+  IF (x > 5) THEN msg := 'big';
+  ELSEIF (x > 2) THEN msg := 'mid';
+  ELSE msg := 'small';
+  END IF;
+  FOR i IN 1 TO 3 DO
+    x := x + i;
+  END FOR;
+  CREATE OR REPLACE TEMP TABLE script_t AS SELECT :x AS v;
+  RETURN msg || ':' || x;
+END;"""
+    ).to_pylist()
+    assert out == [{"RETURN_VALUE": "big:16"}]
+    assert engine.execute("SELECT * FROM script_t").to_pylist() == [{"v": 16}]
+
+
+def test_scripting_nested_and_exec_immediate(engine):
+    out = engine.execute(
+        """BEGIN
+  LET total := 0;
+  FOR i IN 1 TO 3 DO
+    IF (i % 2 = 1) THEN
+      LET total := total + i;
+    END IF;
+  END FOR;
+  RETURN total;
+END"""
+    ).to_pylist()
+    assert out == [{"RETURN_VALUE": "4"}]  # 1 + 3
+    out = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN IF (1 = 2) THEN RETURN 'no'; ELSE RETURN 'yes'; END IF; END $$"
+    ).to_pylist()
+    assert out == [{"RETURN_VALUE": "yes"}]
+    # untaken branches run nothing: the CASE inside a statement is inert
+    out = engine.execute(
+        """BEGIN
+  IF (false) THEN
+    CREATE TABLE never_made AS SELECT CASE WHEN 1=1 THEN 'x' END AS c;
+  END IF;
+  RETURN 'skipped';
+END"""
+    ).to_pylist()
+    assert out == [{"RETURN_VALUE": "skipped"}]
+    import pyarrow  # noqa: F401
+
+    tables = [t.name for t in engine.spark.catalog.listTables() if not t.isTemporary]
+    assert "never_made" not in tables

@@ -218,6 +218,18 @@ class Engine:
         plugin.py:81-82 / protocol/snowflake.py:223-243). Each statement is
         appended to query_log with duration + estimated local-compute cost
         (port of the reference's cost logger, util.py:375-406)."""
+        from universql_spark import scripting  # noqa: PLC0415
+
+        if scripting.is_script(sql):
+            # Snowflake Scripting block / EXECUTE IMMEDIATE: one unit — the
+            # ';'-splitter must not cut through BEGIN ... END
+            try:
+                value = scripting.ScriptRunner(self).run(sql)
+            except scripting.ScriptError as e:
+                raise QueryError(str(e)) from e
+            if value is None:
+                return _status("block executed")
+            return pa.table({"RETURN_VALUE": [str(value)]})
         result: pa.Table = pa.table({"status": pa.array([], type=pa.string())})
         for stmt in split_statements(sql):
             t0 = time.perf_counter()
