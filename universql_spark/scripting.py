@@ -55,7 +55,12 @@ class _Return(Exception):
 
 
 def is_script(sql: str) -> bool:
-    return bool(_BLOCK_RE.match(sql)) or bool(_EXEC_IMM_RE.match(sql))
+    if re.match(r"^\s*DECLARE\b", sql, re.I):
+        return True
+    if re.match(r"^\s*BEGIN\b", sql, re.I):
+        # a bare BEGIN [TRANSACTION|WORK] is the txn statement, not a block
+        return not re.match(r"^\s*BEGIN\s*(?:TRANSACTION|WORK)?\s*;?\s*$", sql, re.I)
+    return bool(_EXEC_IMM_RE.match(sql))
 
 
 class _Cursor:
