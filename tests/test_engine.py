@@ -1579,3 +1579,38 @@ END"""
 
     tables = [t.name for t in engine.spark.catalog.listTables() if not t.isTemporary]
     assert "never_made" not in tables
+
+
+def test_sql_udf_create_function(engine):
+    """Snowflake CREATE FUNCTION -> Spark 4 SQL UDF (session-scoped)."""
+    engine.execute("CREATE OR REPLACE FUNCTION area(r DOUBLE) RETURNS DOUBLE AS 'pi() * SQUARE(r)'")
+    out = engine.execute("SELECT ROUND(area(2.0), 4) AS a").to_pylist()
+    assert out == [{"a": 12.5664}]
+    engine.execute(
+        "CREATE OR REPLACE FUNCTION tag(n NUMBER) RETURNS STRING AS $$ IFF(n > 0, 'pos', 'neg') $$"
+    )
+    out = engine.execute("SELECT tag(-5) AS t, tag(3) AS t2").to_pylist()
+    assert out == [{"t": "neg", "t2": "pos"}]
+
+
+def test_stored_procedure_call(engine):
+    """CREATE PROCEDURE + CALL run through the scripting interpreter with
+    argument binding; the $$ body's semicolons survive statement splitting."""
+    engine.execute(
+        """CREATE OR REPLACE PROCEDURE count_upto(lim INT) RETURNS STRING LANGUAGE SQL AS $$
+BEGIN
+  LET c := (SELECT COUNT(*) FROM orders WHERE o_orderkey <= :lim);
+  IF (c > 10) THEN RETURN 'many:' || c; ELSE RETURN 'few:' || c; END IF;
+END $$"""
+    )
+    many = engine.execute("CALL count_upto(5 * 4)").to_pylist()[0]["COUNT_UPTO"]
+    few = engine.execute("CALL count_upto(2)").to_pylist()[0]["COUNT_UPTO"]
+    assert many.startswith("many:") and few.startswith("few:")
+    import pytest as _pytest
+
+    from universql_spark.engine import QueryError
+
+    with _pytest.raises(QueryError, match="does not exist"):
+        engine.execute("CALL no_such_proc(1)")
+    with _pytest.raises(QueryError, match="takes 1 arguments"):
+        engine.execute("CALL count_upto(1, 2)")

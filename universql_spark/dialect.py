@@ -43,6 +43,14 @@ def split_statements(sql: str) -> list[str]:
         elif ch in ("'", '"'):
             in_s = ch
             buf.append(ch)
+        elif ch == "$" and i + 1 < n and sql[i + 1] == "$":
+            # $$-quoted body (UDF/procedure/scripting): verbatim through to
+            # the closing $$ — ';' inside must not split
+            j = sql.find("$$", i + 2)
+            end = n if j < 0 else j + 2
+            buf.append(sql[i:end])
+            i = end
+            continue
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
                 i += 1

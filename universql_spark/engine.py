@@ -91,6 +91,29 @@ _COPY_RE = re.compile(r"^\s*COPY\s+INTO\b", re.I)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\b", re.I)
 _SHOW_RE = re.compile(r"^\s*SHOW\b", re.I)
 _CREATE_DB_RE = re.compile(r"^\s*CREATE\s+(DATABASE|SCHEMA)\b", re.I)
+#: Snowflake SQL UDF -> Spark 4 SQL UDF (session-scoped TEMPORARY; the
+#: quoted body becomes a RETURN expression/query through the dialect)
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(([^)]*)\)\s*"
+    r"RETURNS\s+(TABLE\s*\([^)]*\)|[\w()., ]+?)\s*(?:LANGUAGE\s+SQL\s+)?AS\s+(.+)$",
+    re.I | re.S,
+)
+_CREATE_PROC_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+([\w.]+)\s*\(([^)]*)\)\s*"
+    r"RETURNS\s+[\w()., ]+?\s*(?:LANGUAGE\s+SQL\s+)?(?:EXECUTE\s+AS\s+\w+\s+)?AS\s+(.+)$",
+    re.I | re.S,
+)
+_CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
+
+
+def _unquote_body(body: str) -> str:
+    """AS body: $$-quoted or '-quoted -> raw text."""
+    body = body.strip().rstrip(";").strip()
+    if body.startswith("$$") and body.endswith("$$"):
+        return body[2:-2].strip()
+    if body.startswith("'") and body.endswith("'"):
+        return body[1:-1].replace("''", "'").strip()
+    return body
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.I)
 _UPDATE_RE = re.compile(r"^\s*UPDATE\b", re.I)
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\b", re.I)
@@ -157,6 +180,8 @@ class Engine:
         self.session_params: dict[str, str] = {}
         #: Snowflake session variables (SET x = expr; $x references)
         self.session_vars: dict[str, str] = {}
+        #: stored procedures: name -> (param names, scripting-block body)
+        self.procedures: dict[str, tuple[list[str], str]] = {}
         #: query id -> result table (RESULT_SCAN surface; bounded ring)
         self._results: dict[str, pa.Table] = {}
         self._last_qid: str | None = None
@@ -438,6 +463,55 @@ class Engine:
             if _CREATE_DB_RE.match(stmt):
                 self.spark.sql(snowflake_to_spark(stmt))
                 return _status("ok")
+            m = _CREATE_PROC_RE.match(stmt)
+            if m:
+                params = [
+                    p.strip().split()[0].lower()
+                    for p in m.group(2).split(",")
+                    if p.strip()
+                ]
+                self.procedures[bare_name(m.group(1)).lower()] = (
+                    params,
+                    _unquote_body(m.group(3)),
+                )
+                return _status(f"procedure {m.group(1)} created")
+            m = _CALL_RE.match(stmt)
+            if m:
+                from universql_spark import scripting  # noqa: PLC0415
+
+                name = bare_name(m.group(1)).lower()
+                if name not in self.procedures:
+                    raise QueryError(f"procedure {name} does not exist", sql_state="42883")
+                params, body = self.procedures[name]
+                from universql_spark.dialect import _split_top_args  # noqa: PLC0415
+
+                args = [a for a in _split_top_args(m.group(2)) if a.strip()]
+                if len(args) != len(params):
+                    raise QueryError(
+                        f"procedure {name} takes {len(params)} arguments, got {len(args)}"
+                    )
+                runner = scripting.ScriptRunner(self)
+                for p, a in zip(params, args):
+                    runner.vars[p] = self.spark.sql(
+                        snowflake_to_spark(f"SELECT ({a}) AS v")
+                    ).collect()[0].v
+                try:
+                    value = runner.run(body)
+                except scripting.ScriptError as e:
+                    raise QueryError(str(e)) from e
+                return pa.table({name.upper(): [None if value is None else str(value)]})
+            m = _CREATE_FN_RE.match(stmt)
+            if m and "TABLE" not in (m.group(3) or "").upper():
+                from universql_spark.dialect import _rename_types  # noqa: PLC0415
+
+                body = snowflake_to_spark(_unquote_body(m.group(4)))
+                sql = (
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {bare_name(m.group(1))}"
+                    f"({_rename_types(m.group(2))}) RETURNS {_rename_types(m.group(3))}"
+                    f" RETURN {body}"
+                )
+                self.spark.sql(sql)
+                return _status(f"function {m.group(1)} created")
             dyn = _DYNAMIC_RE.match(stmt)
             if dyn:
                 return self._create_dynamic(dyn)
