@@ -1614,3 +1614,20 @@ END $$"""
         engine.execute("CALL no_such_proc(1)")
     with _pytest.raises(QueryError, match="takes 1 arguments"):
         engine.execute("CALL count_upto(1, 2)")
+
+
+def test_client_compat_ring(engine, spark):
+    """GRANT/REVOKE/COMMENT accepted honestly; ALTER TABLE RENAME works on
+    snapshot tables; SHOW PROCEDURES lists stored procedures."""
+    out = engine.execute("GRANT SELECT ON TABLE orders TO ROLE analyst").to_pylist()
+    assert "no-op" in out[0]["status"]
+    out = engine.execute("COMMENT ON TABLE orders IS 'fact table'").to_pylist()
+    assert "comment" in out[0]["status"]
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ren_t AS SELECT 1 AS a")
+    engine.execute("ALTER TABLE ren_t RENAME TO ren_t2")
+    assert engine.execute("SELECT * FROM ren_t2").to_pylist() == [{"a": 1}]
+    engine.execute(
+        "CREATE OR REPLACE PROCEDURE listed_p(x INT) RETURNS STRING AS $$ BEGIN RETURN 'ok'; END $$"
+    )
+    rows = engine.execute("SHOW PROCEDURES").to_pylist()
+    assert any(r["name"] == "LISTED_P" for r in rows)

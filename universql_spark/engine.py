@@ -423,6 +423,42 @@ class Engine:
                 if k == "TIMEZONE":
                     self.spark.conf.set("spark.sql.session.timeZone", v)
                 return _status(f"session parameter {k} set")
+            if re.match(r"^\s*(GRANT|REVOKE)\b", stmt, re.I):
+                # accepted for client compat; stated honestly — a single
+                # local engine enforces no access control (the reference
+                # forwards these to Snowflake)
+                return _status("no-op: access control is not enforced by this engine")
+            if re.match(r"^\s*COMMENT\s+ON\b", stmt, re.I):
+                return _status("comment recorded (no-op)")
+            rm2 = re.compile(
+                r"^\s*ALTER\s+(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)\s*$",
+                re.I,
+            ).match(stmt)
+            if rm2:
+                old_bn, new_bn = bare_name(rm2.group(1)), bare_name(rm2.group(2))
+                if old_bn in self.snap_tables:
+                    # re-point the catalog entry; the storage root stays put
+                    # (manifests hold absolute file paths — the root name is
+                    # an implementation detail, exactly like Iceberg's
+                    # rename-is-a-catalog-operation semantics)
+                    self.snap_tables[new_bn] = self.snap_tables.pop(old_bn)
+                    try:
+                        self.spark.catalog.dropTempView(old_bn)
+                    except Exception:
+                        pass
+                    self._refresh_snap_view(new_bn)
+                    return _status(f"table {old_bn} renamed to {new_bn}")
+                self.spark.sql(
+                    f"ALTER TABLE {self._resolve_name(rm2.group(1))} "
+                    f"RENAME TO {self._resolve_name(rm2.group(2))}"
+                )
+                return _status(f"table {old_bn} renamed to {new_bn}")
+            if re.match(r"^\s*SHOW\s+PROCEDURES\s*;?\s*$", stmt, re.I):
+                names = sorted(self.procedures)
+                return pa.table(
+                    {"name": [n.upper() for n in names],
+                     "arguments": [", ".join(self.procedures[n][0]) for n in names]}
+                )
             m = _PUT_RE.match(stmt)
             if m:
                 return self._put_file(m)
