@@ -121,7 +121,7 @@ _GATE_PRIORITY: list[str] = [
     "text_repetition", "corpus_pack_sequences", "agg_pivot_dynamic",
     "adv_match_recognize", "fn_parse_url", "corpus_domain_stats",
     "dml_iceberg_partitioned", "stream_sliding_sum", "stream_session_counts",
-    "join_asof_sql",
+    "join_asof_sql", "text_tokens_bpe",
     "dml_plain_file_granular", "fn_dialect_ext", "fn_array_gallery",
     "fn_datetime_ext", "dedup_decontaminate", "text_pii_scrub",
     "win_ratio_to_report", "stream_view_click_attrib", "adv_connect_by",

@@ -975,3 +975,33 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "sess_start")
     )
+
+
+#: GPT-2-style pretokenizer regex (Java/RE2-compatible subset): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace — the "BPE-ish regex" token estimate the brief names. Counting
+#: non-overlapping matches is deterministic and identical in both engines.
+_BPE_PAT = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+_DUCK_BPE = f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_bpe,
+       CAST({_duck_token_count('text')} AS BIGINT) AS n_ws
+FROM documents ORDER BY doc_id"""
+
+
+@register("text_tokens_bpe", _DUCK_BPE, category="text")
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: non-overlapping matches of a GPT-2-style
+    pretokenizer regex (contractions / space-prefixed letter runs / digit
+    runs / punctuation runs / whitespace), next to the whitespace count —
+    the two token-budget estimates a pretraining pipeline carries per doc.
+    Pure regexp_count, whole-stage codegen."""
+    from universql_spark.operators.textops import token_count
+
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe"),
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+    ).orderBy("doc_id")
