@@ -271,3 +271,29 @@ def test_pack_sequences_invariants(spark):
     # deterministic: same input -> identical packing
     again = pack_sequences(docs, budget=budget, n_shards=4).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """Distributed two-pass PCA == numpy PCA on the same data, exactly
+    (deterministic component signs; projections rounded to 6 decimals)."""
+    import numpy as np
+
+    from universql_spark.operators.cluster import pca_project
+    from universql_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, comps = pca_project(emb, k=4)
+    data = np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=float)
+    mean = data.mean(0)
+    w, vecs = np.linalg.eigh(np.cov((data - mean).T, bias=True))
+    ref = vecs[:, ::-1][:, :4].T.copy()
+    for row in ref:
+        nz = row[np.abs(row) > 1e-12]
+        if len(nz) and nz[0] < 0:
+            row *= -1
+    proj_ref = np.round((data - mean) @ ref.T, 6)
+    got = np.array([r.proj for r in out.orderBy("vec_id").collect()])
+    assert np.abs(proj_ref - got).max() == 0.0
+    # top components carry descending variance
+    variances = got.var(axis=0)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(3))

@@ -81,3 +81,83 @@ def kmeans(
     _centroids, inertia_hist, assigned = train_centroids(corpus, k, iters, id_col, vec_col)
     out = assigned.select(F.col(id_col).alias("id"), "cluster", F.round("dist2", 4).alias("dist2"))
     return out.orderBy("id"), inertia_hist
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, "object"]:
+    """Distributed PCA for embedding compression (the dimension-reduction
+    step a pipeline runs before ANN indexing / clustering at scale).
+
+    Two passes, driver work bounded by d^2 (never the row count):
+
+    1. moment accumulation: posexplode each vector once into (i, x_i) and
+       the upper-triangle pair stream (i, j, x_i * x_j) via a JVM-side
+       nested transform — groupBy position gives the d sums and d(d+1)/2
+       cross-moments with partial aggregation; only d + d^2/2 rows reach
+       the driver.
+    2. numpy eigendecomposition of the d x d covariance (driver, O(d^3) on
+       tiny d), then a broadcast projection matrix applied per row with
+       built-in aggregate/transform expressions (whole-stage codegen).
+
+    -> (DataFrame[id, proj array<double>[k]], components ndarray [k, d])
+    Component SIGNS are fixed (first nonzero coordinate positive) so the
+    output is deterministic across runs and partitionings.
+    """
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    # pass 1: first and second moments
+    sums = (
+        df.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    n = sums[0].n
+    mean = np.zeros(d)
+    for r in sums:
+        mean[r.i] = r.s / n
+    pairs = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform({vec_col}, (xi, i) -> "
+                    f"transform(slice({vec_col}, i + 1, size({vec_col}) - i), (xj, j) -> "
+                    f"struct(i AS i, i + j AS j, CAST(xi AS DOUBLE) * xj AS p))))"
+                )
+            ).alias("e")
+        )
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .collect()
+    )
+    cov = np.zeros((d, d))
+    for r in pairs:
+        cov[r.i, r.j] = cov[r.j, r.i] = r.sp / n - mean[r.i] * mean[r.j]
+    w, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :k].T  # [k, d], descending eigenvalue order
+    for row in comps:  # deterministic signs
+        nz = row[np.abs(row) > 1e-12]
+        if len(nz) and nz[0] < 0:
+            row *= -1
+
+    # pass 2: project — centered dot products, all JVM-side
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(v.cast("array<double>"), mean_arr, lambda a, b: a - b)
+    proj_cols = []
+    for ci in range(k):
+        c_arr = F.array(*[F.lit(float(x)) for x in comps[ci]])
+        dot = F.aggregate(
+            F.zip_with(centered, c_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(F.round(dot, 6))
+    out = df.select(F.col(id_col), F.array(*proj_cols).alias("proj"))
+    return out, comps

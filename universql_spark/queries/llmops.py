@@ -1005,3 +1005,17 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe"),
         token_count(F.col("text")).cast("long").alias("n_ws"),
     ).orderBy("doc_id")
+
+
+@register("embed_pca_project", None, category="similarity")
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA embedding compression (operators/cluster.pca_project):
+    moment accumulation is a partial-aggregated position explode (driver
+    sees d + d^2/2 aggregate rows, never data), the d x d eigenproblem is
+    numpy on the driver, the projection is broadcast zip_with/aggregate
+    expressions. Rows-only spec (no SQL engine computes PCA); the unit test
+    pins exact equality with a numpy reference including component signs."""
+    from universql_spark.operators.cluster import pca_project
+
+    out, _comps = pca_project(spark.table("embeddings"), k=8)
+    return out.orderBy("vec_id")
