@@ -124,6 +124,67 @@ def test_schema_evolution_is_metadata_only(spark, table):
     assert df.filter(F.col("tag").isNull()).count() == 20
 
 
+def test_rename_drop_column_metadata_only(spark, table):
+    """RENAME keeps the field-id; DROP removes the field; neither rewrites
+    a data file, and old- and new-era files stitch into one logical column
+    (Iceberg schema-evolution semantics, spec §Schemas)."""
+    files_before = set(table.current_files())
+    table.rename_column("v", "val")
+    # old files (physical col `v`) + a post-rename append (physical `val`)
+    table.append(
+        spark.range(20, 23).select(
+            "id", (F.col("id") % 4).alias("g"), (F.col("id") * 1.5).alias("val")
+        )
+    )
+    df = table.read(spark)
+    assert df.columns == ["id", "g", "val"]
+    assert df.filter(F.col("val").isNull()).count() == 0  # both eras resolved
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert got[5] == 7.5 and got[22] == 33.0
+    # field-id preserved across the rename in the NEW schema entry
+    _, meta = table._read_metadata()
+    cur = next(s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"])
+    vfield = next(f for f in cur["fields"] if f["name"] == "val")
+    old0 = next(s for s in meta["schemas"] if s["schema-id"] == 0)
+    assert vfield["id"] == next(f for f in old0["fields"] if f["name"] == "v")["id"]
+    # none of the pre-rename files were rewritten
+    assert files_before <= set(table.current_files())
+
+    table.drop_column("g")
+    df2 = table.read(spark)
+    assert df2.columns == ["id", "val"]
+    _, meta2 = table._read_metadata()
+    cur2 = next(s for s in meta2["schemas"] if s["schema-id"] == meta2["current-schema-id"])
+    assert [f["name"] for f in cur2["fields"]] == ["id", "val"]
+    # name reuse after drop/rename is refused (no field-ids in the files)
+    with pytest.raises(ValueError, match="reuse"):
+        table.add_column("g", "string")
+    with pytest.raises(ValueError, match="reuse"):
+        table.rename_column("val", "v")
+    # time travel still reads (current-schema projection over old files)
+    assert table.read(spark, snapshot_id=1).columns == ["id", "val"]
+
+
+def test_engine_rename_drop_column_statements(spark, tmp_path):
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE evot AS SELECT id, id * 2 AS a FROM range(5);
+        ALTER TABLE evot RENAME COLUMN a TO b;
+        INSERT INTO evot SELECT 100 AS id, 201 AS b;
+        ALTER TABLE evot ADD COLUMN c STRING;
+        ALTER TABLE evot DROP COLUMN IF EXISTS c
+        """
+    )
+    out = eng.execute("SELECT id, b FROM evot ORDER BY id")
+    rows = out.to_pylist() if hasattr(out, "to_pylist") else out
+    assert [r["b"] for r in rows] == [0, 2, 4, 6, 8, 201]
+    cols = eng.execute("SELECT * FROM evot LIMIT 1")
+    assert [c.lower() for c in cols.column_names] == ["id", "b"]
+
+
 def test_each_commit_writes_new_metadata_version(spark, table):
     v0 = table.current_version()
     table.append(spark.range(1).select("id", F.lit(0).alias("g"), F.lit(0.0).alias("v")))

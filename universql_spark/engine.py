@@ -615,6 +615,26 @@ class Engine:
                 self.snap_tables[bn].add_column(am.group(2).lower(), snowflake_to_spark(am.group(3)))
                 self._refresh_snap_view(bn)
                 return _status(f"altered iceberg {bn}")
+            dm = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                stmt,
+                re.I,
+            )
+            if dm and bare_name(dm.group(1)) in self.snap_tables:
+                bn = bare_name(dm.group(1))
+                self.snap_tables[bn].drop_column(dm.group(2).lower())
+                self._refresh_snap_view(bn)
+                return _status(f"altered iceberg {bn}")
+            rm = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+                stmt,
+                re.I,
+            )
+            if rm and bare_name(rm.group(1)) in self.snap_tables:
+                bn = bare_name(rm.group(1))
+                self.snap_tables[bn].rename_column(rm.group(2).lower(), rm.group(3).lower())
+                self._refresh_snap_view(bn)
+                return _status(f"altered iceberg {bn}")
             pm = re.match(
                 r"^\s*ALTER\s+(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+SET\s+"
                 r"(?:TBLPROPERTIES\s*\(|PROPERTIES\s*\(|)(.*?)\)?\s*$",

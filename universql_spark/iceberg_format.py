@@ -580,10 +580,17 @@ class IcebergTable(SnapshotTable):
                 if deletes:
                     snap["delete_files"] = deletes
                 snaps.append(snap)
+            props = meta.get("properties", {})
             self._version_cache[v] = {
                 "snapshots": snaps,
                 "added_columns": json.loads(
-                    meta.get("properties", {}).get("universql-spark.added-columns", "[]")
+                    props.get("universql-spark.added-columns", "[]")
+                ),
+                "schema_ops": json.loads(
+                    props.get("universql-spark.schema-ops", "[]")
+                ),
+                "retired_names": json.loads(
+                    props.get("universql-spark.retired-names", "[]")
                 ),
             }
         cached = self._version_cache[v]
@@ -591,6 +598,8 @@ class IcebergTable(SnapshotTable):
         return {
             "snapshots": [dict(s) for s in cached["snapshots"]],
             "added_columns": [list(c) for c in cached["added_columns"]],
+            "schema_ops": [list(c) for c in cached["schema_ops"]],
+            "retired_names": list(cached["retired_names"]),
         }
 
     # -- table properties --------------------------------------------------
@@ -900,6 +909,40 @@ class IcebergTable(SnapshotTable):
         meta.setdefault("properties", {})["universql-spark.added-columns"] = json.dumps(
             d.get("added_columns", [])
         )
+
+        # drop/rename evolution: each new op yields a NEW schema entry.
+        # RENAME keeps the field's id (the whole point of Iceberg ids: old
+        # data files resolve by id, not name); DROP removes the field from
+        # the current schema while historical schemas keep it.
+        stored_ops = json.loads(
+            meta.get("properties", {}).get("universql-spark.schema-ops", "[]")
+        )
+        new_ops = [list(o) for o in d.get("schema_ops", [])]
+        if len(new_ops) > len(stored_ops):  # append-only log; never regress
+            cur = next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )
+            new_fields = [dict(f) for f in cur["fields"]]
+            for op in new_ops[len(stored_ops):]:
+                if op[0] == "drop":
+                    new_fields = [f for f in new_fields if f["name"].lower() != op[1].lower()]
+                elif op[0] == "rename":
+                    for f in new_fields:
+                        if f["name"].lower() == op[1].lower():
+                            f["name"] = op[2]
+            new_schema = {
+                "type": "struct",
+                "schema-id": meta["current-schema-id"] + 1,
+                "fields": new_fields,
+            }
+            meta["schemas"].append(new_schema)
+            meta["current-schema-id"] = new_schema["schema-id"]
+            meta["properties"]["universql-spark.schema-ops"] = json.dumps(new_ops)
+        retired = d.get("retired_names", [])
+        if len(retired) > len(json.loads(
+            meta["properties"].get("universql-spark.retired-names", "[]")
+        )):
+            meta["properties"]["universql-spark.retired-names"] = json.dumps(retired)
 
         meta["last-sequence-number"] = max(seq, meta.get("last-sequence-number", 0))
         meta["last-updated-ms"] = now_ms

@@ -156,6 +156,42 @@ def dml_plain_file_granular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df("SELECT d, etype, total FROM dmlfg_t ORDER BY etype, d")
 
 
+_EVO_ORACLE = """
+SELECT k, nation_name, tier FROM (
+  SELECT n_nationkey AS k, n_name AS nation_name, CAST(NULL AS BIGINT) AS tier
+  FROM nation
+  UNION ALL SELECT 100, 'ATLANTIS', NULL
+  UNION ALL SELECT 101, 'LEMURIA', 7
+) ORDER BY k
+"""
+
+
+@register("dml_schema_evolution", _EVO_ORACLE, category="dml")
+def dml_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Iceberg schema evolution as METADATA-ONLY commits: DROP COLUMN
+    projects the field away at read, RENAME keeps the field-id so pre- and
+    post-rename data files stitch into one logical column, ADD COLUMN
+    backfills NULL for old files. No data file is rewritten by any ALTER
+    (pinned by test_rename_drop_column_metadata_only). Reference tables are
+    Iceberg throughout (warehouse/duckdb.py:274-334); evolution here is the
+    spec's §Schema Evolution on the pure-Python writer."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE evo_t AS
+          SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk FROM nation;
+        ALTER TABLE evo_t DROP COLUMN rk;
+        ALTER TABLE evo_t RENAME COLUMN name TO nation_name;
+        INSERT INTO evo_t SELECT 100 AS k, 'ATLANTIS' AS nation_name;
+        ALTER TABLE evo_t ADD COLUMN tier BIGINT;
+        INSERT INTO evo_t SELECT 101 AS k, 'LEMURIA' AS nation_name, 7 AS tier
+        """
+    )
+    return eng.execute_df("SELECT k, nation_name, tier FROM evo_t ORDER BY k")
+
+
 _ICE_ORACLE = """
 WITH base AS (
   SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1

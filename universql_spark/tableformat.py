@@ -154,9 +154,27 @@ class SnapshotTable:
         Iceberg-style evolution, old files untouched) and columns added
         after every one of these files were written surface as NULL."""
         df = spark.read.option("mergeSchema", "true").parquet(*files)
-        for col, sql_type in self._load().get("added_columns", []):
+        meta = self._load()
+        for col, sql_type in meta.get("added_columns", []):
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast(sql_type))
+        # drop/rename are metadata ops applied at read time.  After
+        # `RENAME COLUMN a TO b`, pre-rename files physically hold `a` and
+        # post-rename files hold `b`; the merged schema then has both, each
+        # NULL outside its era, so coalesce stitches them into one logical
+        # column — the same per-file identity Iceberg gets from field-ids
+        # (name reuse after drop/rename is refused at ALTER time, which is
+        # what keeps the name→field mapping unambiguous without ids).
+        for op in meta.get("schema_ops", []):
+            if op[0] == "drop":
+                if op[1] in df.columns:
+                    df = df.drop(op[1])
+            elif op[0] == "rename":
+                old, new = op[1], op[2]
+                if old in df.columns and new in df.columns:
+                    df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+                elif old in df.columns:
+                    df = df.withColumnRenamed(old, new)
         return df
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
@@ -201,10 +219,49 @@ class SnapshotTable:
         readers surface the column as NULL for pre-evolution files."""
         for _ in range(MAX_COMMIT_RETRIES):
             meta = self._load()
+            self._check_name_fresh(meta, col)
             meta.setdefault("added_columns", []).append([col, sql_type])
             if self._commit(meta):
                 return
         raise CommitConflict(f"add_column({col}) lost the commit race {MAX_COMMIT_RETRIES} times")
+
+    def drop_column(self, col: str) -> None:
+        """DROP COLUMN without rewriting a byte: the column stays in the
+        files and is projected away at read (Iceberg drops the field from
+        the current schema the same way; column pruning means the dead
+        bytes are never even decoded)."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            meta.setdefault("schema_ops", []).append(["drop", col])
+            meta.setdefault("retired_names", []).append(col)
+            if self._commit(meta):
+                return
+        raise CommitConflict(f"drop_column({col}) lost the commit race {MAX_COMMIT_RETRIES} times")
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN as metadata: existing files keep the old physical
+        name; the read path coalesces old- and new-era files into the new
+        logical name (see _read_files)."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            meta = self._load()
+            self._check_name_fresh(meta, new)
+            meta.setdefault("schema_ops", []).append(["rename", old, new])
+            meta.setdefault("retired_names", []).append(old)
+            if self._commit(meta):
+                return
+        raise CommitConflict(f"rename_column({old}) lost the commit race {MAX_COMMIT_RETRIES} times")
+
+    @staticmethod
+    def _check_name_fresh(meta: dict, name: str) -> None:
+        """Refuse to reuse a name that was ever dropped or renamed away.
+        Without per-file field-ids the name is the file↔schema join key, so
+        reviving it would silently resurrect old files' values (Iceberg
+        allows reuse because its parquet columns carry field-ids)."""
+        if name in meta.get("retired_names", []):
+            raise ValueError(
+                f"column name {name!r} was previously dropped/renamed; "
+                "name reuse requires field-id tracking and is not supported"
+            )
 
     def truncate(self) -> int:
         """New empty snapshot; history (and time travel) keeps the data."""
