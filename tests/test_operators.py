@@ -297,3 +297,32 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     # top components carry descending variance
     variances = got.var(axis=0)
     assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(3))
+
+
+def test_duplicate_spans_semantics(spark):
+    """Constructed corpus pins the span algebra: cross-doc duplicated runs
+    merge into one interval, unique text contributes nothing, and a doc with
+    zero duplicated 5-grams is absent from the output."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens: 3 dup 5-gram positions -> 1 span of 7
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tokens here only once ever seen"),
+            (2, "totally different prefix words " + shared),
+            (3, "no duplicated grams in this document at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicate_spans(docs, n=5, min_count=2).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 7  # the merged run, not 3 overlapping 5-grams
+    assert out[1]["total_tokens"] == 14
+    # self-repetition inside ONE doc also counts (Lee et al. semantics)
+    rep = spark.createDataFrame(
+        [(9, "one two three four five xx one two three four five")], ["doc_id", "text"]
+    )
+    r = dedup.duplicate_spans(rep, n=5, min_count=2).collect()[0]
+    # [0,4] and [6,10] — the separator "xx" is NOT duplicated, so the two
+    # runs stay distinct spans
+    assert r["n_dup_spans"] == 2 and r["dup_tokens"] == 10

@@ -49,8 +49,11 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, s) — one row per (non-distinct) n-gram shingle position.
+def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+                 keep_pos: bool = False) -> DataFrame:
+    """(id, s) — one row per (non-distinct) n-gram shingle position
+    (`keep_pos=True` adds the 0-based token position `pos` and the doc's
+    token count `nw`, for span-level consumers like duplicate_spans).
 
     posexplode(words) -> LEAD window per doc: everything stays in whole-stage
     codegen (the transform/slice formulation above interprets per element and
@@ -104,6 +107,8 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     tok = tok.select("id", "nw", "pos", "t", *leads)
     shingle = F.concat_ws(" ", "t", *[f"l{i}" for i in range(1, n)])
     keep = F.col(f"l{n-1}").isNotNull() | ((F.col("nw") < n) & (F.col("pos") == 0))
+    if keep_pos:
+        return tok.filter(keep).select("id", "pos", "nw", shingle.alias("s"))
     return tok.filter(keep).select("id", shingle.alias("s"))
 
 
@@ -360,5 +365,76 @@ def cross_contamination(
             (F.col("n_contaminated") / F.col("n_shingles") >= threshold).alias(
                 "contaminated"
             ),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level dedup signal: per document, the merged spans of token
+    n-grams that occur >= min_count times ANYWHERE in the corpus — the
+    Spark-first rendering of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021), where the
+    exact suffix array is replaced by fixed-length shingle matching (a
+    duplicated substring of length >= n tokens is exactly a run of >= 1
+    duplicated n-gram positions, so span boundaries match the suffix-array
+    answer to within n-1 tokens).
+
+    Shape at 100 TB, stage by stage (all codegen, zero Python):
+      1. positional shingles (posexplode + lead window, 1 shuffle on id);
+      2. corpus-wide occurrence count as a window over xxhash64(shingle) —
+         the shuffle carries (id, pos, hash64): 24 bytes/position, never
+         the text;
+      3. per-doc interval merge of surviving positions: classic
+         lag/cumulative-max span grouping, 1 shuffle back on id (Catalyst
+         reuses the stage-1 hash distribution when n_partitions align).
+    No self-join, no all-pairs; a pathologically common shingle only
+    inflates one window partition, which AQE skew handling splits.
+
+    -> (doc_id, n_dup_spans, dup_tokens, total_tokens, dup_frac)
+       one row per doc that has at least one duplicated span.
+    """
+    from pyspark.sql.window import Window
+
+    rows = shingle_rows(docs, text_col, id_col, n, keep_pos=True)
+    # corpus-wide duplicate marking: count over the 64-bit shingle hash
+    # (collision-free in practice at < 2^32 distinct shingles; the oracle
+    # checks with exact strings)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(F.xxhash64("s")))
+    dup = rows.select("id", "pos", "nw", cnt.alias("c")).filter(
+        F.col("c") >= min_count
+    )
+    # interval merge: position p covers tokens [p, p+n-1]; a new span starts
+    # when p exceeds the running max end + 1 (overlap OR adjacency merges)
+    byid = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(byid.rowsBetween(Window.unboundedPreceding, -1))
+    starts = dup.select(
+        "id", "pos", "nw",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0).alias("new_span"),
+    )
+    grp = starts.select(
+        "id", "pos", "nw", F.sum("new_span").over(byid).alias("g")
+    )
+    spans = grp.groupBy("id", "g").agg(
+        F.min("pos").alias("s0"), (F.max("pos") + n - 1).alias("s1"), F.first("nw").alias("nw")
+    )
+    return (
+        spans.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("s1") - F.col("s0") + 1).alias("dup_tokens"),
+            F.first("nw").alias("total_tokens"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_dup_spans",
+            "dup_tokens",
+            "total_tokens",
+            F.round(F.col("dup_tokens") / F.col("total_tokens"), 4).alias("dup_frac"),
         )
     )

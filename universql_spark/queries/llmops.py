@@ -124,6 +124,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.8, n=3, num_perm=64, bands=16)
 
 
+_DUCK_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), ' +')) AS t,
+         generate_subscripts(string_split_regex(lower(trim(text)), ' +'), 1) - 1 AS pos,
+         len(string_split_regex(lower(trim(text)), ' +')) AS nw
+  FROM documents
+), led AS (
+  SELECT doc_id, pos, nw, t,
+         lead(t,1) OVER w AS l1, lead(t,2) OVER w AS l2,
+         lead(t,3) OVER w AS l3, lead(t,4) OVER w AS l4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sh AS (
+  SELECT doc_id, pos, nw, concat_ws(' ', t, l1, l2, l3, l4) AS s
+  FROM led WHERE l4 IS NOT NULL OR (nw < 5 AND pos = 0)
+), dup AS (
+  SELECT doc_id, pos, nw FROM (
+    SELECT doc_id, pos, nw, COUNT(*) OVER (PARTITION BY s) AS c FROM sh
+  ) WHERE c >= 2
+), flag AS (
+  SELECT doc_id, pos, nw,
+    CASE WHEN max(pos + 4) OVER wp IS NULL OR pos > max(pos + 4) OVER wp + 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM dup
+  WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), grp AS (
+  SELECT doc_id, pos, nw,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM flag
+), spans AS (
+  SELECT doc_id, g, MIN(pos) AS s0, MAX(pos) + 4 AS s1, MIN(nw) AS nw
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(s1 - s0 + 1) AS BIGINT) AS dup_tokens,
+       MIN(nw) AS total_tokens,
+       ROUND(SUM(s1 - s0 + 1) * 1.0 / MIN(nw), 4) AS dup_frac
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_substring_spans", _DUCK_DUP_SPANS, category="dedup")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. 2021 suffix-array dedup, shingle
+    rendering): per doc, merged spans of 5-gram positions whose shingle
+    occurs >=2 times corpus-wide. Oracle replays the identical pipeline on
+    exact shingle STRINGS where Spark keys the shuffle on xxhash64 — equal
+    outputs absent a 64-bit collision."""
+    return dedup.duplicate_spans(spark.table("documents"), n=5, min_count=2).orderBy("doc_id")
+
+
 @register("dedup_simhash", None, category="dedup")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming<=3). No SQL oracle: the 64-bit
