@@ -541,3 +541,59 @@ def test_partition_transforms_day_truncate(spark, tmp_path):
     pruned = t2.plan_files([("v", "=", 250)])
     assert all("__p_v_truncate=200" in f for f in pruned) and pruned
     assert t2.read(spark).count() == 40
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order interleave vs linear clustering: with files laid out by the
+    Morton key over (a, b), manifest bounds prune files for predicates on
+    EITHER column; a linear sort on `a` serves only `a`."""
+    from universql_spark.operators.scale import zorder_files
+
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") / 64).cast("bigint") % 64).alias("b"),  # independent of a: full 64x64 grid
+        F.col("id").alias("payload"),
+    )
+    zdf = zorder_files(df, ["a", "b"], n_files=files)
+    tz = IcebergTable.create(str(tmp_path / "z"), zdf)
+    lin = df.repartitionByRange(files, "a").sortWithinPartitions("a")
+    tl = IcebergTable.create(str(tmp_path / "lin"), lin)
+    total_z, total_l = len(tz.current_files()), len(tl.current_files())
+    assert total_z >= files - 1
+
+    za = len(tz.plan_files([("a", "<", 8)]))
+    zb = len(tz.plan_files([("b", "<", 8)]))
+    la = len(tl.plan_files([("a", "<", 8)]))
+    lb = len(tl.plan_files([("b", "<", 8)]))
+    # both dimensions prune >=50% of z-ordered files
+    assert za <= total_z // 2, (za, total_z)
+    assert zb <= total_z // 2, (zb, total_z)
+    # linear clustering serves its key but NOT the second column
+    assert la <= total_l // 2
+    assert lb == total_l
+    # correctness: pruned plan returns exactly the matching rows
+    got = spark.read.parquet(*tz.plan_files([("b", "<", 8)])).filter("b < 8").count()
+    assert got == df.filter("b < 8").count()
+
+
+def test_engine_optimize_zorder(spark, tmp_path):
+    """OPTIMIZE t ZORDER BY (a, b) through the engine: replace snapshot
+    whose new files prune on both columns."""
+    from universql_spark.engine import Engine
+    from universql_spark.iceberg_format import IcebergTable
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE zt AS "
+        "SELECT id % 64 AS a, CAST(id / 64 AS BIGINT) % 64 AS b, id AS payload "
+        "FROM range(4096)"
+    )
+    out = eng.execute("OPTIMIZE zt ZORDER BY (a, b)").to_pydict()
+    t = eng.snap_tables["zt"]
+    total = len(t.current_files())
+    assert out["files_after"] == [total]
+    if total >= 4:  # layout only proves skipping with multiple files
+        assert len(t.plan_files([("a", "<", 8)])) < total
+        assert len(t.plan_files([("b", "<", 8)])) < total
+    assert eng.execute("SELECT COUNT(*) AS n FROM zt WHERE b < 8").to_pydict()["n"] == [512]

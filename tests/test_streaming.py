@@ -79,6 +79,22 @@ def test_stream_dedup_matches_batch_distincts(spark, sf_dir):
     assert got.select("props").distinct().count() == n_distinct
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: same distinct output as global dedup
+    when every duplicate pair sits within the horizon (true for the fixture
+    processed as one micro-batch), with state bounded by event time instead
+    of by keys-ever-seen."""
+    stream = windows.stream_dedup_within_watermark(
+        windows.events_stream(spark, sf_dir), key="props", watermark="100 days"
+    )
+    windows.run_append_to_memory(stream, "t_dedup_wm")
+    got = spark.table("t_dedup_wm")
+    ev = load_table(spark, sf_dir, "events")
+    n_distinct = ev.select("props").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("props").distinct().count() == n_distinct
+
+
 def test_stream_ingest_to_iceberg(spark, sf_dir, tmp_path):
     """File stream -> foreachBatch -> Iceberg append commits: every
     micro-batch becomes one `append` snapshot; final contents equal the

@@ -651,10 +651,19 @@ class Engine:
                 for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", pm.group(2)):
                     self.snap_tables[bn].set_property(k, v)
                 return _status(f"properties set on iceberg {bn}")
-            om = re.match(r"^\s*OPTIMIZE\s+([\w.\"]+)\s*$", stmt, re.I)
+            om = re.match(
+                r"^\s*OPTIMIZE\s+([\w.\"]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+                stmt,
+                re.I,
+            )
             if om and bare_name(om.group(1)) in self.snap_tables:
                 bn = bare_name(om.group(1))
-                before, after = self.snap_tables[bn].compact(self.spark)
+                zcols = (
+                    [c.strip().strip('"').lower() for c in om.group(2).split(",")]
+                    if om.group(2)
+                    else None
+                )
+                before, after = self.snap_tables[bn].compact(self.spark, zorder_by=zcols)
                 self._refresh_snap_view(bn)
                 return pa.table({"files_before": [before], "files_after": [after]})
             vm = re.match(

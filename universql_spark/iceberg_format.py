@@ -1279,25 +1279,36 @@ class IcebergTable(SnapshotTable):
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, spark, target_files: int | None = None) -> tuple[int, int]:
+    def compact(self, spark, target_files: int | None = None,
+                zorder_by: list[str] | None = None) -> tuple[int, int]:
         """Small-file compaction (iceberg-spark's rewrite_data_files): read
         the current snapshot, rewrite it as ~target_files larger files, and
         commit a `replace` snapshot. History is untouched — old snapshots
         still reference the old files until expire_snapshots. At 100 TB this
         is the defragmentation pass that keeps scan task counts sane after
-        many small streaming/merge appends. -> (files_before, files_after)"""
+        many small streaming/merge appends. `zorder_by` re-lays the data on
+        the Morton key over those columns (OPTIMIZE ... ZORDER BY): files
+        get tight multi-dimensional bounds, so plan_files prunes on ANY of
+        the z-columns, not just a leading sort key.
+        -> (files_before, files_after)"""
         files = self.current_files()
         deletes = self.current_delete_files()
         if target_files is None:
             # ~128 MB target, the parquet sweet spot
             total = sum(os.path.getsize(f) for f in files)
             target_files = max(1, total // (128 << 20) + (1 if total % (128 << 20) else 0))
-        if len(files) <= target_files and not deletes:
+        if len(files) <= target_files and not deletes and not zorder_by:
             return len(files), len(files)
         # _read_files applies outstanding positional deletes, so compaction
         # doubles as Iceberg's rewrite_position_delete_files: the new
         # snapshot carries no delete files at all
-        df = self._read_files(spark, files, deletes=deletes).coalesce(int(target_files))
+        df = self._read_files(spark, files, deletes=deletes)
+        if zorder_by:
+            from universql_spark.operators.scale import zorder_files  # noqa: PLC0415
+
+            df = zorder_files(df, zorder_by, n_files=int(target_files))
+        else:
+            df = df.coalesce(int(target_files))
         new = self._write_files(df)
         # Delta commit: a concurrent append's files survive the compaction
         # (only the files this rewrite READ are replaced); a concurrent

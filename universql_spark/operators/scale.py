@@ -140,3 +140,57 @@ def pack_sequences(
         .groupBy("shard", "seq_id")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
     )
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Z-order (Morton) key over 2-4 numeric columns as a pure codegen
+    expression: each column is min/max-normalized to a `bits`-bit integer
+    rank, then the ranks' bits are interleaved. Rows close in Z-value are
+    close in EVERY dimension, so range-partitioning by the key yields files
+    whose per-column min/max bounds are tight RECTANGLES — manifest/footer
+    pruning then skips files for predicates on ANY of the columns, where
+    linear CLUSTER BY only serves its leading column. This is Delta/Iceberg
+    OPTIMIZE ZORDER semantics re-expressed with shift/and/or built-ins.
+
+    The min/max pass is one metadata-sized agg (k values to the driver) —
+    same collect scale as the partition-spec lookups. At 100 TB run it on a
+    sample or reuse table-level stats; the mapping only needs to be
+    monotone, not exact.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key supports 2-4 columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    nmax = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        ranks.append(
+            F.least(
+                F.lit(nmax),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * nmax).cast("bigint"),
+            )
+        )
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(r, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def zorder_files(df: DataFrame, cols: list[str], n_files: int, bits: int = 16) -> DataFrame:
+    """Range-partition by the Z-key into n_files write tasks, sorted within
+    each, then drop the key — the layout step of OPTIMIZE ZORDER. Feed the
+    result straight to a parquet/Iceberg write (one file per partition)."""
+    keyed = df.withColumn("__z", zorder_key(df, cols, bits))
+    return (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

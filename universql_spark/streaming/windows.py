@@ -94,6 +94,22 @@ def stream_dedup(events: DataFrame, key: str = "props", watermark: str = "1 hour
     return events.withWatermark("ts", watermark).dropDuplicates([key])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, key: str = "props", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with EVENT-TIME state eviction:
+    dropDuplicatesWithinWatermark keeps a key's state only for the watermark
+    interval after its event time, then expires it — unlike dropDuplicates,
+    whose per-key state grows with DISTINCT KEYS EVER SEEN. For an unbounded
+    ingest stream (every doc id unique), plain dropDuplicates state is O(all
+    time) and eventually OOMs the state store; within-watermark state is
+    O(keys per horizon) — the only shape that survives at pipeline scale.
+    Contract difference: re-occurrences separated by MORE than the horizon
+    are re-emitted (the batch twin is therefore dedup within a time window,
+    not global distinct)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
 def view_click_attribution(
     events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
