@@ -326,3 +326,40 @@ def test_duplicate_spans_semantics(spark):
     # [0,4] and [6,10] — the separator "xx" is NOT duplicated, so the two
     # runs stay distinct spans
     assert r["n_dup_spans"] == 2 and r["dup_tokens"] == 10
+
+
+def test_pq_lossless_equals_brute_force(spark):
+    """When every sub-vector is drawn from <= k_codes patterns that the
+    deterministic init enumerates, quantization is lossless and ADC scores
+    are bit-identical to exact cosine (integer partial sums) — pq_topk must
+    equal brute_force_topk including tiebreaks."""
+    import random
+
+    rng = random.Random(7)
+    patterns = [[float((p * 7 + i * 3) % 5 + 1) for i in range(4)] for p in range(8)]
+    rows = []
+    for vid in range(40):
+        if vid < 8:  # init coverage: vector v repeats pattern v in all subspaces
+            vec = patterns[vid] * 4
+        else:
+            vec = sum((patterns[rng.randrange(8)] for _ in range(4)), [])
+        rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter("vec_id < 6")
+    got = similarity.pq_topk(emb, q, m=4, k_codes=8, k=5, rerank=None).collect()
+    want = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert [(r.q_id, r.n_id, r.cos) for r in got] == [(r.q_id, r.n_id, r.cos) for r in want]
+
+
+def test_pq_rerank_recall(spark, sf_dir):
+    """ADC shortlist + exact re-rank: recall@5 >= 0.6 on the embeddings
+    fixture (measured 0.84 at rerank=10 vs 0.2 for raw ADC top-5 — the
+    shortlist is doing real work on near-random vectors, the hardest case
+    for PQ)."""
+    from universql_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.q_id, r.n_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    got = {(r.q_id, r.n_id) for r in similarity.pq_topk(emb, q, k=5, rerank=10).collect()}
+    assert len(exact & got) / len(exact) >= 0.6

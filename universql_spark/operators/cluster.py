@@ -28,13 +28,16 @@ def _dist2(vec_col, centroid: list[float]):
 
 
 def _assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """argmin-distance centroid per row. LINEAR expression size: the naive
+    when-chain (best = when(d < best, ...).otherwise(best)) embeds the
+    running best TWICE per step — a 2^k expression tree that stalls Catalyst
+    outright at k=16 (hit by the PQ codebooks). array_min + array_position
+    keep it O(k); array_position takes the FIRST match, so distance ties
+    break to the lowest centroid index, deterministically."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best_c, best_d = F.lit(0), _dist2(v, centroids[0])
-    for ci in range(1, len(centroids)):
-        d = _dist2(v, centroids[ci])
-        cond = d < best_d
-        best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
-        best_d = F.when(cond, d).otherwise(best_d)
+    darr = F.array(*[_dist2(v, c) for c in centroids])
+    best_d = F.array_min(darr)
+    best_c = (F.array_position(darr, best_d) - 1).cast("int")
     return corpus.withColumn("cluster", best_c).withColumn("dist2", best_d)
 
 

@@ -337,6 +337,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("ann_pq_topk", None, category="similarity")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. IVFADC+R shape): driver-side
+    codebook training on a bounded sample, distributed encode to m=8 codes
+    per vector (32x compression), ADC scoring from table lookups only, and
+    exact re-ranking of the rerank*k shortlist. No SQL oracle (codebooks
+    come from k-means); tests pin lossless-case equality with brute force
+    and recall >= 0.6 on the fixture."""
+    emb = spark.table("embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=10)
+
+
 @register("ann_lsh_buckets", None, category="similarity")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN index-build step).
