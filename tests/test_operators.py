@@ -363,3 +363,21 @@ def test_pq_rerank_recall(spark, sf_dir):
     exact = {(r.q_id, r.n_id) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
     got = {(r.q_id, r.n_id) for r in similarity.pq_topk(emb, q, k=5, rerank=10).collect()}
     assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_resize_images_real_bytes(docs):
+    """resize -> real BMP bytes at the target dims; constant-intensity
+    sources keep their exact mean through nearest-neighbor + re-encode, and
+    non-image payloads come back null instead of failing the batch."""
+    media = multimodal.synthesize_bmp_media(docs)
+    resized = multimodal.resize_images(media, 8, 6)
+    out = multimodal.decode_images(
+        resized.select("media_id", "format", "content")
+    ).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert (r.format, r.width, r.height) == ("bmp", 8, 6)
+        assert r.mean_intensity == float(r.media_id % 256)
+    # pass-through behavior for non-image payloads
+    junk = multimodal.resize_images(multimodal.as_media(docs), 8, 6).collect()
+    assert all(r.format == "unknown" and r.content is None for r in junk)

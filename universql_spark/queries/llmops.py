@@ -587,6 +587,23 @@ def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_meta",
+    """SELECT doc_id AS media_id, 'bmp' AS format, 8 AS width, 6 AS height,
+       3 AS n_channels, CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+FROM documents ORDER BY media_id""",
+    category="multimodal",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline end to end: synthesize real BMP payloads, nearest-
+    neighbor resize to 8x6 (numpy gather inside mapInPandas, narrow), then
+    decode the RESIZED bytes — dims must be the target and constant-
+    intensity means must survive the resample+re-encode exactly."""
+    media = multimodal.synthesize_bmp_media(spark.table("documents"))
+    resized = multimodal.resize_images(media, 8, 6).select("media_id", "content")
+    return multimodal.decode_images(resized).orderBy("media_id")
+
+
+@register(
     "multimodal_decode_meta",
     """SELECT doc_id AS media_id, 'bmp' AS format,
        CAST(octet_length(encode(text)) % 13 + 4 AS INT) AS width,
