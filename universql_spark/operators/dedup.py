@@ -174,15 +174,22 @@ def jaccard_pairs(
 def minhash_signatures(doc_shingle_rows: DataFrame, num_perm: int = 64) -> DataFrame:
     """(id, s) shingle rows -> (id, sig array<long>[num_perm]).
 
-    Permutation i is simulated by seeding xxhash64 with the literal i:
-    sig[i] = min(xxhash64(i, shingle)). groupBy(id) with num_perm codegen'd
-    MIN aggregates — partial agg collapses each input split before the one
-    exchange, and duplicate shingle rows are harmless under MIN (no distinct
-    pass needed). The tempting shuffle-free alternative — nested
-    transform/array_min higher-order expressions — measured 2-3x slower
-    because Spark interprets HOF lambdas per element.
+    Permutation i rehashes ONE base hash of the shingle:
+    sig[i] = min(xxhash64(i, xxhash64(shingle))). The variable-length
+    string is hashed once per row; each extra permutation hashes a fixed
+    8-byte long — cheaper per permutation and a smaller codegen unit than
+    re-hashing the string num_perm times. (The classic a*h+b mod 2^64
+    family would be cheaper still, but Spark's ANSI mode faults the
+    deliberate long overflow, so the wrap isn't expressible portably.)
+    groupBy(id) with num_perm MIN aggregates — partial agg collapses each
+    input split before the one exchange, and duplicate shingle rows are
+    harmless under MIN (no distinct pass needed). The tempting
+    shuffle-free alternative — nested transform/array_min higher-order
+    expressions — measured 2-3x slower because Spark interprets HOF
+    lambdas per element.
     """
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)]
+    h0 = F.xxhash64(F.col("s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), h0)).alias(f"h{i}") for i in range(num_perm)]
     packed = doc_shingle_rows.groupBy("id").agg(*aggs)
     return packed.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
 
@@ -242,7 +249,8 @@ def minhash_lsh_pairs(
     dominant scan+explode stage).
     """
     rows = shingle_rows(docs, text_col, id_col, n)
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)]
+    h0 = F.xxhash64(F.col("s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), h0)).alias(f"h{i}") for i in range(num_perm)]
     aggs.append(F.array_distinct(F.collect_list("s")).alias("sh"))
     sigsh = rows.groupBy("id").agg(*aggs).select(
         "id",
