@@ -597,3 +597,69 @@ def test_engine_optimize_zorder(spark, tmp_path):
         assert len(t.plan_files([("a", "<", 8)])) < total
         assert len(t.plan_files([("b", "<", 8)])) < total
     assert eng.execute("SELECT COUNT(*) AS n FROM zt WHERE b < 8").to_pydict()["n"] == [512]
+
+
+def test_equality_delete_no_rewrite_and_sequencing(spark, tmp_path):
+    """Equality delete: O(keys) commit, no data file touched, no positions;
+    spec sequencing lets a LATER re-insert of the same key survive."""
+    df = spark.range(10).select("id", (F.col("id") % 3).alias("g"))
+    t = IcebergTable.create(str(tmp_path / "eq"), df)
+    files_before = set(t.current_files())
+    keys = spark.createDataFrame([(2,), (5,)], ["id"])
+    n = t.equality_delete(spark, keys, ["id"])
+    assert n == 2
+    assert set(t.current_files()) == files_before  # no data file rewritten
+    assert t.current_delete_files() == []  # and no positional deletes
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # time travel before the delete still sees everything
+    assert t.read(spark, snapshot_id=1).count() == 10
+    # re-insert key 5: the new file outsequences the delete -> visible
+    t.append(spark.createDataFrame([(5, 99)], ["id", "g"]))
+    got2 = {r["id"]: r["g"] for r in t.read(spark).collect()}
+    assert got2[5] == 99 and 2 not in got2
+    # manifest round trip: a FRESH instance (no cache) reads the same state
+    t2 = IcebergTable(str(tmp_path / "eq"))
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == sorted(got2)
+    # spec conformance: delete manifest entry content=2 with equality_ids
+    _, meta = t2._read_metadata()
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == 2)
+    dmf = [mf for mf in _read_avro_records(snap["manifest-list"]) if mf["content"] == 1]
+    assert len(dmf) == 1
+    entries = _read_avro_records(dmf[0]["manifest_path"])
+    assert entries[0]["data_file"]["content"] == 2
+    id_field = next(
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "id"
+    )
+    assert entries[0]["data_file"]["equality_ids"] == [id_field["id"]]
+
+
+def test_upsert_cdc_semantics(spark, tmp_path):
+    """One-commit upsert (Flink Iceberg sink shape): old versions of the
+    batch's keys vanish, the batch's own rows land, nothing is rewritten."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)], ["id", "v"])
+    t = IcebergTable.create(str(tmp_path / "cdc"), df)
+    files_before = set(t.current_files())
+    batch = spark.createDataFrame([(2, 222), (4, 444), (8, 888)], ["id", "v"])
+    n, rewritten = t.upsert(spark, batch, ["id"])
+    assert (n, rewritten) == (3, 0)
+    assert files_before <= set(t.current_files())
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {0: 0, 1: 10, 2: 222, 3: 30, 4: 444, 5: 50, 8: 888}
+    # second upsert of the same key wins again (monotone sequences)
+    t.upsert(spark, spark.createDataFrame([(2, 2222)], ["id", "v"]), ["id"])
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()}[2] == 2222
+    # COW delete after upserts must not resurrect old key versions
+    t.delete_where(spark, F.col("id") == 0)
+    got3 = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert 0 not in got3 and got3[2] == 2222 and len(got3) == 6
+
+
+def test_compact_folds_equality_deletes(spark, tmp_path):
+    df = spark.range(12).select("id", (F.col("id") * 2).alias("v")).repartition(4)
+    t = IcebergTable.create(str(tmp_path / "eqc"), df)
+    t.equality_delete(spark, spark.createDataFrame([(3,), (7,)], ["id"]), ["id"])
+    before, after = t.compact(spark, target_files=1)
+    assert after == 1
+    assert t.eq_entries_at() == []  # folded away
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [i for i in range(12) if i not in (3, 7)]

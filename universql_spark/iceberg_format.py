@@ -112,6 +112,12 @@ _DATA_FILE_SCHEMA = {
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
         _bounds_field("lower_bounds", 125, 126, 127),
         _bounds_field("upper_bounds", 128, 129, 130),
+        # spec field 135: schema field-ids an EQUALITY delete file matches on
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "field-id": 135,
+        },
     ],
 }
 
@@ -540,24 +546,36 @@ class IcebergTable(SnapshotTable):
 
     # -- scan planning (spec: snapshot -> manifest list -> manifests) ------
 
-    def _snapshot_files(self, manifest_list_path: str) -> tuple[list[str], list[str]]:
-        """(live data files, live positional-delete files) of one snapshot:
+    def _snapshot_files(
+        self, manifest_list_path: str
+    ) -> tuple[list[str], list[str], list[dict]]:
+        """(live data files, live positional-delete files, live
+        equality-delete entries [{"path", "ids"}]) of one snapshot:
         manifest-list entries with content=0 chain to data manifests,
-        content=1 to delete manifests (spec field-id 517)."""
+        content=1 to delete manifests (spec field-id 517); within a delete
+        manifest, data_file.content distinguishes positional (1) from
+        equality (2) files."""
         data: list[str] = []
         deletes: list[str] = []
+        eq: list[dict] = []
         for mf in _read_avro_records(manifest_list_path):
-            bucket = deletes if mf.get("content") == 1 else data
             for entry in _read_avro_records(mf["manifest_path"]):
-                if entry["status"] != _STATUS_DELETED:
-                    bucket.append(entry["data_file"]["file_path"])
-        return data, deletes
+                if entry["status"] == _STATUS_DELETED:
+                    continue
+                d = entry["data_file"]
+                if mf.get("content") != 1:
+                    data.append(d["file_path"])
+                elif d.get("content") == 2:
+                    eq.append({"path": d["file_path"], "ids": d.get("equality_ids") or []})
+                else:
+                    deletes.append(d["file_path"])
+        return data, deletes, eq
 
     def _live_files(self, manifest_list_path: str) -> list[str]:
         """Every file a snapshot references (data + deletes) — liveness set
         for expire_snapshots' dead-file sweep."""
-        data, deletes = self._snapshot_files(manifest_list_path)
-        return data + deletes
+        data, deletes, eq = self._snapshot_files(manifest_list_path)
+        return data + deletes + [e["path"] for e in eq]
 
     def _load(self) -> dict:
         v, meta = self._read_metadata()
@@ -568,9 +586,14 @@ class IcebergTable(SnapshotTable):
         # real catalog's per-commit table handles.)
         self._base_version = v
         if v not in self._version_cache:
+            # field-id -> name for rehydrating equality_ids into column names
+            id_to_name = {}
+            for sch in meta.get("schemas", []):
+                for f in sch.get("fields", []):
+                    id_to_name.setdefault(f["id"], f["name"])
             snaps = []
             for s in meta.get("snapshots", []):
-                data, deletes = self._snapshot_files(s["manifest-list"])
+                data, deletes, eq = self._snapshot_files(s["manifest-list"])
                 snap = {
                     "id": s["snapshot-id"],
                     "timestamp_ms": s["timestamp-ms"],
@@ -579,6 +602,11 @@ class IcebergTable(SnapshotTable):
                 }
                 if deletes:
                     snap["delete_files"] = deletes
+                if eq:
+                    snap["eq_delete_files"] = [
+                        {"path": e["path"], "cols": [id_to_name[i] for i in e["ids"]]}
+                        for e in eq
+                    ]
                 snaps.append(snap)
             props = meta.get("properties", {})
             self._version_cache[v] = {
@@ -596,7 +624,12 @@ class IcebergTable(SnapshotTable):
         cached = self._version_cache[v]
         # callers mutate the returned dict before _commit: hand out copies
         return {
-            "snapshots": [dict(s) for s in cached["snapshots"]],
+            "snapshots": [
+                {**s, "eq_delete_files": [dict(e) for e in s["eq_delete_files"]]}
+                if "eq_delete_files" in s
+                else dict(s)
+                for s in cached["snapshots"]
+            ],
             "added_columns": [list(c) for c in cached["added_columns"]],
             "schema_ops": [list(c) for c in cached["schema_ops"]],
             "retired_names": list(cached["retired_names"]),
@@ -748,6 +781,7 @@ class IcebergTable(SnapshotTable):
                         "file_size_in_bytes": os.path.getsize(path),
                         "lower_bounds": lower or None,
                         "upper_bounds": upper or None,
+                        "equality_ids": None,
                     },
                 }
             )
@@ -770,15 +804,22 @@ class IcebergTable(SnapshotTable):
         }
 
     def _write_delete_manifest(
-        self, snap: dict, seq: int, first_seen: dict[str, tuple[int, int]]
+        self, snap: dict, seq: int, first_seen: dict[str, tuple[int, int]],
+        name_to_id: dict[str, int] | None = None,
     ) -> tuple[str, dict]:
         """DELETE manifest (spec: manifest content=1) listing the snapshot's
-        live POSITION-delete files (data_file content=1). Shape mirrors
+        live POSITION-delete files (data_file content=1) and EQUALITY-delete
+        files (content=2, with the spec's equality_ids field naming the
+        schema fields the delete keys match on). Shape mirrors
         _write_manifest; bounds are omitted (delete files are tiny and
         always read whole during scan planning)."""
         entries, counts = [], {"added": [0, 0], "existing": [0, 0]}
         min_seq = seq
-        for path in snap.get("delete_files", []):
+        work = [(p, 1, None) for p in snap.get("delete_files", [])] + [
+            (e["path"], 2, [name_to_id[c.lower()] for c in e["cols"]] if name_to_id else [])
+            for e in snap.get("eq_delete_files", [])
+        ]
+        for path, content, eq_ids in work:
             o_snap, o_seq = first_seen.get(path, (snap["id"], seq))
             status = _STATUS_ADDED if o_snap == snap["id"] else _STATUS_EXISTING
             n = _parquet_row_count(path)
@@ -793,7 +834,7 @@ class IcebergTable(SnapshotTable):
                     "sequence_number": o_seq,
                     "file_sequence_number": o_seq,
                     "data_file": {
-                        "content": 1,  # POSITION_DELETES
+                        "content": content,  # 1=POSITION_DELETES 2=EQUALITY_DELETES
                         "file_path": path,
                         "file_format": "PARQUET",
                         "partition": {},
@@ -801,6 +842,7 @@ class IcebergTable(SnapshotTable):
                         "file_size_in_bytes": os.path.getsize(path),
                         "lower_bounds": None,
                         "upper_bounds": None,
+                        "equality_ids": eq_ids,
                     },
                 }
             )
@@ -839,9 +881,14 @@ class IcebergTable(SnapshotTable):
         # carried-over files keep their original lineage in EXISTING entries
         first_seen: dict[str, tuple[int, int]] = {}
         for i, snap in enumerate(d["snapshots"]):
-            for f in snap["files"] + snap.get("delete_files", []):
+            eq_paths = [e["path"] for e in snap.get("eq_delete_files", [])]
+            for f in snap["files"] + snap.get("delete_files", []) + eq_paths:
                 first_seen.setdefault(f, (snap["id"], i + 1))
 
+        cur_schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        name_to_id = {f["name"].lower(): f["id"] for f in cur_schema["fields"]}
         seq = meta.get("last-sequence-number", 0)
         parent = meta.get("current-snapshot-id")
         for i, snap in enumerate(d["snapshots"]):
@@ -850,8 +897,10 @@ class IcebergTable(SnapshotTable):
             seq = i + 1  # one sequence number per snapshot, in commit order
             _mpath, mf_record = self._write_manifest(snap, seq, first_seen)
             records = [mf_record]
-            if snap.get("delete_files"):
-                _dpath, del_record = self._write_delete_manifest(snap, seq, first_seen)
+            if snap.get("delete_files") or snap.get("eq_delete_files"):
+                _dpath, del_record = self._write_delete_manifest(
+                    snap, seq, first_seen, name_to_id=name_to_id
+                )
                 records.append(del_record)
             mlist = os.path.join(
                 self._meta_dir, f"snap-{snap['id']}-{uuid.uuid4().hex}.avro"
@@ -1040,10 +1089,17 @@ class IcebergTable(SnapshotTable):
     def _delete_mode(self) -> str:
         return self.get_property("write.delete.mode", "copy-on-write")
 
-    def _scan_with_pos(self, spark, files: list[str], delete_files: list[str]):
+    def _scan_with_pos(self, spark, files: list[str], delete_files: list[str],
+                       eq_entries: list[dict] | None = None):
         """Scan `files` with `__path`/`__pos` columns (normalized file path
         + row position from the parquet reader's `_metadata.row_index` —
-        computed JVM-side, no UDF) and `delete_files` anti-joined away."""
+        computed JVM-side, no UDF) and `delete_files` anti-joined away.
+        `eq_entries` [{"path","cols","seq"}] additionally anti-join EQUALITY
+        deletes, restricted by the spec's sequence rule: a key row deletes
+        only from data files whose sequence number is STRICTLY SMALLER than
+        the delete's — the join condition carries `__fseq < seq`, so a
+        re-inserted key in a newer file survives. The key sets are tiny
+        (broadcast); the per-file sequence map is metadata-sized."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         df = super()._read_files(spark, files)
@@ -1059,18 +1115,42 @@ class IcebergTable(SnapshotTable):
                 (df["__path"] == dels["__dpath"]) & (df["__pos"] == dels["__dpos"]),
                 "left_anti",
             )
+        if eq_entries:
+            norm = re.compile(self._PATH_NORM)
+            seq_rows = [
+                (norm.sub("", p), s) for p, s in self._file_seq_map().items()
+            ]
+            seq_df = spark.createDataFrame(seq_rows, "__mpath string, __fseq int")
+            df = df.join(
+                F.broadcast(seq_df), df["__path"] == seq_df["__mpath"], "left"
+            ).drop("__mpath")
+            for e in eq_entries:
+                keys = spark.read.parquet(e["path"]).select(
+                    *[F.col(c).alias(f"__k_{c}") for c in e["cols"]]
+                )
+                cond = F.col("__fseq") < F.lit(e["seq"])
+                for c in e["cols"]:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                df = df.join(F.broadcast(keys), cond, "left_anti")
+            df = df.drop("__fseq")
         return df
 
-    def _read_files(self, spark, files: list[str], deletes: list[str] | None = None):
-        """`deletes=None` applies the CURRENT snapshot's positional deletes
-        — the right default for every DML/compaction path, which all operate
-        on current files (a rewrite must not resurrect MoR-deleted rows).
-        Pass an explicit list ([] or a historical snapshot's) to override."""
+    def _read_files(self, spark, files: list[str], deletes: list[str] | None = None,
+                    eq_entries: list[dict] | None = None):
+        """`deletes`/`eq_entries`=None applies the CURRENT snapshot's
+        positional/equality deletes — the right default for every
+        DML/compaction path, which all operate on current files (a rewrite
+        must not resurrect MoR-deleted rows). Pass explicit lists ([] or a
+        historical snapshot's) to override."""
         if deletes is None:
             deletes = self.current_delete_files()
-        if not deletes:
+        if eq_entries is None:
+            eq_entries = self.eq_entries_at()
+        if not deletes and not eq_entries:
             return super()._read_files(spark, files)
-        return self._scan_with_pos(spark, files, deletes).drop("__path", "__pos")
+        return self._scan_with_pos(spark, files, deletes, eq_entries).drop(
+            "__path", "__pos"
+        )
 
     def read(self, spark, snapshot_id=None, timestamp_ms=None):
         files = self.files_at(snapshot_id, timestamp_ms)
@@ -1078,7 +1158,9 @@ class IcebergTable(SnapshotTable):
             return super().read(spark, snapshot_id, timestamp_ms)
         # time travel applies THAT snapshot's delete files, not the current
         return self._read_files(
-            spark, files, deletes=self.deletes_at(snapshot_id, timestamp_ms)
+            spark, files,
+            deletes=self.deletes_at(snapshot_id, timestamp_ms),
+            eq_entries=self.eq_entries_at(snapshot_id, timestamp_ms),
         )
 
     def _affected_files(self, spark, match, candidates=None):
@@ -1087,7 +1169,7 @@ class IcebergTable(SnapshotTable):
         if candidates is not None and not candidates:
             return []
         files = candidates if candidates is not None else self.current_files()
-        df = self._scan_with_pos(spark, files, self.current_delete_files())
+        df = self._scan_with_pos(spark, files, self.current_delete_files(), self.eq_entries_at())
         rows = df.filter(match).select(F.col("__path").alias("f")).distinct().collect()
         return sorted({r["f"] for r in rows})
 
@@ -1098,7 +1180,7 @@ class IcebergTable(SnapshotTable):
         if not files:
             return super()._tagged_read(spark)
         return (
-            self._scan_with_pos(spark, files, self.current_delete_files())
+            self._scan_with_pos(spark, files, self.current_delete_files(), self.eq_entries_at())
             .withColumnRenamed("__path", "__file")
             .drop("__pos")
         )
@@ -1148,7 +1230,7 @@ class IcebergTable(SnapshotTable):
         # scan only metadata-pruned candidates, with existing deletes applied
         # so already-deleted rows are not re-counted or re-written
         matched = (
-            self._scan_with_pos(spark, files, base_dels)
+            self._scan_with_pos(spark, files, base_dels, self.eq_entries_at())
             .filter(match)
             .select(F.col("__path").alias("file_path"), F.col("__pos").alias("pos"))
         )
@@ -1175,7 +1257,7 @@ class IcebergTable(SnapshotTable):
         if not files:
             return 0, 0
         base_dels = self.current_delete_files()
-        hit = self._scan_with_pos(spark, files, base_dels).filter(match)
+        hit = self._scan_with_pos(spark, files, base_dels, self.eq_entries_at()).filter(match)
         hit.cache()
         try:
             n = hit.count()
@@ -1205,6 +1287,45 @@ class IcebergTable(SnapshotTable):
             "update", added=new_data, removed=[],
             delete_files=base_dels + new_dels, base_delete_files=base_dels,
             required_live=self._delete_targets(new_dels),
+        )
+        return n, 0
+
+    def equality_delete(self, spark, keys_df: DataFrame, cols: list[str]) -> int:
+        """EQUALITY delete (spec data_file content=2): write the key tuples
+        as a delete file and commit — NO data scan, no positions, O(keys)
+        regardless of table size. This is the write side CDC sinks need:
+        Flink/Debezium-style upsert streams delete by key at ingest rate,
+        where a positional delete would first have to scan for matches.
+        Rows in data files with sequence number >= the delete's are NOT
+        affected (spec sequencing), so a later re-insert survives.
+        -> number of key rows written."""
+        cols = [c.lower() for c in cols]
+        keys = keys_df.select(*cols).distinct().coalesce(1)
+        paths = self._write_files(keys)
+        n = sum(_parquet_row_count(p) for p in paths)
+        self._commit_delta(
+            "delete", added=[], removed=[],
+            add_eq_delete_files=[{"path": p, "cols": cols} for p in paths],
+        )
+        return n
+
+    def upsert(self, spark, rows_df: DataFrame, key_cols: list[str]) -> tuple[int, int]:
+        """CDC upsert in ONE commit: an equality delete on the batch's keys
+        plus an append of the batch rows. The new data files carry the SAME
+        sequence number as the delete, and equality deletes apply only to
+        strictly smaller sequences — so the delete erases old versions of
+        the keys while the batch's own rows survive. This is exactly how
+        Flink's Iceberg upsert sink commits. -> (rows_upserted, files_rewritten=0)."""
+        key_cols = [c.lower() for c in key_cols]
+        tdf = self.read(spark)
+        rows_df = rows_df.select(*tdf.columns)
+        new = self._write_files(rows_df)
+        keys = rows_df.select(*key_cols).distinct().coalesce(1)
+        kpaths = self._write_files(keys)
+        n = sum(_parquet_row_count(p) for p in new)
+        self._commit_delta(
+            "upsert", added=new, removed=[],
+            add_eq_delete_files=[{"path": p, "cols": key_cols} for p in kpaths],
         )
         return n, 0
 
@@ -1297,7 +1418,7 @@ class IcebergTable(SnapshotTable):
             # ~128 MB target, the parquet sweet spot
             total = sum(os.path.getsize(f) for f in files)
             target_files = max(1, total // (128 << 20) + (1 if total % (128 << 20) else 0))
-        if len(files) <= target_files and not deletes and not zorder_by:
+        if len(files) <= target_files and not deletes and not zorder_by and not self.eq_entries_at():
             return len(files), len(files)
         # _read_files applies outstanding positional deletes, so compaction
         # doubles as Iceberg's rewrite_position_delete_files: the new
@@ -1314,7 +1435,8 @@ class IcebergTable(SnapshotTable):
         # (only the files this rewrite READ are replaced); a concurrent
         # rewrite of one of them, or new positional deletes, conflict.
         self._commit_delta(
-            "replace", added=new, removed=files, delete_files=[], base_delete_files=deletes
+            "replace", added=new, removed=files, delete_files=[], base_delete_files=deletes,
+            eq_delete_files=[],  # folded: rewritten files outsequence every eq delete
         )
         return len(files), len(new)
 

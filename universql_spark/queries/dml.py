@@ -212,6 +212,49 @@ ORDER BY state, etype
 """
 
 
+_CDC_ORACLE = """
+WITH base AS (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+), batch AS (
+  SELECT 'click' AS etype, CAST(-7 AS BIGINT) AS total
+  UNION ALL SELECT 'cdc_new', CAST(11 AS BIGINT)
+), merged AS (
+  SELECT b.etype, COALESCE(s.total, b.total) AS total
+  FROM base b LEFT JOIN batch s ON b.etype = s.etype
+  UNION ALL
+  SELECT s.etype, s.total FROM batch s
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.etype = s.etype)
+)
+SELECT etype, total FROM merged ORDER BY etype
+"""
+
+
+@register("dml_iceberg_upsert_cdc", _CDC_ORACLE, category="dml")
+def dml_iceberg_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert via EQUALITY deletes (Iceberg v2 content=2 delete files,
+    the Flink upsert-sink commit shape): one commit writes the batch's key
+    tuples as an equality delete plus the batch rows as data files — no
+    scan, no positions, nothing rewritten. Sequence-number applicability
+    (delete hits only strictly-older files) is what makes the batch's own
+    rows survive; the oracle states the same final state as MERGE
+    semantics."""
+    import tempfile
+
+    from universql_spark.iceberg_format import IcebergTable
+
+    base = spark.sql(
+        "SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type"
+    )
+    root = tempfile.mkdtemp(prefix="uspark_cdc_") + "/t"
+    t = IcebergTable.create(root, base)
+    batch = spark.sql(
+        "SELECT 'click' AS etype, CAST(-7 AS BIGINT) AS total "
+        "UNION ALL SELECT 'cdc_new', CAST(11 AS BIGINT)"
+    )
+    t.upsert(spark, batch, ["etype"])
+    return t.read(spark).orderBy("etype")
+
+
 _ICEH_ORACLE = """
 WITH n AS (SELECT COUNT(DISTINCT event_type) AS c FROM events)
 SELECT 1 AS snap_id, 'append' AS op, c AS n_rows FROM n

@@ -108,6 +108,45 @@ class SnapshotTable:
             return live
         return snaps[-1].get("delete_files", []) if snaps else []
 
+    def eq_entries_at(
+        self, snapshot_id: int | None = None, timestamp_ms: int | None = None
+    ) -> list[dict]:
+        """Equality-delete entries [{"path", "cols", "seq"}] live at a
+        snapshot. `seq` is the SEQUENCE NUMBER of the committing snapshot
+        (its 1-based position), the spec's applicability key: an equality
+        delete removes matching rows only from data files with a strictly
+        SMALLER sequence number — which is what lets a later re-insert of
+        the same key survive (CDC ordering)."""
+        snaps = self.snapshots()
+        first_eq: dict[str, int] = {}
+        for i, s in enumerate(snaps):
+            for e in s.get("eq_delete_files", []):
+                first_eq.setdefault(e["path"], i + 1)
+        target: dict | None = None
+        if snapshot_id is not None:
+            target = next((s for s in snaps if s["id"] == snapshot_id), None)
+            if target is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+        elif timestamp_ms is not None:
+            for s in snaps:
+                if s["timestamp_ms"] <= timestamp_ms:
+                    target = s
+        else:
+            target = snaps[-1] if snaps else None
+        if target is None:
+            return []
+        return [
+            {**e, "seq": first_eq[e["path"]]} for e in target.get("eq_delete_files", [])
+        ]
+
+    def _file_seq_map(self) -> dict[str, int]:
+        """data file -> sequence number of the snapshot that added it."""
+        out: dict[str, int] = {}
+        for i, s in enumerate(self.snapshots()):
+            for f in s["files"]:
+                out.setdefault(f, i + 1)
+        return out
+
     # -- table properties (Iceberg-style `write.delete.mode` etc.) ---------
 
     def get_property(self, key: str, default: str | None = None) -> str | None:
@@ -283,6 +322,7 @@ class SnapshotTable:
             dfiles = delete_files
             if dfiles is None:
                 dfiles = snaps[-1].get("delete_files", []) if snaps else []
+            efiles = snaps[-1].get("eq_delete_files", []) if snaps else []
             snap = {
                 "id": sid,
                 "timestamp_ms": int(time.time() * 1000),
@@ -291,6 +331,8 @@ class SnapshotTable:
             }
             if dfiles:
                 snap["delete_files"] = dfiles
+            if efiles:
+                snap["eq_delete_files"] = efiles
             snaps.append(snap)
             if self._commit(meta):
                 return sid
@@ -304,6 +346,8 @@ class SnapshotTable:
         delete_files: list[str] | None = None,
         base_delete_files: list[str] | None = None,
         required_live: list[str] | None = None,
+        eq_delete_files: list[dict] | None = None,
+        add_eq_delete_files: list[dict] | None = None,
     ) -> int:
         """Optimistic DELTA commit: the new snapshot is
         (current live files - removed) + added, recomputed against the
@@ -362,6 +406,16 @@ class SnapshotTable:
             dfiles = cur_deletes if delete_files is None else delete_files
             if dfiles:
                 snap["delete_files"] = dfiles
+            # equality-delete entries [{"path", "cols"}] inherit like
+            # positional tombstones; None inherits, a list replaces, and
+            # `add_eq_delete_files` appends INSIDE the retry loop so a
+            # concurrent writer's entries rebase instead of being dropped
+            cur_eq = snaps[-1].get("eq_delete_files", []) if snaps else []
+            efiles = cur_eq if eq_delete_files is None else eq_delete_files
+            if add_eq_delete_files:
+                efiles = efiles + add_eq_delete_files
+            if efiles:
+                snap["eq_delete_files"] = efiles
             snaps.append(snap)
             if self._commit(meta):
                 return sid
