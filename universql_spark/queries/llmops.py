@@ -1100,3 +1100,80 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, _comps = pca_project(spark.table("embeddings"), k=8)
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# data selection: DSIR-style importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_SPARK = """
+WITH w AS (
+  SELECT doc_id, lang, split(lower(trim(text)), ' +') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         CAST(conv(substring(md5(s), 1, 6), 16, 10) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, lang,
+           explode(transform(sequence(1, greatest(size(ws) - 1, 1)),
+                   i -> concat_ws(' ', element_at(ws, i),
+                                  element_at(ws, CAST(least(i + 1, size(ws)) AS INT))))) AS s
+    FROM w
+  )
+), ct AS (SELECT b, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY b),
+   cr AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+   nt AS (SELECT COUNT(*) AS t FROM bg WHERE lang = 'en'),
+   nr AS (SELECT COUNT(*) AS t FROM bg),
+   ratio AS (
+     SELECT cr.b,
+            ln((COALESCE(ct.c, 0) + 1.0) / (nt.t + 1024.0))
+          - ln((cr.c + 1.0) / (nr.t + 1024.0)) AS lr
+     FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nt CROSS JOIN nr
+   )
+SELECT bg.doc_id, COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(CAST(lr AS DECIMAL(20,15))) AS DOUBLE), 4) AS dsir_logw
+FROM bg JOIN ratio ON bg.b = ratio.b
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+_DSIR_DUCK = """
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), ' +') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(s), 1, 6))::BIGINT % 1024 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest([concat_ws(' ', ws[i], ws[least(i + 1, len(ws))])
+                   for i in range(1, greatest(len(ws) - 1, 1) + 1)]) AS s
+    FROM w
+  )
+), ct AS (SELECT b, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY b),
+   cr AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+   nt AS (SELECT COUNT(*) AS t FROM bg WHERE lang = 'en'),
+   nr AS (SELECT COUNT(*) AS t FROM bg),
+   ratio AS (
+     SELECT cr.b,
+            ln((COALESCE(ct.c, 0) + 1.0) / (nt.t + 1024.0))
+          - ln((cr.c + 1.0) / (nr.t + 1024.0)) AS lr
+     FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nt CROSS JOIN nr
+   )
+SELECT bg.doc_id, COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(CAST(lr AS DECIMAL(20,15))) AS DOUBLE), 4) AS dsir_logw
+FROM bg JOIN ratio ON bg.b = ratio.b
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+"""
+
+register_sql(
+    "text_dsir_weights",
+    _DSIR_SPARK,
+    oracle=_DSIR_DUCK,
+    category="text",
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed word-bigram "
+    "features (md5 -> 1024 buckets, identical in both dialects), add-1-"
+    "smoothed target (lang='en') vs raw bucket distributions, per-doc "
+    "log importance weight as a decimal-exact sum of bucket log-ratios. "
+    "Scale shape: two count aggregates over (doc, bucket) rows + one "
+    "broadcast join of the 1024-row ratio table — no all-pairs, no "
+    "driver-side distribution.",
+)
