@@ -1631,3 +1631,19 @@ def test_client_compat_ring(engine, spark):
     )
     rows = engine.execute("SHOW PROCEDURES").to_pylist()
     assert any(r["name"] == "LISTED_P" for r in rows)
+
+
+def test_hll_sketch_merge_is_lossless(engine):
+    eng = engine
+    """HLL_COMBINE of per-group sketches == one global sketch (register-wise
+    max is exact), and the estimate is within HLL error of the truth."""
+    out = eng.execute(
+        "SELECT HLL_ESTIMATE(HLL_COMBINE(sk)) AS m, "
+        "(SELECT HLL_ESTIMATE(HLL_ACCUMULATE(o_custkey)) FROM orders) AS d, "
+        "(SELECT COUNT(DISTINCT o_custkey) FROM orders) AS t "
+        "FROM (SELECT o_orderpriority, HLL_ACCUMULATE(o_custkey) AS sk "
+        "      FROM orders GROUP BY o_orderpriority)"
+    ).to_pydict()
+    m, d, t = out["m"][0], out["d"][0], out["t"][0]
+    assert m == d
+    assert abs(m - t) / t < 0.05

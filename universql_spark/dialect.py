@@ -135,6 +135,12 @@ _FN_RENAMES = {
     "BITOR_AGG": "bit_or",
     "BITXOR_AGG": "bit_xor",
     "HLL": "approx_count_distinct",
+    # mergeable HLL sketches (Snowflake HLL_ACCUMULATE/COMBINE/ESTIMATE ->
+    # Spark's Apache DataSketches trio): per-partition sketches union
+    # LOSSLESSLY, the distributed-distinct-count pattern at scale
+    "HLL_ACCUMULATE": "hll_sketch_agg",
+    "HLL_COMBINE": "hll_union_agg",
+    "HLL_ESTIMATE": "hll_sketch_estimate",
     # NULL-skipping variants = the Spark natives (the bare names are
     # NULL-strict in Snowflake and rewritten in _rewrite_scalar_emulations_r3)
     "GREATEST_IGNORE_NULLS": "greatest",

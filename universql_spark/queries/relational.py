@@ -1196,3 +1196,30 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "fn_hll_mergeable",
+    None,
+    category="scalar",
+    doc="Snowflake HLL_ACCUMULATE/HLL_COMBINE/HLL_ESTIMATE -> Spark "
+        "DataSketches trio; rows-only (sketch internals aren't "
+        "SQL-expressible); merged-equals-direct pinned by test",
+)
+def fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches, the distributed distinct-count pattern: each
+    group builds a sketch (HLL_ACCUMULATE), sketches union LOSSLESSLY
+    (HLL_COMBINE — register-wise max, so merged == one global sketch
+    exactly), and the estimate reads out at the end. At 100 TB this is how
+    COUNT(DISTINCT) decomposes: per-partition sketches shuffle KBs instead
+    of the key universe. Verbatim Snowflake names through the engine."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT HLL_ESTIMATE(HLL_COMBINE(sk)) AS merged_est,
+       (SELECT HLL_ESTIMATE(HLL_ACCUMULATE(o_custkey)) FROM orders) AS direct_est,
+       (SELECT HLL(o_custkey) FROM orders) AS hllpp_est
+FROM (SELECT o_orderpriority, HLL_ACCUMULATE(o_custkey) AS sk
+      FROM orders GROUP BY o_orderpriority)"""
+    )
