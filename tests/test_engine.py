@@ -1647,3 +1647,28 @@ def test_hll_sketch_merge_is_lossless(engine):
     m, d, t = out["m"][0], out["d"][0], out["t"][0]
     assert m == d
     assert abs(m - t) / t < 0.05
+
+
+def test_copy_into_location_unload_roundtrip(spark, sf_dir, tmp_path):
+    """COPY INTO @stage (unload) writes CSV/parquet to the stage and the
+    load direction reads the same rows back — full export/import cycle."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute("CREATE STAGE exp")
+    out = eng.execute(
+        "COPY INTO @exp/nat FROM (SELECT n_nationkey, n_name FROM nation) "
+        "FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = TRUE"
+    ).to_pydict()
+    assert out["rows_unloaded"] == [25]
+    assert out["files_written"][0] >= 1
+    stage_url = eng.stages["exp"]
+    back = spark.read.parquet(stage_url + "/nat")
+    assert back.count() == 25
+    # CSV single-file unload with header
+    out2 = eng.execute(
+        "COPY INTO @exp/csv FROM nation FILE_FORMAT = (TYPE = CSV) "
+        "HEADER = TRUE SINGLE = TRUE OVERWRITE = TRUE"
+    ).to_pydict()
+    assert out2["rows_unloaded"] == [25]
+    assert out2["files_written"] == [1]
+    back2 = spark.read.option("header", "true").csv(stage_url + "/csv")
+    assert back2.count() == 25 and "n_name" in back2.columns

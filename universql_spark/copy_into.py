@@ -15,6 +15,7 @@ pipeline. The option mapping is metadata-only.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pyarrow as pa
@@ -161,3 +162,72 @@ def execute_copy(spark: SparkSession, stmt: str, resolve=None) -> pa.Table:
     df.observe(obs, F.count(F.lit(1)).alias("n")).write.insertInto(target, overwrite=False)
     n = obs.get["n"]
     return pa.table({"rows_loaded": [n], "status": ["LOADED"]})
+
+
+# COPY INTO <location> — the UNLOAD direction (export query/table results to
+# a stage as CSV/PARQUET/JSON). Reference surface: Snowflake's
+# `COPY INTO @stage FROM t FILE_FORMAT=(...)`; options map onto
+# DataFrameWriter the same way the load direction maps onto readers.
+_UNLOAD_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(@[^\s(;]+|'[^']+')\s+FROM\s+(\((?:[^()]|\([^()]*\))*\)|[\w.\"]+)\s*(.*)$",
+    re.I | re.S,
+)
+
+
+def parse_unload(stmt: str) -> tuple[str, str, str, dict[str, str], dict[str, str]]:
+    """-> (target location, source table-or-(query), fmt, writer options,
+    copy options {OVERWRITE, SINGLE, HEADER})."""
+    m = _UNLOAD_RE.match(stmt)
+    if not m:
+        raise ValueError(f"unsupported COPY INTO <location> syntax: {stmt[:120]}")
+    target, source, rest = m.group(1), m.group(2).strip(), m.group(3) or ""
+    fmt, options = "csv", {}
+    ff = _FILE_FORMAT_RE.search(rest)
+    if ff:
+        fmt, options = parse_format_options(ff.group(1))
+    copy_opts = {
+        k.upper(): v.strip("'").lower()
+        for k, v in _KV_RE.findall(_FILE_FORMAT_RE.sub("", rest))
+    }
+    return target, source, fmt, options, copy_opts
+
+
+def execute_unload(
+    spark: SparkSession, df: DataFrame, target_url: str, fmt: str,
+    options: dict[str, str], copy_opts: dict[str, str]
+) -> pa.Table:
+    """Write `df` to the resolved stage URL. One scan: rows_unloaded rides
+    the write as an Observation metric (same single-pass discipline as the
+    load direction). SINGLE=TRUE coalesces to one file (Snowflake
+    semantics); OVERWRITE=TRUE replaces the prefix."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if copy_opts.get("SINGLE") == "true":
+        df = df.coalesce(1)
+    mode = "overwrite" if copy_opts.get("OVERWRITE") == "true" else "error"
+    writer = df.write.mode(mode)
+    # reader-option names that differ on the writer side
+    wopts = dict(options)
+    wopts.pop("mergeSchema", None)
+    wopts.pop("multiLine", None)
+    if fmt == "csv":
+        if copy_opts.get("HEADER") == "true":
+            wopts["header"] = "true"
+        writer.options(**wopts).csv(target_url)
+    elif fmt == "parquet":
+        writer.options(**wopts).parquet(target_url)
+    elif fmt == "json":
+        writer.options(**wopts).json(target_url)
+    else:
+        raise ValueError(f"unsupported UNLOAD format: {fmt}")
+    n = obs.get["n"]
+    files = 0
+    local = target_url.removeprefix("file:")
+    if os.path.isdir(local):
+        files = sum(
+            1 for f in os.listdir(local) if not f.startswith(("_", "."))
+        )
+    return pa.table({"rows_unloaded": [n], "files_written": [files]})

@@ -704,6 +704,25 @@ class Engine:
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
+                um = copy_into._UNLOAD_RE.match(stmt)
+                if um:  # COPY INTO <location>: the unload direction
+                    target, source, fmt, wopts, copts = copy_into.parse_unload(stmt)
+                    if target.startswith("@"):
+                        sname, _, sub = target[1:].partition("/")
+                        base = self.stages.get(sname.lower())
+                        if base is None:
+                            raise QueryError(f"unknown stage @{sname}", "42000")
+                        target_url = base.rstrip("/") + ("/" + sub if sub else "")
+                    else:
+                        target_url = target.strip("'")
+                    df = (
+                        self._run_select(source[1:-1])
+                        if source.startswith("(")
+                        else self._run_select(f"SELECT * FROM {source}")
+                    )
+                    return copy_into.execute_unload(
+                        self.spark, df, target_url, fmt, wopts, copts
+                    )
                 stmt = self._resolve_copy_stage(stmt)
                 cp = copy_into.parse_copy(stmt)
                 if bare_name(cp[0]) in self.snap_tables:
