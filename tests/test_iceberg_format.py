@@ -663,3 +663,36 @@ def test_compact_folds_equality_deletes(spark, tmp_path):
     assert after == 1
     assert t.eq_entries_at() == []  # folded away
     assert sorted(r["id"] for r in t.read(spark).collect()) == [i for i in range(12) if i not in (3, 7)]
+
+
+def test_refs_branches_tags(spark, tmp_path):
+    """Named refs (spec `refs` map): tags pin snapshots, AT(TAG/BRANCH =>)
+    reads them, expiry honors pins."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE rft AS SELECT id FROM range(5);"
+        "ALTER TABLE rft CREATE TAG v1;"
+        "INSERT INTO rft SELECT 100 AS id;"
+        "ALTER TABLE rft CREATE BRANCH dev"
+    )
+    t = eng.snap_tables["rft"]
+    assert t.refs()["v1"] == {"snapshot-id": 1, "type": "tag"}
+    assert t.refs()["dev"]["snapshot-id"] == 2
+    # AT(TAG =>) reads the pinned snapshot
+    n = eng.execute("SELECT COUNT(*) AS n FROM rft AT(TAG => 'v1')").to_pydict()["n"]
+    assert n == [5]
+    n2 = eng.execute("SELECT COUNT(*) AS n FROM rft AT(BRANCH => 'dev')").to_pydict()["n"]
+    assert n2 == [6]
+    # expiry keeps the tagged snapshot alive
+    eng.execute("INSERT INTO rft SELECT 101 AS id")
+    dropped, _deleted = t.expire_snapshots(keep_last=1)
+    assert {s["id"] for s in t.snapshots()} >= {1, 3}
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM rft AT(TAG => 'v1')"
+    ).to_pydict()["n"] == [5]
+    # drop the tag; unknown ref then errors
+    eng.execute("ALTER TABLE rft DROP TAG v1")
+    with pytest.raises(Exception):
+        t.resolve_ref("v1")

@@ -81,7 +81,7 @@ _LAG_UNITS = {
 #: `t AT(SNAPSHOT => 3)` / `t AT(TIMESTAMP => '...')` time travel on
 #: snapshot tables (Snowflake's AT clause over the Iceberg-like format)
 _AT_RE = re.compile(
-    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET)\s*=>\s*('[^']*'|-?\d+)\s*\)", re.I
+    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|BRANCH|TAG)\s*=>\s*('[^']*'|-?\d+)\s*\)", re.I
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
 _TO_QUERY_RE = re.compile(r"\bto_query\s*\(\s*'((?:[^']|'')*)'\s*\)", re.I)
@@ -625,6 +625,24 @@ class Engine:
                 self.snap_tables[bn].drop_column(dm.group(2).lower())
                 self._refresh_snap_view(bn)
                 return _status(f"altered iceberg {bn}")
+            bm = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
+                r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*$",
+                stmt,
+                re.I,
+            )
+            if bm and bare_name(bm.group(1)) in self.snap_tables:
+                bn = bare_name(bm.group(1))
+                t = self.snap_tables[bn]
+                if bm.group(2).upper() == "CREATE":
+                    t.create_ref(
+                        bm.group(4),
+                        kind=bm.group(3).lower(),
+                        snapshot_id=int(bm.group(5)) if bm.group(5) else None,
+                    )
+                else:
+                    t.drop_ref(bm.group(4))
+                return _status(f"{bm.group(3).lower()} {bm.group(4)} on {bn}")
             rm = re.match(
                 r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
                 stmt,
@@ -1610,6 +1628,10 @@ class Engine:
             if kind == "SNAPSHOT":
                 df = snap.read(self.spark, snapshot_id=int(val))
                 view = f"{name}__snap_{val}"
+            elif kind in ("BRANCH", "TAG"):
+                ref = val.strip("'")
+                df = snap.read(self.spark, snapshot_id=snap.resolve_ref(ref))
+                view = f"{name}__ref_{ref}"
             elif kind == "OFFSET":
                 # AT(OFFSET => -60): the table as of 60 seconds ago
                 ms = int(time.time() * 1000) + int(val) * 1000

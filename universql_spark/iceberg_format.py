@@ -1290,6 +1290,50 @@ class IcebergTable(SnapshotTable):
         )
         return n, 0
 
+    # -- named refs (spec: `refs` map — branches and tags) ------------------
+
+    def create_ref(self, name: str, kind: str = "branch",
+                   snapshot_id: int | None = None) -> None:
+        """Record a named ref in the metadata's `refs` map (spec v2):
+        {"snapshot-id": N, "type": "branch"|"tag"}. A metadata-only commit;
+        tags pin a snapshot for retention/reproducibility (training-data
+        versioning: tag the corpus a model trained on), branches name a
+        line of history. Ref'd snapshots survive expire_snapshots."""
+        if kind not in ("branch", "tag"):
+            raise ValueError("ref type must be 'branch' or 'tag'")
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+            if sid is None or all(s["snapshot-id"] != sid for s in meta.get("snapshots", [])):
+                raise ValueError(f"unknown snapshot {sid}")
+            meta.setdefault("refs", {})[name] = {"snapshot-id": sid, "type": kind}
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            if self._cas_write_version(v, meta):
+                return
+        raise CommitConflict(f"create_ref({name}) lost the commit race")
+
+    def drop_ref(self, name: str) -> None:
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            if name not in meta.get("refs", {}):
+                raise ValueError(f"unknown ref {name!r}")
+            del meta["refs"][name]
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            if self._cas_write_version(v, meta):
+                return
+        raise CommitConflict(f"drop_ref({name}) lost the commit race")
+
+    def resolve_ref(self, name: str) -> int:
+        _v, meta = self._read_metadata()
+        ref = meta.get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"unknown ref {name!r}")
+        return ref["snapshot-id"]
+
+    def refs(self) -> dict[str, dict]:
+        _v, meta = self._read_metadata()
+        return dict(meta.get("refs", {}))
+
     def equality_delete(self, spark, keys_df: DataFrame, cols: list[str]) -> int:
         """EQUALITY delete (spec data_file content=2): write the key tuples
         as a delete file and commit — NO data scan, no positions, O(keys)
@@ -1451,7 +1495,13 @@ class IcebergTable(SnapshotTable):
             snaps = meta.get("snapshots", [])
             if keep_last < 1 or len(snaps) <= keep_last:
                 return 0, 0
-            dropped, kept = snaps[:-keep_last], snaps[-keep_last:]
+            # named refs pin their snapshots (spec: expiry honors refs)
+            pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+            tail = snaps[-keep_last:]
+            kept = [s for s in snaps if s["snapshot-id"] in pinned or s in tail]
+            dropped = [s for s in snaps if s not in kept]
+            if not dropped:
+                return 0, 0
             live: set[str] = set()
             for s in kept:
                 live.update(self._live_files(s["manifest-list"]))
