@@ -696,3 +696,46 @@ def test_refs_branches_tags(spark, tmp_path):
     eng.execute("ALTER TABLE rft DROP TAG v1")
     with pytest.raises(Exception):
         t.resolve_ref("v1")
+
+
+def test_zero_copy_clone(spark, tmp_path):
+    """CLONE references the source's files by path (no bytes copied),
+    diverges independently under COW DML, and neither side's expiry can
+    reclaim the other's storage."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE src_t AS SELECT id, id * 2 AS v FROM range(10)"
+    )
+    src = eng.snap_tables["src_t"]
+    eng.execute("CREATE TABLE cl_t CLONE src_t")
+    cl = eng.snap_tables["cl_t"]
+    # zero-copy: the clone's data files ARE the source's paths
+    assert set(cl.current_files()) == set(src.current_files())
+    assert eng.execute("SELECT COUNT(*) AS n FROM cl_t").to_pydict()["n"] == [10]
+    # divergence: mutate the clone; source unchanged
+    eng.execute("DELETE FROM cl_t WHERE id < 5")
+    assert eng.execute("SELECT COUNT(*) AS n FROM cl_t").to_pydict()["n"] == [5]
+    assert eng.execute("SELECT COUNT(*) AS n FROM src_t").to_pydict()["n"] == [10]
+    # clone expiry never deletes files under the SOURCE's root
+    import os as _os
+
+    cl.expire_snapshots(keep_last=1)
+    assert all(_os.path.exists(f) for f in src.current_files())
+    assert eng.execute("SELECT COUNT(*) AS n FROM src_t").to_pydict()["n"] == [10]
+
+
+def test_clone_carries_deletes_and_schema(spark, tmp_path):
+    """MOR positional deletes, equality deletes, and schema evolution all
+    survive the clone (same effective rows, same logical schema)."""
+    df = spark.range(8).select("id", (F.col("id") * 10).alias("v"))
+    t = IcebergTable.create(str(tmp_path / "s2"), df)
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.delete_where(spark, F.col("id") == 0)  # positional
+    t.equality_delete(spark, spark.createDataFrame([(1,)], ["id"]), ["id"])
+    t.rename_column("v", "val")
+    c = t.clone(str(tmp_path / "c2"))
+    got = {r["id"]: r["val"] for r in c.read(spark).collect()}
+    assert got == {i: i * 10 for i in range(2, 8)}
+    assert c.read(spark).columns == ["id", "val"]

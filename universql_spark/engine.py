@@ -581,6 +581,21 @@ class Engine:
                 stmt,
                 re.I | re.S,
             )
+            clm = re.match(
+                r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
+                r"CLONE\s+([\w.\"]+)\s*$",
+                stmt,
+                re.I,
+            )
+            if clm and bare_name(clm.group(3)) in self.snap_tables:
+                # Snowflake zero-copy CLONE: metadata-only, data referenced
+                src = self.snap_tables[bare_name(clm.group(3))]
+                bn = bare_name(self._resolve_name(clm.group(2)))
+                self.snap_tables[bn] = src.clone(
+                    self._snap_root(bn), replace=bool(clm.group(1))
+                )
+                self._refresh_snap_view(bn)
+                return _status(f"cloned {bare_name(clm.group(3))} -> {bn}")
             if im and bare_name(im.group(1)) in self.snap_tables:
                 bn = bare_name(im.group(1))
                 snap = self.snap_tables[bn]

@@ -1290,6 +1290,54 @@ class IcebergTable(SnapshotTable):
         )
         return n, 0
 
+    def clone(self, new_root: str, replace: bool = False) -> "IcebergTable":
+        """Snowflake-style ZERO-COPY CLONE: a new table whose first snapshot
+        references the source's current data files BY PATH — no byte is
+        copied; only manifest-sized metadata is written. Copy-on-write DML
+        keeps the tables independent afterwards (either side's changes
+        write NEW files), and each table's expire_snapshots deletes only
+        files under its own root, so a clone can never reclaim the
+        source's storage (ownership rule in expire_snapshots). Positional
+        delete files carry over as-is; equality deletes commit as a SECOND
+        snapshot so their sequence number stays above the data's (same
+        applicability as in the source). Snowflake clone semantics: the
+        clone starts from the source's CURRENT state; source history does
+        not travel."""
+        if os.path.exists(new_root):
+            if not replace:
+                raise ValueError(f"iceberg table already exists at {new_root}")
+            shutil.rmtree(new_root)
+        os.makedirs(os.path.join(new_root, "data"))
+        t = IcebergTable(new_root)
+        os.makedirs(t._meta_dir)
+        _v, meta = self._read_metadata()
+        new_meta = json.loads(json.dumps(meta))
+        new_meta.update(
+            {
+                "table-uuid": str(uuid.uuid4()),
+                "location": new_root,
+                "snapshots": [],
+                "snapshot-log": [],
+                "metadata-log": [],
+                "refs": {},
+                "last-sequence-number": 0,
+                "last-updated-ms": int(time.time() * 1000),
+            }
+        )
+        new_meta.pop("current-snapshot-id", None)
+        if not t._cas_write_version(0, new_meta):
+            raise CommitConflict(f"clone target {new_root} already initializing")
+        t._append_snapshot(
+            self.current_files(), "append", delete_files=self.current_delete_files()
+        )
+        eq = self.eq_entries_at()
+        if eq:
+            t._commit_delta(
+                "delete", added=[], removed=[],
+                add_eq_delete_files=[{"path": e["path"], "cols": e["cols"]} for e in eq],
+            )
+        return t
+
     # -- named refs (spec: `refs` map — branches and tags) ------------------
 
     def create_ref(self, name: str, kind: str = "branch",
@@ -1505,9 +1553,18 @@ class IcebergTable(SnapshotTable):
             live: set[str] = set()
             for s in kept:
                 live.update(self._live_files(s["manifest-list"]))
+            # ownership rule for zero-copy clones: only files under THIS
+            # table's root are this table's to delete — a clone references
+            # the source's files by path and must never reclaim them (the
+            # source does, under its own expiry).
+            own = os.path.abspath(self.root) + os.sep
             dead: set[str] = set()
             for s in dropped:
-                dead.update(f for f in self._live_files(s["manifest-list"]) if f not in live)
+                dead.update(
+                    f
+                    for f in self._live_files(s["manifest-list"])
+                    if f not in live and os.path.abspath(f).startswith(own)
+                )
             meta["snapshots"] = kept
             keep_ids = {s["snapshot-id"] for s in kept}
             meta["snapshot-log"] = [

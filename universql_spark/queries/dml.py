@@ -212,6 +212,43 @@ ORDER BY state, etype
 """
 
 
+_CLONE_ORACLE = """
+WITH base AS (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+)
+SELECT 'clone' AS side, etype, total FROM base WHERE etype <> 'click'
+UNION ALL
+SELECT 'src', etype, total + CASE WHEN etype = 'view' THEN 1 ELSE 0 END FROM base
+ORDER BY side, etype
+"""
+
+
+@register("dml_iceberg_clone", _CLONE_ORACLE, category="dml")
+def dml_iceberg_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE (Snowflake's flagship table op, metadata-only: the
+    clone's first snapshot references the source's files by path) followed
+    by divergent DML on each side — copy-on-write keeps them independent,
+    and per-root file ownership keeps either side's expiry from reclaiming
+    the other's storage (test_zero_copy_clone)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE clsrc AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        CREATE OR REPLACE TABLE cldst CLONE clsrc;
+        DELETE FROM cldst WHERE etype = 'click';
+        UPDATE clsrc SET total = total + 1 WHERE etype = 'view'
+        """
+    )
+    return eng.execute_df(
+        "SELECT 'clone' AS side, etype, total FROM cldst "
+        "UNION ALL SELECT 'src' AS side, etype, total FROM clsrc "
+        "ORDER BY side, etype"
+    )
+
+
 _CDC_ORACLE = """
 WITH base AS (
   SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
