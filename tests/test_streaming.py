@@ -133,3 +133,52 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         load_table(spark, sf_dir, "events")
     ).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_upsert_to_iceberg_cdc(spark, sf_dir, tmp_path):
+    """Changelog stream -> per-batch equality upserts: the table converges
+    to one row per key (the latest), replaying a committed batch is a
+    no-op, and nothing is ever rewritten (upsert appends + eq-deletes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from universql_spark.iceberg_format import IcebergTable
+    from universql_spark.streaming import ingest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    # seed: one stale row per user
+    seed = ev.groupBy("user_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.lit(-1.0).alias("value"), F.min("ts").alias("ts"),
+    )
+    t = IcebergTable.create(str(tmp_path / "cdc_sink"), seed)
+    # changelog = latest event per user
+    latest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("value"))
+            ),
+        )
+        .filter("rn = 1").drop("rn")
+    )
+    src_dir = tmp_path / "cdc_src"
+    latest.coalesce(2).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(latest.schema).parquet(str(src_dir))
+    ingest.stream_upsert_to_iceberg(
+        stream, t, str(tmp_path / "ckpt"), ["user_id"]
+    )
+    got = t.read(spark)
+    want = latest
+    assert got.count() == seed.count()  # one row per user, no dups
+    assert got.filter("value = -1.0").count() == 0  # every seed row replaced
+    j = got.alias("g").join(want.alias("w"), "user_id")
+    bad = j.filter("g.value <> w.value").count()
+    assert bad == 0
+    # replaying the same batch id is a no-op (no new snapshot)
+    n_snaps = len(t.snapshots())
+    batch_df = latest.limit(5)
+    assert ingest.commit_upsert_batch(t, batch_df, 0, ["user_id"]) is False
+    assert len(t.snapshots()) == n_snaps

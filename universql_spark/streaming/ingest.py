@@ -75,3 +75,39 @@ def _record_batch_id(table: IcebergTable, batch_id: int) -> None:
     with open(table._version_path(v), "w") as f:
         json.dump(meta, f, indent=1)
     table._version_cache.pop(v, None)
+
+
+def commit_upsert_batch(
+    table: IcebergTable, batch_df: DataFrame, batch_id: int, key_cols: list[str]
+) -> bool:
+    """CDC micro-batch: one `upsert` snapshot (equality delete on the
+    batch's keys + append of the batch rows, iceberg_format.upsert) per
+    batch id, replay-protected like commit_batch. This is the Flink/Kafka
+    changelog-sink commit shape: latest-write-wins per key at ingest rate,
+    no scan, no file rewritten."""
+    last = _last_batch_id(table)
+    if last is not None and batch_id <= last:
+        return False
+    if batch_df.isEmpty():
+        return False
+    table.upsert(batch_df.sparkSession, batch_df, key_cols)
+    _record_batch_id(table, batch_id)
+    return True
+
+
+def stream_upsert_to_iceberg(
+    stream_df: DataFrame, table: IcebergTable, checkpoint: str, key_cols: list[str]
+) -> None:
+    """Drain a (bounded) changelog stream as per-batch upserts: the table
+    converges to latest-row-per-key regardless of restarts/replays."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: commit_upsert_batch(
+                table, batch_df, batch_id, key_cols
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
