@@ -1672,3 +1672,38 @@ def test_copy_into_location_unload_roundtrip(spark, sf_dir, tmp_path):
     assert out2["files_written"] == [1]
     back2 = spark.read.option("header", "true").csv(stage_url + "/csv")
     assert back2.count() == 25 and "n_name" in back2.columns
+
+
+def test_stream_change_tracking(spark, sf_dir):
+    """Snowflake STREAM objects: change feed since the bookmark, advanced
+    only by a consuming DML (read-on-DML contract)."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE stt AS SELECT id, id * 2 AS v FROM range(5);"
+        "CREATE STREAM st_chg ON TABLE stt"
+    )
+    # no changes yet
+    assert eng.execute("SELECT COUNT(*) AS n FROM st_chg").to_pydict()["n"] == [0]
+    eng.execute("INSERT INTO stt SELECT 100 AS id, 200 AS v; DELETE FROM stt WHERE id = 1")
+    out = eng.execute(
+        "SELECT metadata$action AS act, id FROM st_chg ORDER BY act, id"
+    ).to_pydict()
+    assert out["act"] == ["DELETE", "INSERT"]
+    assert out["id"] == [1, 100]
+    # an UPDATE surfaces as DELETE+INSERT of the row
+    eng.execute("UPDATE stt SET v = 999 WHERE id = 2")
+    acts = eng.execute(
+        "SELECT metadata$action AS act, id, v FROM st_chg WHERE id = 2 ORDER BY v"
+    ).to_pydict()
+    assert acts["act"] == ["DELETE", "INSERT"] and acts["v"] == [4, 999]
+    # plain SELECTs do NOT consume; a DML reading the stream does
+    eng.execute(
+        "CREATE OR REPLACE TABLE chg_sink AS "
+        "SELECT id, v, metadata$action AS action FROM st_chg"
+    )
+    assert eng.execute("SELECT COUNT(*) AS n FROM chg_sink").to_pydict()["n"][0] >= 3
+    assert eng.execute("SELECT COUNT(*) AS n FROM st_chg").to_pydict()["n"] == [0]
+    show = eng.execute("SHOW STREAMS").to_pydict()
+    assert show["name"] == ["st_chg"] and show["has_changes"] == [False]
+    eng.execute("DROP STREAM st_chg")
+    assert eng.execute("SHOW STREAMS").to_pydict()["name"] == []

@@ -1290,6 +1290,15 @@ def snowflake_to_spark(sql: str) -> str:
     sql = rewrite_qualify(sql)
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)
+    # STREAM metadata columns: Spark's parser needs backticks for
+    # $-identifiers (metadata$action -> `METADATA$ACTION`)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"(?<!`)\bMETADATA\$(\w+)", lambda m: f"`METADATA${m.group(1).upper()}`", s,
+            flags=re.I,
+        ),
+    )
     sql = _outside_literals(sql, _rewrite_positional)
     sql = rewrite_star_modifiers(sql)
     sql = _outside_literals(sql, _rewrite_sample)

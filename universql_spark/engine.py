@@ -175,6 +175,12 @@ class Engine:
         self.stages: dict[str, str] = {}
         #: name -> DESCRIBE STAGE surface (original url, masked creds)
         self.stage_meta: dict[str, dict] = {}
+        #: STREAM objects (Snowflake CDC change tracking): name ->
+        #: {"table": snap-table name, "bookmark": snapshot id}. Reading a
+        #: stream diffs current vs bookmark; a DML that SELECTs from the
+        #: stream advances the bookmark (Snowflake's consumption contract).
+        self.streams: dict[str, dict] = {}
+        self._streams_consumed: set[str] = set()
         #: ALTER SESSION SET parameters (TIMEZONE also applied to the Spark
         #: session conf)
         self.session_params: dict[str, str] = {}
@@ -258,7 +264,14 @@ class Engine:
         result: pa.Table = pa.table({"status": pa.array([], type=pa.string())})
         for stmt in split_statements(sql):
             t0 = time.perf_counter()
+            self._streams_consumed.clear()
             result = self._execute_one(stmt)
+            # Snowflake stream consumption: only a DML that read the stream
+            # advances its bookmark; a plain SELECT re-reads the same delta
+            if re.match(r"^\s*(INSERT|MERGE|CREATE)\b", stmt, re.I):
+                self._advance_consumed_streams()
+            else:
+                self._streams_consumed.clear()
             dur = time.perf_counter() - t0
             cost = _estimate_cost_usd(dur)
             qid = uuid.uuid4().hex
@@ -488,6 +501,41 @@ class Engine:
                         "property_value": [
                             meta.get("url", self.stages[name]),
                             meta.get("aws_key_id", ""),
+                        ],
+                    }
+                )
+            m = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+([\w.\"]+)\s+ON\s+TABLE\s+([\w.\"]+)\s*$",
+                stmt, re.I,
+            )
+            if m:
+                tbl = bare_name(self._resolve_name(m.group(2)))
+                if tbl not in self.snap_tables:
+                    raise QueryError(
+                        f"STREAM requires a snapshot/Iceberg table; {tbl} is not one",
+                        sql_state="42000",
+                    )
+                self.streams[bare_name(m.group(1))] = {
+                    "table": tbl,
+                    "bookmark": self.snap_tables[tbl].snapshots()[-1]["id"],
+                }
+                return _status(f"stream {bare_name(m.group(1))} created on {tbl}")
+            m = re.match(r"^\s*DROP\s+STREAM\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
+            if m:
+                self.streams.pop(bare_name(m.group(1)), None)
+                return _status(f"stream {bare_name(m.group(1))} dropped")
+            if re.match(r"^\s*SHOW\s+STREAMS\s*$", stmt, re.I):
+                names = sorted(self.streams)
+                return pa.table(
+                    {
+                        "name": names,
+                        "table_name": [self.streams[n]["table"] for n in names],
+                        "mode": ["DEFAULT"] * len(names),
+                        "stale": [False] * len(names),
+                        "has_changes": [
+                            self.streams[n]["bookmark"]
+                            != self.snap_tables[self.streams[n]["table"]].snapshots()[-1]["id"]
+                            for n in names
                         ],
                     }
                 )
@@ -827,6 +875,7 @@ class Engine:
         stmt = self._resolve_result_scan(stmt)
         stmt = self._resolve_stage_refs(stmt)
         stmt = self._resolve_time_travel(stmt)
+        stmt = self._resolve_streams(stmt)
         stmt = self._resolve_metadata_tables(stmt)
         stmt = self._resolve_match_recognize(stmt)
         stmt = self._resolve_asof_join(stmt)
@@ -1254,6 +1303,38 @@ class Engine:
             return view
 
         return self._META_TABLE_RE.sub(repl, stmt)
+
+    def _resolve_streams(self, stmt: str) -> str:
+        """Substitute STREAM references with temp views over the table's
+        change feed since the stream's bookmark (SnapshotTable.
+        changes_between: file-granular diff, METADATA$ACTION/ISUPDATE
+        columns). Referenced streams are recorded; a consuming DML advances
+        their bookmarks (Snowflake's read-on-DML consumption contract)."""
+        if not self.streams:
+            return stmt
+        for name, st in self.streams.items():
+            if not re.search(rf"\b{re.escape(name)}\b", stmt, re.I):
+                continue
+            t = self.snap_tables[st["table"]]
+            cur = t.snapshots()[-1]["id"]
+            view = f"{name}__stream_{st['bookmark']}_{cur}"
+            df = t.changes_between(self.spark, st["bookmark"], cur)
+            # Spark's parser needs backticks for $-identifiers; Snowflake
+            # clients write metadata$action bare or double-quoted
+            df.createOrReplaceTempView(view)
+            stmt = re.sub(rf"\b{re.escape(name)}\b", view, stmt, flags=re.I)
+            self._streams_consumed.add(name)
+        return stmt
+
+    def _advance_consumed_streams(self) -> None:
+        """After a DML that read stream contents: bookmarks move to the
+        tables' current snapshots, so the changes are consumed exactly
+        once."""
+        for name in self._streams_consumed:
+            st = self.streams.get(name)
+            if st is not None:
+                st["bookmark"] = self.snap_tables[st["table"]].snapshots()[-1]["id"]
+        self._streams_consumed.clear()
 
     def _create_stage(self, m: re.Match) -> pa.Table:
         """CREATE STAGE with an object-store URL + credentials (reference:

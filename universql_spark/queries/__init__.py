@@ -118,7 +118,7 @@ _GATE_PRIORITY: list[str] = [
     # they land, before the backlog below.
     "dml_schema_evolution", "dedup_substring_spans", "ann_pq_topk",
     "multimodal_resize_meta", "dml_iceberg_upsert_cdc", "text_dsir_weights",
-    "fn_hll_mergeable", "dml_iceberg_clone",
+    "fn_hll_mergeable", "dml_iceberg_clone", "dml_stream_changes",
     "fn_agg_ext", "fn_stats_ext", "fn_string_ext", "fn_time_slice",
     "win_cond_true_event", "win_change_event", "fn_star_modifiers",
     "text_repetition", "corpus_pack_sequences", "agg_pivot_dynamic",

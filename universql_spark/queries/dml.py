@@ -212,6 +212,41 @@ ORDER BY state, etype
 """
 
 
+_STREAM_ORACLE = """
+WITH base AS (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+)
+SELECT 'DELETE' AS action, etype, total FROM base WHERE etype = 'click'
+UNION ALL SELECT 'INSERT', 'synthetic', CAST(42 AS BIGINT)
+ORDER BY action, etype
+"""
+
+
+@register("dml_stream_changes", _STREAM_ORACLE, category="dml")
+def dml_stream_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake STREAM change tracking: the stream reads the row-level
+    delta since its bookmark (INSERT/DELETE with METADATA$ACTION; updates
+    surface as the pair), computed FILE-GRANULARLY from snapshot diffs —
+    unchanged files cancel, so a 1-row append on a huge table diffs one
+    file (tableformat.changes_between). Consumption advances only via DML
+    (test_stream_change_tracking)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE ICEBERG TABLE strt AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type;
+        CREATE OR REPLACE STREAM strs ON TABLE strt;
+        INSERT INTO strt SELECT 'synthetic' AS etype, CAST(42 AS BIGINT) AS total;
+        DELETE FROM strt WHERE etype = 'click'
+        """
+    )
+    return eng.execute_df(
+        "SELECT metadata$action AS action, etype, total FROM strs ORDER BY action, etype"
+    )
+
+
 _CLONE_ORACLE = """
 WITH base AS (
   SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1

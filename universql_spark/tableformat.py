@@ -302,6 +302,75 @@ class SnapshotTable:
                 "name reuse requires field-id tracking and is not supported"
             )
 
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots — the mechanism under
+        Snowflake STREAM objects: rows visible at `to` but not `from` are
+        INSERTs, the reverse are DELETEs (an UPDATE surfaces as the pair).
+
+        FILE-GRANULAR fast path: immutable files mean rows in files common
+        to both snapshots cancel out of the diff, so only (files_to -
+        files_from) and (files_from - files_to) are read — a 1-row append
+        on a 100 TB table diffs one file, not the table. When row-level
+        tombstones (positional/equality deletes) changed between the
+        snapshots, the changed visibility can touch common files too, so
+        the diff falls back to reading both sides whole (correctness
+        first; tombstone-delta pruning is a future refinement). exceptAll
+        keeps multiplicity, so duplicate rows diff correctly.
+        """
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        snaps = self.snapshots()
+        to_id = to_snapshot_id if to_snapshot_id is not None else snaps[-1]["id"]
+        f_from = self.files_at(from_snapshot_id)
+        f_to = self.files_at(to_id)
+        dels_from = self.deletes_at(from_snapshot_id)
+        dels_to = self.deletes_at(to_id)
+        eq_from = self.eq_entries_at(from_snapshot_id)
+        eq_to = self.eq_entries_at(to_id)
+        tombstones_changed = sorted(dels_from) != sorted(dels_to) or eq_from != eq_to
+        if tombstones_changed:
+            only_to = f_to
+            only_from = f_from
+        else:
+            only_to = [f for f in f_to if f not in set(f_from)]
+            only_from = [f for f in f_from if f not in set(f_to)]
+        empty = None
+        if only_to:
+            rows_to = self._read_with_tombstones(spark, only_to, dels_to, eq_to)
+        else:
+            rows_to = empty
+        if only_from:
+            rows_from = self._read_with_tombstones(spark, only_from, dels_from, eq_from)
+        else:
+            rows_from = empty
+        if rows_to is None and rows_from is None:
+            base = self.read(spark).limit(0)
+            rows_to = rows_from = base
+        elif rows_to is None:
+            rows_to = rows_from.limit(0)
+        elif rows_from is None:
+            rows_from = rows_to.limit(0)
+        ins = rows_to.exceptAll(rows_from).withColumn(
+            "METADATA$ACTION", F.lit("INSERT")
+        )
+        dels = rows_from.exceptAll(rows_to).withColumn(
+            "METADATA$ACTION", F.lit("DELETE")
+        )
+        return ins.unionByName(dels).withColumn("METADATA$ISUPDATE", F.lit(False))
+
+    def _read_with_tombstones(self, spark, files, dels, eq):
+        """Read a file subset under a snapshot's tombstones. Base format has
+        no tombstones; IcebergTable overrides _read_files with them."""
+        try:
+            return self._read_files(spark, files, deletes=dels, eq_entries=eq)
+        except TypeError:
+            return self._read_files(spark, files)
+
     def truncate(self) -> int:
         """New empty snapshot; history (and time travel) keeps the data."""
         return self._append_snapshot([], "truncate", delete_files=[])
