@@ -1707,3 +1707,32 @@ def test_stream_change_tracking(spark, sf_dir):
     assert show["name"] == ["st_chg"] and show["has_changes"] == [False]
     eng.execute("DROP STREAM st_chg")
     assert eng.execute("SHOW STREAMS").to_pydict()["name"] == []
+
+
+def test_task_objects_with_stream_gate(spark, sf_dir):
+    """CREATE TASK ... WHEN SYSTEM$STREAM_HAS_DATA('s') AS <dml>: EXECUTE
+    TASK skips while the stream is empty, runs + consumes when it has data
+    — the standard Snowflake stream+task incremental-pipeline pattern."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE tsk_src AS SELECT id FROM range(3);"
+        "CREATE STREAM tsk_s ON TABLE tsk_src;"
+        "CREATE OR REPLACE TABLE tsk_sink AS SELECT id FROM range(0);"
+        "CREATE TASK tsk_load WAREHOUSE = w SCHEDULE = '5 minute' "
+        "WHEN SYSTEM$STREAM_HAS_DATA('tsk_s') "
+        "AS INSERT INTO tsk_sink SELECT id FROM tsk_s"
+    )
+    # empty stream: gated off
+    assert "skipped" in eng.execute("EXECUTE TASK tsk_load").to_pydict()["status"][0]
+    assert eng.execute("SELECT COUNT(*) AS n FROM tsk_sink").to_pydict()["n"] == [0]
+    eng.execute("INSERT INTO tsk_src SELECT 7 AS id")
+    assert "executed" in eng.execute("EXECUTE TASK tsk_load").to_pydict()["status"][0]
+    assert eng.execute("SELECT id FROM tsk_sink").to_pydict()["id"] == [7]
+    # the consuming INSERT advanced the bookmark: next run is gated off
+    assert "skipped" in eng.execute("EXECUTE TASK tsk_load").to_pydict()["status"][0]
+    show = eng.execute("SHOW TASKS").to_pydict()
+    assert show["name"] == ["tsk_load"] and show["schedule"] == ["5 minute"]
+    eng.execute("ALTER TASK tsk_load RESUME")
+    assert eng.execute("SHOW TASKS").to_pydict()["state"] == ["started"]
+    eng.execute("DROP TASK tsk_load")
+    assert eng.execute("SHOW TASKS").to_pydict()["name"] == []

@@ -181,6 +181,8 @@ class Engine:
         #: stream advances the bookmark (Snowflake's consumption contract).
         self.streams: dict[str, dict] = {}
         self._streams_consumed: set[str] = set()
+        #: TASK objects: stored SQL + schedule/WHEN gate, run via EXECUTE TASK
+        self.tasks: dict[str, dict] = {}
         #: ALTER SESSION SET parameters (TIMEZONE also applied to the Spark
         #: session conf)
         self.session_params: dict[str, str] = {}
@@ -505,6 +507,58 @@ class Engine:
                     }
                 )
             m = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TASK\s+([\w.\"]+)\s+"
+                r"(?:WAREHOUSE\s*=\s*\w+\s+)?(?:SCHEDULE\s*=\s*'([^']*)'\s+)?"
+                r"(?:WHEN\s+(.*?)\s+)?AS\s+(.*)$",
+                stmt, re.I | re.S,
+            )
+            if m:
+                # TASK objects (reference README's dynamic-table/task story):
+                # the definition is stored; EXECUTE TASK runs it on demand.
+                # The WHEN clause (typically SYSTEM$STREAM_HAS_DATA) gates
+                # execution — emulated against the stream registry.
+                self.tasks[bare_name(m.group(1))] = {
+                    "schedule": m.group(2) or "",
+                    "when": (m.group(3) or "").strip(),
+                    "sql": m.group(4).strip(),
+                    "state": "suspended",
+                    "runs": 0,
+                }
+                return _status(f"task {bare_name(m.group(1))} created")
+            m = re.match(
+                r"^\s*ALTER\s+TASK\s+([\w.\"]+)\s+(RESUME|SUSPEND)\s*$", stmt, re.I
+            )
+            if m and bare_name(m.group(1)) in self.tasks:
+                self.tasks[bare_name(m.group(1))]["state"] = (
+                    "started" if m.group(2).upper() == "RESUME" else "suspended"
+                )
+                return _status(f"task {bare_name(m.group(1))} {m.group(2).lower()}d")
+            m = re.match(r"^\s*EXECUTE\s+TASK\s+([\w.\"]+)\s*$", stmt, re.I)
+            if m:
+                name = bare_name(m.group(1))
+                task = self.tasks.get(name)
+                if task is None:
+                    raise QueryError(f"unknown task {name}", sql_state="02000")
+                if task["when"] and not self._task_condition_true(task["when"]):
+                    return _status(f"task {name} skipped (condition false)")
+                self.execute(task["sql"])
+                task["runs"] += 1
+                return _status(f"task {name} executed")
+            m = re.match(r"^\s*DROP\s+TASK\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
+            if m:
+                self.tasks.pop(bare_name(m.group(1)), None)
+                return _status(f"task {bare_name(m.group(1))} dropped")
+            if re.match(r"^\s*SHOW\s+TASKS\s*$", stmt, re.I):
+                names = sorted(self.tasks)
+                return pa.table(
+                    {
+                        "name": names,
+                        "schedule": [self.tasks[n]["schedule"] for n in names],
+                        "state": [self.tasks[n]["state"] for n in names],
+                        "definition": [self.tasks[n]["sql"] for n in names],
+                    }
+                )
+            m = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+([\w.\"]+)\s+ON\s+TABLE\s+([\w.\"]+)\s*$",
                 stmt, re.I,
             )
@@ -783,6 +837,9 @@ class Engine:
                      "size": ["LOCAL"]}
                 )
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
+                if _INSERT_RE.match(stmt):
+                    # INSERT ... SELECT may read a STREAM object
+                    stmt = self._resolve_streams(stmt)
                 return self.spark.sql(snowflake_to_spark(stmt)).toArrow()
             if _COPY_RE.match(stmt):
                 um = copy_into._UNLOAD_RE.match(stmt)
@@ -1303,6 +1360,22 @@ class Engine:
             return view
 
         return self._META_TABLE_RE.sub(repl, stmt)
+
+    def _task_condition_true(self, when: str) -> bool:
+        """Evaluate a task's WHEN gate. SYSTEM$STREAM_HAS_DATA('s') checks
+        the stream registry (bookmark behind table head); anything else is
+        evaluated as a scalar SELECT."""
+        m = re.match(r"^\s*SYSTEM\$STREAM_HAS_DATA\s*\(\s*'(\w+)'\s*\)\s*$", when, re.I)
+        if m:
+            st = self.streams.get(m.group(1).lower())
+            if st is None:
+                raise QueryError(f"unknown stream {m.group(1)}", sql_state="02000")
+            return (
+                st["bookmark"]
+                != self.snap_tables[st["table"]].snapshots()[-1]["id"]
+            )
+        out = self._run_select(f"SELECT ({when}) AS cond").collect()
+        return bool(out and out[0]["cond"])
 
     def _resolve_streams(self, stmt: str) -> str:
         """Substitute STREAM references with temp views over the table's
