@@ -692,6 +692,9 @@ def test_refs_branches_tags(spark, tmp_path):
     assert eng.execute(
         "SELECT COUNT(*) AS n FROM rft AT(TAG => 'v1')"
     ).to_pydict()["n"] == [5]
+    # $refs metadata table lists them
+    refs = eng.execute("SELECT * FROM rft$refs ORDER BY name").to_pydict()
+    assert refs["name"] == ["dev", "v1"] and refs["type"] == ["BRANCH", "TAG"]
     # drop the tag; unknown ref then errors
     eng.execute("ALTER TABLE rft DROP TAG v1")
     with pytest.raises(Exception):

@@ -1340,7 +1340,7 @@ class Engine:
             if now_ms - last > lag_s * 1000:
                 self._refresh_dynamic(bn)
 
-    _META_TABLE_RE = re.compile(r"\b([A-Za-z_]\w*)\$(snapshots|files|history|manifests)\b", re.I)
+    _META_TABLE_RE = re.compile(r"\b([A-Za-z_]\w*)\$(snapshots|files|history|manifests|refs)\b", re.I)
 
     def _resolve_metadata_tables(self, stmt: str) -> str:
         """`t$snapshots` / `t$files` / `t$history` / `t$manifests` ->

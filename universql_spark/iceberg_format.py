@@ -1446,6 +1446,14 @@ class IcebergTable(SnapshotTable):
                 [(h["timestamp-ms"], h["snapshot-id"]) for h in meta.get("snapshot-log", [])],
                 "timestamp_ms bigint, snapshot_id bigint",
             )
+        if kind == "refs":
+            rows = [
+                (n, r["type"].upper(), r["snapshot-id"])
+                for n, r in sorted(meta.get("refs", {}).items())
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id bigint"
+            )
         current = next(
             (s for s in meta.get("snapshots", []) if s["snapshot-id"] == meta.get("current-snapshot-id")),
             None,
