@@ -1736,3 +1736,46 @@ def test_task_objects_with_stream_gate(spark, sf_dir):
     assert eng.execute("SHOW TASKS").to_pydict()["state"] == ["started"]
     eng.execute("DROP TASK tsk_load")
     assert eng.execute("SHOW TASKS").to_pydict()["name"] == []
+
+
+def test_masking_and_row_access_policies(spark, sf_dir):
+    """Governance surface: masking policies rewrite projected columns, row
+    access policies filter rows, both bound to CURRENT_ROLE() and
+    re-bound on USE ROLE. Applied at view refresh, so every consumer sees
+    policied data."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE pol_t AS "
+        "SELECT id, concat('user', id) AS email, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang "
+        "FROM range(6);"
+        "CREATE MASKING POLICY mask_email AS (val STRING) RETURNS STRING -> "
+        "CASE WHEN CURRENT_ROLE() = 'ACCOUNTADMIN' THEN val ELSE '***' END;"
+        "CREATE ROW ACCESS POLICY only_en AS (l STRING) RETURNS BOOLEAN -> "
+        "l = 'en' OR CURRENT_ROLE() = 'ACCOUNTADMIN';"
+        "ALTER TABLE pol_t MODIFY COLUMN email SET MASKING POLICY mask_email;"
+        "ALTER TABLE pol_t ADD ROW ACCESS POLICY only_en ON (lang)"
+    )
+    # admin: all rows, unmasked
+    out = eng.execute("SELECT COUNT(*) AS n, MIN(email) AS e FROM pol_t").to_pydict()
+    assert out["n"] == [6] and out["e"] == ["user0"]
+    assert eng.execute("SELECT CURRENT_ROLE() AS r").to_pydict()["r"] == ["ACCOUNTADMIN"]
+    # analyst: row-filtered and masked
+    eng.execute("USE ROLE analyst")
+    out2 = eng.execute(
+        "SELECT COUNT(*) AS n, MIN(email) AS e, MIN(lang) AS l FROM pol_t"
+    ).to_pydict()
+    assert out2["n"] == [3] and out2["e"] == ["***"] and out2["l"] == ["en"]
+    # policies survive DML-triggered view refreshes
+    eng.execute("USE ROLE accountadmin")
+    eng.execute("INSERT INTO pol_t SELECT 100 AS id, 'secret' AS email, 'de' AS lang")
+    eng.execute("USE ROLE analyst")
+    got = eng.execute("SELECT COUNT(*) AS n FROM pol_t WHERE email = '***'").to_pydict()
+    assert got["n"] == [3]  # the new 'de' row is filtered for analyst
+    # unset restores raw values
+    eng.execute("USE ROLE accountadmin")
+    eng.execute(
+        "ALTER TABLE pol_t MODIFY COLUMN email UNSET MASKING POLICY;"
+        "ALTER TABLE pol_t DROP ROW ACCESS POLICY only_en"
+    )
+    eng.execute("USE ROLE analyst")
+    assert eng.execute("SELECT COUNT(*) AS n FROM pol_t").to_pydict()["n"] == [7]

@@ -183,6 +183,15 @@ class Engine:
         self._streams_consumed: set[str] = set()
         #: TASK objects: stored SQL + schedule/WHEN gate, run via EXECUTE TASK
         self.tasks: dict[str, dict] = {}
+        #: governance: masking/row-access policies applied AT VIEW REFRESH —
+        #: a policied table's temp view carries the masking expressions and
+        #: row filter, so every consumer (SELECT, CTAS, COPY, stream) sees
+        #: policied data with zero per-query cost; CURRENT_ROLE() in policy
+        #: bodies binds to the session role and re-binds on USE ROLE.
+        self.current_role = "ACCOUNTADMIN"
+        self.masking_policies: dict[str, tuple[str, str]] = {}  # name -> (arg, expr)
+        self.row_policies: dict[str, tuple[list[str], str]] = {}  # name -> (args, expr)
+        self.table_policies: dict[str, dict] = {}  # tbl -> {"mask": {col: pol}, "row": (pol, cols)}
         #: ALTER SESSION SET parameters (TIMEZONE also applied to the Spark
         #: session conf)
         self.session_params: dict[str, str] = {}
@@ -506,6 +515,69 @@ class Engine:
                         ],
                     }
                 )
+            m = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MASKING\s+POLICY\s+([\w.\"]+)\s+"
+                r"AS\s*\(\s*(\w+)\s+[\w()0-9,]+\s*\)\s*RETURNS\s+[\w()0-9,]+\s*->\s*(.*)$",
+                stmt, re.I | re.S,
+            )
+            if m:
+                self.masking_policies[bare_name(m.group(1))] = (
+                    m.group(2).lower(), m.group(3).strip()
+                )
+                return _status(f"masking policy {bare_name(m.group(1))} created")
+            m = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?ROW\s+ACCESS\s+POLICY\s+([\w.\"]+)\s+"
+                r"AS\s*\(\s*([^)]*)\)\s*RETURNS\s+BOOLEAN\s*->\s*(.*)$",
+                stmt, re.I | re.S,
+            )
+            if m:
+                args = [a.strip().split()[0].lower() for a in m.group(2).split(",") if a.strip()]
+                self.row_policies[bare_name(m.group(1))] = (args, m.group(3).strip())
+                return _status(f"row access policy {bare_name(m.group(1))} created")
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+MODIFY\s+COLUMN\s+(\w+)\s+"
+                r"(SET\s+MASKING\s+POLICY\s+([\w.\"]+)|UNSET\s+MASKING\s+POLICY)\s*$",
+                stmt, re.I,
+            )
+            if m and bare_name(m.group(1)) in self.snap_tables:
+                bn, col = bare_name(m.group(1)), m.group(2).lower()
+                tp = self.table_policies.setdefault(bn, {})
+                if m.group(4):
+                    pname = bare_name(m.group(4))
+                    if pname not in self.masking_policies:
+                        raise QueryError(f"unknown masking policy {pname}", "02000")
+                    tp.setdefault("mask", {})[col] = pname
+                else:
+                    tp.get("mask", {}).pop(col, None)
+                self._refresh_snap_view(bn)
+                return _status(f"masking policy on {bn}.{col} updated")
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+"
+                r"(?:ADD\s+ROW\s+ACCESS\s+POLICY\s+([\w.\"]+)\s+ON\s*\(([^)]*)\)"
+                r"|DROP\s+ROW\s+ACCESS\s+POLICY\s+([\w.\"]+))\s*$",
+                stmt, re.I,
+            )
+            if m and bare_name(m.group(1)) in self.snap_tables:
+                bn = bare_name(m.group(1))
+                tp = self.table_policies.setdefault(bn, {})
+                if m.group(2):
+                    pname = bare_name(m.group(2))
+                    if pname not in self.row_policies:
+                        raise QueryError(f"unknown row access policy {pname}", "02000")
+                    cols = [c.strip().strip('"').lower() for c in m.group(3).split(",")]
+                    tp["row"] = (pname, cols)
+                else:
+                    tp.pop("row", None)
+                self._refresh_snap_view(bn)
+                return _status(f"row access policy on {bn} updated")
+            m = re.match(r"^\s*USE\s+ROLE\s+([\w\"]+)\s*$", stmt, re.I)
+            if m:
+                self.current_role = m.group(1).strip('"').upper()
+                # role change re-binds CURRENT_ROLE() inside policied views
+                for bn in list(self.table_policies):
+                    if bn in self.snap_tables:
+                        self._refresh_snap_view(bn)
+                return _status(f"role {self.current_role}")
             m = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TASK\s+([\w.\"]+)\s+"
                 r"(?:WAREHOUSE\s*=\s*\w+\s+)?(?:SCHEDULE\s*=\s*'([^']*)'\s+)?"
@@ -931,6 +1003,9 @@ class Engine:
         stmt = self._inline_to_query(stmt)
         stmt = self._resolve_result_scan(stmt)
         stmt = self._resolve_stage_refs(stmt)
+        stmt = re.sub(
+            r"\bCURRENT_ROLE\s*\(\s*\)", f"'{self.current_role}'", stmt, flags=re.I
+        )
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
         stmt = self._resolve_metadata_tables(stmt)
@@ -1758,8 +1833,33 @@ class Engine:
 
     def _refresh_snap_view(self, name: str) -> None:
         """SELECTs resolve snapshot tables through a temp view over the
-        CURRENT snapshot's file list (re-registered after every commit)."""
-        self.snap_tables[name].read(self.spark).createOrReplaceTempView(name)
+        CURRENT snapshot's file list (re-registered after every commit).
+        Masking/row-access policies attach here: the view itself carries
+        the masking expressions and the row filter, so every read path sees
+        policied data without per-query rewriting."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        df = self.snap_tables[name].read(self.spark)
+        pol = self.table_policies.get(name)
+        if pol:
+            role_lit = "'" + self.current_role.replace("'", "''") + "'"
+
+            def bind(expr: str, args: list[str], cols: list[str]) -> str:
+                out = re.sub(r"\bCURRENT_ROLE\s*\(\s*\)", role_lit, expr, flags=re.I)
+                for a, c in zip(args, cols):
+                    out = re.sub(rf"\b{re.escape(a)}\b", c, out, flags=re.I)
+                return out
+
+            # Snowflake evaluation order: row-access policy filters on the
+            # UNMASKED values, then masking rewrites the projected columns
+            if "row" in pol:
+                pname, cols = pol["row"]
+                args, expr = self.row_policies[pname]
+                df = df.filter(F.expr(bind(expr, args, cols)))
+            for col, pname in pol.get("mask", {}).items():
+                arg, expr = self.masking_policies[pname]
+                df = df.withColumn(col, F.expr(bind(expr, [arg], [col])))
+        df.createOrReplaceTempView(name)
 
     def register_external_iceberg(
         self, name: str, uri: str, namespace: str, table: str, token: str | None = None
