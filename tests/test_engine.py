@@ -1779,3 +1779,27 @@ def test_masking_and_row_access_policies(spark, sf_dir):
     )
     eng.execute("USE ROLE analyst")
     assert eng.execute("SELECT COUNT(*) AS n FROM pol_t").to_pydict()["n"] == [7]
+
+
+def test_describe_table_and_get_ddl(spark, sf_dir):
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    d = eng.execute("DESCRIBE TABLE nation").to_pydict()
+    assert d["name"] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert d["type"][1] == "VARCHAR(16777216)" and d["type"][0].startswith("NUMBER")
+    ddl = eng.execute("SELECT GET_DDL('TABLE', 'region') AS d").to_pydict()["d"][0]
+    assert ddl.startswith("CREATE OR REPLACE TABLE region (")
+    assert "r_name VARCHAR(16777216)" in ddl
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ddl_t AS SELECT id FROM range(2);"
+        "CREATE STREAM ddl_s ON TABLE ddl_t;"
+        "CREATE TASK ddl_k SCHEDULE = '1 hour' AS SELECT 1"
+    )
+    assert "ICEBERG TABLE ddl_t" in eng.execute(
+        "SELECT GET_DDL('TABLE', 'ddl_t') AS d").to_pydict()["d"][0]
+    assert "STREAM ddl_s ON TABLE ddl_t" in eng.execute(
+        "SELECT GET_DDL('STREAM', 'ddl_s') AS d").to_pydict()["d"][0]
+    assert "SCHEDULE = '1 hour'" in eng.execute(
+        "SELECT GET_DDL('TASK', 'ddl_k') AS d").to_pydict()["d"][0]
+    # SYSTEM$STREAM_HAS_DATA works in plain SELECTs
+    assert eng.execute(
+        "SELECT SYSTEM$STREAM_HAS_DATA('ddl_s') AS h").to_pydict()["h"] == [False]

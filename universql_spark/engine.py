@@ -515,6 +515,19 @@ class Engine:
                         ],
                     }
                 )
+            m = re.match(r"^\s*DESC(?:RIBE)?\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
+            if m:
+                df = self._run_select(f"SELECT * FROM {m.group(1)} LIMIT 0")
+                names = df.columns
+                types = [_spark_to_snowflake_type(t) for _c, t in df.dtypes]
+                return pa.table(
+                    {
+                        "name": names,
+                        "type": types,
+                        "kind": ["COLUMN"] * len(names),
+                        "null?": ["Y"] * len(names),
+                    }
+                )
             m = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MASKING\s+POLICY\s+([\w.\"]+)\s+"
                 r"AS\s*\(\s*(\w+)\s+[\w()0-9,]+\s*\)\s*RETURNS\s+[\w()0-9,]+\s*->\s*(.*)$",
@@ -1006,6 +1019,18 @@ class Engine:
         stmt = re.sub(
             r"\bCURRENT_ROLE\s*\(\s*\)", f"'{self.current_role}'", stmt, flags=re.I
         )
+        stmt = re.sub(
+            r"\bSYSTEM\$STREAM_HAS_DATA\s*\(\s*'(\w+)'\s*\)",
+            lambda m: str(self._task_condition_true(m.group(0))).upper(),
+            stmt,
+            flags=re.I,
+        )
+        stmt = re.sub(
+            r"\bGET_DDL\s*\(\s*'(\w+)'\s*,\s*'([\w.\"]+)'\s*\)",
+            lambda m: "'" + self._get_ddl(m.group(1), m.group(2)).replace("'", "''") + "'",
+            stmt,
+            flags=re.I,
+        )
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
         stmt = self._resolve_metadata_tables(stmt)
@@ -1436,6 +1461,26 @@ class Engine:
 
         return self._META_TABLE_RE.sub(repl, stmt)
 
+    def _get_ddl(self, kind: str, name: str) -> str:
+        """GET_DDL('TABLE'|'VIEW'|'STREAM'|'TASK', name) — reconstructed
+        creation text (Snowflake's introspection surface; column types map
+        back to Snowflake names)."""
+        kind, bn = kind.upper(), bare_name(self._resolve_name(name))
+        if kind == "STREAM" and bn in self.streams:
+            st = self.streams[bn]
+            return f"CREATE OR REPLACE STREAM {bn} ON TABLE {st['table']};"
+        if kind == "TASK" and bn in self.tasks:
+            t = self.tasks[bn]
+            sched = f" SCHEDULE = '{t['schedule']}'" if t["schedule"] else ""
+            when = f" WHEN {t['when']}" if t["when"] else ""
+            return f"CREATE OR REPLACE TASK {bn}{sched}{when} AS {t['sql']};"
+        df = self._run_select(f"SELECT * FROM {name} LIMIT 0")
+        cols = ", ".join(
+            f"{c} {_spark_to_snowflake_type(t)}" for c, t in df.dtypes
+        )
+        head = "ICEBERG TABLE" if kind == "TABLE" and bn in self.snap_tables else kind
+        return f"CREATE OR REPLACE {head} {bn} ({cols});"
+
     def _task_condition_true(self, when: str) -> bool:
         """Evaluate a task's WHEN gate. SYSTEM$STREAM_HAS_DATA('s') checks
         the stream registry (bookmark behind table head); anything else is
@@ -1460,8 +1505,14 @@ class Engine:
         their bookmarks (Snowflake's read-on-DML consumption contract)."""
         if not self.streams:
             return stmt
+        from universql_spark.dialect import _STRING_RE, _outside_literals  # noqa: PLC0415
+
         for name, st in self.streams.items():
-            if not re.search(rf"\b{re.escape(name)}\b", stmt, re.I):
+            # match only OUTSIDE string literals (a stream name inside e.g.
+            # a GET_DDL result or any quoted text must not be rewritten)
+            if not re.search(
+                rf"\b{re.escape(name)}\b", _STRING_RE.sub("''", stmt), re.I
+            ):
                 continue
             t = self.snap_tables[st["table"]]
             cur = t.snapshots()[-1]["id"]
@@ -1470,7 +1521,10 @@ class Engine:
             # Spark's parser needs backticks for $-identifiers; Snowflake
             # clients write metadata$action bare or double-quoted
             df.createOrReplaceTempView(view)
-            stmt = re.sub(rf"\b{re.escape(name)}\b", view, stmt, flags=re.I)
+            stmt = _outside_literals(
+                stmt,
+                lambda s: re.sub(rf"\b{re.escape(name)}\b", view, s, flags=re.I),
+            )
             self._streams_consumed.add(name)
         return stmt
 
@@ -2061,3 +2115,23 @@ def _estimate_cost_usd(
 
 def _status(msg: str) -> pa.Table:
     return pa.table({"status": [msg]})
+
+
+_SNOWFLAKE_TYPE_NAMES = {
+    "bigint": "NUMBER(38,0)", "int": "NUMBER(38,0)", "smallint": "NUMBER(38,0)",
+    "tinyint": "NUMBER(38,0)", "double": "FLOAT", "float": "FLOAT",
+    "string": "VARCHAR(16777216)", "boolean": "BOOLEAN", "date": "DATE",
+    "binary": "BINARY", "timestamp": "TIMESTAMP_LTZ(9)",
+    "timestamp_ntz": "TIMESTAMP_NTZ(9)",
+}
+
+
+def _spark_to_snowflake_type(t: str) -> str:
+    """Spark simple type -> the Snowflake name a DESCRIBE/GET_DDL surface
+    shows (decimal passes through; arrays/structs surface as VARIANT-ish)."""
+    tl = t.lower()
+    if tl.startswith("decimal"):
+        return t.upper()
+    if tl.startswith(("array", "struct", "map")):
+        return "VARIANT"
+    return _SNOWFLAKE_TYPE_NAMES.get(tl, t.upper())
