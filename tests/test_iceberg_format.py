@@ -712,7 +712,7 @@ def test_zero_copy_clone(spark, tmp_path):
         "CREATE OR REPLACE ICEBERG TABLE src_t AS SELECT id, id * 2 AS v FROM range(10)"
     )
     src = eng.snap_tables["src_t"]
-    eng.execute("CREATE TABLE cl_t CLONE src_t")
+    eng.execute("CREATE OR REPLACE TABLE cl_t CLONE src_t")
     cl = eng.snap_tables["cl_t"]
     # zero-copy: the clone's data files ARE the source's paths
     assert set(cl.current_files()) == set(src.current_files())
