@@ -1803,3 +1803,52 @@ def test_describe_table_and_get_ddl(spark, sf_dir):
     # SYSTEM$STREAM_HAS_DATA works in plain SELECTs
     assert eng.execute(
         "SELECT SYSTEM$STREAM_HAS_DATA('ddl_s') AS h").to_pydict()["h"] == [False]
+
+
+def test_sql_table_function_macro(spark, sf_dir):
+    """CREATE FUNCTION ... RETURNS TABLE inlines at the call site — the
+    planner sees the expanded query, so pushdown crosses the boundary."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION nations_of(rk INT) RETURNS TABLE (k INT, name STRING) AS "
+        "'SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey = rk'"
+    )
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM TABLE(nations_of(1))"
+    ).to_pydict()["n"] == [5]
+    out = eng.execute(
+        "SELECT t.k FROM TABLE(nations_of(1 + 1)) t WHERE t.k < 10 ORDER BY t.k"
+    ).to_pydict()
+    assert all(k < 10 for k in out["k"]) and len(out["k"]) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(QueryError, match="expects 1 args"):
+        eng.execute("SELECT * FROM TABLE(nations_of())")
+
+
+def test_insert_multi_table(spark, sf_dir):
+    """INSERT FIRST routes each source row to the first matching branch
+    (ELSE catches the rest); INSERT ALL fans out unconditionally; the
+    source SELECT runs once."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE TABLE mi_a AS SELECT n_nationkey AS k FROM nation WHERE 1=0;"
+        "CREATE OR REPLACE TABLE mi_b AS SELECT n_nationkey AS k FROM nation WHERE 1=0;"
+        "CREATE OR REPLACE TABLE mi_c AS SELECT n_nationkey AS k FROM nation WHERE 1=0"
+    )
+    out = eng.execute(
+        "INSERT FIRST "
+        "WHEN n_nationkey < 5 THEN INTO mi_a (k) VALUES (n_nationkey) "
+        "WHEN n_nationkey < 15 THEN INTO mi_b (k) VALUES (n_nationkey) "
+        "ELSE INTO mi_c (k) VALUES (n_nationkey) "
+        "SELECT n_nationkey FROM nation"
+    ).to_pydict()
+    assert out["rows_inserted"] == [5, 10, 10]  # exclusive, ordered
+    # ALL: every branch gets every (matching) row
+    out2 = eng.execute(
+        "INSERT ALL "
+        "WHEN n_nationkey < 5 THEN INTO mi_a (k) VALUES (n_nationkey) "
+        "WHEN n_nationkey < 15 THEN INTO mi_b (k) VALUES (n_nationkey) "
+        "SELECT n_nationkey FROM nation"
+    ).to_pydict()
+    assert out2["rows_inserted"] == [5, 15]  # ALL: WHENs overlap

@@ -183,6 +183,8 @@ class Engine:
         self._streams_consumed: set[str] = set()
         #: TASK objects: stored SQL + schedule/WHEN gate, run via EXECUTE TASK
         self.tasks: dict[str, dict] = {}
+        #: SQL table functions (RETURNS TABLE): name -> (params, body SQL)
+        self.table_functions: dict[str, tuple[list[str], str]] = {}
         #: governance: masking/row-access policies applied AT VIEW REFRESH —
         #: a policied table's temp view carries the masking expressions and
         #: row filter, so every consumer (SELECT, CTAS, COPY, stream) sees
@@ -724,6 +726,21 @@ class Engine:
                     raise QueryError(str(e)) from e
                 return pa.table({name.upper(): [None if value is None else str(value)]})
             m = _CREATE_FN_RE.match(stmt)
+            if m and (m.group(3) or "").upper().startswith("TABLE"):
+                # SQL table function (Snowflake UDTF): stored as a macro —
+                # call sites inline the body with arguments substituted,
+                # so Catalyst plans the EXPANDED query (predicate pushdown
+                # through the function boundary for free)
+                params = [
+                    p.strip().split()[0].lower()
+                    for p in m.group(2).split(",")
+                    if p.strip()
+                ]
+                self.table_functions[bare_name(m.group(1))] = (
+                    params,
+                    _unquote_body(m.group(4)),
+                )
+                return _status(f"table function {bare_name(m.group(1))} created")
             if m and "TABLE" not in (m.group(3) or "").upper():
                 from universql_spark.dialect import _rename_types  # noqa: PLC0415
 
@@ -768,6 +785,37 @@ class Engine:
                 stmt,
                 re.I | re.S,
             )
+            mim = re.match(r"^\s*INSERT\s+(ALL|FIRST)\s+(.*)$", stmt, re.I | re.S)
+            if mim:
+                # the source query is the first PAREN-DEPTH-0 SELECT (WHEN
+                # conditions may hold scalar subqueries at depth > 0)
+                rest = mim.group(2)
+                depth, split_at = 0, -1
+                i = 0
+                while i < len(rest):
+                    c = rest[i]
+                    if c == "'":  # skip string literal
+                        j = i + 1
+                        while j < len(rest):
+                            if rest[j] == "'" and rest[j : j + 2] != "''":
+                                break
+                            j += 2 if rest[j] == "'" else 1
+                        i = j + 1
+                        continue
+                    if c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    elif depth == 0 and rest[i : i + 6].upper() == "SELECT" and (
+                        i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_")
+                    ):
+                        split_at = i
+                        break
+                    i += 1
+                if split_at > 0:
+                    return self._insert_multi(
+                        mim.group(1).upper(), rest[:split_at], rest[split_at:]
+                    )
             clm = re.match(
                 r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
                 r"CLONE\s+([\w.\"]+)\s*$",
@@ -1012,6 +1060,7 @@ class Engine:
 
     def _run_select(self, stmt: str) -> DataFrame:
         self._refresh_stale_dynamic(stmt)
+        stmt = self._resolve_table_functions(stmt)
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
         stmt = self._resolve_result_scan(stmt)
@@ -1496,6 +1545,90 @@ class Engine:
             )
         out = self._run_select(f"SELECT ({when}) AS cond").collect()
         return bool(out and out[0]["cond"])
+
+    # conditions may nest parens two deep (scalar subquery holding calls)
+    _MULTI_CLAUSE_RE = re.compile(
+        r"(?:(WHEN)\s+((?:[^()']|\((?:[^()]|\([^()]*\))*\)|'(?:[^']|'')*')+?)\s+THEN\s+"
+        r"|(ELSE)\s+)?"
+        r"INTO\s+([\w.\"]+)\s*(?:\(([^)]*)\))?\s*"
+        r"(?:VALUES\s*\(((?:[^()]|\([^()]*\))*)\))?\s*",
+        re.I | re.S,
+    )
+
+    def _insert_multi(self, mode: str, clauses: str, select: str) -> pa.Table:
+        """Snowflake multi-table INSERT ALL|FIRST: the source SELECT runs
+        ONCE (temp view), then each INTO branch inserts its filtered
+        projection. FIRST makes branches exclusive in order (cond_i AND NOT
+        any earlier cond); ELSE catches rows no WHEN matched. -> one row
+        per target with its insert count."""
+        src_view = f"__multi_src_{uuid.uuid4().hex[:8]}"
+        self._run_select(select).createOrReplaceTempView(src_view)
+        parsed = []
+        pos = 0
+        while pos < len(clauses):
+            m = self._MULTI_CLAUSE_RE.match(clauses, pos)
+            if not m or m.end() == pos:
+                break
+            parsed.append(m)
+            pos = m.end()
+        if not parsed:
+            raise QueryError("INSERT ALL/FIRST: no INTO clause found", "42000")
+        tables, counts = [], []
+        prior: list[str] = []
+        for m in parsed:
+            cond = (m.group(2) or "").strip() if m.group(1) else None
+            is_else = bool(m.group(3))
+            target = m.group(4)
+            cols = f"({m.group(5)})" if m.group(5) else ""
+            proj = m.group(6).strip() if m.group(6) else "*"
+            where = []
+            if cond:
+                where.append(f"({cond})")
+            if (mode == "FIRST" or is_else) and prior:
+                where.append("NOT (" + " OR ".join(prior) + ")")
+            if cond:
+                prior.append(f"({cond})")
+            wsql = f" WHERE {' AND '.join(where)}" if where else ""
+            n = self._run_select(f"SELECT COUNT(*) AS n FROM {src_view}{wsql}").collect()[0]["n"]
+            self._execute_one(
+                f"INSERT INTO {target} {cols} SELECT {proj} FROM {src_view}{wsql}"
+            )
+            tables.append(bare_name(target))
+            counts.append(n)
+        return pa.table({"table": tables, "rows_inserted": counts})
+
+    def _resolve_table_functions(self, stmt: str) -> str:
+        """Inline SQL UDTF calls: `TABLE(f(a1, a2))` (or bare `f(a1, a2)` in
+        FROM once TABLE() is stripped) becomes the stored body as a derived
+        table with parameters textually bound to the call's arguments — the
+        macro-expansion approach; the planner then optimizes the EXPANDED
+        query (filters/pruning push straight through)."""
+        if not self.table_functions:
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name = m.group(1).lower()
+            tf = self.table_functions.get(name)
+            if tf is None:
+                return m.group(0)
+            params, body = tf
+            args = [a.strip() for a in _split_top_args(m.group(2))] if m.group(2).strip() else []
+            if len(args) != len(params):
+                raise QueryError(
+                    f"table function {name} expects {len(params)} args, got {len(args)}"
+                )
+            for p, a in zip(params, args):
+                body = re.sub(rf"\b{re.escape(p)}\b", f"({a})", body, flags=re.I)
+            return f"({body})"
+
+        from universql_spark.dialect import _split_top_args  # noqa: PLC0415
+
+        return re.sub(
+            r"\bTABLE\s*\(\s*(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)",
+            repl,
+            stmt,
+            flags=re.I,
+        )
 
     def _resolve_streams(self, stmt: str) -> str:
         """Substitute STREAM references with temp views over the table's

@@ -212,6 +212,46 @@ ORDER BY state, etype
 """
 
 
+_MULTI_INS_ORACLE = """
+SELECT 'hot' AS tgt, etype, total FROM (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+) WHERE total >= (SELECT COUNT(*) / 10 FROM events)
+UNION ALL
+SELECT 'cold', etype, total FROM (
+  SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
+) WHERE NOT total >= (SELECT COUNT(*) / 10 FROM events)
+ORDER BY tgt, etype
+"""
+
+
+@register("dml_insert_multi", _MULTI_INS_ORACLE, category="dml")
+def dml_insert_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake multi-table INSERT FIRST: one source scan fans rows out to
+    the first matching branch (ELSE catches the rest); oracle restates the
+    routing as two filtered selects."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        """
+        CREATE OR REPLACE TABLE mi_hot AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1 LIMIT 0;
+        CREATE OR REPLACE TABLE mi_cold AS
+          SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1 LIMIT 0;
+        INSERT FIRST
+          WHEN total >= (SELECT COUNT(*) / 10 FROM events)
+            THEN INTO mi_hot (etype, total) VALUES (etype, total)
+          ELSE INTO mi_cold (etype, total) VALUES (etype, total)
+        SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY event_type
+        """
+    )
+    return eng.execute_df(
+        "SELECT 'hot' AS tgt, etype, total FROM mi_hot "
+        "UNION ALL SELECT 'cold' AS tgt, etype, total FROM mi_cold "
+        "ORDER BY tgt, etype"
+    )
+
+
 _STREAM_ORACLE = """
 WITH base AS (
   SELECT event_type AS etype, COUNT(*) AS total FROM events GROUP BY 1
