@@ -1852,3 +1852,40 @@ def test_insert_multi_table(spark, sf_dir):
         "SELECT n_nationkey FROM nation"
     ).to_pydict()
     assert out2["rows_inserted"] == [5, 15]  # ALL: WHENs overlap
+
+
+def test_undrop_table(spark, sf_dir):
+    """Snowflake Time-Travel DROP: files survive the drop and UNDROP
+    restores the table with its full history."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE ICEBERG TABLE ud_t AS SELECT id FROM range(4);"
+        "INSERT INTO ud_t SELECT 99 AS id;"
+        "DROP TABLE ud_t"
+    )
+    with pytest.raises(Exception):
+        eng.execute("SELECT * FROM ud_t")
+    eng.execute("UNDROP TABLE ud_t")
+    assert eng.execute("SELECT COUNT(*) AS n FROM ud_t").to_pydict()["n"] == [5]
+    # history intact (the drop was metadata-only)
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM ud_t AT(SNAPSHOT => 1)"
+    ).to_pydict()["n"] == [4]
+    with pytest.raises(QueryError, match="no dropped table"):
+        eng.execute("UNDROP TABLE never_existed")
+
+
+def test_sequence_objects(spark, sf_dir):
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute("CREATE OR REPLACE SEQUENCE sq START = 10 INCREMENT = 2")
+    assert eng.execute("SELECT sq.NEXTVAL AS v").to_pydict()["v"] == [10]
+    # per-row values within one statement: unique, increment-spaced
+    out = eng.execute(
+        "SELECT sq.NEXTVAL AS v FROM range(5) ORDER BY v"
+    ).to_pydict()["v"]
+    assert len(set(out)) == 5
+    assert all(b - a == 2 for a, b in zip(out, out[1:]))
+    # a later statement never collides with an earlier one
+    nxt = eng.execute("SELECT sq.NEXTVAL AS v").to_pydict()["v"][0]
+    assert nxt > max(out)
+    eng.execute("DROP SEQUENCE sq")

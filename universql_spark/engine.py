@@ -185,6 +185,10 @@ class Engine:
         self.tasks: dict[str, dict] = {}
         #: SQL table functions (RETURNS TABLE): name -> (params, body SQL)
         self.table_functions: dict[str, tuple[list[str], str]] = {}
+        #: dropped snapshot tables kept for UNDROP (Snowflake Time Travel)
+        self.dropped_tables: dict[str, "object"] = {}
+        #: SEQUENCE objects: name -> [next_base, increment]
+        self.sequences: dict[str, list[int]] = {}
         #: governance: masking/row-access policies applied AT VIEW REFRESH —
         #: a policied table's temp view carries the masking expressions and
         #: row filter, so every consumer (SELECT, CTAS, COPY, stream) sees
@@ -954,14 +958,47 @@ class Engine:
                 return _status(f"truncated iceberg {bn}")
             dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
             if dm and bare_name(dm.group(1)) in self.snap_tables:
-                import shutil
-
+                # Snowflake Time-Travel drop: the object moves to the
+                # dropped registry (files KEPT) so UNDROP can restore it;
+                # storage reclaims when the slot is reused or on UNDROP
+                # expiry — the data-loss-proof semantics users rely on
                 bn = bare_name(dm.group(1))
                 snap = self.snap_tables.pop(bn)
                 self._dynamic_meta.pop(bn, None)
                 self.spark.catalog.dropTempView(bn)
-                shutil.rmtree(snap.root, ignore_errors=True)
+                old = self.dropped_tables.pop(bn, None)
+                if old is not None:
+                    import shutil
+
+                    shutil.rmtree(old.root, ignore_errors=True)
+                self.dropped_tables[bn] = snap
                 return _status(f"dropped iceberg {bn}")
+            sm = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+([\w.\"]+)"
+                r"(?:\s+START\s*(?:WITH\s*)?=?\s*(-?\d+))?"
+                r"(?:\s+INCREMENT\s*(?:BY\s*)?=?\s*(-?\d+))?\s*$",
+                stmt, re.I,
+            )
+            if sm:
+                self.sequences[bare_name(sm.group(1))] = [
+                    int(sm.group(2) or 1), int(sm.group(3) or 1)
+                ]
+                return _status(f"sequence {bare_name(sm.group(1))} created")
+            sm = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
+            if sm:
+                self.sequences.pop(bare_name(sm.group(1)), None)
+                return _status(f"sequence {bare_name(sm.group(1))} dropped")
+            um = re.match(r"^\s*UNDROP\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
+            if um:
+                bn = bare_name(um.group(1))
+                snap = self.dropped_tables.pop(bn, None)
+                if snap is None:
+                    raise QueryError(f"no dropped table {bn} to undrop", "02000")
+                if bn in self.snap_tables:
+                    raise QueryError(f"table {bn} exists; rename it before UNDROP", "42000")
+                self.snap_tables[bn] = snap
+                self._refresh_snap_view(bn)
+                return _status(f"undropped {bn}")
             if re.match(r"^\s*SHOW\s+WAREHOUSES\s*$", stmt, re.I):
                 # client-compat: worksheet UIs issue this at connect; one
                 # truthful row (the engine IS the warehouse here)
@@ -1080,6 +1117,7 @@ class Engine:
             stmt,
             flags=re.I,
         )
+        stmt = self._resolve_sequences(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
         stmt = self._resolve_metadata_tables(stmt)
@@ -1596,6 +1634,35 @@ class Engine:
             tables.append(bare_name(target))
             counts.append(n)
         return pa.table({"table": tables, "rows_inserted": counts})
+
+    #: block of values reserved per statement referencing seq.NEXTVAL —
+    #: uniqueness without knowing the row count up front (sequences
+    #: guarantee uniqueness and monotonicity-per-statement, NOT gaplessness
+    #: — Snowflake documents the same)
+    _SEQ_RESERVE = 1 << 33
+
+    def _resolve_sequences(self, stmt: str) -> str:
+        """`s.NEXTVAL` -> `base + inc*(row_number()-1)` with a fresh
+        reserved block per statement: every row gets a unique value without
+        a driver round-trip per row, and concurrent statements can't
+        collide. Distributed-safe: the window is over the statement's own
+        rows (for the common single-row/INSERT-SELECT shapes)."""
+        if not self.sequences:
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name = m.group(1).lower()
+            seq = self.sequences.get(name)
+            if seq is None:
+                return m.group(0)
+            base, inc = seq
+            seq[0] = base + inc * self._SEQ_RESERVE
+            return (
+                f"({base} + {inc} * (row_number() OVER "
+                f"(ORDER BY monotonically_increasing_id()) - 1))"
+            )
+
+        return re.sub(r"\b(\w+)\.NEXTVAL\b", repl, stmt, flags=re.I)
 
     def _resolve_table_functions(self, stmt: str) -> str:
         """Inline SQL UDTF calls: `TABLE(f(a1, a2))` (or bare `f(a1, a2)` in
