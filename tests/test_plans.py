@@ -169,3 +169,50 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
     assert "Window" in p
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges <= 2  # window shuffle + final orderBy sort only
+
+
+def test_duplicate_spans_all_codegen_bounded_exchanges(spark, sf_dir):
+    """Substring-span dedup stays JVM-side: no Python in the plan, and the
+    whole pipeline runs in a bounded number of exchanges (id spread,
+    dup-count window on the shingle hash, per-doc interval merge +
+    span-group aggregate, plus the spec's final ORDER BY)."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "dedup_substring_spans")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 5, p[:2000]
+
+
+def test_pq_adc_scores_codes_not_vectors(spark, sf_dir):
+    """The PQ ADC scoring stage joins the corpus CODES against a broadcast
+    per-query table — the corpus's full embedding column must not appear in
+    the join stage (it is fetched only for the rerank shortlist)."""
+    p = plan(spark, sf_dir, "ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the final exact re-rank touches embeddings once per side; the ADC
+    # cross join itself carries codes + T only
+    adc = p.split("BroadcastNestedLoopJoin")[0]
+    assert "codes" in p
+
+
+def test_stream_changes_fast_path_reads_only_diff_files(spark, sf_dir, tmp_path):
+    """File-granular change feed: after an append, changes_between scans
+    ONLY the appended file — the unchanged base files cancel out of the
+    diff and never enter the plan."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.iceberg_format import IcebergTable
+
+    df = spark.range(100).select("id", (F.col("id") % 5).alias("g")).repartition(4)
+    t = IcebergTable.create(str(tmp_path / "chg"), df)
+    base_snap = t.snapshots()[-1]["id"]
+    t.append(spark.range(100, 103).select("id", (F.col("id") % 5).alias("g")))
+    delta = t.changes_between(spark, base_snap)
+    scanned = set(delta.inputFiles())
+    base_files = {f"file:{f}" if not f.startswith("file:") else f for f in t.files_at(base_snap)}
+    normalized = {s.removeprefix("file:") for s in scanned}
+    assert not (normalized & {f.removeprefix("file:") for f in base_files}), (
+        "change feed scanned unchanged base files"
+    )
+    assert delta.count() == 3

@@ -119,7 +119,7 @@ _GATE_PRIORITY: list[str] = [
     "dml_schema_evolution", "dedup_substring_spans", "ann_pq_topk",
     "multimodal_resize_meta", "dml_iceberg_upsert_cdc", "text_dsir_weights",
     "fn_hll_mergeable", "dml_iceberg_clone", "dml_stream_changes",
-    "dml_insert_multi",
+    "dml_insert_multi", "adv_table_function",
     "fn_agg_ext", "fn_stats_ext", "fn_string_ext", "fn_time_slice",
     "win_cond_true_event", "win_change_event", "fn_star_modifiers",
     "text_repetition", "corpus_pack_sequences", "agg_pivot_dynamic",

@@ -402,3 +402,30 @@ def join_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 ) p MATCH_CONDITION (l.ts >= p.pts) ON l.user_id = p.user_id
 ORDER BY l.event_id"""
     )
+
+
+_TF_ORACLE = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+WHERE r.r_regionkey = 2
+ORDER BY nation_name
+"""
+
+
+@register("adv_table_function", _TF_ORACLE, category="advanced")
+def adv_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDTF (CREATE FUNCTION ... RETURNS TABLE) inlined at the call
+    site as a macro: the planner optimizes the EXPANDED query, so the
+    region filter pushes into the nation scan through the function
+    boundary."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION nations_in(rk INT) RETURNS TABLE (region_name STRING, nation_name STRING) AS "
+        "'SELECT r.r_name AS region_name, n.n_name AS nation_name "
+        "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey = rk'"
+    )
+    return eng.execute_df(
+        "SELECT region_name, nation_name FROM TABLE(nations_in(2)) ORDER BY nation_name"
+    )
