@@ -797,7 +797,14 @@ def test_iceberg_ctas_select_drop(engine):
     engine.execute("DROP TABLE ice_a")
     import os
 
-    assert not os.path.exists(engine._snap_root("ice_a"))
+    # time-travel drop: files are RETAINED for UNDROP...
+    assert os.path.exists(engine._snap_root("ice_a"))
+    assert "ice_a" in engine.dropped_tables
+    # ...and reclaimed when the name is reused
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_a AS SELECT 9 AS x")
+    assert "ice_a" not in engine.dropped_tables
+    assert engine.execute("SELECT x FROM ice_a").to_pydict()["x"] == [9]
+    engine.execute("DROP TABLE ice_a")
 
 
 def test_iceberg_file_granular_delete_and_time_travel(engine):

@@ -830,6 +830,7 @@ class Engine:
                 # Snowflake zero-copy CLONE: metadata-only, data referenced
                 src = self.snap_tables[bare_name(clm.group(3))]
                 bn = bare_name(self._resolve_name(clm.group(2)))
+                self._reclaim_dropped(bn)
                 self.snap_tables[bn] = src.clone(
                     self._snap_root(bn), replace=bool(clm.group(1))
                 )
@@ -1465,6 +1466,7 @@ class Engine:
                 raise QueryError(f"unparseable TARGET_LAG {lm.group(1)!r}") from e
         bn = bare_name(name)
         df = self._run_select(select)
+        self._reclaim_dropped(name)
         snap = IcebergTable.create(self._snap_root(name), df, replace=replace)
         snap.set_property("universql-spark.dynamic.query", select)
         snap.set_property("universql-spark.dynamic.target-lag-seconds", str(lag_s))
@@ -2008,6 +2010,15 @@ class Engine:
 
     # -- snapshot tables (tableformat.py) ----------------------------------
 
+    def _reclaim_dropped(self, name: str) -> None:
+        """Creating a new table under a dropped name forfeits its UNDROP
+        copy (one retained generation, reclaimed on reuse)."""
+        old = self.dropped_tables.pop(bare_name(name), None)
+        if old is not None:
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(old.root, ignore_errors=True)
+
     def _snap_root(self, name: str) -> str:
         base = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         return os.path.join(base.replace("file:", ""), "_snap", bare_name(name))
@@ -2056,6 +2067,7 @@ class Engine:
         from universql_spark.tableformat import SnapshotTable  # noqa: PLC0415
 
         root = self._snap_root(name)
+        self._reclaim_dropped(bn)
         if os.path.exists(root):
             # orphan from a previous process's in-memory catalog (same
             # reclamation rule as the CTAS LOCATION_ALREADY_EXISTS path)
@@ -2227,6 +2239,7 @@ class Engine:
             from universql_spark.iceberg_format import IcebergTable
 
             bn = bare_name(name)
+            self._reclaim_dropped(bn)
             # PARTITION/CLUSTER BY on an Iceberg target = clustering keys:
             # range-cluster the write + record the Iceberg sort order, so
             # manifest bounds on those columns become disjoint and
