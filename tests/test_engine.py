@@ -1896,3 +1896,29 @@ def test_sequence_objects(spark, sf_dir):
     nxt = eng.execute("SELECT sq.NEXTVAL AS v").to_pydict()["v"][0]
     assert nxt > max(out)
     eng.execute("DROP SEQUENCE sq")
+
+
+def test_external_table_over_stage(spark, sf_dir, tmp_path):
+    """CREATE EXTERNAL TABLE over a stage location: a named relation whose
+    file set re-lists on REFRESH — new files appear without re-DDL."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute("CREATE STAGE ext_stg")
+    eng.execute(
+        "COPY INTO @ext_stg/part1 FROM (SELECT n_nationkey AS k, n_name AS nm FROM nation) "
+        "FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = TRUE"
+    )
+    eng.execute(
+        "CREATE OR REPLACE EXTERNAL TABLE ext_nat "
+        "LOCATION = @ext_stg FILE_FORMAT = (TYPE = PARQUET)"
+    )
+    assert eng.execute("SELECT COUNT(*) AS n FROM ext_nat").to_pydict()["n"] == [25]
+    # new files under the location appear after REFRESH
+    eng.execute(
+        "COPY INTO @ext_stg/part2 FROM (SELECT n_nationkey + 100 AS k, n_name AS nm FROM nation) "
+        "FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = TRUE"
+    )
+    eng.execute("ALTER EXTERNAL TABLE ext_nat REFRESH")
+    assert eng.execute("SELECT COUNT(*) AS n FROM ext_nat").to_pydict()["n"] == [50]
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM ext_nat WHERE k >= 100"
+    ).to_pydict()["n"] == [25]

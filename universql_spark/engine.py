@@ -189,6 +189,8 @@ class Engine:
         self.dropped_tables: dict[str, "object"] = {}
         #: SEQUENCE objects: name -> [next_base, increment]
         self.sequences: dict[str, list[int]] = {}
+        #: EXTERNAL TABLE registry: name -> {path, fmt, options}
+        self.external_tables: dict[str, dict] = {}
         #: governance: masking/row-access policies applied AT VIEW REFRESH —
         #: a policied table's temp view carries the masking expressions and
         #: row filter, so every consumer (SELECT, CTAS, COPY, stream) sees
@@ -974,6 +976,40 @@ class Engine:
                     shutil.rmtree(old.root, ignore_errors=True)
                 self.dropped_tables[bn] = snap
                 return _status(f"dropped iceberg {bn}")
+            em = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+([\w.\"]+)\s+"
+                r"(?:\(([^)]*)\)\s*)?(?:WITH\s+)?LOCATION\s*=\s*@(\w+)((?:/[^\s(;]*)?)\s*"
+                r"(?:FILE_FORMAT\s*=\s*\(([^)]*)\))?(?:\s+AUTO_REFRESH\s*=\s*\w+)?\s*$",
+                stmt, re.I | re.S,
+            )
+            if em:
+                # EXTERNAL TABLE = a named relation over stage files; each
+                # REFRESH (and creation) re-lists the location, so new files
+                # appear without re-DDL — Snowflake's external-table model
+                bn = bare_name(em.group(1))
+                sname = em.group(3).lower()
+                if sname not in self.stages:
+                    raise QueryError(f"unknown stage @{sname}", "02000")
+                fmt, options = "csv", {"header": "false", "inferSchema": "true"}
+                if em.group(5):
+                    fmt, options = copy_into.parse_format_options(em.group(5))
+                    options = {"inferSchema": "true", **options}
+                # external locations are directory TREES (loaders usually
+                # write dated/partitioned subdirs under the stage)
+                options.setdefault("recursiveFileLookup", "true")
+                self.external_tables[bn] = {
+                    "path": self.stages[sname] + (em.group(4) or ""),
+                    "fmt": fmt,
+                    "options": options,
+                }
+                self._refresh_external_table(bn)
+                return _status(f"external table {bn} created")
+            em = re.match(
+                r"^\s*ALTER\s+EXTERNAL\s+TABLE\s+([\w.\"]+)\s+REFRESH\s*$", stmt, re.I
+            )
+            if em and bare_name(em.group(1)) in self.external_tables:
+                self._refresh_external_table(bare_name(em.group(1)))
+                return _status(f"external table {bare_name(em.group(1))} refreshed")
             sm = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+([\w.\"]+)"
                 r"(?:\s+START\s*(?:WITH\s*)?=?\s*(-?\d+))?"
@@ -1941,6 +1977,15 @@ class Engine:
             return f"FROM '{self.stages[name]}{m.group(2) or ''}'"
 
         return _COPY_STAGE_REF_RE.sub(repl, stmt)
+
+    def _refresh_external_table(self, name: str) -> None:
+        """(Re-)list the external location and re-register the named view —
+        the file index is pinned per refresh, so queries between refreshes
+        see a consistent file set (Snowflake refreshes external-table
+        metadata the same way)."""
+        ext = self.external_tables[name]
+        df = copy_into.read_stage(self.spark, ext["path"], ext["fmt"], ext["options"])
+        df.createOrReplaceTempView(name)
 
     def _resolve_stage_refs(self, stmt: str) -> str:
         """`@stage/path (FILE_FORMAT => f)` in a FROM clause -> temp view over
