@@ -1922,3 +1922,55 @@ def test_external_table_over_stage(spark, sf_dir, tmp_path):
     assert eng.execute(
         "SELECT COUNT(*) AS n FROM ext_nat WHERE k >= 100"
     ).to_pydict()["n"] == [25]
+
+
+def test_select_top_and_group_by_all(engine):
+    """Snowflake `SELECT TOP n` -> LIMIT at the SELECT's own block edge;
+    GROUP BY ALL passes through (native in Spark 4)."""
+    out = engine.execute(
+        "SELECT TOP 3 o_orderkey AS k FROM orders ORDER BY o_orderkey"
+    )
+    assert len(out) == 3
+    # subquery form: the LIMIT must land INSIDE the parens
+    out = engine.execute(
+        "SELECT COUNT(*) AS c FROM "
+        "(SELECT TOP 7 o_orderkey FROM orders ORDER BY o_orderkey) q"
+    )
+    assert out.to_pylist() == [{"c": 7}]
+    # DISTINCT TOP + literal containing 'TOP 3' untouched
+    out = engine.execute(
+        "SELECT DISTINCT TOP 2 'TOP 3' AS s, o_orderpriority FROM orders"
+    )
+    assert len(out) == 2 and out.to_pylist()[0]["s"] == "TOP 3"
+    out = engine.execute(
+        "SELECT o_orderpriority AS p, COUNT(*) AS c FROM orders "
+        "GROUP BY ALL ORDER BY p LIMIT 2"
+    )
+    assert len(out) == 2
+
+
+def test_timestamp_from_parts_and_timeadd(engine):
+    out = engine.execute(
+        "SELECT DATE_FROM_PARTS(2024, 2, 29) AS d, "
+        "TO_VARCHAR(TIMESTAMP_FROM_PARTS(2024, 1, 2, 3, 4, 5, 500000000), "
+        "'YYYY-MM-DD HH24:MI:SS.FF3') AS ts, "
+        "TO_VARCHAR(TIMEADD(hour, 2, TIMESTAMP_FROM_PARTS(2024, 1, 1, 23, 0, 0)), "
+        "'YYYY-MM-DD HH24:MI') AS t2, "
+        "TIMEDIFF(minute, TIMESTAMP_FROM_PARTS(2024, 1, 1, 0, 0, 0), "
+        "TIMESTAMP_FROM_PARTS(2024, 1, 2, 0, 0, 0)) AS md"
+    ).to_pylist()[0]
+    assert str(out["d"]) == "2024-02-29"
+    assert out["ts"] == "2024-01-02 03:04:05.500"
+    assert out["t2"] == "2024-01-02 01:00"
+    assert out["md"] == 1440
+
+
+def test_array_remove_at_zero_based(engine):
+    out = engine.execute(
+        "SELECT ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(10, 20, 30), 0) AS a, "
+        "ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(10, 20, 30), 2) AS b, "
+        "ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(10, 20, 30), -1) AS c, "
+        "ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(10, 20, 30), 9) AS oob"
+    ).to_pylist()[0]
+    assert out["a"] == [20, 30] and out["b"] == [10, 20]
+    assert out["c"] == [10, 20] and out["oob"] == [10, 20, 30]

@@ -108,6 +108,14 @@ _FN_RENAMES = {
     "CHARINDEX": "position",
     "DATEADD": "timestampadd",
     "DATEDIFF": "timestampdiff",
+    # TIMEADD/TIMEDIFF are documented aliases of DATEADD/DATEDIFF
+    "TIMEADD": "timestampadd",
+    "TIMEDIFF": "timestampdiff",
+    # construction from parts (the 7-arg nanosecond TIMESTAMP_FROM_PARTS
+    # form is rewritten in _rewrite_scalar_emulations_r3b first)
+    "DATE_FROM_PARTS": "make_date",
+    "TIMESTAMP_FROM_PARTS": "make_timestamp",
+    "TIMESTAMP_NTZ_FROM_PARTS": "make_timestamp",
     "TO_TIMESTAMP_NTZ": "to_timestamp",
     "SYSDATE": "current_timestamp",
     # array surface (same shape in Spark; arg-order divergences are handled
@@ -726,6 +734,108 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
     return sql
 
 
+def _rewrite_scalar_emulations_r3b(sql: str) -> str:
+    """Continuation ring. Most of this session's surface is NATIVE in both
+    Spark 4.1 and DuckDB (GROUP BY ALL, MEDIAN, MODE, CONVERT_TIMEZONE,
+    ARRAY_APPEND/PREPEND/REMOVE, SOUNDEX, higher-order FILTER/TRANSFORM/
+    REDUCE lambdas, TIMESTAMPADD/DIFF) — only the genuinely divergent bits
+    are rewritten here:
+
+    - TIMESTAMP[_NTZ]_FROM_PARTS 7-arg nanosecond form: Spark make_timestamp
+      takes 6 args with a fractional-seconds DECIMAL — fold ns into seconds.
+      (The 6-arg form is a plain rename, _FN_RENAMES.)
+    - ARRAY_REMOVE_AT(arr, pos): 0-based removal; Spark has no twin —
+      slice-concat around the position (negative = from the end, Snowflake
+      semantics).
+    """
+    sql = _rewrite_calls(
+        sql,
+        "timestamp_from_parts",
+        lambda a: (
+            f"make_timestamp({a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]},"
+            f" CAST(({a[5]}) + ({a[6]}) / 1e9 AS DECIMAL(16,6)))"
+        )
+        if len(a) == 7
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "timestamp_ntz_from_parts",
+        lambda a: (
+            f"make_timestamp({a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]},"
+            f" CAST(({a[5]}) + ({a[6]}) / 1e9 AS DECIMAL(16,6)))"
+        )
+        if len(a) == 7
+        else None,
+    )
+
+    # ARRAY_REMOVE_AT via slice-concat: 0-based pos p -> keep [1..p] and
+    # [p+2..]; negative p counts from the end (p=-1 removes the last element)
+    def remove_at_inline(a):
+        if len(a) != 2:
+            return None
+        arr, pos = a[0].strip(), a[1].strip()
+        p = f"(CASE WHEN ({pos}) < 0 THEN size({arr}) + ({pos}) ELSE ({pos}) END)"
+        return (
+            f"CASE WHEN {p} < 0 OR {p} >= size({arr}) THEN {arr}"
+            f" ELSE concat(slice({arr}, 1, {p}),"
+            f" slice({arr}, {p} + 2, size({arr}) - {p} - 1)) END"
+        )
+
+    sql = _rewrite_calls(sql, "array_remove_at", remove_at_inline)
+    return sql
+
+
+_TOP_RE = re.compile(r"\bSELECT\s+(DISTINCT\s+)?TOP\s+(\d+)\b", re.I)
+
+
+def _rewrite_top(sql: str) -> str:
+    """Snowflake `SELECT [DISTINCT] TOP n <list> ...` -> the same SELECT with
+    ` LIMIT n` appended at the end of that SELECT's own query block (the
+    enclosing close-paren at the SELECT's depth, or end of statement).
+    Literal-aware; nested subqueries inside the block are skipped whole."""
+    while True:
+        # search on a literal-masked copy (offsets preserved) so 'SELECT
+        # TOP 3' inside a string never triggers
+        masked = _STRING_RE.sub(
+            lambda mm: "'" + " " * (len(mm.group(0)) - 2) + "'", sql
+        )
+        m = _TOP_RE.search(masked)
+        if not m:
+            return sql
+        n = m.group(2)
+        head = sql[: m.start()] + "SELECT " + (m.group(1) or "")
+        rest = sql[m.end():]
+        depth = 0
+        end = len(rest)
+        i = 0
+        while i < len(rest):
+            c = rest[i]
+            if c == "'":
+                j = i + 1
+                while j < len(rest):
+                    if rest[j] == "'":
+                        if j + 1 < len(rest) and rest[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                end = i
+                break
+            i += 1
+        sql = head + rest[:end].rstrip() + f" LIMIT {n}" + rest[end:]
+
+
 _STAR_MOD_RE = re.compile(
     r"\*\s+(?=(?:EXCLUDE|RENAME|REPLACE)\b)", re.I
 )
@@ -1308,8 +1418,10 @@ def snowflake_to_spark(sql: str) -> str:
     # the r3 ring runs BEFORE strtok: STRTOK_TO_ARRAY emits an internal
     # regex-char-class split() that the literal-delimiter SPLIT rewrite
     # must never see (it only applies to user-written SPLIT calls)
+    sql = _rewrite_top(sql)
     sql = _rewrite_window_events(sql)
     sql = _rewrite_scalar_emulations_r3(sql)
+    sql = _rewrite_scalar_emulations_r3b(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

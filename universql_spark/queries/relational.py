@@ -1223,3 +1223,136 @@ def fn_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM (SELECT o_orderpriority, HLL_ACCUMULATE(o_custkey) AS sk
       FROM orders GROUP BY o_orderpriority)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# continuation ring 2: TOP/GROUP BY ALL/MEDIAN/MODE/WIDTH_BUCKET, higher-order
+# lambdas + array mutation, datetime construction from parts
+# ---------------------------------------------------------------------------
+
+_SYNTAX_EXT_ORACLE = """SELECT o_orderpriority AS prio,
+       count(*) AS c,
+       median(o_totalprice) AS med_price,
+       mode(CASE WHEN o_orderstatus = 'P' THEN 'pending' ELSE 'settled' END) AS common_status,
+       CAST(CASE WHEN max(o_totalprice) < 0 THEN 0
+                 WHEN max(o_totalprice) >= 600000 THEN 13
+                 ELSE FLOOR(max(o_totalprice) / 50000) + 1 END AS BIGINT) AS bucket_of_max
+FROM orders
+GROUP BY ALL
+ORDER BY prio
+LIMIT 4"""
+
+
+@register(
+    "fn_syntax_ext",
+    _SYNTAX_EXT_ORACLE,
+    category="scalar",
+    doc="SELECT TOP n, GROUP BY ALL, MEDIAN, MODE, WIDTH_BUCKET — verbatim "
+        "Snowflake through the dialect layer",
+)
+def fn_syntax_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake query-syntax ring a real client hits next: `SELECT TOP n`
+    (rewritten to LIMIT at the SELECT's own block edge), `GROUP BY ALL`
+    (native in Spark 4 and DuckDB), MEDIAN/MODE aggregates, WIDTH_BUCKET
+    histogramming (oracle states the bucket arithmetic explicitly — DuckDB
+    1.0 has no width_bucket). MODE input is constructed so one value
+    strictly dominates per group (tie order is engine-defined in both)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT TOP 4 o_orderpriority AS prio,
+       count(*) AS c,
+       MEDIAN(o_totalprice) AS med_price,
+       MODE(IFF(o_orderstatus = 'P', 'pending', 'settled')) AS common_status,
+       WIDTH_BUCKET(MAX(o_totalprice), 0, 600000, 12) AS bucket_of_max
+FROM orders
+GROUP BY ALL
+ORDER BY prio"""
+    )
+
+
+_HOF_ORACLE = """SELECT n_nationkey AS k,
+       list_filter([n_nationkey, n_regionkey, n_nationkey + 10], x -> x % 2 = 0) AS evens,
+       list_transform([n_nationkey, n_regionkey], x -> x * x) AS squares,
+       list_reduce(list_prepend(100, [n_nationkey, n_regionkey]), (a, x) -> a + x) AS total,
+       list_sort([n_regionkey, n_nationkey % 7, 3]) AS sorted_arr,
+       array_append([n_nationkey], n_regionkey) AS appended,
+       array_prepend(n_regionkey, [n_nationkey]) AS prepended,
+       list_filter([n_nationkey, 2, n_nationkey], x -> x != 2) AS removed,
+       list_concat(([n_nationkey, n_regionkey, 7])[1:1],
+                   ([n_nationkey, n_regionkey, 7])[3:3]) AS removed_at1
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_higher_order",
+    _HOF_ORACLE,
+    category="scalar",
+    doc="higher-order lambdas FILTER/TRANSFORM/REDUCE + ARRAY_SORT and the "
+        "ARRAY_APPEND/PREPEND/REMOVE/REMOVE_AT mutation surface",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake higher-order functions (FILTER/TRANSFORM/REDUCE with `x ->`
+    lambdas — Spark-native, whole-stage-codegen'd, no UDFs) plus the array
+    mutation surface: ARRAY_APPEND/ARRAY_PREPEND (same arg order as Spark;
+    DuckDB's array_prepend takes (elem, arr) — handled in the oracle text),
+    ARRAY_REMOVE, and ARRAY_REMOVE_AT (0-based; slice-concat rewrite,
+    dialect._rewrite_scalar_emulations_r3b)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       FILTER(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, n_nationkey + 10), x -> x % 2 = 0) AS evens,
+       TRANSFORM(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), x -> x * x) AS squares,
+       REDUCE(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), 100, (a, x) -> a + x) AS total,
+       ARRAY_SORT(ARRAY_CONSTRUCT(n_regionkey, n_nationkey % 7, 3)) AS sorted_arr,
+       ARRAY_APPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey) AS appended,
+       ARRAY_PREPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey) AS prepended,
+       ARRAY_REMOVE(ARRAY_CONSTRUCT(n_nationkey, 2, n_nationkey), 2) AS removed,
+       ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 1) AS removed_at1
+FROM nation ORDER BY k"""
+    )
+
+
+_DT_PARTS_ORACLE = """SELECT e.event_id AS k,
+       make_date(2020 + e.event_id % 5, 1 + e.event_id % 12, 1 + e.event_id % 28) AS d,
+       strftime(make_timestamp(2024, 3, 15, e.event_id % 24, 30,
+                               (e.event_id % 60) + 0.5), '%Y-%m-%d %H:%M:%S.%f') AS ts7,
+       strftime(e.ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M') AS later,
+       date_diff('minute', e.ts, e.ts + INTERVAL 1 DAY) AS mins,
+       strftime(timezone('America/New_York', timezone('UTC', e.ts)),
+                '%Y-%m-%d %H:%M') AS nyc
+FROM events e ORDER BY k LIMIT 100"""
+
+
+@register(
+    "fn_datetime_parts",
+    _DT_PARTS_ORACLE,
+    category="scalar",
+    doc="DATE_FROM_PARTS / 7-arg TIMESTAMP_FROM_PARTS (ns folded into "
+        "fractional seconds) / TIMEADD / TIMESTAMPDIFF / CONVERT_TIMEZONE",
+)
+def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime construction + zone conversion: DATE_FROM_PARTS ->
+    make_date, TIMESTAMP_FROM_PARTS 7-arg nanosecond form -> make_timestamp
+    with fractional-second folding, TIMEADD (DATEADD alias), TIMESTAMPDIFF,
+    and 3-arg CONVERT_TIMEZONE (wall-clock NTZ conversion — native in Spark
+    4; DuckDB oracle composes two timezone() hops). Outputs are formatted
+    strings per convention #2 (no raw timestamps on the wire)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT e.event_id AS k,
+       DATE_FROM_PARTS(2020 + e.event_id % 5, 1 + e.event_id % 12, 1 + e.event_id % 28) AS d,
+       TO_VARCHAR(TIMESTAMP_FROM_PARTS(2024, 3, 15, e.event_id % 24, 30,
+                                       e.event_id % 60, 500000000),
+                  'YYYY-MM-DD HH24:MI:SS.FF6') AS ts7,
+       TO_VARCHAR(TIMEADD(minute, 90, e.ts), 'YYYY-MM-DD HH24:MI') AS later,
+       TIMESTAMPDIFF(minute, e.ts, TIMEADD(day, 1, e.ts)) AS mins,
+       TO_VARCHAR(CONVERT_TIMEZONE('UTC', 'America/New_York', e.ts),
+                  'YYYY-MM-DD HH24:MI') AS nyc
+FROM events e ORDER BY k LIMIT 100"""
+    )
