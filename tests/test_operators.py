@@ -381,3 +381,66 @@ def test_resize_images_real_bytes(docs):
     # pass-through behavior for non-image payloads
     junk = multimodal.resize_images(multimodal.as_media(docs), 8, 6).collect()
     assert all(r.format == "unknown" and r.content is None for r in junk)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup + quality classifier (continuation)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_k1_equals_brute_force(emb):
+    """With one cluster, SemDeDup's within-cluster comparison IS the global
+    brute force — pairs and survivors must match exactly."""
+    pairs, survivors = similarity.semdedup(emb, k=1, iters=1, threshold=0.45)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert got == brute and len(brute) > 0
+    dropped = {b for (_, b) in brute}
+    surv = {r.id for r in survivors.collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert surv == all_ids - dropped
+
+
+def test_semdedup_clustered_subset_recall(emb):
+    """k>1 pairs are a subset of brute force (never invents a pair) with
+    useful recall: near-dups mostly share a k-means cell."""
+    pairs, _ = similarity.semdedup(emb, k=4, iters=3, threshold=0.45)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert got <= brute
+    assert len(got) >= 0.6 * len(brute), (
+        f"semdedup recall too low: {len(got)}/{len(brute)}"
+    )
+
+
+def test_classifier_deterministic_and_learns(docs):
+    """Decimal-exact gradient accumulation -> bit-identical weights under
+    any partitioning; the loss must drop and the gate must RANK positives
+    above negatives (AUC — a quality gate thresholds at a pacing quantile,
+    so ranking separation is the operative property, not 0.5-calibration)."""
+    from universql_spark.operators import classifier
+
+    label = F.col("text").contains("spark")
+    w1, b1, h1 = classifier.train_quality_classifier(docs, label, dim=128, epochs=5, lr=0.3)
+    w2, b2, h2 = classifier.train_quality_classifier(
+        docs.repartition(7), label, dim=128, epochs=5, lr=0.3
+    )
+    assert w1 == w2 and b1 == b2 and h1 == h2
+    assert h1[-1] < h1[0], f"loss did not decrease: {h1}"
+    scored = classifier.score_documents(docs, w1, b1)
+    rows = (
+        scored.join(docs.select(F.col("doc_id").alias("id"), label.alias("y")), "id")
+        .select("score", "y")
+        .collect()
+    )
+    pos = [r.score for r in rows if r.y]
+    neg = [r.score for r in rows if not r.y]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert auc >= 0.9, f"classifier failed to separate: AUC={auc}"

@@ -521,3 +521,51 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    cluster-then-compare. K-means clusters the embeddings (Lloyd's on the
+    DataFrame API, cluster.train_centroids — driver holds k x dim only),
+    then cosine near-dup pairs are computed WITHIN clusters: the candidate
+    join carries the cluster id as its equi-key, so comparisons are
+    O(sum_c n_c^2), not O(n^2), and the shuffle partitions by cluster.
+    Survivor rule (deterministic): a document is dropped iff it has a
+    near-duplicate with a LOWER id in its cluster — sort-by-id greedy, the
+    common SemDeDup implementation choice (no iterative CC needed).
+
+    At 100 TB: k scales with corpus size (n/k docs per cluster keeps the
+    per-cluster quadratic bounded); the pairwise stage reuses the
+    cluster-id shuffle; nothing driver-side grows past k x dim.
+
+    -> (pairs(cluster, id_a, id_b, cos), survivors(id, cluster))
+    """
+    from universql_spark.operators.cluster import train_centroids
+
+    _, _, assigned = train_centroids(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    base = assigned.select(F.col(id_col).alias("id"), "cluster", F.col(vec_col).alias("vec"))
+    nrm = base.withColumn(
+        "nrm", F.sqrt(F.aggregate(
+            F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+    )
+    a = nrm.select(F.col("id").alias("id_a"), "cluster",
+                   F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"))
+    b = nrm.select(F.col("id").alias("id_b"), F.col("cluster").alias("cluster_b"),
+                   F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"))
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("cluster", "id_a", "id_b", F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    survivors = base.select("id", "cluster").join(dropped, "id", "left_anti")
+    return pairs.orderBy("cluster", "id_a", "id_b"), survivors.orderBy("id")

@@ -1177,3 +1177,95 @@ register_sql(
     "broadcast join of the 1024-row ratio table — no all-pairs, no "
     "driver-side distribution.",
 )
+
+
+# ---------------------------------------------------------------------------
+# continuation: SemDeDup, quality classifier, deterministic global shuffle
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_semantic",
+    None,
+    category="dedup",
+    doc="SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, "
+        "cosine near-dup pairs WITHIN clusters only, drop-the-higher-id "
+        "survivors; rows-only (k-means isn't SQL-expressible) — k=1 "
+        "equality vs the brute-force oracle pinned by "
+        "test_semdedup_k1_equals_brute_force",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-compare semantic dedup: comparisons are O(sum n_c^2)
+    within k-means cells instead of O(n^2), the shuffle keys on cluster id.
+    Output: per-cluster duplicate-pair counts + survivor counts (stable
+    aggregate view of the operator's full result)."""
+    from universql_spark.operators.similarity import semdedup
+
+    pairs, survivors = semdedup(
+        spark.table("embeddings"), k=4, iters=3, threshold=0.45
+    )
+    pc = pairs.groupBy("cluster").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    sc = survivors.groupBy("cluster").agg(F.count("*").alias("n_survivors"))
+    return (
+        sc.join(pc, "cluster", "left")
+        .select(
+            "cluster",
+            "n_survivors",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "text_quality_classifier",
+    None,
+    category="text",
+    doc="hashed-feature logistic regression (fastText-shaped quality "
+        "gate) trained distributed by full-batch GD; rows-only "
+        "(iterative training isn't SQL-expressible) — determinism under "
+        "repartitioning + separability pinned by tests",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a weak-supervision quality gate on the documents table (label:
+    the document mentions the marker token — the fixture's languages share
+    one vocabulary, so a keyword gate is the learnable signal), then score
+    every document distributed. Decimal-exact gradient accumulation makes
+    training bit-deterministic under any partitioning; the driver only ever
+    holds the dim+1 weight vector. Separation (AUC >= 0.9) and determinism
+    pinned by test_classifier_deterministic_and_learns."""
+    from universql_spark.operators.classifier import (
+        score_documents,
+        train_quality_classifier,
+    )
+
+    docs = spark.table("documents")
+    label = F.col("text").contains("spark")
+    w, b, _hist = train_quality_classifier(docs, label, dim=128, epochs=4, lr=0.3)
+    scored = score_documents(docs, w, b)
+    return (
+        scored.join(docs.select(F.col("doc_id").alias("id"), label.alias("y")), "id")
+        .select("id", "y", "score")
+        .orderBy(F.desc("score"), "id")
+        .limit(200)
+    )
+
+
+register_sql(
+    "corpus_shuffle_deterministic",
+    """SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING) || '-shuf42'), doc_id) AS pos
+FROM documents ORDER BY pos LIMIT 500""",
+    oracle="""SELECT doc_id,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '-shuf42'), doc_id) AS pos
+FROM documents ORDER BY pos LIMIT 500""",
+    category="corpus",
+    doc="deterministic global shuffle for training order: sort by "
+        "md5(id || seed) — a seeded pseudorandom permutation both engines "
+        "compute identically; at scale this is a range-partitioned sort on "
+        "the hash key (one shuffle), the standard pre-training shard "
+        "ordering step",
+)
