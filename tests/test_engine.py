@@ -1974,3 +1974,21 @@ def test_array_remove_at_zero_based(engine):
     ).to_pylist()[0]
     assert out["a"] == [20, 30] and out["b"] == [10, 20]
     assert out["c"] == [10, 20] and out["oob"] == [10, 20, 30]
+
+
+def test_object_insert_delete_pick(engine):
+    row = engine.execute(
+        "SELECT OBJECT_INSERT(PARSE_JSON('{\"a\":1,\"b\":2}'), 'z', 42) AS ins, "
+        "OBJECT_INSERT(PARSE_JSON('{\"a\":1,\"b\":2}'), 'b', 99, TRUE) AS upd, "
+        "OBJECT_DELETE(PARSE_JSON('{\"a\":1,\"b\":2,\"c\":3}'), 'b', 'c') AS del, "
+        "OBJECT_PICK(PARSE_JSON('{\"a\":1,\"b\":\"x\",\"c\":{\"d\":2}}'), 'a', 'c') AS pick"
+    ).to_pylist()[0]
+    assert row["ins"] == '{"a":1,"b":2,"z":42}'
+    assert row["upd"] == '{"a":1,"b":99}'
+    assert row["del"] == '{"a":1}'
+    assert row["pick"] == '{"a":1,"c":{"d":2}}'
+    # 3-arg insert on an existing key raises, like Snowflake
+    import pytest as _pytest
+    from universql_spark.engine import QueryError
+    with _pytest.raises(Exception):
+        engine.execute("SELECT OBJECT_INSERT(PARSE_JSON('{\"a\":1}'), 'a', 9) AS x")

@@ -783,6 +783,58 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
         )
 
     sql = _rewrite_calls(sql, "array_remove_at", remove_at_inline)
+
+    # OBJECT_INSERT/DELETE/PICK — VARIANT-object manipulation over the
+    # JSON-text representation, all JVM-side: parse once to
+    # map<string,variant>, filter/concat, serialize back. Key order is
+    # INSERTION order (documented divergence: Snowflake renders object keys
+    # lexicographically; the oracle states the same insertion-order values
+    # with DuckDB's order-preserving json functions).
+    def _obj_map(obj: str) -> str:
+        return f"from_json({obj}, 'map<string,variant>')"
+
+    def _wrap_variant(v: str) -> str:
+        # arbitrary expr -> variant: serialize through a one-field struct.
+        # try_parse_json (not parse_json): the pipeline's trailing
+        # PARSE_JSON strip must not eat this engine-emitted call, and
+        # to_json output is always valid JSON so try_ never fires null.
+        return f"variant_get(try_parse_json(to_json(struct(({v}) AS v))), '$.v')"
+
+    def obj_insert(a):
+        if len(a) not in (3, 4):
+            return None
+        obj, key, val = a[0].strip(), a[1].strip(), a[2].strip()
+        m, wv = _obj_map(obj), _wrap_variant(val)
+        ins = f"to_json(map_concat({m}, map({key}, {wv})))"
+        upd = (
+            f"to_json(map_concat(map_filter({m}, (__k, __v) -> __k != ({key})),"
+            f" map({key}, {wv})))"
+        )
+        exists_err = (
+            f"WHEN map_contains_key({m}, {key})"
+            f" THEN raise_error('OBJECT_INSERT: duplicate key ' || ({key}))"
+        )
+        if len(a) == 3:
+            return f"CASE {exists_err} ELSE {ins} END"
+        u = a[3].strip()
+        return f"CASE WHEN ({u}) THEN {upd} {exists_err} ELSE {ins} END"
+
+    def obj_filter(negate: bool):
+        def rw(a):
+            if len(a) < 2:
+                return None
+            obj = a[0].strip()
+            keys = ", ".join(x.strip() for x in a[1:])
+            op = "NOT " if negate else ""
+            return (
+                f"to_json(map_filter({_obj_map(obj)},"
+                f" (__k, __v) -> {op}__k IN ({keys})))"
+            )
+        return rw
+
+    sql = _rewrite_calls(sql, "object_insert", obj_insert)
+    sql = _rewrite_calls(sql, "object_delete", obj_filter(True))
+    sql = _rewrite_calls(sql, "object_pick", obj_filter(False))
     return sql
 
 

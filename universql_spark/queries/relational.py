@@ -1356,3 +1356,39 @@ def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'YYYY-MM-DD HH24:MI') AS nyc
 FROM events e ORDER BY k LIMIT 100"""
     )
+
+
+_OBJ_OPS_ORACLE = """SELECT event_id,
+       CAST(json_merge_patch(props, json_object('etype', event_type)) AS VARCHAR) AS with_type,
+       CAST(json_merge_patch(props, json_object('k', event_id)) AS VARCHAR) AS k_updated,
+       CAST(json_merge_patch(json_merge_patch(props, '{"tmp":1}'),
+                             '{"tmp":null,"k":null}') AS VARCHAR) AS emptied,
+       CAST(json_object('k', props->'k') AS VARCHAR) AS only_k
+FROM events ORDER BY event_id LIMIT 100"""
+
+
+@register(
+    "fn_object_ops",
+    _OBJ_OPS_ORACLE,
+    category="variant",
+    doc="OBJECT_INSERT (insert/upsert/duplicate-key error) / OBJECT_DELETE "
+        "/ OBJECT_PICK over VARIANT objects — map<string,variant> "
+        "round-trip, all JVM-side",
+)
+def fn_object_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-object manipulation surface: parse once to
+    map<string,variant>, filter/concat, serialize back (no Python, no
+    string surgery — Jackson + codegen'd map ops). Insertion-order key
+    output; 3-arg OBJECT_INSERT raises on duplicate keys like Snowflake
+    (dialect._rewrite_scalar_emulations_r3b)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT event_id,
+       OBJECT_INSERT(props, 'etype', event_type) AS with_type,
+       OBJECT_INSERT(props, 'k', event_id, TRUE) AS k_updated,
+       OBJECT_DELETE(OBJECT_INSERT(props, 'tmp', 1), 'tmp', 'k') AS emptied,
+       OBJECT_PICK(OBJECT_INSERT(props, 'u', user_id), 'k') AS only_k
+FROM events ORDER BY event_id LIMIT 100"""
+    )
