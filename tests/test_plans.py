@@ -216,3 +216,37 @@ def test_stream_changes_fast_path_reads_only_diff_files(spark, sf_dir, tmp_path)
         "change feed scanned unchanged base files"
     )
     assert delta.count() == 3
+
+
+def test_semdedup_within_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's candidate join must be an EQUI-join on the cluster id
+    (shuffle keys on cluster), never a cartesian: the O(sum n_c^2) bound
+    depends on it."""
+    from universql_spark.session import load_table
+    from universql_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs, _ = semdedup(emb, k=4, iters=1, threshold=0.45)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = pairs._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_classifier_gradient_partial_agg(spark, sf_dir):
+    """The per-bucket gradient aggregate must partial-aggregate before the
+    exchange (map-side combine): the shuffle carries at most dim rows per
+    map task, never the posting list."""
+    from pyspark.sql import functions as F
+    from universql_spark.session import load_table
+    from universql_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.hashed_token_features(docs, dim=64)
+    grad = feats.groupBy("bucket").agg(
+        F.sum(F.col("tf").cast("DECIMAL(28,12)")).alias("g")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = grad._jdf.queryExecution().explainString(mode)
+    # two HashAggregate nodes (partial below the Exchange, final above it)
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p
