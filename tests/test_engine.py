@@ -1627,7 +1627,7 @@ def test_client_compat_ring(engine, spark):
     """GRANT/REVOKE/COMMENT accepted honestly; ALTER TABLE RENAME works on
     snapshot tables; SHOW PROCEDURES lists stored procedures."""
     out = engine.execute("GRANT SELECT ON TABLE orders TO ROLE analyst").to_pylist()
-    assert "no-op" in out[0]["status"]
+    assert "not enforced" in out[0]["status"]
     out = engine.execute("COMMENT ON TABLE orders IS 'fact table'").to_pylist()
     assert "comment" in out[0]["status"]
     engine.execute("CREATE OR REPLACE ICEBERG TABLE ren_t AS SELECT 1 AS a")
@@ -1902,7 +1902,10 @@ def test_external_table_over_stage(spark, sf_dir, tmp_path):
     """CREATE EXTERNAL TABLE over a stage location: a named relation whose
     file set re-lists on REFRESH — new files appear without re-DDL."""
     eng = Engine(spark=spark, sf_dir=sf_dir)
-    eng.execute("CREATE STAGE ext_stg")
+    # URL-form stage under tmp_path: a fresh location per run (a bare named
+    # stage persists in the warehouse dir and leaks part2 into the next
+    # session's first COUNT)
+    eng.execute(f"CREATE OR REPLACE STAGE ext_stg URL='file://{tmp_path}'")
     eng.execute(
         "COPY INTO @ext_stg/part1 FROM (SELECT n_nationkey AS k, n_name AS nm FROM nation) "
         "FILE_FORMAT = (TYPE = PARQUET) OVERWRITE = TRUE"
@@ -1992,3 +1995,47 @@ def test_object_insert_delete_pick(engine):
     from universql_spark.engine import QueryError
     with _pytest.raises(Exception):
         engine.execute("SELECT OBJECT_INSERT(PARSE_JSON('{\"a\":1}'), 'a', 9) AS x")
+
+
+def test_warehouse_lifecycle_and_show(engine):
+    engine.execute("CREATE WAREHOUSE etl_wh WAREHOUSE_SIZE = 'LARGE'")
+    engine.execute("USE WAREHOUSE etl_wh")
+    row = engine.execute("SELECT CURRENT_WAREHOUSE() AS w").to_pylist()[0]
+    assert row["w"] == "ETL_WH"
+    rows = {r["name"]: r for r in engine.execute("SHOW WAREHOUSES").to_pylist()}
+    assert rows["ETL_WH"]["size"] == "LARGE" and rows["ETL_WH"]["is_current"] == "Y"
+    engine.execute("ALTER WAREHOUSE etl_wh SUSPEND")
+    rows = {r["name"]: r for r in engine.execute("SHOW WAREHOUSES").to_pylist()}
+    assert rows["ETL_WH"]["state"] == "SUSPENDED"
+    engine.execute("DROP WAREHOUSE etl_wh")
+    rows = {r["name"]: r for r in engine.execute("SHOW WAREHOUSES").to_pylist()}
+    assert "ETL_WH" not in rows
+    # dropping the current warehouse falls back to the engine's own
+    assert engine.execute("SELECT CURRENT_WAREHOUSE() AS w").to_pylist()[0]["w"] == "x-spark"
+
+
+def test_show_grants_records_and_filters(engine):
+    engine.execute("GRANT SELECT ON TABLE orders TO ROLE analyst")
+    engine.execute("GRANT INSERT ON TABLE orders TO ROLE etl")
+    rows = engine.execute("SHOW GRANTS ON orders").to_pylist()
+    assert {(r["privilege"], r["grantee_name"]) for r in rows} >= {
+        ("SELECT", "ANALYST"), ("INSERT", "ETL")}
+    rows = engine.execute("SHOW GRANTS TO ROLE analyst").to_pylist()
+    assert all(r["grantee_name"] == "ANALYST" for r in rows) and rows
+    engine.execute("REVOKE SELECT ON TABLE orders FROM ROLE analyst")
+    rows = engine.execute("SHOW GRANTS TO ROLE analyst").to_pylist()
+    assert ("SELECT", "ORDERS") not in {(r["privilege"], r["name"]) for r in rows}
+
+
+def test_show_parameters_and_query_tag(engine):
+    rows = {r["key"]: r for r in engine.execute("SHOW PARAMETERS LIKE 'TIME%'").to_pylist()}
+    assert "TIMEZONE" in rows and rows["TIMEZONE"]["value"] == "UTC"
+    engine.execute("ALTER SESSION SET QUERY_TAG = 'nightly_etl'")
+    engine.execute("SELECT 1 AS x")
+    assert engine.query_log[-1].get("query_tag") == "nightly_etl"
+    rows = {r["key"]: r for r in engine.execute("SHOW PARAMETERS LIKE 'QUERY_TAG'").to_pylist()}
+    assert rows["QUERY_TAG"]["value"] == "nightly_etl" and rows["QUERY_TAG"]["level"] == "SESSION"
+    out = engine.execute(
+        "SELECT CURRENT_VERSION() AS v, CURRENT_SESSION() AS s"
+    ).to_pylist()[0]
+    assert out["v"] and out["s"]

@@ -205,6 +205,16 @@ class Engine:
         self.session_params: dict[str, str] = {}
         #: Snowflake session variables (SET x = expr; $x references)
         self.session_vars: dict[str, str] = {}
+        #: recorded grants (GRANT/REVOKE ... TO/FROM ROLE) — replayed by
+        #: SHOW GRANTS; a single local engine enforces none of them
+        self.grants: list[dict[str, str]] = []
+        #: WAREHOUSE objects: name -> {"size", "state"}. The engine IS the
+        #: warehouse; the registry exists so clients' CREATE/ALTER/USE/SHOW
+        #: WAREHOUSE round-trips truthfully
+        self.warehouses: dict[str, dict[str, str]] = {
+            "x-spark": {"size": "LOCAL", "state": "STARTED"}
+        }
+        self.current_warehouse = "x-spark"
         #: stored procedures: name -> (param names, scripting-block body)
         self.procedures: dict[str, tuple[list[str], str]] = {}
         #: query id -> result table (RESULT_SCAN surface; bounded ring)
@@ -242,7 +252,11 @@ class Engine:
         try:
             # reference registers CURRENT_WAREHOUSE() returning 'x-duck'
             # (protocol/utils.py:11-18); ours tells the truth about the engine
+            # static registrations for the vanilla spark.sql path (the
+            # engine's _run_select substitutes the live values textually —
+            # a UDF closure must not capture self/SparkContext)
             self.spark.udf.register("current_warehouse", lambda: "x-spark")
+            self.spark.udf.register("current_version", lambda: "8.0.0-spark")
         except Exception:
             pass
         try:
@@ -294,10 +308,13 @@ class Engine:
             dur = time.perf_counter() - t0
             cost = _estimate_cost_usd(dur)
             qid = uuid.uuid4().hex
-            self.query_log.append(
-                {"sql": stmt[:200], "duration_sec": round(dur, 4),
-                 "estimated_cost_usd": round(cost, 8), "query_id": qid}
-            )
+            entry = {"sql": stmt[:200], "duration_sec": round(dur, 4),
+                     "estimated_cost_usd": round(cost, 8), "query_id": qid}
+            # ALTER SESSION SET QUERY_TAG tags subsequent log entries (the
+            # dbt/airflow attribution convention)
+            if self.session_params.get("QUERY_TAG"):
+                entry["query_tag"] = self.session_params["QUERY_TAG"]
+            self.query_log.append(entry)
             # RESULT_SCAN surface: retain the last few result sets by id
             self._results[qid] = result
             self._last_qid = qid
@@ -440,6 +457,65 @@ class Engine:
                 plan = df._jdf.queryExecution().explainString(mode)
                 lines = plan.splitlines()
                 return pa.table({"step": list(range(1, len(lines) + 1)), "plan": lines})
+            wm = re.match(
+                r"^\s*(CREATE|ALTER|DROP|USE)\s+WAREHOUSE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+                r"([\w\"]+)\s*(.*?)\s*$",
+                stmt, re.I | re.S,
+            )
+            if wm:
+                verb, wname, rest = wm.group(1).upper(), wm.group(2).strip('"').upper(), wm.group(3)
+                if verb == "CREATE":
+                    sz = re.search(r"WAREHOUSE_SIZE\s*=\s*'?(\w+)'?", rest, re.I)
+                    self.warehouses[wname] = {
+                        "size": (sz.group(1).upper() if sz else "XSMALL"),
+                        "state": "STARTED",
+                    }
+                    return _status(f"warehouse {wname} created (engine-local: no compute is provisioned)")
+                if wname not in self.warehouses:
+                    raise QueryError(f"warehouse {wname} does not exist", "02000")
+                if verb == "DROP":
+                    if wname == self.current_warehouse:
+                        self.current_warehouse = "x-spark"
+                    del self.warehouses[wname]
+                    return _status(f"warehouse {wname} dropped")
+                if verb == "USE":
+                    self.current_warehouse = wname
+                    return _status(f"warehouse {wname}")
+                if re.match(r"^\s*SUSPEND", rest, re.I):
+                    self.warehouses[wname]["state"] = "SUSPENDED"
+                elif re.match(r"^\s*RESUME", rest, re.I):
+                    self.warehouses[wname]["state"] = "STARTED"
+                else:
+                    sz = re.search(r"WAREHOUSE_SIZE\s*=\s*'?(\w+)'?", rest, re.I)
+                    if sz:
+                        self.warehouses[wname]["size"] = sz.group(1).upper()
+                return _status(f"warehouse {wname} altered")
+            pm = re.match(
+                r"^\s*SHOW\s+PARAMETERS(?:\s+LIKE\s+'([^']*)')?(?:\s+IN\s+SESSION)?\s*$",
+                stmt, re.I,
+            )
+            if pm:
+                from universql_spark.protocol import SESSION_PARAMETERS  # noqa: PLC0415
+
+                params = {p["name"]: str(p["value"]) for p in SESSION_PARAMETERS}
+                defaults = dict(params)
+                params.update(self.session_params)
+                if pm.group(1):
+                    pat = re.compile(
+                        "^" + pm.group(1).replace("%", ".*").replace("_", ".") + "$", re.I
+                    )
+                    params = {k: v for k, v in params.items() if pat.match(k)}
+                keys = sorted(params)
+                return pa.table(
+                    {
+                        "key": keys,
+                        "value": [params[k] for k in keys],
+                        "default": [defaults.get(k, "") for k in keys],
+                        "level": [
+                            "SESSION" if k in self.session_params else "" for k in keys
+                        ],
+                    }
+                )
             if _USE_RE.match(stmt):
                 return self._use(stmt)
             if _TXN_RE.match(stmt):
@@ -455,11 +531,51 @@ class Engine:
                 if k == "TIMEZONE":
                     self.spark.conf.set("spark.sql.session.timeZone", v)
                 return _status(f"session parameter {k} set")
+            gm = re.match(
+                r"^\s*(GRANT|REVOKE)\s+(.+?)\s+ON\s+(?:(TABLE|VIEW|SCHEMA|DATABASE|"
+                r"WAREHOUSE|STAGE|FUNCTION|PROCEDURE)\s+)?([\w.\"]+)\s+"
+                r"(?:TO|FROM)\s+ROLE\s+([\w\"]+)\s*$",
+                stmt, re.I,
+            )
+            if gm:
+                # recorded (SHOW GRANTS replays them) but stated honestly:
+                # a single local engine enforces no access control (the
+                # reference forwards these to Snowflake)
+                rec = {
+                    "privilege": gm.group(2).strip().upper(),
+                    "granted_on": (gm.group(3) or "TABLE").upper(),
+                    "name": bare_name(gm.group(4)).upper(),
+                    "grantee_name": gm.group(5).strip('"').upper(),
+                }
+                if gm.group(1).upper() == "GRANT":
+                    if rec not in self.grants:
+                        self.grants.append(rec)
+                    return _status("grant recorded (access control not enforced)")
+                self.grants = [g for g in self.grants if g != rec]
+                return _status("revoke recorded (access control not enforced)")
             if re.match(r"^\s*(GRANT|REVOKE)\b", stmt, re.I):
-                # accepted for client compat; stated honestly — a single
-                # local engine enforces no access control (the reference
-                # forwards these to Snowflake)
                 return _status("no-op: access control is not enforced by this engine")
+            sg = re.match(
+                r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:\w+\s+)?([\w.\"]+)|\s+TO\s+ROLE\s+([\w\"]+))?\s*$",
+                stmt, re.I,
+            )
+            if sg:
+                rows = self.grants
+                if sg.group(1):
+                    tgt = bare_name(sg.group(1)).upper()
+                    rows = [g for g in rows if g["name"] == tgt]
+                elif sg.group(2):
+                    role = sg.group(2).strip('"').upper()
+                    rows = [g for g in rows if g["grantee_name"] == role]
+                return pa.table(
+                    {
+                        "privilege": [g["privilege"] for g in rows],
+                        "granted_on": [g["granted_on"] for g in rows],
+                        "name": [g["name"] for g in rows],
+                        "granted_to": ["ROLE"] * len(rows),
+                        "grantee_name": [g["grantee_name"] for g in rows],
+                    }
+                )
             if re.match(r"^\s*COMMENT\s+ON\b", stmt, re.I):
                 return _status("comment recorded (no-op)")
             rm2 = re.compile(
@@ -1037,11 +1153,19 @@ class Engine:
                 self._refresh_snap_view(bn)
                 return _status(f"undropped {bn}")
             if re.match(r"^\s*SHOW\s+WAREHOUSES\s*$", stmt, re.I):
-                # client-compat: worksheet UIs issue this at connect; one
-                # truthful row (the engine IS the warehouse here)
+                # client-compat: worksheet UIs issue this at connect; the
+                # registry rows are truthful (the engine IS the warehouse)
+                names = sorted(self.warehouses)
                 return pa.table(
-                    {"name": ["x-spark"], "state": ["STARTED"], "type": ["STANDARD"],
-                     "size": ["LOCAL"]}
+                    {
+                        "name": names,
+                        "state": [self.warehouses[n]["state"] for n in names],
+                        "type": ["STANDARD"] * len(names),
+                        "size": [self.warehouses[n]["size"] for n in names],
+                        "is_current": [
+                            "Y" if n == self.current_warehouse else "N" for n in names
+                        ],
+                    }
                 )
             if _CREATE_VIEW_RE.match(stmt) or _DROP_RE.match(stmt) or _INSERT_RE.match(stmt) or _SHOW_RE.match(stmt):
                 if _INSERT_RE.match(stmt):
@@ -1141,6 +1265,14 @@ class Engine:
         stmt = self._resolve_stage_refs(stmt)
         stmt = re.sub(
             r"\bCURRENT_ROLE\s*\(\s*\)", f"'{self.current_role}'", stmt, flags=re.I
+        )
+        # session-context scalars substitute textually (a UDF closure can't
+        # capture engine state — pickling self would drag the SparkContext)
+        stmt = re.sub(
+            r"\bCURRENT_WAREHOUSE\s*\(\s*\)", f"'{self.current_warehouse}'", stmt, flags=re.I
+        )
+        stmt = re.sub(
+            r"\bCURRENT_SESSION\s*\(\s*\)", f"'{id(self):x}'", stmt, flags=re.I
         )
         stmt = re.sub(
             r"\bSYSTEM\$STREAM_HAS_DATA\s*\(\s*'(\w+)'\s*\)",
