@@ -2039,3 +2039,52 @@ def test_show_parameters_and_query_tag(engine):
         "SELECT CURRENT_VERSION() AS v, CURRENT_SESSION() AS s"
     ).to_pylist()[0]
     assert out["v"] and out["s"]
+
+
+def test_user_and_table_stages(engine, tmp_path):
+    """Implicit stages: `@~` (user) and `@%tbl` (table stage) — the SnowSQL
+    PUT-then-COPY loading idiom works against both without CREATE STAGE."""
+    f = tmp_path / "u.csv"
+    f.write_text("k,v\n1,a\n2,b\n")
+    engine.execute(f"PUT 'file://{f}' @~/up AUTO_COMPRESS = FALSE")
+    rows = engine.execute("LIST @~/up").to_pylist()
+    assert any(r["name"].endswith("u.csv") for r in rows)
+    engine.execute("CREATE OR REPLACE TEMP TABLE tstage_t (k INT, v STRING)")
+    engine.execute(f"PUT 'file://{f}' @%tstage_t AUTO_COMPRESS = FALSE")
+    engine.execute(
+        "COPY INTO tstage_t FROM @%tstage_t FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)"
+    )
+    out = engine.execute("SELECT COUNT(*) AS n FROM tstage_t").to_pylist()
+    assert out == [{"n": 2}]
+    engine.execute("REMOVE @~/up")
+    assert engine.execute("LIST @~/up").to_pylist() == []
+
+
+def test_clustering_information(engine):
+    """SYSTEM$CLUSTERING_INFORMATION from manifest bounds: a CLUSTER BY
+    table's files have disjoint key ranges (depth 1); re-appending the same
+    key range on top degrades depth — the metric must see it."""
+    import json
+
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE clust_t CLUSTER BY (k) AS "
+        "SELECT o_orderkey AS k, o_totalprice AS v FROM orders"
+    )
+    out = engine.execute(
+        "SELECT SYSTEM$CLUSTERING_INFORMATION('clust_t') AS ci"
+    ).to_pylist()[0]["ci"]
+    info = json.loads(out)
+    assert info["cluster_by_keys"] == "LINEAR(k)"
+    assert info["total_partition_count"] >= 1
+    base_depth = info["average_depth"]
+    assert base_depth == 1.0, info  # range-clustered write -> disjoint files
+    # overlap the whole key range: one more file spanning everything
+    engine.execute(
+        "INSERT INTO clust_t SELECT o_orderkey AS k, o_totalprice AS v FROM orders"
+    )
+    out = engine.execute(
+        "SELECT SYSTEM$CLUSTERING_INFORMATION('clust_t', '(k)') AS ci"
+    ).to_pylist()[0]["ci"]
+    info2 = json.loads(out)
+    assert info2["average_depth"] > base_depth, info2
+    engine.execute("DROP TABLE clust_t")

@@ -250,3 +250,34 @@ def test_classifier_gradient_partial_agg(spark, sf_dir):
     p = grad._jdf.queryExecution().explainString(mode)
     # two HashAggregate nodes (partial below the Exchange, final above it)
     assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """Star-join over a partitioned fact: the partition filter is only known
+    at RUNTIME (it comes from the dim's predicate), so the scan must carry a
+    dynamicpruningexpression — at 100 TB this is the difference between
+    scanning one date partition and scanning the table."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators import scale
+    from universql_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    scale.write_partitioned(ev, "dpp_events", "d")
+    dim = ev.select("d").distinct().withColumn("flag", F.dayofmonth("d").cast("int"))
+    dim.write.mode("overwrite").saveAsTable("dpp_dates")
+    # the dim predicate must be LIKELY-SELECTIVE for Catalyst's
+    # PartitionPruning rule (literal comparison/IN/LIKE — a bare boolean
+    # attribute does not qualify)
+    q = (
+        spark.table("dpp_events")
+        .join(spark.table("dpp_dates").filter("flag = 1"), "d")
+        .groupBy("event_type")
+        .count()
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = q._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    assert q.count() > 0
+    spark.sql("DROP TABLE dpp_events")
+    spark.sql("DROP TABLE dpp_dates")

@@ -445,6 +445,7 @@ class Engine:
                      "value": [self.session_vars[n] for n in names]}
                 )
             stmt = self._substitute_vars(stmt)
+            stmt = self._normalize_special_stages(stmt)
             m = self._EXPLAIN_RE.match(stmt)
             if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE", stmt, re.I):
                 # Snowflake EXPLAIN returns plan rows; surface Spark's
@@ -1286,6 +1287,14 @@ class Engine:
             stmt,
             flags=re.I,
         )
+        stmt = re.sub(
+            r"\bSYSTEM\$CLUSTERING_INFORMATION\s*\(\s*'([\w.\"]+)'\s*"
+            r"(?:,\s*'\(?\s*([^')]*?)\s*\)?'\s*)?\)",
+            lambda m: "'" + self._clustering_information(
+                m.group(1), m.group(2)).replace("'", "''") + "'",
+            stmt,
+            flags=re.I,
+        )
         stmt = self._resolve_sequences(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
@@ -1984,6 +1993,72 @@ class Engine:
             if files:
                 con.execute(f"CREATE VIEW {bn} AS SELECT * FROM read_parquet({files!r})")
         return con.execute(stmt).arrow()
+
+    def _clustering_information(self, table: str, cols_arg: str | None) -> str:
+        """SYSTEM$CLUSTERING_INFORMATION('t'[, '(c1, c2)']) -> the JSON
+        report Snowflake returns, computed from the Iceberg manifest bounds
+        (iceberg_format.clustering_information). With no column argument the
+        table's recorded sort order (CLUSTER BY keys) is used."""
+        import json  # noqa: PLC0415
+
+        from universql_spark.iceberg_format import IcebergTable  # noqa: PLC0415
+
+        bn = bare_name(table)
+        snap = self.snap_tables.get(bn)
+        if not isinstance(snap, IcebergTable):
+            raise QueryError(
+                f"SYSTEM$CLUSTERING_INFORMATION: {bn} is not an Iceberg table", "42000"
+            )
+        if cols_arg:
+            cols = [c.strip().strip('"').lower() for c in cols_arg.split(",") if c.strip()]
+        else:
+            _v, meta = snap._read_metadata()
+            order = next(
+                (o for o in meta.get("sort-orders", [])
+                 if o["order-id"] == meta.get("default-sort-order-id")),
+                None,
+            )
+            if not order or not order["fields"]:
+                raise QueryError(
+                    f"{bn} has no clustering key; pass the columns explicitly", "42000"
+                )
+            fields = next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+            by_id = {f["id"]: f["name"] for f in fields}
+            cols = [by_id[f["source-id"]].lower() for f in order["fields"]]
+        try:
+            info = snap.clustering_information(cols)
+        except ValueError as e:
+            raise QueryError(str(e), "42000") from e
+        return json.dumps(info)
+
+    def _normalize_special_stages(self, stmt: str) -> str:
+        """Snowflake's implicit stages: `@~` (user stage) and `@%tbl` (table
+        stage) normalize to auto-created local named stages, so every PUT/
+        LIST/GET/REMOVE/COPY path works on them unchanged (reference scope:
+        snow.py resolves the same three @-forms via DESCRIBE STAGE)."""
+        if "@~" not in stmt and "@%" not in stmt:
+            return stmt
+
+        def ensure(name: str) -> None:
+            if name not in self.stages:
+                path = self._snap_root(f"_stage_{name}")
+                os.makedirs(path, exist_ok=True)
+                self.stages[name] = path
+                self.stage_meta[name] = {"url": path, "aws_key_id": ""}
+
+        def repl_user(m: re.Match) -> str:
+            ensure("user_stage")
+            return "@user_stage" + (m.group(1) or "")
+
+        def repl_table(m: re.Match) -> str:
+            name = f"table_stage_{m.group(1).lower()}"
+            ensure(name)
+            return f"@{name}" + (m.group(2) or "")
+
+        stmt = re.sub(r"@~((?:/[\w.\-/]*)?)", repl_user, stmt)
+        return re.sub(r"@%(\w+)((?:/[\w.\-/]*)?)", repl_table, stmt)
 
     def _local_stage_dir(self, name: str, sub: str) -> str:
         """Local filesystem dir of @name/sub (PUT/LIST/REMOVE operate on

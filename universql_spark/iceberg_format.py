@@ -1067,6 +1067,83 @@ class IcebergTable(SnapshotTable):
                     keep.append(d["file_path"])
         return keep
 
+    def clustering_information(self, cols: list[str], sample_cap: int = 2000) -> dict:
+        """SYSTEM$CLUSTERING_INFORMATION emulation from the manifest bounds
+        (metadata-only — the same [lower, upper] boxes plan_files prunes
+        on). Two files 'overlap' when their bound boxes intersect on EVERY
+        clustering column; 'depth' of a file = how many boxes contain its
+        lower corner (a stabbing count — 1 = perfectly clustered). Snowflake
+        samples partitions for this; we cap at the first ``sample_cap``
+        files so the O(n^2) stays metadata-scale."""
+        _v, meta = self._read_metadata()
+        fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_name = {
+            f["name"].lower(): (f["id"], f["type"])
+            for f in fields
+            if isinstance(f["type"], str)
+        }
+        cols = [c.lower() for c in cols]
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"unknown clustering column {c}")
+        current = next(
+            (s for s in meta.get("snapshots", [])
+             if s["snapshot-id"] == meta.get("current-snapshot-id")),
+            None,
+        )
+        boxes: list[list[tuple]] = []
+        total = 0
+        if current is not None:
+            for mf in _read_avro_records(current["manifest-list"]):
+                if mf.get("content") == 1:
+                    continue
+                for e in _read_avro_records(mf["manifest_path"]):
+                    if e["status"] == _STATUS_DELETED:
+                        continue
+                    total += 1
+                    if len(boxes) >= sample_cap:
+                        continue
+                    d = e["data_file"]
+                    lb = {x["key"]: x["value"] for x in (d.get("lower_bounds") or [])}
+                    ub = {x["key"]: x["value"] for x in (d.get("upper_bounds") or [])}
+                    box = []
+                    for c in cols:
+                        fid, t = by_name[c]
+                        if fid not in lb or fid not in ub:
+                            box = None  # unbounded file overlaps everything
+                            break
+                        box.append((_deser_bound(lb[fid], t), _deser_bound(ub[fid], t)))
+                    boxes.append(box)
+        n = len(boxes)
+
+        def intersects(a, b) -> bool:
+            if a is None or b is None:
+                return True
+            return all(alo <= bhi and blo <= ahi for (alo, ahi), (blo, bhi) in zip(a, b))
+
+        def contains_corner(b, a) -> bool:  # does box b contain a's lower corner
+            if a is None or b is None:
+                return True
+            return all(blo <= alo <= bhi for (alo, _ahi), (blo, bhi) in zip(a, b))
+
+        overlaps = [sum(1 for j in range(n) if j != i and intersects(boxes[i], boxes[j]))
+                    for i in range(n)]
+        depths = [sum(1 for j in range(n) if contains_corner(boxes[j], boxes[i]))
+                  for i in range(n)]
+        hist: dict[str, int] = {}
+        for dep in depths:
+            hist[str(dep)] = hist.get(str(dep), 0) + 1
+        return {
+            "cluster_by_keys": f"LINEAR({', '.join(cols)})",
+            "total_partition_count": total,
+            "sampled_partition_count": n,
+            "average_overlaps": round(sum(overlaps) / n, 4) if n else 0.0,
+            "average_depth": round(sum(depths) / n, 4) if n else 0.0,
+            "partition_depth_histogram": dict(sorted(hist.items(), key=lambda kv: int(kv[0]))),
+        }
+
     def _candidate_files(self, cond_str: str | None) -> list[str] | None:
         conds = parse_simple_conjuncts(cond_str)
         return self.plan_files(conds) if conds else None
