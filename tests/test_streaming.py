@@ -182,3 +182,63 @@ def test_stream_upsert_to_iceberg_cdc(spark, sf_dir, tmp_path):
     batch_df = latest.limit(5)
     assert ingest.commit_upsert_batch(t, batch_df, 0, ["user_id"]) is False
     assert len(t.snapshots()) == n_snaps
+
+
+def test_stream_stream_left_outer_emits_nulls_on_watermark(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows emit immediately;
+    NULL-padded rows for unmatched clicks emit only after the watermark
+    passes the join window — verified by feeding the corpus in one batch
+    and a far-future sentinel in a second batch, which pushes the final
+    watermark past every click's horizon. The stream result must then
+    equal the batch left join exactly."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value", "props"
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "batch1"))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # the sentinel must survive BOTH event_type filters (one view + one
+    # click row): a filtered-out event never reaches the watermark node,
+    # so it would not advance either side's watermark
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "view", max_ts, 0.0, "{}"), (-2, -1, "click", max_ts, 0.0, "{}")],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.coalesce(1).write.parquet(str(src / "batch2"))
+    # flatten into one dir with controlled modification times (the file
+    # source batches by mtime order under maxFilesPerTrigger=1)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for sub in ("batch1", "batch2"):
+        for f in sorted((src / sub).glob("*.parquet")):
+            dest = flat / f"{sub}_{f.name}"
+            dest.write_bytes(f.read_bytes())
+            os.utime(dest, (1_700_000_000 + n, 1_700_000_000 + n))
+            n += 1
+    schema = spark.read.parquet(str(flat)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    out = windows.view_click_attribution_outer(stream)
+    windows.run_append_to_memory(out, "t_attrib_outer")
+    # the sentinel click itself stays in state forever (nothing advances
+    # the watermark past it) — exclude it from both sides
+    got = {
+        tuple(r) for r in spark.table("t_attrib_outer").collect() if r.click_id >= 0
+    }
+    want = {
+        tuple(r)
+        for r in windows.view_click_attribution_outer(ev).collect()
+    }
+    assert got == want, (len(got), len(want))
+    nulls = {r for r in got if r[2] is None}
+    assert nulls, "left outer join must emit null-padded unmatched clicks"

@@ -171,3 +171,45 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination(120)
+
+
+def view_click_attribution_outer(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: every click emits — attributed to the
+    preceding view within `horizon` when one exists, null-padded otherwise.
+    The null-padded rows are the semantically hard part: Spark can only
+    declare 'no view will ever arrive' once the WATERMARK passes the join
+    window's upper bound, so unmatched clicks sit in the state store until
+    eviction and emit in a LATER micro-batch. Both sides' watermarks + the
+    two-sided time bound keep that state finite (same eviction contract as
+    the inner form above)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "view_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+    )
