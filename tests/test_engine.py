@@ -2088,3 +2088,15 @@ def test_clustering_information(engine):
     info2 = json.loads(out)
     assert info2["average_depth"] > base_depth, info2
     engine.execute("DROP TABLE clust_t")
+
+
+def test_get_variant_and_array(engine):
+    row = engine.execute(
+        "SELECT GET(PARSE_JSON('{\"a\": {\"b\": 7}}'), 'a') AS obj_get, "
+        "GET(props, 'k') AS col_get, "
+        "GET(ARRAY_CONSTRUCT(10, 20, 30), 1) AS arr_get "
+        "FROM events ORDER BY event_id LIMIT 1"
+    ).to_pylist()[0]
+    assert row["obj_get"] == '{"b":7}'
+    assert row["col_get"] is not None
+    assert row["arr_get"] == 20  # 0-based, Spark-native = Snowflake semantics

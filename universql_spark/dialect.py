@@ -835,6 +835,19 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
     sql = _rewrite_calls(sql, "object_insert", obj_insert)
     sql = _rewrite_calls(sql, "object_delete", obj_filter(True))
     sql = _rewrite_calls(sql, "object_pick", obj_filter(False))
+
+    # GET(v, 'key'): VARIANT object access with a string key -> JsonPath
+    # (scalars come back unquoted, matching the colon-path convention).
+    # ONLY the string-key form rewrites: GET(arr, i) falls through to
+    # Spark's native 0-based get(), which already matches Snowflake's
+    # array indexing — and rewriting it would break real array columns.
+    def get_rw(a):
+        if len(a) != 2 or not _STRING_RE.fullmatch(a[1].strip()):
+            return None
+        obj, key = a[0].strip(), a[1].strip()
+        return f"get_json_object({obj}, concat('$.', {key}))"
+
+    sql = _rewrite_calls(sql, "get", get_rw)
     return sql
 
 

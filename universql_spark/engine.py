@@ -897,9 +897,23 @@ class Engine:
                 target = self._resolve_name(name)
                 if replace:
                     self.spark.sql(f"DROP TABLE IF EXISTS {target}")
-                self.spark.sql(
-                    snowflake_to_spark(f"CREATE TABLE {target} ({cols}) USING PARQUET")
-                )
+                ddl = snowflake_to_spark(f"CREATE TABLE {target} ({cols}) USING PARQUET")
+                try:
+                    self.spark.sql(ddl)
+                except Exception as e:
+                    # same reclamation rule as the CTAS path: OR REPLACE owns
+                    # the name, so an orphaned managed-table dir left by a
+                    # previous process's dead in-memory catalog is removed
+                    if replace and "LOCATION_ALREADY_EXISTS" in str(e):
+                        lm = re.search(r"location 'file:([^']+)'", str(e))
+                        if not lm:
+                            raise
+                        import shutil  # noqa: PLC0415
+
+                        shutil.rmtree(lm.group(1), ignore_errors=True)
+                        self.spark.sql(ddl)
+                    else:
+                        raise
                 return _status(f"created {name}")
             # snapshot-table lifecycle statements (INSERT/COPY/ALTER/TRUNCATE
             # route to manifest commits; plain tables fall through to Spark)
