@@ -281,3 +281,40 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     assert q.count() > 0
     spark.sql("DROP TABLE dpp_events")
     spark.sql("DROP TABLE dpp_dates")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Catalyst's runtime row-group filtering: a SELECTIVE dim predicate on
+    a shuffle join injects a bloom_filter_agg on the build side and a
+    might_contain probe above the fact scan — at 100 TB this drops most of
+    the fact's rows before the shuffle. Pinned with the size thresholds
+    lowered (the fixtures are far below the production defaults)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from universql_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        q = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        p = q._jdf.queryExecution().explainString(mode)
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
