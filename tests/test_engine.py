@@ -2100,3 +2100,51 @@ def test_get_variant_and_array(engine):
     assert row["obj_get"] == '{"b":7}'
     assert row["col_get"] is not None
     assert row["arr_get"] == 20  # 0-based, Spark-native = Snowflake semantics
+
+
+def test_copy_on_error_continue_and_validation(engine, tmp_path):
+    """COPY copyOptions: VALIDATION_MODE=RETURN_ERRORS dry-runs and returns
+    the rejected records; ON_ERROR=CONTINUE loads the good rows and counts
+    the bad ones; MATCH_BY_COLUMN_NAME loads by name, not position."""
+    f = tmp_path / "mixed.csv"
+    f.write_text("1,a\n2,b\nnotanint,c\n3,d\n")
+    engine.execute("CREATE OR REPLACE TEMP TABLE copt_t (k INT, v STRING)")
+    engine.execute(f"CREATE OR REPLACE STAGE copt_stg URL='file://{tmp_path}'")
+    out = engine.execute(
+        "COPY INTO copt_t FROM @copt_stg/mixed.csv "
+        "FILE_FORMAT = (TYPE = CSV) VALIDATION_MODE = 'RETURN_ERRORS'"
+    ).to_pylist()
+    assert len(out) == 1 and "notanint" in out[0]["rejected_record"]
+    assert engine.execute("SELECT COUNT(*) AS n FROM copt_t").to_pylist() == [{"n": 0}]
+    out = engine.execute(
+        "COPY INTO copt_t FROM @copt_stg/mixed.csv "
+        "FILE_FORMAT = (TYPE = CSV) ON_ERROR = CONTINUE"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 3 and out["errors_seen"] == 1
+    assert out["status"] == "PARTIALLY_LOADED"
+    assert engine.execute("SELECT COUNT(*) AS n FROM copt_t").to_pylist() == [{"n": 3}]
+    # by-name load: source columns reversed vs target order
+    g = tmp_path / "named.csv"
+    g.write_text("v,k\nx,7\n")
+    out = engine.execute(
+        "COPY INTO copt_t FROM @copt_stg/named.csv "
+        "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1) "
+        "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 1
+    row = engine.execute("SELECT k, v FROM copt_t WHERE k = 7").to_pylist()
+    assert row == [{"k": 7, "v": "x"}]
+
+
+def test_infer_schema_table_function(engine, tmp_path):
+    f = tmp_path / "inf.csv"
+    f.write_text("id,name,price\n1,widget,9.5\n2,gadget,11.25\n")
+    engine.execute(f"CREATE OR REPLACE STAGE inf_stg URL='file://{tmp_path}'")
+    rows = engine.execute(
+        "SELECT COLUMN_NAME, TYPE, ORDER_ID FROM "
+        "TABLE(INFER_SCHEMA(LOCATION => '@inf_stg/inf.csv')) ORDER BY ORDER_ID"
+    ).to_pylist()
+    assert [r["COLUMN_NAME"] for r in rows] == ["id", "name", "price"]
+    assert rows[0]["TYPE"].startswith("NUMBER")
+    assert rows[1]["TYPE"].startswith("VARCHAR")
+    assert rows[2]["TYPE"] in ("FLOAT", "DOUBLE", "NUMBER(38,6)")

@@ -231,3 +231,111 @@ def execute_unload(
             1 for f in os.listdir(local) if not f.startswith(("_", "."))
         )
     return pa.table({"rows_unloaded": [n], "files_written": [files]})
+
+
+# -- COPY options beyond FILE_FORMAT (Snowflake copyOptions surface) --------
+
+_COPY_OPT_RE = re.compile(
+    r"\b(ON_ERROR|MATCH_BY_COLUMN_NAME|VALIDATION_MODE|FORCE|PURGE)\s*=\s*"
+    r"('[^']*'|\w+)",
+    re.I,
+)
+
+
+def parse_copy_options(stmt: str) -> dict[str, str]:
+    """COPY's own options (outside FILE_FORMAT=(...)): ON_ERROR,
+    MATCH_BY_COLUMN_NAME, VALIDATION_MODE, FORCE, PURGE — uppercased,
+    unquoted. Reference parity: plugins/snow.py maps the same names."""
+    return {k.upper(): _unq(v).upper() for k, v in _COPY_OPT_RE.findall(stmt)}
+
+
+def _match_by_name(df: DataFrame, target_schema, case_insensitive: bool) -> DataFrame:
+    """MATCH_BY_COLUMN_NAME: project the source onto the target's columns by
+    NAME (instead of position); missing columns become typed NULLs."""
+    from pyspark.sql import functions as F
+
+    src = {(c.lower() if case_insensitive else c): c for c in df.columns}
+    cols = []
+    for f in target_schema.fields:
+        key = f.name.lower() if case_insensitive else f.name
+        if key in src:
+            cols.append(F.col(src[key]).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def execute_copy_with_options(
+    spark: SparkSession, stmt: str, resolve=None
+) -> pa.Table:
+    """COPY INTO with the copyOptions surface. Semantics:
+
+    - VALIDATION_MODE = RETURN_ERRORS: dry run — rows that do not parse
+      against the TARGET's schema come back as (error, rejected_record),
+      nothing is loaded (Snowflake's validation contract).
+    - ON_ERROR = CONTINUE: malformed rows are skipped and counted; the scan
+      stays single-pass (PERMISSIVE read + corrupt-record column, both
+      counts ride the write as Observation metrics). SKIP_FILE degrades to
+      CONTINUE here (row granularity — per-file abort would need one Spark
+      job per file; documented divergence).
+    - MATCH_BY_COLUMN_NAME = CASE_[IN]SENSITIVE: project source onto target
+      columns by name; missing columns load as NULL.
+    - default (ABORT_STATEMENT): the plain execute_copy path.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    copts = parse_copy_options(stmt)
+    table, path, fmt, options = parse_copy(stmt)
+    if resolve is None:
+        from universql_spark.names import resolve_name as resolve
+    target = resolve(table)
+    on_error = copts.get("ON_ERROR", "ABORT_STATEMENT")
+    match_by = copts.get("MATCH_BY_COLUMN_NAME", "NONE")
+    validation = copts.get("VALIDATION_MODE", "")
+
+    needs_schema_read = fmt in ("csv", "json") and (
+        validation == "RETURN_ERRORS" or on_error in ("CONTINUE", "SKIP_FILE")
+    )
+    if needs_schema_read:
+        tschema = spark.table(target).schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        read_schema = StructType(list(tschema.fields) + [StructField("_corrupt", StringType())])
+        reader = (
+            spark.read.options(**{k: v for k, v in options.items() if k != "inferSchema"})
+            .schema(read_schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+        )
+        df = reader.csv(path) if fmt == "csv" else reader.json(path)
+        # corrupt-record pushdown caveat: referencing ONLY _corrupt is
+        # disallowed; always keep the full row alongside
+        df = df.cache()
+        if validation == "RETURN_ERRORS":
+            bad = df.filter(F.col("_corrupt").isNotNull()).select(
+                F.lit("parse error against target schema").alias("error"),
+                F.col("_corrupt").alias("rejected_record"),
+            )
+            out = bad.toArrow()
+            df.unpersist()
+            return out
+        good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        n_bad = df.filter(F.col("_corrupt").isNotNull()).count()
+        obs = Observation()
+        good.observe(obs, F.count(F.lit(1)).alias("n")).write.insertInto(
+            target, overwrite=False
+        )
+        n = obs.get["n"]
+        df.unpersist()
+        return pa.table(
+            {"rows_parsed": [n + n_bad], "rows_loaded": [n],
+             "errors_seen": [n_bad], "status": ["LOADED" if n_bad == 0 else "PARTIALLY_LOADED"]}
+        )
+    if match_by in ("CASE_INSENSITIVE", "CASE_SENSITIVE"):
+        df = read_stage(spark, path, fmt, options)
+        df = _match_by_name(df, spark.table(target).schema, match_by == "CASE_INSENSITIVE")
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.insertInto(target, overwrite=False)
+        return pa.table({"rows_loaded": [obs.get["n"]], "status": ["LOADED"]})
+    return execute_copy(spark, stmt, resolve=resolve)

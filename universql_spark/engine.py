@@ -1217,7 +1217,9 @@ class Engine:
                     snap.append(self._align_to_snap(df, snap.read(self.spark)))
                     self._refresh_snap_view(bn)
                     return pa.table({"rows_loaded": [n], "status": ["LOADED"]})
-                return copy_into.execute_copy(self.spark, stmt, resolve=self._resolve_name)
+                return copy_into.execute_copy_with_options(
+                    self.spark, stmt, resolve=self._resolve_name
+                )
             if _DELETE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
                 snap = self._snap_target(engine_dml._DELETE_RE, sql) or self._adopt_for_dml(
@@ -1273,6 +1275,8 @@ class Engine:
 
     def _run_select(self, stmt: str) -> DataFrame:
         self._refresh_stale_dynamic(stmt)
+        if "infer_schema" in stmt.lower():
+            stmt = self._resolve_infer_schema(stmt)
         stmt = self._resolve_table_functions(stmt)
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
@@ -1856,6 +1860,54 @@ class Engine:
             )
 
         return re.sub(r"\b(\w+)\.NEXTVAL\b", repl, stmt, flags=re.I)
+
+    _INFER_SCHEMA_RE = re.compile(
+        r"\bTABLE\s*\(\s*INFER_SCHEMA\s*\(\s*(.*?)\s*\)\s*\)", re.I | re.S
+    )
+
+    def _resolve_infer_schema(self, stmt: str) -> str:
+        """TABLE(INFER_SCHEMA(LOCATION => '@stage/path' [, FILE_FORMAT =>
+        'name'])) -> rows (COLUMN_NAME, TYPE, NULLABLE, ORDER_ID,
+        FILENAMES): Spark's reader inference over the staged files, typed
+        with Snowflake names — the schema-discovery step before a
+        column-def CREATE TABLE + COPY (Snowflake's INFER_SCHEMA tvf)."""
+        m = self._INFER_SCHEMA_RE.search(stmt)
+        if not m:
+            return stmt
+        args = m.group(1)
+        lm = re.search(r"LOCATION\s*=>\s*'([^']+)'", args, re.I)
+        if not lm:
+            raise QueryError("INFER_SCHEMA requires LOCATION => '@stage/path'", "42000")
+        loc = lm.group(1)
+        fmt, options = "csv", {"header": "true"}
+        fm = re.search(r"FILE_FORMAT\s*=>\s*'(\w+)'", args, re.I)
+        if fm:
+            name = fm.group(1).lower()
+            if name in self.file_formats:
+                fmt, options = self.file_formats[name]
+            else:
+                fmt = name  # bare type name ('parquet', 'csv', 'json', 'avro')
+        if loc.startswith("@"):
+            sname, _, sub = loc[1:].partition("/")
+            base = self.stages.get(sname.lower())
+            if base is None:
+                raise QueryError(f"unknown stage @{sname}", "42000")
+            loc = base.rstrip("/") + ("/" + sub if sub else "")
+        df = copy_into.read_stage(
+            self.spark, loc, fmt, {"inferSchema": "true", **options}
+        )
+        rows = [
+            (f.name, _spark_to_snowflake_type(f.dataType.simpleString()),
+             bool(f.nullable), i + 1, loc)
+            for i, f in enumerate(df.schema.fields)
+        ]
+        view = f"infer_schema_{abs(hash((loc, fmt))) % 10**8}"
+        self.spark.createDataFrame(
+            rows,
+            "COLUMN_NAME string, TYPE string, NULLABLE boolean, "
+            "ORDER_ID int, FILENAMES string",
+        ).createOrReplaceTempView(view)
+        return stmt[: m.start()] + view + stmt[m.end():]
 
     def _resolve_table_functions(self, stmt: str) -> str:
         """Inline SQL UDTF calls: `TABLE(f(a1, a2))` (or bare `f(a1, a2)` in
