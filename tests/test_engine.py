@@ -2148,3 +2148,34 @@ def test_infer_schema_table_function(engine, tmp_path):
     assert rows[0]["TYPE"].startswith("NUMBER")
     assert rows[1]["TYPE"].startswith("VARCHAR")
     assert rows[2]["TYPE"] in ("FLOAT", "DOUBLE", "NUMBER(38,6)")
+
+
+def test_create_table_using_template(engine, tmp_path):
+    f = tmp_path / "tpl.csv"
+    f.write_text("id,label\n1,alpha\n")
+    engine.execute(f"CREATE OR REPLACE STAGE tpl_stg URL='file://{tmp_path}'")
+    engine.execute(
+        "CREATE OR REPLACE TABLE tpl_t USING TEMPLATE ("
+        "SELECT ARRAY_AGG(OBJECT_CONSTRUCT(*)) FROM "
+        "TABLE(INFER_SCHEMA(LOCATION => '@tpl_stg/tpl.csv')))"
+    )
+    rows = engine.execute("DESCRIBE TABLE tpl_t").to_pylist()
+    names = [r[list(r.keys())[0]] for r in rows]
+    assert "id" in names and "label" in names
+    engine.execute(
+        "COPY INTO tpl_t FROM @tpl_stg/tpl.csv "
+        "FILE_FORMAT = (TYPE = CSV SKIP_HEADER = 1)"
+    )
+    assert engine.execute("SELECT COUNT(*) AS n FROM tpl_t").to_pylist() == [{"n": 1}]
+    engine.execute("DROP TABLE tpl_t")
+
+
+def test_show_stages_file_formats_sequences(engine):
+    engine.execute("CREATE OR REPLACE STAGE show_stg")
+    engine.execute("CREATE OR REPLACE FILE FORMAT show_ff TYPE = CSV SKIP_HEADER = 1")
+    engine.execute("CREATE OR REPLACE SEQUENCE show_seq START = 5 INCREMENT = 2")
+    assert any(r["name"] == "SHOW_STG" for r in engine.execute("SHOW STAGES").to_pylist())
+    ffs = {r["name"]: r for r in engine.execute("SHOW FILE FORMATS").to_pylist()}
+    assert ffs.get("SHOW_FF", {}).get("type") == "CSV"
+    seqs = {r["name"]: r for r in engine.execute("SHOW SEQUENCES").to_pylist()}
+    assert seqs.get("SHOW_SEQ", {}).get("next_value") == 5

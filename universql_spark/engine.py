@@ -885,6 +885,33 @@ class Engine:
             ctas = _CTAS_RE.match(stmt)
             if ctas:
                 return self._ctas(ctas)
+            tm = re.match(
+                r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+"
+                r"([\w.\"]+)\s+USING\s+TEMPLATE\s*\((.*)\)\s*$",
+                stmt, re.I | re.S,
+            )
+            if tm:
+                # CREATE TABLE ... USING TEMPLATE (SELECT ARRAY_AGG(
+                # OBJECT_CONSTRUCT(*)) FROM TABLE(INFER_SCHEMA(...))) — the
+                # companion idiom to INFER_SCHEMA: the discovered schema
+                # becomes the column definitions. The wrapper query shape is
+                # fixed in practice, so the INFER_SCHEMA call is extracted
+                # and consulted directly instead of evaluating the ARRAY_AGG.
+                im = self._INFER_SCHEMA_RE.search(tm.group(4))
+                if not im:
+                    raise QueryError(
+                        "USING TEMPLATE expects TABLE(INFER_SCHEMA(...)) in its query",
+                        "42000",
+                    )
+                probe = self._resolve_infer_schema(f"SELECT * FROM {im.group(0)}")
+                cols_rows = self.spark.sql(probe + " ORDER BY ORDER_ID").collect()
+                col_defs = ", ".join(
+                    f"`{r['COLUMN_NAME']}` {r['TYPE']}" for r in cols_rows
+                )
+                return self._execute_one(
+                    f"CREATE {tm.group(1) or ''}{tm.group(2) or ''}TABLE "
+                    f"{tm.group(3)} ({col_defs})"
+                )
             cm = _CREATE_TABLE_COLS_RE.match(stmt)
             if cm:
                 # column-definition CREATE TABLE (the reference's DDL->DuckDB
@@ -1167,6 +1194,34 @@ class Engine:
                 self.snap_tables[bn] = snap
                 self._refresh_snap_view(bn)
                 return _status(f"undropped {bn}")
+            if re.match(r"^\s*SHOW\s+STAGES\s*$", stmt, re.I):
+                names = sorted(self.stages)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in names],
+                        "url": [self.stage_meta.get(n, {}).get("url", self.stages[n])
+                                for n in names],
+                        "type": ["EXTERNAL" if "://" in self.stages[n] else "INTERNAL"
+                                 for n in names],
+                    }
+                )
+            if re.match(r"^\s*SHOW\s+FILE\s+FORMATS\s*$", stmt, re.I):
+                names = sorted(self.file_formats)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in names],
+                        "type": [self.file_formats[n][0].upper() for n in names],
+                    }
+                )
+            if re.match(r"^\s*SHOW\s+SEQUENCES\s*$", stmt, re.I):
+                names = sorted(self.sequences)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in names],
+                        "next_value": [self.sequences[n][0] for n in names],
+                        "interval": [self.sequences[n][1] for n in names],
+                    }
+                )
             if re.match(r"^\s*SHOW\s+WAREHOUSES\s*$", stmt, re.I):
                 # client-compat: worksheet UIs issue this at connect; the
                 # registry rows are truthful (the engine IS the warehouse)
