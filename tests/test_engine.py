@@ -2179,3 +2179,15 @@ def test_show_stages_file_formats_sequences(engine):
     assert ffs.get("SHOW_FF", {}).get("type") == "CSV"
     seqs = {r["name"]: r for r in engine.execute("SHOW SEQUENCES").to_pylist()}
     assert seqs.get("SHOW_SEQ", {}).get("next_value") == 5
+
+
+def test_table_flatten_form_and_show_objects(engine):
+    out = engine.execute(
+        "SELECT f.value::int AS v FROM TABLE(FLATTEN(input => ARRAY_CONSTRUCT(3, 1, 2))) f ORDER BY v"
+    ).to_pylist()
+    assert [r["v"] for r in out] == [1, 2, 3]
+    rows = engine.execute("SHOW TERSE OBJECTS").to_pylist()
+    assert any(r["name"] == "ORDERS" for r in rows)
+    assert {"name", "kind", "database_name", "schema_name"} <= set(rows[0].keys())
+    rows = engine.execute("SHOW OBJECTS LIKE 'ord%'").to_pylist()
+    assert {r["name"] for r in rows} == {"ORDERS"}

@@ -1461,7 +1461,19 @@ def snowflake_to_spark(sql: str) -> str:
     sql = _rewrite_generator(sql)
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
     sql = strip_table_wrapper(sql)
+    # TABLE(FLATTEN(...)) — the table-function spelling of LATERAL FLATTEN;
+    # normalize to the LATERAL form the flatten rewriter handles
+    sql = _rewrite_calls(
+        sql,
+        "table",
+        lambda a: f"LATERAL {a[0].strip()}"
+        if len(a) == 1 and re.match(r"(?is)^\s*FLATTEN\s*\(", a[0])
+        else None,
+    )
     sql = rewrite_flatten(sql)
+    # solo FROM TABLE(FLATTEN(...)): Spark's LATERAL VIEW needs a base
+    # relation — synthesize the one-row table Snowflake implies
+    sql = re.sub(r"(?i)\bFROM\s+LATERAL\s+VIEW\b", "FROM (SELECT 1) LATERAL VIEW", sql)
     sql = rewrite_qualify(sql)
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
     sql = _IDENTIFIER_RE.sub(lambda m: m.group(1), sql)

@@ -1194,6 +1194,43 @@ class Engine:
                 self.snap_tables[bn] = snap
                 self._refresh_snap_view(bn)
                 return _status(f"undropped {bn}")
+            om = re.match(
+                r"^\s*SHOW\s+(?:TERSE\s+)?OBJECTS"
+                r"(?:\s+LIKE\s+'([^']*)')?"
+                r"(?:\s+IN\s+(?:SCHEMA\s+|DATABASE\s+)?([\w.\"]+))?\s*$",
+                stmt, re.I,
+            )
+            if om:
+                # dbt's connect-time call (`SHOW TERSE OBJECTS IN ...`):
+                # tables + views from the Spark catalog, Snowflake column set
+                db = None
+                if om.group(2):
+                    parts = [p.strip('"') for p in split_ident(om.group(2))]
+                    db = parts[-1].lower()
+                tables = self.spark.catalog.listTables(db) if db else self.spark.catalog.listTables()
+                like = om.group(1)
+                pat = (
+                    re.compile("^" + like.replace("%", ".*").replace("_", ".") + "$", re.I)
+                    if like
+                    else None
+                )
+                rows = [
+                    (t.name.upper(),
+                     "VIEW" if t.tableType in ("VIEW", "TEMPORARY") else "TABLE",
+                     (t.database or db or self.current_database or "default").upper(),
+                     "PUBLIC")
+                    for t in tables
+                    if pat is None or pat.match(t.name)
+                ]
+                rows.sort()
+                return pa.table(
+                    {
+                        "name": [r[0] for r in rows],
+                        "kind": [r[1] for r in rows],
+                        "database_name": [r[2] for r in rows],
+                        "schema_name": [r[3] for r in rows],
+                    }
+                )
             if re.match(r"^\s*SHOW\s+STAGES\s*$", stmt, re.I):
                 names = sorted(self.stages)
                 return pa.table(
