@@ -444,3 +444,19 @@ def test_classifier_deterministic_and_learns(docs):
     ties = sum(1 for p in pos for n in neg if p == n)
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert auc >= 0.9, f"classifier failed to separate: AUC={auc}"
+
+
+def test_compression_ratio_signal(spark, docs):
+    """Repetitive text compresses far better than high-entropy text, and
+    every ratio is positive and bounded."""
+    from universql_spark.operators import textops
+
+    rows = textops.compression_ratio(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(0 < r.ratio <= 1.5 for r in rows)
+    synth = spark.createDataFrame(
+        [(1, "spam " * 400), (2, "".join(chr(33 + (i * 37) % 90) for i in range(2000)))],
+        "doc_id long, text string",
+    )
+    by_id = {r.id: r.ratio for r in textops.compression_ratio(synth).collect()}
+    assert by_id[1] < 0.05 < by_id[2]

@@ -138,3 +138,38 @@ def repetition_signals(docs, text_col: str = "text", id_col: str = "doc_id"):
         dup_frac.alias("dup_frac"),
         (dup_frac >= 0.2).alias("repetitive"),
     )
+
+
+def compression_ratio(
+    docs: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """(id, n_bytes, ratio): zlib-compressed size / raw size per document —
+    the cheap repetitiveness signal web-corpus pipelines gate on (highly
+    compressible text = boilerplate/repetition; near-1.0 = high-entropy).
+
+    This is a legitimate Pandas-UDF case: no JVM builtin runs a general
+    compressor, so the codec runs in Arrow-batched mapInPandas — one Python
+    invocation per BATCH, narrow plan (no shuffle), output is 3 scalar
+    columns so nothing wide crosses back."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    src = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def kernel(batches):
+        import zlib  # noqa: PLC0415
+
+        for pdf in batches:
+            raw = pdf["t"].fillna("").str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n,
+                    "ratio": (comp / n.clip(lower=1)).round(4),
+                }
+            )
+
+    return src.mapInPandas(kernel, "id long, n_bytes long, ratio double")

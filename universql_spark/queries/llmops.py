@@ -1269,3 +1269,26 @@ FROM documents ORDER BY pos LIMIT 500""",
         "the hash key (one shuffle), the standard pre-training shard "
         "ordering step",
 )
+
+
+@register(
+    "text_compression_ratio",
+    None,
+    category="text",
+    doc="zlib compression-ratio repetitiveness signal (Dolma/RefinedWeb-"
+        "style quality gate); rows-only (no SQL zlib) — monotonicity vs "
+        "synthetic repetition pinned by test_compression_ratio_signal",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib ratio over an Arrow-batched mapInPandas kernel
+    (narrow plan, one Python call per batch); joined back to lang for the
+    gate-by-quantile view a pipeline would threshold on."""
+    from universql_spark.operators.textops import compression_ratio
+
+    docs = spark.table("documents")
+    return (
+        compression_ratio(docs)
+        .join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .select("id", "lang", "n_bytes", "ratio")
+        .orderBy("id")
+    )
