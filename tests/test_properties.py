@@ -163,3 +163,46 @@ def test_components_random_graphs_match_union_find(spark):
             for r in components.connected_components(nodes, edf).collect()
         }
         assert got == want, f"trial {trial}: n={n}, edges={edges}"
+
+
+# -- SELECT TOP rewrite -------------------------------------------------------
+
+_ident = st.text(alphabet=st.sampled_from(list("abcxyz")), min_size=1, max_size=6)
+
+
+@st.composite
+def _top_query(draw, depth=0):
+    """Random SELECTs with TOP at arbitrary nesting + literals that contain
+    'SELECT TOP n' text (which must never trigger the rewrite)."""
+    n = draw(st.integers(1, 99))
+    col = draw(_ident)
+    has_top = draw(st.booleans())
+    lit = draw(st.booleans())
+    inner = ""
+    if depth < 2 and draw(st.booleans()):
+        sub = draw(_top_query(depth=depth + 1))
+        inner = f", ({sub}) q{depth}"
+    sel = f"SELECT {'TOP ' + str(n) + ' ' if has_top else ''}{col}"
+    if lit:
+        sel += ", 'SELECT TOP 7 trap' AS s"
+    return f"{sel} FROM t{inner} ORDER BY {col}"
+
+
+@given(_top_query())
+@settings(max_examples=120, deadline=None)
+def test_top_rewrite_structure_preserved(q):
+    from universql_spark.dialect import _STRING_RE, _rewrite_top
+
+    out = _rewrite_top(q)
+    # balanced parens preserved
+    assert out.count("(") == out.count(")")
+    # every literal survives byte-for-byte (incl. the 'SELECT TOP 7 trap')
+    assert sorted(_STRING_RE.findall(q)) == sorted(_STRING_RE.findall(out))
+    # no TOP remains outside literals; each removed TOP n became a LIMIT n
+    masked = _STRING_RE.sub("''", q)
+    out_masked = _STRING_RE.sub("''", out)
+    import re as _re
+
+    tops = _re.findall(r"\bTOP\s+(\d+)", masked)
+    assert not _re.search(r"\bTOP\s+\d+", out_masked)
+    assert sorted(tops) == sorted(_re.findall(r"\bLIMIT\s+(\d+)", out_masked))
