@@ -742,3 +742,60 @@ def test_clone_carries_deletes_and_schema(spark, tmp_path):
     got = {r["id"]: r["val"] for r in c.read(spark).collect()}
     assert got == {i: i * 10 for i in range(2, 8)}
     assert c.read(spark).columns == ["id", "val"]
+
+
+def test_partition_evolution_add_drop_field(spark, tmp_path):
+    """Partition evolution is metadata-only: ADD PARTITION FIELD never
+    rewrites old files (they stay un-prunable on the new field —
+    conservative), while files written AFTER the evolution lay out by the
+    new spec and prune immediately. DROP PARTITION FIELD reverts the same
+    way."""
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(20)], ["id", "grp", "v"]
+    )
+    t = IcebergTable.create(str(tmp_path / "pe"), df)  # unpartitioned
+    old_files = set(t.current_files())
+    assert old_files
+
+    t.add_partition_field("grp")
+    _v, meta = t._read_metadata()
+    assert meta["default-spec-id"] == 1
+    assert [f["name"] for f in meta["partition-specs"][1]["fields"]] == ["grp"]
+    # metadata-only: the data files are untouched
+    assert set(t.current_files()) == old_files
+
+    df2 = spark.createDataFrame(
+        [(100 + i, "AB"[i % 2], float(i)) for i in range(20)], ["id", "grp", "v"]
+    )
+    t.append(df2)
+    all_files = set(t.current_files())
+    new_files = all_files - old_files
+    assert len(new_files) >= 2  # one per partition value at least
+
+    pruned = set(t.plan_files([("grp", "=", "A")]))
+    # every OLD file survives (null partition value -> cannot prune);
+    # among NEW files only the A-partition ones survive
+    assert old_files <= pruned
+    new_kept = pruned & new_files
+    assert new_kept and new_kept < new_files
+    for p in new_kept:
+        vals = {r.grp for r in spark.read.parquet(p).collect()}
+        assert vals == {"A"}
+
+    # rows are intact across the evolution
+    assert t.read(spark).count() == 40
+
+    t.drop_partition_field("grp")
+    _v, meta = t._read_metadata()
+    assert meta["default-spec-id"] == 2
+    assert meta["partition-specs"][2]["fields"] == []
+    t.append(spark.createDataFrame([(999, "Z", 0.0)], ["id", "grp", "v"]))
+    assert t.read(spark).count() == 41
+    # no spec fields left, but manifest COLUMN BOUNDS still skip files
+    # whose [lower, upper] excludes 'A' — the pruned set must cover every
+    # A-bearing file and stay within the live set
+    pruned = set(t.plan_files([("grp", "=", "A")]))
+    assert pruned <= set(t.current_files())
+    a_rows = t.read(spark).filter("grp = 'A'").count()
+    assert a_rows == 20
+    assert spark.read.parquet(*pruned).filter("grp = 'A'").count() == a_rows

@@ -1040,6 +1040,36 @@ class Engine:
                 self.snap_tables[bn].drop_column(dm.group(2).lower())
                 self._refresh_snap_view(bn)
                 return _status(f"altered iceberg {bn}")
+            pm2 = re.match(
+                r"^\s*ALTER\s+(?:ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+(ADD|DROP)\s+"
+                r"PARTITION\s+FIELD\s+(?:(\w+)\s*\(\s*(\w+)\s*\)|(\w+))\s*$",
+                stmt, re.I,
+            )
+            if pm2 and bare_name(pm2.group(1)) in self.snap_tables:
+                # partition evolution (Iceberg spec): a new default spec,
+                # metadata-only — old files are never rewritten
+                from universql_spark.iceberg_format import IcebergTable  # noqa: PLC0415
+
+                bn = bare_name(pm2.group(1))
+                snap = self.snap_tables[bn]
+                if not isinstance(snap, IcebergTable):
+                    raise QueryError(
+                        f"{bn} is not an Iceberg table (partition evolution "
+                        "needs the metadata chain)", "42000",
+                    )
+                try:
+                    if pm2.group(2).upper() == "ADD":
+                        if pm2.group(3):  # transform(col) form
+                            snap.add_partition_field(
+                                pm2.group(4), transform=pm2.group(3).lower()
+                            )
+                        else:
+                            snap.add_partition_field(pm2.group(5))
+                    else:
+                        snap.drop_partition_field(pm2.group(4) or pm2.group(5))
+                except ValueError as e:
+                    raise QueryError(str(e), "42000") from e
+                return _status(f"partition spec of {bn} evolved")
             bm = re.match(
                 r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
                 r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?\s*$",

@@ -651,6 +651,98 @@ class IcebergTable(SnapshotTable):
                 return
         raise CommitConflict(f"set_property({key}) lost the commit race {MAX_COMMIT_RETRIES} times")
 
+    def add_partition_field(
+        self, source_col: str, transform: str = "identity", name: str | None = None
+    ) -> None:
+        """Partition evolution (spec §Partition Evolution): append a NEW
+        spec (spec-id max+1) with the current default's fields plus one, and
+        make it the default — a metadata-only commit. Old data files are
+        NEVER rewritten: they keep their original layout, their partition
+        tuples simply carry null for the new field, and plan_files treats a
+        null partition value as un-prunable (conservative, correct). New
+        writes lay data out by the new spec, so pruning on the new field
+        applies to new files immediately."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            fields = next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+            src = next(
+                (f for f in fields if f["name"].lower() == source_col.lower()), None
+            )
+            if src is None:
+                raise ValueError(f"unknown partition source column {source_col}")
+            specs = meta.setdefault("partition-specs", [{"spec-id": 0, "fields": []}])
+            cur = next(
+                (s for s in specs if s["spec-id"] == meta.get("default-spec-id", 0)),
+                {"fields": []},
+            )
+            if any(
+                pf["source-id"] == src["id"] and pf.get("transform", "identity") == transform
+                for pf in cur.get("fields", [])
+            ):
+                raise ValueError(
+                    f"partition field {transform}({source_col}) already in the default spec"
+                )
+            fid = meta.get("last-partition-id", 999) + 1
+            fname = name or (
+                src["name"].lower()
+                if transform == "identity"
+                else f"{src['name'].lower()}_{transform.replace('[', '_').rstrip(']')}"
+            )
+            new_spec = {
+                "spec-id": max(s["spec-id"] for s in specs) + 1,
+                "fields": [dict(pf) for pf in cur.get("fields", [])]
+                + [
+                    {
+                        "name": fname,
+                        "transform": transform,
+                        "source-id": src["id"],
+                        "field-id": fid,
+                    }
+                ],
+            }
+            specs.append(new_spec)
+            meta["default-spec-id"] = new_spec["spec-id"]
+            meta["last-partition-id"] = fid
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            if self._cas_write_version(v, meta):
+                return
+        raise CommitConflict("add_partition_field lost the commit race")
+
+    def drop_partition_field(self, name_or_source: str) -> None:
+        """Partition evolution, removal direction: a new default spec
+        WITHOUT the field (matched by partition-field name or source
+        column). Metadata-only; existing files keep their layout."""
+        for _ in range(MAX_COMMIT_RETRIES):
+            v, meta = self._read_metadata()
+            fields = next(
+                s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+            by_id = {f["id"]: f["name"].lower() for f in fields}
+            specs = meta.get("partition-specs", [])
+            cur = next(
+                (s for s in specs if s["spec-id"] == meta.get("default-spec-id", 0)),
+                {"fields": []},
+            )
+            key = name_or_source.lower()
+            keep = [
+                pf for pf in cur.get("fields", [])
+                if pf["name"].lower() != key and by_id.get(pf["source-id"]) != key
+            ]
+            if len(keep) == len(cur.get("fields", [])):
+                raise ValueError(f"no partition field {name_or_source} in the default spec")
+            new_spec = {
+                "spec-id": max(s["spec-id"] for s in specs) + 1,
+                "fields": keep,
+            }
+            specs.append(new_spec)
+            meta["default-spec-id"] = new_spec["spec-id"]
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            if self._cas_write_version(v, meta):
+                return
+        raise CommitConflict("drop_partition_field lost the commit race")
+
     # -- commit (one new metadata version per operation) -------------------
 
     def _part_spec_fields(self, meta: dict | None = None) -> list[tuple[str, str, int]]:
@@ -790,7 +882,7 @@ class IcebergTable(SnapshotTable):
         return mpath, {
             "manifest_path": mpath,
             "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 0,  # data
             "sequence_number": seq,
             "min_sequence_number": min_seq,
