@@ -2191,3 +2191,23 @@ def test_table_flatten_form_and_show_objects(engine):
     assert {"name", "kind", "database_name", "schema_name"} <= set(rows[0].keys())
     rows = engine.execute("SHOW OBJECTS LIKE 'ord%'").to_pylist()
     assert {r["name"] for r in rows} == {"ORDERS"}
+
+
+def test_alter_partition_field_via_engine(engine):
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE pe_eng AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation"
+    )
+    engine.execute("ALTER TABLE pe_eng ADD PARTITION FIELD r")
+    engine.execute(
+        "INSERT INTO pe_eng SELECT n_nationkey + 100, n_regionkey, n_name FROM nation"
+    )
+    out = engine.execute("SELECT COUNT(*) AS n FROM pe_eng WHERE r = 2").to_pylist()[0]
+    assert out["n"] == 10  # 5 per copy of nation at sf0.001 (25 rows, 5 regions)
+    snap = engine.snap_tables["pe_eng"]
+    _v, meta = snap._read_metadata()
+    assert meta["default-spec-id"] == 1
+    engine.execute("ALTER TABLE pe_eng DROP PARTITION FIELD r")
+    _v, meta = snap._read_metadata()
+    assert meta["default-spec-id"] == 2
+    engine.execute("DROP TABLE pe_eng")
