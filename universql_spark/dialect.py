@@ -848,6 +848,30 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
         return f"get_json_object({obj}, concat('$.', {key}))"
 
     sql = _rewrite_calls(sql, "get", get_rw)
+
+    # bitwise scalar surface (Spark's BIT* names are aggregates; the
+    # scalar forms map to operators) + null-safe equality
+    sql = _rewrite_calls(
+        sql, "equal_null", lambda a: f"(({a[0]}) <=> ({a[1]}))" if len(a) == 2 else None
+    )
+    sql = _rewrite_calls(
+        sql, "bitshiftleft",
+        lambda a: f"shiftleft({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "bitshiftright",
+        lambda a: f"shiftright({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    for fn, op in (("bitand", "&"), ("bitor", "|"), ("bitxor", "^")):
+        sql = _rewrite_calls(
+            sql, fn,
+            lambda a, op=op: f"(({a[0]}) {op} ({a[1]}))" if len(a) == 2 else None,
+        )
+    sql = _rewrite_calls(sql, "bitnot", lambda a: f"(~({a[0]}))" if len(a) == 1 else None)
+    sql = _rewrite_calls(
+        sql, "getbit",
+        lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)" if len(a) == 2 else None,
+    )
     return sql
 
 

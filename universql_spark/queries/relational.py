@@ -1392,3 +1392,42 @@ def fn_object_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
        OBJECT_PICK(OBJECT_INSERT(props, 'u', user_id), 'k') AS only_k
 FROM events ORDER BY event_id LIMIT 100"""
     )
+
+
+_BITS_ORACLE = """SELECT n_nationkey AS k,
+       (n_nationkey = n_regionkey) OR (n_nationkey IS NULL AND n_regionkey IS NULL) AS eqn,
+       CAST(n_nationkey * 4 AS BIGINT) AS shl,
+       CAST(n_nationkey // 2 AS BIGINT) AS shr,
+       CAST(n_nationkey & 5 AS BIGINT) AS band,
+       CAST(n_nationkey | 8 AS BIGINT) AS bor,
+       CAST(xor(n_nationkey, 3) AS BIGINT) AS bxor,
+       CAST((n_nationkey // 4) & 1 AS BIGINT) AS bit2
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_bitwise_ext",
+    _BITS_ORACLE,
+    category="scalar",
+    doc="EQUAL_NULL + scalar BITSHIFTLEFT/RIGHT, BITAND/BITOR/BITXOR, "
+        "GETBIT — verbatim Snowflake through the dialect layer",
+)
+def fn_bitwise_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bitwise surface (Spark's BIT* names are aggregates, so the
+    scalar forms rewrite to operators) + EQUAL_NULL null-safe equality
+    (-> Spark's <=>). Oracle states the same values with DuckDB arithmetic
+    (shifts as *4 and //2 on the small key domain)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       EQUAL_NULL(n_nationkey, n_regionkey) AS eqn,
+       BITSHIFTLEFT(n_nationkey, 2) AS shl,
+       BITSHIFTRIGHT(n_nationkey, 1) AS shr,
+       BITAND(n_nationkey, 5) AS band,
+       BITOR(n_nationkey, 8) AS bor,
+       BITXOR(n_nationkey, 3) AS bxor,
+       GETBIT(n_nationkey, 2) AS bit2
+FROM nation ORDER BY k"""
+    )
