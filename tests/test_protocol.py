@@ -253,3 +253,47 @@ def _query_body(client, token, body):
         json=body,
         headers={"Authorization": f'Snowflake Token="{token}"'},
     ).get_json()
+
+
+def test_async_query_lifecycle(client):
+    """execute_async contract: submit with asyncExec -> code 333334 +
+    queryId; poll monitoring until SUCCEEDED; fetch the full Arrow result
+    from /queries/<id>/result."""
+    import time
+
+    token = _login(client)
+    r = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "SELECT COUNT(*) AS n FROM orders", "asyncExec": True},
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    ).get_json()
+    assert r["success"] and r["code"] == "333334"
+    qid = r["data"]["queryId"]
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    for _ in range(120):
+        st = client.get(f"/monitoring/queries/{qid}", headers=hdr).get_json()
+        status = st["data"]["queries"][0]["status"]
+        if status != "RUNNING":
+            break
+        time.sleep(0.25)
+    assert status == "SUCCEEDED", status
+    res = client.get(f"/queries/{qid}/result", headers=hdr).get_json()
+    assert res["success"]
+    buf = base64.b64decode(res["data"]["rowsetBase64"])
+    table = pa.ipc.open_stream(io.BytesIO(buf)).read_all()
+    assert table.num_rows == 1 and table.column("n")[0].as_py() > 0
+    # async error surfaces through the same poll/fetch path
+    r = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "SELECT * FROM no_such_table_xyz", "asyncExec": True},
+        headers=hdr,
+    ).get_json()
+    qid = r["data"]["queryId"]
+    for _ in range(120):
+        st = client.get(f"/monitoring/queries/{qid}", headers=hdr).get_json()
+        if st["data"]["queries"][0]["status"] != "RUNNING":
+            break
+        time.sleep(0.25)
+    assert st["data"]["queries"][0]["status"] == "FAILED_WITH_ERROR"
+    res = client.get(f"/queries/{qid}/result", headers=hdr).get_json()
+    assert not res["success"] and res["data"]["sqlState"]

@@ -108,6 +108,9 @@ def create_app(engine: Engine | None = None) -> "Flask":
     #: protocol/snowflake.py:223-243; here large results chunk for real)
     result_chunks: dict[str, list[pa.Table]] = {}
     CHUNK_ROWS = 10_000
+    #: async executions (execute_async contract): queryId -> state tuple
+    #: ("running", None) | ("done", table) | ("error", QueryError)
+    async_queries: dict[str, tuple] = {}
 
     @app.post("/session/v1/login-request")
     def login():
@@ -147,6 +150,29 @@ def create_app(engine: Engine | None = None) -> "Flask":
         query_id = request.args.get("requestId") or body.get("requestId") or secrets.token_hex(8)
         sc = eng.spark.sparkContext
         sc.setJobGroup(query_id, sql[:120], interruptOnCancel=True)
+        if body.get("asyncExec"):
+            # execute_async contract: return immediately with code 333334
+            # (QUERY_IN_PROGRESS_ASYNC); the client polls monitoring and
+            # fetches /queries/<id>/result when SUCCEEDED
+            import threading  # noqa: PLC0415
+
+            async_queries[query_id] = ("running", None)
+
+            def _run(qid=query_id, text=sql):
+                eng.spark.sparkContext.setJobGroup(qid, text[:120], interruptOnCancel=True)
+                try:
+                    async_queries[qid] = ("done", normalize(eng.execute(text)))
+                except QueryError as e:
+                    async_queries[qid] = ("error", e)
+                except Exception as e:  # surfaced via monitoring as FAILED
+                    async_queries[qid] = ("error", QueryError(str(e)[:500]))
+
+            threading.Thread(target=_run, daemon=True).start()
+            return {
+                "success": True,
+                "code": "333334",
+                "data": {"queryId": query_id, "queryResultFormat": "arrow"},
+            }
         try:
             if body.get("describeOnly"):
                 # JDBC prepared-statement metadata: analyze the plan, return
@@ -226,6 +252,49 @@ def create_app(engine: Engine | None = None) -> "Flask":
     @app.post("/session/heartbeat")
     def heartbeat():
         return {"success": _session() is not None}
+
+    @app.get("/monitoring/queries/<query_id>")
+    def monitoring_one(query_id: str):
+        if _session() is None:
+            return {"success": False}, 401
+        st = async_queries.get(query_id)
+        if st is None:
+            status = "SUCCEEDED" if any(
+                q.get("query_id") == query_id for q in eng.query_log
+            ) else "NO_DATA"
+        else:
+            status = {"running": "RUNNING", "done": "SUCCEEDED", "error": "FAILED_WITH_ERROR"}[st[0]]
+        return {"success": True, "data": {"queries": [{"id": query_id, "status": status}]}}
+
+    @app.get("/queries/<query_id>/result")
+    def async_result(query_id: str):
+        if _session() is None:
+            return {"success": False}, 401
+        st = async_queries.get(query_id)
+        if st is None:
+            return {"success": False, "message": "unknown query id"}, 404
+        kind, payload = st
+        if kind == "running":
+            return {"success": True, "code": "333334",
+                    "data": {"queryId": query_id, "status": "RUNNING"}}
+        if kind == "error":
+            return {
+                "success": False,
+                "message": payload.message,
+                "data": {"sqlState": payload.sql_state, "errorCode": "002003",
+                         "queryId": query_id},
+            }
+        table = payload
+        return {
+            "success": True,
+            "data": {
+                "queryId": query_id,
+                "queryResultFormat": "arrow",
+                "rowtype": rowtype(table),
+                "returned": table.num_rows,
+                "rowsetBase64": _arrow_b64(table),
+            },
+        }
 
     @app.get("/monitoring/queries")
     def monitoring():
