@@ -460,3 +460,46 @@ def test_compression_ratio_signal(spark, docs):
     )
     by_id = {r.id: r.ratio for r in textops.compression_ratio(synth).collect()}
     assert by_id[1] < 0.05 < by_id[2]
+
+
+def test_incremental_dedup_index(spark, docs, tmp_path):
+    """Incremental dedup against a persisted Iceberg signature index:
+    batch-2 pairs from the index equal the full recompute's pairs that
+    touch batch 2 (old-vs-old never recomputed), and the index grows by
+    one append snapshot per batch."""
+    from universql_spark.iceberg_format import IcebergTable
+
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    s1 = dedup.minhash_sig_rows(b1)
+    index = IcebergTable.create(str(tmp_path / "ix"), s1)
+    s2 = dedup.minhash_sig_rows(b2)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_minhash_pairs(
+            s2, index.read(spark), threshold=0.8
+        ).collect()
+    }
+    index.append(s2)
+    assert len(index.snapshots()) == 2  # one append snapshot per batch
+
+    # ground truth: full recompute over everything, keep pairs touching b2
+    all_sigs = dedup.minhash_sig_rows(docs)
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.incremental_minhash_pairs(all_sigs, None, threshold=0.8).collect()
+    }
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    want = set()
+    for x, y in full:
+        if x in b2_ids and y in b2_ids:
+            want.add((min(x, y), max(x, y)))
+        elif x in b2_ids:
+            want.add((x, y))
+        elif y in b2_ids:
+            want.add((y, x))
+    norm_got = {(min(a, b), max(a, b)) for a, b in got if a in b2_ids and b in b2_ids}
+    norm_got |= {(a, b) for a, b in got if b not in b2_ids}
+    norm_want = {(min(a, b), max(a, b)) for a, b in want if a in b2_ids and b in b2_ids}
+    norm_want |= {(a, b) for a, b in want if b not in b2_ids}
+    assert norm_got == norm_want and len(norm_got) > 0

@@ -446,3 +446,102 @@ def duplicate_spans(
             F.round(F.col("dup_tokens") / F.col("total_tokens"), 4).alias("dup_frac"),
         )
     )
+
+
+# -- incremental dedup against a persisted signature index -------------------
+
+def minhash_sig_rows(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig array<long>[num_perm], shh array<long>) — the rows a
+    PERSISTED dedup index stores per document: the MinHash signature for
+    banding plus the distinct HASHED shingle set for exact-on-hashes
+    verification. Storing 8-byte shingle hashes instead of shingle strings
+    keeps the index ~an order of magnitude smaller than the corpus while
+    verification stays exact up to xxhash64 collisions (~k^2/2^64 per
+    pair — negligible at any batch size)."""
+    rows = shingle_rows(docs, text_col, id_col, n)
+    h0 = F.xxhash64(F.col("s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), h0)).alias(f"h{i}") for i in range(num_perm)]
+    aggs.append(F.array_distinct(F.collect_list(h0)).alias("shh"))
+    packed = rows.groupBy("id").agg(*aggs)
+    return packed.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"), "shh"
+    )
+
+
+def _banded(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    r = num_perm // bands
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+        ),
+    )
+    return sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame | None,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the new batch: new x new plus new x corpus —
+    never corpus x corpus (those were found when their batches arrived).
+
+    This is the production incremental-dedup shape: per batch, cost is
+    (batch bands) joined against (index bands) on the co-partitioned
+    (band, band_hash) key, then exact verification on the stored hashed
+    shingle sets. The index itself grows by APPEND only (one Iceberg
+    snapshot per batch — see test_incremental_dedup_index), so dedup of a
+    growing 100 TB corpus never recomputes old-vs-old.
+
+    -> (id_a, id_b, jac) with id_a in the new batch; for cross pairs id_b
+    is the corpus document.
+    """
+    bn = _banded(new_sigs.select("id", "sig"), num_perm, bands)
+    within = (
+        bn.alias("l")
+        .join(
+            bn.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    cands = within
+    if corpus_sigs is not None:
+        bc = _banded(corpus_sigs.select("id", "sig"), num_perm, bands)
+        cross = (
+            bn.alias("l")
+            .join(
+                bc.alias("r"),
+                (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+            )
+            .filter(F.col("l.id") != F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        cands = within.unionByName(cross)
+    cands = cands.distinct()
+    sh_all = new_sigs.select("id", "shh")
+    if corpus_sigs is not None:
+        sh_all = sh_all.unionByName(corpus_sigs.select("id", "shh")).dropDuplicates(["id"])
+    a = sh_all.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a"))
+    b = sh_all.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

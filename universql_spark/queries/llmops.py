@@ -1292,3 +1292,28 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "lang", "n_bytes", "ratio")
         .orderBy("id")
     )
+
+
+@register(
+    "dedup_incremental_index",
+    None,
+    category="dedup",
+    doc="incremental MinHash dedup against a signature index: new-batch "
+        "pairs only (new x new + new x corpus, never corpus x corpus); "
+        "rows-only (xxhash64 signatures) — equality with the full "
+        "recompute restricted to index-touching pairs pinned by "
+        "test_incremental_dedup_index",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production incremental-dedup shape: the corpus index stores
+    (id, sig, hashed-shingle-set) rows — grown by one Iceberg append per
+    batch — and each arriving batch joins its bands against the index
+    bands on the co-partitioned (band, band_hash) key. Per-batch cost is
+    batch x collisions; a growing 100 TB corpus never recomputes
+    old-vs-old."""
+    from universql_spark.operators import dedup
+
+    docs = spark.table("documents")
+    corpus = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 1))
+    return dedup.incremental_minhash_pairs(batch, corpus, threshold=0.8)
