@@ -2211,3 +2211,14 @@ def test_alter_partition_field_via_engine(engine):
     _v, meta = snap._read_metadata()
     assert meta["default-spec-id"] == 2
     engine.execute("DROP TABLE pe_eng")
+
+
+def test_analyze_table_stats(engine):
+    """ANALYZE TABLE passes through to Spark's CBO stats collection; the
+    catalog then reports sizeInBytes/rowCount for the table."""
+    engine.execute("CREATE OR REPLACE TABLE an_t AS SELECT * FROM nation")
+    engine.execute("ANALYZE TABLE an_t COMPUTE STATISTICS")
+    desc = engine.execute("DESCRIBE EXTENDED an_t").to_pylist()
+    stats = [r for r in desc if "Statistics" in str(r)]
+    assert stats, desc[-5:]
+    engine.execute("DROP TABLE an_t")

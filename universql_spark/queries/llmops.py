@@ -1317,3 +1317,27 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 0))
     batch = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 1))
     return dedup.incremental_minhash_pairs(batch, corpus, threshold=0.8)
+
+
+register_sql(
+    "corpus_train_val_split",
+    """SELECT split, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS STRING) || '-split'), 1, 2) < '0a' THEN 'val'
+                  WHEN substring(md5(CAST(doc_id AS STRING) || '-split'), 1, 2) < '14' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents)
+GROUP BY split, lang ORDER BY split, lang""",
+    oracle="""SELECT split, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '-split'), 1, 2) < '0a' THEN 'val'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '-split'), 1, 2) < '14' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents)
+GROUP BY split, lang ORDER BY split, lang""",
+    category="corpus",
+    doc="deterministic hash-based train/val/test split (~4%/4%/92% via md5 "
+        "prefix ranges): stable under re-runs and corpus growth — a doc "
+        "never migrates between splits when new data arrives, the property "
+        "random assignment lacks; narrow map + one aggregate shuffle",
+)
