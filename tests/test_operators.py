@@ -503,3 +503,25 @@ def test_incremental_dedup_index(spark, docs, tmp_path):
     norm_want = {(min(a, b), max(a, b)) for a, b in want if a in b2_ids and b in b2_ids}
     norm_want |= {(a, b) for a, b in want if b not in b2_ids}
     assert norm_got == norm_want and len(norm_got) > 0
+
+
+def test_audio_chunks_cover_file_exactly(docs):
+    """Chunks tile each WAV exactly: frames sum to the file's frame count,
+    boundaries are contiguous, and a square wave meters RMS == peak ==
+    amplitude in every full chunk."""
+    media = multimodal.synthesize_wav_media(docs)
+    chunks = multimodal.audio_chunks(media, window_sec=0.05).collect()
+    meta = {r.media_id: r for r in multimodal.decode_audio(media).collect()}
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(meta)
+    for mid, rows in by_id.items():
+        rows.sort(key=lambda r: r.chunk_no)
+        assert sum(r.n_frames for r in rows) == meta[mid].n_frames
+        assert [r.chunk_no for r in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert abs(a.end_sec - b.start_sec) < 1e-9
+        amp = float(mid % 2000 + 1)
+        full = [r for r in rows if r.n_frames == rows[0].n_frames]
+        assert all(abs(r.rms - amp) < 1e-9 and r.peak == amp for r in full[:3])

@@ -493,3 +493,62 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "media_id long, chunk_no int, start_sec double, end_sec double, "
+    "n_frames long, rms double, peak double"
+)
+
+
+def audio_chunks(media: DataFrame, window_sec: float = 0.5) -> DataFrame:
+    """Fixed-window audio chunking: one output row per `window_sec` slice of
+    each PCM16 WAV payload with per-chunk RMS and peak — the segmentation
+    primitive an ASR/audio-training pipeline runs before feature extraction
+    (VAD thresholds on the RMS column downstream). mapInPandas expands rows
+    (1 -> n_chunks), still narrow — no shuffle; per-batch numpy reshape does
+    the windowing in one vectorized pass per file."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                try:
+                    if not (b and b[:4] == b"RIFF"):
+                        continue
+                    rate, n_ch, _nf, _dur, _rms = _decode_wav(b)
+                except ValueError:
+                    continue
+                # re-decode the sample array (decode helper returns scalars)
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    cid, size = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + size]
+                    pos += 8 + size + (size % 2)
+                samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                if n_ch > 1:  # mixdown for metering
+                    samples = samples[: len(samples) // n_ch * n_ch]
+                    samples = samples.reshape(-1, n_ch).mean(axis=1)
+                win = max(1, int(round(window_sec * rate)))
+                n_chunks = (len(samples) + win - 1) // win
+                for c in range(n_chunks):
+                    seg = samples[c * win : (c + 1) * win]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "chunk_no": c,
+                            "start_sec": c * win / rate,
+                            "end_sec": min((c + 1) * win, len(samples)) / rate,
+                            "n_frames": len(seg),
+                            "rms": float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0,
+                            "peak": float(np.max(np.abs(seg))) if len(seg) else 0.0,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "chunk_no", "start_sec", "end_sec",
+                         "n_frames", "rms", "peak"],
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_CHUNK_SCHEMA)

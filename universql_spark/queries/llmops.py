@@ -1341,3 +1341,30 @@ GROUP BY split, lang ORDER BY split, lang""",
         "never migrates between splits when new data arrives, the property "
         "random assignment lacks; narrow map + one aggregate shuffle",
 )
+
+
+@register(
+    "multimodal_audio_chunks",
+    None,
+    category="multimodal",
+    doc="fixed-window audio chunking with per-chunk RMS/peak (ASR-pipeline "
+        "segmentation primitive); rows-only (binary codec) — exact tiling "
+        "and square-wave metering pinned by test_audio_chunks_cover_file_exactly",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-0.25s chunk metering over synthesized PCM16 WAV payloads: row
+    expansion inside mapInPandas (narrow, no shuffle), vectorized numpy
+    windowing per file. Aggregated per document for a stable output."""
+    from universql_spark.operators import multimodal
+
+    media = multimodal.synthesize_wav_media(spark.table("documents"))
+    ch = multimodal.audio_chunks(media, window_sec=0.25)
+    return (
+        ch.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.max("end_sec"), 4).alias("duration"),
+            F.round(F.max("peak"), 2).alias("peak"),
+        )
+        .orderBy("media_id")
+    )
