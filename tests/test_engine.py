@@ -2222,3 +2222,26 @@ def test_analyze_table_stats(engine):
     stats = [r for r in desc if "Statistics" in str(r)]
     assert stats, desc[-5:]
     engine.execute("DROP TABLE an_t")
+
+
+def test_describe_result_and_last_query_id_offset(engine):
+    engine.execute("SELECT o_orderkey AS k, o_orderpriority AS p FROM orders LIMIT 3")
+    qid1 = engine._last_qid
+    engine.execute("SELECT 42 AS answer")
+    rows = engine.execute("DESCRIBE RESULT LAST_QUERY_ID()").to_pylist()
+    assert [r["name"] for r in rows] == ["answer"]
+    # every statement (incl. DESCRIBE itself) is retained, so negative
+    # offsets shift per statement — exactly Snowflake's LAST_QUERY_ID
+    # semantics; address an older result by its explicit id instead
+    rows = engine.execute(f"DESCRIBE RESULT '{qid1}'").to_pylist()
+    assert [r["name"] for r in rows] == ["k", "p"]
+    assert rows[0]["type"].startswith("NUMBER")
+    out = engine.execute(
+        f"SELECT COUNT(*) AS n FROM TABLE(RESULT_SCAN('{qid1}'))"
+    ).to_pylist()
+    assert out == [{"n": 3}]
+    # the offset form one statement back: the RESULT_SCAN count result
+    out = engine.execute(
+        "SELECT n FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-1)))"
+    ).to_pylist()
+    assert out == [{"n": 3}]

@@ -140,8 +140,8 @@ _LIST_RE = re.compile(r"^\s*(?:LIST|LS)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
 _GET_RE = re.compile(r"^\s*GET\s+@(\w+)((?:/[\w.\-/]*)?)\s+'?(file://[^'\s]+)'?\s*$", re.I)
 _REMOVE_RE = re.compile(r"^\s*(?:REMOVE|RM)\s+@(\w+)((?:/[\w.\-/]*)?)\s*$", re.I)
 _RESULT_SCAN_RE = re.compile(
-    r"\btable\s*\(\s*RESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*\))\s*\)\s*\)"
-    r"|\bRESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*\))\s*\)",
+    r"\btable\s*\(\s*RESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*-?\d*\s*\))\s*\)\s*\)"
+    r"|\bRESULT_SCAN\s*\(\s*('[^']*'|LAST_QUERY_ID\s*\(\s*-?\d*\s*\))\s*\)",
     re.I,
 )
 _CREATE_FF_RE = re.compile(
@@ -1261,6 +1261,41 @@ class Engine:
                         "schema_name": [r[3] for r in rows],
                     }
                 )
+            drm = re.match(
+                r"^\s*DESC(?:RIBE)?\s+RESULT\s+"
+                r"(?:'([^']+)'|LAST_QUERY_ID\s*\(\s*(-?\d+)?\s*\))\s*$",
+                stmt, re.I,
+            )
+            if drm:
+                # DESCRIBE RESULT: column metadata of a retained result set
+                # (clients use it to introspect a past statement's shape)
+                if drm.group(1):
+                    qid = drm.group(1)
+                else:
+                    off = int(drm.group(2)) if drm.group(2) else -1
+                    qids = list(self._results)
+                    qid = qids[off] if qids and -len(qids) <= off <= -1 else None
+                if not qid or qid not in self._results:
+                    raise QueryError(f"DESCRIBE RESULT: unknown query id {qid!r}", "02000")
+                res = self._results[qid]
+                _arrow_names = {
+                    "int64": "bigint", "int32": "int", "int16": "smallint",
+                    "int8": "tinyint", "double": "double", "float": "float",
+                    "bool": "boolean", "string": "string", "large_string": "string",
+                    "date32[day]": "date", "binary": "binary",
+                }
+                return pa.table(
+                    {
+                        "name": [f.name for f in res.schema],
+                        "type": [
+                            _spark_to_snowflake_type(
+                                _arrow_names.get(str(f.type), str(f.type))
+                            )
+                            for f in res.schema
+                        ],
+                        "null?": ["Y"] * len(res.schema),
+                    }
+                )
             if re.match(r"^\s*SHOW\s+STAGES\s*$", stmt, re.I):
                 names = sorted(self.stages)
                 return pa.table(
@@ -2351,7 +2386,13 @@ class Engine:
 
         def repl(m: re.Match) -> str:
             arg = (m.group(1) or m.group(2)).strip()
-            qid = self._last_qid if arg.upper().startswith("LAST_QUERY_ID") else arg.strip("'")
+            if arg.upper().startswith("LAST_QUERY_ID"):
+                om = re.search(r"\(\s*(-?\d+)\s*\)", arg)
+                off = int(om.group(1)) if om and om.group(1) else -1
+                qids = list(self._results)
+                qid = qids[off] if qids and -len(qids) <= off <= -1 else None
+            else:
+                qid = arg.strip("'")
             if not qid or qid not in self._results:
                 raise QueryError(f"RESULT_SCAN: unknown query id {qid!r}", sql_state="02000")
             view = f"__result_scan_{qid[:16]}"
