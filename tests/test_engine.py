@@ -2245,3 +2245,37 @@ def test_describe_result_and_last_query_id_offset(engine):
         "SELECT n FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-1)))"
     ).to_pylist()
     assert out == [{"n": 3}]
+
+
+def test_object_identifier_matrix(engine):
+    """The reference's combinatorial identifier matrix, regenerated fresh
+    (idea from tests/integration/object_identifiers.py:9-47 — not ported):
+    every case variant (lower / UPPER / Capitalized / \"QUOTED\") of every
+    name part, at 1-, 2-, and 3-part qualification, resolves to the same
+    table. Unquoted Snowflake identifiers are case-insensitive; quoted
+    UPPER equals the unquoted forms."""
+    from itertools import product
+
+    engine.execute("CREATE OR REPLACE TABLE matrixdb.msch.mtab AS SELECT 7 AS x")
+
+    def variants(name):
+        return [name.lower(), name.upper(), name.capitalize(), '"' + name.upper() + '"']
+
+    ok = 0
+    for d, s, t in product(variants("matrixdb"), variants("msch"), variants("mtab")):
+        out = engine.execute(f"SELECT x FROM {d}.{s}.{t}").to_pylist()
+        assert out == [{"x": 7}], (d, s, t)
+        ok += 1
+    engine.execute("USE DATABASE matrixdb")
+    engine.execute("USE SCHEMA msch")
+    try:
+        for s, t in product(variants("msch"), variants("mtab")):
+            assert engine.execute(f"SELECT x FROM {s}.{t}").to_pylist() == [{"x": 7}], (s, t)
+            ok += 1
+        for t in variants("mtab"):
+            assert engine.execute(f"SELECT x FROM {t}").to_pylist() == [{"x": 7}], t
+            ok += 1
+    finally:
+        engine.execute("USE DATABASE default")
+    assert ok == 64 + 16 + 4
+    engine.execute("DROP TABLE matrixdb.msch.mtab")

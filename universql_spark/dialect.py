@@ -1484,6 +1484,16 @@ def snowflake_to_spark(sql: str) -> str:
         sql = rewrite_connect_by(sql)
     sql = _rewrite_generator(sql)
     sql = _TO_DATETIME_RE.sub(_map_to_datetime, sql)
+    # Snowflake double-quoted IDENTIFIERS (outside string literals, double
+    # quotes are never strings in Snowflake): simple names unquote (Spark
+    # resolves case-insensitively, matching the unquoted-UPPER equivalence
+    # the reference's identifier matrix tests); anything with special
+    # characters becomes a backtick identifier
+    def _dquote_idents(chunk: str) -> str:
+        chunk = re.sub(r'"([A-Za-z_][A-Za-z0-9_$]*)"', r"\1", chunk)
+        return re.sub(r'"([^"]+)"', lambda m: "`" + m.group(1) + "`", chunk)
+
+    sql = _outside_literals(sql, _dquote_idents)
     sql = strip_table_wrapper(sql)
     # TABLE(FLATTEN(...)) — the table-function spelling of LATERAL FLATTEN;
     # normalize to the LATERAL form the flatten rewriter handles

@@ -379,6 +379,16 @@ class Engine:
                 stmt,
                 flags=re.I,
             )
+            if self.current_database and self.current_database.lower() == db:
+                # 2-part schema.table resolves against the session database
+                # (Snowflake's name resolution; the identifier matrix
+                # exercises every case/quoting variant of this form)
+                stmt = re.sub(
+                    rf'(?<![\w."])"?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
+                    f"{db}__{sch}.{tbl}",
+                    stmt,
+                    flags=re.I,
+                )
         return stmt
 
     _SET_VAR_RE = re.compile(r"^\s*SET\s+([A-Za-z_]\w*)\s*=\s*(.+?)\s*;?\s*$", re.I | re.S)
