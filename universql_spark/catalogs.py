@@ -87,3 +87,9 @@ class CatalogIcebergTable(IcebergTable):
 
     def _cas_write_version(self, base_v: int, meta: dict) -> bool:
         raise NotImplementedError("external-catalog tables are read-only")
+
+    def _write_files(self, df) -> list[str]:
+        # refuse BEFORE any data lands: with the commit path closed, files
+        # written first would be orphans in whatever directory `root`
+        # resolves to (an empty root means the process CWD)
+        raise NotImplementedError("external-catalog tables are read-only")
