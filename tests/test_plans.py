@@ -318,3 +318,21 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_incremental_dedup_equi_join(spark, sf_dir):
+    """The batch-vs-index candidate join must be an equi-join on
+    (band, band_hash) — the property that keeps per-batch cost linear in
+    collisions rather than batch x index."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators import dedup
+    from universql_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = dedup.minhash_sig_rows(docs.filter(F.col("doc_id") % 2 == 1))
+    pairs = dedup.incremental_minhash_pairs(batch, corpus, threshold=0.8)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = pairs._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
