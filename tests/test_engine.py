@@ -2279,3 +2279,38 @@ def test_object_identifier_matrix(engine):
         engine.execute("USE DATABASE default")
     assert ok == 64 + 16 + 4
     engine.execute("DROP TABLE matrixdb.msch.mtab")
+
+
+def test_tag_objects_and_ddl_modifiers(engine):
+    """TAG governance metadata + the client-compat DDL modifiers (SECURE
+    VIEW, COPY GRANTS, inline COMMENT = — stripped in the DDL header only,
+    a `comment = '...'` predicate inside a CTAS body survives)."""
+    engine.execute("CREATE TAG env ALLOWED_VALUES 'dev', 'prod'")
+    engine.execute("CREATE OR REPLACE TABLE tagged_t COMMENT = 'c''mon' AS SELECT 1 AS x")
+    engine.execute("ALTER TABLE tagged_t SET TAG env = 'prod'")
+    out = engine.execute(
+        "SELECT SYSTEM$GET_TAG('env', 'tagged_t', 'TABLE') AS v, "
+        "SYSTEM$GET_TAG('env', 'orders', 'TABLE') AS missing"
+    ).to_pylist()[0]
+    assert out["v"] == "prod" and out["missing"] is None
+    import pytest as _p
+    with _p.raises(Exception):
+        engine.execute("ALTER TABLE tagged_t SET TAG env = 'staging'")
+    engine.execute("ALTER TABLE tagged_t UNSET TAG env")
+    assert engine.execute(
+        "SELECT SYSTEM$GET_TAG('env', 'tagged_t', 'TABLE') AS v"
+    ).to_pylist()[0]["v"] is None
+    rows = engine.execute("SHOW TAGS").to_pylist()
+    assert any(r["name"] == "ENV" and "prod" in r["allowed_values"] for r in rows)
+    engine.execute(
+        "CREATE OR REPLACE SECURE VIEW sv COPY GRANTS COMMENT = 'hidden' AS "
+        "SELECT 2 AS y"
+    )
+    assert engine.execute("SELECT y FROM sv").to_pylist() == [{"y": 2}]
+    # a comment = predicate in a CTAS BODY survives the header strip
+    engine.execute(
+        "CREATE OR REPLACE TABLE cbody AS SELECT * FROM "
+        "(SELECT 'keep' AS comment) WHERE comment = 'keep'"
+    )
+    assert engine.execute("SELECT COUNT(*) AS n FROM cbody").to_pylist() == [{"n": 1}]
+    engine.execute("DROP TABLE tagged_t; DROP TABLE cbody; DROP VIEW sv; DROP TAG env")

@@ -208,6 +208,10 @@ class Engine:
         #: recorded grants (GRANT/REVOKE ... TO/FROM ROLE) — replayed by
         #: SHOW GRANTS; a single local engine enforces none of them
         self.grants: list[dict[str, str]] = []
+        #: TAG objects + per-object tag values (governance metadata:
+        #: CREATE TAG / ALTER ... SET TAG / SYSTEM$GET_TAG)
+        self.tags: dict[str, list[str]] = {}
+        self.object_tags: dict[str, dict[str, str]] = {}
         #: WAREHOUSE objects: name -> {"size", "state"}. The engine IS the
         #: warehouse; the registry exists so clients' CREATE/ALTER/USE/SHOW
         #: WAREHOUSE round-trips truthfully
@@ -456,6 +460,22 @@ class Engine:
                 )
             stmt = self._substitute_vars(stmt)
             stmt = self._normalize_special_stages(stmt)
+            # client-compat modifiers with no local meaning: SECURE views
+            # (no cross-account sharing here), COPY GRANTS (grants registry
+            # is engine-local), inline COMMENT = '...' properties
+            stmt = re.sub(
+                r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?)SECURE\s+(VIEW\b)",
+                r"\1\2", stmt, flags=re.I,
+            )
+            if re.match(r"^\s*(CREATE|ALTER)\b", stmt, re.I):
+                # strip ONLY in the DDL header (before the first AS): a
+                # `comment = '...'` predicate inside a CTAS body must survive
+                head, sep, body = re.split(r"(?i)(\bAS\b)", stmt, maxsplit=1) if re.search(
+                    r"(?i)\bAS\b", stmt
+                ) else (stmt, "", "")
+                head = re.sub(r"\s+COPY\s+GRANTS\b", "", head, flags=re.I)
+                head = re.sub(r"\s+COMMENT\s*=\s*'(?:[^']|'')*'", "", head, flags=re.I)
+                stmt = head + sep + body
             m = self._EXPLAIN_RE.match(stmt)
             if m and not re.match(r"^\s*EXPLAIN\s+ANALYZE", stmt, re.I):
                 # Snowflake EXPLAIN returns plan rows; surface Spark's
@@ -566,6 +586,45 @@ class Engine:
                 return _status("revoke recorded (access control not enforced)")
             if re.match(r"^\s*(GRANT|REVOKE)\b", stmt, re.I):
                 return _status("no-op: access control is not enforced by this engine")
+            tg = re.match(
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TAG\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)"
+                r"(?:\s+ALLOWED_VALUES\s+(.+?))?\s*$",
+                stmt, re.I,
+            )
+            if tg:
+                vals = re.findall(r"'((?:[^']|'')*)'", tg.group(2) or "")
+                self.tags[bare_name(tg.group(1))] = vals
+                return _status(f"tag {bare_name(tg.group(1))} created")
+            tg = re.match(r"^\s*DROP\s+TAG\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
+            if tg:
+                self.tags.pop(bare_name(tg.group(1)), None)
+                return _status("tag dropped")
+            if re.match(r"^\s*SHOW\s+TAGS\s*$", stmt, re.I):
+                names = sorted(self.tags)
+                return pa.table(
+                    {"name": [n.upper() for n in names],
+                     "allowed_values": [",".join(self.tags[n]) for n in names]}
+                )
+            tg = re.match(
+                r"^\s*ALTER\s+(TABLE|VIEW)\s+([\w.\"]+)\s+(SET|UNSET)\s+TAG\s+([\w.\"]+)"
+                r"(?:\s*=\s*'((?:[^']|'')*)')?\s*$",
+                stmt, re.I,
+            )
+            if tg:
+                tname = bare_name(tg.group(4))
+                if tname not in self.tags:
+                    raise QueryError(f"unknown tag {tname}", "02000")
+                obj = bare_name(tg.group(2))
+                if tg.group(3).upper() == "SET":
+                    val = (tg.group(5) or "").replace("''", "'")
+                    if self.tags[tname] and val not in self.tags[tname]:
+                        raise QueryError(
+                            f"value {val!r} not in ALLOWED_VALUES of tag {tname}", "22000"
+                        )
+                    self.object_tags.setdefault(obj, {})[tname] = val
+                else:
+                    self.object_tags.get(obj, {}).pop(tname, None)
+                return _status(f"tag {tname} on {obj} updated")
             sg = re.match(
                 r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:\w+\s+)?([\w.\"]+)|\s+TO\s+ROLE\s+([\w\"]+))?\s*$",
                 stmt, re.I,
@@ -1469,6 +1528,17 @@ class Engine:
         stmt = re.sub(
             r"\bGET_DDL\s*\(\s*'(\w+)'\s*,\s*'([\w.\"]+)'\s*\)",
             lambda m: "'" + self._get_ddl(m.group(1), m.group(2)).replace("'", "''") + "'",
+            stmt,
+            flags=re.I,
+        )
+        stmt = re.sub(
+            r"\bSYSTEM\$GET_TAG\s*\(\s*'([\w.\"]+)'\s*,\s*'([\w.\"]+)'\s*(?:,\s*'\w+'\s*)?\)",
+            lambda m: (
+                "'" + self.object_tags.get(bare_name(m.group(2)), {})
+                .get(bare_name(m.group(1)), "").replace("'", "''") + "'"
+                if bare_name(m.group(1)) in self.object_tags.get(bare_name(m.group(2)), {})
+                else "CAST(NULL AS STRING)"
+            ),
             stmt,
             flags=re.I,
         )
