@@ -120,6 +120,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_shuffle_deterministic", "dedup_semantic", "text_quality_classifier",
     "fn_object_ops", "text_compression_ratio", "fn_bitwise_ext",
     "dedup_incremental_index", "corpus_train_val_split", "multimodal_audio_chunks",
+    "corpus_filter_funnel",
     "dml_schema_evolution", "dedup_substring_spans", "ann_pq_topk",
     "multimodal_resize_meta", "dml_iceberg_upsert_cdc", "text_dsir_weights",
     "fn_hll_mergeable", "dml_iceberg_clone", "dml_stream_changes",

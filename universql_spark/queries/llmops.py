@@ -1368,3 +1368,71 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def _funnel_oracle() -> str:
+    q = f"""(
+         (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} >= 3.0
+               AND (length(text) - {_duck_token_count('text')} + 1) * 1.0 / {_duck_token_count('text')} <= 10.0
+          THEN 1.0 ELSE 0.0 END)
+       + length({_rr('text', '[^a-z ]', '')}) * 1.0 / length(text)
+       ) / 3.0"""
+    return f"""WITH gates AS (
+  SELECT doc_id,
+         length(text) BETWEEN 100 AND 2000 AS g_len,
+         ({q}) >= 0.5 AS g_quality,
+         length(text) - length(replace(text, 'the', '')) > 0 AS g_marker
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         g_len,
+         g_len AND g_quality AS s2,
+         g_len AND g_quality AND g_marker AS s3
+  FROM gates
+)
+SELECT stage, n FROM (
+  SELECT 0 AS ord, 'all' AS stage, count(*) AS n FROM flags
+  UNION ALL SELECT 1, 'length', count(*) FROM flags WHERE g_len
+  UNION ALL SELECT 2, '+quality', count(*) FROM flags WHERE s2
+  UNION ALL SELECT 3, '+marker', count(*) FROM flags WHERE s3
+) ORDER BY ord"""
+
+
+@register(
+    "corpus_filter_funnel",
+    _funnel_oracle(),
+    category="corpus",
+    doc="staged quality-filter funnel (length -> heuristic quality -> "
+        "marker-token gate) with per-stage survivor counts — the shape "
+        "every corpus-cleaning pipeline reports; single scan, one "
+        "aggregate, conjunctions as boolean columns",
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter funnel over the documents table: each stage is the previous
+    stage AND one more gate, counted in ONE pass (sum of running
+    conjunctions — no per-stage re-scan). At 100 TB this is a single
+    narrow scan + a 4-row aggregate; the per-stage counts are the
+    funnel report data engineers actually monitor."""
+    from universql_spark.operators import textops
+
+    d = spark.table("documents")
+    g_len = F.length("text").between(100, 2000)
+    g_quality = textops.quality_score(F.col("text")) >= 0.5
+    g_marker = F.col("text").contains("the")
+    flags = d.select(
+        g_len.alias("g1"),
+        (g_len & g_quality).alias("g2"),
+        (g_len & g_quality & g_marker).alias("g3"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("all"),
+        F.sum(F.col("g1").cast("long")).alias("length"),
+        F.sum(F.col("g2").cast("long")).alias("q"),
+        F.sum(F.col("g3").cast("long")).alias("m"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [("all", agg["all"]), ("length", agg["length"]),
+         ("+quality", agg["q"]), ("+marker", agg["m"])],
+        "stage string, n bigint",
+    )
