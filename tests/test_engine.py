@@ -2314,3 +2314,10 @@ def test_tag_objects_and_ddl_modifiers(engine):
     )
     assert engine.execute("SELECT COUNT(*) AS n FROM cbody").to_pylist() == [{"n": 1}]
     engine.execute("DROP TABLE tagged_t; DROP TABLE cbody; DROP VIEW sv; DROP TAG env")
+
+
+def test_alter_session_unset(engine):
+    engine.execute("ALTER SESSION SET QUERY_TAG = 'tmp_tag'")
+    engine.execute("ALTER SESSION UNSET QUERY_TAG")
+    rows = {r["key"]: r for r in engine.execute("SHOW PARAMETERS LIKE 'QUERY_TAG'").to_pylist()}
+    assert rows.get("QUERY_TAG", {}).get("level", "") == ""

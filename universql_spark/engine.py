@@ -562,6 +562,13 @@ class Engine:
                 if k == "TIMEZONE":
                     self.spark.conf.set("spark.sql.session.timeZone", v)
                 return _status(f"session parameter {k} set")
+            m = re.match(r"^\s*ALTER\s+SESSION\s+UNSET\s+(\w+)\s*$", stmt, re.I)
+            if m:
+                k = m.group(1).upper()
+                self.session_params.pop(k, None)
+                if k == "TIMEZONE":
+                    self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+                return _status(f"session parameter {k} unset")
             gm = re.match(
                 r"^\s*(GRANT|REVOKE)\s+(.+?)\s+ON\s+(?:(TABLE|VIEW|SCHEMA|DATABASE|"
                 r"WAREHOUSE|STAGE|FUNCTION|PROCEDURE)\s+)?([\w.\"]+)\s+"
