@@ -2321,3 +2321,18 @@ def test_alter_session_unset(engine):
     engine.execute("ALTER SESSION UNSET QUERY_TAG")
     rows = {r["key"]: r for r in engine.execute("SHOW PARAMETERS LIKE 'QUERY_TAG'").to_pylist()}
     assert rows.get("QUERY_TAG", {}).get("level", "") == ""
+
+
+def test_split_to_table(engine):
+    out = engine.execute(
+        "SELECT t.index AS i, t.value AS v FROM "
+        "TABLE(SPLIT_TO_TABLE('a.b.c', '.')) t ORDER BY i"
+    ).to_pylist()
+    assert out == [{"i": 1, "v": "a"}, {"i": 2, "v": "b"}, {"i": 3, "v": "c"}]
+    # lateral form over a column, literal delimiter with regex chars
+    out = engine.execute(
+        "SELECT n_nationkey AS k, s.value AS part FROM nation, "
+        "LATERAL SPLIT_TO_TABLE(n_name, 'I') s "
+        "WHERE n_nationkey = 3 ORDER BY s.index"
+    ).to_pylist()
+    assert len(out) >= 1 and all(r["k"] == 3 for r in out)

@@ -1495,14 +1495,36 @@ def snowflake_to_spark(sql: str) -> str:
 
     sql = _outside_literals(sql, _dquote_idents)
     sql = strip_table_wrapper(sql)
+    # SPLIT_TO_TABLE(x, d) -> correlated lateral subquery with Snowflake's
+    # 1-BASED index column; the emitted SPLIT() flows through the literal-
+    # delimiter split rewrite below, so empties and regex chars behave
+    sql = _rewrite_calls(
+        sql,
+        "split_to_table",
+        lambda a: (
+            f"(SELECT pos + 1 AS index, col AS value FROM "
+            f"(SELECT posexplode(SPLIT({a[0]}, {a[1]})) AS (pos, col)))"
+        )
+        if len(a) == 2
+        else None,
+    )
     # TABLE(FLATTEN(...)) — the table-function spelling of LATERAL FLATTEN;
-    # normalize to the LATERAL form the flatten rewriter handles
+    # normalize to the LATERAL form the flatten rewriter handles.
+    # TABLE((SELECT ...)) — a rewritten SPLIT_TO_TABLE — becomes a LATERAL
+    # subquery (Snowflake's TABLE(tvf) in FROM is implicitly lateral)
     sql = _rewrite_calls(
         sql,
         "table",
-        lambda a: f"LATERAL {a[0].strip()}"
-        if len(a) == 1 and re.match(r"(?is)^\s*FLATTEN\s*\(", a[0])
-        else None,
+        lambda a: (
+            f"LATERAL {a[0].strip()}"
+            if len(a) == 1
+            and re.match(r"(?is)^\s*(FLATTEN\s*\(|\(\s*SELECT\b)", a[0])
+            else None
+        ),
+    )
+    # solo FROM LATERAL (subquery): give it the implied one-row base
+    sql = re.sub(
+        r"(?i)\bFROM\s+LATERAL\s*\(", "FROM (SELECT 1) __one, LATERAL (", sql
     )
     sql = rewrite_flatten(sql)
     # solo FROM TABLE(FLATTEN(...)): Spark's LATERAL VIEW needs a base
