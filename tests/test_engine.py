@@ -2336,3 +2336,14 @@ def test_split_to_table(engine):
         "WHERE n_nationkey = 3 ORDER BY s.index"
     ).to_pylist()
     assert len(out) >= 1 and all(r["k"] == 3 for r in out)
+
+
+def test_special_stage_refs_never_touch_literals(engine):
+    out = engine.execute(
+        "SELECT 'user@~home' AS a, 'x@%y' AS b, "
+        "COUNT(*) AS n FROM orders WHERE o_orderpriority LIKE '%@%' "
+        "GROUP BY a, b"
+    ).to_pylist()
+    assert out == [] or out[0]["a"] == "user@~home"
+    out = engine.execute("SELECT 'a@~b' AS s").to_pylist()
+    assert out == [{"s": "a@~b"}]

@@ -2367,8 +2367,15 @@ class Engine:
             ensure(name)
             return f"@{name}" + (m.group(2) or "")
 
-        stmt = re.sub(r"@~((?:/[\w.\-/]*)?)", repl_user, stmt)
-        return re.sub(r"@%(\w+)((?:/[\w.\-/]*)?)", repl_table, stmt)
+        # only OUTSIDE string literals: '%@%' in a LIKE pattern or an
+        # email literal must never be rewritten
+        from universql_spark.dialect import _outside_literals  # noqa: PLC0415
+
+        def rw(chunk: str) -> str:
+            chunk = re.sub(r"@~((?:/[\w.\-/]*)?)", repl_user, chunk)
+            return re.sub(r"@%(\w+)((?:/[\w.\-/]*)?)", repl_table, chunk)
+
+        return _outside_literals(stmt, rw)
 
     def _local_stage_dir(self, name: str, sub: str) -> str:
         """Local filesystem dir of @name/sub (PUT/LIST/REMOVE operate on
