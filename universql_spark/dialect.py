@@ -1490,8 +1490,13 @@ def snowflake_to_spark(sql: str) -> str:
     # the reference's identifier matrix tests); anything with special
     # characters becomes a backtick identifier
     def _dquote_idents(chunk: str) -> str:
-        chunk = re.sub(r'"([A-Za-z_][A-Za-z0-9_$]*)"', r"\1", chunk)
-        return re.sub(r'"([^"]+)"', lambda m: "`" + m.group(1) + "`", chunk)
+        def one(m: re.Match) -> str:
+            inner = m.group(1).replace('""', '"')
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*", inner):
+                return inner
+            return "`" + inner.replace("`", "``") + "`"
+
+        return re.sub(r'"((?:[^"]|"")+)"', one, chunk)
 
     sql = _outside_literals(sql, _dquote_idents)
     sql = strip_table_wrapper(sql)
