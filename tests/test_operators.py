@@ -525,3 +525,20 @@ def test_audio_chunks_cover_file_exactly(docs):
         amp = float(mid % 2000 + 1)
         full = [r for r in rows if r.n_frames == rows[0].n_frames]
         assert all(abs(r.rms - amp) < 1e-9 and r.peak == amp for r in full[:3])
+
+
+def test_score_expr_equals_scored(docs):
+    """The shuffle-free expression scorer must equal the aggregation-based
+    score_documents for presence features (same hashing, same weights)."""
+    from universql_spark.operators import classifier
+
+    label = F.col("text").contains("spark")
+    w, b, _ = classifier.train_quality_classifier(docs, label, dim=64, epochs=2, lr=0.3)
+    via_agg = {r.id: r.score for r in classifier.score_documents(docs, w, b).collect()}
+    via_expr = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", F.round(classifier.score_expr(w, b), 6).alias("s")
+        ).collect()
+    }
+    assert via_agg == via_expr

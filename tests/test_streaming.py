@@ -242,3 +242,33 @@ def test_stream_stream_left_outer_emits_nulls_on_watermark(spark, sf_dir, tmp_pa
     assert got == want, (len(got), len(want))
     nulls = {r for r in got if r[2] is None}
     assert nulls, "left outer join must emit null-padded unmatched clicks"
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
+    """A trained quality gate applies to a STREAM as a stateless projection
+    (classifier.score_expr is a pure expression — no shuffle, so append
+    mode needs no watermark): the streamed survivors equal the batch
+    filter exactly."""
+    from pyspark.sql import functions as F
+
+    from universql_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b, _ = classifier.train_quality_classifier(
+        docs, F.col("text").contains("spark"), dim=64, epochs=2, lr=0.3
+    )
+    gate = classifier.score_expr(w, b) >= 0.5
+    src = tmp_path / "docsrc"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "d"))
+    schema = spark.read.parquet(str(src / "d")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src / "d"))
+        .filter(gate)
+        .select("doc_id")
+    )
+    windows.run_append_to_memory(stream, "t_quality_gate")
+    got = {r.doc_id for r in spark.table("t_quality_gate").collect()}
+    want = {r.doc_id for r in docs.filter(gate).select("doc_id").collect()}
+    assert got == want and got

@@ -162,3 +162,28 @@ def score_documents(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def score_expr(
+    weights: list[float], bias: float, text_col: str = "text"
+) -> Column:
+    """Pure-EXPRESSION scorer: sigmoid(dot(w, presence-features) + b) as a
+    single higher-order-function column — tokenize, hash to buckets,
+    distinct, look each bucket up in the broadcast weight-array literal,
+    fold. No explode, no groupBy, NO SHUFFLE — which is what makes the
+    trained gate applicable to a STREAMING dataframe (append mode needs
+    stateless projections) and saves the batch path a per-doc aggregation.
+    Matches score_documents exactly for mode='presence' features (pinned by
+    test_score_expr_equals_scored)."""
+    dim = len(weights)
+    w = _weight_expr(weights)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    buckets = F.array_distinct(F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim))))
+    margin = F.aggregate(
+        buckets,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(w, b.cast("int") + 1),
+    ) + F.lit(float(bias))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
