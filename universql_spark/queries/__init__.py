@@ -23,6 +23,11 @@ value-hash comparison turns into FP-noise roulette):
    per engine, which no order-insensitive compare can fix.
 4. **Alias every computed column identically on both sides** — the driver
    sorts columns by NAME before hashing.
+5. **No raw array/map/struct OUTPUT columns in oracled specs.** The driver's
+   canonicalizer sorts rows with pandas, which cannot hash python lists —
+   the spec errors out regardless of value correctness. Emit
+   ``TO_JSON(expr)`` on the Spark side and ``to_json(expr)`` on the DuckDB
+   side; the JSON text for numeric/string lists is byte-identical.
 """
 
 from __future__ import annotations
@@ -114,38 +119,23 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
-    # round-3 additions (zero evidence anywhere yet) are inserted here as
-    # they land, before the backlog below.
-    "fn_syntax_ext", "fn_higher_order", "fn_datetime_parts",
-    "corpus_shuffle_deterministic", "dedup_semantic", "text_quality_classifier",
-    "fn_object_ops", "text_compression_ratio", "fn_bitwise_ext",
-    "dedup_incremental_index", "corpus_train_val_split", "multimodal_audio_chunks",
-    "corpus_filter_funnel",
-    "dml_schema_evolution", "dedup_substring_spans", "ann_pq_topk",
-    "multimodal_resize_meta", "dml_iceberg_upsert_cdc", "text_dsir_weights",
-    "fn_hll_mergeable", "dml_iceberg_clone", "dml_stream_changes",
-    "dml_insert_multi", "adv_table_function",
-    "fn_agg_ext", "fn_stats_ext", "fn_string_ext", "fn_time_slice",
-    "win_cond_true_event", "win_change_event", "fn_star_modifiers",
-    "text_repetition", "corpus_pack_sequences", "agg_pivot_dynamic",
-    "adv_match_recognize", "fn_parse_url", "corpus_domain_stats",
-    "dml_iceberg_partitioned", "stream_sliding_sum", "stream_session_counts",
-    "join_asof_sql", "text_tokens_bpe",
-    "dml_plain_file_granular", "fn_dialect_ext", "fn_array_gallery",
-    "fn_datetime_ext", "dedup_decontaminate", "text_pii_scrub",
-    "win_ratio_to_report", "stream_view_click_attrib", "adv_connect_by",
-    "adv_recursive_cte", "corpus_stratified_sample", "text_quality_percentile", "agg_array_object_agg",
-    # round-2 specs with NO sf0.01 evidence (never driver-gated, added after
-    # the r1 local gate ran):
-    "adv_flatten_recursive", "ann_ivf_topk",
+    # ---- round-4 first-50 (VERDICT r3 'Next round' #1): ORACLED specs with
+    # no driver-green row yet, and ONLY oracled specs — rows-only specs can
+    # never produce the hash row the gate counts, so they are pinned to the
+    # back (their evidence lives in pytest invariants + CORRECTNESS_LOCAL).
+    # fn_higher_order first: r3 burned its slot on the array-canonicalizer
+    # crash, now fixed via the to_json arrays rule (convention #5).
+    "fn_higher_order",
+    # the 12 TPC-H specs whose only evidence is local-gate + pytest:
     "tpch_q2_mincost", "tpch_q8_mktshare", "tpch_q9_profit",
     "tpch_q11_important", "tpch_q12_late", "tpch_q13_custdist",
     "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
     "tpch_q20_supply", "tpch_q21_waiting", "tpch_q22_opportunity",
-    # driver-gated in r1 only, fell off the r2 sample:
-    "cb_q41", "cb_q42",
-    # local-gate evidence only (r1 local, sf0.01) — never driver-gated;
-    # rotate through the driver sample, LLM-pipeline operators first:
+    # round-3 oracled additions that missed the r3 sample:
+    "adv_connect_by", "adv_recursive_cte", "corpus_stratified_sample",
+    "text_quality_percentile", "agg_array_object_agg", "adv_flatten_recursive",
+    "ann_ivf_topk",
+    # LLM-pipeline operators with local-gate evidence only:
     "dedup_exact", "dedup_exact_props", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding", "dedup_components",
     "dedup_pipeline_survivors", "ann_cosine_topk", "ann_cosine_topk_pandas",
@@ -156,8 +146,37 @@ _GATE_PRIORITY: list[str] = [
     "stream_tumbling_counts", "corpus_training_mix", "adv_variant_colon_path",
     "win_rank_topn_per_group", "win_sessionize", "win_ignore_nulls_locf",
     "agg_grouping_sets", "agg_listagg_ordered", "agg_min_max_by",
+    # ---- end of first-50 ----
+    # next tier: the remaining never-driver-gated oracled specs, in the order
+    # they should rotate into future rounds:
     "join_full_outer", "subq_correlated", "json_extract", "fn_scalar_gallery",
+    "win_rank_dense", "win_running_sum", "win_lag_lead", "win_moving_avg",
+    "win_ntile_cume", "win_range_frame", "win_first_last_value",
+    "agg_rollup", "agg_cube", "agg_stats", "agg_rollup_grouping_fn",
+    "agg_bool", "agg_group_by_all", "agg_pivot_sql", "multi_distinct_agg",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "join_semi", "join_anti", "join_left_outer", "join_cross_small",
+    "join_cte_chain", "join_self_pairs",
+    "subq_scalar", "subq_in", "subq_min_cost_supplier",
+    "json_object_construct", "array_construct_ops", "types_cast_gallery",
+    "select_literal", "func_string_gallery", "func_math_gallery",
+    "func_datetime_gallery", "func_split_part",
+    "case_insensitive_idents", "distinct_rows", "null_agg_semantics",
+    "null_group_keys", "null_join_semantics", "order_by_ordinal",
+    "unpivot_stack",
+    "tpch_q1", "tpch_q3", "tpch_q4_semi", "tpch_q5", "tpch_q6",
+    "tpch_q7_volume", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q18_big_orders", "tpch_q19_disjunct",
+    "cb_q41", "cb_q42",
 ]
+
+
+# Rows-only specs (oracle is None) are pinned to the very back of the
+# registry order so they never occupy a driver-gate slot (VERDICT r3 #3).
+def _rows_only_last(registry: dict[str, "QuerySpec"]) -> list[str]:
+    oracled = [n for n, s in registry.items() if s.oracle is not None]
+    rows_only = [n for n, s in registry.items() if s.oracle is None]
+    return oracled + rows_only
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -169,7 +188,8 @@ def load_all() -> dict[str, QuerySpec]:
     order = [n for n in _GATE_PRIORITY if n in REGISTRY] + [
         n for n in REGISTRY if n not in _GATE_PRIORITY
     ]
-    reordered = {n: REGISTRY[n] for n in order}
+    ordered = {n: REGISTRY[n] for n in order}
+    reordered = {n: ordered[n] for n in _rows_only_last(ordered)}
     REGISTRY.clear()
     REGISTRY.update(reordered)
     return REGISTRY

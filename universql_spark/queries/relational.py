@@ -1272,16 +1272,21 @@ ORDER BY prio"""
     )
 
 
+# Registry convention #5 (arrays rule, VERDICT r3 #1): oracled specs never
+# emit raw array/map/struct OUTPUT columns — the driver's canonicalizer
+# (pandas sort_values) cannot hash lists. Serialize with to_json on BOTH
+# sides; Spark's to_json(array<bigint>) and DuckDB's to_json(list) agree
+# byte-for-byte on numeric lists ("[1,2]").
 _HOF_ORACLE = """SELECT n_nationkey AS k,
-       list_filter([n_nationkey, n_regionkey, n_nationkey + 10], x -> x % 2 = 0) AS evens,
-       list_transform([n_nationkey, n_regionkey], x -> x * x) AS squares,
+       to_json(list_filter([n_nationkey, n_regionkey, n_nationkey + 10], x -> x % 2 = 0)) AS evens,
+       to_json(list_transform([n_nationkey, n_regionkey], x -> x * x)) AS squares,
        list_reduce(list_prepend(100, [n_nationkey, n_regionkey]), (a, x) -> a + x) AS total,
-       list_sort([n_regionkey, n_nationkey % 7, 3]) AS sorted_arr,
-       array_append([n_nationkey], n_regionkey) AS appended,
-       array_prepend(n_regionkey, [n_nationkey]) AS prepended,
-       list_filter([n_nationkey, 2, n_nationkey], x -> x != 2) AS removed,
-       list_concat(([n_nationkey, n_regionkey, 7])[1:1],
-                   ([n_nationkey, n_regionkey, 7])[3:3]) AS removed_at1
+       to_json(list_sort([n_regionkey, n_nationkey % 7, 3])) AS sorted_arr,
+       to_json(array_append([n_nationkey], n_regionkey)) AS appended,
+       to_json(array_prepend(n_regionkey, [n_nationkey])) AS prepended,
+       to_json(list_filter([n_nationkey, 2, n_nationkey], x -> x != 2)) AS removed,
+       to_json(list_concat(([n_nationkey, n_regionkey, 7])[1:1],
+                   ([n_nationkey, n_regionkey, 7])[3:3])) AS removed_at1
 FROM nation ORDER BY k"""
 
 
@@ -1304,14 +1309,14 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     return eng.execute_df(
         """SELECT n_nationkey AS k,
-       FILTER(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, n_nationkey + 10), x -> x % 2 = 0) AS evens,
-       TRANSFORM(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), x -> x * x) AS squares,
+       TO_JSON(FILTER(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, n_nationkey + 10), x -> x % 2 = 0)) AS evens,
+       TO_JSON(TRANSFORM(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), x -> x * x)) AS squares,
        REDUCE(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), 100, (a, x) -> a + x) AS total,
-       ARRAY_SORT(ARRAY_CONSTRUCT(n_regionkey, n_nationkey % 7, 3)) AS sorted_arr,
-       ARRAY_APPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey) AS appended,
-       ARRAY_PREPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey) AS prepended,
-       ARRAY_REMOVE(ARRAY_CONSTRUCT(n_nationkey, 2, n_nationkey), 2) AS removed,
-       ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 1) AS removed_at1
+       TO_JSON(ARRAY_SORT(ARRAY_CONSTRUCT(n_regionkey, n_nationkey % 7, 3))) AS sorted_arr,
+       TO_JSON(ARRAY_APPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey)) AS appended,
+       TO_JSON(ARRAY_PREPEND(ARRAY_CONSTRUCT(n_nationkey), n_regionkey)) AS prepended,
+       TO_JSON(ARRAY_REMOVE(ARRAY_CONSTRUCT(n_nationkey, 2, n_nationkey), 2)) AS removed,
+       TO_JSON(ARRAY_REMOVE_AT(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 1)) AS removed_at1
 FROM nation ORDER BY k"""
     )
 
