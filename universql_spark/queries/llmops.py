@@ -465,9 +465,13 @@ ORDER BY doc_id, score DESC, term""",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the canonical multi-stage agg
-    pipeline: tokenize -> (doc,term) counts -> doc-frequency join (term side
-    is small: broadcast) -> per-doc window top-k. Two shuffles total
-    ((doc,term) agg; window by doc), both on bounded keys.
+    pipeline: tokenize -> (doc,term) counts -> doc-frequency join -> per-doc
+    window top-k. The doc-frequency (vocabulary) side carries NO broadcast
+    hint: on web-scale text the vocabulary is unbounded (VERDICT r3 #2), so
+    the join shuffles on `term` — AQE still broadcasts it at small SF, and
+    handles term-frequency skew (stopwords) with skew-join splitting at
+    scale. The scalar n_docs row stays a broadcast. Both shuffles ((doc,term)
+    agg; window by doc) are on bounded keys.
     """
     from pyspark.sql.window import Window
 
@@ -479,7 +483,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0), 6
     ).alias("score")
-    scored = tf.join(F.broadcast(dfq), "term").crossJoin(F.broadcast(n_docs)).select("doc_id", "term", score)
+    scored = tf.join(dfq, "term").crossJoin(F.broadcast(n_docs)).select("doc_id", "term", score)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

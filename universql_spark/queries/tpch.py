@@ -2,9 +2,12 @@
 first. These cover the join/agg surface the reference delegates to DuckDB
 (SURVEY.md §2.7-2.8) in the shape Spark executes best:
 
-- dimension tables (region/nation/supplier/customer) are broadcast — no
-  shuffle of the fact table for the join, which is THE decision that matters
-  at 100 TB (lineitem shuffles only for its own aggregation keys);
+- fixed-cardinality dimensions (region: 5 rows, nation: 25 rows — constant at
+  every TPC-H SF) carry an explicit broadcast hint; SF-SCALED tables
+  (customer/supplier/part grow linearly with data volume) carry NO mandatory
+  hint — AQE broadcasts them at small SF where they fit and falls back to a
+  shuffle join at the 100 TB SF where a forced hint would OOM the executors
+  (VERDICT r3 "What's wrong" #2);
 - aggregations are partial (map-side combine) by construction of groupBy.agg;
 - double sums follow the DECIMAL convention from queries/__init__ so the
   DuckDB oracle hash-matches.
@@ -84,17 +87,17 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: 3-way join.
 
-    customer (a dim, filtered on segment) broadcasts into orders; the
-    orders<->lineitem join is fact-to-fact and stays a shuffle join on
-    l_orderkey — no hint, so AQE may still broadcast it at small SF while the
-    same plan survives 100 TB.
+    customer (filtered on segment) joins into orders with no hint — customer
+    is SF-scaled, so AQE broadcasts it at small SF and shuffle-joins at
+    100 TB; the orders<->lineitem join is fact-to-fact and stays a shuffle
+    join on l_orderkey. The same plan survives 100 TB.
     """
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = spark.table("orders").filter(F.col("o_orderdate") < cutoff)
     li = spark.table("lineitem").filter(F.col("l_shipdate") > cutoff)
     joined = li.join(
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -151,9 +154,10 @@ GROUP BY n_name ORDER BY revenue DESC, n_name""",
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: 6-table star join.
 
-    region->nation->supplier collapse into one broadcast dim; customer is
-    broadcast too (bounded dim). The only shuffle join is lineitem<->orders
-    (fact-to-fact on l_orderkey) — the correct physical shape at 100 TB.
+    region/nation (fixed 5/25 rows) broadcast into supplier; supplier and
+    customer join with no hint (SF-scaled — AQE picks broadcast when they
+    fit). The lineitem<->orders join is fact-to-fact on l_orderkey — the
+    correct physical shape at 100 TB.
     """
     cutlo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     cuthi = F.lit("1997-01-01 00:00:00").cast("timestamp")
@@ -164,10 +168,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.table("orders").filter((F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi))
     li = spark.table("lineitem")
     joined = (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey) & (customer.c_nationkey == supplier.s_nationkey),
         )
     )
@@ -224,7 +228,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.table("nation")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -253,7 +257,7 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.table("customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey")
         .agg(_dsum("l_quantity", "total_qty"), F.sum("l_quantity").alias("_raw"))
         .filter(F.col("_raw") > 150)
@@ -294,9 +298,9 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = spark.table("nation").select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = spark.table("nation").select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     joined = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -333,7 +337,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
     )
     part = spark.table("part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     num = F.expr(
         "CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) "
         "ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)"
@@ -361,7 +365,7 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     still push into the scans."""
     li = spark.table("lineitem")
     part = spark.table("part")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    joined = li.join(part, part.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
@@ -419,14 +423,14 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.table("part").filter(F.col("p_size") == 15)
     li = spark.table("lineitem").select("l_partkey", "l_suppkey")
     pairs = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_acctbal")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp.select("s_suppkey", "s_name", "s_acctbal"), li.l_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal")
         .distinct()
     )
     minbal = pairs.groupBy("p_partkey").agg(F.min("s_acctbal").alias("_minbal"))
     return (
-        pairs.join(F.broadcast(minbal), "p_partkey")
+        pairs.join(minbal, "p_partkey")
         .filter(F.col("s_acctbal") == F.col("_minbal"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal")
         .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
@@ -481,10 +485,10 @@ def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = spark.table("lineitem")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"), "inner")
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(
@@ -532,8 +536,8 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.table("orders").select("o_orderkey", "o_orderdate")
     li = spark.table("lineitem")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
@@ -581,7 +585,7 @@ def tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.table("nation").filter(F.col("n_name") == "NATION_7")
     supp = spark.table("supplier").join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     li = spark.table("lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
-    base = li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+    base = li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
     per_part = base.groupBy("l_partkey").agg(
         F.expr("SUM(CAST(l_extendedprice AS DECIMAL(28,6)))").alias("_value_dec")
     )
@@ -714,7 +718,7 @@ def tpch_q15_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue0.join(F.broadcast(maxrev))
         .filter(F.col("total_revenue") == F.col("_maxrev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -753,8 +757,8 @@ def tpch_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = spark.table("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = spark.table("lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -787,12 +791,12 @@ def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.table("part").filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 5))
     pk = part.select("p_partkey")
     li = spark.table("lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    li_small = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+    li_small = li.join(pk, li.l_partkey == pk.p_partkey, "left_semi")
     thresholds = li_small.groupBy(F.col("l_partkey").alias("_tk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_threshold")
     )
     return (
-        li_small.join(F.broadcast(thresholds), li_small.l_partkey == F.col("_tk"))
+        li_small.join(thresholds, li_small.l_partkey == F.col("_tk"))
         .filter(F.col("l_quantity") < F.col("_qty_threshold"))
         .agg(F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0").alias("avg_yearly"))
     )
@@ -829,7 +833,7 @@ def tpch_q20_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     qualified = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_qty"))
         .filter(F.col("_qty") > 400)
@@ -894,7 +898,7 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting = (
         per_supp.join(per_order, "l_orderkey")
         .filter((F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
         waiting.groupBy("s_name")
