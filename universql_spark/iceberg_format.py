@@ -1258,6 +1258,24 @@ class IcebergTable(SnapshotTable):
     def _delete_mode(self) -> str:
         return self.get_property("write.delete.mode", "copy-on-write")
 
+    # Broadcast an equality-delete key file only below this on-disk size
+    # (parquet, so ~2-4x this in memory on the build side). Matches the
+    # spirit of spark.sql.autoBroadcastJoinThreshold's default order of
+    # magnitude; overridable per-table via a property.
+    _EQ_DELETE_BROADCAST_BYTES = 32 * 1024 * 1024
+
+    def _eq_delete_broadcastable(self, path: str) -> bool:
+        limit = int(
+            self.get_property(
+                "read.eq-delete.broadcast-bytes", str(self._EQ_DELETE_BROADCAST_BYTES)
+            )
+        )
+        try:
+            size = os.path.getsize(re.sub(self._PATH_NORM, "", path))
+        except OSError:
+            return False  # unknown size: let AQE decide, never force
+        return size <= limit
+
     def _scan_with_pos(self, spark, files: list[str], delete_files: list[str],
                        eq_entries: list[dict] | None = None):
         """Scan `files` with `__path`/`__pos` columns (normalized file path
@@ -1267,8 +1285,12 @@ class IcebergTable(SnapshotTable):
         deletes, restricted by the spec's sequence rule: a key row deletes
         only from data files whose sequence number is STRICTLY SMALLER than
         the delete's — the join condition carries `__fseq < seq`, so a
-        re-inserted key in a newer file survives. The key sets are tiny
-        (broadcast); the per-file sequence map is metadata-sized."""
+        re-inserted key in a newer file survives. Typical key sets are tiny
+        and broadcast, but the hint is SIZE-GATED: a CDC backfill can ship an
+        equality-delete batch with millions of keys, and a mandatory
+        broadcast of that would OOM executors at scale — above the gate the
+        join runs un-hinted (AQE shuffles it, splitting skew as needed). The
+        per-file sequence map is metadata-sized (always broadcast)."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
         df = super()._read_files(spark, files)
@@ -1300,7 +1322,9 @@ class IcebergTable(SnapshotTable):
                 cond = F.col("__fseq") < F.lit(e["seq"])
                 for c in e["cols"]:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-                df = df.join(F.broadcast(keys), cond, "left_anti")
+                if self._eq_delete_broadcastable(e["path"]):
+                    keys = F.broadcast(keys)
+                df = df.join(keys, cond, "left_anti")
             df = df.drop("__fseq")
         return df
 
