@@ -2347,3 +2347,90 @@ def test_special_stage_refs_never_touch_literals(engine):
     assert out == [] or out[0]["a"] == "user@~home"
     out = engine.execute("SELECT 'a@~b' AS s").to_pylist()
     assert out == [{"s": "a@~b"}]
+
+
+def test_two_part_rewrite_does_not_clobber_aliases(engine):
+    """ADVICE r3 #1: a registered table db.s.c plus `SELECT s.c FROM t AS s`
+    must NOT rewrite the alias-qualified column s.c, and string literals
+    containing 'sch.tbl' text must survive verbatim."""
+    engine.execute("CREATE OR REPLACE TABLE advdb.s.c AS SELECT 42 AS x")
+    engine.execute("USE DATABASE advdb")
+    try:
+        engine.execute("CREATE OR REPLACE TEMP VIEW t_alias AS SELECT 7 AS c")
+        out = engine.execute("SELECT s.c FROM t_alias AS s").to_pylist()
+        assert out == [{"c": 7}]
+        lit = engine.execute("SELECT 's.c' AS lit").to_pylist()
+        assert lit == [{"lit": "s.c"}]
+        # the legitimate 2-part table reference still resolves
+        assert engine.execute("SELECT x FROM s.c").to_pylist() == [{"x": 42}]
+    finally:
+        engine.execute("USE DATABASE default")
+        engine.execute("DROP TABLE advdb.s.c")
+
+
+def test_show_objects_in_mangled_schema(engine):
+    """ADVICE r3 #2: SHOW TERSE OBJECTS IN db.sch (dbt's connect-time call)
+    must resolve the db__sch Spark database, and an unknown schema returns
+    an empty result instead of raising."""
+    engine.execute("CREATE OR REPLACE TABLE showdb.ssch.stab AS SELECT 1 AS x")
+    try:
+        rows = engine.execute("SHOW TERSE OBJECTS IN showdb.ssch").to_pylist()
+        assert any(r["name"] == "STAB" for r in rows)
+        rows = engine.execute("SHOW TERSE OBJECTS IN SCHEMA showdb.ssch").to_pylist()
+        assert any(r["name"] == "STAB" for r in rows)
+        assert engine.execute("SHOW TERSE OBJECTS IN nodb.nosch").to_pylist() == []
+    finally:
+        engine.execute("DROP TABLE showdb.ssch.stab")
+
+
+def test_show_like_pattern_with_regex_metachars(engine):
+    """ADVICE r3 #5: LIKE patterns containing regex metacharacters must not
+    raise re.error (they are escaped before wildcard translation)."""
+    rows = engine.execute("SHOW PARAMETERS LIKE 'QUERY_TAG(%'").to_pylist()
+    assert rows == []
+    rows = engine.execute("SHOW OBJECTS LIKE 'ord[%'").to_pylist()
+    assert rows == []
+    rows = engine.execute("SHOW PARAMETERS LIKE 'TIMEZONE'").to_pylist()
+    assert any(r["key"] == "TIMEZONE" for r in rows)
+
+
+def test_copy_purge_force_and_binary_on_error(engine, tmp_path):
+    """ADVICE r3 #4: PURGE deletes loaded files after commit; explicit
+    FORCE=FALSE skips files already loaded into the target (process-lifetime
+    load history); ON_ERROR=CONTINUE on parquet raises instead of silently
+    degrading to ABORT_STATEMENT."""
+    import pytest as _pytest
+
+    a = tmp_path / "a.csv"
+    a.write_text("1,x\n2,y\n")
+    engine.execute("CREATE OR REPLACE TEMP TABLE pft_t (k INT, v STRING)")
+    engine.execute(f"CREATE OR REPLACE STAGE pft_stg URL='file://{tmp_path}'")
+    # FORCE=FALSE twice: first loads, second skips via load history
+    out = engine.execute(
+        "COPY INTO pft_t FROM @pft_stg/a.csv FILE_FORMAT=(TYPE=CSV) FORCE=FALSE"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 2 and out["status"] == "LOADED"
+    out = engine.execute(
+        "COPY INTO pft_t FROM @pft_stg/a.csv FILE_FORMAT=(TYPE=CSV) FORCE=FALSE"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 0 and out["status"] == "LOAD_SKIPPED"
+    # unspecified FORCE reloads (reference-parity stateless COPY)
+    out = engine.execute(
+        "COPY INTO pft_t FROM @pft_stg/a.csv FILE_FORMAT=(TYPE=CSV)"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 2
+    # PURGE deletes the staged file after a successful load
+    b = tmp_path / "b.csv"
+    b.write_text("3,z\n")
+    out = engine.execute(
+        "COPY INTO pft_t FROM @pft_stg/b.csv FILE_FORMAT=(TYPE=CSV) PURGE=TRUE"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 1
+    assert not b.exists()
+    assert engine.execute("SELECT COUNT(*) AS n FROM pft_t").to_pylist() == [{"n": 5}]
+    # binary formats reject row-granular ON_ERROR instead of ignoring it
+    with _pytest.raises(Exception, match="ON_ERROR"):
+        engine.execute(
+            "COPY INTO pft_t FROM @pft_stg/a.parquet "
+            "FILE_FORMAT=(TYPE=PARQUET) ON_ERROR=CONTINUE"
+        )

@@ -124,7 +124,10 @@ def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
     return table, path, fmt, options
 
 
-def read_stage(spark: SparkSession, path: str, fmt: str, options: dict[str, str]) -> DataFrame:
+def read_stage(
+    spark: SparkSession, path: str | list[str], fmt: str, options: dict[str, str]
+) -> DataFrame:
+    """`path` may be a concrete file list (FORCE=FALSE partial reload)."""
     reader = spark.read.options(**options)
     if fmt == "csv":
         reader = reader.option("inferSchema", "true")
@@ -132,7 +135,7 @@ def read_stage(spark: SparkSession, path: str, fmt: str, options: dict[str, str]
     if fmt == "json":
         return reader.json(path)
     if fmt == "parquet":
-        return reader.parquet(path)
+        return reader.parquet(*path) if isinstance(path, list) else reader.parquet(path)
     if fmt == "avro":
         try:
             return reader.format("avro").load(path)
@@ -265,6 +268,30 @@ def _match_by_name(df: DataFrame, target_schema, case_insensitive: bool) -> Data
     return df.select(*cols)
 
 
+#: load history per resolved target table (FORCE=FALSE semantics: a file
+#: already loaded into a table is skipped on re-COPY, Snowflake's default).
+#: Process-lifetime state, like the reference's in-memory session registry.
+_LOAD_HISTORY: dict[str, set[str]] = {}
+
+
+def _stage_file_list(path: str) -> list[str]:
+    """Concrete local files behind a COPY source path (file, glob, or
+    directory). [] when the path cannot be enumerated locally (remote object
+    store) — FORCE/PURGE then either degrade or raise explicitly."""
+    import glob as _glob  # noqa: PLC0415
+
+    local = path.removeprefix("file://").removeprefix("file:")
+    if re.match(r"^[a-z0-9]+://", local):
+        return []
+    if os.path.isdir(local):
+        return sorted(
+            os.path.join(local, f)
+            for f in os.listdir(local)
+            if not f.startswith(("_", "."))
+        )
+    return sorted(_glob.glob(local))
+
+
 def execute_copy_with_options(
     spark: SparkSession, stmt: str, resolve=None
 ) -> pa.Table:
@@ -277,9 +304,18 @@ def execute_copy_with_options(
       stays single-pass (PERMISSIVE read + corrupt-record column, both
       counts ride the write as Observation metrics). SKIP_FILE degrades to
       CONTINUE here (row granularity — per-file abort would need one Spark
-      job per file; documented divergence).
+      job per file; documented divergence). Raises for parquet/avro (binary
+      formats have no row-granular corrupt-record channel — ADVICE r3 #4;
+      silently degrading to ABORT would misreport the contract).
     - MATCH_BY_COLUMN_NAME = CASE_[IN]SENSITIVE: project source onto target
       columns by name; missing columns load as NULL.
+    - explicit FORCE=FALSE: files recorded in this process's load history
+      for the target are skipped (Snowflake's default). When FORCE is
+      UNSPECIFIED we reload — matching the reference, whose COPY delegates
+      to a stateless DuckDB read (plugins/snow.py) with no load history;
+      documented divergence from Snowflake's implicit FORCE=FALSE.
+    - PURGE=TRUE: staged files are deleted after a successful commit
+      (raises for non-enumerable/remote paths instead of silently ignoring).
     - default (ABORT_STATEMENT): the plain execute_copy path.
     """
     from pyspark.sql import Observation
@@ -293,6 +329,44 @@ def execute_copy_with_options(
     on_error = copts.get("ON_ERROR", "ABORT_STATEMENT")
     match_by = copts.get("MATCH_BY_COLUMN_NAME", "NONE")
     validation = copts.get("VALIDATION_MODE", "")
+    force = copts.get("FORCE", "TRUE") == "TRUE"  # see docstring: unspecified -> reload
+    purge = copts.get("PURGE", "FALSE") == "TRUE"
+
+    if on_error in ("CONTINUE", "SKIP_FILE") and fmt not in ("csv", "json"):
+        raise ValueError(
+            f"ON_ERROR={on_error} is not supported for {fmt}: binary formats "
+            "have no row-granular corrupt-record channel; use ABORT_STATEMENT"
+        )
+
+    files = _stage_file_list(path)
+    if purge and not files:
+        raise ValueError(
+            "PURGE=TRUE requires an enumerable local stage path; refusing to "
+            "report LOADED while leaving staged files in place"
+        )
+    history = _LOAD_HISTORY.setdefault(target, set())
+    src: str | list[str] = path
+    if not force and files and not validation:
+        fresh = [f for f in files if f not in history]
+        if not fresh:
+            return pa.table({"rows_loaded": [0], "status": ["LOAD_SKIPPED"]})
+        if len(fresh) < len(files):
+            if fmt == "avro":
+                raise ValueError(
+                    "FORCE=FALSE partial reload is not supported for avro; "
+                    "pass FORCE=TRUE or stage only new files"
+                )
+            src = fresh
+        files = fresh
+
+    def _commit() -> None:
+        history.update(files)
+        if purge:
+            for f in files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass  # already gone; the load itself committed
 
     needs_schema_read = fmt in ("csv", "json") and (
         validation == "RETURN_ERRORS" or on_error in ("CONTINUE", "SKIP_FILE")
@@ -308,7 +382,7 @@ def execute_copy_with_options(
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
         )
-        df = reader.csv(path) if fmt == "csv" else reader.json(path)
+        df = reader.csv(src) if fmt == "csv" else reader.json(src)
         # corrupt-record pushdown caveat: referencing ONLY _corrupt is
         # disallowed; always keep the full row alongside
         df = df.cache()
@@ -328,14 +402,20 @@ def execute_copy_with_options(
         )
         n = obs.get["n"]
         df.unpersist()
+        _commit()
         return pa.table(
             {"rows_parsed": [n + n_bad], "rows_loaded": [n],
              "errors_seen": [n_bad], "status": ["LOADED" if n_bad == 0 else "PARTIALLY_LOADED"]}
         )
     if match_by in ("CASE_INSENSITIVE", "CASE_SENSITIVE"):
-        df = read_stage(spark, path, fmt, options)
+        df = read_stage(spark, src, fmt, options)
         df = _match_by_name(df, spark.table(target).schema, match_by == "CASE_INSENSITIVE")
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.insertInto(target, overwrite=False)
+        _commit()
         return pa.table({"rows_loaded": [obs.get["n"]], "status": ["LOADED"]})
-    return execute_copy(spark, stmt, resolve=resolve)
+    df = read_stage(spark, src, fmt, options)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.insertInto(target, overwrite=False)
+    _commit()
+    return pa.table({"rows_loaded": [obs.get["n"]], "status": ["LOADED"]})

@@ -106,6 +106,14 @@ _CREATE_PROC_RE = re.compile(
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
 
 
+def _like_regex(pattern: str) -> "re.Pattern[str]":
+    """SQL LIKE pattern -> anchored case-insensitive regex. Everything is
+    escaped first (ADVICE r3 #5: 'DB(1)%' must not raise re.error), then the
+    escaped %/_ wildcards become .*/. ."""
+    esc = re.escape(pattern)
+    return re.compile("^" + esc.replace("%", ".*").replace("_", ".") + "$", re.I)
+
+
 def _unquote_body(body: str) -> str:
     """AS body: $$-quoted or '-quoted -> raw text."""
     body = body.strip().rstrip(";").strip()
@@ -373,25 +381,48 @@ class Engine:
     def _rewrite_qualified(self, stmt: str) -> str:
         """Rewrite known 3-part names (db.schema.table) to their 2-level Spark
         mapping. Only names REGISTERED by this session's DDL are touched, so
-        struct-field access like t.col.field can never be clobbered."""
+        struct-field access like t.col.field can never be clobbered.
+
+        The 2-part schema.table form is far more collision-prone than the
+        3-part one (ADVICE r3 #1): `SELECT s.c FROM t AS s` must not become
+        `db__s.c` just because a table db.s.c exists. So the 2-part rewrite
+        (a) runs outside string literals, (b) only fires in table-reference
+        position (after FROM/JOIN/INTO/UPDATE/TABLE/MERGE/USING), and (c) is
+        skipped entirely when `sch` is also bound as an alias in the
+        statement."""
         if not self.qualified_tables or "." not in stmt:
             return stmt
+        from universql_spark.dialect import _outside_literals  # noqa: PLC0415
+
         for db, sch, tbl in self.qualified_tables:
-            stmt = re.sub(
-                rf'(?<![\w."])"?{re.escape(db)}"?\."?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
-                f"{db}__{sch}.{tbl}",
+            stmt = _outside_literals(
                 stmt,
-                flags=re.I,
+                lambda seg: re.sub(
+                    rf'(?<![\w."])"?{re.escape(db)}"?\."?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
+                    f"{db}__{sch}.{tbl}",
+                    seg,
+                    flags=re.I,
+                ),
             )
             if self.current_database and self.current_database.lower() == db:
                 # 2-part schema.table resolves against the session database
                 # (Snowflake's name resolution; the identifier matrix
                 # exercises every case/quoting variant of this form)
-                stmt = re.sub(
-                    rf'(?<![\w."])"?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
-                    f"{db}__{sch}.{tbl}",
+                alias_re = re.compile(
+                    rf'(?:\bAS\s+|\b(?:FROM|JOIN)\s+[\w."]+\s+)"?{re.escape(sch)}"?\b',
+                    re.I,
+                )
+                if alias_re.search(stmt):
+                    continue  # `sch` doubles as a table alias here — too risky
+                stmt = _outside_literals(
                     stmt,
-                    flags=re.I,
+                    lambda seg: re.sub(
+                        rf'(?<=\b)(FROM|JOIN|INTO|UPDATE|TABLE|USING|MERGE\s+INTO)'
+                        rf'(\s+)"?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])',
+                        rf"\1\2{db}__{sch}.{tbl}",
+                        seg,
+                        flags=re.I,
+                    ),
                 )
         return stmt
 
@@ -532,9 +563,7 @@ class Engine:
                 defaults = dict(params)
                 params.update(self.session_params)
                 if pm.group(1):
-                    pat = re.compile(
-                        "^" + pm.group(1).replace("%", ".*").replace("_", ".") + "$", re.I
-                    )
+                    pat = _like_regex(pm.group(1))
                     params = {k: v for k, v in params.items() if pat.match(k)}
                 keys = sorted(params)
                 return pa.table(
@@ -1309,17 +1338,41 @@ class Engine:
             if om:
                 # dbt's connect-time call (`SHOW TERSE OBJECTS IN ...`):
                 # tables + views from the Spark catalog, Snowflake column set
+                # Resolve IN <target> the way _use does (ADVICE r3 #2):
+                # schemas live as mangled `db__sch` Spark databases, so
+                # dbt's connect-time `SHOW TERSE OBJECTS IN db.sch` must try
+                # the mangled form (and current_database + '__' + name for
+                # the 1-part form) before the bare name.
                 db = None
                 if om.group(2):
-                    parts = [p.strip('"') for p in split_ident(om.group(2))]
-                    db = parts[-1].lower()
+                    parts = [p.strip('"').lower() for p in split_ident(om.group(2))]
+                    candidates = []
+                    if len(parts) >= 2:
+                        candidates.append(f"{parts[-2]}__{parts[-1]}")
+                    elif self.current_database:
+                        candidates.append(
+                            f"{self.current_database.lower()}__{parts[-1]}"
+                        )
+                    candidates.append(parts[-1])
+                    db = next(
+                        (c for c in candidates if self.spark.catalog.databaseExists(c)),
+                        None,
+                    )
+                    if db is None:
+                        # unknown schema: empty result, not AnalysisException
+                        # (clients probe schemas that may not exist yet)
+                        return pa.table(
+                            {"name": [], "kind": [], "database_name": [],
+                             "schema_name": []},
+                            schema=pa.schema(
+                                [("name", pa.string()), ("kind", pa.string()),
+                                 ("database_name", pa.string()),
+                                 ("schema_name", pa.string())]
+                            ),
+                        )
                 tables = self.spark.catalog.listTables(db) if db else self.spark.catalog.listTables()
                 like = om.group(1)
-                pat = (
-                    re.compile("^" + like.replace("%", ".*").replace("_", ".") + "$", re.I)
-                    if like
-                    else None
-                )
+                pat = _like_regex(like) if like else None
                 rows = [
                     (t.name.upper(),
                      "VIEW" if t.tableType in ("VIEW", "TEMPORARY") else "TABLE",

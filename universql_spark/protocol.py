@@ -25,6 +25,7 @@ import gzip
 import io
 import json
 import secrets
+import threading
 
 import pyarrow as pa
 
@@ -111,6 +112,17 @@ def create_app(engine: Engine | None = None) -> "Flask":
     #: async executions (execute_async contract): queryId -> state tuple
     #: ("running", None) | ("done", table) | ("error", QueryError)
     async_queries: dict[str, tuple] = {}
+    ASYNC_RETAIN = 100  # completed entries kept; oldest evicted beyond this
+    #: Engine state (session params, _results ring, snap_tables, DuckDB
+    #: connections) is not thread-safe; a client that submits async and keeps
+    #: issuing synchronous statements would race the worker thread
+    #: (ADVICE r3 #3). One lock serializes every eng.execute/execute_df.
+    exec_lock = threading.Lock()
+
+    def _evict_async() -> None:
+        done = [q for q, (st, _) in async_queries.items() if st != "running"]
+        for q in done[: max(0, len(done) - ASYNC_RETAIN)]:
+            async_queries.pop(q, None)
 
     @app.post("/session/v1/login-request")
     def login():
@@ -157,11 +169,14 @@ def create_app(engine: Engine | None = None) -> "Flask":
             import threading  # noqa: PLC0415
 
             async_queries[query_id] = ("running", None)
+            _evict_async()
 
             def _run(qid=query_id, text=sql):
                 eng.spark.sparkContext.setJobGroup(qid, text[:120], interruptOnCancel=True)
                 try:
-                    async_queries[qid] = ("done", normalize(eng.execute(text)))
+                    with exec_lock:
+                        res = ("done", normalize(eng.execute(text)))
+                    async_queries[qid] = res
                 except QueryError as e:
                     async_queries[qid] = ("error", e)
                 except Exception as e:  # surfaced via monitoring as FAILED
@@ -181,7 +196,8 @@ def create_app(engine: Engine | None = None) -> "Flask":
                 import re as _re  # noqa: PLC0415
 
                 if _re.match(r"^\s*(SELECT|WITH)\b", sql, _re.I):
-                    table = normalize(eng.execute_df(sql).limit(0).toArrow())
+                    with exec_lock:
+                        table = normalize(eng.execute_df(sql).limit(0).toArrow())
                 else:
                     import pyarrow as _pa  # noqa: PLC0415
 
@@ -196,7 +212,8 @@ def create_app(engine: Engine | None = None) -> "Flask":
                         "rowsetBase64": _arrow_b64(table),
                     },
                 }
-            table = normalize(eng.execute(sql))
+            with exec_lock:
+                table = normalize(eng.execute(sql))
         except QueryError as e:
             return {
                 "success": False,
