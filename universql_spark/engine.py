@@ -249,6 +249,11 @@ class Engine:
         #: CREATE ICEBERG TABLE targets -> SnapshotTable (tableformat.py):
         #: snapshot manifests + file-granular copy-on-write DML + time travel
         self.snap_tables: dict[str, "object"] = {}
+        #: catalog write-back (reference warehouse/snowflake.py:73-88):
+        #: after CREATE ICEBERG TABLE, invoke (table_name,
+        #: metadata_location) so an external catalog learns the table.
+        #: Injected via enable_rest_catalog_sync() or set directly.
+        self.catalog_sync = None  # Callable[[str, str], None] | None
         #: per-statement duration + cost estimate (reference util.py:375-406)
         self.query_log: list[dict] = []
         #: routing fallback (reference: anything the local engine can't run
@@ -2771,6 +2776,20 @@ class Engine:
         )
         self._refresh_snap_view(bn)
 
+    def enable_rest_catalog_sync(
+        self, uri: str, namespace: str, token: str | None = None
+    ) -> None:
+        """Register every subsequently CREATEd ICEBERG table into a REST
+        (Polaris-style) catalog — the reference's DDL sync
+        (warehouse/snowflake.py:73-88, protocol/session.py:190-192) so a
+        second engine pointed at the same catalog resolves our tables."""
+        from universql_spark.catalogs import RestCatalogClient  # noqa: PLC0415
+
+        client = RestCatalogClient(uri, token=token)
+        self.catalog_sync = lambda name, loc: client.register_table(
+            namespace, name, loc
+        )
+
     def _read_table(self, name: str):
         bn = bare_name(name)
         if bn in self.snap_tables:
@@ -2882,6 +2901,11 @@ class Engine:
             self.snap_tables[bn] = snap
             self._dynamic_meta.pop(bn, None)  # CTAS over a dynamic table demotes it
             self._refresh_snap_view(bn)
+            if self.catalog_sync is not None:
+                # write-back AFTER the local commit is durable: the catalog
+                # records the metadata location (register, not commit), so a
+                # failed sync leaves a valid local table + a clear error
+                self.catalog_sync(bn, snap._version_path(snap.current_version()))
             return _status(f"created iceberg {name}")
         if temp:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
