@@ -78,3 +78,132 @@ def assert_match(name: str, spark_df, con: duckdb.DuckDBPyConnection, oracle: st
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
+
+
+# ---------------------------------------------------------------------------
+# python (numpy) oracles — for deterministic operators whose training loops
+# are not SQL-expressible (VERDICT r3 'Next round' #7). Each is a FULLY
+# INDEPENDENT numpy re-derivation (no universql_spark.operators imports) of
+# the documented algorithm + conventions, so a hash match is a genuine
+# differential check, not the operator reading its own output.
+# ---------------------------------------------------------------------------
+
+
+def _load_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    ids = np.array(t["vec_id"].to_pylist())
+    X = np.array(t["embedding"].to_pylist(), dtype=float)
+    return ids, X
+
+
+def _np_lloyd(X, k: int, iters: int):
+    """Lloyd's with the repo's documented conventions: init = k lowest-id
+    vectors, ties -> lowest centroid index (np.argmin), empty clusters keep
+    their previous centroid, returns the LAST PRE-UPDATE assignment."""
+    import numpy as np
+
+    C = X[:k].copy()
+    a = None
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    return a, C
+
+
+def py_oracle_dedup_semantic(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """SemDeDup aggregate view: k=4/iters=3/threshold=0.45 over embeddings;
+    within-cluster cosine pairs (id_a < id_b, cos rounded to 4dp before the
+    threshold), dropped = distinct id_b, survivors = rest."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    a, _C = _np_lloyd(X, k=4, iters=3)
+    nrm = np.sqrt((X * X).sum(1))
+    out = []
+    for c in sorted(set(a.tolist())):
+        idx = np.where(a == c)[0]
+        sub, sid, snrm = X[idx], ids[idx], nrm[idx]
+        cos = (sub @ sub.T) / np.outer(snrm, snrm)
+        n_pairs = 0
+        dropped = set()
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                lo, hi = (i, j) if sid[i] < sid[j] else (j, i)
+                if round(float(cos[lo, hi]), 4) >= 0.45:
+                    n_pairs += 1
+                    dropped.add(int(sid[hi]))
+        out.append((int(c), int(len(idx) - len(dropped)), n_pairs, len(dropped)))
+    return ["cluster", "n_survivors", "n_pairs", "n_dropped"], out
+
+
+def py_oracle_ann_pq_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """PQ+ADC with exact re-rank, independently in numpy: m=8 subspaces,
+    k_codes=16, 10 Lloyd iters per subspace on the lowest-4096-id sample,
+    ADC shortlist of rerank*k=50 per query (cos rounded 4dp, ties -> lower
+    n_id), exact rerank to top 5. Queries: vec_id < 10, self excluded."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    m, k_codes, iters, k, rerank = 8, 16, 10, 5, 10
+    dim = X.shape[1]
+    sub = dim // m
+    S = X[:4096]
+    books = []
+    for j in range(m):
+        Sj = S[:, j * sub:(j + 1) * sub]
+        C = Sj[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((Sj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            asg = d2.argmin(1)
+            for c in range(k_codes):
+                if (asg == c).any():
+                    C[c] = Sj[asg == c].mean(0)
+        books.append(C)
+    # encode every vector: per-subspace argmin code (ties -> lowest code)
+    codes = np.stack([
+        (((X[:, j * sub:(j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2)
+         .sum(-1).argmin(1))
+        for j in range(m)
+    ], axis=1)  # (n, m)
+    nrm = np.sqrt((X * X).sum(1))
+    qn2 = np.stack([ (books[j] ** 2).sum(1) for j in range(m) ])  # (m, k_codes)
+    q_idx = np.where(ids < 10)[0]
+    out = []
+    for qi in q_idx:
+        q = X[qi]
+        T = np.stack([
+            books[j] @ q[j * sub:(j + 1) * sub] for j in range(m)
+        ])  # (m, k_codes)
+        approx = T[np.arange(m)[None, :], codes].sum(1)
+        n_nrm_q = np.sqrt(qn2[np.arange(m)[None, :], codes].sum(1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            adc = np.round(approx / (nrm[qi] * n_nrm_q), 4)
+        mask = ids != ids[qi]
+        cand = sorted(
+            ((float(adc[i]), int(ids[i])) for i in np.where(mask)[0]),
+            key=lambda t: (-t[0], t[1]),
+        )[: k * rerank]
+        exact = sorted(
+            ((round(float(X[np.where(ids == nid)[0][0]] @ q
+                          / (nrm[np.where(ids == nid)[0][0]] * nrm[qi])), 4), nid)
+             for _s, nid in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (cos, nid) in enumerate(exact, 1):
+            out.append((int(ids[qi]), nid, cos, rank))
+    return ["q_id", "n_id", "cos", "rank"], out
+
+
+#: name -> callable(sf_dir) -> (cols, rows); consulted by the LOCAL gate for
+#: specs whose DuckDB oracle is None. (The driver gate runs SQL oracles
+#: only — these upgrade the local evidence tier from rows-only to oracled.)
+PY_ORACLES = {
+    "dedup_semantic": py_oracle_dedup_semantic,
+    "ann_pq_topk": py_oracle_ann_pq_topk,
+}

@@ -21,7 +21,13 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tests.compare import duck_connection, duck_result, normalize_rows, spark_result
+from tests.compare import (
+    PY_ORACLES,
+    duck_connection,
+    duck_result,
+    normalize_rows,
+    spark_result,
+)
 from universql_spark.queries import load_all
 from universql_spark.session import get_spark
 
@@ -47,7 +53,19 @@ def main() -> None:
         try:
             s_cols, s_rows = spark_result(spec.spark(spark, SF_DIR))
             rec["spark_rows"] = len(s_rows)
-            if spec.oracle is None:
+            if spec.oracle is None and name in PY_ORACLES:
+                # numpy oracle (tests/compare.py): independent re-derivation
+                # of a deterministic non-SQL operator — same hash check,
+                # evidence tier "oracled (python)" instead of rows-only
+                d_cols, d_rows = PY_ORACLES[name](SF_DIR)
+                rec["oracle_rows"] = len(d_rows)
+                rec["rows_match"] = len(s_rows) == len(d_rows)
+                rec["schema_match"] = sorted(c.lower() for c in s_cols) == sorted(
+                    c.lower() for c in d_cols
+                )
+                rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+                rec["note"] = "python (numpy) oracle"
+            elif spec.oracle is None:
                 rec["rows_match"] = len(s_rows) >= 0  # rows-only spec
                 rec["note"] = "rows-only (no SQL-expressible oracle)"
             else:
