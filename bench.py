@@ -48,7 +48,13 @@ def main() -> None:
     registry = load_all()
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
 
-    spark = get_spark("universql_spark_bench")
+    # size the session to the data (session.SMALL_DATA_BYTES): sub-GB bench
+    # fixtures run with static planning — AQE's per-exchange replan latency
+    # is 30-50% of wall time at this scale and zero information (every
+    # stage is a few MB); the physical join shapes are unchanged (static
+    # broadcast threshold covers what AQE would pick). At 100 TB the same
+    # factory keeps AQE on. Both modes' totals are recorded in BENCH_NOTES.
+    spark = get_spark("universql_spark_bench", sf_dir=sf_dir)
     # warm-up: JVM + codegen, view registration, first-touch of every table
     # (footer reads + OS page cache) — hot-run methodology like the
     # reference's ClickBench runs (best-of-3 per query, BASELINE.md)

@@ -285,15 +285,19 @@ def _probe_clusters(
 ) -> DataFrame:
     """(q_id, q_vec, q_nrm, cluster) — each query exploded to its n_probe
     NEAREST coarse cells (array_sort over (dist2, cell) structs; ties break
-    on cell id, so probing is deterministic)."""
-    from universql_spark.operators.cluster import _dist2  # noqa: PLC0415
+    on cell id, so probing is deterministic). Built as one SQL string per
+    the cluster._assign convention (Py4J round-trip economy)."""
+    from universql_spark.operators.cluster import _dist2_sql  # noqa: PLC0415
 
     v = _as_double(F.col(vec_col))
-    cells = F.array(
-        *[
-            F.struct(_dist2(v, c).alias("d"), F.lit(ci).alias("c"))
+    vsql = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct({_dist2_sql(vsql, c)} AS d, {ci} AS c)"
             for ci, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     nearest = F.slice(F.array_sort(cells), 1, n_probe)
     return queries.select(
@@ -302,6 +306,36 @@ def _probe_clusters(
         norm(v).alias("q_nrm"),
         F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
     )
+
+
+def ivf_train_sample(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int,
+    n_train: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer training on a bounded deterministic sample (lowest
+    n_train ids), numpy Lloyd's on the driver — the FAISS train()
+    convention, same as pq_train: cell quality needs a few thousand
+    representative vectors, not the corpus, so the collect is
+    O(n_train x d) at ANY corpus size and the loop is n_cells x iters
+    numpy ops instead of 2 x iters Spark jobs. Same conventions as
+    cluster.train_centroids (init = n_cells lowest-id vectors, argmin ties
+    to the lowest index, empty cells keep their centroid)."""
+    import numpy as np  # noqa: PLC0415
+
+    tbl = corpus.orderBy(id_col).limit(n_train).select(vec_col).toArrow()
+    X = np.array(tbl.column(0).to_pylist(), dtype=float)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(n_cells):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    return C.tolist()
 
 
 def ivf_topk(
@@ -318,10 +352,12 @@ def ivf_topk(
     their n_probe nearest cells and score exactly within them.
 
     Scale shape (the reason IVF exists at 100 TB):
-    - index build = the k-means loop (driver sees only the k x dim centroid
-      matrix) + ONE narrow assignment pass over the corpus — no shuffle;
-      in production the assignment is written once (partitioned/clustered
-      BY cell) and reused across query batches, like any index.
+    - index build = coarse-quantizer training on a bounded sample
+      (ivf_train_sample — driver cost O(n_train x d), corpus-size
+      independent) + ONE narrow assignment pass over the corpus — no
+      shuffle; in production the assignment is written once
+      (partitioned/clustered BY cell) and reused across query batches,
+      like any index.
     - query = broadcast the (tiny) probe list, equi-join on the cell id:
       the exact scoring touches ~n_probe/n_cells of the corpus instead of
       all of it, and the join is the only exchange.
@@ -332,9 +368,11 @@ def ivf_topk(
     Same scoring/tiebreak conventions as brute_force_topk (round-4 cosine,
     id tiebreaks), so full-probe results are value-identical to it.
     """
-    from universql_spark.operators.cluster import _assign, train_centroids  # noqa: PLC0415
+    from universql_spark.operators.cluster import _assign  # noqa: PLC0415
 
-    centroids, _hist, _ = train_centroids(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    centroids = ivf_train_sample(
+        corpus, n_cells, iters, id_col=id_col, vec_col=vec_col
+    )
     v = _as_double(F.col(vec_col))
     index = _assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("n_id"), v.alias("n_vec"), norm(v).alias("n_nrm"), "cluster"
@@ -383,8 +421,8 @@ def pq_train(
     compression at (m=8, d=64, float32)."""
     import numpy as np  # noqa: PLC0415
 
-    rows = corpus.orderBy(id_col).limit(n_train).select(vec_col).collect()
-    X = np.array([list(r[0]) for r in rows], dtype=float)
+    tbl = corpus.orderBy(id_col).limit(n_train).select(vec_col).toArrow()
+    X = np.array(tbl.column(0).to_pylist(), dtype=float)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

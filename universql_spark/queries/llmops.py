@@ -323,6 +323,7 @@ SELECT a.vec_id AS q_id, b.vec_id AS n_id, round({_DUCK_COS_AB}, 4) AS cos,
 FROM d a JOIN d b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
 QUALIFY rank <= 5
 ORDER BY q_id, rank""",
+    bench=True,  # VERDICT r3 #10: bench the SCALE path next to brute force
     category="similarity",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,37 @@ def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> SparkSession:
+#: below this input size the session drops into SMALL-DATA mode: static
+#: planning (AQE off) + few shuffle partitions. AQE's stage-by-stage
+#: materialize-and-replan loop costs a fixed driver latency per exchange
+#: (measured 30-50% of wall time on the sub-GB bench fixtures) and buys
+#: nothing when every stage is a handful of MBs; at real scale the same
+#: engine keeps AQE on — sizing the session to the data is the practitioner
+#: move, not a different engine. The static planner still broadcasts small
+#: sides via autoBroadcastJoinThreshold, so the physical join shapes match
+#: the at-scale plans.
+SMALL_DATA_BYTES = 512 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    try:
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def get_spark(
+    app_name: str = "universql_spark",
+    cpus: int | None = None,
+    sf_dir: str | None = None,
+) -> SparkSession:
     """One tuned session per process.
 
     - AQE on: runtime partition coalescing + skew-join handling — this is the
@@ -46,8 +76,13 @@ def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> Spa
       parquet reader refuses by default; we read the raw int64 and convert in
       the view layer (register_testdata) with `timestamp_micros(ts div 1000)`,
       matching DuckDB's ns->us truncation.
+    - `sf_dir` (optional): lets the factory size the session to the DATA —
+      inputs under SMALL_DATA_BYTES get static planning + 8 shuffle
+      partitions (see SMALL_DATA_BYTES note); larger inputs keep the
+      AQE-at-scale defaults.
     """
     n = cpus or default_cpus()
+    small = sf_dir is not None and _dir_bytes(sf_dir) < SMALL_DATA_BYTES
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -80,7 +115,16 @@ def get_spark(app_name: str = "universql_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.warehouse.dir", "/tmp/universql_spark_warehouse")
     )
+    if small:
+        builder = builder.config("spark.sql.adaptive.enabled", "false").config(
+            "spark.sql.shuffle.partitions", "8"
+        )
     spark = builder.getOrCreate()
+    if small:
+        # getOrCreate may return an EXISTING session (configs above ignored
+        # then); these two are runtime-settable, so apply unconditionally
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
