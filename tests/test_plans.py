@@ -381,3 +381,21 @@ def test_no_mandatory_broadcast_on_sf_scaled_tables(spark, sf_dir):
         assert "BroadcastHashJoin" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    """RAG chunking is a pure scan pipeline: sequence/slice/explode with no
+    exchange — output streams per input split at any scale."""
+    p = plan(spark, sf_dir, "corpus_chunk_overlap")
+    # the only exchange is the range partitioning of the output ORDER BY —
+    # no hash shuffle anywhere in the chunk expansion itself
+    assert "hashpartitioning" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_crossdoc_ngrams_partial_agg_no_cartesian(spark, sf_dir):
+    """Cross-doc gram counts: gram-keyed hash aggregation with map-side
+    combine, equi-join back — never an all-pairs product."""
+    p = plan(spark, sf_dir, "dedup_crossdoc_ngrams")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -148,7 +148,9 @@ _GATE_PRIORITY: list[str] = [
     "agg_grouping_sets", "agg_listagg_ordered", "agg_min_max_by",
     # ---- end of first-50 ----
     # next tier: the remaining never-driver-gated oracled specs, in the order
-    # they should rotate into future rounds:
+    # they should rotate into future rounds (r4 additions first — newest
+    # zero-evidence specs lead the next sample):
+    "corpus_chunk_overlap", "text_gopher_rules", "dedup_crossdoc_ngrams",
     "join_full_outer", "subq_correlated", "json_extract", "fn_scalar_gallery",
     "win_rank_dense", "win_running_sum", "win_lag_lead", "win_moving_avg",
     "win_ntile_cume", "win_range_frame", "win_first_last_value",

@@ -1441,3 +1441,167 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("+quality", agg["q"]), ("+marker", agg["m"])],
         "stage string, n bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: RAG chunking, Gopher rule gate, cross-document n-gram dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_chunk_overlap",
+    f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks), 24)) AS start,
+         toks
+  FROM t)
+SELECT doc_id,
+       CAST((start - 1) / 24 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start,
+       CAST(len(toks[start : start + 31]) AS INT) AS n_tok,
+       md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_idx""",
+    category="corpus",
+    doc="fixed-size token chunking with overlap (RAG ingestion shape): "
+        "32-token windows, stride 24, md5 chunk fingerprints",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding ingestion
+    primitive (chunk size 32 tokens, stride 24 -> 8-token overlap).
+
+    One narrow pass, zero shuffle, zero UDF: tokenize once, expand the
+    per-document start offsets with sequence() and cut each chunk with
+    slice() inside a single higher-order transform, then ONE explode. The
+    md5 fingerprint makes chunks joinable/dedupable downstream without
+    carrying chunk text. At 100 TB this stays scan-bound (output rows ≈
+    input tokens / stride, produced streaming per input split)."""
+    d = spark.table("documents")
+    chunks = F.expr(
+        "transform(sequence(1, size(toks), 24), s -> struct("
+        "  CAST((s - 1) / 24 AS INT) AS chunk_idx,"
+        "  CAST(s AS INT) AS start,"
+        "  CAST(size(slice(toks, s, 32)) AS INT) AS n_tok,"
+        "  md5(array_join(slice(toks, s, 32), ' ')) AS chunk_hash))"
+    )
+    return (
+        d.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.start", "c.n_tok", "c.chunk_hash")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@register(
+    "text_gopher_rules",
+    f"""WITH t AS (
+  SELECT doc_id,
+         {_duck_token_count('text')} AS n_tok,
+         {_duck_tokens('text')} AS toks,
+         length({_rr('lower(trim(text))', ' +', '')}) AS n_alpha
+  FROM documents)
+SELECT doc_id,
+       n_tok BETWEEN 5 AND 100000 AS r_len,
+       round(n_alpha * 1.0 / n_tok, 4) BETWEEN 3.0 AND 10.0 AS r_wordlen,
+       len(list_filter(toks, w -> list_contains({list(_GOPHER_STOPWORDS)!r}, w))) >= 2 AS r_stop,
+       (n_tok BETWEEN 5 AND 100000)
+         AND (round(n_alpha * 1.0 / n_tok, 4) BETWEEN 3.0 AND 10.0)
+         AND (len(list_filter(toks, w -> list_contains({list(_GOPHER_STOPWORDS)!r}, w))) >= 2)
+         AS gopher_pass
+FROM t ORDER BY doc_id""",
+    category="quality",
+    doc="Gopher-style quality rule gate (Rae et al. 2021 table A1 shape): "
+        "token-count bounds, mean-word-length bounds, stop-word presence, "
+        "conjunction pass flag",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named Gopher quality rules as one expression pipeline (no shuffle,
+    no UDF — survives any scale as a scan): r_len (doc length in tokens),
+    r_wordlen (mean word length, rounded before the bounds check so both
+    engines compare the same 4dp value), r_stop (>= 2 stop-word hits), and
+    the conjunction gopher_pass — the keep/drop bit a curation pipeline
+    writes."""
+    from universql_spark.operators import textops
+
+    d = spark.table("documents")
+    sw = "array(" + ",".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+    base = d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tok"),
+        F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", "")).alias("n_alpha"),
+        F.expr(
+            "size(filter(split(lower(trim(text)), ' +'), "
+            f"w -> array_contains({sw}, w)))"
+        ).alias("n_stop"),
+    )
+    r_len = F.col("n_tok").between(5, 100000)
+    r_wordlen = F.round(F.col("n_alpha") * 1.0 / F.col("n_tok"), 4).between(3.0, 10.0)
+    r_stop = F.col("n_stop") >= 2
+    return base.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        (r_len & r_wordlen & r_stop).alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_crossdoc_ngrams",
+    f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + 7], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+cnt AS (
+  SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS shared_frac
+FROM g JOIN cnt USING (gram)
+GROUP BY g.doc_id ORDER BY g.doc_id""",
+    category="dedup",
+    doc="cross-document 8-gram duplication profile (RefinedWeb/CCNet "
+        "line-dedup shape): per-doc fraction of distinct 8-grams shared "
+        "with any other document",
+)
+def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram duplication: the corpus-wide signal behind
+    line-level dedup (RefinedWeb) and boilerplate detection. Per document:
+    distinct 8-grams, how many of them occur in at least one OTHER
+    document, and the shared fraction.
+
+    Scale shape: one tokenize pass -> per-doc DISTINCT gram expansion
+    (array_distinct inside the row, BEFORE the explode — the blowup is
+    deduped at the source) -> groupBy(gram) doc counts (the only wide
+    shuffle, keyed on the gram, partial-aggregated) -> join back on gram ->
+    per-doc aggregate. Grams could carry xxhash64 instead of text at even
+    larger scale; text is kept here so the DuckDB oracle is exact."""
+    d = spark.table("documents")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 7, 0), 1), "
+        "i -> array_join(slice(toks, i, 8), ' ')))"
+    )
+    g = (
+        d.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    cnt = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        g.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("n_docs") > 1).cast("long")) * 1.0 / F.count("*"), 4
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
