@@ -151,6 +151,7 @@ _GATE_PRIORITY: list[str] = [
     # they should rotate into future rounds (r4 additions first — newest
     # zero-evidence specs lead the next sample):
     "corpus_chunk_overlap", "text_gopher_rules", "dedup_crossdoc_ngrams",
+    "embed_quantize_int8", "text_vocab_topk",
     "join_full_outer", "subq_correlated", "json_extract", "fn_scalar_gallery",
     "win_rank_dense", "win_running_sum", "win_lag_lead", "win_moving_avg",
     "win_ntile_cume", "win_range_frame", "win_first_last_value",

@@ -1605,3 +1605,72 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    """WITH m AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) AS mx
+  FROM embeddings)
+SELECT vec_id,
+       round(mx, 6) AS scale,
+       to_json(list_transform(embedding,
+               x -> CAST(round(x * 127.0 / mx) AS INT))) AS q8,
+       CAST(len(list_filter(embedding,
+               x -> CAST(round(x * 127.0 / mx) AS INT) = 0)) AS INT) AS n_zero
+FROM m ORDER BY vec_id""",
+    category="similarity",
+    doc="symmetric per-vector int8 quantization (max-abs scale): the 4x "
+        "storage/bandwidth compression step before ANN indexing at scale; "
+        "q8 emitted as JSON per the arrays rule (registry convention #5)",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — embeddings ship to the ANN
+    index at 1/4 the bytes. Pure expression pipeline (transform/aggregate,
+    zero shuffle, zero UDF); scale = max|x| per vector (clamped against
+    zero vectors), codes = round(x * 127 / scale). The codes column rides
+    as to_json (convention #5: no raw arrays in oracled outputs)."""
+    e = spark.table("embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    mx = F.greatest(
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+        F.lit(1e-12),
+    )
+    base = e.select("vec_id", v.alias("v"), mx.alias("mx"))
+    return base.select(
+        "vec_id",
+        F.round("mx", 6).alias("scale"),
+        F.expr(
+            "to_json(transform(v, x -> CAST(round(x * 127.0 / mx) AS INT)))"
+        ).alias("q8"),
+        F.expr(
+            "CAST(size(filter(v, x -> CAST(round(x * 127.0 / mx) AS INT) = 0)) AS INT)"
+        ).alias("n_zero"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "text_vocab_topk",
+    f"""WITH w AS (
+  SELECT unnest({_duck_tokens('text')}) AS word FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+FROM w GROUP BY word
+ORDER BY freq DESC, word LIMIT 50""",
+    category="text",
+    doc="corpus vocabulary: top-50 words by frequency (the tokenizer-"
+        "training / stop-list construction primitive)",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table, top 50: the first step of tokenizer
+    training and stop-list construction. Explode -> gram-keyed groupBy with
+    partial aggregation (the only shuffle carries (word, partial_count)) ->
+    TakeOrderedAndProject top-k, never a global sort."""
+    d = spark.table("documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(50)
+    )
