@@ -456,6 +456,97 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     return sql
 
 
+_NUM_FMT_RE = re.compile(r"^'(\$?)([9 0,]+)(?:\.([90]+))?'$")
+
+
+def _rewrite_scalar_emulations_r4(sql: str) -> str:
+    """Round-4 surface (probe-driven gaps):
+
+    - STRTOK(str[, delims[, part]]): token #part (1-based) of the ANY-char
+      split; NULL past the end (try_element_at). Emits a textual
+      STRTOK_TO_ARRAY call so the shared any-char-split rewrite (which runs
+      AFTER this ring) handles the delimiter-class mechanics once.
+    - BOOLAND/BOOLOR/BOOLXOR/BOOLNOT: numeric-to-boolean logic with SQL
+      three-valued NULL semantics (Snowflake's: BOOLAND(0, NULL) = FALSE,
+      BOOLAND(1, NULL) = NULL — exactly AND/OR on (x <> 0)).
+    - TO_CHAR(num, 'fmt') numeric subset: $ prefix, thousands separators,
+      fixed decimals, 0-padded width. Snowflake does not blank-pad, so
+      format_number (grouped) / round+lpad (zero-filled) cover the common
+      formats; exotic elements (EEEE, B, S, X) fall through to the plain
+      TO_CHAR->string rename and fail loudly if reached.
+    - OBJECT_KEYS over a struct-typed input (OBJECT_CONSTRUCT chains):
+      serialize with to_json first — json_object_keys needs JSON text. The
+      plain string-VARIANT form is handled in the r1 ring.
+    """
+    def strtok_rw(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return f"try_element_at(strtok_to_array({a[0]}), 1)"
+        if len(a) == 2:
+            return f"try_element_at(strtok_to_array({a[0]}, {a[1]}), 1)"
+        if len(a) == 3:
+            return f"try_element_at(strtok_to_array({a[0]}, {a[1]}), {a[2]})"
+        return None
+
+    sql = _rewrite_calls(sql, "strtok", strtok_rw)
+    sql = _rewrite_calls(
+        sql, "booland",
+        lambda a: f"((({a[0]}) <> 0) AND (({a[1]}) <> 0))" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "boolor",
+        lambda a: f"((({a[0]}) <> 0) OR (({a[1]}) <> 0))" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "boolxor",
+        lambda a: f"((({a[0]}) <> 0) <> (({a[1]}) <> 0))" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "boolnot",
+        lambda a: f"(NOT (({a[0]}) <> 0))" if len(a) == 1 else None,
+    )
+
+    def to_char_num(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        m = _NUM_FMT_RE.match(a[1].strip())
+        if not m:
+            return None  # datetime formats handled elsewhere; else rename
+        dollar, intpart, decpart = m.groups()
+        d = len(decpart) if decpart else 0
+        if intpart.replace(",", "").replace(" ", "").strip("9") == "" :
+            # all-9s: grouped when ',' present, plain otherwise
+            body = f"format_number(CAST({a[0]} AS DOUBLE), {d})"
+            if "," not in intpart:
+                body = f"replace({body}, ',', '')"
+        elif set(intpart.replace(",", "")) <= {"0"}:
+            width = len(intpart.replace(",", ""))
+            if d:
+                body = (
+                    f"concat(lpad(CAST(CAST(floor(abs({a[0]})) AS BIGINT) AS STRING), {width}, '0'),"
+                    f" '.', split(format_number(abs(CAST({a[0]} AS DOUBLE)), {d}), '\\\\.')[1])"
+                )
+            else:
+                body = f"lpad(CAST(CAST(round({a[0]}) AS BIGINT) AS STRING), {width}, '0')"
+            body = f"concat(CASE WHEN ({a[0]}) < 0 THEN '-' ELSE '' END, {body})"
+        else:
+            return None
+        return f"concat('{'$' if dollar else ''}', {body})" if dollar else body
+
+    sql = _rewrite_calls(sql, "to_char", to_char_num)
+    sql = _rewrite_calls(sql, "to_varchar", to_char_num)
+    sql = _rewrite_calls(
+        sql,
+        "object_keys",
+        lambda a: (
+            f"json_object_keys(to_json({a[0]}))"
+            if len(a) == 1
+            and re.match(r"(?is)^\s*(object_construct|named_struct)\s*\(", a[0])
+            else None
+        ),
+    )
+    return sql
+
+
 def _rewrite_strtok_to_array(sql: str) -> str:
     """Snowflake STRTOK_TO_ARRAY(str[, delims]) splits on ANY single char of
     the delimiter set and drops empty tokens; Spark split() takes a Java
@@ -1560,6 +1651,10 @@ def snowflake_to_spark(sql: str) -> str:
     sql = _rewrite_window_events(sql)
     sql = _rewrite_scalar_emulations_r3(sql)
     sql = _rewrite_scalar_emulations_r3b(sql)
+    # r4 runs BEFORE strtok (STRTOK emits a textual STRTOK_TO_ARRAY call)
+    # and BEFORE the TO_CHAR->string rename (numeric formats claim the
+    # 2-arg form first; datetime formats were claimed earlier still)
+    sql = _rewrite_scalar_emulations_r4(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

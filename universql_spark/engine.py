@@ -106,6 +106,74 @@ _CREATE_PROC_RE = re.compile(
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*;?\s*$", re.I | re.S)
 
 
+def _jaro_winkler(s1: str, s2: str) -> int:
+    """Jaro-Winkler similarity scaled to 0-100 (Snowflake's convention,
+    case-insensitive). Textbook algorithm (Winkler 1990): Jaro base with
+    match window max(|s1|,|s2|)//2 - 1, prefix boost p=0.1 capped at 4."""
+    s1, s2 = s1.lower(), s2.lower()
+    if s1 == s2:
+        return 100
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0
+    window = max(n1, n2) // 2 - 1
+    m1_flags = [False] * n1
+    m2_flags = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2_flags[j] and s2[j] == c:
+                m1_flags[i] = m2_flags[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1_flags[i]:
+            while not m2_flags[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b or prefix == 4:
+            break
+        prefix += 1
+    jw = jaro + prefix * 0.1 * (1 - jaro)
+    return int(jw * 100)
+
+
+def _jarowinkler_pandas_udf():
+    """Arrow-batched pandas UDF (never a row-at-a-time Python UDF): the
+    string pair columns arrive as pandas Series per batch. Registered as
+    JAROWINKLER_SIMILARITY for the Snowflake fuzzy-match surface — Spark
+    has no JVM builtin for it (DuckDB does, which supplies the oracle)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def jw(a, b):
+        return pd.Series(
+            [
+                None if x is None or y is None else _jaro_winkler(x, y)
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    # engine.py uses `from __future__ import annotations`, which turns
+    # pd.Series type hints into unresolvable strings for pandas_udf's
+    # hint inference — pass the eval type explicitly instead
+    from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
+
+    return pandas_udf(jw, "int", PandasUDFType.SCALAR)
+
+
 def _like_regex(pattern: str) -> "re.Pattern[str]":
     """SQL LIKE pattern -> anchored case-insensitive regex. Everything is
     escaped first (ADVICE r3 #5: 'DB(1)%' must not raise re.error), then the
@@ -274,6 +342,9 @@ class Engine:
             # a UDF closure must not capture self/SparkContext)
             self.spark.udf.register("current_warehouse", lambda: "x-spark")
             self.spark.udf.register("current_version", lambda: "8.0.0-spark")
+            self.spark.udf.register(
+                "jarowinkler_similarity", _jarowinkler_pandas_udf()
+            )
         except Exception:
             pass
         try:

@@ -1436,3 +1436,52 @@ def fn_bitwise_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        GETBIT(n_nationkey, 2) AS bit2
 FROM nation ORDER BY k"""
     )
+
+
+_FUZZY_ORACLE = """SELECT n_nationkey AS k,
+       CAST(floor(jaro_winkler_similarity(lower(n_name), 'nation_1') * 100) AS INT) AS jw,
+       CAST(levenshtein(n_name, 'NATION_1') AS INT) AS ed,
+       list_filter(string_split_regex(n_name, '[_]'), x -> x != '')[2] AS tok2,
+       format('{:,.2f}', round(n_nationkey * 1234.5, 2)) AS amt,
+       '$' || format('{:,.2f}', round(n_nationkey * 1234.5, 2)) AS usd,
+       lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+       (n_nationkey <> 0) AND (n_regionkey <> 0) AS b_and,
+       (n_nationkey <> 0) OR (n_regionkey <> 0) AS b_or,
+       (n_nationkey <> 0) <> (n_regionkey <> 0) AS b_xor,
+       NOT (n_regionkey <> 0) AS b_not
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_fuzzy_scalar_ext",
+    _FUZZY_ORACLE,
+    category="scalar",
+    doc="r4 probe-driven surface: JAROWINKLER_SIMILARITY (Arrow pandas "
+        "UDF), EDITDISTANCE, STRTOK, TO_CHAR numeric formats, "
+        "BOOLAND/BOOLOR/BOOLXOR/BOOLNOT",
+)
+def fn_fuzzy_scalar_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-matching + token/format scalar surface, verbatim Snowflake
+    through the dialect layer. JAROWINKLER_SIMILARITY is the one
+    deliberate pandas-UDF case (no JVM builtin; Arrow-batched, never
+    row-at-a-time); DuckDB's native jaro_winkler_similarity supplies the
+    oracle (floor(x*100) matches Snowflake's 0-100 integer convention).
+    TO_CHAR's numeric formats rewrite to format_number/lpad
+    (dialect._rewrite_scalar_emulations_r4)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       JAROWINKLER_SIMILARITY(n_name, 'NATION_1') AS jw,
+       EDITDISTANCE(n_name, 'NATION_1') AS ed,
+       STRTOK(n_name, '_', 2) AS tok2,
+       TO_CHAR(n_nationkey * 1234.5, '999,999.99') AS amt,
+       TO_CHAR(n_nationkey * 1234.5, '$999,999.99') AS usd,
+       TO_CHAR(n_nationkey, '0000') AS padded,
+       BOOLAND(n_nationkey, n_regionkey) AS b_and,
+       BOOLOR(n_nationkey, n_regionkey) AS b_or,
+       BOOLXOR(n_nationkey, n_regionkey) AS b_xor,
+       BOOLNOT(n_regionkey) AS b_not
+FROM nation ORDER BY k"""
+    )
