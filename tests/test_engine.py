@@ -2363,6 +2363,17 @@ def test_two_part_rewrite_does_not_clobber_aliases(engine):
         assert lit == [{"lit": "s.c"}]
         # the legitimate 2-part table reference still resolves
         assert engine.execute("SELECT x FROM s.c").to_pylist() == [{"x": 42}]
+        # ADVICE r4 #3: comma-separated FROM lists are table-reference
+        # position too — 'FROM t, s.c' must resolve
+        out = engine.execute(
+            "SELECT t2.c AS c, x FROM t_alias AS t2, s.c"
+        ).to_pylist()
+        assert out == [{"c": 7, "x": 42}]
+        # ...but a comma in a SELECT list (alias.column) is untouched
+        out = engine.execute(
+            "SELECT s.c AS first_c, s.c AS again FROM t_alias AS s"
+        ).to_pylist()
+        assert out == [{"first_c": 7, "again": 7}]
     finally:
         engine.execute("USE DATABASE default")
         engine.execute("DROP TABLE advdb.s.c")
@@ -2434,6 +2445,43 @@ def test_copy_purge_force_and_binary_on_error(engine, tmp_path):
             "COPY INTO pft_t FROM @pft_stg/a.parquet "
             "FILE_FORMAT=(TYPE=PARQUET) ON_ERROR=CONTINUE"
         )
+    # ADVICE r4 #4: explicit FORCE=FALSE on a non-enumerable stage path
+    # raises instead of silently reloading (mirrors the PURGE guard)
+    engine.execute("CREATE OR REPLACE STAGE pft_remote URL='s3://no-such-bucket/pfx'")
+    with _pytest.raises(Exception, match="FORCE"):
+        engine.execute(
+            "COPY INTO pft_t FROM @pft_remote/a.csv FILE_FORMAT=(TYPE=CSV) FORCE=FALSE"
+        )
+
+
+def test_copy_purge_skipped_on_partial_load(engine, tmp_path):
+    """ADVICE r4 #5: ON_ERROR=CONTINUE with rejected rows must NOT purge the
+    source file (Snowflake purges only fully-loaded files) — the rejected
+    records' source survives for repair. Load history still records the file
+    so FORCE=FALSE does not duplicate the good rows."""
+    c = tmp_path / "c.csv"
+    c.write_text("1,x\nnot_an_int,y\n3,z\n")
+    engine.execute("CREATE OR REPLACE TEMP TABLE ppl_t (k INT, v STRING)")
+    engine.execute(f"CREATE OR REPLACE STAGE ppl_stg URL='file://{tmp_path}'")
+    out = engine.execute(
+        "COPY INTO ppl_t FROM @ppl_stg/c.csv FILE_FORMAT=(TYPE=CSV) "
+        "ON_ERROR=CONTINUE PURGE=TRUE"
+    ).to_pylist()[0]
+    assert out["status"] == "PARTIALLY_LOADED" and out["rows_loaded"] == 2
+    assert c.exists()  # NOT purged
+    # history recorded: FORCE=FALSE skips it
+    out = engine.execute(
+        "COPY INTO ppl_t FROM @ppl_stg/c.csv FILE_FORMAT=(TYPE=CSV) FORCE=FALSE"
+    ).to_pylist()[0]
+    assert out["status"] == "LOAD_SKIPPED"
+    # a clean file alongside still purges
+    d = tmp_path / "d.csv"
+    d.write_text("4,w\n")
+    out = engine.execute(
+        "COPY INTO ppl_t FROM @ppl_stg/d.csv FILE_FORMAT=(TYPE=CSV) "
+        "ON_ERROR=CONTINUE PURGE=TRUE"
+    ).to_pylist()[0]
+    assert out["status"] == "LOADED" and not d.exists()
 
 
 def test_s3_stage_per_bucket_conf_end_to_end(engine):
@@ -2492,3 +2540,39 @@ def test_s3_stage_per_bucket_conf_end_to_end(engine):
         assert captured["path"] == "s3a://bucket-one/data/part.csv"
     finally:
         ci.read_stage = orig
+
+
+def test_to_char_numeric_rounding_carry(engine):
+    """ADVICE r4 #2: the zero-pad-with-decimals branch must round FIRST and
+    split one consistent value — TO_CHAR(3.999,'0000.00') is '0004.00'."""
+    out = engine.execute(
+        "SELECT TO_CHAR(3.999, '0000.00') AS a, TO_CHAR(-3.999, '0000.00') AS b, "
+        "TO_CHAR(9.995, '00.00') AS c, TO_CHAR(1234.5, '999,999.99') AS d"
+    ).to_pylist()[0]
+    assert out["a"] == "0004.00"
+    assert out["b"] == "-0004.00"
+    assert out["c"] == "10.00"
+    assert out["d"] == "1,234.50"
+
+
+def test_jaro_winkler_boost_gated(engine):
+    """ADVICE r4 #1: the Winkler prefix boost only applies when the Jaro
+    base exceeds 0.7 (matches DuckDB's jaro_winkler_similarity)."""
+    import duckdb
+
+    pairs = [
+        ("abcdxxxxxx", "abcdyyyyyy"),  # common prefix, low Jaro: no boost
+        ("prefabricate", "prezzz"),
+        ("martha", "marhta"),  # high Jaro: boosted
+        ("dixon", "dicksonx"),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        got = engine.execute(
+            f"SELECT JAROWINKLER_SIMILARITY('{a}', '{b}') AS jw"
+        ).to_pylist()[0]["jw"]
+        want = con.execute(
+            "SELECT CAST(floor(jaro_winkler_similarity(lower(?), lower(?)) * 100) AS INT)",
+            [a, b],
+        ).fetchone()[0]
+        assert got == want, (a, b, got, want)

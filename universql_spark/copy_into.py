@@ -344,6 +344,14 @@ def execute_copy_with_options(
             "PURGE=TRUE requires an enumerable local stage path; refusing to "
             "report LOADED while leaving staged files in place"
         )
+    if not force and not files and not validation:
+        # explicit FORCE=FALSE needs per-file load history, which needs an
+        # enumerable stage path — silently reloading everything would
+        # duplicate rows (ADVICE r4 #4; mirrors the PURGE guard above)
+        raise ValueError(
+            "FORCE=FALSE requires an enumerable local stage path to consult "
+            "load history; refusing to silently reload all files"
+        )
     history = _LOAD_HISTORY.setdefault(target, set())
     src: str | list[str] = path
     if not force and files and not validation:
@@ -359,9 +367,13 @@ def execute_copy_with_options(
             src = fresh
         files = fresh
 
-    def _commit() -> None:
+    def _commit(clean: bool = True) -> None:
+        # history always records the files (FORCE=FALSE must not re-load the
+        # good rows), but PURGE only destroys fully-loaded sources — Snowflake
+        # keeps files with rejected records so they can be repaired/re-staged
+        # (ADVICE r4 #5)
         history.update(files)
-        if purge:
+        if purge and clean:
             for f in files:
                 try:
                     os.remove(f)
@@ -402,7 +414,7 @@ def execute_copy_with_options(
         )
         n = obs.get["n"]
         df.unpersist()
-        _commit()
+        _commit(clean=(n_bad == 0))
         return pa.table(
             {"rows_parsed": [n + n_bad], "rows_loaded": [n],
              "errors_seen": [n_bad], "status": ["LOADED" if n_bad == 0 else "PARTIALLY_LOADED"]}

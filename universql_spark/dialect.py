@@ -521,9 +521,13 @@ def _rewrite_scalar_emulations_r4(sql: str) -> str:
         elif set(intpart.replace(",", "")) <= {"0"}:
             width = len(intpart.replace(",", ""))
             if d:
+                # round FIRST, then split the one consistent value — else the
+                # rounding carry is lost (TO_CHAR(3.999,'0000.00') must be
+                # '0004.00', not '0003.00'). ADVICE r4 #2.
+                r = f"round(abs(CAST({a[0]} AS DOUBLE)), {d})"
                 body = (
-                    f"concat(lpad(CAST(CAST(floor(abs({a[0]})) AS BIGINT) AS STRING), {width}, '0'),"
-                    f" '.', split(format_number(abs(CAST({a[0]} AS DOUBLE)), {d}), '\\\\.')[1])"
+                    f"concat(lpad(CAST(CAST(floor({r}) AS BIGINT) AS STRING), {width}, '0'),"
+                    f" '.', split(format_number({r}, {d}), '\\\\.')[1])"
                 )
             else:
                 body = f"lpad(CAST(CAST(round({a[0]}) AS BIGINT) AS STRING), {width}, '0')"

@@ -140,6 +140,10 @@ def _jaro_winkler(s1: str, s2: str) -> int:
             k += 1
     t //= 2
     jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+    # Winkler's prefix boost only applies above the 0.7 Jaro threshold
+    # (Winkler 1990; DuckDB's jaro_winkler_similarity matches this)
+    if jaro <= 0.7:
+        return int(jaro * 100)
     prefix = 0
     for a, b in zip(s1, s2):
         if a != b or prefix == 4:
@@ -172,6 +176,62 @@ def _jarowinkler_pandas_udf():
     from pyspark.sql.functions import PandasUDFType  # noqa: PLC0415
 
     return pandas_udf(jw, "int", PandasUDFType.SCALAR)
+
+
+_FROM_LIST_END_RE = re.compile(
+    r"\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|UNION|EXCEPT|INTERSECT|MINUS|SELECT)\b",
+    re.I,
+)
+
+
+def _from_list_spans(seg: str) -> list[tuple[int, int]]:
+    """Character spans of FROM table lists (FROM ... until the next clause
+    keyword at the same paren depth). Commas inside these spans are in
+    table-reference position; commas anywhere else (select lists, function
+    args) are not. Paren-depth aware so subqueries open their own spans."""
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"\bFROM\b", seg, re.I):
+        start = m.end()
+        depth = 0
+        i = start
+        while i < len(seg):
+            ch = seg[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and ch.isalpha():
+                kw = _FROM_LIST_END_RE.match(seg, i)
+                if kw and (i == 0 or not (seg[i - 1].isalnum() or seg[i - 1] == "_")):
+                    break
+                while i < len(seg) and (seg[i].isalnum() or seg[i] == "_"):
+                    i += 1
+                continue
+            i += 1
+        spans.append((start, i))
+    return spans
+
+
+def _rewrite_comma_table_refs(seg: str, sch: str, tbl: str, repl: str) -> str:
+    """Rewrite ', sch.tbl' to ', <repl>' only where the comma lies inside a
+    FROM-list span (ADVICE r4 #3: 'FROM a, sch.tbl' is legal SQL and must
+    resolve like the keyword-anchored forms)."""
+    spans = _from_list_spans(seg)
+    if not spans:
+        return seg
+    pat = re.compile(
+        rf'(,\s*)"?{re.escape(sch)}"?\."?{re.escape(tbl)}"?(?![\w."])', re.I
+    )
+
+    def sub(m: re.Match) -> str:
+        pos = m.start()
+        if any(a <= pos < b for a, b in spans):
+            return m.group(1) + repl
+        return m.group(0)
+
+    return pat.sub(sub, seg)
 
 
 def _like_regex(pattern: str) -> "re.Pattern[str]":
@@ -499,6 +559,14 @@ class Engine:
                         seg,
                         flags=re.I,
                     ),
+                )
+                # comma-separated FROM lists ('FROM a, sch.tbl') are also
+                # table-reference position (ADVICE r4 #3) — but ONLY when the
+                # comma sits inside a FROM-list span, never in a select list
+                # where sch.tbl means alias.column
+                stmt = _outside_literals(
+                    stmt,
+                    lambda seg: _rewrite_comma_table_refs(seg, sch, tbl, f"{db}__{sch}.{tbl}"),
                 )
         return stmt
 

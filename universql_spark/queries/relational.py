@@ -1440,10 +1440,14 @@ FROM nation ORDER BY k"""
 
 _FUZZY_ORACLE = """SELECT n_nationkey AS k,
        CAST(floor(jaro_winkler_similarity(lower(n_name), 'nation_1') * 100) AS INT) AS jw,
+       CAST(floor(jaro_winkler_similarity(lower(n_name || 'xxxxxx'),
+                                          lower(substr(n_name, 1, 3) || 'zzzzzzzzz')) * 100) AS INT) AS jw_low,
        CAST(levenshtein(n_name, 'NATION_1') AS INT) AS ed,
        list_filter(string_split_regex(n_name, '[_]'), x -> x != '')[2] AS tok2,
-       format('{:,.2f}', round(n_nationkey * 1234.5, 2)) AS amt,
-       '$' || format('{:,.2f}', round(n_nationkey * 1234.5, 2)) AS usd,
+       format('{:,}', CAST(floor(round(n_nationkey * 1234.5, 2)) AS BIGINT))
+         || '.' || lpad(CAST(CAST(round((round(n_nationkey * 1234.5, 2) % 1) * 100) AS BIGINT) AS VARCHAR), 2, '0') AS amt,
+       '$' || format('{:,}', CAST(floor(round(n_nationkey * 1234.5, 2)) AS BIGINT))
+         || '.' || lpad(CAST(CAST(round((round(n_nationkey * 1234.5, 2) % 1) * 100) AS BIGINT) AS VARCHAR), 2, '0') AS usd,
        lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
        (n_nationkey <> 0) AND (n_regionkey <> 0) AS b_and,
        (n_nationkey <> 0) OR (n_regionkey <> 0) AS b_or,
@@ -1474,6 +1478,7 @@ def fn_fuzzy_scalar_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df(
         """SELECT n_nationkey AS k,
        JAROWINKLER_SIMILARITY(n_name, 'NATION_1') AS jw,
+       JAROWINKLER_SIMILARITY(n_name || 'xxxxxx', SUBSTR(n_name, 1, 3) || 'zzzzzzzzz') AS jw_low,
        EDITDISTANCE(n_name, 'NATION_1') AS ed,
        STRTOK(n_name, '_', 2) AS tok2,
        TO_CHAR(n_nationkey * 1234.5, '999,999.99') AS amt,
