@@ -119,39 +119,16 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
-    # ---- round-4 first-50 (VERDICT r3 'Next round' #1): ORACLED specs with
-    # no driver-green row yet, and ONLY oracled specs — rows-only specs can
-    # never produce the hash row the gate counts, so they are pinned to the
-    # back (their evidence lives in pytest invariants + CORRECTNESS_LOCAL).
-    # fn_higher_order first: r3 burned its slot on the array-canonicalizer
-    # crash, now fixed via the to_json arrays rule (convention #5).
-    "fn_higher_order",
-    # the 12 TPC-H specs whose only evidence is local-gate + pytest:
-    "tpch_q2_mincost", "tpch_q8_mktshare", "tpch_q9_profit",
-    "tpch_q11_important", "tpch_q12_late", "tpch_q13_custdist",
-    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
-    "tpch_q20_supply", "tpch_q21_waiting", "tpch_q22_opportunity",
-    # round-3 oracled additions that missed the r3 sample:
-    "adv_connect_by", "adv_recursive_cte", "corpus_stratified_sample",
-    "text_quality_percentile", "agg_array_object_agg", "adv_flatten_recursive",
-    "ann_ivf_topk",
-    # LLM-pipeline operators with local-gate evidence only:
-    "dedup_exact", "dedup_exact_props", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_embedding", "dedup_components",
-    "dedup_pipeline_survivors", "ann_cosine_topk", "ann_cosine_topk_pandas",
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf_topk", "text_lang_stats", "text_lm_score",
-    "profile_documents", "quality_constraints", "multimodal_decode_meta",
-    "multimodal_audio_meta", "multimodal_frame_sample",
-    "stream_tumbling_counts", "corpus_training_mix", "adv_variant_colon_path",
-    "win_rank_topn_per_group", "win_sessionize", "win_ignore_nulls_locf",
-    "agg_grouping_sets", "agg_listagg_ordered", "agg_min_max_by",
-    # ---- end of first-50 ----
-    # next tier: the remaining never-driver-gated oracled specs, in the order
-    # they should rotate into future rounds (r4 additions first — newest
-    # zero-evidence specs lead the next sample):
+    # ---- round-5 first-50 (VERDICT r4 'Next round' #3): the 63 oracled
+    # specs with no driver-green row yet, newest first. fn_fuzzy_scalar_ext
+    # leads: its r4 oracle could not execute in DuckDB 1.0.0 (format
+    # thousand-separators) — rebuilt from integer parts and re-gated locally.
+    "fn_fuzzy_scalar_ext",
+    # r4 llmops additions (never sampled):
     "corpus_chunk_overlap", "text_gopher_rules", "dedup_crossdoc_ngrams",
     "embed_quantize_int8", "text_vocab_topk",
+    # window / agg / set / join / subquery galleries (local-gate + pytest
+    # evidence only):
     "join_full_outer", "subq_correlated", "json_extract", "fn_scalar_gallery",
     "win_rank_dense", "win_running_sum", "win_lag_lead", "win_moving_avg",
     "win_ntile_cume", "win_range_frame", "win_first_last_value",
@@ -165,11 +142,34 @@ _GATE_PRIORITY: list[str] = [
     "select_literal", "func_string_gallery", "func_math_gallery",
     "func_datetime_gallery", "func_split_part",
     "case_insensitive_idents", "distinct_rows", "null_agg_semantics",
-    "null_group_keys", "null_join_semantics", "order_by_ordinal",
-    "unpivot_stack",
+    "null_group_keys",
+    # ---- end of first-50 ----
+    # next tier (round 6): the last 13 never-gated specs; new round-5 specs
+    # are inserted ahead of these as they are added.
+    "null_join_semantics", "order_by_ordinal", "unpivot_stack",
     "tpch_q1", "tpch_q3", "tpch_q4_semi", "tpch_q5", "tpch_q6",
     "tpch_q7_volume", "tpch_q10_returns", "tpch_q14_promo",
     "tpch_q18_big_orders", "tpch_q19_disjunct",
+    # ---- driver-green already (kept for deterministic ordering of the
+    # most-load-bearing specs after the rotation tiers) ----
+    "fn_higher_order",
+    "tpch_q2_mincost", "tpch_q8_mktshare", "tpch_q9_profit",
+    "tpch_q11_important", "tpch_q12_late", "tpch_q13_custdist",
+    "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
+    "tpch_q20_supply", "tpch_q21_waiting", "tpch_q22_opportunity",
+    "adv_connect_by", "adv_recursive_cte", "corpus_stratified_sample",
+    "text_quality_percentile", "agg_array_object_agg", "adv_flatten_recursive",
+    "ann_ivf_topk",
+    "dedup_exact", "dedup_exact_props", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_embedding", "dedup_components",
+    "dedup_pipeline_survivors", "ann_cosine_topk", "ann_cosine_topk_pandas",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_tfidf_topk", "text_lang_stats", "text_lm_score",
+    "profile_documents", "quality_constraints", "multimodal_decode_meta",
+    "multimodal_audio_meta", "multimodal_frame_sample",
+    "stream_tumbling_counts", "corpus_training_mix", "adv_variant_colon_path",
+    "win_rank_topn_per_group", "win_sessionize", "win_ignore_nulls_locf",
+    "agg_grouping_sets", "agg_listagg_ordered", "agg_min_max_by",
     "cb_q41", "cb_q42",
 ]
 
