@@ -57,9 +57,19 @@ def _assign(corpus: DataFrame, centroids: list[list[float]], vec_col: str) -> Da
     semantics and evaluation order."""
     v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
     darr = "array(" + ",".join(_dist2_sql(v, c) for c in centroids) + ")"
-    return corpus.withColumn(
-        "cluster", F.expr(f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)")
-    ).withColumn("dist2", F.expr(f"array_min({darr})"))
+    # materialize the distance array in ONE projection and derive
+    # cluster/dist2 from the column: darr is ~10 KB of literals per 8x64
+    # centroid matrix, and embedding it three times tripled the parse /
+    # analysis latency (r5 bench audit; Catalyst prunes the temp column)
+    return (
+        corpus.withColumn("_d2arr", F.expr(darr))
+        .withColumn(
+            "cluster",
+            F.expr("CAST(array_position(_d2arr, array_min(_d2arr)) - 1 AS INT)"),
+        )
+        .withColumn("dist2", F.expr("array_min(_d2arr)"))
+        .drop("_d2arr")
+    )
 
 
 def train_centroids(

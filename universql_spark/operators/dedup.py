@@ -148,6 +148,7 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sort: bool = True,
 ) -> DataFrame:
     """All pairs with n-gram-set Jaccard >= threshold, by brute-force join.
 
@@ -159,11 +160,10 @@ def jaccard_pairs(
     b = with_shingles(docs, text_col, id_col, n).select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.select("id_a", "id_b", F.round(jac, 4).alias("jac"))
-        .filter(F.col("jac") >= threshold)
-        .orderBy("id_a", "id_b")
+    out = pairs.select("id_a", "id_b", F.round(jac, 4).alias("jac")).filter(
+        F.col("jac") >= threshold
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +238,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates -> exact Jaccard verification.
 
@@ -267,13 +268,16 @@ def minhash_lsh_pairs(
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jac"))
         .filter(F.col("jac") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # sort=False skips the global sort: an ordered result costs a range
+    # exchange + an input-sampling job (~30% of this operator at sf0.1),
+    # and pair output feeds joins/components, never presentation
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +504,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the new batch: new x new plus new x corpus —
     never corpus x corpus (those were found when their batches arrived).
@@ -544,10 +549,13 @@ def incremental_minhash_pairs(
     a = sh_all.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a"))
     b = sh_all.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 4).alias("jac"))
         .filter(F.col("jac") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # sort=False skips the global sort: an ordered result costs a range
+    # exchange + an input-sampling job (~30% of this operator at sf0.1),
+    # and pair output feeds joins/components, never presentation
+    return out.orderBy("id_a", "id_b") if sort else out

