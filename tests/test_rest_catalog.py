@@ -189,3 +189,191 @@ def test_catalog_writeback_roundtrip(spark, writeback_server, tmp_path):
     t.append(spark.createDataFrame([(99, "X")], schema=t.read(spark).schema))
     eng.catalog_sync("wb_t", t._version_path(t.current_version()))
     assert ext.read(spark).count() == 26
+
+
+# ---------------------------------------------------------------------------
+# optimistic COMMIT protocol (VERDICT r4 'Next round' #5)
+# ---------------------------------------------------------------------------
+
+
+def _apply_updates(meta: dict, updates: list[dict]) -> dict:
+    """Server-side TableUpdate application — the mini-Polaris. Mirrors the
+    Iceberg REST spec's action semantics for the actions our client emits."""
+    import copy as _copy
+    import time as _time
+
+    m = _copy.deepcopy(meta)
+    for u in updates:
+        a = u["action"]
+        if a == "add-snapshot":
+            m.setdefault("snapshots", []).append(u["snapshot"])
+            m["last-sequence-number"] = max(
+                int(m.get("last-sequence-number", 0)),
+                int(u["snapshot"].get("sequence-number", 0)),
+            )
+            m.setdefault("snapshot-log", []).append(
+                {
+                    "timestamp-ms": u["snapshot"].get("timestamp-ms", 0),
+                    "snapshot-id": u["snapshot"]["snapshot-id"],
+                }
+            )
+        elif a == "remove-snapshots":
+            gone = set(u["snapshot-ids"])
+            m["snapshots"] = [
+                s for s in m.get("snapshots", []) if s["snapshot-id"] not in gone
+            ]
+        elif a == "add-schema":
+            m.setdefault("schemas", []).append(u["schema"])
+        elif a == "set-current-schema":
+            m["current-schema-id"] = u["schema-id"]
+        elif a == "set-snapshot-ref":
+            if u["ref-name"] == "main":
+                m["current-snapshot-id"] = u["snapshot-id"]
+            m.setdefault("refs", {})[u["ref-name"]] = {
+                "type": u.get("type", "branch"),
+                "snapshot-id": u["snapshot-id"],
+            }
+        elif a == "remove-snapshot-ref":
+            m.get("refs", {}).pop(u["ref-name"], None)
+        elif a == "set-properties":
+            m.setdefault("properties", {}).update(u["updates"])
+        elif a == "remove-properties":
+            for k in u["removals"]:
+                m.get("properties", {}).pop(k, None)
+        else:  # unknown action: refuse loudly, never drop silently
+            raise ValueError(f"unsupported update action {a}")
+    m["last-updated-ms"] = int(_time.time() * 1000)
+    return m
+
+
+@pytest.fixture()
+def commit_server(spark, tmp_path):
+    """A fake REST catalog that OWNS a table's metadata and arbitrates
+    commits: GET serves the current document; POST to the table path is the
+    CommitTableRequest endpoint — requirements checked against server state
+    (mismatch -> HTTP 409, the CommitFailedException wire form), updates
+    applied atomically under a lock."""
+    root = str(tmp_path / "ct")
+    df = spark.range(0, 20, 1, 2).select("id", (F.col("id") % 3).alias("g"))
+    local = IcebergTable.create(root, df)
+    _v, meta0 = local._read_metadata()
+    state = {"meta": meta0, "commits": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, body: dict, code: int = 200):
+            raw = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/v1/namespaces/ns/tables/ct":
+                with lock:
+                    self._send({"metadata-location": "srv://ct", "metadata": state["meta"]})
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/namespaces/ns/tables/ct":
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n).decode())
+            with lock:
+                cur = state["meta"]
+                for r in req.get("requirements", []):
+                    if r["type"] == "assert-ref-snapshot-id" and r["ref"] == "main":
+                        if cur.get("current-snapshot-id") != r.get("snapshot-id"):
+                            self._send(
+                                {"error": {"message": "Requirement failed: branch main "
+                                           "has changed", "type": "CommitFailedException"}},
+                                code=409,
+                            )
+                            return
+                    else:
+                        self._send({"error": {"message": f"unknown requirement {r}"}}, 400)
+                        return
+                try:
+                    state["meta"] = _apply_updates(cur, req.get("updates", []))
+                except ValueError as e:
+                    self._send({"error": {"message": str(e)}}, 400)
+                    return
+                state["commits"] += 1
+                self._send({"metadata-location": "srv://ct", "metadata": state["meta"]})
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", state, local
+    srv.shutdown()
+
+
+def test_catalog_commit_insert_through_rest(spark, commit_server):
+    """INSERT into a catalog-managed table commits THROUGH the REST
+    protocol: data files + manifests land in the table's storage location,
+    the metadata swap is arbitrated by the catalog, and both the writer and
+    an independent reader see the new rows via the catalog alone."""
+    uri, state, _local = commit_server
+    ext = CatalogIcebergTable.from_rest(uri, "ns", "ct", writable=True)
+    before = ext.read(spark).count()
+    ext.append(spark.range(100, 105).select("id", (F.col("id") % 3).alias("g")))
+    assert state["commits"] == 1
+    assert ext.read(spark).count() == before + 5
+    # an independent read-only attach resolves the same state via the catalog
+    ro = CatalogIcebergTable.from_rest(uri, "ns", "ct")
+    assert ro.read(spark).count() == before + 5
+    # the catalog's document now carries the new snapshot + main ref
+    snaps = state["meta"]["snapshots"]
+    assert state["meta"]["current-snapshot-id"] == snaps[-1]["snapshot-id"]
+
+
+def test_catalog_commit_stale_rejected_then_rebased(spark, commit_server):
+    """The optimistic-concurrency contract over REST: a commit built on a
+    stale base is REJECTED with 409 (commit_table returns False); the
+    engine-level retry loop then re-reads, rebases, and lands the append —
+    no lost update on either side."""
+    uri, state, _local = commit_server
+    a = CatalogIcebergTable.from_rest(uri, "ns", "ct", writable=True)
+    b = CatalogIcebergTable.from_rest(uri, "ns", "ct", writable=True)
+    base = a._read_metadata()[1]  # A reads its commit base...
+    stale_base = json.loads(json.dumps(base))
+    # ...B commits first
+    b.append(spark.range(200, 203).select("id", (F.col("id") % 3).alias("g")))
+    # a RAW stale commit (no retry loop) is rejected by the requirement check
+    client = RestCatalogClient(uri)
+    fake_new = json.loads(json.dumps(stale_base))
+    fake_new["current-snapshot-id"] = 999999
+    fake_new.setdefault("snapshots", []).append(
+        {"snapshot-id": 999999, "sequence-number": 99, "timestamp-ms": 0,
+         "manifest-list": "/nonexistent", "summary": {"operation": "append"},
+         "schema-id": stale_base.get("current-schema-id", 0)}
+    )
+    assert client.commit_table("ns", "ct", stale_base, fake_new) is False
+    # the full append path on A retries internally: re-read + rebase -> lands
+    a.append(spark.range(300, 302).select("id", (F.col("id") % 3).alias("g")))
+    ids = {r.id for r in a.read(spark).collect()}
+    assert {200, 201, 202, 300, 301}.issubset(ids)
+    assert state["commits"] == 2  # B's + A's rebased one (stale POST rejected)
+
+
+def test_engine_dml_into_catalog_table(spark, commit_server):
+    """Engine-level: INSERT INTO / DELETE against a writable catalog table
+    route through the REST commit protocol."""
+    from universql_spark.engine import Engine
+
+    uri, state, _local = commit_server
+    eng = Engine(spark=spark)
+    eng.register_external_iceberg("cat_t", uri, "ns", "ct", writable=True)
+    n0 = eng.execute("SELECT COUNT(*) AS c FROM cat_t").to_pylist()[0]["c"]
+    eng.execute("INSERT INTO cat_t SELECT 501 AS id, 1 AS g")
+    assert eng.execute("SELECT COUNT(*) AS c FROM cat_t").to_pylist()[0]["c"] == n0 + 1
+    eng.execute("DELETE FROM cat_t WHERE id = 501")
+    assert eng.execute("SELECT COUNT(*) AS c FROM cat_t").to_pylist()[0]["c"] == n0
+    assert state["commits"] >= 2

@@ -2900,18 +2900,27 @@ class Engine:
         df.createOrReplaceTempView(name)
 
     def register_external_iceberg(
-        self, name: str, uri: str, namespace: str, table: str, token: str | None = None
+        self,
+        name: str,
+        uri: str,
+        namespace: str,
+        table: str,
+        token: str | None = None,
+        writable: bool = False,
     ) -> None:
-        """Attach a REST-catalog (Polaris-style) Iceberg table as a readable
+        """Attach a REST-catalog (Polaris-style) Iceberg table as a
         relation: SELECTs resolve through the same snap-view path as local
-        Iceberg tables, scan planning + manifest file-skipping included;
-        DML is refused (the external catalog owns commits). Reference:
-        catalog/iceberg.py:41-52 (PyIceberg RestCatalog -> scan)."""
+        Iceberg tables, scan planning + manifest file-skipping included.
+        With writable=True, DML commits route through the Iceberg REST
+        optimistic-commit protocol (requirements + updates; 409 -> rebase
+        and retry) — the catalog arbitrates, mirroring Polaris updateTable.
+        Reference: catalog/iceberg.py:41-52 (PyIceberg RestCatalog -> scan),
+        warehouse/snowflake.py:73-88 (catalog-owned commits)."""
         from universql_spark.catalogs import CatalogIcebergTable  # noqa: PLC0415
 
         bn = bare_name(name)
         self.snap_tables[bn] = CatalogIcebergTable.from_rest(
-            uri, namespace, table, token=token
+            uri, namespace, table, token=token, writable=writable
         )
         self._refresh_snap_view(bn)
 

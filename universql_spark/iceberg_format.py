@@ -956,6 +956,13 @@ class IcebergTable(SnapshotTable):
             "deleted_rows_count": 0,
         }
 
+    def _base_meta(self, v: int) -> dict:
+        """The committed metadata document at version token v — the base a
+        commit rebuilds onto. File-based here; CatalogIcebergTable overrides
+        with the catalog-served document."""
+        with open(self._version_path(v)) as f:
+            return json.load(f)
+
     def _commit(self, d: dict) -> bool:
         # Translate the logical state `d` (built from the metadata version
         # _load read) back onto THAT version's Iceberg metadata, and CAS the
@@ -964,8 +971,7 @@ class IcebergTable(SnapshotTable):
         v = getattr(self, "_base_version", None)
         if v is None:
             v = self.current_version()
-        with open(self._version_path(v)) as f:
-            meta = json.load(f)
+        meta = self._base_meta(v)
         known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
         now_ms = int(time.time() * 1000)
 
