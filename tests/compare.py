@@ -203,7 +203,56 @@ def py_oracle_ann_pq_topk(sf_dir: str) -> tuple[list[str], list[tuple]]:
 #: name -> callable(sf_dir) -> (cols, rows); consulted by the LOCAL gate for
 #: specs whose DuckDB oracle is None. (The driver gate runs SQL oracles
 #: only — these upgrade the local evidence tier from rows-only to oracled.)
+
+
+def py_oracle_embed_kmeans(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """k-means(8, 4 iters) assignments, independently in numpy with the
+    repo's documented conventions (init = 8 lowest-id vectors, argmin ties
+    to lowest index, empty clusters keep their centroid, LAST PRE-UPDATE
+    assignment + its min-distance, rounded to 4dp)."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    k, iters = 8, 4
+    C = X[:k].copy()
+    a = d2min = None
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        d2min = d2.min(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    rows = [
+        (int(ids[i]), int(a[i]), round(float(d2min[i]), 4)) for i in range(len(ids))
+    ]
+    return ["id", "cluster", "dist2"], rows
+
+
+def py_oracle_embed_pca_project(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """PCA(k=8) projection, independently in numpy: mean-centered covariance
+    (biased), eigh, descending eigenvalues, deterministic component signs
+    (first nonzero coordinate positive), projections rounded to 6dp — the
+    same derivation the exact-equality pytest twin pins at sf0.001."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    mean = X.mean(0)
+    w, vecs = np.linalg.eigh(np.cov((X - mean).T, bias=True))
+    comps = vecs[:, ::-1][:, :8].T.copy()
+    for row in comps:
+        nz = row[np.abs(row) > 1e-12]
+        if len(nz) and nz[0] < 0:
+            row *= -1
+    proj = np.round((X - mean) @ comps.T, 6)
+    rows = [(int(ids[i]), [float(x) for x in proj[i]]) for i in range(len(ids))]
+    return ["vec_id", "proj"], rows
+
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
+    "embed_kmeans": py_oracle_embed_kmeans,
+    "embed_pca_project": py_oracle_embed_pca_project,
 }
