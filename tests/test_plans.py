@@ -395,7 +395,17 @@ def test_chunk_overlap_no_shuffle(spark, sf_dir):
 
 def test_crossdoc_ngrams_partial_agg_no_cartesian(spark, sf_dir):
     """Cross-doc gram counts: gram-keyed hash aggregation with map-side
-    combine, equi-join back — never an all-pairs product."""
+    combine, equi-join back — never an all-pairs product. The wide exchange
+    must carry the xxhash64 of the gram (a long, '#NL' attribute), never
+    the gram TEXT (VERDICT r4 #7: ~5x shuffle bytes on web text)."""
+    import re as _re
+
     p = plan(spark, sf_dir, "dedup_crossdoc_ngrams")
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    parts = _re.findall(r"hashpartitioning\((\w+)#(\d+)(L?)", p)
+    gram_parts = [m for m in parts if m[0] == "gram"]
+    assert gram_parts, f"expected a gram-keyed exchange in:\n{p}"
+    assert all(m[2] == "L" for m in gram_parts), (
+        f"gram exchange must carry the 8-byte hash, not text: {gram_parts}"
+    )

@@ -1581,10 +1581,14 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one tokenize pass -> per-doc DISTINCT gram expansion
     (array_distinct inside the row, BEFORE the explode — the blowup is
-    deduped at the source) -> groupBy(gram) doc counts (the only wide
-    shuffle, keyed on the gram, partial-aggregated) -> join back on gram ->
-    per-doc aggregate. Grams could carry xxhash64 instead of text at even
-    larger scale; text is kept here so the DuckDB oracle is exact."""
+    deduped at the source) -> xxhash64 at the source so the wide shuffle
+    carries an 8-byte long, never the ~50-byte gram text (~5x fewer shuffle
+    bytes on real web text, VERDICT r4 #7) -> groupBy(gram hash) doc counts
+    (the only wide shuffle, partial-aggregated) -> join back on the hash ->
+    per-doc aggregate. The per-doc outputs are hash-invariant: a count over
+    hashed grams equals the count over text grams unless xxhash64 collides
+    (~n^2/2^64 — vanishing), which is what keeps the exact text-domain
+    DuckDB oracle valid."""
     d = spark.table("documents")
     grams = F.expr(
         "array_distinct(transform(sequence(1, greatest(size(toks) - 7, 0), 1), "
@@ -1593,6 +1597,7 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         d.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("toks"))
         .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
     )
     cnt = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
     return (
