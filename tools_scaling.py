@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scaling-curve evidence for the fixed-overhead amortization claim
+(VERDICT r4 'Next round' #8).
+
+BENCH_NOTES decomposes the replan-tier gap vs DuckDB into a data-volume-
+independent fixed cost (plan build, job submission, scheduling) plus real
+work. That decomposition predicts SUB-LINEAR replan growth between sf0.1
+and sf1 (10x the data): t(sf) ~ fixed + work * sf. This tool produces the
+measurement:
+
+1. Generates a local SF1 TPC-H fixture once (DuckDB's statically-linked
+   tpch extension -> dbgen(sf=1)) into data/tpch_sf1/, with column
+   names/types cast to MATCH the driver fixtures (decimals -> double,
+   dates -> timestamp, fixture column subset); events/documents/embeddings
+   are copied from sf0.1 (the TPC-H scaling queries never touch them, but
+   register_testdata loads every table).
+2. Runs the 5 headline TPC-H bench specs at sf0.1 and sf1 in ONE session
+   (same warmup protocol as bench.py), best-of-3 full replans.
+3. Prints a markdown table for BENCH_NOTES.
+
+Usage: python tools_scaling.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "tpch_sf1")
+QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18_big_orders"]
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+AUX_TABLES = ["events", "documents", "embeddings"]
+
+
+def ensure_sf1() -> None:
+    if os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        return
+    import duckdb
+
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("LOAD tpch")
+    print("dbgen(sf=1)...", flush=True)
+    con.execute("CALL dbgen(sf=1)")
+    for t in TPCH_TABLES:
+        # fixture-parity projection: same column subset, same types
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM '{SF01}/{t}.parquet'"
+        ).fetchall()
+        sel = ", ".join(f"CAST({c} AS {typ}) AS {c}" for c, typ, *_ in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM {t}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"  wrote {t}", flush=True)
+    for t in AUX_TABLES:
+        shutil.copyfile(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+
+
+def main() -> None:
+    ensure_sf1()
+    from universql_spark.queries import ensure_views, load_all
+    from universql_spark.session import get_spark
+
+    registry = load_all()
+    # one session sized for the larger fixture (AQE on above the small-data
+    # threshold — the same factory decision a 10x-bigger deployment gets)
+    spark = get_spark("universql_spark_scaling", sf_dir=SF1)
+    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+        ensure_views(spark, sf_dir)
+        from pyspark.sql import SparkSession
+
+        for t in TPCH_TABLES:
+            spark.table(t).count()  # warm footers + page cache
+        for q in QUERIES:
+            spec = registry[q]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            results[q][label] = round(best, 3)
+            print(f"{label} {q}: {best:.3f}s", flush=True)
+    print("\n| query | sf0.1 (s) | sf1 (s) | growth (10x data) |")
+    print("|---|---|---|---|")
+    for q in QUERIES:
+        a, b = results[q]["sf0.1"], results[q]["sf1"]
+        print(f"| {q} | {a:.3f} | {b:.3f} | {b / a:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()
