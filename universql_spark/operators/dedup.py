@@ -171,6 +171,16 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _sig_expr(num_perm: int) -> str:
+    """array(min(xxhash64(i, xxhash64(s))) for i in perms) — the full
+    signature as ONE SQL aggregate expression."""
+    return (
+        "array("
+        + ",".join(f"min(xxhash64({i}, xxhash64(s)))" for i in range(num_perm))
+        + ")"
+    )
+
+
 def minhash_signatures(doc_shingle_rows: DataFrame, num_perm: int = 64) -> DataFrame:
     """(id, s) shingle rows -> (id, sig array<long>[num_perm]).
 
@@ -188,16 +198,12 @@ def minhash_signatures(doc_shingle_rows: DataFrame, num_perm: int = 64) -> DataF
     expressions — measured 2-3x slower because Spark interprets HOF
     lambdas per element.
     """
-    # single-string expressions (F.expr): the Column-per-permutation route
-    # costs ~4 Py4J round-trips x num_perm at plan-build time (~0.4 s for
-    # 64 perms, measured r4) with identical JVM semantics
-    aggs = [
-        F.expr(f"min(xxhash64({i}, xxhash64(s)))").alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    packed = doc_shingle_rows.groupBy("id").agg(*aggs)
-    sig = "array(" + ",".join(f"h{i}" for i in range(num_perm)) + ")"
-    return packed.select("id", F.expr(sig).alias("sig"))
+    # ONE expression string for the whole signature: aggregates may nest
+    # inside array() in SQL, so the 64 MINs build as a single F.expr — one
+    # Py4J round-trip + one parse instead of 64 (r4 paid ~4 round-trips per
+    # permutation; r5 collapses the rest, ~0.2 s/build at sf0.1)
+    sig = _sig_expr(num_perm)
+    return doc_shingle_rows.groupBy("id").agg(F.expr(sig).alias("sig"))
 
 
 def lsh_candidates(signatures: DataFrame, num_perm: int = 64, bands: int = 16) -> DataFrame:
@@ -210,16 +216,14 @@ def lsh_candidates(signatures: DataFrame, num_perm: int = 64, bands: int = 16) -
     co-partitions both sides.
     """
     r = num_perm // bands
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
-        ),
-    )
-    banded = signatures.select("id", F.explode(band_structs).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    # one expr string for the band explode (same Py4J economy as _sig_expr)
+    banded = signatures.select(
+        "id",
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b AS band, xxhash64(slice(sig, b * {r} + 1, {r})) AS bh)))"
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -256,13 +260,10 @@ def minhash_lsh_pairs(
     dominant scan+explode stage).
     """
     rows = shingle_rows(docs, text_col, id_col, n)
-    aggs = [
-        F.expr(f"min(xxhash64({i}, xxhash64(s)))").alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    aggs.append(F.array_distinct(F.collect_list("s")).alias("sh"))
-    sig = "array(" + ",".join(f"h{i}" for i in range(num_perm)) + ")"
-    sigsh = rows.groupBy("id").agg(*aggs).select("id", F.expr(sig).alias("sig"), "sh")
+    sigsh = rows.groupBy("id").agg(
+        F.expr(_sig_expr(num_perm)).alias("sig"),
+        F.expr("array_distinct(collect_list(s))").alias("sh"),
+    )
     cands = lsh_candidates(sigsh.select("id", "sig"), num_perm, bands)
     sh = sigsh.select("id", "sh")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
