@@ -1681,3 +1681,160 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "word")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: per-source quotas, char entropy, matryoshka recall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_quota",
+    """WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 50 ORDER BY source, rn""",
+    category="corpus",
+    doc="per-source document quotas: keep <=50 docs per source, selected by "
+        "deterministic content-hash rank (domain-balancing a crawl corpus)",
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — the domain-balancing step a crawl
+    pipeline runs so no single site dominates the mix (C4/RefinedWeb keep
+    per-domain caps). Selection rank is md5(doc_id||text): deterministic,
+    order-free, and uniformly shuffles within a source (doc_id order would
+    bias toward early crawl batches).
+
+    Scale shape: ONE shuffle on source for the window; the payload carried
+    is (doc_id, source, hash) — text is consumed by md5 in the scan
+    projection and never rides the exchange. A skewed mega-source is an AQE
+    skew split; the quota filter drops rows immediately after rank."""
+    from pyspark.sql.window import Window
+
+    d = spark.table("documents")
+    h = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    w = Window.partitionBy("source").orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", h.alias("__h"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source", "rn")
+    )
+
+
+@register(
+    "text_char_entropy",
+    """WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM c GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(k) AS n, COUNT(*) AS n_distinct FROM cnt GROUP BY doc_id)
+SELECT cnt.doc_id,
+       CAST(tot.n_distinct AS INT) AS alphabet,
+       ROUND(CAST(SUM(CAST(-(k * 1.0 / n) * log2(k * 1.0 / n) AS DECIMAL(20,12))) AS DOUBLE), 4) AS entropy
+FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+GROUP BY cnt.doc_id, tot.n_distinct ORDER BY cnt.doc_id""",
+    category="text",
+    doc="per-doc character-level Shannon entropy + alphabet size — the "
+        "cheap perplexity proxy (gibberish/encoded-blob filter)",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    quality signal: natural language sits in a narrow entropy band, while
+    base64 blobs / repeated padding / mojibake fall outside it (used as a
+    pre-filter before LM-based scoring, cf. Gopher's repetition rules).
+
+    explode(chars) -> (doc, char) counts -> per-doc -(p log2 p) sum, all
+    codegen; the char-count shuffle key is (doc_id, ch) so partial
+    aggregation collapses each split to at most |alphabet| rows per doc.
+    DECIMAL(20,12) term accumulation per the repo convention (order-free
+    exact sums -> DuckDB hash-match)."""
+    d = spark.table("documents")
+    c = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    cnt = c.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("k") / F.col("n")
+    term = (-p * F.log2(p)).cast("decimal(20,12)")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(F.round(F.sum(term).cast("double"), 4).alias("entropy"))
+        .select(
+            "doc_id", F.col("n_distinct").cast("int").alias("alphabet"), "entropy"
+        )
+    )
+
+
+_MATRYOSHKA_ORACLE = """WITH d AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS t
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, t,
+         sqrt(list_sum([x * x FOR x IN v])) AS nv,
+         sqrt(list_sum([x * x FOR x IN t])) AS nt
+  FROM d),
+fullk AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_sum(list_zip(a.v, b.v).list_transform(p -> p[1] * p[2]))
+                          / (a.nv * b.nv), 4) DESC, b.vec_id) AS rnk
+  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+trunck AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_sum(list_zip(a.t, b.t).list_transform(p -> p[1] * p[2]))
+                          / (a.nt * b.nt), 4) DESC, b.vec_id) AS rnk
+  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+SELECT f.q_id,
+       CAST(COUNT(t.n_id) AS INT) AS n_overlap
+FROM (SELECT * FROM fullk WHERE rnk <= 5) f
+LEFT JOIN (SELECT * FROM trunck WHERE rnk <= 5) t
+  ON f.q_id = t.q_id AND f.n_id = t.n_id
+GROUP BY f.q_id ORDER BY f.q_id"""
+
+
+@register(
+    "embed_matryoshka_recall",
+    _MATRYOSHKA_ORACLE,
+    category="similarity",
+    doc="matryoshka truncation audit: top-5 overlap between full-dim and "
+        "first-16-dim cosine neighbors per query (the dimension-budget "
+        "decision a 100 TB ANN deployment measures before truncating)",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: how many of each
+    query's exact top-5 cosine neighbors survive when vectors are truncated
+    to their first 16 dimensions (MRL-trained embeddings put the signal in
+    the prefix; this measures the recall cost of the 4x storage cut before
+    committing a corpus-wide reindex).
+
+    Composition of the existing operator: brute_force_topk on the full
+    vectors and on a sliced projection, then an overlap count — both passes
+    broadcast the 10-query probe set, the corpus is scanned twice but never
+    shuffled (the only exchanges are the two per-query windows on q_id)."""
+    from universql_spark.operators.similarity import brute_force_topk
+
+    emb = spark.table("embeddings")
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full5 = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False
+    ).select("q_id", "n_id")
+    trunc5 = brute_force_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=5, sort=False
+    ).select(F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"))
+    return (
+        full5.join(
+            trunc5,
+            (F.col("q_id") == F.col("t_q")) & (F.col("n_id") == F.col("t_n")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("t_n").cast("int").alias("n_overlap"))
+    )
