@@ -66,9 +66,15 @@ def test_no_cartesian_in_star_joins(spark, sf_dir):
 
 def test_asof_single_shuffle_no_range_join(spark, sf_dir):
     p = plan(spark, sf_dir, "join_asof")
-    # union+window formulation: no nested-loop/cartesian pair join
+    # colocated formulation (r5): no nested-loop/cartesian pair join, ONE
+    # scan of events (no union re-scan), exactly one exchange (the window),
+    # and the side-selection predicate pushed to the parquet scan
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1
+    assert "Union" not in p
+    assert "PushedFilters: [Or(" in p
 
 
 def test_minhash_partial_aggregation(spark, sf_dir):
