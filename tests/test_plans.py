@@ -71,8 +71,11 @@ def test_asof_single_shuffle_no_range_join(spark, sf_dir):
     # and the side-selection predicate pushed to the parquet scan
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
-    assert p.count("Scan parquet") == 1
-    assert p.count("Exchange") == 1
+    import re as _re
+
+    # formatted plans name each node twice (tree line + detail header)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Union" not in p
     assert "PushedFilters: [Or(" in p
 
