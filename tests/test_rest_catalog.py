@@ -377,3 +377,42 @@ def test_engine_dml_into_catalog_table(spark, commit_server):
     eng.execute("DELETE FROM cat_t WHERE id = 501")
     assert eng.execute("SELECT COUNT(*) AS c FROM cat_t").to_pylist()[0]["c"] == n0
     assert state["commits"] >= 2
+
+
+def test_metadata_updates_diff_actions():
+    """metadata_updates derives exactly the TableUpdate actions for the
+    operations the engine emits — and nothing for an identical document."""
+    from universql_spark.catalogs import metadata_updates
+
+    base = {
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1}],
+        "properties": {"a": "1", "b": "2"},
+        "refs": {"main": {"type": "branch", "snapshot-id": 1}},
+    }
+    assert metadata_updates(base, json.loads(json.dumps(base))) == []
+
+    new = json.loads(json.dumps(base))
+    new["snapshots"].append({"snapshot-id": 2, "sequence-number": 2})
+    new["current-snapshot-id"] = 2
+    new["schemas"].append({"schema-id": 1, "fields": [{"id": 1}]})
+    new["current-schema-id"] = 1
+    new["properties"] = {"a": "1", "c": "3"}  # b removed, c added
+    new["refs"]["audit"] = {"type": "tag", "snapshot-id": 2}
+    acts = {u["action"] for u in metadata_updates(base, new)}
+    assert acts == {
+        "add-snapshot", "set-snapshot-ref", "add-schema", "set-current-schema",
+        "set-properties", "remove-properties",
+    }
+    by_action = {u["action"]: u for u in metadata_updates(base, new)}
+    assert by_action["add-snapshot"]["snapshot"]["snapshot-id"] == 2
+    assert by_action["set-properties"]["updates"] == {"c": "3"}
+    assert by_action["remove-properties"]["removals"] == ["b"]
+    # snapshot expiry -> remove-snapshots
+    exp = json.loads(json.dumps(base))
+    exp["snapshots"] = []
+    exp["current-snapshot-id"] = None
+    ups = metadata_updates(base, exp)
+    assert {"action": "remove-snapshots", "snapshot-ids": [1]} in ups
