@@ -2576,3 +2576,55 @@ def test_jaro_winkler_boost_gated(engine):
             [a, b],
         ).fetchone()[0]
         assert got == want, (a, b, got, want)
+
+
+def test_external_volume_and_iceberg_base_location(engine, spark, tmp_path):
+    """Snowflake EXTERNAL VOLUME surface (reference snowflake.py:113-135 +
+    duckdb.py:283-292): CREATE EXTERNAL VOLUME records the lake path, DESC
+    EXTERNAL VOLUME serves the exact row shape get_volume_lake_path parses,
+    and CREATE ICEBERG TABLE ... EXTERNAL_VOLUME/BASE_LOCATION lands the
+    table at <volume>/<base_location>."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    engine.execute(
+        "CREATE OR REPLACE EXTERNAL VOLUME exvol STORAGE_LOCATIONS = "
+        f"((NAME='l1' STORAGE_PROVIDER='LOCAL' STORAGE_BASE_URL='file://{tmp_path}'))"
+    )
+    rows = engine.execute("DESC EXTERNAL VOLUME exvol").to_pylist()
+    # the reference's parsing contract: ACTIVE row names the location, the
+    # STORAGE_LOCATION_* row's value is JSON holding STORAGE_BASE_URL
+    active = next(
+        r["property_value"] for r in rows
+        if r["parent_property"] == "STORAGE_LOCATIONS" and r["property"] == "ACTIVE"
+    )
+    base = next(
+        _json.loads(r["property_value"])["STORAGE_BASE_URL"] for r in rows
+        if r["property"].startswith("STORAGE_LOCATION_")
+        and _json.loads(r["property_value"])["NAME"] == active
+    )
+    assert base == f"file://{tmp_path}"
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE vol_t EXTERNAL_VOLUME='exvol' "
+        "BASE_LOCATION='lake/vol_t' AS SELECT 1 AS a, 'x' AS b"
+    )
+    assert _os.path.exists(str(tmp_path / "lake" / "vol_t" / "metadata"))
+    assert engine.execute("SELECT a, b FROM vol_t").to_pylist() == [{"a": 1, "b": "x"}]
+    # property order flexibility + PARTITION BY coexistence
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE vol_t2 EXTERNAL_VOLUME='exvol' "
+        "PARTITION BY (b) BASE_LOCATION='lake/vol_t2' AS SELECT 2 AS a, 'y' AS b"
+    )
+    assert engine.execute("SELECT a FROM vol_t2").to_pylist() == [{"a": 2}]
+    # BASE_LOCATION without a volume is refused (it is volume-relative)
+    with _pytest.raises(Exception, match="EXTERNAL_VOLUME"):
+        engine.execute(
+            "CREATE ICEBERG TABLE vol_t3 BASE_LOCATION='x' AS SELECT 1 AS a"
+        )
+    # unknown volume is refused before any data lands
+    with _pytest.raises(Exception, match="does not exist"):
+        engine.execute(
+            "CREATE ICEBERG TABLE vol_t4 EXTERNAL_VOLUME='nope' AS SELECT 1 AS a"
+        )

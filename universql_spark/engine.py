@@ -56,9 +56,17 @@ class QueryError(Exception):
         self.sql_state = sql_state
 
 
+#: Snowflake Iceberg CTAS properties (reference duckdb.py:283-292 resolves
+#: EXTERNAL_VOLUME + BASE_LOCATION into the table's lake path; CATALOG is
+#: accepted and recorded): KEY='value' pairs between the name/partition
+#: clause and AS, any order.
+_CTAS_PROPS = r"(?:(?:EXTERNAL_VOLUME|BASE_LOCATION|CATALOG)\s*=\s*'[^']*'\s+)*"
+_CTAS_PROP_RE = re.compile(r"(EXTERNAL_VOLUME|BASE_LOCATION|CATALOG)\s*=\s*'([^']*)'", re.I)
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
-    r"(?:(PARTITION|CLUSTER)\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?AS\s+(.*)$",
+    rf"({_CTAS_PROPS})"
+    r"(?:(PARTITION|CLUSTER)\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?"
+    rf"({_CTAS_PROPS})AS\s+(.*)$",
     re.I | re.S,
 )
 #: CREATE DYNAMIC [ICEBERG] TABLE t TARGET_LAG = '1 hour' WAREHOUSE = w AS …
@@ -253,6 +261,17 @@ def _unquote_body(body: str) -> str:
 _DELETE_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.I)
 _UPDATE_RE = re.compile(r"^\s*UPDATE\b", re.I)
 _MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\b", re.I)
+#: CREATE [OR REPLACE] EXTERNAL VOLUME v STORAGE_LOCATIONS = ((NAME='l'
+#: STORAGE_PROVIDER='S3' STORAGE_BASE_URL='s3://…' ...)) — the first
+#: STORAGE_BASE_URL is the active lake path (reference get_volume_lake_path)
+_CREATE_VOLUME_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?EXTERNAL\s+VOLUME\s+(\w+)\s+(.*)$",
+    re.I | re.S,
+)
+_VOLUME_URL_RE = re.compile(r"STORAGE_BASE_URL\s*=\s*'([^']+)'", re.I)
+_DESC_VOLUME_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+EXTERNAL\s+VOLUME\s+(\w+)\s*;?\s*$", re.I
+)
 _CREATE_STAGE_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STAGE\s+(\w+)(?:\s+URL\s*=\s*'([^']+)')?\s*(.*)$",
     re.I | re.S,
@@ -309,6 +328,11 @@ class Engine:
         #: etc.). Reference resolves @stage via DESCRIBE STAGE metadata,
         #: plugins/snow.py:400-414, 496-629; here CREATE STAGE records it
         self.stages: dict[str, str] = {}
+        #: EXTERNAL VOLUME name -> active STORAGE_BASE_URL (reference
+        #: snowflake.py:113-135 get_volume_lake_path reads the same surface
+        #: from DESC EXTERNAL VOLUME; iceberg CTAS resolves
+        #: EXTERNAL_VOLUME/BASE_LOCATION against this)
+        self.volumes: dict[str, str] = {}
         #: name -> DESCRIBE STAGE surface (original url, masked creds)
         self.stage_meta: dict[str, dict] = {}
         #: STREAM objects (Snowflake CDC change tracking): name ->
@@ -872,6 +896,40 @@ class Engine:
             m = _CREATE_STAGE_RE.match(stmt)
             if m:
                 return self._create_stage(m)
+            m = _CREATE_VOLUME_RE.match(stmt)
+            if m:
+                name = m.group(2).lower()
+                if name in self.volumes and not m.group(1):
+                    raise QueryError(f"external volume {name} already exists", sql_state="42P07")
+                um = _VOLUME_URL_RE.search(m.group(3) or "")
+                if not um:
+                    raise QueryError(
+                        "CREATE EXTERNAL VOLUME needs STORAGE_LOCATIONS with a "
+                        "STORAGE_BASE_URL"
+                    )
+                self.volumes[name] = um.group(1)
+                return _status(f"external volume {name} created")
+            m = _DESC_VOLUME_RE.match(stmt)
+            if m:
+                name = m.group(1).lower()
+                if name not in self.volumes:
+                    raise QueryError(f"external volume {name} does not exist", sql_state="02000")
+                # the exact row surface the reference's get_volume_lake_path
+                # parses (snowflake.py:113-135): an ACTIVE pointer row plus a
+                # STORAGE_LOCATION_1 row whose value is the location JSON
+                import json as _json  # noqa: PLC0415
+
+                loc_json = _json.dumps(
+                    {"NAME": f"{name}_loc", "STORAGE_BASE_URL": self.volumes[name]}
+                )
+                return pa.table(
+                    {
+                        "parent_property": ["STORAGE_LOCATIONS", "STORAGE_LOCATIONS"],
+                        "property": ["ACTIVE", "STORAGE_LOCATION_1"],
+                        "property_type": ["String", "String"],
+                        "property_value": [f"{name}_loc", loc_json],
+                    }
+                )
             m = _DESCRIBE_STAGE_RE.match(stmt)
             if m:
                 name = m.group(1).lower()
@@ -2985,20 +3043,24 @@ class Engine:
             bool(m.group(2)),
             bool(m.group(3)),
             m.group(4).strip('"'),
-            m.group(7),
+            m.group(9),
         )
+        props = {
+            k.upper(): v
+            for k, v in _CTAS_PROP_RE.findall((m.group(5) or "") + (m.group(8) or ""))
+        }
         # PARTITION BY / CLUSTER BY: on plain tables both map to a
         # hive-partitioned layout — the unit of copy-on-write DML
         # (engine_dml) and of partition pruning. On Iceberg targets the
         # keyword matters: PARTITION BY records an identity partition spec
         # (per-file partition tuples + manifest pruning), CLUSTER BY
         # range-clusters the write and records the sort order.
-        pkind = (m.group(5) or "").upper()
+        pkind = (m.group(6) or "").upper()
         from universql_spark.dialect import _split_top_args  # noqa: PLC0415
 
         pcols = [
             c.strip().strip('"').lower()
-            for c in _split_top_args(m.group(6) or "")
+            for c in _split_top_args(m.group(7) or "")
             if c.strip()
         ]
         if pcols and not bool(m.group(3)) and any("(" in c for c in pcols):
@@ -3035,12 +3097,34 @@ class Engine:
 
             bn = bare_name(name)
             self._reclaim_dropped(bn)
+            # EXTERNAL_VOLUME + BASE_LOCATION place the table in the
+            # volume's lake path (the reference's table_location resolution,
+            # duckdb.py:283-292 over snowflake.py get_volume_lake_path);
+            # without them the table lives under the warehouse dir
+            root = self._snap_root(name)
+            if "EXTERNAL_VOLUME" in props:
+                vol = props["EXTERNAL_VOLUME"].lower()
+                if vol not in self.volumes:
+                    raise QueryError(
+                        f"external volume {vol} does not exist "
+                        "(CREATE EXTERNAL VOLUME first)", sql_state="02000"
+                    )
+                base_url = self.volumes[vol]
+                rel = props.get("BASE_LOCATION", bn)
+                root = os.path.join(
+                    base_url.removeprefix("file://"), rel.strip("/")
+                )
+            elif "BASE_LOCATION" in props:
+                raise QueryError(
+                    "BASE_LOCATION requires EXTERNAL_VOLUME (it is relative "
+                    "to the volume's STORAGE_BASE_URL)"
+                )
             # PARTITION/CLUSTER BY on an Iceberg target = clustering keys:
             # range-cluster the write + record the Iceberg sort order, so
             # manifest bounds on those columns become disjoint and
             # plan_files() can skip whole files on cluster-key predicates
             snap = IcebergTable.create(
-                self._snap_root(name),
+                root,
                 df,
                 replace=replace,
                 cluster_by=pcols if pcols and pkind == "CLUSTER" else None,
