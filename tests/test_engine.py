@@ -2628,3 +2628,61 @@ def test_external_volume_and_iceberg_base_location(engine, spark, tmp_path):
         engine.execute(
             "CREATE ICEBERG TABLE vol_t4 EXTERNAL_VOLUME='nope' AS SELECT 1 AS a"
         )
+
+
+def test_r5_scalar_surface(engine):
+    """Round-5 probe-driven surface: DIFFERENCE, SEQ*, the MINHASH sketch
+    family, COLLATE (Spark 4 native collations), STRTOK_SPLIT_TO_TABLE."""
+    out = engine.execute(
+        "SELECT DIFFERENCE('Robert','Rupert') AS a, DIFFERENCE('abc','xyz') AS b"
+    ).to_pylist()[0]
+    assert out == {"a": 4, "b": 1}  # R163=R163 -> 4; A120 vs X200 -> 1
+    rows = engine.execute(
+        "SELECT t.index, t.value FROM TABLE(STRTOK_SPLIT_TO_TABLE('a b;c', ' ;')) t"
+    ).to_pylist()
+    assert rows == [
+        {"index": 1, "value": "a"}, {"index": 2, "value": "b"}, {"index": 3, "value": "c"},
+    ]
+    out = engine.execute(
+        "SELECT COUNT(DISTINCT s) AS n FROM (SELECT SEQ8() AS s FROM (VALUES (1),(2),(3)) v)"
+    ).to_pylist()[0]
+    assert out["n"] == 3  # unique per row
+    assert engine.execute("SELECT SEQ1() < 256 AS x").to_pylist() == [{"x": True}]
+    # minhash estimator: identical corpora -> 1.0; disjoint -> 0.0 at k=16
+    out = engine.execute(
+        "SELECT APPROXIMATE_JACCARD_INDEX(mh) AS s FROM ("
+        "SELECT MINHASH(8, c1) AS mh FROM (VALUES ('a'),('b')) t(c1) "
+        "UNION ALL SELECT MINHASH(8, c1) FROM (VALUES ('a'),('b')) t(c1))"
+    ).to_pylist()[0]
+    assert out["s"] == 1.0
+    out = engine.execute(
+        "SELECT APPROXIMATE_SIMILARITY(mh) AS s FROM ("
+        "SELECT MINHASH(16, c1) AS mh FROM (VALUES ('a'),('b')) t(c1) "
+        "UNION ALL SELECT MINHASH(16, c1) FROM (VALUES ('x'),('y')) t(c1))"
+    ).to_pylist()[0]
+    assert out["s"] == 0.0
+    # sketch union == sketch of the union (elementwise-min property)
+    out = engine.execute(
+        "SELECT MINHASH_COMBINE(mh) = (SELECT MINHASH(4, c1) FROM "
+        "(VALUES ('a'),('b'),('x')) t(c1)) AS eq FROM ("
+        "SELECT MINHASH(4, c1) AS mh FROM (VALUES ('a'),('b')) t(c1) "
+        "UNION ALL SELECT MINHASH(4, c1) FROM (VALUES ('x')) t(c1))"
+    ).to_pylist()[0]
+    assert out["eq"] is True
+    # collations: Snowflake specs map onto Spark 4's native framework
+    assert engine.execute("SELECT 'A' = 'a' COLLATE 'en-ci' AS x").to_pylist() == [{"x": True}]
+    assert engine.execute("SELECT COLLATE('A', 'en-ci') = 'a' AS x").to_pylist() == [{"x": True}]
+    assert engine.execute("SELECT 'ABC' = 'abc' COLLATE 'lower' AS x").to_pylist() == [{"x": True}]
+    assert engine.execute("SELECT 'A' = 'a' COLLATE 'utf8' AS x").to_pylist() == [{"x": False}]
+
+
+def test_minhash_estimator_accuracy(engine, spark, sf_dir):
+    """The SQL-level MINHASH estimator approximates true Jaccard on a real
+    overlap: nation names vs the first 20 of them (true J = 20/25 = 0.8);
+    k=64 keeps the estimator within +/-0.25 of truth."""
+    sim = engine.execute(
+        "SELECT APPROXIMATE_JACCARD_INDEX(mh) AS s FROM ("
+        "SELECT MINHASH(64, n_name) AS mh FROM nation "
+        "UNION ALL SELECT MINHASH(64, n_name) FROM nation WHERE n_nationkey < 20)"
+    ).to_pylist()[0]["s"]
+    assert 0.55 <= sim <= 1.0, sim

@@ -551,6 +551,140 @@ def _rewrite_scalar_emulations_r4(sql: str) -> str:
     return sql
 
 
+#: Snowflake collation specifier -> Spark 4 collation name. Snowflake specs
+#: are locale[-modifiers]; Spark 4's collation framework covers the
+#: comparison semantics the engine needs: ci -> case-insensitive,
+#: ci+ai -> accent+case-insensitive, 'lower'/'upper' (preprocessing
+#: collations) -> lowercase comparison, bare utf8 -> binary.
+def _spark_collation(spec: str) -> str:
+    s = spec.lower()
+    parts = set(s.replace("=", "-").split("-"))
+    if s in ("utf8", ""):
+        return "UTF8_BINARY"
+    if s in ("lower", "upper"):
+        return "UTF8_LCASE"
+    if "ci" in parts and "ai" in parts:
+        return "UNICODE_CI_AI"
+    if "ci" in parts:
+        return "UNICODE_CI"
+    if "ai" in parts:
+        return "UNICODE_AI"
+    return "UNICODE"
+
+
+def _rewrite_scalar_emulations_r5(sql: str) -> str:
+    """Round-5 surface (probe-driven gaps):
+
+    - DIFFERENCE(a, b): positional match count (0-4) of the two SOUNDEX
+      codes (the SQL-Server-style companion Snowflake ships next to
+      SOUNDEX).
+    - SEQ1/SEQ2/SEQ4/SEQ8(): per-row monotonically increasing integers,
+      wrapped at the byte width like Snowflake's (values are engine-local —
+      Snowflake documents them as "not necessarily gap-free/ordered"; the
+      contract is uniqueness-per-width, which monotonically_increasing_id
+      provides).
+    - MINHASH(k, e): Snowflake's minhash sketch AGGREGATE -> array of k
+      min(xxhash64(i, xxhash64(e))) — the same permutation family as
+      operators/dedup.py, so SQL-level sketches and the dedup operators
+      share semantics. Hash values differ from Snowflake's proprietary
+      function; the estimator contract (Jaccard approximation) matches.
+    - MINHASH_COMBINE(mh): elementwise min across the aggregated sketches
+      (sketch union).
+    - APPROXIMATE_JACCARD_INDEX / APPROXIMATE_SIMILARITY(mh): fraction of
+      sketch positions on which ALL aggregated sketches agree — the
+      standard minhash Jaccard estimator.
+    - COLLATE: postfix `expr COLLATE 'spec'` and 2-arg COLLATE(expr,
+      'spec') -> Spark 4's native collation framework (_spark_collation
+      maps ci/ai/lower specs).
+    """
+    sql = _rewrite_calls(
+        sql,
+        "difference",
+        lambda a: (
+            f"CAST(size(filter(sequence(1, 4), __i -> "
+            f"substr(soundex({a[0]}), __i, 1) = substr(soundex({a[1]}), __i, 1))) AS INT)"
+        )
+        if len(a) == 2
+        else None,
+    )
+    for n, width in (("seq1", 1), ("seq2", 2), ("seq4", 4), ("seq8", 8)):
+        mod = 1 << (8 * width)
+        sql = _rewrite_calls(
+            sql,
+            n,
+            lambda a, _m=mod, _w=width: (
+                "monotonically_increasing_id()"
+                if _w == 8
+                else f"pmod(monotonically_increasing_id(), {_m})"
+            )
+            if len(a) <= 1
+            else None,
+        )
+
+    def minhash_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        try:
+            k = int(a[0].strip())
+        except ValueError:
+            return None
+        if not 1 <= k <= 512:
+            return None
+        return (
+            "array("
+            + ",".join(f"min(xxhash64({i}, xxhash64({a[1]})))" for i in range(k))
+            + ")"
+        )
+
+    sql = _rewrite_calls(sql, "minhash", minhash_rw)
+    # aggregate-of-arrays forms: collect the sketches, fold elementwise.
+    # collect_list appears repeatedly but canonicalizes to ONE aggregate
+    # buffer in the plan (identical aggregate expressions deduplicate).
+    _sk = "collect_list({e})"
+
+    def combine_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        sk = _sk.format(e=a[0])
+        return (
+            f"transform(sequence(1, size({sk}[0])), "
+            f"__i -> array_min(transform({sk}, __s -> __s[__i - 1])))"
+        )
+
+    def jaccard_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        sk = _sk.format(e=a[0])
+        return (
+            f"(CAST(size(filter(sequence(1, size({sk}[0])), "
+            f"__i -> array_min(transform({sk}, __s -> __s[__i - 1])) = "
+            f"array_max(transform({sk}, __s -> __s[__i - 1])))) AS DOUBLE) "
+            f"/ size({sk}[0]))"
+        )
+
+    sql = _rewrite_calls(sql, "minhash_combine", combine_rw)
+    sql = _rewrite_calls(sql, "approximate_jaccard_index", jaccard_rw)
+    sql = _rewrite_calls(sql, "approximate_similarity", jaccard_rw)
+    sql = _rewrite_calls(
+        sql,
+        "collate",
+        lambda a: f"collate({a[0]}, '{_spark_collation(a[1].strip()[1:-1])}')"
+        if len(a) == 2 and _STRING_RE.fullmatch(a[1].strip())
+        else None,
+    )
+    # postfix form: the spec is itself a quoted literal, so this runs on the
+    # raw text (not _outside_literals, which would mask the spec away); a
+    # string literal CONTAINING "COLLATE '...'" text is the only false
+    # positive and is vanishingly unlikely in SQL bodies
+    sql = re.sub(
+        r"\bCOLLATE\s+'([^']*)'",
+        lambda m: f"COLLATE {_spark_collation(m.group(1))}",
+        sql,
+        flags=re.I,
+    )
+    return sql
+
+
 def _rewrite_strtok_to_array(sql: str) -> str:
     """Snowflake STRTOK_TO_ARRAY(str[, delims]) splits on ANY single char of
     the delimiter set and drops empty tokens; Spark split() takes a Java
@@ -1608,6 +1742,20 @@ def snowflake_to_spark(sql: str) -> str:
         if len(a) == 2
         else None,
     )
+    # STRTOK_SPLIT_TO_TABLE(x, delims): the table form of STRTOK — any-char
+    # delimiter set, empties dropped. Emits a textual STRTOK_TO_ARRAY call;
+    # the shared any-char-split rewrite (later in the chain) supplies the
+    # char-class mechanics once.
+    sql = _rewrite_calls(
+        sql,
+        "strtok_split_to_table",
+        lambda a: (
+            f"(SELECT pos + 1 AS index, col AS value FROM "
+            f"(SELECT posexplode(STRTOK_TO_ARRAY({', '.join(a)})) AS (pos, col)))"
+        )
+        if len(a) in (1, 2)
+        else None,
+    )
     # TABLE(FLATTEN(...)) — the table-function spelling of LATERAL FLATTEN;
     # normalize to the LATERAL form the flatten rewriter handles.
     # TABLE((SELECT ...)) — a rewritten SPLIT_TO_TABLE — becomes a LATERAL
@@ -1659,6 +1807,9 @@ def snowflake_to_spark(sql: str) -> str:
     # and BEFORE the TO_CHAR->string rename (numeric formats claim the
     # 2-arg form first; datetime formats were claimed earlier still)
     sql = _rewrite_scalar_emulations_r4(sql)
+    # r5 also runs BEFORE strtok (STRTOK_SPLIT_TO_TABLE emitted a textual
+    # STRTOK_TO_ARRAY in the early table-function pass)
+    sql = _rewrite_scalar_emulations_r5(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

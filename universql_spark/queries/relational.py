@@ -1490,3 +1490,41 @@ def fn_fuzzy_scalar_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        BOOLNOT(n_regionkey) AS b_not
 FROM nation ORDER BY k"""
     )
+
+
+_SKETCH_ORACLE = """SELECT CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_seq,
+       CAST(1.0 AS DOUBLE) AS sim_same,
+       CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_ci,
+       CAST(4 AS INT) AS diff_self"""
+
+
+@register(
+    "fn_sketch_seq_collate",
+    _SKETCH_ORACLE,
+    category="scalar",
+    doc="r5 probe-driven surface: MINHASH/APPROXIMATE_JACCARD_INDEX sketch "
+        "aggregates, SEQ8, COLLATE 'en-ci', DIFFERENCE — gated on their "
+        "hash-invariant contracts",
+)
+def fn_sketch_seq_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch/sequence/collation surface, verbatim Snowflake through the
+    dialect layer (dialect._rewrite_scalar_emulations_r5). The MINHASH hash
+    family is engine-local (Snowflake's is proprietary), so the oracle
+    states the hash-INVARIANT contracts: identical corpora estimate
+    similarity exactly 1.0, SEQ8 is unique per row, case-insensitive
+    collation equates the case-folded names, DIFFERENCE(x, x) = 4. The
+    estimator's accuracy on partial overlap is bounded in
+    tests/test_engine.py::test_minhash_estimator_accuracy."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT
+  (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM (SELECT SEQ8() AS s FROM nation)) AS n_seq,
+  (SELECT ROUND(APPROXIMATE_JACCARD_INDEX(mh), 4) FROM (
+     SELECT MINHASH(16, n_name) AS mh FROM nation
+     UNION ALL SELECT MINHASH(16, n_name) FROM nation)) AS sim_same,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+   WHERE n_name = lower(n_name) COLLATE 'en-ci') AS n_ci,
+  (SELECT CAST(DIFFERENCE(n_name, n_name) AS INT) FROM nation WHERE n_nationkey = 0) AS diff_self"""
+    )
