@@ -2686,3 +2686,22 @@ def test_minhash_estimator_accuracy(engine, spark, sf_dir):
         "UNION ALL SELECT MINHASH(64, n_name) FROM nation WHERE n_nationkey < 20)"
     ).to_pylist()[0]["s"]
     assert 0.55 <= sim <= 1.0, sim
+
+
+def test_session_constant_functions(engine):
+    """Connect-time session-context surface: CURRENT_CLIENT/REGION/ACCOUNT,
+    SYSTEM$TYPEOF, IS_ROLE_IN_SESSION (single-active-role semantics)."""
+    out = engine.execute(
+        "SELECT CURRENT_VERSION() AS v, CURRENT_CLIENT() AS c, "
+        "CURRENT_REGION() AS r, CURRENT_ACCOUNT() AS a"
+    ).to_pylist()[0]
+    assert out["v"] and out["c"] and out["r"] == "LOCAL" and out["a"]
+    out = engine.execute("SELECT SYSTEM$TYPEOF(1) AS t, SYSTEM$TYPEOF('x') AS s").to_pylist()[0]
+    assert out["t"] == "int" and out["s"] == "string"
+    assert engine.execute("SELECT IS_ROLE_IN_SESSION('ACCOUNTADMIN') AS x").to_pylist() == [{"x": True}]
+    assert engine.execute("SELECT IS_ROLE_IN_SESSION('NOPE') AS x").to_pylist() == [{"x": False}]
+    engine.execute("USE ROLE ANALYST")
+    try:
+        assert engine.execute("SELECT IS_ROLE_IN_SESSION('analyst') AS x").to_pylist() == [{"x": True}]
+    finally:
+        engine.execute("USE ROLE ACCOUNTADMIN")

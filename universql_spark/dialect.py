@@ -392,6 +392,13 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     sql = _rewrite_calls(
         sql, "dayofweekiso", lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None
     )
+    # SYSTEM$TYPEOF asks for the SQL TYPE (not the VARIANT classification):
+    # route to Spark's native typeof, masked so the VARIANT rule below
+    # cannot capture it (type NAMES are engine-local: 'int' vs 'NUMBER')
+    sql = _outside_literals(
+        sql,
+        lambda seg: re.sub(r"(?i)\bSYSTEM\$TYPEOF\s*\(", "__native_typeof(", seg),
+    )
     # TYPEOF over our JSON-text VARIANTs: classify by JSON syntax (the same
     # mapping Snowflake reports for VARIANT values)
     sql = _rewrite_calls(
@@ -410,6 +417,7 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         if len(a) == 1
         else None,
     )
+    sql = sql.replace("__native_typeof(", "typeof(")
     # OBJECT_KEYS over our JSON-text VARIANTs
     sql = _rewrite_calls(
         sql, "object_keys", lambda a: f"json_object_keys({a[0]})" if len(a) == 1 else None

@@ -426,6 +426,18 @@ class Engine:
             # a UDF closure must not capture self/SparkContext)
             self.spark.udf.register("current_warehouse", lambda: "x-spark")
             self.spark.udf.register("current_version", lambda: "8.0.0-spark")
+            # session-constant surface clients read at connect time
+            # (reference protocol/session.py serves fixed values likewise)
+            self.spark.udf.register("current_client", lambda: "UniversqlSpark 1.0")
+            self.spark.udf.register("current_region", lambda: "LOCAL")
+            self.spark.udf.register("current_account", lambda: "LOCALACCOUNT")
+            self.spark.udf.register("current_account_name", lambda: "LOCALACCOUNT")
+            self.spark.udf.register(
+                "current_organization_name", lambda: "LOCALORG"
+            )
+            self.spark.udf.register(
+                "current_ip_address", lambda: "127.0.0.1"
+            )
             self.spark.udf.register(
                 "jarowinkler_similarity", _jarowinkler_pandas_udf()
             )
@@ -1780,6 +1792,14 @@ class Engine:
         )
         stmt = re.sub(
             r"\bCURRENT_SESSION\s*\(\s*\)", f"'{id(self):x}'", stmt, flags=re.I
+        )
+        # IS_ROLE_IN_SESSION: one active role per engine session (no role
+        # hierarchy locally), so membership == equality with CURRENT_ROLE
+        stmt = re.sub(
+            r"\bIS_ROLE_IN_SESSION\s*\(\s*'([^']*)'\s*\)",
+            lambda m: "TRUE" if m.group(1).upper() == self.current_role.upper() else "FALSE",
+            stmt,
+            flags=re.I,
         )
         stmt = re.sub(
             r"\bSYSTEM\$STREAM_HAS_DATA\s*\(\s*'(\w+)'\s*\)",
