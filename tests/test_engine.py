@@ -2705,3 +2705,24 @@ def test_session_constant_functions(engine):
         assert engine.execute("SELECT IS_ROLE_IN_SESSION('analyst') AS x").to_pylist() == [{"x": True}]
     finally:
         engine.execute("USE ROLE ACCOUNTADMIN")
+
+
+def test_roles_show_columns_describe_view(engine):
+    """Round-5 client-surface gaps: CREATE/DROP ROLE + SHOW ROLES (recorded,
+    not enforced — reference parity), SHOW COLUMNS IN TABLE, DESCRIBE VIEW."""
+    engine.execute("CREATE ROLE IF NOT EXISTS r5role")
+    rows = engine.execute("SHOW ROLES").to_pylist()
+    names = {r["name"] for r in rows}
+    assert "R5ROLE" in names and "ACCOUNTADMIN" in names
+    assert any(r["is_current"] == "Y" for r in rows)
+    assert engine.execute("SHOW ROLES LIKE 'r5%'").to_pylist() == [
+        {"name": "R5ROLE", "is_current": "N"}
+    ]
+    engine.execute("DROP ROLE r5role")
+    assert not engine.execute("SHOW ROLES LIKE 'r5%'").to_pylist()
+    cols = engine.execute("SHOW COLUMNS IN TABLE region").to_pylist()
+    assert {"R_REGIONKEY", "R_NAME"} <= {c["column_name"] for c in cols}
+    assert all(c["table_name"] == "REGION" for c in cols)
+    engine.execute("CREATE OR REPLACE TEMP VIEW dv_r5 AS SELECT 1 AS x, 'a' AS y")
+    dv = engine.execute("DESCRIBE VIEW dv_r5").to_pylist()
+    assert [d["name"] for d in dv] == ["x", "y"]

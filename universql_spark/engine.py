@@ -357,6 +357,9 @@ class Engine:
         #: policied data with zero per-query cost; CURRENT_ROLE() in policy
         #: bodies binds to the session role and re-binds on USE ROLE.
         self.current_role = "ACCOUNTADMIN"
+        #: CREATE ROLE registry (access control recorded, not enforced —
+        #: the reference likewise passes grants through)
+        self.roles: set[str] = {"ACCOUNTADMIN", "SYSADMIN", "PUBLIC"}
         self.masking_policies: dict[str, tuple[str, str]] = {}  # name -> (arg, expr)
         self.row_policies: dict[str, tuple[list[str], str]] = {}  # name -> (args, expr)
         self.table_policies: dict[str, dict] = {}  # tbl -> {"mask": {col: pol}, "row": (pol, cols)}
@@ -959,7 +962,7 @@ class Engine:
                         ],
                     }
                 )
-            m = re.match(r"^\s*DESC(?:RIBE)?\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
+            m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE|VIEW)\s+([\w.\"]+)\s*$", stmt, re.I)
             if m:
                 df = self._run_select(f"SELECT * FROM {m.group(1)} LIMIT 0")
                 names = df.columns
@@ -1030,11 +1033,49 @@ class Engine:
             m = re.match(r"^\s*USE\s+ROLE\s+([\w\"]+)\s*$", stmt, re.I)
             if m:
                 self.current_role = m.group(1).strip('"').upper()
+                self.roles.add(self.current_role)
                 # role change re-binds CURRENT_ROLE() inside policied views
                 for bn in list(self.table_policies):
                     if bn in self.snap_tables:
                         self._refresh_snap_view(bn)
                 return _status(f"role {self.current_role}")
+            m = re.match(
+                r"^\s*CREATE\s+ROLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w\"]+)\s*(?:COMMENT\s*=\s*'[^']*')?\s*$",
+                stmt, re.I,
+            )
+            if m:
+                self.roles.add(m.group(1).strip('"').upper())
+                return _status(f"role {m.group(1).strip(chr(34)).upper()} created")
+            m = re.match(r"^\s*DROP\s+ROLE\s+(?:IF\s+EXISTS\s+)?([\w\"]+)\s*$", stmt, re.I)
+            if m:
+                self.roles.discard(m.group(1).strip('"').upper())
+                return _status("role dropped")
+            if re.match(r"^\s*SHOW\s+ROLES\s*(?:LIKE\s+'[^']*')?\s*$", stmt, re.I):
+                lm = re.search(r"LIKE\s+'([^']*)'", stmt, re.I)
+                names = sorted(self.roles | {self.current_role})
+                if lm:
+                    pat = _like_regex(lm.group(1))
+                    names = [n for n in names if pat.match(n)]
+                return pa.table(
+                    {
+                        "name": names,
+                        "is_current": ["Y" if n == self.current_role else "N" for n in names],
+                    }
+                )
+            m = re.match(
+                r"^\s*SHOW\s+COLUMNS\s+IN\s+(?:TABLE\s+)?([\w.\"]+)\s*$", stmt, re.I
+            )
+            if m:
+                df = self._run_select(f"SELECT * FROM {m.group(1)} LIMIT 0")
+                tname = bare_name(m.group(1)).upper()
+                return pa.table(
+                    {
+                        "table_name": [tname] * len(df.columns),
+                        "column_name": [c.upper() for c in df.columns],
+                        "data_type": [t for _c, t in df.dtypes],
+                        "null?": ["true"] * len(df.columns),
+                    }
+                )
             m = re.match(
                 r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TASK\s+([\w.\"]+)\s+"
                 r"(?:WAREHOUSE\s*=\s*\w+\s+)?(?:SCHEDULE\s*=\s*'([^']*)'\s+)?"
