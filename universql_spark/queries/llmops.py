@@ -1838,3 +1838,43 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(F.count("t_n").cast("int").alias("n_overlap"))
     )
+
+
+@register(
+    "corpus_temperature_mix",
+    """WITH t AS (
+  SELECT lang, SUM(n_chars) AS n_tok FROM documents GROUP BY lang),
+s AS (SELECT SUM(sqrt(n_tok)) AS z FROM t)
+SELECT t.lang, CAST(t.n_tok AS BIGINT) AS n_tok,
+       ROUND(sqrt(t.n_tok) / s.z, 6) AS p_alpha,
+       CAST(ROUND(1000000 * sqrt(t.n_tok) / s.z) AS BIGINT) AS budget_tokens
+FROM t CROSS JOIN s ORDER BY t.lang""",
+    category="corpus",
+    doc="temperature-scaled language sampling weights (alpha=0.5): "
+        "p_l = sqrt(tokens_l) / sum sqrt(tokens) + per-language budget at "
+        "1M tokens — the multilingual mixing step (XLM-R / mT5 recipe)",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights for a multilingual mix
+    (alpha = 0.5 exactly: sqrt is IEEE-correctly-rounded in both engines,
+    so the weights are bit-deterministic cross-engine — a general pow(x, a)
+    is not). Up-samples low-resource languages the way XLM-R/mT5 mix
+    corpora; budget_tokens is the per-language draw at a 1M-token epoch.
+
+    One groupBy(lang) + a 1-row broadcast normalizer — the per-language
+    aggregate is tiny at any corpus size, so the whole op is scan-bound."""
+    d = spark.table("documents")
+    t = d.groupBy("lang").agg(F.sum("n_chars").alias("n_tok"))
+    z = t.agg(F.sum(F.sqrt("n_tok")).alias("z"))
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.round(F.sqrt("n_tok") / F.col("z"), 6).alias("p_alpha"),
+            F.round(F.lit(1000000) * F.sqrt("n_tok") / F.col("z"))
+            .cast("bigint")
+            .alias("budget_tokens"),
+        )
+        .orderBy("lang")
+    )
