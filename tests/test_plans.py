@@ -364,7 +364,10 @@ def test_no_mandatory_broadcast_on_sf_scaled_tables(spark, sf_dir):
     import re
 
     qdir = os.path.join(os.path.dirname(__file__), "..", "universql_spark", "queries")
-    allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal", "n_docs"}
+    # every allowed name is fixed-cardinality at ANY SF: nation/region (25/5
+    # rows by TPC-H spec) or a 1-row scalar aggregate ("z" = the temperature
+    # mix's sum-of-sqrt normalizer)
+    allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal", "n_docs", "z"}
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     for fname in ("tpch.py", "llmops.py"):
         src = open(os.path.join(qdir, fname)).read()

