@@ -605,6 +605,101 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # quoted date-part units -> bare keywords: Snowflake accepts
+    # DATEADD('quarter', …) and DATEADD(quarter, …) interchangeably; Spark's
+    # timestampadd/-diff (the rename targets) parse only the bare form
+    def unq_unit(fname: str):
+        def rw(a: list[str]) -> str | None:
+            if len(a) >= 2 and _STRING_RE.fullmatch(a[0].strip()):
+                unit = a[0].strip()[1:-1].strip()
+                if re.fullmatch(r"\w+", unit):
+                    return f"{fname}({unit}, {', '.join(x.strip() for x in a[1:])})"
+            return None
+
+        return rw
+
+    for f in ("dateadd", "datediff", "timeadd", "timediff",
+              "timestampadd", "timestampdiff"):
+        sql = _rewrite_calls(sql, f, unq_unit(f))
+
+    # LAST_DAY(d, part): Snowflake's 2-arg form (month/quarter/year/week)
+    def last_day_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        p = a[1].strip().strip("'\"").lower()
+        d = a[0]
+        if p in ("month", "mm", "mon", "months"):
+            return f"last_day({d})"
+        if p in ("year", "yyyy", "yy", "years"):
+            return f"make_date(year({d}), 12, 31)"
+        if p in ("quarter", "q", "qtr"):
+            return f"date_sub(add_months(date_trunc('quarter', {d}), 3), 1)"
+        if p in ("week", "wk", "weekofyear"):
+            return f"date_add(CAST(date_trunc('week', {d}) AS DATE), 6)"
+        return None
+
+    sql = _rewrite_calls(sql, "last_day", last_day_rw)
+
+    # DATE_FROM_PARTS out-of-range normalization (Snowflake rolls month 13
+    # into the next year, day 0 back a day, etc.; ANSI make_date faults) —
+    # anchor at Jan 1 and add offsets, which normalizes exactly
+    sql = _rewrite_calls(
+        sql,
+        "date_from_parts",
+        lambda a: (
+            f"date_add(add_months(make_date({a[0]}, 1, 1), ({a[1]}) - 1), ({a[2]}) - 1)"
+        )
+        if len(a) == 3
+        else None,
+    )
+
+    # ARRAY_SORT(a, sort_ascending[, nulls_first]): Snowflake flag forms.
+    # Spark primitives cover all four corners: array_sort = asc nulls-last,
+    # sort_array(x, true) = asc nulls-first, sort_array(x, false) = desc
+    # nulls-last, reverse(array_sort) = desc nulls-first (Snowflake's
+    # 2-arg desc default).
+    def arr_sort_rw(a: list[str]) -> str | None:
+        def flag(x: str) -> str:
+            return x.strip().upper()
+
+        if len(a) == 2 and flag(a[1]) in ("TRUE", "FALSE"):
+            return (
+                f"array_sort({a[0]})"
+                if flag(a[1]) == "TRUE"
+                else f"reverse(array_sort({a[0]}))"
+            )
+        if len(a) == 3 and flag(a[1]) in ("TRUE", "FALSE") and flag(a[2]) in ("TRUE", "FALSE"):
+            asc, nf = flag(a[1]) == "TRUE", flag(a[2]) == "TRUE"
+            if asc and nf:
+                return f"sort_array({a[0]}, true)"
+            if asc:
+                return f"array_sort({a[0]})"
+            if nf:
+                return f"reverse(array_sort({a[0]}))"
+            return f"sort_array({a[0]}, false)"
+        return None
+
+    sql = _rewrite_calls(sql, "array_sort", arr_sort_rw)
+
+    # hash-digest spellings
+    sql = _rewrite_calls(sql, "md5_hex", lambda a: f"md5({a[0]})" if len(a) == 1 else None)
+    sql = _rewrite_calls(
+        sql, "md5_binary", lambda a: f"unhex(md5({a[0]}))" if len(a) == 1 else None
+    )
+    sql = _rewrite_calls(sql, "sha1_hex", lambda a: f"sha1({a[0]})" if len(a) == 1 else None)
+    sql = _rewrite_calls(
+        sql, "sha2_hex", lambda a: f"sha2({', '.join(a)})" if len(a) in (1, 2) else None
+    )
+    sql = _rewrite_calls(
+        sql,
+        "yearofweekiso",
+        lambda a: f"extract(YEAROFWEEK FROM {a[0]})" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "yearofweek",
+        lambda a: f"extract(YEAROFWEEK FROM {a[0]})" if len(a) == 1 else None,
+    )
     sql = _rewrite_calls(
         sql,
         "difference",

@@ -1528,3 +1528,44 @@ def fn_sketch_seq_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
    WHERE n_name = lower(n_name) COLLATE 'en-ci') AS n_ci,
   (SELECT CAST(DIFFERENCE(n_name, n_name) AS INT) FROM nation WHERE n_nationkey = 0) AS diff_self"""
     )
+
+
+_DTPARTS_ORACLE = """WITH d AS (
+  SELECT n_nationkey AS k,
+         CAST(DATE '2024-01-01' + ((n_nationkey - 1) * INTERVAL 1 MONTH) AS DATE) AS dfp
+  FROM nation)
+SELECT k, dfp,
+       CAST(date_trunc('quarter', dfp) + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) AS ld_q,
+       CAST(isoyear(dfp) AS INT) AS isoy,
+       CAST(week(dfp) AS INT) AS wk,
+       CAST(dfp + INTERVAL 3 MONTH AS DATE) AS plus_q
+FROM d ORDER BY k"""
+
+
+@register(
+    "fn_datetime_parts_ext",
+    _DTPARTS_ORACLE,
+    category="scalar",
+    doc="r5 probe-driven datetime surface: DATE_FROM_PARTS out-of-range "
+        "normalization, 2-arg LAST_DAY, YEAROFWEEKISO/WEEKISO, quoted "
+        "DATEADD units",
+)
+def fn_datetime_parts_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-part surface, verbatim Snowflake through the dialect layer
+    (dialect._rewrite_scalar_emulations_r5). DATE_FROM_PARTS(2024, k, 1)
+    exercises months 0..24 — Snowflake rolls out-of-range parts across
+    years (month 0 = previous December), which the anchor-plus-offset
+    rewrite reproduces where ANSI make_date would fault. The oracle states
+    the same dates with DuckDB interval arithmetic and isoyear/week."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       DATE_FROM_PARTS(2024, n_nationkey, 1) AS dfp,
+       LAST_DAY(DATE_FROM_PARTS(2024, n_nationkey, 1), 'quarter') AS ld_q,
+       YEAROFWEEKISO(DATE_FROM_PARTS(2024, n_nationkey, 1)) AS isoy,
+       WEEKISO(DATE_FROM_PARTS(2024, n_nationkey, 1)) AS wk,
+       CAST(DATEADD('quarter', 1, DATE_FROM_PARTS(2024, n_nationkey, 1)) AS DATE) AS plus_q
+FROM nation ORDER BY k"""
+    )
