@@ -2726,3 +2726,30 @@ def test_roles_show_columns_describe_view(engine):
     engine.execute("CREATE OR REPLACE TEMP VIEW dv_r5 AS SELECT 1 AS x, 'a' AS y")
     dv = engine.execute("DESCRIBE VIEW dv_r5").to_pylist()
     assert [d["name"] for d in dv] == ["x", "y"]
+
+
+def test_regexp_occurrence_forms(engine):
+    """r5: occurrence-aware REGEXP_REPLACE / REGEXP_SUBSTR long forms."""
+    rows = engine.execute(
+        "SELECT REGEXP_REPLACE('aaa', 'a', 'b', 1, 2) AS a, "
+        "REGEXP_REPLACE('a1b2c3', '[0-9]', '#', 1, 3) AS b, "
+        "REGEXP_REPLACE('abc', 'z', '#', 1, 2) AS c, "
+        "REGEXP_REPLACE('aaa', 'a', 'b', 2, 0) AS d, "
+        "REGEXP_REPLACE('AaA', 'a', '#', 1, 2, 'i') AS e, "
+        "REGEXP_SUBSTR('a1b22c3', '[0-9]+', 1, 2) AS f, "
+        "REGEXP_SUBSTR('a1', '[0-9]', 1, 5) AS g, "
+        "REGEXP_SUBSTR('abc123', '([a-z]+)([0-9]+)', 1, 1, 'e') AS h, "
+        "REGEXP_SUBSTR('abc123', '([a-z]+)([0-9]+)', 1, 1, 'e', 2) AS i"
+    ).to_pylist()[0]
+    assert rows == {
+        "a": "aba", "b": "a1b2c#", "c": "abc", "d": "abb", "e": "A#A",
+        "f": "22", "g": None, "h": "abc", "i": "123",
+    }
+    out = engine.execute(
+        "SELECT TO_JSON(OBJECT_CONSTRUCT(*)) AS o FROM (SELECT 1 AS a, 'x' AS b)"
+    ).to_pylist()[0]
+    assert out["o"] == '{"a":1,"b":"x"}'
+    out = engine.execute(
+        "SELECT VARIANCE_POP(x) AS v FROM (VALUES (1),(2),(3)) t(x)"
+    ).to_pylist()[0]
+    assert abs(out["v"] - 2.0 / 3.0) < 1e-12

@@ -605,6 +605,87 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    sql = _rewrite_calls(
+        sql, "variance_pop", lambda a: f"var_pop({a[0]})" if len(a) == 1 else None
+    )
+    sql = _rewrite_calls(
+        sql, "variance_samp", lambda a: f"var_samp({a[0]})" if len(a) == 1 else None
+    )
+    # OBJECT_CONSTRUCT(*): object of ALL columns -> struct(*) (named_struct,
+    # the keyed mapping below, cannot take a star)
+    sql = _rewrite_calls(
+        sql,
+        "object_construct",
+        lambda a: "struct(*)" if len(a) == 1 and a[0].strip() == "*" else None,
+    )
+
+    def _re_flags(params: str) -> str:
+        """'is' etc. -> an (?is) inline-flag prefix for the Java regex."""
+        if not _STRING_RE.fullmatch(params.strip()):
+            return ""
+        mods = "".join(c for c in params.strip()[1:-1] if c in "ims")
+        return f"(?{mods})" if mods else ""
+
+    def _flagged(pat: str, pref: str) -> str:
+        return f"concat('{pref}', {pat})" if pref else pat
+
+    # REGEXP_SUBSTR(s, pat, pos[, occ[, params[, group]]]) — Spark's
+    # builtin stops at 2 args; occurrence selection via regexp_extract_all +
+    # try_element_at (NULL past the last match, Snowflake's contract)
+    def regexp_substr_rw(a: list[str]) -> str | None:
+        if not 3 <= len(a) <= 6:
+            return None
+        s, pat = a[0], a[1]
+        pos = a[2].strip()
+        occ = a[3].strip() if len(a) >= 4 else "1"
+        pref = _re_flags(a[4]) if len(a) >= 5 else ""
+        grp = a[5].strip() if len(a) == 6 else (
+            "1" if len(a) >= 5 and "e" in a[4] else "0"
+        )
+        return (
+            f"try_element_at(regexp_extract_all(substr({s}, {pos}), "
+            f"{_flagged(pat, pref)}, {grp}), CAST({occ} AS INT))"
+        )
+
+    sql = _rewrite_calls(sql, "regexp_substr", regexp_substr_rw)
+
+    # REGEXP_REPLACE(s, pat, rep, pos, occ[, params]): occurrence 0 = all
+    # from pos; occurrence N rebuilds the string from split() segments +
+    # regexp_extract_all matches — s == seg1 m1 seg2 … mn seg_{n+1}, so the
+    # Nth match swaps for the replacement and everything else concatenates
+    # back verbatim (all JVM builtins, no UDF)
+    def regexp_replace_rw(a: list[str]) -> str | None:
+        if len(a) not in (5, 6):
+            return None
+        s, pat, rep = a[0], a[1], a[2]
+        pos, occ = a[3].strip(), a[4].strip()
+        pref = _re_flags(a[5]) if len(a) == 6 else ""
+        p = _flagged(pat, pref)
+        t = f"substr({s}, {pos})"
+        if occ == "0":
+            return f"concat(substr({s}, 1, ({pos}) - 1), regexp_replace({t}, {p}, {rep}))"
+        segs = f"split({t}, {p}, -1)"
+        ms = f"regexp_extract_all({t}, {p}, 0)"
+        o = f"CAST({occ} AS INT)"
+        prefix = (
+            f"CASE WHEN {o} > 1 THEN aggregate(sequence(1, {o} - 1), '', "
+            f"(acc, i) -> concat(acc, element_at({segs}, i), element_at({ms}, i))) "
+            f"ELSE '' END"
+        )
+        suffix = (
+            f"CASE WHEN {o} < size({ms}) THEN aggregate(sequence({o} + 1, size({ms})), '', "
+            f"(acc, j) -> concat(acc, element_at({ms}, j), element_at({segs}, j + 1))) "
+            f"ELSE '' END"
+        )
+        return (
+            f"concat(substr({s}, 1, ({pos}) - 1), "
+            f"CASE WHEN size({ms}) < {o} THEN {t} ELSE "
+            f"concat({prefix}, element_at({segs}, {o}), {rep}, "
+            f"element_at({segs}, {o} + 1), {suffix}) END)"
+        )
+
+    sql = _rewrite_calls(sql, "regexp_replace", regexp_replace_rw)
+
     # quoted date-part units -> bare keywords: Snowflake accepts
     # DATEADD('quarter', …) and DATEADD(quarter, …) interchangeably; Spark's
     # timestampadd/-diff (the rename targets) parse only the bare form

@@ -1569,3 +1569,37 @@ def fn_datetime_parts_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST(DATEADD('quarter', 1, DATE_FROM_PARTS(2024, n_nationkey, 1)) AS DATE) AS plus_q
 FROM nation ORDER BY k"""
     )
+
+
+_REGEXP_EXT_ORACLE = r"""SELECT n_nationkey AS k,
+       regexp_replace(n_name, '^((?:[^AEIOU]*[AEIOU]){1}[^AEIOU]*)[AEIOU]', '\1#') AS rr2,
+       list_extract(regexp_extract_all(n_name, '[A-Z0-9]+'), 2) AS rs2,
+       regexp_extract(n_name, '([A-Z]+)_([0-9]+)', 2) AS rsg
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_regexp_occurrence_ext",
+    _REGEXP_EXT_ORACLE,
+    category="scalar",
+    doc="r5 probe-driven regexp surface: REGEXP_REPLACE with occurrence "
+        "selection, REGEXP_SUBSTR with position/occurrence/params/group",
+)
+def fn_regexp_occurrence_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-aware regexp surface, verbatim Snowflake through the
+    dialect layer (dialect._rewrite_scalar_emulations_r5): the Nth-match
+    REGEXP_REPLACE rebuilds the string from split() segments +
+    regexp_extract_all matches (pure JVM builtins); REGEXP_SUBSTR's
+    long-form args map onto regexp_extract_all + try_element_at. The
+    DuckDB oracle derives the same values independently (vowel-skipping
+    regex with a backreference; list_extract over extract_all)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       REGEXP_REPLACE(n_name, '[AEIOU]', '#', 1, 2) AS rr2,
+       REGEXP_SUBSTR(n_name, '[A-Z0-9]+', 1, 2) AS rs2,
+       REGEXP_SUBSTR(n_name, '([A-Z]+)_([0-9]+)', 1, 1, 'e', 2) AS rsg
+FROM nation ORDER BY k"""
+    )
