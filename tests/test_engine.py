@@ -2753,3 +2753,47 @@ def test_regexp_occurrence_forms(engine):
         "SELECT VARIANCE_POP(x) AS v FROM (VALUES (1),(2),(3)) t(x)"
     ).to_pylist()[0]
     assert abs(out["v"] - 2.0 / 3.0) < 1e-12
+
+
+def test_table_lifecycle_like_swap_mv_constraints(engine):
+    """r5 lifecycle surface: CREATE TABLE LIKE, ALTER TABLE SWAP WITH,
+    MATERIALIZED VIEW (dynamic-table machinery at zero lag), recorded key
+    constraints + SHOW PRIMARY/UNIQUE KEYS, 3-arg MIN_BY/MAX_BY."""
+    engine.execute("CREATE OR REPLACE TEMP TABLE swp_a AS SELECT 1 AS x")
+    engine.execute("CREATE OR REPLACE TEMP TABLE swp_b AS SELECT 2 AS x")
+    engine.execute("ALTER TABLE swp_a SWAP WITH swp_b")
+    out = engine.execute(
+        "SELECT (SELECT x FROM swp_a) AS a, (SELECT x FROM swp_b) AS b"
+    ).to_pylist()[0]
+    assert out == {"a": 2, "b": 1}
+    engine.execute("CREATE OR REPLACE TABLE lk_t LIKE region")
+    assert engine.execute("SELECT COUNT(*) AS n FROM lk_t").to_pylist() == [{"n": 0}]
+    cols = {c["column_name"] for c in engine.execute("SHOW COLUMNS IN TABLE lk_t").to_pylist()}
+    assert "R_REGIONKEY" in cols
+    engine.execute("DROP TABLE lk_t")
+    # MV: fresh reads after base-table change (zero-lag dynamic refresh)
+    engine.execute("CREATE OR REPLACE TEMP TABLE mv_base AS SELECT 1 AS x")
+    engine.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_t AS SELECT SUM(x) AS s FROM mv_base")
+    assert engine.execute("SELECT s FROM mv_t").to_pylist() == [{"s": 1}]
+    engine.execute("DROP MATERIALIZED VIEW mv_t")
+    # constraints recorded, not enforced
+    engine.execute(
+        "CREATE OR REPLACE TEMP TABLE con_t (a INT PRIMARY KEY, b STRING UNIQUE, "
+        "c INT REFERENCES region(r_regionkey))"
+    )
+    pk = engine.execute("SHOW PRIMARY KEYS IN TABLE con_t").to_pylist()
+    assert pk == [{"table_name": "CON_T", "column_name": "A", "key_sequence": 1}]
+    uq = engine.execute("SHOW UNIQUE KEYS IN TABLE con_t").to_pylist()
+    assert uq == [{"table_name": "CON_T", "column_name": "B", "key_sequence": 1}]
+    engine.execute("INSERT INTO con_t SELECT 1, 'x', 0")
+    engine.execute("INSERT INTO con_t SELECT 1, 'x', 0")  # dup allowed: unenforced
+    assert engine.execute("SELECT COUNT(*) AS n FROM con_t").to_pylist() == [{"n": 2}]
+    # composite table-level constraints
+    engine.execute("CREATE OR REPLACE TEMP TABLE con_t2 (a INT, b INT, PRIMARY KEY (a, b))")
+    pk2 = engine.execute("SHOW PRIMARY KEYS IN TABLE con_t2").to_pylist()
+    assert [(r["column_name"], r["key_sequence"]) for r in pk2] == [("A", 1), ("B", 2)]
+    out = engine.execute(
+        "SELECT TO_JSON(MIN_BY(x, y, 2)) AS lo, TO_JSON(MAX_BY(x, y, 2)) AS hi "
+        "FROM (VALUES (1, 9),(2, 8),(3, 7)) t(x, y)"
+    ).to_pylist()[0]
+    assert out == {"lo": "[3,2]", "hi": "[1,2]"}

@@ -605,6 +605,26 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # MIN_BY/MAX_BY(x, y, n): the top-N form returns an ARRAY of x for the
+    # n lowest/highest y (NULL y rows ignored, Snowflake's contract); ties
+    # break deterministically on (y, x) via the struct sort
+    def minmax_by(desc: bool):
+        def rw(a: list[str]) -> str | None:
+            if len(a) != 3:
+                return None
+            x, y, n = a
+            arr = (
+                f"array_sort(collect_list(CASE WHEN ({y}) IS NOT NULL "
+                f"THEN struct({y} AS k, {x} AS v) END))"
+            )
+            if desc:
+                arr = f"reverse({arr})"
+            return f"slice(transform({arr}, s -> s.v), 1, {n})"
+
+        return rw
+
+    sql = _rewrite_calls(sql, "min_by", minmax_by(False))
+    sql = _rewrite_calls(sql, "max_by", minmax_by(True))
     sql = _rewrite_calls(
         sql, "variance_pop", lambda a: f"var_pop({a[0]})" if len(a) == 1 else None
     )

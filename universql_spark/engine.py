@@ -360,6 +360,10 @@ class Engine:
         #: CREATE ROLE registry (access control recorded, not enforced —
         #: the reference likewise passes grants through)
         self.roles: set[str] = {"ACCOUNTADMIN", "SYSADMIN", "PUBLIC"}
+        #: declared key constraints per table (Snowflake records but does
+        #: not ENFORCE PK/UNIQUE/FK either — they are metadata for tools):
+        #: name -> {"primary_key": [cols], "unique": [[cols]...], "fk": [...]}
+        self.table_constraints: dict[str, dict] = {}
         self.masking_policies: dict[str, tuple[str, str]] = {}  # name -> (arg, expr)
         self.row_policies: dict[str, tuple[list[str], str]] = {}  # name -> (args, expr)
         self.table_policies: dict[str, dict] = {}  # tbl -> {"mask": {col: pol}, "row": (pol, cols)}
@@ -1272,6 +1276,66 @@ class Engine:
                     f"CREATE {tm.group(1) or ''}{tm.group(2) or ''}TABLE "
                     f"{tm.group(3)} ({col_defs})"
                 )
+            m = re.match(
+                r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+"
+                r"([\w.\"]+)\s+LIKE\s+([\w.\"]+)\s*$",
+                stmt, re.I,
+            )
+            if m:
+                # CREATE TABLE LIKE: schema copy, zero rows (constraints and
+                # defaults are metadata we do not model on the copy)
+                rep = "OR REPLACE " if m.group(1) else ""
+                tmp = "TEMP " if m.group(2) else ""
+                return self._execute_one(
+                    f"CREATE {rep}{tmp}TABLE {m.group(3)} AS "
+                    f"SELECT * FROM {m.group(4)} WHERE 1 = 0"
+                )
+            m = re.match(
+                r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+SWAP\s+WITH\s+([\w.\"]+)\s*$",
+                stmt, re.I,
+            )
+            if m:
+                return self._swap_tables(m.group(1), m.group(2))
+            m = re.match(
+                r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.\"]+)\s+AS\s+(.*)$",
+                stmt, re.I | re.S,
+            )
+            if m:
+                # MATERIALIZED VIEW -> the dynamic-table machinery at zero
+                # lag: always-fresh reads like Snowflake's auto-maintained
+                # MVs, refreshed by full recompute on staleness (documented
+                # divergence: Snowflake maintains incrementally)
+                rep = "OR REPLACE " if m.group(1) else ""
+                return self._execute_one(
+                    f"CREATE {rep}DYNAMIC TABLE {m.group(2)} TARGET_LAG = '0 seconds' "
+                    f"WAREHOUSE = mv AS {m.group(3)}"
+                )
+            m = re.match(
+                r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$",
+                stmt, re.I,
+            )
+            if m:
+                return self._execute_one(f"DROP TABLE IF EXISTS {m.group(1)}")
+            m = re.match(
+                r"^\s*SHOW\s+(PRIMARY|UNIQUE)\s+KEYS(?:\s+IN\s+(?:TABLE\s+)?([\w.\"]+))?\s*$",
+                stmt, re.I,
+            )
+            if m:
+                kind = "primary_key" if m.group(1).upper() == "PRIMARY" else "unique"
+                want = bare_name(m.group(2)) if m.group(2) else None
+                t_names, c_names, seqs = [], [], []
+                for tname, cons in sorted(self.table_constraints.items()):
+                    if want and tname != want:
+                        continue
+                    groups = [cons["primary_key"]] if kind == "primary_key" else cons["unique"]
+                    for grp in groups:
+                        for i, col in enumerate(grp, 1):
+                            t_names.append(tname.upper())
+                            c_names.append(col.upper())
+                            seqs.append(i)
+                return pa.table(
+                    {"table_name": t_names, "column_name": c_names, "key_sequence": seqs}
+                )
             cm = _CREATE_TABLE_COLS_RE.match(stmt)
             if cm:
                 # column-definition CREATE TABLE (the reference's DDL->DuckDB
@@ -1281,6 +1345,7 @@ class Engine:
                 replace, _temp, name, cols = (
                     bool(cm.group(1)), bool(cm.group(2)), cm.group(3).strip('"'), cm.group(4)
                 )
+                cols = self._extract_constraints(bare_name(name), cols)
                 target = self._resolve_name(name)
                 if replace:
                     self.spark.sql(f"DROP TABLE IF EXISTS {target}")
@@ -2909,6 +2974,99 @@ class Engine:
             import shutil  # noqa: PLC0415
 
             shutil.rmtree(old.root, ignore_errors=True)
+
+    def _extract_constraints(self, table: str, cols: str) -> str:
+        """Strip PK/UNIQUE/FK clauses from a column-definition list (Spark's
+        DDL rejects them) and record them — Snowflake also treats these as
+        unenforced metadata. Returns the cleaned column list."""
+        from universql_spark.dialect import _split_top_args  # noqa: PLC0415
+
+        cons = {"primary_key": [], "unique": [], "fk": []}
+        out: list[str] = []
+        for item in _split_top_args(cols):
+            it = item.strip()
+            m = re.match(
+                r"(?is)^(?:CONSTRAINT\s+[\w\"]+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)$", it
+            )
+            if m:
+                cons["primary_key"] = [c.strip().strip('"').lower() for c in m.group(1).split(",")]
+                continue
+            m = re.match(r"(?is)^(?:CONSTRAINT\s+[\w\"]+\s+)?UNIQUE\s*\(([^)]*)\)$", it)
+            if m:
+                cons["unique"].append([c.strip().strip('"').lower() for c in m.group(1).split(",")])
+                continue
+            m = re.match(
+                r"(?is)^(?:CONSTRAINT\s+[\w\"]+\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+                r"REFERENCES\s+([\w.\"]+)\s*(?:\(([^)]*)\))?$",
+                it,
+            )
+            if m:
+                cons["fk"].append(
+                    {
+                        "columns": [c.strip().strip('"').lower() for c in m.group(1).split(",")],
+                        "references": bare_name(m.group(2)),
+                        "ref_columns": [c.strip().strip('"').lower() for c in (m.group(3) or "").split(",") if c.strip()],
+                    }
+                )
+                continue
+            # inline forms on a column def
+            cname = it.split()[0].strip('"').lower() if it.split() else ""
+            new_it, n1 = re.subn(r"(?i)\s+PRIMARY\s+KEY\b", "", it)
+            if n1:
+                cons["primary_key"].append(cname)
+            new_it, n2 = re.subn(r"(?i)\s+UNIQUE\b", "", new_it)
+            if n2:
+                cons["unique"].append([cname])
+            fkm = re.search(r"(?is)\s+REFERENCES\s+([\w.\"]+)\s*(?:\(([^)]*)\))?\s*$", new_it)
+            if fkm:
+                cons["fk"].append(
+                    {
+                        "columns": [cname],
+                        "references": bare_name(fkm.group(1)),
+                        "ref_columns": [c.strip().strip('"').lower() for c in (fkm.group(2) or "").split(",") if c.strip()],
+                    }
+                )
+                new_it = new_it[: fkm.start()]
+            out.append(new_it.strip())
+        if cons["primary_key"] or cons["unique"] or cons["fk"]:
+            self.table_constraints[table.lower()] = cons
+        return ", ".join(out)
+
+    def _swap_tables(self, name_a: str, name_b: str) -> pa.Table:
+        """ALTER TABLE a SWAP WITH b — atomic name exchange. Snapshot tables
+        swap their table objects; temp-view tables re-register each name on
+        the OTHER's resolved plan (analysis is eager, so each DataFrame
+        pins the pre-swap definition); catalog tables do the three-way
+        RENAME dance."""
+        a, b = bare_name(name_a), bare_name(name_b)
+        in_a, in_b = a in self.snap_tables, b in self.snap_tables
+        if in_a or in_b:
+            if not (in_a and in_b):
+                raise QueryError(
+                    "SWAP WITH requires both tables to be the same kind "
+                    "(both snapshot-backed or both catalog/temp)"
+                )
+            self.snap_tables[a], self.snap_tables[b] = (
+                self.snap_tables[b],
+                self.snap_tables[a],
+            )
+            self._refresh_snap_view(a)
+            self._refresh_snap_view(b)
+            return _status(f"swapped {a} with {b}")
+        temp_names = {
+            t.name.lower() for t in self.spark.catalog.listTables() if t.isTemporary
+        }
+        if a.lower() in temp_names and b.lower() in temp_names:
+            da, db = self.spark.table(a), self.spark.table(b)
+            db.createOrReplaceTempView(a)
+            da.createOrReplaceTempView(b)
+            return _status(f"swapped {a} with {b}")
+        ra, rb = self._resolve_name(name_a), self._resolve_name(name_b)
+        tmp = f"__swap_{uuid.uuid4().hex[:8]}"
+        self.spark.sql(f"ALTER TABLE {ra} RENAME TO {tmp}")
+        self.spark.sql(f"ALTER TABLE {rb} RENAME TO {ra}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {rb}")
+        return _status(f"swapped {a} with {b}")
 
     def _snap_root(self, name: str) -> str:
         base = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
