@@ -2797,3 +2797,66 @@ def test_table_lifecycle_like_swap_mv_constraints(engine):
         "FROM (VALUES (1, 9),(2, 8),(3, 7)) t(x, y)"
     ).to_pylist()[0]
     assert out == {"lo": "[3,2]", "hi": "[1,2]"}
+
+
+def test_scripting_loops_case_exception_cursors(engine):
+    """r5 Snowflake Scripting completion: WHILE/REPEAT/LOOP with
+    BREAK/CONTINUE, statement CASE (simple + searched), EXCEPTION handlers
+    with SQLERRM, cursors (FOR-over-cursor, OPEN/FETCH/CLOSE, subquery FOR),
+    RESULTSET + RETURN TABLE."""
+    run = lambda q: engine.execute(q).to_pylist()  # noqa: E731
+    assert run(
+        "BEGIN LET i := 0; LET t := 0; WHILE (i < 5) DO t := t + i; i := i + 1; "
+        "END WHILE; RETURN t; END"
+    ) == [{"RETURN_VALUE": "10"}]
+    assert run(
+        "BEGIN LET i := 0; REPEAT i := i + 1; UNTIL (i >= 3) END REPEAT; RETURN i; END"
+    ) == [{"RETURN_VALUE": "3"}]
+    assert run(
+        "BEGIN LET i := 0; LOOP i := i + 1; IF (i >= 4) THEN BREAK; END IF; "
+        "END LOOP; RETURN i; END"
+    ) == [{"RETURN_VALUE": "4"}]
+    assert run(
+        "BEGIN LET i := 0; LET s := 0; WHILE (i < 5) DO i := i + 1; "
+        "IF (i = 3) THEN CONTINUE; END IF; s := s + i; END WHILE; RETURN s; END"
+    ) == [{"RETURN_VALUE": "12"}]
+    assert run(
+        "BEGIN LET x := 2; CASE (x) WHEN 1 THEN RETURN 'one'; WHEN 2 THEN "
+        "RETURN 'two'; ELSE RETURN 'many'; END CASE; END"
+    ) == [{"RETURN_VALUE": "two"}]
+    assert run(
+        "BEGIN LET x := 7; CASE WHEN (x < 5) THEN RETURN 'small'; WHEN (x < 10) "
+        "THEN RETURN 'mid'; ELSE RETURN 'big'; END; END"
+    ) == [{"RETURN_VALUE": "mid"}]
+    out = run(
+        "BEGIN SELECT 1/0; RETURN 'no'; EXCEPTION WHEN OTHER THEN "
+        "RETURN 'caught'; END"
+    )
+    assert out == [{"RETURN_VALUE": "caught"}]
+    out = run(
+        "BEGIN SELECT * FROM no_such_tbl; RETURN 'no'; EXCEPTION WHEN "
+        "STATEMENT_ERROR THEN RETURN :sqlerrm; END"
+    )
+    assert "no_such_tbl" in out[0]["RETURN_VALUE"] or "TABLE_OR_VIEW" in out[0]["RETURN_VALUE"]
+    assert run(
+        "BEGIN LET t := 0; LET c1 CURSOR FOR SELECT r_regionkey FROM region; "
+        "FOR rec IN c1 DO t := t + rec.r_regionkey; END FOR; RETURN t; END"
+    ) == [{"RETURN_VALUE": "10"}]
+    assert run(
+        "BEGIN LET n := 0; FOR r IN (SELECT r_regionkey AS k FROM region) DO "
+        "n := n + 1; END FOR; RETURN n; END"
+    ) == [{"RETURN_VALUE": "5"}]
+    assert run(
+        "BEGIN LET c2 CURSOR FOR SELECT r_regionkey FROM region ORDER BY "
+        "r_regionkey; OPEN c2; LET a := 0; FETCH c2 INTO a; FETCH c2 INTO a; "
+        "CLOSE c2; RETURN a; END"
+    ) == [{"RETURN_VALUE": "1"}]
+    assert run(
+        "DECLARE res RESULTSET; BEGIN res := (SELECT COUNT(*) AS n FROM region); "
+        "RETURN TABLE(res); END"
+    ) == [{"n": 5}]
+    # nested range loops
+    assert run(
+        "BEGIN LET s := 0; FOR i IN 1 TO 3 DO FOR j IN 1 TO 2 DO s := s + i * j; "
+        "END FOR; END FOR; RETURN s; END"
+    ) == [{"RETURN_VALUE": "18"}]

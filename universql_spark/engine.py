@@ -484,6 +484,8 @@ class Engine:
                 raise QueryError(str(e)) from e
             if value is None:
                 return _status("block executed")
+            if isinstance(value, pa.Table):  # RETURN TABLE(resultset)
+                return value
             return pa.table({"RETURN_VALUE": [str(value)]})
         result: pa.Table = pa.table({"status": pa.array([], type=pa.string())})
         for stmt in split_statements(sql):

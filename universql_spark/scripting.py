@@ -54,6 +54,19 @@ class _Return(Exception):
         self.value = value
 
 
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+#: runaway-loop backstop for WHILE/LOOP/REPEAT (Snowflake runs until the
+#: statement timeout; an interpreter needs a hard floor instead)
+MAX_LOOP_ITERATIONS = 1_000_000
+
+
 def is_script(sql: str) -> bool:
     if re.match(r"^\s*DECLARE\b", sql, re.I):
         return True
@@ -180,6 +193,12 @@ class ScriptRunner:
     def __init__(self, engine):
         self.engine = engine
         self.vars: dict[str, Any] = {}
+        #: cursor name -> query text (unopened) or dict(rows=…, pos=…) (open)
+        self.cursors: dict[str, Any] = {}
+        #: RESULTSET-typed variables -> pa.Table once assigned
+        self.resultsets: dict[str, Any] = {}
+        #: row-loop variables (FOR rec IN cursor): name -> {col: value}
+        self.row_vars: dict[str, dict] = {}
 
     # -- substitution / evaluation ----------------------------------------
     def _substitute(self, text: str, bare: bool) -> str:
@@ -187,6 +206,19 @@ class ScriptRunner:
 
         def outside(pos: int) -> bool:
             return not any(a <= pos < b for a, b in spans)
+
+        if self.row_vars:
+            def row_sub(m: re.Match) -> str:
+                rec, col = m.group(1).lower(), m.group(2).lower()
+                row = self.row_vars.get(rec)
+                if row is not None and outside(m.start()):
+                    lowered = {k.lower(): v for k, v in row.items()}
+                    if col in lowered:
+                        return self.engine._render_literal(lowered[col])
+                return m.group(0)
+
+            text = re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", row_sub, text)
+            spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", text)]
 
         def colon_sub(m: re.Match) -> str:
             name = m.group(1).lower()
@@ -241,12 +273,39 @@ class ScriptRunner:
         if cur.take_kw("RETURN"):
             expr = cur.take_until_semicolon()
             if execute:
+                tm = re.match(r"(?is)^\s*TABLE\s*\(\s*(\w+)\s*\)\s*$", expr)
+                if tm and tm.group(1).lower() in self.resultsets:
+                    raise _Return(self.resultsets[tm.group(1).lower()])
                 raise _Return(self._eval(expr))
             return
         if cur.take_kw("IF"):
             return self._if(cur, execute)
         if cur.take_kw("FOR"):
             return self._for(cur, execute)
+        if cur.take_kw("WHILE"):
+            return self._while(cur, execute)
+        if cur.take_kw("REPEAT"):
+            return self._repeat(cur, execute)
+        if cur.take_kw("LOOP"):
+            return self._loop(cur, execute)
+        if cur.peek_kw("CASE"):
+            # statement-form CASE only when a WHEN follows at this level
+            # (expression CASE inside SQL never starts a statement here)
+            save = cur.i
+            cur.take_kw("CASE")
+            if cur.peek_kw("WHEN") or cur.t[cur.i :].lstrip().startswith("("):
+                return self._case(cur, execute)
+            cur.i = save
+        if cur.take_kw("BREAK", "EXIT"):
+            self._consume_semicolon(cur)
+            if execute:
+                raise _Break()
+            return
+        if cur.take_kw("CONTINUE", "ITERATE"):
+            self._consume_semicolon(cur)
+            if execute:
+                raise _Continue()
+            return
         if cur.take_kw("BEGIN"):
             stop = ("END",)
             if execute:
@@ -258,11 +317,57 @@ class ScriptRunner:
         stmt = cur.take_until_semicolon()
         if not execute or not stmt.strip():
             return
+        m = re.match(r"(?is)^\s*(?:LET\s+)?(\w+)\s+CURSOR\s+FOR\s+(.*)$", stmt)
+        if m:
+            self.cursors[m.group(1).lower()] = m.group(2).strip()
+            return
+        m = re.match(r"(?is)^\s*OPEN\s+(\w+)\s*$", stmt)
+        if m and m.group(1).lower() in self.cursors:
+            self._open_cursor(m.group(1).lower())
+            return
+        m = re.match(r"(?is)^\s*FETCH\s+(\w+)\s+INTO\s+(.*)$", stmt)
+        if m and m.group(1).lower() in self.cursors:
+            name = m.group(1).lower()
+            if not isinstance(self.cursors[name], dict):
+                self._open_cursor(name)
+            state = self.cursors[name]
+            targets = [v.strip().lstrip(":").lower() for v in m.group(2).split(",")]
+            row = (
+                state["rows"][state["pos"]] if state["pos"] < len(state["rows"]) else None
+            )
+            state["pos"] += 1
+            for i, tgt in enumerate(targets):
+                self.vars[tgt] = None if row is None else row[list(row.keys())[i]]
+            return
+        m = re.match(r"(?is)^\s*CLOSE\s+(\w+)\s*$", stmt)
+        if m and m.group(1).lower() in self.cursors:
+            self.cursors.pop(m.group(1).lower(), None)
+            return
         am = _ASSIGN_RE.match(stmt)
         if am:
-            self.vars[am.group(1).lower()] = self._eval(am.group(2))
+            name, rhs = am.group(1).lower(), am.group(2)
+            if name in self.resultsets:
+                q = rhs.strip()
+                if q.startswith("(") and q.endswith(")"):
+                    q = q[1:-1]
+                self.resultsets[name] = self.engine._execute_one(
+                    self._substitute(q, bare=False)
+                )
+                return
+            self.vars[name] = self._eval(rhs)
             return
         self.engine._execute_one(self._substitute(stmt, bare=False))
+
+    def _open_cursor(self, name: str) -> None:
+        q = self.cursors[name]
+        if isinstance(q, dict):
+            return
+        df = self.engine._run_select(self._substitute(q, bare=False))
+        self.cursors[name] = {
+            "rows": [r.asDict() for r in df.collect()],
+            "pos": 0,
+            "query": q,
+        }
 
     def _if(self, cur: _Cursor, execute: bool) -> None:
         cond = cur.take_paren()
@@ -287,21 +392,70 @@ class ScriptRunner:
                 run_this = execute and not taken
                 taken = True
 
+    def _take_body(self, cur: _Cursor, *end_kws: str) -> str:
+        """Parse (without executing) up to one of end_kws; return the body
+        text with the consumed end keyword stripped."""
+        body_start = cur.i
+        self._skip_block(cur, end_kws)
+        body_text = cur.t[body_start : cur.i]
+        pat = "|".join(r"\s+".join(map(re.escape, k.split())) for k in end_kws)
+        return re.sub(rf"\b(?:{pat})\s*$", "", body_text, flags=re.I)
+
+    def _run_body(self, body_text: str) -> bool:
+        """One loop-body pass. Returns False when a BREAK unwound."""
+        try:
+            self._run_block(_Cursor(body_text), ())
+        except _Break:
+            return False
+        except _Continue:
+            pass
+        return True
+
     def _for(self, cur: _Cursor, execute: bool) -> None:
         m = re.match(r"\s*([A-Za-z_]\w*)\s+IN\b", cur.t[cur.i :], re.I)
         if not m:
             raise ScriptError("FOR without loop variable")
         var = m.group(1).lower()
         cur.i += m.end()
+        cur.skip_ws()
+        # row-iteration forms: FOR rec IN <cursor> DO / FOR rec IN (SELECT…) DO
+        sub_m = re.match(r"^\(", cur.t[cur.i :])
+        cur_m = re.match(r"([A-Za-z_]\w*)\s+(DO|LOOP)\b", cur.t[cur.i :], re.I)
+        if sub_m or (cur_m and cur_m.group(1).lower() in self.cursors):
+            if sub_m:
+                query = cur.take_paren()
+            else:
+                query = None
+                cname = cur_m.group(1).lower()
+                cur.i += len(cur_m.group(1))
+            cur.take_kw("DO", "LOOP")
+            body_text = self._take_body(cur, "END FOR", "END LOOP")
+            self._consume_semicolon(cur)
+            if not execute:
+                return
+            if query is not None:
+                rows = [
+                    r.asDict()
+                    for r in self.engine._run_select(
+                        self._substitute(query, bare=False)
+                    ).collect()
+                ]
+            else:
+                self._open_cursor(cname)
+                rows = self.cursors[cname]["rows"]
+            try:
+                for row in rows:
+                    self.row_vars[var] = row
+                    if not self._run_body(body_text):
+                        break
+            finally:
+                self.row_vars.pop(var, None)
+            return
         lo_expr = cur.take_expr_until("TO")
         cur.take_kw("TO")
         hi_expr = cur.take_expr_until("DO")
         cur.take_kw("DO")
-        body_start = cur.i
-        self._skip_block(cur, ("END FOR",))
-        body_end_kw = cur.i  # position after END FOR
-        body_text = cur.t[body_start:body_end_kw]
-        body_text = re.sub(r"\bEND\s+FOR\s*$", "", body_text, flags=re.I)
+        body_text = self._take_body(cur, "END FOR")
         self._consume_semicolon(cur)
         if not execute:
             return
@@ -309,8 +463,76 @@ class ScriptRunner:
         hi = int(self._eval(hi_expr))
         for v in range(lo, hi + 1):
             self.vars[var] = v
-            sub = _Cursor(body_text)
-            self._run_block(sub, ())
+            if not self._run_body(body_text):
+                break
+
+    def _while(self, cur: _Cursor, execute: bool) -> None:
+        cond = cur.take_paren()
+        cur.take_kw("DO", "LOOP")
+        body_text = self._take_body(cur, "END WHILE", "END LOOP")
+        self._consume_semicolon(cur)
+        if not execute:
+            return
+        for _ in range(MAX_LOOP_ITERATIONS):
+            if not self._eval(cond):
+                return
+            if not self._run_body(body_text):
+                return
+        raise ScriptError("WHILE exceeded MAX_LOOP_ITERATIONS")
+
+    def _repeat(self, cur: _Cursor, execute: bool) -> None:
+        body_text = self._take_body(cur, "UNTIL")
+        cond = cur.take_paren()
+        cur.take_kw("END REPEAT")
+        self._consume_semicolon(cur)
+        if not execute:
+            return
+        for _ in range(MAX_LOOP_ITERATIONS):
+            if not self._run_body(body_text):
+                return
+            if self._eval(cond):
+                return
+        raise ScriptError("REPEAT exceeded MAX_LOOP_ITERATIONS")
+
+    def _loop(self, cur: _Cursor, execute: bool) -> None:
+        body_text = self._take_body(cur, "END LOOP")
+        self._consume_semicolon(cur)
+        if not execute:
+            return
+        for _ in range(MAX_LOOP_ITERATIONS):
+            if not self._run_body(body_text):
+                return
+        raise ScriptError("LOOP exceeded MAX_LOOP_ITERATIONS (no BREAK reached)")
+
+    def _case(self, cur: _Cursor, execute: bool) -> None:
+        """Statement-form CASE: simple (CASE (subject) WHEN v THEN …) and
+        searched (CASE WHEN (cond) THEN …); END or END CASE closes."""
+        subject = None
+        cur.skip_ws()
+        if cur.t[cur.i : cur.i + 1] == "(":
+            subject = cur.take_paren()
+        taken = False
+        ends = ("WHEN", "ELSE", "END CASE", "END")
+        kw = cur.take_kw(*ends)
+        while True:
+            if kw in ("END CASE", "END"):
+                self._consume_semicolon(cur)
+                return
+            if kw == "WHEN":
+                test = cur.take_expr_until("THEN")
+                cur.take_kw("THEN")
+                if subject is not None:
+                    match_expr = f"({subject}) = ({test})"
+                else:
+                    match_expr = test
+                run_this = execute and not taken and bool(self._eval(match_expr))
+                taken = taken or run_this
+            else:  # ELSE
+                run_this = execute and not taken
+                taken = True
+            kw = (
+                self._run_block(cur, ends) if run_this else self._skip_block(cur, ends)
+            )
 
     @staticmethod
     def _consume_semicolon(cur: _Cursor) -> None:
@@ -337,13 +559,79 @@ class ScriptRunner:
         else:
             raise ScriptError("not a scripting block (BEGIN ... END expected)")
         for d in [x.strip() for x in decls.split(";") if x.strip()]:
+            cm = re.match(r"(?is)^(\w+)\s+CURSOR\s+FOR\s+(.*)$", d)
+            if cm:
+                self.cursors[cm.group(1).lower()] = cm.group(2).strip()
+                continue
+            rm = re.match(r"(?is)^(\w+)\s+RESULTSET\s*(?::=\s*\((.*)\))?$", d)
+            if rm:
+                self.resultsets[rm.group(1).lower()] = (
+                    self.engine._execute_one(rm.group(2)) if rm.group(2) else None
+                )
+                continue
             m2 = _DECL_RE.match(d)
             if not m2:
                 raise ScriptError(f"unparseable DECLARE entry: {d!r}")
             name, default = m2.group(1).lower(), m2.group(2)
             self.vars[name] = self._eval(default) if default else None
+        body, handlers = self._split_exception(body)
         try:
-            self._run_block(_Cursor(body), ())
+            try:
+                self._run_block(_Cursor(body), ())
+            except (_Return, ScriptError, _Break, _Continue):
+                raise
+            except Exception as e:  # noqa: BLE001 - the EXCEPTION section's job
+                if handlers is None:
+                    raise
+                # Snowflake's builtin exception variables
+                self.vars["sqlerrm"] = str(e)[:512]
+                self.vars["sqlcode"] = -20000
+                self.vars["sqlstate"] = "P0000"
+                self._run_handler(handlers)
         except _Return as r:
             return r.value
         return None
+
+    @staticmethod
+    def _split_exception(body: str) -> tuple[str, str | None]:
+        """Split the block body at the top-level EXCEPTION keyword (outside
+        strings/parens) into (statements, handler-section-or-None)."""
+        depth, i, n = 0, 0, len(body)
+        in_s = False
+        while i < n:
+            ch = body[i]
+            if in_s:
+                if ch == "'":
+                    in_s = False
+            elif ch == "'":
+                in_s = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "Ee":
+                prev = body[i - 1] if i else " "
+                if not (prev.isalnum() or prev == "_") and re.match(
+                    r"EXCEPTION\b", body[i:], re.I
+                ):
+                    return body[:i], body[i + len("EXCEPTION") :]
+            i += 1
+        return body, None
+
+    def _run_handler(self, handlers: str) -> None:
+        """Run the FIRST matching `WHEN <cond> [OR <cond>]* THEN <stmts>`
+        handler. Every condition name (STATEMENT_ERROR, EXPRESSION_ERROR,
+        user-declared, OTHER) matches: the engine does not classify error
+        origins, so the first handler is the match — the common
+        WHEN OTHER THEN shape is exact."""
+        whens = list(
+            re.finditer(
+                r"(?is)\bWHEN\s+[A-Za-z_]\w*(?:\s+OR\s+[A-Za-z_]\w*)*\s+THEN\b",
+                handlers,
+            )
+        )
+        if not whens:
+            raise ScriptError("EXCEPTION section without WHEN ... THEN")
+        start = whens[0].end()
+        end = whens[1].start() if len(whens) > 1 else len(handlers)
+        self._run_block(_Cursor(handlers[start:end]), ())
