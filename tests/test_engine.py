@@ -2860,3 +2860,13 @@ def test_scripting_loops_case_exception_cursors(engine):
         "BEGIN LET s := 0; FOR i IN 1 TO 3 DO FOR j IN 1 TO 2 DO s := s + i * j; "
         "END FOR; END FOR; RETURN s; END"
     ) == [{"RETURN_VALUE": "18"}]
+
+
+def test_call_procedure_plain_body(engine):
+    """CALL with a plain single-statement body (no BEGIN/END): runs with
+    :arg binds substituted; a scalar SELECT becomes the return value."""
+    engine.execute(
+        "CREATE OR REPLACE PROCEDURE p_cnt(k INT) RETURNS NUMBER AS "
+        "$$ SELECT COUNT(*) FROM region WHERE r_regionkey < :k $$"
+    )
+    assert engine.execute("CALL p_cnt(3)").to_pylist() == [{"P_CNT": "3"}]

@@ -1209,10 +1209,22 @@ class Engine:
                     runner.vars[p] = self.spark.sql(
                         snowflake_to_spark(f"SELECT ({a}) AS v")
                     ).collect()[0].v
+                if not scripting.is_script(body):
+                    # plain single-statement body (Snowflake allows a bare
+                    # SELECT/DML as the procedure body): run it with :arg
+                    # binds substituted; a SELECT's single value is the
+                    # procedure's return value
+                    out = self._execute_one(runner._substitute(body, bare=False))
+                    if out.num_rows == 1 and out.num_columns == 1:
+                        v = out.to_pylist()[0]
+                        return pa.table({name.upper(): [str(next(iter(v.values())))]})
+                    return out
                 try:
                     value = runner.run(body)
                 except scripting.ScriptError as e:
                     raise QueryError(str(e)) from e
+                if isinstance(value, pa.Table):
+                    return value
                 return pa.table({name.upper(): [None if value is None else str(value)]})
             m = _CREATE_FN_RE.match(stmt)
             if m and (m.group(3) or "").upper().startswith("TABLE"):
