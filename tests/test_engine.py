@@ -2870,3 +2870,39 @@ def test_call_procedure_plain_body(engine):
         "$$ SELECT COUNT(*) FROM region WHERE r_regionkey < :k $$"
     )
     assert engine.execute("CALL p_cnt(3)").to_pylist() == [{"P_CNT": "3"}]
+
+
+def test_info_schema_engine_state_surfaces(engine, tmp_path):
+    """r5: engine-state information_schema views — QUERY_HISTORY() table
+    function, LOAD_HISTORY from COPY bookkeeping, TABLE_STORAGE_METRICS
+    from snapshot-table files, FUNCTIONS from created UDFs/UDTFs."""
+    engine.execute("SELECT 42 AS qh_marker")
+    rows = engine.execute(
+        "SELECT query_text FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    ).to_pylist()
+    assert any("qh_marker" in r["query_text"] for r in rows)
+    # COPY -> LOAD_HISTORY
+    f = tmp_path / "lh.csv"
+    f.write_text("1,x\n")
+    engine.execute("CREATE OR REPLACE TEMP TABLE lh_t (k INT, v STRING)")
+    engine.execute(f"CREATE OR REPLACE STAGE lh_stg URL='file://{tmp_path}'")
+    engine.execute("COPY INTO lh_t FROM @lh_stg/lh.csv FILE_FORMAT=(TYPE=CSV) FORCE=FALSE")
+    lh = engine.execute(
+        "SELECT table_name, status FROM INFORMATION_SCHEMA.LOAD_HISTORY "
+        "WHERE file_name LIKE '%lh.csv'"
+    ).to_pylist()
+    assert lh and lh[0]["status"] == "LOADED"
+    # snapshot-table storage metrics
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ism_t AS SELECT 1 AS x")
+    sm = engine.execute(
+        "SELECT active_bytes, file_count FROM INFORMATION_SCHEMA.TABLE_STORAGE_METRICS "
+        "WHERE table_name = 'ISM_T'"
+    ).to_pylist()
+    assert sm and sm[0]["active_bytes"] > 0 and sm[0]["file_count"] >= 1
+    engine.execute("DROP TABLE ism_t")
+    # created functions listed
+    engine.execute("CREATE OR REPLACE FUNCTION ism_fn(x INT) RETURNS INT AS $$ x + 1 $$")
+    fns = engine.execute(
+        "SELECT function_name, function_language FROM INFORMATION_SCHEMA.FUNCTIONS"
+    ).to_pylist()
+    assert {"function_name": "ISM_FN", "function_language": "SQL"} in fns

@@ -345,6 +345,8 @@ class Engine:
         self.tasks: dict[str, dict] = {}
         #: SQL table functions (RETURNS TABLE): name -> (params, body SQL)
         self.table_functions: dict[str, tuple[list[str], str]] = {}
+        #: created scalar SQL UDF names (information_schema.functions)
+        self.sql_functions: set[str] = set()
         #: dropped snapshot tables kept for UNDROP (Snowflake Time Travel)
         self.dropped_tables: dict[str, "object"] = {}
         #: SEQUENCE objects: name -> [next_base, increment]
@@ -1252,6 +1254,7 @@ class Engine:
                     f" RETURN {body}"
                 )
                 self.spark.sql(sql)
+                self.sql_functions.add(bare_name(m.group(1)).lower())
                 return _status(f"function {m.group(1)} created")
             dyn = _DYNAMIC_RE.match(stmt)
             if dyn:
@@ -1962,10 +1965,80 @@ class Engine:
         if "information_schema" in stmt.lower():
             from universql_spark import info_schema  # noqa: PLC0415
 
+            stmt = self._resolve_info_schema_extras(stmt)
             stmt = info_schema.resolve(
                 self.spark, stmt, default_catalog=self.current_database or "UNIVERSQL"
             )
         return self.spark.sql(snowflake_to_spark(stmt))
+
+    def _resolve_info_schema_extras(self, stmt: str) -> str:
+        """Engine-state information_schema surfaces (the module-level views
+        cover catalog metadata; these need ENGINE state): QUERY_HISTORY()
+        (reference util.py query-log monitoring), LOAD_HISTORY (COPY
+        bookkeeping), TABLE_STORAGE_METRICS (snapshot-table file sizes),
+        FUNCTIONS (created SQL UDFs/UDTFs)."""
+        low = stmt.lower()
+        if "query_history" in low:
+            rows = [
+                (q.get("sql", "")[:2000], float(q.get("duration_sec", 0.0)))
+                for q in self.query_log[-1000:]
+            ]
+            self.spark.createDataFrame(
+                rows, "QUERY_TEXT string, TOTAL_ELAPSED_TIME double"
+            ).createOrReplaceTempView("information_schema__query_history")
+            stmt = re.sub(
+                r"(?is)\bTABLE\s*\(\s*(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*QUERY_HISTORY\s*\(\s*\)\s*\)",
+                "information_schema__query_history",
+                stmt,
+            )
+        if "load_history" in low:
+            from universql_spark.copy_into import _LOAD_HISTORY  # noqa: PLC0415
+
+            rows = [
+                (t.upper(), f, "LOADED")
+                for t, files in sorted(_LOAD_HISTORY.items())
+                for f in sorted(files)
+            ]
+            self.spark.createDataFrame(
+                rows, "TABLE_NAME string, FILE_NAME string, STATUS string"
+            ).createOrReplaceTempView("information_schema__load_history")
+            stmt = re.sub(
+                r"(?is)\b(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*LOAD_HISTORY\b",
+                "information_schema__load_history",
+                stmt,
+            )
+        if "table_storage_metrics" in low:
+            rows = []
+            for name, t in sorted(self.snap_tables.items()):
+                try:
+                    files = t.current_files()
+                    rows.append(
+                        (name.upper(), sum(os.path.getsize(f) for f in files), len(files))
+                    )
+                except Exception:
+                    rows.append((name.upper(), 0, 0))
+            self.spark.createDataFrame(
+                rows,
+                "TABLE_NAME string, ACTIVE_BYTES long, FILE_COUNT int",
+            ).createOrReplaceTempView("information_schema__table_storage_metrics")
+            stmt = re.sub(
+                r"(?is)\b(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*TABLE_STORAGE_METRICS\b",
+                "information_schema__table_storage_metrics",
+                stmt,
+            )
+        if re.search(r"(?is)\bINFORMATION_SCHEMA\s*\.\s*FUNCTIONS\b", stmt):
+            rows = [
+                (n.upper(), "SQL") for n in sorted(self.sql_functions)
+            ] + [(n.upper(), "SQL TABLE") for n in sorted(self.table_functions)]
+            self.spark.createDataFrame(
+                rows, "FUNCTION_NAME string, FUNCTION_LANGUAGE string"
+            ).createOrReplaceTempView("information_schema__functions")
+            stmt = re.sub(
+                r"(?is)\b(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*FUNCTIONS\b",
+                "information_schema__functions",
+                stmt,
+            )
+        return stmt
 
     _PIVOT_ANY_RE = re.compile(
         r"FOR\s+([A-Za-z_][\w$]*)\s+IN\s*\(\s*ANY(?:\s+ORDER\s+BY\s+[^)]*)?\s*\)", re.I
