@@ -2906,3 +2906,26 @@ def test_info_schema_engine_state_surfaces(engine, tmp_path):
         "SELECT function_name, function_language FROM INFORMATION_SCHEMA.FUNCTIONS"
     ).to_pylist()
     assert {"function_name": "ISM_FN", "function_language": "SQL"} in fns
+
+
+def test_variant_predicates_and_casts(engine):
+    """r5: IS_*/AS_* VARIANT family over the JSON-text representation,
+    STRIP_NULL_VALUE, JSON_EXTRACT_PATH_TEXT."""
+    out = engine.execute(
+        "SELECT IS_NULL_VALUE(PARSE_JSON('null')) AS a, "
+        "IS_NULL_VALUE(PARSE_JSON('1')) AS b, "
+        "IS_INTEGER(PARSE_JSON('7')) AS c, IS_VARCHAR(PARSE_JSON('\"s\"')) AS d, "
+        "IS_ARRAY(PARSE_JSON('[1]')) AS e, IS_OBJECT(PARSE_JSON('{}')) AS f, "
+        "IS_BOOLEAN(PARSE_JSON('true')) AS g, IS_DOUBLE(PARSE_JSON('1.5e3')) AS h"
+    ).to_pylist()[0]
+    assert out == {"a": True, "b": False, "c": True, "d": True, "e": True,
+                   "f": True, "g": True, "h": True}
+    out = engine.execute(
+        "SELECT AS_INTEGER(PARSE_JSON('7')) AS i, AS_VARCHAR(PARSE_JSON('\"s\"')) AS s, "
+        "AS_DOUBLE(PARSE_JSON('1.5')) AS d, AS_INTEGER(PARSE_JSON('\"x\"')) AS miss, "
+        "AS_BOOLEAN(PARSE_JSON('false')) AS b, "
+        "STRIP_NULL_VALUE(PARSE_JSON('null')) AS sn, "
+        "JSON_EXTRACT_PATH_TEXT('{\"a\":{\"b\":2}}', 'a.b') AS jp"
+    ).to_pylist()[0]
+    assert out == {"i": 7, "s": "s", "d": 1.5, "miss": None, "b": False,
+                   "sn": None, "jp": "2"}

@@ -605,6 +605,84 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # VARIANT predicates/casts over the JSON-text representation (same
+    # classification rules as the TYPEOF emulation): IS_* test the JSON
+    # syntax class, AS_* return the value when the class matches else NULL
+    # (Snowflake's contract), STRIP_NULL_VALUE maps JSON null -> SQL NULL.
+    _INT_RE_SQL = "'^-?[0-9]+$'"
+    _NUM_RE_SQL = "'^-?[0-9]+(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$'"
+
+    def _is(cls_expr: str):
+        return lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE {cls_expr.format(v=a[0])} END)"
+            if len(a) == 1
+            else None
+        )
+
+    sql = _rewrite_calls(sql, "is_null_value", _is("({v}) = 'null'"))
+    sql = _rewrite_calls(sql, "is_integer", _is(f"({{v}}) RLIKE {_INT_RE_SQL}"))
+    sql = _rewrite_calls(
+        sql, "is_decimal", _is(f"({{v}}) RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$'")
+    )
+    sql = _rewrite_calls(sql, "is_double", _is(f"({{v}}) RLIKE {_NUM_RE_SQL}"))
+    sql = _rewrite_calls(sql, "is_varchar", _is("({v}) LIKE '\"%'"))
+    sql = _rewrite_calls(sql, "is_char", _is("({v}) LIKE '\"%'"))
+    sql = _rewrite_calls(sql, "is_array", _is("({v}) LIKE '[%'"))
+    sql = _rewrite_calls(sql, "is_object", _is("({v}) LIKE '{{%'"))
+    sql = _rewrite_calls(sql, "is_boolean", _is("({v}) IN ('true', 'false')"))
+
+    def _as(cond: str, value: str):
+        return lambda a: (
+            f"(CASE WHEN {cond.format(v=a[0])} THEN {value.format(v=a[0])} END)"
+            if len(a) == 1
+            else None
+        )
+
+    sql = _rewrite_calls(
+        sql, "as_integer",
+        _as(f"({{v}}) RLIKE {_INT_RE_SQL}", "CAST({v} AS BIGINT)"),
+    )
+    sql = _rewrite_calls(
+        sql, "as_number",
+        _as(f"({{v}}) RLIKE {_INT_RE_SQL}", "CAST({v} AS BIGINT)"),
+    )
+    sql = _rewrite_calls(
+        sql, "as_double",
+        _as(f"({{v}}) RLIKE {_NUM_RE_SQL}", "CAST({v} AS DOUBLE)"),
+    )
+    sql = _rewrite_calls(
+        sql, "as_decimal",
+        _as(f"({{v}}) RLIKE {_NUM_RE_SQL}", "CAST({v} AS DOUBLE)"),
+    )
+    for n in ("as_varchar", "as_char"):
+        sql = _rewrite_calls(
+            sql, n,
+            _as("({v}) LIKE '\"%'", "get_json_object({v}, '$')"),
+        )
+    sql = _rewrite_calls(sql, "as_array", _as("({v}) LIKE '[%'", "{v}"))
+    sql = _rewrite_calls(sql, "as_object", _as("({v}) LIKE '{{%'", "{v}"))
+    sql = _rewrite_calls(
+        sql, "as_boolean",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) = 'true' THEN TRUE "
+            f"WHEN ({a[0]}) = 'false' THEN FALSE END)"
+        )
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "strip_null_value",
+        lambda a: f"(CASE WHEN ({a[0]}) = 'null' THEN NULL ELSE {a[0]} END)"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "json_extract_path_text",
+        lambda a: f"get_json_object({a[0]}, '$.{a[1].strip()[1:-1]}')"
+        if len(a) == 2 and _STRING_RE.fullmatch(a[1].strip())
+        else None,
+    )
+
     # MIN_BY/MAX_BY(x, y, n): the top-N form returns an ARRAY of x for the
     # n lowest/highest y (NULL y rows ignored, Snowflake's contract); ties
     # break deterministically on (y, x) via the struct sort
