@@ -826,7 +826,8 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
         sql,
         "date_from_parts",
         lambda a: (
-            f"date_add(add_months(make_date({a[0]}, 1, 1), ({a[1]}) - 1), ({a[2]}) - 1)"
+            f"date_add(add_months(make_date({a[0]}, 1, 1), "
+            f"CAST(({a[1]}) - 1 AS INT)), CAST(({a[2]}) - 1 AS INT))"
         )
         if len(a) == 3
         else None,
