@@ -2929,3 +2929,27 @@ def test_variant_predicates_and_casts(engine):
     ).to_pylist()[0]
     assert out == {"i": 7, "s": "s", "d": 1.5, "miss": None, "b": False,
                    "sn": None, "jp": "2"}
+
+
+def test_copy_named_and_stage_default_formats(engine, tmp_path):
+    """r5: FILE_FORMAT=(FORMAT_NAME='x') resolves the CREATE FILE FORMAT
+    registry; a stage's FILE_FORMAT= default applies when COPY has no
+    format clause (Snowflake's resolution order); DESC FILE FORMAT."""
+    import pytest as _pytest
+
+    (tmp_path / "p.csv").write_text("1|x\n2|y\n")
+    engine.execute("CREATE OR REPLACE FILE FORMAT t_psv TYPE = CSV FIELD_DELIMITER = '|'")
+    engine.execute(f"CREATE OR REPLACE STAGE t_ffstg URL='file://{tmp_path}' FILE_FORMAT = t_psv")
+    engine.execute("CREATE OR REPLACE TEMP TABLE t_ff (a INT, b STRING)")
+    out = engine.execute(
+        "COPY INTO t_ff FROM @t_ffstg/p.csv FILE_FORMAT=(FORMAT_NAME='t_psv')"
+    ).to_pylist()[0]
+    assert out["rows_loaded"] == 2
+    out = engine.execute("COPY INTO t_ff FROM @t_ffstg/p.csv").to_pylist()[0]
+    assert out["rows_loaded"] == 2  # stage default applied
+    assert engine.execute("SELECT COUNT(*) AS n FROM t_ff").to_pylist() == [{"n": 4}]
+    d = engine.execute("DESCRIBE FILE FORMAT t_psv").to_pylist()
+    assert {"property": "TYPE", "property_value": "CSV"} in d
+    assert {"property": "sep", "property_value": "|"} in d
+    with _pytest.raises(Exception, match="unknown file format"):
+        engine.execute("COPY INTO t_ff FROM @t_ffstg/p.csv FILE_FORMAT=(FORMAT_NAME='nope')")

@@ -104,8 +104,17 @@ def parse_format_options(text: str) -> tuple[str, dict[str, str]]:
     return fmt, options
 
 
-def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
-    """-> (table, path, fmt, spark reader options)"""
+def parse_copy(
+    stmt: str,
+    named_formats: dict | None = None,
+    default_format: tuple[str, dict] | None = None,
+) -> tuple[str, str, str, dict[str, str]]:
+    """-> (table, path, fmt, spark reader options).
+
+    named_formats: CREATE FILE FORMAT registry for the
+    FILE_FORMAT=(FORMAT_NAME='x') spelling; default_format: the source
+    stage's format (CREATE STAGE ... FILE_FORMAT=) applied when the COPY
+    carries no FILE_FORMAT clause — Snowflake's resolution order."""
     m = _COPY_RE.match(stmt)
     if not m:
         raise ValueError(f"unsupported COPY syntax: {stmt[:120]}")
@@ -114,7 +123,16 @@ def parse_copy(stmt: str) -> tuple[str, str, str, dict[str, str]]:
     options = {}
     ff = _FILE_FORMAT_RE.search(rest)
     if ff:
-        fmt, options = parse_format_options(ff.group(1))
+        nm = re.search(r"FORMAT_NAME\s*=\s*'?(\w+)'?", ff.group(1), re.I)
+        if nm:
+            named = (named_formats or {}).get(nm.group(1).lower())
+            if named is None:
+                raise ValueError(f"unknown file format {nm.group(1)}")
+            fmt, options = named[0], dict(named[1])
+        else:
+            fmt, options = parse_format_options(ff.group(1))
+    elif default_format is not None:
+        fmt, options = default_format[0], dict(default_format[1])
     if fmt == "parquet":
         # reference forces hive_partitioning + union_by_name (snow.py:77-87)
         options.setdefault("mergeSchema", "true")
@@ -293,7 +311,11 @@ def _stage_file_list(path: str) -> list[str]:
 
 
 def execute_copy_with_options(
-    spark: SparkSession, stmt: str, resolve=None
+    spark: SparkSession,
+    stmt: str,
+    resolve=None,
+    named_formats: dict | None = None,
+    default_format: tuple[str, dict] | None = None,
 ) -> pa.Table:
     """COPY INTO with the copyOptions surface. Semantics:
 
@@ -322,7 +344,9 @@ def execute_copy_with_options(
     from pyspark.sql import functions as F
 
     copts = parse_copy_options(stmt)
-    table, path, fmt, options = parse_copy(stmt)
+    table, path, fmt, options = parse_copy(
+        stmt, named_formats=named_formats, default_format=default_format
+    )
     if resolve is None:
         from universql_spark.names import resolve_name as resolve
     target = resolve(table)

@@ -395,6 +395,8 @@ class Engine:
         self._last_qid: str | None = None
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
+        #: stage name -> default FILE FORMAT name (CREATE STAGE ... FILE_FORMAT=)
+        self.stage_formats: dict[str, str] = {}
         #: 3-part (db, schema, table) names created this session — rewritten
         #: to their Spark db__schema.table mapping in every later statement
         #: (names.py; VERDICT r1 "What's wrong" #3)
@@ -1781,6 +1783,15 @@ class Engine:
                         "type": [self.file_formats[n][0].upper() for n in names],
                     }
                 )
+            m = re.match(r"^\s*DESC(?:RIBE)?\s+FILE\s+FORMAT\s+(\w+)\s*$", stmt, re.I)
+            if m:
+                name = m.group(1).lower()
+                if name not in self.file_formats:
+                    raise QueryError(f"file format {name} does not exist", sql_state="02000")
+                fmt, options = self.file_formats[name]
+                props = ["TYPE"] + [k for k in sorted(options)]
+                vals = [fmt.upper()] + [options[k] for k in sorted(options)]
+                return pa.table({"property": props, "property_value": vals})
             if re.match(r"^\s*SHOW\s+SEQUENCES\s*$", stmt, re.I):
                 names = sorted(self.sequences)
                 return pa.table(
@@ -1830,8 +1841,16 @@ class Engine:
                     return copy_into.execute_unload(
                         self.spark, df, target_url, fmt, wopts, copts
                     )
+                sm = re.search(r"FROM\s+@(\w+)", stmt, re.I)
+                default_fmt = None
+                if sm and sm.group(1).lower() in self.stage_formats:
+                    default_fmt = self.file_formats.get(
+                        self.stage_formats[sm.group(1).lower()]
+                    )
                 stmt = self._resolve_copy_stage(stmt)
-                cp = copy_into.parse_copy(stmt)
+                cp = copy_into.parse_copy(
+                    stmt, named_formats=self.file_formats, default_format=default_fmt
+                )
                 if bare_name(cp[0]) in self.snap_tables:
                     bn = bare_name(cp[0])
                     snap = self.snap_tables[bn]
@@ -1841,7 +1860,11 @@ class Engine:
                     self._refresh_snap_view(bn)
                     return pa.table({"rows_loaded": [n], "status": ["LOADED"]})
                 return copy_into.execute_copy_with_options(
-                    self.spark, stmt, resolve=self._resolve_name
+                    self.spark,
+                    stmt,
+                    resolve=self._resolve_name,
+                    named_formats=self.file_formats,
+                    default_format=default_fmt,
                 )
             if _DELETE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
@@ -2707,6 +2730,11 @@ class Engine:
         name = m.group(1).lower()
         url = (m.group(2) or "").rstrip("/")
         rest = m.group(3) or ""
+        fm = re.search(
+            r"FILE_FORMAT\s*=\s*(?:\(\s*FORMAT_NAME\s*=\s*)?'?(\w+)'?\)?", rest, re.I
+        )
+        if fm and fm.group(1).lower() in self.file_formats:
+            self.stage_formats[name] = fm.group(1).lower()
         creds = {}
         cm = _STAGE_CREDS_RE.search(rest)
         if cm:
