@@ -2953,3 +2953,24 @@ def test_copy_named_and_stage_default_formats(engine, tmp_path):
     assert {"property": "sep", "property_value": "|"} in d
     with _pytest.raises(Exception, match="unknown file format"):
         engine.execute("COPY INTO t_ff FROM @t_ffstg/p.csv FILE_FORMAT=(FORMAT_NAME='nope')")
+
+
+def test_conversion_long_forms(engine):
+    """r5: TO_NUMBER/TO_DECIMAL precision/scale + format forms, TRY_TO_*
+    with formats, TO_TIME, 2-arg INITCAP, TO_VARIANT/TO_OBJECT."""
+    out = engine.execute(
+        "SELECT TO_NUMBER('123.45', 10, 2) AS a, "
+        "TO_NUMBER('1,234.50', '999,999.99') AS b, "
+        "TO_DECIMAL('12.5', 10, 1) AS c, TRY_TO_NUMBER('bad', 10, 2) AS d"
+    ).to_pylist()[0]
+    assert str(out["a"]) == "123.45" and str(out["b"]) == "1234.50"
+    assert str(out["c"]) == "12.5" and out["d"] is None
+    out = engine.execute(
+        "SELECT TRY_TO_TIMESTAMP('bad', 'DD/MM/YYYY') AS a, "
+        "CAST(TRY_TO_TIMESTAMP('05/03/2024', 'DD/MM/YYYY') AS DATE) AS b, "
+        "TO_TIME('13:45:30') AS c, INITCAP('a-b c', '-') AS d, "
+        "TO_VARIANT('s') AS e, TO_OBJECT(PARSE_JSON('[1]')) AS f"
+    ).to_pylist()[0]
+    assert out["a"] is None and str(out["b"]) == "2024-03-05"
+    assert out["c"] == "13:45:30" and out["d"] == "A-B c"
+    assert out["e"] == '"s"' and out["f"] is None

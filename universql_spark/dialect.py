@@ -605,6 +605,81 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # TO_NUMBER/TO_DECIMAL/TO_NUMERIC long forms: (x, p, s) -> DECIMAL(p,s)
+    # cast; (x, 'fmt'[, p, s]) strips grouping/currency characters first
+    # (the format's job in Snowflake is mostly to LICENSE those characters)
+    def to_number_rw(a: list[str]) -> str | None:
+        if len(a) == 1:
+            return None  # 1-arg handled by the rename map
+        args = [x.strip() for x in a]
+        fmt_lit = _STRING_RE.fullmatch(args[1])
+        if fmt_lit:
+            stripped = f"replace(replace(replace({args[0]}, ',', ''), '$', ''), ' ', '')"
+            if len(args) == 2:
+                d = args[1][1:-1].split(".")
+                scale = len(d[1]) if len(d) > 1 else 0
+                return f"CAST({stripped} AS DECIMAL(38, {scale}))"
+            if len(args) == 4:
+                return f"CAST({stripped} AS DECIMAL({args[2]}, {args[3]}))"
+            return None
+        if len(args) == 3:
+            return f"CAST({args[0]} AS DECIMAL({args[1]}, {args[2]}))"
+        if len(args) == 2:
+            return f"CAST({args[0]} AS DECIMAL({args[1]}, 0))"
+        return None
+
+    for n in ("to_number", "to_decimal", "to_numeric"):
+        sql = _rewrite_calls(sql, n, to_number_rw)
+    sql = _rewrite_calls(
+        sql, "try_to_number",
+        lambda a: f"TRY_CAST({a[0]} AS DECIMAL({a[1]}, {a[2]}))" if len(a) == 3 else None,
+    )
+    # TO_TIME: Spark has no TIME type — the canonical 'HH:mm:ss' string is
+    # the honest local mapping (sorts and equality-compares correctly)
+    sql = _rewrite_calls(
+        sql, "to_time",
+        lambda a: f"date_format(to_timestamp(concat('1970-01-01 ', {a[0]})), 'HH:mm:ss')"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "try_to_time",
+        lambda a: f"date_format(try_to_timestamp(concat('1970-01-01 ', {a[0]})), 'HH:mm:ss')"
+        if len(a) == 1
+        else None,
+    )
+    # INITCAP(x, delims): capitalize the char after ANY delimiter char
+    # (first char always); positional transform over the char array
+    def initcap2_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        x, d = a[0], a[1]
+        return (
+            f"array_join(transform(split({x}, ''), (__c, __i) -> "
+            f"CASE WHEN __i = 0 OR contains({d}, element_at(split({x}, ''), __i)) "
+            f"THEN upper(__c) ELSE lower(__c) END), '')"
+        )
+
+    sql = _rewrite_calls(sql, "initcap", initcap2_rw)
+    # TO_VARIANT: JSON-text encoding of any value — to_json handles quoting
+    # and escaping for every type; wrap in a 1-element array and strip the
+    # brackets (to_json rejects bare scalars)
+    sql = _rewrite_calls(
+        sql, "to_variant",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            f"substr(to_json(array({a[0]})), 2, length(to_json(array({a[0]}))) - 2) END)"
+        )
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "to_object",
+        lambda a: f"(CASE WHEN ({a[0]}) LIKE '{{%' THEN {a[0]} END)"
+        if len(a) == 1
+        else None,
+    )
+
     # VARIANT predicates/casts over the JSON-text representation (same
     # classification rules as the TYPEOF emulation): IS_* test the JSON
     # syntax class, AS_* return the value when the class matches else NULL
@@ -1734,7 +1809,8 @@ def _rewrite_positional(chunk: str) -> str:
 
 
 _TO_DATETIME_RE = re.compile(
-    r"\b(TO_DATE|TO_TIMESTAMP|TO_TIMESTAMP_NTZ)\s*\(([^,()]+),\s*'([^']+)'\s*\)", re.I
+    r"\b(TRY_TO_DATE|TRY_TO_TIMESTAMP|TRY_TO_TIMESTAMP_NTZ|TO_DATE|TO_TIMESTAMP|TO_TIMESTAMP_NTZ)"
+    r"\s*\(([^,()]+),\s*'([^']+)'\s*\)", re.I
 )
 
 
@@ -1743,7 +1819,13 @@ def _map_to_datetime(m: re.Match) -> str:
     format tokens mapped to JDK patterns (shared table with COPY options)."""
     from universql_spark.copy_into import _map_datetime_format
 
-    fn = {"TO_DATE": "to_date"}.get(m.group(1).upper(), "to_timestamp")
+    up = m.group(1).upper()
+    fn = {
+        "TO_DATE": "to_date",
+        "TRY_TO_DATE": "try_to_date",
+        "TRY_TO_TIMESTAMP": "try_to_timestamp",
+        "TRY_TO_TIMESTAMP_NTZ": "try_to_timestamp",
+    }.get(up, "to_timestamp")
     return f"{fn}({m.group(2)}, '{_map_datetime_format(m.group(3))}')"
 
 
