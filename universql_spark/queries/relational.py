@@ -1603,3 +1603,37 @@ def fn_regexp_occurrence_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        REGEXP_SUBSTR(n_name, '([A-Z]+)_([0-9]+)', 1, 1, 'e', 2) AS rsg
 FROM nation ORDER BY k"""
     )
+
+
+_CONVERT_ORACLE = """SELECT n_nationkey AS k,
+       CAST(CAST(n_nationkey * 1.5 AS VARCHAR) AS DECIMAL(10,2)) AS tn,
+       to_json(n_name) AS tv,
+       CAST('1234.56' AS DECIMAL(38,2)) AS tn2,
+       '13:45:30' AS tt
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_conversion_ext",
+    _CONVERT_ORACLE,
+    category="scalar",
+    doc="r5 probe-driven conversion surface: TO_NUMBER precision/scale and "
+        "format forms, TO_VARIANT JSON-text encoding, TO_TIME",
+)
+def fn_conversion_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion long forms, verbatim Snowflake through the dialect layer
+    (dialect._rewrite_scalar_emulations_r5): TO_NUMBER(x, p, s) casts,
+    TO_NUMBER(x, 'fmt') strips the grouping characters the format
+    licenses, TO_VARIANT JSON-encodes any value (matching DuckDB's
+    to_json), TO_TIME yields the canonical HH:mm:ss string."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       TO_NUMBER(CAST(n_nationkey * 1.5 AS STRING), 10, 2) AS tn,
+       TO_VARIANT(n_name) AS tv,
+       TO_NUMBER('1,234.56', '999,999.99') AS tn2,
+       TO_TIME('13:45:30') AS tt
+FROM nation ORDER BY k"""
+    )
