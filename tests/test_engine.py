@@ -2974,3 +2974,19 @@ def test_conversion_long_forms(engine):
     assert out["a"] is None and str(out["b"]) == "2024-03-05"
     assert out["c"] == "13:45:30" and out["d"] == "A-B c"
     assert out["e"] == '"s"' and out["f"] is None
+
+
+def test_ansi_offset_fetch(engine):
+    """r5: ANSI OFFSET n ROWS / FETCH FIRST|NEXT m ROWS ONLY spellings."""
+    out = engine.execute(
+        "SELECT r_regionkey FROM region ORDER BY 1 OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY"
+    ).to_pylist()
+    assert [r["r_regionkey"] for r in out] == [2, 3]
+    out = engine.execute(
+        "SELECT r_regionkey FROM region ORDER BY 1 FETCH FIRST 2 ROWS ONLY"
+    ).to_pylist()
+    assert [r["r_regionkey"] for r in out] == [0, 1]
+    out = engine.execute(
+        "SELECT r_regionkey FROM region ORDER BY 1 OFFSET 3 ROWS"
+    ).to_pylist()
+    assert [r["r_regionkey"] for r in out] == [3, 4]

@@ -605,6 +605,18 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # ANSI OFFSET n ROWS / FETCH {FIRST|NEXT} m ROWS ONLY (Snowflake
+    # accepts both spellings; Spark wants LIMIT m OFFSET n)
+    sql = re.sub(
+        r"(?is)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b",
+        r"LIMIT \2 OFFSET \1",
+        sql,
+    )
+    sql = re.sub(
+        r"(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", r"LIMIT \1", sql
+    )
+    sql = re.sub(r"(?is)\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql)
+
     # TO_NUMBER/TO_DECIMAL/TO_NUMERIC long forms: (x, p, s) -> DECIMAL(p,s)
     # cast; (x, 'fmt'[, p, s]) strips grouping/currency characters first
     # (the format's job in Snowflake is mostly to LICENSE those characters)
