@@ -2990,3 +2990,23 @@ def test_ansi_offset_fetch(engine):
         "SELECT r_regionkey FROM region ORDER BY 1 OFFSET 3 ROWS"
     ).to_pylist()
     assert [r["r_regionkey"] for r in out] == [3, 4]
+
+
+def test_show_dynamic_volumes_transactions(engine):
+    """r5: SHOW DYNAMIC TABLES / MATERIALIZED VIEWS / EXTERNAL VOLUMES /
+    TRANSACTIONS / LOCKS."""
+    engine.execute(
+        "CREATE OR REPLACE EXTERNAL VOLUME shv STORAGE_LOCATIONS = "
+        "((NAME='l' STORAGE_BASE_URL='file:///tmp/shv'))"
+    )
+    engine.execute("CREATE OR REPLACE MATERIALIZED VIEW shmv AS SELECT 1 AS x")
+    try:
+        dyn = engine.execute("SHOW DYNAMIC TABLES").to_pylist()
+        assert any(r["name"] == "SHMV" and r["target_lag"] == "0 seconds" for r in dyn)
+        assert engine.execute("SHOW MATERIALIZED VIEWS").to_pylist() == dyn
+        vols = engine.execute("SHOW EXTERNAL VOLUMES").to_pylist()
+        assert {"name": "SHV", "storage_base_url": "file:///tmp/shv"} in vols
+        assert engine.execute("SHOW TRANSACTIONS").to_pylist() == []
+        assert engine.execute("SHOW LOCKS").to_pylist() == []
+    finally:
+        engine.execute("DROP MATERIALIZED VIEW shmv")

@@ -1792,6 +1792,27 @@ class Engine:
                 props = ["TYPE"] + [k for k in sorted(options)]
                 vals = [fmt.upper()] + [options[k] for k in sorted(options)]
                 return pa.table({"property": props, "property_value": vals})
+            if re.match(r"^\s*SHOW\s+(?:DYNAMIC\s+TABLES|MATERIALIZED\s+VIEWS)\s*$", stmt, re.I):
+                names = sorted(self._dynamic_meta)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in names],
+                        "target_lag": [
+                            f"{self._dynamic_meta[n][0]} seconds" for n in names
+                        ],
+                    }
+                )
+            if re.match(r"^\s*SHOW\s+EXTERNAL\s+VOLUMES\s*$", stmt, re.I):
+                names = sorted(self.volumes)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in names],
+                        "storage_base_url": [self.volumes[n] for n in names],
+                    }
+                )
+            if re.match(r"^\s*SHOW\s+(?:TRANSACTIONS|LOCKS)\s*$", stmt, re.I):
+                # autocommit engine: never an open transaction or lock
+                return pa.table({"id": pa.array([], type=pa.string())})
             if re.match(r"^\s*SHOW\s+SEQUENCES\s*$", stmt, re.I):
                 names = sorted(self.sequences)
                 return pa.table(
