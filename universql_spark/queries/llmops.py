@@ -227,6 +227,53 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "component").orderBy("doc_id")
 
 
+_DUCK_COMP_HIST = _DUCK_COMPONENTS.replace(
+    "SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id ORDER BY doc_id",
+    """comp2(id, component) AS (SELECT id, MIN(lbl) FROM walk GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp2 GROUP BY component)
+SELECT CAST(sz AS INT) AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY sz ORDER BY sz""",
+).replace(
+    "SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id)",
+    "SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id),",
+    1,
+)
+
+
+@register(
+    "dedup_component_histogram",
+    _DUCK_COMP_HIST,
+    category="dedup",
+    doc="near-dup cluster size distribution: how many duplicate groups of "
+        "each size and how much document mass they hold — the dedup-audit "
+        "number a pipeline reports before dropping survivors",
+)
+def dedup_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components: group sizes ->
+    (n_groups, n_docs). Two tiny aggregations on top of the
+    connected-components labels (the heavy work is the LSH pair generation,
+    shared shape with dedup_components); the histogram is bounded by the
+    largest cluster size, so the output never scales with the corpus."""
+    from universql_spark.operators import components
+
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8, n=3, sort=False)
+    comp = components.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_groups"), F.sum("sz").alias("n_docs"))
+        .select(
+            F.col("sz").cast("int").alias("group_size"),
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 _DUCK_SURVIVORS = f"""WITH RECURSIVE t AS (
   SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t),
