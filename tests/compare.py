@@ -250,9 +250,27 @@ def py_oracle_embed_pca_project(sf_dir: str) -> tuple[list[str], list[tuple]]:
 
 
 
+def py_oracle_embed_cluster_profile(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Per-cluster count + exact 4dp-rounded dist2 sum, independently in
+    numpy (same Lloyd conventions as py_oracle_embed_kmeans)."""
+    import numpy as np
+
+    cols, rows = py_oracle_embed_kmeans(sf_dir)
+    agg: dict[int, list] = {}
+    for _id, c, d2 in rows:
+        a = agg.setdefault(c, [0, 0])
+        a[0] += 1
+        a[1] += round(d2 * 10000)  # exact integer accumulation of 4dp values
+    out = [
+        (int(c), int(n), round(t / 10000.0, 4)) for c, (n, t) in sorted(agg.items())
+    ]
+    return ["cluster", "n_members", "total_dist2"], out
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
     "embed_kmeans": py_oracle_embed_kmeans,
     "embed_pca_project": py_oracle_embed_pca_project,
+    "embed_cluster_profile": py_oracle_embed_cluster_profile,
 }

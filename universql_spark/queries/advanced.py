@@ -430,3 +430,25 @@ def adv_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df(
         "SELECT region_name, nation_name FROM TABLE(nations_in(2)) ORDER BY nation_name"
     )
+
+
+@register("embed_cluster_profile", None, category="similarity")
+def embed_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster profile over the k-means(8, 4 iters) assignments:
+    member count + exact total within-cluster distance (dist2 rounded to
+    4dp summed through DECIMAL — order-free, so the independent numpy
+    oracle in tests/compare.py PY_ORACLES hash-matches). The
+    cluster-cardinality/compactness report a clustering job emits."""
+    from universql_spark.operators import cluster
+
+    out, _ = cluster.kmeans(spark.table("embeddings"), k=8, iters=4)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("dist2").cast("decimal(20,4)")).cast("double"), 4
+            ).alias("total_dist2"),
+        )
+        .orderBy("cluster")
+    )
