@@ -147,7 +147,7 @@ _GATE_PRIORITY: list[str] = [
     # next tier (round 6): new round-5 specs first, then the last 13
     # never-gated specs.
     "corpus_source_quota", "text_char_entropy", "embed_matryoshka_recall",
-    "fn_sketch_seq_collate", "corpus_temperature_mix", "fn_datetime_parts_ext", "fn_regexp_occurrence_ext", "fn_conversion_ext", "dedup_component_histogram",
+    "fn_sketch_seq_collate", "corpus_temperature_mix", "fn_datetime_parts_ext", "fn_regexp_occurrence_ext", "fn_conversion_ext", "dedup_component_histogram", "text_quality_mask",
     "null_join_semantics", "order_by_ordinal", "unpivot_stack",
     "tpch_q1", "tpch_q3", "tpch_q4_semi", "tpch_q5", "tpch_q6",
     "tpch_q7_volume", "tpch_q10_returns", "tpch_q14_promo",

@@ -1925,3 +1925,88 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_QUALITY_MASK_ORACLE = """WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x != '') AS ws,
+         text FROM documents),
+c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS k FROM c GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id),
+ent AS (
+  SELECT cnt.doc_id,
+         CAST(SUM(CAST(-(k * 1.0 / n) * log2(k * 1.0 / n) AS DECIMAL(20,12))) AS DOUBLE) AS h
+  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id),
+f AS (
+  SELECT w.doc_id,
+         (len(ws) >= 5) AS b_tokens,
+         (len(list_filter(ws, x -> length(x) BETWEEN 2 AND 12)) * 1.0 / len(ws) >= 0.5) AS b_wordlen,
+         (ent.h >= 2.0) AS b_entropy,
+         list_contains(ws, 'the') OR list_contains(ws, 'a') OR list_contains(ws, 'of') AS b_stop
+  FROM w JOIN ent ON w.doc_id = ent.doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN b_tokens THEN 1 ELSE 0 END
+          + CASE WHEN b_wordlen THEN 2 ELSE 0 END
+          + CASE WHEN b_entropy THEN 4 ELSE 0 END
+          + CASE WHEN b_stop THEN 8 ELSE 0 END AS INT) AS pass_mask,
+       (b_tokens AND b_wordlen AND b_entropy AND b_stop) AS keep
+FROM f ORDER BY doc_id"""
+
+
+@register(
+    "text_quality_mask",
+    _QUALITY_MASK_ORACLE,
+    category="text",
+    doc="composite quality gate with a per-rule PASS bitmask (tokens >= 5, "
+        "word-length band, char-entropy floor, stopword presence) — the "
+        "explain-why record a filtering pipeline keeps next to each drop",
+)
+def text_quality_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: four independent rules evaluated per doc,
+    packed into a bitmask so a dropped document carries WHY it was dropped
+    (the auditability requirement for production filtering — Gopher-style
+    rules + the entropy floor in one pass). Everything is one scan: the
+    entropy term needs the (doc, char) aggregation, the word rules ride the
+    same pass; one join on doc_id brings them together."""
+    d = spark.table("documents")
+    ws = F.expr("filter(split(lower(trim(text)), ' +'), x -> x != '')")
+    w = d.select("doc_id", ws.alias("ws"))
+    c = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    cnt = c.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum((-p * F.log2(p)).cast("decimal(20,12)")).cast("double").alias("h"))
+    )
+    f = (
+        w.join(ent, "doc_id")
+        .select(
+            "doc_id",
+            (F.size("ws") >= 5).alias("b_tokens"),
+            (
+                F.size(F.expr("filter(ws, x -> length(x) BETWEEN 2 AND 12)"))
+                * 1.0 / F.size("ws")
+                >= 0.5
+            ).alias("b_wordlen"),
+            (F.col("h") >= 2.0).alias("b_entropy"),
+            (
+                F.array_contains("ws", "the")
+                | F.array_contains("ws", "a")
+                | F.array_contains("ws", "of")
+            ).alias("b_stop"),
+        )
+    )
+    mask = (
+        F.when(F.col("b_tokens"), 1).otherwise(0)
+        + F.when(F.col("b_wordlen"), 2).otherwise(0)
+        + F.when(F.col("b_entropy"), 4).otherwise(0)
+        + F.when(F.col("b_stop"), 8).otherwise(0)
+    )
+    return f.select(
+        "doc_id",
+        mask.cast("int").alias("pass_mask"),
+        (F.col("b_tokens") & F.col("b_wordlen") & F.col("b_entropy") & F.col("b_stop")).alias("keep"),
+    )
