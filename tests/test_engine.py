@@ -3010,3 +3010,32 @@ def test_show_dynamic_volumes_transactions(engine):
         assert engine.execute("SHOW LOCKS").to_pylist() == []
     finally:
         engine.execute("DROP MATERIALIZED VIEW shmv")
+
+
+def test_data_generation_and_numeric_trunc(engine):
+    """r5: UNIFORM/NORMAL/ZIPF generators (gen arg -> rand()), numeric
+    TRUNCATE/TRUNC toward zero, session time spellings, scalar
+    LAST_QUERY_ID."""
+    out = engine.execute(
+        "SELECT MIN(u) >= 1 AND MAX(u) <= 10 AS ok FROM "
+        "(SELECT UNIFORM(1, 10, RANDOM()) AS u FROM TABLE(GENERATOR(ROWCOUNT => 200)))"
+    ).to_pylist()[0]
+    assert out["ok"] is True
+    out = engine.execute(
+        "SELECT MIN(z) >= 1 AND MAX(z) <= 10 AS inb, "
+        "SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) > "
+        "SUM(CASE WHEN z = 10 THEN 1 ELSE 0 END) AS skew FROM "
+        "(SELECT ZIPF(1, 10, RANDOM()) AS z FROM TABLE(GENERATOR(ROWCOUNT => 1000)))"
+    ).to_pylist()[0]
+    assert out == {"inb": True, "skew": True}  # zipf mass concentrates at rank 1
+    out = engine.execute(
+        "SELECT TRUNCATE(1.567, 1) AS a, TRUNC(1.567) AS b, "
+        "TRUNCATE(-1.567, 1) AS c, TRUNC(DATE'2024-03-15', 'MONTH') AS d"
+    ).to_pylist()[0]
+    assert out["a"] == 1.5 and out["b"] == 1.0 and out["c"] == -1.5
+    assert str(out["d"]) == "2024-03-01"  # date form untouched
+    out = engine.execute(
+        "SELECT LOCALTIME() RLIKE '^[0-9]{2}:[0-9]{2}:[0-9]{2}$' AS t, "
+        "LENGTH(LAST_QUERY_ID()) > 0 AS q"
+    ).to_pylist()[0]
+    assert out == {"t": True, "q": True}

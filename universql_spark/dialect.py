@@ -605,6 +605,77 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # data-generation family (Snowflake's GENERATOR companions). The `gen`
+    # argument (RANDOM() / RANDOM(seed) / literal) maps onto Spark's rand().
+    def _gen_arg(g: str) -> str:
+        g = g.strip()
+        m = re.match(r"(?is)^RANDOM\s*\(\s*(\d+)?\s*\)$", g)
+        if m:
+            return f"rand({m.group(1)})" if m.group(1) else "rand()"
+        if re.fullmatch(r"\d+", g):
+            return f"rand({g})"
+        return "rand()"
+
+    sql = _rewrite_calls(
+        sql, "uniform",
+        lambda a: (
+            f"CAST(({a[0]}) + floor({_gen_arg(a[2])} * (({a[1]}) - ({a[0]}) + 1)) AS BIGINT)"
+        )
+        if len(a) == 3
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "normal",
+        lambda a: f"(({a[0]}) + ({a[1]}) * randn())" if len(a) == 3 else None,
+    )
+
+    def zipf_rw(a: list[str]) -> str | None:
+        # ZIPF(s, N, gen): P(k) ∝ 1/k^s. With literal s and N the CDF is a
+        # compile-time table; the sample is "first k whose CDF >= u" =
+        # count of CDF entries < u, plus 1. Exact inverse-CDF sampling.
+        if len(a) != 3:
+            return None
+        try:
+            s_v, n_v = float(a[0]), int(a[1])
+        except ValueError:
+            return None
+        if not 1 <= n_v <= 4096:
+            return None
+        weights = [1.0 / (k ** s_v) for k in range(1, n_v + 1)]
+        total = sum(weights)
+        acc, cdf = 0.0, []
+        for w in weights:
+            acc += w
+            cdf.append(repr(acc / total))
+        arr = "array(" + ",".join(f"{c}D" for c in cdf) + ")"
+        return f"CAST(size(filter({arr}, __c -> __c < {_gen_arg(a[2])})) + 1 AS BIGINT)"
+
+    sql = _rewrite_calls(sql, "zipf", zipf_rw)
+    # session time spellings
+    def _noargs(out: str):
+        return lambda a: out if len(a) <= 1 and not (a and a[0].strip()) else None
+
+    sql = _rewrite_calls(sql, "localtime", _noargs("date_format(localtimestamp(), 'HH:mm:ss')"))
+    sql = _rewrite_calls(sql, "current_time", _noargs("date_format(current_timestamp(), 'HH:mm:ss')"))
+    sql = _rewrite_calls(sql, "systimestamp", _noargs("current_timestamp()"))
+    # numeric TRUNCATE/TRUNC (toward zero, optional scale); the date form
+    # TRUNC(d, 'MONTH') has a string second arg and falls through to Spark
+    def trunc_rw(a: list[str]) -> str | None:
+        if len(a) == 1:
+            d = "0"
+        elif len(a) == 2 and not _STRING_RE.fullmatch(a[1].strip()):
+            d = a[1].strip()
+        else:
+            return None
+        x = a[0]
+        return (
+            f"(CASE WHEN ({x}) < 0 THEN -floor(-({x}) * pow(10, {d})) / pow(10, {d}) "
+            f"ELSE floor(({x}) * pow(10, {d})) / pow(10, {d}) END)"
+        )
+
+    sql = _rewrite_calls(sql, "truncate", trunc_rw)
+    sql = _rewrite_calls(sql, "trunc", trunc_rw)
+
     # ANSI OFFSET n ROWS / FETCH {FIRST|NEXT} m ROWS ONLY (Snowflake
     # accepts both spellings; Spark wants LIMIT m OFFSET n)
     sql = re.sub(

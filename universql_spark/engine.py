@@ -1960,6 +1960,18 @@ class Engine:
         stmt = re.sub(
             r"\bCURRENT_SESSION\s*\(\s*\)", f"'{id(self):x}'", stmt, flags=re.I
         )
+        # bare LAST_QUERY_ID(n) as a scalar (the RESULT_SCAN form resolved
+        # its own); offsets index the retained-result ring, newest = -1
+        def _lqid(m: re.Match) -> str:
+            off = int(m.group(1)) if m.group(1) else -1
+            qids = list(self._results)
+            qid = qids[off] if qids and -len(qids) <= off <= -1 else ""
+            return f"'{qid}'"
+
+        if "last_query_id" in stmt.lower() and "result_scan" not in stmt.lower():
+            stmt = re.sub(
+                r"\bLAST_QUERY_ID\s*\(\s*(-?\d+)?\s*\)", _lqid, stmt, flags=re.I
+            )
         # IS_ROLE_IN_SESSION: one active role per engine session (no role
         # hierarchy locally), so membership == equality with CURRENT_ROLE
         stmt = re.sub(
