@@ -3039,3 +3039,17 @@ def test_data_generation_and_numeric_trunc(engine):
         "LENGTH(LAST_QUERY_ID()) > 0 AS q"
     ).to_pylist()[0]
     assert out == {"t": True, "q": True}
+
+
+def test_string_object_odds_and_ends(engine):
+    """r5: UNICODE (full code point), HAMMINGDIST, ARRAYS_TO_OBJECT,
+    MAP_CAT/OBJECT_CAT json-splice merge."""
+    out = engine.execute(
+        "SELECT UNICODE('A') AS a, HAMMINGDIST('1011', '1001') AS h, "
+        "TO_JSON(ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('a','b'), ARRAY_CONSTRUCT(1,2))) AS m, "
+        "MAP_CAT(OBJECT_CONSTRUCT('a', 1), OBJECT_CONSTRUCT('b', 2)) AS c, "
+        "MAP_CAT(OBJECT_CONSTRUCT(), OBJECT_CONSTRUCT('b', 2)) AS e"
+    ).to_pylist()[0]
+    assert out == {
+        "a": 65, "h": 1, "m": '{"a":1,"b":2}', "c": '{"a":1,"b":2}', "e": '{"b":2}',
+    }

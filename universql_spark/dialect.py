@@ -605,6 +605,47 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
       'spec') -> Spark 4's native collation framework (_spark_collation
       maps ci/ai/lower specs).
     """
+    # string/object odds and ends
+    sql = _rewrite_calls(
+        sql, "unicode", lambda a: f"ascii({a[0]})" if len(a) == 1 else None
+    )  # Spark's ascii returns the full first code point, = Snowflake UNICODE
+    sql = _rewrite_calls(
+        sql, "hammingdist",
+        lambda a: (
+            f"size(filter(zip_with(split({a[0]}, ''), split({a[1]}, ''), "
+            f"(__x, __y) -> __x <=> __y), __e -> NOT __e))"
+        )
+        if len(a) == 2
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "hamming_distance",
+        lambda a: (
+            f"size(filter(zip_with(split({a[0]}, ''), split({a[1]}, ''), "
+            f"(__x, __y) -> __x <=> __y), __e -> NOT __e))"
+        )
+        if len(a) == 2
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "arrays_to_object",
+        lambda a: f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    def map_cat_rw(a: list[str]) -> str | None:
+        # OBJECT merge over the struct-objects OBJECT_CONSTRUCT builds:
+        # serialize both to JSON text and splice (result is VARIANT text,
+        # the engine's OBJECT representation)
+        if len(a) != 2:
+            return None
+        ja, jb = f"to_json({a[0]})", f"to_json({a[1]})"
+        return (
+            f"(CASE WHEN {ja} = '{{}}' THEN {jb} WHEN {jb} = '{{}}' THEN {ja} "
+            f"ELSE concat(substr({ja}, 1, length({ja}) - 1), ',', substr({jb}, 2)) END)"
+        )
+
+    sql = _rewrite_calls(sql, "map_cat", map_cat_rw)
+    sql = _rewrite_calls(sql, "object_cat", map_cat_rw)
+
     # data-generation family (Snowflake's GENERATOR companions). The `gen`
     # argument (RANDOM() / RANDOM(seed) / literal) maps onto Spark's rand().
     def _gen_arg(g: str) -> str:
