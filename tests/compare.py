@@ -66,6 +66,57 @@ def duck_result(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[list[str], li
     return cols, rows
 
 
+def canon_arrow(tbl):
+    """Canonicalize an Arrow table for byte-level comparison: combine chunks,
+    sort columns by name, sort rows by every column. take() rebuilds the
+    buffers with pyarrow conventions, erasing engine-specific physical
+    artifacts (DuckDB materializes all-valid validity bitmaps and sets
+    padding bits to 1; Spark omits the bitmap and pads with 0)."""
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks().select(sorted(tbl.column_names))
+    if tbl.num_rows > 1:
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in tbl.column_names])
+        tbl = tbl.take(idx)
+    else:
+        tbl = tbl.take(list(range(tbl.num_rows)))
+    return tbl
+
+
+def arrow_ipc_probe(spark_tbl, duck_tbl) -> tuple[bool, str | None]:
+    """(equal, note): byte-level equality of the two results after
+    canonicalization — the strictest cross-engine check expressible locally;
+    any deterministic hash over a canonicalized Arrow result matches when
+    this is True. A False with note='type:' is usually a benign width
+    difference (e.g. Spark year() -> int32 vs DuckDB -> int64) that
+    value-level hashes tolerate; it is recorded, not failed, by the local
+    gate."""
+    import io
+
+    import pyarrow as pa
+
+    try:
+        s, d = canon_arrow(spark_tbl), canon_arrow(duck_tbl)
+        if s.schema != d.schema:
+            diffs = [
+                f"{f1.name}:{f1.type}!={f2.type}"
+                for f1, f2 in zip(s.schema, d.schema)
+                if f1.type != f2.type
+            ]
+            return False, "type:" + ",".join(diffs[:4]) if diffs else "type:field-order/meta"
+
+        def ser(t):
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                w.write_table(t)
+            return sink.getvalue()
+
+        eq = ser(s) == ser(d)
+        return eq, None if eq else "bytes"
+    except Exception as e:  # noqa: BLE001 - informational probe only
+        return False, f"probe-error:{type(e).__name__}"
+
+
 def assert_match(name: str, spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> None:
     s_cols, s_rows = spark_result(spark_df)
     d_cols, d_rows = duck_result(con, oracle)

@@ -23,10 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tests.compare import (
     PY_ORACLES,
+    arrow_ipc_probe,
     duck_connection,
-    duck_result,
     normalize_rows,
-    spark_result,
 )
 from universql_spark.queries import load_all
 from universql_spark.session import get_spark
@@ -51,7 +50,9 @@ def main() -> None:
             "err": None,
         }
         try:
-            s_cols, s_rows = spark_result(spec.spark(spark, SF_DIR))
+            s_tbl = spec.spark(spark, SF_DIR).toArrow()
+            s_cols = s_tbl.column_names
+            s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
             rec["spark_rows"] = len(s_rows)
             if spec.oracle is None and name in PY_ORACLES:
                 # numpy oracle (tests/compare.py): independent re-derivation
@@ -69,13 +70,22 @@ def main() -> None:
                 rec["rows_match"] = len(s_rows) >= 0  # rows-only spec
                 rec["note"] = "rows-only (no SQL-expressible oracle)"
             else:
-                d_cols, d_rows = duck_result(con, spec.oracle)
+                d_tbl = con.execute(spec.oracle).arrow()
+                d_cols = d_tbl.column_names
+                d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
                 rec["oracle_rows"] = len(d_rows)
                 rec["rows_match"] = len(s_rows) == len(d_rows)
                 rec["schema_match"] = sorted(c.lower() for c in s_cols) == sorted(
                     c.lower() for c in d_cols
                 )
                 rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+                # Informational byte-level probe (VERDICT r5 #1/#2): canonical
+                # Arrow IPC equality is the strictest local mirror of ANY
+                # driver hash recipe; 'type:' notes are benign width diffs.
+                ipc_eq, ipc_note = arrow_ipc_probe(s_tbl, d_tbl)
+                rec["ipc_equal"] = ipc_eq
+                if ipc_note:
+                    rec["ipc_note"] = ipc_note
         except Exception as e:  # noqa: BLE001 - the artifact records failures
             rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
             traceback.print_exc(limit=2, file=sys.stderr)
@@ -91,6 +101,10 @@ def main() -> None:
             1 for r in oracled if r["rows_match"] and r["schema_match"] and r["hash_match"]
         ),
         "rows_only": sum(1 for r in out.values() if r.get("note")),
+        "ipc_equal": sum(1 for r in out.values() if r.get("ipc_equal")),
+        "ipc_type_width_only": sum(
+            1 for r in out.values() if r.get("ipc_note", "").startswith("type:")
+        ),
         "errors": sum(1 for r in out.values() if r["err"]),
         "sf_dir": SF_DIR,
         "wall_sec": round(time.time() - t_start, 1),
