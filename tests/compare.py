@@ -318,10 +318,317 @@ def py_oracle_embed_cluster_profile(sf_dir: str) -> tuple[list[str], list[tuple]
     return ["cluster", "n_members", "total_dist2"], out
 
 
+# ---------------------------------------------------------------------------
+# Portable XXH64 (public algorithm, Collet) matching Spark's xxhash64()
+# expression — seed 42, per-argument chaining, 8-byte path for long/array
+# elements, 4-byte path for int literals, raw UTF-8 bytes for strings.
+# Lets the four Spark-hash-dependent specs (dedup_simhash, ann_lsh_buckets,
+# ann_lsh_pairs, dedup_incremental_index) graduate from rows-only to
+# independently re-derived python oracles (VERDICT r5 'Next round' #3).
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Reference XXH64 over raw bytes (unsigned result)."""
+    import struct
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl64((v1 + l1 * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl64((v2 + l2 * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl64((v3 + l3 * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl64((v4 + l4 * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= (_rotl64((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _P1) & _M64
+        h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl64(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _xx_long(value: int, seed: int) -> int:
+    """Spark hash step for a LongType value (unsigned chain state in/out)."""
+    import struct
+
+    return xxh64(struct.pack("<q", value), seed & _M64)
+
+
+def _xx_int(value: int, seed: int) -> int:
+    """Spark hash step for an IntegerType value (4-byte path)."""
+    import struct
+
+    return xxh64(struct.pack("<i", value), seed & _M64)
+
+
+def _xx_str(value: str, seed: int) -> int:
+    return xxh64(value.encode("utf-8"), seed & _M64)
+
+
+def spark_xxhash64_str(s: str) -> int:
+    """== F.xxhash64(string_col) (signed)."""
+    return _signed64(_xx_str(s, 42))
+
+
+def spark_xxhash64_int_int(a: int, b: int) -> int:
+    """== F.xxhash64(F.lit(a), F.lit(b)) with int32 literals (signed)."""
+    return _signed64(_xx_int(b, _xx_int(a, 42)))
+
+
+def spark_xxhash64_int_long(i: int, l: int) -> int:
+    """== SQL xxhash64(<int literal i>, <long l>) (signed)."""
+    return _signed64(_xx_long(l, _xx_int(i, 42)))
+
+
+def _xx_long_vec(values, seed: int):
+    """Vectorized _xx_long over a uint64 numpy array (numpy's uint64
+    arithmetic wraps mod 2^64, which is exactly the XXH64 arithmetic)."""
+    import numpy as np
+
+    p1, p2, p3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+    p4, p5 = np.uint64(_P4), np.uint64(_P5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64)
+        h = np.uint64((seed + _P5 + 8) & _M64)
+        k = rotl(v * p2, 31) * p1
+        h = h ^ k
+        h = rotl(h, 27) * p1 + p4
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def spark_xxhash64_longs(values: list[int]) -> int:
+    """== F.xxhash64(array<long> col): elements chained in order (signed)."""
+    h = 42
+    for v in values:
+        h = _xx_long(v, h)
+    return _signed64(h)
+
+
+def _spark_round(x: float, n: int) -> float:
+    """Spark ROUND on double: BigDecimal.valueOf (shortest repr) HALF_UP."""
+    import decimal
+
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-n), rounding=decimal.ROUND_HALF_UP
+    ))
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Mirror operators.dedup.tokens: split(lower(trim(text)), ' +')."""
+    import re
+
+    return re.split(" +", text.strip().lower())
+
+
+def _py_shingles(toks: list[str], n: int = 3) -> list[str]:
+    """Mirror shingle_rows: positional n-grams; short docs yield the whole
+    text as one shingle."""
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _load_documents(sf_dir: str) -> list[tuple[int, str]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id")
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def py_oracle_dedup_simhash(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """simhash_pairs(max_hamming=3) re-derived: per-bit majority vote over
+    non-distinct token hashes; brute-force hamming pairs (the 4x16-bit
+    pigeonhole blocking is exact for hamming<=3, so blocked == brute)."""
+    sigs: dict[int, int] = {}
+    for doc_id, text in _load_documents(sf_dir):
+        votes = [0] * 64
+        for t in _py_tokens(text):
+            h = spark_xxhash64_str(t)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        sig = 0
+        for j in range(64):
+            if votes[j] > 0:
+                sig |= 1 << j
+        sigs[doc_id] = _signed64(sig & _M64)
+    ids = sorted(sigs)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((sigs[a] ^ sigs[b]) & _M64).count("1")
+            if ham <= 3:
+                out.append((a, b, ham))
+    return ["id_a", "id_b", "hamming"], out
+
+
+def _lsh_plane(h: int, dim: int) -> list[float]:
+    """similarity._hyperplane: coef(h, d) = xxhash64(int h, int d) % 10000
+    / 10000.0 — Spark % keeps the dividend's sign (Java remainder)."""
+    out = []
+    for d in range(dim):
+        s = spark_xxhash64_int_int(h, d)
+        r = abs(s) % 10000
+        out.append((r if s >= 0 else -r) / 10000.0)
+    return out
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y  # sequential fold, matching F.aggregate order
+    return acc
+
+
+def _lsh_bucket(vec: list[float], dim: int, bits: int, plane_offset: int) -> int:
+    bucket = 0
+    for h in range(bits):
+        if _seq_dot(vec, _lsh_plane(plane_offset + h, dim)) > 0:
+            bucket |= 1 << h
+    return bucket
+
+
+def py_oracle_ann_lsh_buckets(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """lsh_bucket_profile(dim=64, bits=8) re-derived."""
+    from collections import Counter
+
+    _ids, X = _load_embeddings(sf_dir)
+    counts = Counter(_lsh_bucket([float(x) for x in row], 64, 8, 0) for row in X)
+    return ["bucket", "n_vectors"], [(b, n) for b, n in sorted(counts.items())]
+
+
+def py_oracle_ann_lsh_pairs(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """lsh_bucketed_pairs(threshold=0.45, dim=64, bits=4, tables=8)
+    re-derived: same-bucket candidates in any of 8 tables, exact cosine
+    verify (sequential-fold dot/norm, Spark HALF_UP 4dp round)."""
+    import math
+    from collections import defaultdict
+
+    ids, X = _load_embeddings(sf_dir)
+    vecs = [[float(x) for x in row] for row in X]
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, v in enumerate(vecs):
+        for t in range(8):
+            buckets[(t, _lsh_bucket(v, 64, 4, t * 4))].append(i)
+    cands = set()
+    for members in buckets.values():
+        members = sorted(members, key=lambda i: ids[i])
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                cands.add((members[ai], members[bi]))
+    nrm = [math.sqrt(_seq_dot(v, v)) for v in vecs]
+    out = []
+    for ia, ib in cands:
+        cos = _spark_round(_seq_dot(vecs[ia], vecs[ib]) / (nrm[ia] * nrm[ib]), 4)
+        if cos >= 0.45:
+            out.append((int(ids[ia]), int(ids[ib]), cos))
+    out.sort()
+    return ["id_a", "id_b", "cos"], out
+
+
+def py_oracle_dedup_incremental_index(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """dedup_incremental_index re-derived: corpus = even doc_ids, batch =
+    odd; sig[i] = min over shingle rows of xxhash64(i, xxhash64(s)); 16
+    bands of 4 hashed via the array<long> chain; candidates = new x new
+    (id_a < id_b) + new x corpus (batch id first); exact Jaccard on
+    distinct hashed shingle sets, HALF_UP 4dp, >= 0.8."""
+    import numpy as np
+
+    sigs: dict[int, list[int]] = {}
+    shh: dict[int, set[int]] = {}
+    perm_seeds = [_xx_int(i, 42) for i in range(64)]
+    for doc_id, text in _load_documents(sf_dir):
+        hs = [_signed64(_xx_str(s, 42)) for s in _py_shingles(_py_tokens(text))]
+        shh[doc_id] = set(hs)
+        hu = np.array(hs, dtype=np.int64).astype(np.uint64)
+        sigs[doc_id] = [
+            int(_xx_long_vec(hu, seed).astype(np.int64).min()) for seed in perm_seeds
+        ]
+    batch = sorted(i for i in sigs if i % 2 == 1)
+    corpus = sorted(i for i in sigs if i % 2 == 0)
+    def bands(doc):
+        return [
+            (b, spark_xxhash64_longs(sigs[doc][b * 4:(b + 1) * 4])) for b in range(16)
+        ]
+    band_index: dict[tuple[int, int], list[int]] = {}
+    for doc in batch + corpus:
+        for key in bands(doc):
+            band_index.setdefault(key, []).append(doc)
+    cands = set()
+    for docs in band_index.values():
+        new = [d for d in docs if d % 2 == 1]
+        old = [d for d in docs if d % 2 == 0]
+        for i, a in enumerate(new):
+            for b in new[i + 1:]:
+                cands.add((min(a, b), max(a, b)))
+            for b in old:
+                cands.add((a, b))
+    out = []
+    for a, b in cands:
+        inter = len(shh[a] & shh[b])
+        union = len(shh[a] | shh[b])
+        jac = _spark_round(inter / union, 4)
+        if jac >= 0.8:
+            out.append((a, b, jac))
+    out.sort()
+    return ["id_a", "id_b", "jac"], out
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
     "embed_kmeans": py_oracle_embed_kmeans,
     "embed_pca_project": py_oracle_embed_pca_project,
     "embed_cluster_profile": py_oracle_embed_cluster_profile,
+    "dedup_simhash": py_oracle_dedup_simhash,
+    "ann_lsh_buckets": py_oracle_ann_lsh_buckets,
+    "ann_lsh_pairs": py_oracle_ann_lsh_pairs,
+    "dedup_incremental_index": py_oracle_dedup_incremental_index,
 }

@@ -43,3 +43,28 @@ def test_python_oracles_match(spark, sf_dir):
         o_cols, o_rows = fn(sf_dir)
         assert len(s_rows) == len(o_rows), name
         assert normalize_rows(s_cols, s_rows) == normalize_rows(o_cols, o_rows), name
+
+
+def test_portable_xxh64_matches_spark(spark):
+    """The pure-python XXH64 (tests/compare.py) must reproduce Spark's
+    xxhash64() bit-for-bit across every encoding the oracles rely on:
+    string bytes, int32 literals, chained int+long, and array<long>."""
+    from tests.compare import (
+        spark_xxhash64_int_int,
+        spark_xxhash64_int_long,
+        spark_xxhash64_longs,
+        spark_xxhash64_str,
+    )
+
+    row = spark.sql(
+        "SELECT xxhash64('tok') a, xxhash64('') b, xxhash64('αβγ') c, "
+        "xxhash64(3, 7) d, xxhash64(5, CAST(-17 AS BIGINT)) e, "
+        "xxhash64(array(CAST(1 AS BIGINT), CAST(-2 AS BIGINT), "
+        "CAST(9007199254740993 AS BIGINT), CAST(0 AS BIGINT))) f"
+    ).collect()[0]
+    assert row.a == spark_xxhash64_str("tok")
+    assert row.b == spark_xxhash64_str("")
+    assert row.c == spark_xxhash64_str("αβγ")
+    assert row.d == spark_xxhash64_int_int(3, 7)
+    assert row.e == spark_xxhash64_int_long(5, -17)
+    assert row.f == spark_xxhash64_longs([1, -2, 9007199254740993, 0])
