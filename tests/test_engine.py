@@ -2247,6 +2247,30 @@ def test_describe_result_and_last_query_id_offset(engine):
     assert out == [{"n": 3}]
 
 
+def test_last_query_id_positive_and_mixed_with_result_scan(engine):
+    """ADVICE r5 #5: positive LAST_QUERY_ID(n) is 1-based from session
+    start, and a bare LAST_QUERY_ID elsewhere in a statement that ALSO
+    contains RESULT_SCAN still resolves (the old substring gate skipped
+    it)."""
+    engine.execute("SELECT 1 AS a")
+    # 1-based from session start: position len(ring) addresses the query
+    # just run (the ring is shared across this test session's statements)
+    pos = len(engine._results)
+    expected = list(engine._results)[pos - 1]
+    out = engine.execute(f"SELECT LAST_QUERY_ID({pos}) AS q").to_pylist()
+    assert out == [{"q": expected}]
+    # bare LAST_QUERY_ID() next to a RESULT_SCAN in the same statement
+    engine.execute("SELECT 7 AS n")
+    out = engine.execute(
+        "SELECT n, LENGTH(LAST_QUERY_ID()) > 0 AS has_qid "
+        "FROM TABLE(RESULT_SCAN(LAST_QUERY_ID(-1)))"
+    ).to_pylist()
+    assert out == [{"n": 7, "has_qid": True}]
+    # out-of-range positive offset -> empty string, like unknown negatives
+    out = engine.execute("SELECT LAST_QUERY_ID(99999) AS q").to_pylist()
+    assert out == [{"q": ""}]
+
+
 def test_object_identifier_matrix(engine):
     """The reference's combinatorial identifier matrix, regenerated fresh
     (idea from tests/integration/object_identifiers.py:9-47 — not ported):
@@ -2860,6 +2884,39 @@ def test_scripting_loops_case_exception_cursors(engine):
         "BEGIN LET s := 0; FOR i IN 1 TO 3 DO FOR j IN 1 TO 2 DO s := s + i * j; "
         "END FOR; END FOR; RETURN s; END"
     ) == [{"RETURN_VALUE": "18"}]
+
+
+def test_scripting_nested_exception_and_handler_routing(engine):
+    """ADVICE r5 #1/#2: a nested block's EXCEPTION section belongs to that
+    block (outer statements after it still run), and handlers route by
+    error class — STATEMENT_ERROR for QueryError, EXPRESSION_ERROR for eval
+    failures, OTHER as the fallback; no match re-raises."""
+    run = lambda q: engine.execute(q).to_pylist()  # noqa: E731
+    # nested block with its own EXCEPTION; outer continues past it
+    assert run(
+        "BEGIN LET t := 0; BEGIN SELECT * FROM no_such_tbl; "
+        "EXCEPTION WHEN OTHER THEN t := 1; END; t := t + 10; RETURN t; END"
+    ) == [{"RETURN_VALUE": "11"}]
+    # statement error skips a leading EXPRESSION_ERROR handler
+    assert run(
+        "BEGIN SELECT * FROM no_such_tbl; RETURN 'no'; "
+        "EXCEPTION WHEN EXPRESSION_ERROR THEN RETURN 'expr'; "
+        "WHEN STATEMENT_ERROR THEN RETURN 'stmt'; END"
+    ) == [{"RETURN_VALUE": "stmt"}]
+    # OTHER catches what named conditions don't
+    assert run(
+        "BEGIN SELECT * FROM no_such_tbl; RETURN 'no'; "
+        "EXCEPTION WHEN EXPRESSION_ERROR THEN RETURN 'expr'; "
+        "WHEN OTHER THEN RETURN 'other'; END"
+    ) == [{"RETURN_VALUE": "other"}]
+    # declared-condition-only handlers with no match re-raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run(
+            "BEGIN SELECT * FROM no_such_tbl; "
+            "EXCEPTION WHEN EXPRESSION_ERROR THEN RETURN 'expr'; END"
+        )
 
 
 def test_call_procedure_plain_body(engine):

@@ -257,7 +257,7 @@ def commit_server(spark, tmp_path):
     df = spark.range(0, 20, 1, 2).select("id", (F.col("id") % 3).alias("g"))
     local = IcebergTable.create(root, df)
     _v, meta0 = local._read_metadata()
-    state = {"meta": meta0, "commits": 0}
+    state = {"meta": meta0, "commits": 0, "rejects": 0}
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -289,6 +289,7 @@ def commit_server(spark, tmp_path):
                 for r in req.get("requirements", []):
                     if r["type"] == "assert-ref-snapshot-id" and r["ref"] == "main":
                         if cur.get("current-snapshot-id") != r.get("snapshot-id"):
+                            state["rejects"] += 1
                             self._send(
                                 {"error": {"message": "Requirement failed: branch main "
                                            "has changed", "type": "CommitFailedException"}},
@@ -361,6 +362,63 @@ def test_catalog_commit_stale_rejected_then_rebased(spark, commit_server):
     ids = {r.id for r in a.read(spark).collect()}
     assert {200, 201, 202, 300, 301}.issubset(ids)
     assert state["commits"] == 2  # B's + A's rebased one (stale POST rejected)
+
+
+def test_catalog_concurrent_committers(spark, commit_server):
+    """Two writers against ONE catalog under real contention (VERDICT r5
+    #7). Part 1 is deterministic: writer B commits in the window between
+    A's base read and A's POST (injected via A's committer seam), so the
+    server MUST 409 A's first attempt and A's Iceberg-spec retry loop must
+    rebase and land it. Part 2 is genuinely concurrent: both writers
+    barrier-start interleaved appends; every batch's rows land and the
+    server records one commit per append."""
+    uri, state, _local = commit_server
+    a = CatalogIcebergTable.from_rest(uri, "ns", "ct", writable=True)
+    b = CatalogIcebergTable.from_rest(uri, "ns", "ct", writable=True)
+
+    # -- part 1: forced stale window -----------------------------------------
+    real_committer, fired = a._committer, []
+
+    def racing_committer(base, new):
+        if not fired:  # B lands a commit between A's read and A's POST
+            fired.append(1)
+            b.append(spark.range(400, 403).select("id", (F.col("id") % 3).alias("g")))
+        return real_committer(base, new)
+
+    a._committer = racing_committer
+    rejects0, commits0 = state["rejects"], state["commits"]
+    a.append(spark.range(410, 412).select("id", (F.col("id") % 3).alias("g")))
+    a._committer = real_committer
+    assert state["rejects"] == rejects0 + 1  # A's first POST was stale
+    assert state["commits"] == commits0 + 2  # B's + A's rebased commit
+    ids = {r.id for r in a.read(spark).collect()}
+    assert {400, 401, 402, 410, 411}.issubset(ids)
+
+    # -- part 2: free-running concurrency ------------------------------------
+    commits1 = state["commits"]
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(tbl, lo):
+        try:
+            barrier.wait(timeout=30)
+            for i in range(3):
+                base = lo + 10 * i
+                tbl.append(
+                    spark.range(base, base + 2).select("id", (F.col("id") % 3).alias("g"))
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=(a, 1000))
+    tb = threading.Thread(target=writer, args=(b, 2000))
+    ta.start(), tb.start()
+    ta.join(120), tb.join(120)
+    assert not errors, errors
+    assert state["commits"] == commits1 + 6  # every append landed exactly once
+    ids = {r.id for r in a.read(spark).collect()}
+    expect = {lo + 10 * i + d for lo in (1000, 2000) for i in range(3) for d in (0, 1)}
+    assert expect.issubset(ids)
 
 
 def test_engine_dml_into_catalog_table(spark, commit_server):

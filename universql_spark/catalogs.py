@@ -228,12 +228,27 @@ class CatalogIcebergTable(IcebergTable):
             )
         return cls(lookup, root=root, committer=committer)
 
+    @staticmethod
+    def _meta_token(meta: dict) -> int:
+        """Version/base-cache token for a catalog metadata document.
+
+        last-updated-ms, NOT last-sequence-number (ADVICE r5 #4): Iceberg
+        bumps the sequence number only on snapshot-producing commits, so a
+        properties-only or schema-only commit would leave a sequence-keyed
+        cache serving a stale base and skip the CommitConflict check.
+        last-updated-ms changes on every committed metadata document; the
+        sequence number is mixed in to disambiguate same-millisecond
+        commits."""
+        return (int(meta.get("last-updated-ms", 0)) << 12) | (
+            int(meta.get("last-sequence-number", 0)) & 0xFFF
+        )
+
     def current_version(self) -> int:  # not hint-file based here
-        return int(self._lookup().get("last-sequence-number", 0))
+        return self._meta_token(self._lookup())
 
     def _read_metadata(self) -> tuple[int, dict]:
         meta = self._lookup()
-        v = int(meta.get("last-sequence-number", 0))
+        v = self._meta_token(meta)
         self._meta_by_version[v] = meta
         return v, meta
 
@@ -243,7 +258,7 @@ class CatalogIcebergTable(IcebergTable):
             # must keep serving the PRISTINE read for retry rebases
             return copy.deepcopy(self._meta_by_version[v])
         meta = self._lookup()
-        if int(meta.get("last-sequence-number", 0)) != v:
+        if self._meta_token(meta) != v:
             raise CommitConflict(
                 f"catalog advanced past the version this commit was built on ({v})"
             )
@@ -260,7 +275,9 @@ class CatalogIcebergTable(IcebergTable):
             base = self._base_meta(base_v)
         ok = self._committer(base, meta)
         if ok:
-            self._version_cache.pop(base_v + 1, None)
+            # tokens are last-updated-ms based (no +1 arithmetic): drop all
+            # snapshot caches so the next read re-derives from the catalog
+            self._version_cache.clear()
             self._meta_by_version.clear()
         return ok
 

@@ -974,10 +974,19 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
             f"(acc, j) -> concat(acc, element_at({ms}, j), element_at({segs}, j + 1))) "
             f"ELSE '' END"
         )
+        # Expand group references in the replacement exactly like the occ=0
+        # native path (ADVICE r5 #3): re-run regexp_replace over JUST the
+        # Nth matched text, anchored in a non-capturing wrapper so group
+        # numbering is unchanged and the whole match is consumed. Literal
+        # replacements behave identically; $1-style refs now expand.
+        rep_exp = (
+            f"regexp_replace(element_at({ms}, {o}), "
+            f"concat('^(?:', {p}, ')$'), {rep})"
+        )
         return (
             f"concat(substr({s}, 1, ({pos}) - 1), "
             f"CASE WHEN size({ms}) < {o} THEN {t} ELSE "
-            f"concat({prefix}, element_at({segs}, {o}), {rep}, "
+            f"concat({prefix}, element_at({segs}, {o}), {rep_exp}, "
             f"element_at({segs}, {o} + 1), {suffix}) END)"
         )
 

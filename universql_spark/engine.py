@@ -1961,14 +1961,21 @@ class Engine:
             r"\bCURRENT_SESSION\s*\(\s*\)", f"'{id(self):x}'", stmt, flags=re.I
         )
         # bare LAST_QUERY_ID(n) as a scalar (the RESULT_SCAN form resolved
-        # its own); offsets index the retained-result ring, newest = -1
+        # its own — _resolve_result_scan ran above, so any LAST_QUERY_ID
+        # still present is outside a RESULT_SCAN and safe to substitute,
+        # ADVICE r5 #5). Negative offsets index the retained-result ring
+        # from the newest (-1); positive offsets are 1-based from session
+        # start, Snowflake-style.
         def _lqid(m: re.Match) -> str:
             off = int(m.group(1)) if m.group(1) else -1
             qids = list(self._results)
-            qid = qids[off] if qids and -len(qids) <= off <= -1 else ""
+            if off < 0:
+                qid = qids[off] if -len(qids) <= off else ""
+            else:
+                qid = qids[off - 1] if 1 <= off <= len(qids) else ""
             return f"'{qid}'"
 
-        if "last_query_id" in stmt.lower() and "result_scan" not in stmt.lower():
+        if "last_query_id" in stmt.lower():
             stmt = re.sub(
                 r"\bLAST_QUERY_ID\s*\(\s*(-?\d+)?\s*\)", _lqid, stmt, flags=re.I
             )
@@ -3013,7 +3020,10 @@ class Engine:
                 om = re.search(r"\(\s*(-?\d+)\s*\)", arg)
                 off = int(om.group(1)) if om and om.group(1) else -1
                 qids = list(self._results)
-                qid = qids[off] if qids and -len(qids) <= off <= -1 else None
+                if off < 0:
+                    qid = qids[off] if -len(qids) <= off else None
+                else:  # 1-based from session start (ADVICE r5 #5)
+                    qid = qids[off - 1] if 1 <= off <= len(qids) else None
             else:
                 qid = arg.strip("'")
             if not qid or qid not in self._results:

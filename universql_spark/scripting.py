@@ -307,11 +307,13 @@ class ScriptRunner:
                 raise _Continue()
             return
         if cur.take_kw("BEGIN"):
-            stop = ("END",)
+            # Capture the nested block through its MATCHING END so it gets
+            # full block semantics — in particular its own EXCEPTION section
+            # (ADVICE r5 #1: the streaming _run_block(cur, ("END",)) form let
+            # a nested handler leak to the outer split).
+            body = self._capture_block(cur)
             if execute:
-                self._run_block(cur, stop)
-            else:
-                self._skip_block(cur, stop)
+                self._exec_block_body(body)
             self._consume_semicolon(cur)
             return
         stmt = cur.take_until_semicolon()
@@ -574,64 +576,153 @@ class ScriptRunner:
                 raise ScriptError(f"unparseable DECLARE entry: {d!r}")
             name, default = m2.group(1).lower(), m2.group(2)
             self.vars[name] = self._eval(default) if default else None
-        body, handlers = self._split_exception(body)
         try:
-            try:
-                self._run_block(_Cursor(body), ())
-            except (_Return, ScriptError, _Break, _Continue):
-                raise
-            except Exception as e:  # noqa: BLE001 - the EXCEPTION section's job
-                if handlers is None:
-                    raise
-                # Snowflake's builtin exception variables
-                self.vars["sqlerrm"] = str(e)[:512]
-                self.vars["sqlcode"] = -20000
-                self.vars["sqlstate"] = "P0000"
-                self._run_handler(handlers)
+            self._exec_block_body(body)
         except _Return as r:
             return r.value
         return None
 
-    @staticmethod
-    def _split_exception(body: str) -> tuple[str, str | None]:
-        """Split the block body at the top-level EXCEPTION keyword (outside
-        strings/parens) into (statements, handler-section-or-None)."""
-        depth, i, n = 0, 0, len(body)
+    def _exec_block_body(self, body: str) -> None:
+        """Run one block body: split off ITS exception section, run the
+        statements, route failures to the matching handler."""
+        body, handlers = self._split_exception(body)
+        try:
+            self._run_block(_Cursor(body), ())
+        except (_Return, ScriptError, _Break, _Continue):
+            raise
+        except Exception as e:  # noqa: BLE001 - the EXCEPTION section's job
+            if handlers is None:
+                raise
+            # Snowflake's builtin exception variables
+            self.vars["sqlerrm"] = str(e)[:512]
+            self.vars["sqlcode"] = -20000
+            self.vars["sqlstate"] = "P0000"
+            self._run_handler(handlers, e)
+
+    @classmethod
+    def _capture_block(cls, cur) -> str:
+        """Consume a nested block's text (cursor positioned just past its
+        BEGIN) through the MATCHING END; return the inner body."""
+        text, n = cur.t, len(cur.t)
+        start, i, block, depth, in_s = cur.i, cur.i, 0, 0, False
+        word_re = re.compile(r"[A-Za-z_]\w*")
+        while i < n:
+            ch = text[i]
+            if in_s:
+                if ch == "'":
+                    in_s = False
+                i += 1
+                continue
+            if ch == "'":
+                in_s = True
+                i += 1
+                continue
+            if ch == "(":
+                depth += 1
+                i += 1
+                continue
+            if ch == ")":
+                depth -= 1
+                i += 1
+                continue
+            prev = text[i - 1] if i else " "
+            if ch.isalpha() and not (prev.isalnum() or prev == "_"):
+                m = word_re.match(text, i)
+                w = m.group(0).lower()
+                i = m.end()
+                if depth > 0:
+                    continue
+                if w == "end":
+                    if block == 0:
+                        cur.i = i
+                        return text[start:m.start()]
+                    block -= 1
+                    m2 = re.match(r"\s*(if|case|loop|while|repeat|for)\b", text[i:], re.I)
+                    if m2:
+                        i += m2.end()
+                elif w in cls._BLOCK_OPENERS and not re.match(r"\s*\(", text[i:]):
+                    block += 1
+                continue
+            i += 1
+        raise ScriptError("unterminated nested BEGIN block")
+
+    #: keywords that open a block closed by a (single) END token
+    _BLOCK_OPENERS = frozenset({"begin", "if", "case", "loop", "repeat", "while", "for"})
+
+    @classmethod
+    def _split_exception(cls, body: str) -> tuple[str, str | None]:
+        """Split the block body at the top-level EXCEPTION keyword — outside
+        strings/parens AND outside nested BEGIN/IF/CASE/LOOP/WHILE/REPEAT/FOR
+        blocks, so a nested block's own EXCEPTION section stays with that
+        block (ADVICE r5 #1). Openers followed by '(' are function calls
+        (if(), repeat(), ...), not blocks; an END consumes its optional
+        trailing block keyword (END IF / END WHILE / ...)."""
+        depth, block, i, n = 0, 0, 0, len(body)
         in_s = False
+        word_re = re.compile(r"[A-Za-z_]\w*")
         while i < n:
             ch = body[i]
             if in_s:
                 if ch == "'":
                     in_s = False
-            elif ch == "'":
+                i += 1
+                continue
+            if ch == "'":
                 in_s = True
-            elif ch == "(":
+                i += 1
+                continue
+            if ch == "(":
                 depth += 1
-            elif ch == ")":
+                i += 1
+                continue
+            if ch == ")":
                 depth -= 1
-            elif depth == 0 and ch in "Ee":
-                prev = body[i - 1] if i else " "
-                if not (prev.isalnum() or prev == "_") and re.match(
-                    r"EXCEPTION\b", body[i:], re.I
-                ):
-                    return body[:i], body[i + len("EXCEPTION") :]
+                i += 1
+                continue
+            prev = body[i - 1] if i else " "
+            if ch.isalpha() and not (prev.isalnum() or prev == "_"):
+                m = word_re.match(body, i)
+                w = m.group(0).lower()
+                i = m.end()
+                if depth > 0:
+                    continue
+                if w == "end":
+                    block = max(0, block - 1)
+                    # consume an optional trailing block keyword
+                    m2 = re.match(r"\s*(if|case|loop|while|repeat|for)\b", body[i:], re.I)
+                    if m2:
+                        i += m2.end()
+                elif w in cls._BLOCK_OPENERS:
+                    # function-call form (if(...), repeat(...)) is not a block
+                    if not re.match(r"\s*\(", body[i:]):
+                        block += 1
+                elif w == "exception" and block == 0:
+                    return body[:m.start()], body[i:]
+                continue
             i += 1
         return body, None
 
-    def _run_handler(self, handlers: str) -> None:
-        """Run the FIRST matching `WHEN <cond> [OR <cond>]* THEN <stmts>`
-        handler. Every condition name (STATEMENT_ERROR, EXPRESSION_ERROR,
-        user-declared, OTHER) matches: the engine does not classify error
-        origins, so the first handler is the match — the common
-        WHEN OTHER THEN shape is exact."""
+    def _run_handler(self, handlers: str, exc: Exception) -> None:
+        """Run the first handler whose WHEN conditions match the error class
+        (ADVICE r5 #2): QueryError -> STATEMENT_ERROR, anything else ->
+        EXPRESSION_ERROR; OTHER matches both. A declared-condition-only
+        handler list with no match re-raises, like Snowflake."""
+        from universql_spark.engine import QueryError
+
         whens = list(
             re.finditer(
-                r"(?is)\bWHEN\s+[A-Za-z_]\w*(?:\s+OR\s+[A-Za-z_]\w*)*\s+THEN\b",
+                r"(?is)\bWHEN\s+([A-Za-z_]\w*(?:\s+OR\s+[A-Za-z_]\w*)*)\s+THEN\b",
                 handlers,
             )
         )
         if not whens:
             raise ScriptError("EXCEPTION section without WHEN ... THEN")
-        start = whens[0].end()
-        end = whens[1].start() if len(whens) > 1 else len(handlers)
-        self._run_block(_Cursor(handlers[start:end]), ())
+        klass = "statement_error" if isinstance(exc, QueryError) else "expression_error"
+        for idx, w in enumerate(whens):
+            conds = {c.strip().lower() for c in re.split(r"(?i)\s+OR\s+", w.group(1))}
+            if klass in conds or "other" in conds:
+                start = w.end()
+                end = whens[idx + 1].start() if idx + 1 < len(whens) else len(handlers)
+                self._run_block(_Cursor(handlers[start:end]), ())
+                return
+        raise exc
