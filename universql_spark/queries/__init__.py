@@ -84,9 +84,27 @@ def relax_nullability(df: DataFrame) -> DataFrame:
         return df
     from pyspark.sql import functions as F
 
-    # spark.range(0) + typed null casts stays entirely in Catalyst — a
-    # createDataFrame([], schema) here costs ~0.4 s of Python-RDD setup per
-    # query, which the bench replan tier pays 27 times.
+    # Top-level-only divergence (the usual case): wrap each non-nullable
+    # column in a CASE guarded by a NON-FOLDABLE always-true condition.
+    # Nullability comes from the ANALYZED plan (no else branch -> nullable)
+    # while the optimizer still collapses the projection — measured
+    # plan-identical, zero extra stages. (when(lit(True), c) does NOT work:
+    # the analyzer eager-folds foldable conditionals and re-derives
+    # not-null; spark_partition_id() is nondeterministic, so it survives
+    # analysis.) An earlier union-with-empty-relation form cost ~30 ms per
+    # query in the bench replan tier from the extra empty stage.
+    if not any(_has_nonnullable(f.dataType) for f in df.schema.fields):
+        guard = F.spark_partition_id() >= 0
+        return df.select(
+            [
+                F.when(guard, F.col(f"`{f.name}`")).alias(f.name)
+                if not f.nullable
+                else F.col(f"`{f.name}`")
+                for f in df.schema.fields
+            ]
+        )
+    # Nested non-nullable fields (struct/array/map internals): union with an
+    # empty typed relation — Union ORs child nullability recursively.
     relaxed = _relax_type(df.schema)
     empty = df.sparkSession.range(0).select(
         [F.lit(None).cast(f.dataType).alias(f.name) for f in relaxed.fields]

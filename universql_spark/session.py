@@ -108,10 +108,14 @@ def get_spark(
         # split sizing for the resident layout (32 sub-MB files per table at
         # sf0.1): pack few files per task so scans fan out across cores.
         # Cluster guidance: keep the 128m default there — these values are
-        # sized to the local fixture scale, measured best of {4m/256k,
-        # 2m/64k, 1m/16k} on the q1 aggregate + tokenizer scans
-        .config("spark.sql.files.maxPartitionBytes", "2m")
-        .config("spark.sql.files.openCostInBytes", "64k")
+        # sized to the local fixture scale. r6 re-measurement (after the
+        # r3-r5 optimizations shifted the replan tier scheduling-bound:
+        # local task launch costs ~3-5 ms and a trivial job's wall is
+        # task-count-dominated): 4m/128k beats the r3-chosen 2m/64k by 17%
+        # on a 15-query probe (6.18 vs 7.48 s) by halving scan task counts;
+        # shuffle.partitions stays 8 (4 regressed the CPU-bound operators).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "128k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
