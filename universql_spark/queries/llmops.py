@@ -2010,3 +2010,115 @@ def text_quality_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("int").alias("pass_mask"),
         (F.col("b_tokens") & F.col("b_wordlen") & F.col("b_entropy") & F.col("b_stop")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: BM25 ranking, BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+#: single-term BM25 queries over the corpus (query-bound, not corpus-bound:
+#: the term filter pushes below the tf aggregation, which is the inverted-
+#: index access pattern at scale)
+_BM25_TERMS = ["merge", "window", "scan"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_DUCK_BM25 = f"""WITH tok AS (
+  SELECT doc_id, unnest({_duck_tokens('text')}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('merge', 'window', 'scan') GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)), 6)
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), st, ad)
+SELECT term, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5 ORDER BY term, rnk"""
+
+
+@register(
+    "text_bm25_topk",
+    _DUCK_BM25,
+    category="text",
+    doc="BM25 (k1=1.2, b=0.75) top-5 documents per query term — the "
+        "retrieval-ranking primitive (RAG corpus indexing / quality-by-"
+        "query auditing)",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking: tokenize -> doc lengths + query-term tf (the term
+    filter sits BELOW the tf aggregation — the inverted-index access
+    pattern: at scale the tf table is the index and this is a key lookup,
+    never a corpus scan) -> per-term document frequency (bounded by the
+    QUERY term count, so broadcast is safe by construction) -> score ->
+    per-term top-5 window. Scalars (n_docs, avgdl) ride a broadcast
+    cross-join. Identical expression shape to the DuckDB oracle so the
+    only FP ops (ln, divisions) evaluate identically."""
+    from pyspark.sql.window import Window
+
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ad = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("dfreq"))
+    score = F.round(
+        F.log(1.0 + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))),
+        6,
+    ).alias("score")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(ad))
+        .select("term", "doc_id", score)
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("term", "doc_id", "score", "rnk")
+        .orderBy("term", "rnk")
+    )
+
+
+@register(
+    "text_bpe_merges",
+    None,
+    category="text",
+    doc="distributed BPE tokenizer training: 8 merge rounds over the "
+        "corpus word histogram (operators/bpe.py); python-oracled in the "
+        "local gate (iterative argmax is not SQL-expressible), rows-only "
+        "at the driver",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the documents corpus -> (rank,
+    left, right, freq). The corpus-sized work is ONE word-histogram
+    shuffle; each round then aggregates the vocabulary-sized histogram
+    (weighted adjacent pair counts), argmaxes a single row on the driver
+    (control plane), and applies the merge with a boundary-anchored
+    regexp_replace — greedy leftmost non-overlap, the reference BPE
+    semantics. Deterministic: count ties break (left, right)
+    lexicographic."""
+    from universql_spark.operators.bpe import bpe_train
+
+    return bpe_train(spark.table("documents"), n_merges=8)
