@@ -274,6 +274,13 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     scale.write_partitioned(ev, "dpp_events", "d")
     dim = ev.select("d").distinct().withColumn("flag", F.dayofmonth("d").cast("int"))
+    # mode("overwrite") alone cannot recover from an orphaned warehouse dir
+    # (a concurrently-killed session leaves the location without the catalog
+    # entry -> LOCATION_ALREADY_EXISTS); drop both sides first
+    spark.sql("DROP TABLE IF EXISTS dpp_dates")
+    import shutil
+
+    shutil.rmtree("/tmp/universql_spark_warehouse/dpp_dates", ignore_errors=True)
     dim.write.mode("overwrite").saveAsTable("dpp_dates")
     # the dim predicate must be LIKELY-SELECTIVE for Catalyst's
     # PartitionPruning rule (literal comparison/IN/LIKE — a bare boolean
@@ -365,9 +372,12 @@ def test_no_mandatory_broadcast_on_sf_scaled_tables(spark, sf_dir):
 
     qdir = os.path.join(os.path.dirname(__file__), "..", "universql_spark", "queries")
     # every allowed name is fixed-cardinality at ANY SF: nation/region (25/5
-    # rows by TPC-H spec) or a 1-row scalar aggregate ("z" = the temperature
-    # mix's sum-of-sqrt normalizer)
-    allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal", "n_docs", "z"}
+    # rows by TPC-H spec), a 1-row scalar aggregate ("z" = the temperature
+    # mix's sum-of-sqrt normalizer, "st"/"ad" = BM25's n_docs/avgdl
+    # scalars), or a QUERY-bound relation ("dfreq" = BM25 per-term doc
+    # frequencies — one row per query term, independent of corpus size)
+    allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal",
+               "n_docs", "z", "dfreq", "st", "ad"}
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     for fname in ("tpch.py", "llmops.py"):
         src = open(os.path.join(qdir, fname)).read()
