@@ -40,16 +40,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# SQL-string twins of dot/norm/_as_double: one F.expr parse instead of the
+# lambda-Column construction's dozens of Py4J round-trips (the DataFrame
+# build of the brute-force spec measured ~300 ms, dominated by HOF lambda
+# plumbing; same expression tree after parsing, so values and plans are
+# identical).
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+
+def _as_double_sql(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     """(id, vec, norm) with the vector pre-cast to double and the norm
     computed ONCE per vector — the pairwise stage then does one dot product
     per pair instead of re-deriving both norms (3x fewer flops, and the same
     precompute shape as the DuckDB oracle's CTE, keeping values identical)."""
-    v = _as_double(F.col(vec_col))
+    v = _as_double_sql(vec_col)
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        v.alias(f"{prefix}_vec"),
-        norm(v).alias(f"{prefix}_nrm"),
+        F.expr(v).alias(f"{prefix}_vec"),
+        F.expr(_norm_sql(v)).alias(f"{prefix}_nrm"),
     )
 
 
@@ -69,7 +86,7 @@ def brute_force_topk(
     """
     q = _with_norm(queries, id_col, vec_col, "q")
     c = _with_norm(corpus, id_col, vec_col, "n")
-    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
@@ -94,7 +111,7 @@ def near_dup_pairs(
     """
     a = _with_norm(corpus, id_col, vec_col, "a")
     b = _with_norm(corpus, id_col, vec_col, "b")
-    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    cos = F.expr(_dot_sql("a_vec", "b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), F.round(cos, 4).alias("cos"))
@@ -256,7 +273,10 @@ def lsh_bucketed_pairs(
         .distinct()
     )
     # join each side's vector back once, then exact-verify
-    vecs = corpus.select(F.col(id_col).alias("id"), v.alias("v"), norm(v).alias("nrm"))
+    vs = _as_double_sql(vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.expr(vs).alias("v"), F.expr(_norm_sql(vs)).alias("nrm")
+    )
     scored = (
         candidates.join(
             vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
@@ -267,7 +287,7 @@ def lsh_bucketed_pairs(
             "id_b",
         )
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = F.expr(_dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
     return (
         scored.select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
@@ -303,7 +323,7 @@ def _probe_clusters(
     return queries.select(
         F.col(id_col).alias("q_id"),
         v.alias("q_vec"),
-        norm(v).alias("q_nrm"),
+        F.expr(_norm_sql(_as_double_sql(vec_col))).alias("q_nrm"),
         F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
     )
 
@@ -409,8 +429,10 @@ def ivf_topk(
         ikey = None
     index = _IVF_INDEX_CACHE.get(ikey) if ikey is not None else None
     if index is None:
+        vs = _as_double_sql(vec_col)
         index = _assign(corpus, centroids, vec_col).select(
-            F.col(id_col).alias("n_id"), v.alias("n_vec"), norm(v).alias("n_nrm"), "cluster"
+            F.col(id_col).alias("n_id"), F.expr(vs).alias("n_vec"),
+            F.expr(_norm_sql(vs)).alias("n_nrm"), "cluster"
         )
         if ikey is not None:
             for old in _IVF_INDEX_CACHE.values():
@@ -419,7 +441,7 @@ def ivf_topk(
             index = index.persist()
             _IVF_INDEX_CACHE[ikey] = index
     probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
-    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
     scored = (
         index.join(F.broadcast(probes), "cluster")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -588,7 +610,7 @@ def pq_topk(
         .select(
             "q_id", "n_id",
             F.round(
-                dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm")), 4
+                F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm")), 4
             ).alias("cos"),
         )
     )
@@ -636,7 +658,7 @@ def semdedup(
                    F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"))
     b = nrm.select(F.col("id").alias("id_b"), F.col("cluster").alias("cluster_b"),
                    F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"))
-    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    cos = F.expr(_dot_sql("a_vec", "b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
     pairs = (
         a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
         .select("cluster", "id_a", "id_b", F.round(cos, 4).alias("cos"))
