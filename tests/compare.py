@@ -659,6 +659,114 @@ def py_oracle_text_bpe_merges(sf_dir: str) -> tuple[list[str], list[tuple]]:
     return ["rank", "left", "right", "freq"], out
 
 
+def py_oracle_text_compression_ratio(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """compression_ratio re-derived: zlib level 6 over utf-8 bytes, ratio
+    rounded 4dp (pandas .round == numpy half-even on these magnitudes ==
+    python round ties-to-even), joined with lang."""
+    import pyarrow.parquet as pq
+    import zlib
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).sort_by("doc_id")
+    out = []
+    for doc_id, text, lang in zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+    ):
+        raw = (text or "").encode("utf-8")
+        n = len(raw)
+        comp = len(zlib.compress(raw, 6))
+        out.append((doc_id, lang, n, round(comp / max(n, 1), 4)))
+    return ["id", "lang", "n_bytes", "ratio"], out
+
+
+def py_oracle_multimodal_audio_chunks(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """multimodal_audio_chunks re-derived from the synthesis contract:
+    8 kHz square wave of +/-(id%2000+1), utf8len(text)%4000+100 frames,
+    0.25 s windows -> per-media chunk count, duration, peak."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    win, rate = 2000, 8000  # 0.25 s at 8 kHz
+    out = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        n = len((text or "").encode("utf-8")) % 4000 + 100
+        amp = doc_id % 2000 + 1
+        out.append(
+            (
+                doc_id,
+                math.ceil(n / win),
+                _spark_round(n / rate, 4),
+                _spark_round(float(amp), 2),
+            )
+        )
+    return ["media_id", "n_chunks", "duration", "peak"], out
+
+
+def py_oracle_text_quality_classifier(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """text_quality_classifier re-derived: logistic regression over hashed
+    presence features (bucket = pmod(xxhash64(tok), 128)), 4 full-batch GD
+    epochs at lr=0.3 with the engine's DECIMAL(28,12) exactness contract —
+    per-posting contributions/errors quantized half-up to 12 dp before the
+    (exact, order-free) sums, weights rounded to 12 dp per update. Label:
+    text contains 'spark'. Output: top-200 by (score desc, id)."""
+    import decimal
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    dim, epochs, lr = 128, 4, 0.3
+    q12 = decimal.Decimal(1).scaleb(-12)
+
+    def dec12(x: float) -> decimal.Decimal:
+        return decimal.Decimal(repr(x)).quantize(q12, rounding=decimal.ROUND_HALF_UP)
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    feats = {
+        doc_id: sorted(
+            {_signed64(_xx_str(tok, 42)) % dim
+             for tok in re.split("[^a-z]+", (text or "").lower()) if tok}
+        )
+        for doc_id, text in rows
+    }
+    labels = {doc_id: 1.0 if "spark" in (text or "") else 0.0 for doc_id, text in rows}
+    n_docs = len(rows)
+    weights = [0.0] * dim
+    bias = 0.0
+    for _ in range(epochs):
+        errs = {}
+        for doc_id, buckets in feats.items():
+            margin = float(sum(dec12(weights[b]) for b in buckets)) + bias
+            p = 1.0 / (1.0 + math.exp(-margin))
+            errs[doc_id] = p - labels[doc_id]
+        grad = [decimal.Decimal(0)] * dim
+        for doc_id, buckets in feats.items():
+            e = dec12(errs[doc_id])
+            for b in buckets:
+                grad[b] += e
+        bias_grad = float(sum(dec12(e) for e in errs.values()))
+        weights = [
+            round(w - lr * float(g) / n_docs, 12) for w, g in zip(weights, grad)
+        ]
+        bias = round(bias - lr * bias_grad / n_docs, 12)
+    out = []
+    for doc_id, buckets in feats.items():
+        margin = float(sum(dec12(weights[b]) for b in buckets)) + bias
+        score = _spark_round(1.0 / (1.0 + math.exp(-margin)), 6)
+        out.append((doc_id, bool(labels[doc_id]), score))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    out = [(i, y, s) for i, y, s in out[:200]]
+    return ["id", "y", "score"], out
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -670,4 +778,7 @@ PY_ORACLES = {
     "ann_lsh_pairs": py_oracle_ann_lsh_pairs,
     "dedup_incremental_index": py_oracle_dedup_incremental_index,
     "text_bpe_merges": py_oracle_text_bpe_merges,
+    "text_compression_ratio": py_oracle_text_compression_ratio,
+    "multimodal_audio_chunks": py_oracle_multimodal_audio_chunks,
+    "text_quality_classifier": py_oracle_text_quality_classifier,
 }

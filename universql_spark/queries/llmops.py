@@ -1279,9 +1279,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     category="text",
     doc="hashed-feature logistic regression (fastText-shaped quality "
-        "gate) trained distributed by full-batch GD; rows-only "
-        "(iterative training isn't SQL-expressible) — determinism under "
-        "repartitioning + separability pinned by tests",
+        "gate) trained distributed by full-batch GD; python-oracled in "
+        "the local gate (independent decimal-exact GD re-derivation); "
+        "determinism under repartitioning + separability pinned by tests",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a weak-supervision quality gate on the documents table (label:
@@ -1330,8 +1330,9 @@ FROM documents ORDER BY pos LIMIT 500""",
     None,
     category="text",
     doc="zlib compression-ratio repetitiveness signal (Dolma/RefinedWeb-"
-        "style quality gate); rows-only (no SQL zlib) — monotonicity vs "
-        "synthetic repetition pinned by test_compression_ratio_signal",
+        "style quality gate); python-oracled in the local gate (no SQL "
+        "zlib); monotonicity vs synthetic repetition also pinned by "
+        "test_compression_ratio_signal",
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib ratio over an Arrow-batched mapInPandas kernel
@@ -1402,8 +1403,9 @@ GROUP BY split, lang ORDER BY split, lang""",
     None,
     category="multimodal",
     doc="fixed-window audio chunking with per-chunk RMS/peak (ASR-pipeline "
-        "segmentation primitive); rows-only (binary codec) — exact tiling "
-        "and square-wave metering pinned by test_audio_chunks_cover_file_exactly",
+        "segmentation primitive); python-oracled in the local gate (the "
+        "synthesis contract re-derived); exact tiling and square-wave "
+        "metering also pinned by test_audio_chunks_cover_file_exactly",
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-0.25s chunk metering over synthesized PCM16 WAV payloads: row
