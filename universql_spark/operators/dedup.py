@@ -304,16 +304,23 @@ def minhash_lsh_pairs(
     src = f"__minhash_src_{id(docs) & 0xFFFFFF:x}"
     docs.createOrReplaceTempView(src)
     width = _narrow_width(docs, id_col)
-    hint = f"/*+ REPARTITION({width}, {id_col}) */ " if width else ""
-    toks = f"split(lower(trim({text_col})), ' +')"
+    # the repartition hint lives in the PRE-explode CTE and keys on the
+    # ALIASED id: one doc-row per wire row, and the rename Project sits
+    # above the exchange so alias-aware output partitioning lets the
+    # shingle window reuse it (hinting inside the post-explode block
+    # added a second ENSURE_REQUIREMENTS exchange on the exploded rows)
+    hint = f"/*+ REPARTITION({width}, id) */ " if width else ""
+    toks = "split(lower(trim(text)), ' +')"
     leads = ", ".join(
         f"lead(t, {i}) OVER (PARTITION BY id ORDER BY pos) AS l{i}" for i in range(1, n)
     )
     shingle = "concat_ws(' ', t, " + ", ".join(f"l{i}" for i in range(1, n)) + ")"
     sigsh = spark.sql(f"""
-WITH tok AS (
-  SELECT {hint}{id_col} AS id, size({toks}) AS nw, pos, t
-  FROM {src} LATERAL VIEW posexplode({toks}) AS pos, t
+WITH src AS (
+  SELECT {hint}{id_col} AS id, {text_col} AS text FROM {src}
+), tok AS (
+  SELECT id, size({toks}) AS nw, pos, t
+  FROM src LATERAL VIEW posexplode({toks}) AS pos, t
 ), led AS (
   SELECT id, nw, pos, t, {leads} FROM tok
 ), sh AS (
@@ -330,22 +337,37 @@ FROM sh GROUP BY id""")
                 pass
         sigsh = sigsh.persist()
         _SIGSH_HANDLE.append(sigsh)
-    sig_view = f"__minhash_sigsh_{id(docs) & 0xFFFFFF:x}"
-    sigsh.createOrReplaceTempView(sig_view)
+    # Phase 2 consumes the persisted index through the DATAFRAME OBJECT, not
+    # a temp view: a single SQL statement referencing the view three times
+    # (band explode + both verify sides) defeats cache substitution (plan
+    # prints ZERO InMemoryTableScans — the re-analyzed multi-reference tree
+    # stops matching the cached plan), silently re-running the signature
+    # build per branch. DataFrame-subtree references keep the exact cached
+    # plan object, and string expressions keep the Py4J count low.
     r = num_perm // bands
-    jac = "size(array_intersect(a.sh, b.sh)) / size(array_union(a.sh, b.sh))"
-    out = spark.sql(f"""
-WITH banded AS (
-  SELECT id, bx.band AS band, bx.bh AS bh FROM {sig_view}
-  LATERAL VIEW explode(transform(sequence(0, {bands - 1}),
-      b -> struct(b AS band, xxhash64(slice(sig, b * {r} + 1, {r})) AS bh))) AS bx
-), cands AS (
-  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
-)
-SELECT id_a, id_b, round({jac}, 4) AS jac
-FROM cands JOIN {sig_view} a ON a.id = id_a JOIN {sig_view} b ON b.id = id_b
-WHERE round({jac}, 4) >= {threshold}""")
+    banded = sigsh.selectExpr(
+        "id",
+        f"inline(transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band, xxhash64(slice(sig, b * {r} + 1, {r})) AS bh)))",
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .selectExpr("l.id AS id_a", "r.id AS id_b")
+        .distinct()
+    )
+    jac = "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"
+    out = (
+        cands.join(sigsh.selectExpr("id AS id_a", "sh AS sh_a"), "id_a")
+        .join(sigsh.selectExpr("id AS id_b", "sh AS sh_b"), "id_b")
+        .selectExpr("id_a", "id_b", f"round({jac}, 4) AS jac")
+        .filter(f"jac >= {threshold}")
+    )
     # sort=False skips the global sort: an ordered result costs a range
     # exchange + an input-sampling job (~30% of this operator at sf0.1),
     # and pair output feeds joins/components, never presentation
