@@ -521,26 +521,30 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. The scalar n_docs row stays a broadcast. Both shuffles ((doc,term)
     agg; window by doc) are on bounded keys.
     """
-    from pyspark.sql.window import Window
-
-    d = spark.table("documents")
-    tok = d.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    score = F.round(
-        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0), 6
-    ).alias("score")
-    scored = tf.join(dfq, "term").crossJoin(F.broadcast(n_docs)).select("doc_id", "term", score)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    # no final ORDER BY: the gate compares order-insensitively, and the
-    # global sort would add a range exchange + sampling job that re-runs
-    # the window stage (pure fixed cost at any scale)
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "score")
-    )
+    # one spark.sql build (same Py4J-economy rationale as the bench TPC-H
+    # specs); expression shape identical to the former DataFrame form, so
+    # values and plan are unchanged. No final ORDER BY: the gate compares
+    # order-insensitively, and the global sort would add a range exchange +
+    # sampling job that re-runs the window stage (pure fixed cost).
+    return spark.sql("""
+WITH tok AS (
+  SELECT doc_id, explode(split(lower(trim(text)), ' +')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT /*+ BROADCAST(nd) */ doc_id, tf.term,
+         round(tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+)
+SELECT doc_id, term, score FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored)
+WHERE rn <= 3""")
 
 
 register_sql(
