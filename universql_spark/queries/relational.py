@@ -527,6 +527,21 @@ ORDER BY o_orderkey LIMIT 200""",
 )
 
 register_sql(
+    "win_nth_value",
+    """SELECT o_orderkey,
+       nth_value(o_orderkey, 3) OVER w AS third_in_prio,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_overall
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey LIMIT 200""",
+    category="window",
+    doc="NTH_VALUE over running and full frames (NULL before the nth row "
+        "arrives in the running frame)",
+)
+
+register_sql(
     "func_split_part",
     """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS prio_num,
        split_part(o_orderpriority, '-', 2) AS prio_name
