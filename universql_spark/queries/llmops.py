@@ -1672,6 +1672,96 @@ def dedup_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_line_removal",
+    f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents),
+l AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(toks), 1), 8),
+         s -> array_to_string(toks[s : s + 7], ' ')) AS lines FROM t),
+e AS (
+  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+  FROM l, LATERAL unnest(generate_series(1, len(lines), 1)) AS u(i)),
+k AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1 AS kept
+  FROM e)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY idx),
+                    '')) AS cleaned_hash
+FROM k GROUP BY doc_id ORDER BY doc_id""",
+    category="dedup",
+    doc="corpus-wide duplicated-span REMOVAL (C4 'three-sentence span' / "
+        "RefinedWeb line-dedup rewrite): keep the globally-first occurrence "
+        "of every 8-token span, drop repeats everywhere else, and rebuild "
+        "each document from its surviving spans (md5 fingerprint of the "
+        "cleaned text so the oracle verifies the rewrite byte-for-byte)",
+)
+def dedup_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span removal — the rewrite stage that consumes the
+    duplication signal `dedup_crossdoc_ngrams` measures. Each document is
+    cut into non-overlapping 8-token spans (the 'line' proxy for corpora
+    without layout); a span's globally FIRST occurrence (min (doc_id, idx))
+    survives, every other occurrence — across documents AND within one —
+    is removed; documents are reassembled from surviving spans in order.
+
+    Scale shape: span text never rides the wide shuffle. The span stream
+    is hashed at the source (xxhash64, 8-byte longs), the global argmin is
+    ONE partial-aggregated groupBy(hash), the kept/dropped flags come from
+    an equi-join on that same hash partitioning, and the per-doc keep-set
+    (an int array) joins back to the resident line arrays on doc_id — the
+    single corpus-text shuffle, which bucketing-by-doc_id would also
+    eliminate. Per-doc outputs are hash-invariant unless xxhash64 collides
+    (~n^2/2^64), which keeps the exact text-domain DuckDB oracle valid."""
+    d = spark.table("documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " +")
+    lines = F.expr(
+        "transform(sequence(1, greatest(size(toks), 1), 8), "
+        "s -> array_join(slice(toks, s, 8), ' '))"
+    )
+    d2 = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id", lines.alias("lines")
+    )
+    e = (
+        d2.select("doc_id", F.posexplode("lines").alias("idx", "line"))
+        .select("doc_id", "idx", F.xxhash64("line").alias("h"))
+    )
+    first = e.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("keep"))
+    flags = e.join(first, "h").select(
+        "doc_id",
+        "idx",
+        (
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("idx") == F.col("keep.idx"))
+        ).alias("kept"),
+    )
+    ks = flags.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("kept"), F.col("idx")))
+        ).alias("keep_idx"),
+    )
+    return (
+        ks.join(d2, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").alias("n_kept"),
+            (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_dropped"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(keep_idx, i -> element_at(lines, i + 1)), ' ')"
+                )
+            ).alias("cleaned_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "embed_quantize_int8",
     """WITH m AS (
   SELECT vec_id, embedding,
