@@ -767,6 +767,35 @@ def py_oracle_text_quality_classifier(sf_dir: str) -> tuple[list[str], list[tupl
     return ["id", "y", "score"], out
 
 
+def py_oracle_text_cms_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Count-min sketch (w=32, d=4) re-derived in pure python with the
+    portable XXH64: cell = (r, spark_pmod(xxhash64(r, token), 32)); probe
+    estimate = min over rows. Exact counts from the same token stream."""
+    from collections import Counter
+
+    w, d_rows = 32, 4
+
+    def col(r: int, tok: str) -> int:
+        return _signed64(_xx_str(tok, _xx_int(r, 42))) % w
+
+    exact: Counter = Counter()
+    sketch: Counter = Counter()
+    probes: set[str] = set()
+    for doc_id, text in _load_documents(sf_dir):
+        toks = [t for t in _py_tokens(text) if t]
+        for t in toks:
+            exact[t] += 1
+            for r in range(d_rows):
+                sketch[(r, col(r, t))] += 1
+        if doc_id < 10:
+            probes.update(toks)
+    rows = []
+    for t in sorted(probes):
+        est = min(sketch[(r, col(r, t))] for r in range(d_rows))
+        rows.append((t, exact[t], est, est - exact[t]))
+    return ["token", "exact_cnt", "cms_est", "overcount"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -781,4 +810,5 @@ PY_ORACLES = {
     "text_compression_ratio": py_oracle_text_compression_ratio,
     "multimodal_audio_chunks": py_oracle_multimodal_audio_chunks,
     "text_quality_classifier": py_oracle_text_quality_classifier,
+    "text_cms_heavy_hitters": py_oracle_text_cms_heavy_hitters,
 }

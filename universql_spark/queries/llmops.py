@@ -1762,6 +1762,103 @@ def dedup_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cms_heavy_hitters",
+    None,  # sketch estimates are not SQL-expressible; python oracle in
+    # tests/compare.py (PY_ORACLES) rebuilds the sketch with the portable
+    # XXH64 and matches exact/est/overcount byte-for-byte.
+    category="text",
+    doc="count-min sketch token frequencies (Cormode & Muthukrishnan 2005): "
+        "w=32 x d=4 mergeable sketch over the corpus token stream, probe "
+        "tokens estimated as min over rows; overcount >= 0 always (one-sided "
+        "error), and the narrow width forces real collisions so the min "
+        "actually arbitrates",
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the mergeable-sketch counterpart to
+    the exact `text_vocab_topk`: at 100 TB the exact token groupBy is a
+    vocabulary-wide shuffle, while the sketch is a FIXED w*d-cell
+    aggregate (partial aggregation collapses every map task to <= w*d
+    rows, so the shuffle moves kilobytes regardless of corpus size) and
+    sketches from disjoint corpus shards merge by cell-wise addition.
+
+    Each token occurrence updates d=4 cells (row r, col = pmod(xxhash64(r,
+    token), w)); a probe token's estimate is min over rows of its cells —
+    never an undercount. Probes (distinct tokens of doc_id < 10) and the
+    sketch are both bounded, broadcast-joined; everything stays JVM-side."""
+    w, d_rows = 32, 4
+    docs = spark.table("documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("token")
+        ).filter(F.col("token") != "")
+    )
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            F.pmod(
+                                F.xxhash64(F.lit(r), F.col("token")), F.lit(w)
+                            ).alias("c"),
+                        )
+                        for r in range(d_rows)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    probes = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    probe_cells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64(F.lit(r), F.col("token")), F.lit(w)).alias(
+                            "c"
+                        ),
+                    )
+                    for r in range(d_rows)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "rc.r", "rc.c")
+    est = (
+        probe_cells.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    exact = (
+        tok.join(F.broadcast(probes), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+@register(
     "embed_quantize_int8",
     """WITH m AS (
   SELECT vec_id, embedding,
