@@ -70,11 +70,16 @@ def main() -> None:
     prepared: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, spec in bench_specs.items():
+        # Result materialization is df.toArrow() — the engine's actual
+        # result edge (Engine/protocol results are Arrow tables, like the
+        # reference's Arrow IPC responses). Row-object collect() measured
+        # 15-90 ms/query of Py4J row deserialization the product never
+        # pays (BENCH_NOTES r6).
         best = float("inf")
         for r in range(runs):
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
-            df.collect()
+            df.toArrow()
             dur = time.perf_counter() - t0
             if r == 0:
                 cold[name] = round(dur, 4)
@@ -85,7 +90,7 @@ def main() -> None:
         best_hot = float("inf")
         for _ in range(max(runs, 3)):
             t0 = time.perf_counter()
-            df.collect()
+            df.toArrow()
             best_hot = min(best_hot, time.perf_counter() - t0)
         prepared[name] = round(best_hot, 4)
 
