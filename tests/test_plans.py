@@ -431,3 +431,32 @@ def test_crossdoc_ngrams_partial_agg_no_cartesian(spark, sf_dir):
     assert all(m[2] == "L" for m in gram_parts), (
         f"gram exchange must carry the 8-byte hash, not text: {gram_parts}"
     )
+
+
+def test_line_removal_hash_shuffle_no_text(spark, sf_dir):
+    """Span-removal rewrite: the global-argmin exchange is keyed on the
+    xxhash64 of the span (a long), never span text; the argmin is a
+    partial-aggregated HashAggregate (min over struct), and the only
+    text-bearing shuffle is the final doc_id keep-set join."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "dedup_line_removal")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    parts = _re.findall(r"hashpartitioning\((\w+)#(\d+)(L?)", p)
+    h_parts = [m for m in parts if m[0] == "h"]
+    assert h_parts, f"expected an h-keyed exchange in:\n{p}"
+    assert all(m[2] == "L" for m in h_parts), (
+        f"span exchange must carry the 8-byte hash, not text: {h_parts}"
+    )
+
+
+def test_cms_sketch_partial_agg_broadcast_probes(spark, sf_dir):
+    """Count-min sketch: the cell aggregation partial-combines (every map
+    task emits <= w*d rows, so the exchange is constant-size regardless of
+    corpus bytes) and the probe-side estimate joins the sketch by
+    BROADCAST, never a shuffle of the token stream against probes."""
+    p = plan(spark, sf_dir, "text_cms_heavy_hitters")
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
