@@ -796,6 +796,55 @@ def py_oracle_text_cms_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple
     return ["token", "exact_cnt", "cms_est", "overcount"], rows
 
 
+def py_oracle_dedup_lsh_tuning_curve(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """LSH S-curve re-derived: exact 3-gram Jaccard over all sample pairs
+    (integer bucket (10*inter)//union), candidate set from portable-XXH64
+    minhash signatures banded 16x4 — same derivation as the incremental
+    index oracle."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    shs: dict[int, set[str]] = {}
+    sigs: dict[int, list[int]] = {}
+    perm_seeds = [_xx_int(i, 42) for i in range(64)]
+    for doc_id, text in _load_documents(sf_dir):
+        sg = _py_shingles(_py_tokens(text))
+        shs[doc_id] = set(sg)
+        hu = np.array(
+            [_signed64(_xx_str(s, 42)) for s in shs[doc_id]], dtype=np.int64
+        ).astype(np.uint64)
+        sigs[doc_id] = [
+            int(_xx_long_vec(hu, seed).astype(np.int64).min()) for seed in perm_seeds
+        ]
+    band_index: dict[tuple[int, int], list[int]] = {}
+    for doc_id in sigs:
+        for b in range(16):
+            key = (b, spark_xxhash64_longs(sigs[doc_id][b * 4:(b + 1) * 4]))
+            band_index.setdefault(key, []).append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for docs in band_index.values():
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                cands.add((min(a, b), max(a, b)))
+    agg: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    ids = sorted(shs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            inter = len(shs[ia] & shs[ib])
+            uni = len(shs[ia] | shs[ib])
+            bkt = (inter * 10) // uni
+            agg[bkt][0] += 1
+            if (ia, ib) in cands:
+                agg[bkt][1] += 1
+    rows = [
+        (k, agg[k][0], agg[k][1], _spark_round(agg[k][1] / agg[k][0], 4))
+        for k in sorted(agg)
+    ]
+    return ["bucket", "n_pairs", "n_candidates", "hit_rate"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -811,4 +860,5 @@ PY_ORACLES = {
     "multimodal_audio_chunks": py_oracle_multimodal_audio_chunks,
     "text_quality_classifier": py_oracle_text_quality_classifier,
     "text_cms_heavy_hitters": py_oracle_text_cms_heavy_hitters,
+    "dedup_lsh_tuning_curve": py_oracle_dedup_lsh_tuning_curve,
 }

@@ -1859,6 +1859,66 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_tuning_curve",
+    None,  # the LSH candidate set is minhash-signature-dependent (not
+    # SQL-expressible); python oracle in tests/compare.py (PY_ORACLES)
+    # re-derives signatures/bands with the portable XXH64 and the exact
+    # Jaccard side with integer bucketing.
+    category="dedup",
+    doc="empirical LSH S-curve (b=16, r=4): per-Jaccard-bucket fraction of "
+        "pairs surfaced as minhash-LSH candidates, measured on a bounded "
+        "tuning sample — how band/row parameters are calibrated before a "
+        "production dedup run",
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter calibration: compare the banded minhash candidate set
+    against exact 3-gram Jaccard for every pair of a bounded tuning
+    sample, bucketed by floor(10*J). The theoretical S-curve is
+    1-(1-J^r)^b; this measures the empirical one on real data — the
+    standard pre-flight check before committing band/row parameters to a
+    corpus-scale dedup run.
+
+    Scale shape: the all-pairs exact side is quadratic ON THE SAMPLE ONLY
+    (tuning samples are fixed-size by construction — here the gate corpus;
+    in production a few hundred docs drawn by corpus_stratified_sample);
+    the LSH side is the production candidate generator restricted to the
+    same sample. Buckets are integer-exact ((10*inter) DIV union — no FP
+    boundary ambiguity), hit_rate a 4dp ratio of counts."""
+    docs = spark.table("documents")
+    sh = dedup.with_shingles(docs)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+    )
+    cands = dedup.lsh_candidates(
+        dedup.minhash_signatures(dedup.shingle_rows(docs))
+    ).withColumn("is_cand", F.lit(1))
+    j = pairs.join(cands, ["id_a", "id_b"], "left")
+    return (
+        j.groupBy(F.expr("CAST((inter * 10) DIV uni AS INT)").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("is_cand"), F.lit(0)))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_candidates",
+            F.round(F.col("n_candidates") * 1.0 / F.col("n_pairs"), 4).alias(
+                "hit_rate"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "embed_quantize_int8",
     """WITH m AS (
   SELECT vec_id, embedding,
