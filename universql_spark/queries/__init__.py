@@ -215,12 +215,14 @@ _GATE_PRIORITY: list[str] = [
     "embed_kmeans", "embed_pca_project", "embed_cluster_profile",
     "dedup_simhash", "ann_lsh_buckets", "ann_lsh_pairs",
     "agg_approx_distinct", "agg_approx_quantile", "sample_reservoir",
-    # r6 new oracled specs (BM25 ranking, NTH_VALUE frames, BPE merge table):
+    # r6 new specs (BM25 ranking, NTH_VALUE frames, BPE merge table,
+    # C4-style span removal, count-min sketch, LSH S-curve):
     "text_bm25_topk", "win_nth_value", "text_bpe_merges",
-    # 13 regression re-gates (bench headliners + r5 regression watch):
+    "dedup_line_removal", "text_cms_heavy_hitters", "dedup_lsh_tuning_curve",
+    # 10 regression re-gates (bench headliners + r5 regression watch):
     "dedup_minhash_lsh", "ann_ivf_topk", "ann_cosine_topk", "text_tfidf_topk",
-    "dedup_crossdoc_ngrams", "corpus_chunk_overlap", "stream_tumbling_counts",
-    "cb_q00", "cb_q12", "tpch_q2_mincost", "fn_fuzzy_scalar_ext",
+    "dedup_crossdoc_ngrams", "stream_tumbling_counts",
+    "cb_q12", "fn_fuzzy_scalar_ext",
     "dedup_exact", "text_tokens",
     # ---- end of first-50 ----
     # driver-green already (kept for deterministic ordering of the
