@@ -376,8 +376,11 @@ def test_no_mandatory_broadcast_on_sf_scaled_tables(spark, sf_dir):
     # mix's sum-of-sqrt normalizer, "st"/"ad" = BM25's n_docs/avgdl
     # scalars), or a QUERY-bound relation ("dfreq" = BM25 per-term doc
     # frequencies — one row per query term, independent of corpus size)
+    # "cells" = the count-min sketch (<= w*d = 128 rows at ANY corpus size
+    # by construction), "probes" = distinct tokens of a 10-doc sample
+    # (sample-bound, corpus-size-independent)
     allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal",
-               "n_docs", "z", "dfreq", "st", "ad"}
+               "n_docs", "z", "dfreq", "st", "ad", "cells", "probes"}
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     for fname in ("tpch.py", "llmops.py"):
         src = open(os.path.join(qdir, fname)).read()
