@@ -219,11 +219,11 @@ _GATE_PRIORITY: list[str] = [
     # C4-style span removal, count-min sketch, LSH S-curve):
     "text_bm25_topk", "win_nth_value", "text_bpe_merges",
     "dedup_line_removal", "text_cms_heavy_hitters", "dedup_lsh_tuning_curve",
-    # 10 regression re-gates (bench headliners + r5 regression watch):
-    "dedup_minhash_lsh", "ann_ivf_topk", "ann_cosine_topk", "text_tfidf_topk",
+    "agg_percentile_within_group", "agg_grouping_id", "fn_pattern_quantified",
+    # 7 regression re-gates (bench headliners + r5 regression watch):
+    "dedup_minhash_lsh", "ann_ivf_topk", "text_tfidf_topk",
     "dedup_crossdoc_ngrams", "stream_tumbling_counts",
     "cb_q12", "fn_fuzzy_scalar_ext",
-    "dedup_exact", "text_tokens",
     # ---- end of first-50 ----
     # driver-green already (kept for deterministic ordering of the
     # most-load-bearing specs after the rotation tiers):

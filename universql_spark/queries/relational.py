@@ -1675,3 +1675,49 @@ def fn_conversion_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        TO_TIME('13:45:30') AS tt
 FROM nation ORDER BY k"""
     )
+
+
+register_sql(
+    "agg_percentile_within_group",
+    """SELECT l_returnflag,
+       round(CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p50_cont,
+       round(CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE), 4) AS p25_cont,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p50_disc,
+       CAST(MEDIAN(l_quantity) AS DOUBLE) AS med,
+       round(CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    category="aggregate",
+    doc="ordered-set aggregates: PERCENTILE_CONT (interpolated) / "
+        "PERCENTILE_DISC (order statistic) WITHIN GROUP + MEDIAN — "
+        "identical ANSI syntax on both engines; interpolation over sorted "
+        "order statistics is order-insensitive, so doubles compare exactly",
+)
+
+register_sql(
+    "agg_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    category="grouping",
+    doc="GROUPING_ID bitmask (companion to the per-column GROUPING flags "
+        "of agg_rollup_grouping_fn): same bit order in Spark and DuckDB",
+)
+
+register_sql(
+    "fn_pattern_quantified",
+    """SELECT n_name,
+       n_name LIKE ANY ('NATION_1%', 'NATION_2%') AS like_any,
+       n_name ILIKE ANY ('nation_1%', 'nation_22') AS ilike_any,
+       n_name LIKE ALL ('NATION%', '%2%') AS like_all
+FROM nation ORDER BY n_name""",
+    oracle="""SELECT n_name,
+       (n_name LIKE 'NATION_1%' OR n_name LIKE 'NATION_2%') AS like_any,
+       (n_name ILIKE 'nation_1%' OR n_name ILIKE 'nation_22') AS ilike_any,
+       (n_name LIKE 'NATION%' AND n_name LIKE '%2%') AS like_all
+FROM nation ORDER BY n_name""",
+    category="function",
+    doc="quantified pattern predicates LIKE ANY / ILIKE ANY / LIKE ALL "
+        "(Snowflake + Spark native syntax; DuckDB oracle expands to OR/AND)",
+)
