@@ -30,6 +30,8 @@ QUERIES = [
     "ann_ivf_topk",
     "text_tfidf_topk",
     "dedup_crossdoc_ngrams",
+    "dedup_line_removal",
+    "text_cms_heavy_hitters",
 ]
 N_DOCS, N_VECS = 50_000, 20_000
 
