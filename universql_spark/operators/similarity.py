@@ -300,25 +300,53 @@ def lsh_bucketed_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: probe-cell Columns, keyed on (session, quantizer values, vec_col).
+#: The quantizer is fixed once trained (FAISS keeps it resident the same
+#: way), so the Column is reusable across query batches verbatim; Columns
+#: are plain expression trees, valid for any DataFrame of the same session.
+_PROBE_EXPR_CACHE: dict[tuple, "F.Column"] = {}
+
+
 def _probe_clusters(
     queries: DataFrame, centroids: list[list[float]], n_probe: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(q_id, q_vec, q_nrm, cluster) — each query exploded to its n_probe
     NEAREST coarse cells (array_sort over (dist2, cell) structs; ties break
-    on cell id, so probing is deterministic). Built as one SQL string per
-    the cluster._assign convention (Py4J round-trip economy)."""
-    from universql_spark.operators.cluster import _dist2_sql  # noqa: PLC0415
+    on cell id, so probing is deterministic).
 
+    The centroid matrix enters the plan as ONE nested-array Literal node
+    (F.lit of the python matrix) probed with a transform-with-index lambda,
+    not as n_cells inlined per-dimension literal expressions: the inline
+    form is n_cells x dim Literal NODES, and its analysis alone cost
+    ~0.2-0.3 s per query batch at 8x64 (r6 bench audit) — and would grow
+    linearly into the thousands-of-cells regime a 100 TB corpus needs.
+    dist2 arithmetic ((x-y)^2 summed left-to-right) is unchanged, so cell
+    assignments are bit-identical to the inline form; both forms evaluate
+    through the same interpreted HOF path. The built Column is additionally
+    memoized per quantizer (_PROBE_EXPR_CACHE)."""
     v = _as_double(F.col(vec_col))
-    vsql = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    cells = F.expr(
-        "array("
-        + ",".join(
-            f"struct({_dist2_sql(vsql, c)} AS d, {ci} AS c)"
-            for ci, c in enumerate(centroids)
-        )
-        + ")"
+    vd = F.expr(_as_double_sql(vec_col))
+    ckey = (
+        id(queries.sparkSession),
+        tuple(tuple(c) for c in centroids),
+        vec_col,
     )
+    cells = _PROBE_EXPR_CACHE.get(ckey)
+    if cells is None:
+        cmat = F.lit([[float(x) for x in c] for c in centroids])
+
+        def _d2(c):
+            return F.aggregate(
+                F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        cells = F.transform(
+            cmat, lambda c, i: F.struct(_d2(c).alias("d"), i.alias("c"))
+        )
+        _PROBE_EXPR_CACHE.clear()  # one live quantizer, like the index cache
+        _PROBE_EXPR_CACHE[ckey] = cells
     nearest = F.slice(F.array_sort(cells), 1, n_probe)
     return queries.select(
         F.col(id_col).alias("q_id"),
@@ -337,14 +365,22 @@ def _probe_clusters(
 #: value-identical to a retrain.
 _IVF_TRAIN_CACHE: dict[tuple, list[list[float]]] = {}
 
-#: persisted inverted-list assignments, keyed the same way (VERDICT r5 #4):
-#: FAISS's add() writes vectors into their cells ONCE; production IVF
-#: persists the assignment partitioned BY cell and every query batch reads
-#: it. Re-assigning the corpus per batch is the same class of mistake as
-#: re-training per batch. Bounded to one live entry (the previous index is
-#: unpersisted on key change), and the assignment is deterministic given
-#: the memoized centroids, so a hit is value-identical to a rebuild.
+#: parquet-materialized inverted-list assignments, keyed the same way
+#: (VERDICT r5 #4): FAISS's add() writes vectors into their cells ONCE;
+#: production IVF persists the assignment partitioned BY cell and every
+#: query batch reads it. Re-assigning the corpus per batch is the same
+#: class of mistake as re-training per batch. The cached value is the
+#: READ-BACK relation (r6: parquet file, not .persist() — a scan node's
+#: plan is a leaf, so downstream query-batch DataFrames stop
+#: re-canonicalizing the centroid-literal assignment tree). Bounded to one
+#: live entry (the previous file is removed on key change), and the
+#: assignment is deterministic given the memoized centroids, so a rebuild
+#: is value-identical to the file.
 _IVF_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
+
+#: scratch directory holding the one live parquet-materialized index
+#: (removed when the quantizer key changes)
+_IVF_INDEX_PATH: str | None = None
 
 
 def ivf_train_sample(
@@ -435,20 +471,48 @@ def ivf_topk(
             F.expr(_norm_sql(vs)).alias("n_nrm"), "cluster"
         )
         if ikey is not None:
-            for old in _IVF_INDEX_CACHE.values():
-                old.unpersist()
+            # Materialize the inverted lists to parquet and hand consumers
+            # the READ-BACK relation (the FAISS add() convention: vectors
+            # are written into their cells once; query batches read the
+            # index). Next to exec reuse this buys plan economy: the scan
+            # node replaces the assignment tree (n_cells x dim centroid
+            # literals) that every downstream DataFrame creation would
+            # otherwise re-canonicalize (~0.15 s/query batch measured).
+            # Assignment is deterministic given the memoized centroids, so
+            # the file equals a recompute value-for-value.
+            import shutil  # noqa: PLC0415
+            import tempfile  # noqa: PLC0415
+
+            global _IVF_INDEX_PATH
+            spark = corpus.sparkSession
+            if _IVF_INDEX_PATH:
+                shutil.rmtree(_IVF_INDEX_PATH, ignore_errors=True)
+            _IVF_INDEX_PATH = tempfile.mkdtemp(prefix="universql_ivf_index_")
+            index.write.mode("overwrite").parquet(_IVF_INDEX_PATH)
+            index = spark.read.parquet(_IVF_INDEX_PATH)
             _IVF_INDEX_CACHE.clear()
-            index = index.persist()
             _IVF_INDEX_CACHE[ikey] = index
     probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
-    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
-    scored = (
-        index.join(F.broadcast(probes), "cluster")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # scoring + top-k as ONE spark.sql over the two relations: the
+    # equivalent DataFrame chain (join -> filter -> select -> window ->
+    # filter) is 5 plan creations, each re-canonicalizing both subtrees
+    # (~0.15 s/query batch of pure driver latency — r6 bench audit); the
+    # BROADCAST hint is the same planner directive as F.broadcast.
+    spark = corpus.sparkSession
+    index.createOrReplaceTempView("__ivf_index")
+    probes.createOrReplaceTempView("__ivf_probes")
+    out = spark.sql(f"""
+WITH s AS (
+  SELECT /*+ BROADCAST(p) */ p.q_id, i.n_id,
+         round({_dot_sql("p.q_vec", "i.n_vec")} / (p.q_nrm * i.n_nrm), 4) AS cos
+  FROM __ivf_index i JOIN __ivf_probes p
+    ON i.cluster = p.cluster AND p.q_id <> i.n_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= {int(k)}""")
     return out.orderBy("q_id", "rank") if sort else out
 
 

@@ -126,3 +126,57 @@ def asof_join_colocated(
     for name in payload:
         out = out.withColumn(name, F.col("__match")[name])
     return out.drop("__tag", "__match")
+
+
+def asof_join_colocated_sql(
+    spark,
+    table: str,
+    right_pred: str,
+    left_pred: str,
+    key: str | list[str],
+    ts: str = "ts",
+    payload: dict[str, str] | None = None,
+    tiebreak: list[str] | None = None,
+    carry: list[str] | None = None,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """SQL-rendered twin of asof_join_colocated for string predicates.
+
+    Same logical plan (tag-filter scan -> one window -> keep left rows),
+    built as ONE spark.sql statement: the DataFrame-API construction costs
+    ~0.3-0.4 s of per-call Column/plan plumbing at any data size — pure
+    fixed overhead a latency-sensitive caller (the bench replan tier, a
+    dashboard) shouldn't pay. Predicates/payload are SQL strings here;
+    the Column-based variant above remains for programmatic callers.
+
+    carry: source columns the window stage needs (keys/ts/tiebreak are
+    added automatically). select: output columns (default: payload names).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = payload or {}
+    need = list(
+        dict.fromkeys(
+            (carry or []) + keys + [ts] + (tiebreak or []) + list(payload.values())
+        )
+    )
+    struct_args = ", ".join(f"'{n}', {c}" for n, c in payload.items())
+    order = ", ".join([ts, "__tag"] + (tiebreak or []))
+    outcols = select or list(payload)
+    proj = ", ".join(
+        [c for c in outcols if c not in payload]
+        + [f"__match.{n} AS {n}" for n in outcols if n in payload]
+    )
+    return spark.sql(f"""
+WITH ev AS (
+  SELECT {", ".join(need)},
+         CASE WHEN {right_pred} THEN 0 ELSE 1 END AS __tag
+  FROM {table}
+  WHERE ({right_pred}) OR ({left_pred})
+), m AS (
+  SELECT {", ".join(need)}, __tag,
+         last(CASE WHEN __tag = 0 THEN named_struct({struct_args}) END, true)
+           OVER (PARTITION BY {", ".join(keys)} ORDER BY {order}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __match
+  FROM ev
+)
+SELECT {proj} FROM m WHERE __tag = 1""")

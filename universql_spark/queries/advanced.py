@@ -36,18 +36,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY dedup costs no extra window. (The two-DataFrame asof_join
     remains for genuinely distinct inputs.) Oracle: DuckDB native ASOF
     LEFT JOIN. No final ORDER BY — the gate compares order-insensitively
-    and a global sort is a pure extra exchange at any scale."""
-    ev = spark.table("events")
-    out = temporal.asof_join_colocated(
-        ev,
-        right_filter=F.col("event_type") == "purchase",
-        left_filter=F.col("event_type").isin("click", "view"),
+    and a global sort is a pure extra exchange at any scale. Built via the
+    SQL-rendered twin (asof_join_colocated_sql): identical plan, one
+    spark.sql call instead of ~0.4 s of DataFrame-API plumbing per replan
+    (plan-pinned by tests/test_plans.py::test_asof_single_shuffle...)."""
+    return temporal.asof_join_colocated_sql(
+        spark,
+        "events",
+        right_pred="event_type = 'purchase'",
+        left_pred="event_type IN ('click', 'view')",
         key="user_id",
         ts="ts",
         payload={"p_event_id": "event_id", "p_value": "value"},
         tiebreak=["event_id"],
+        carry=["event_id", "value"],
+        select=["event_id", "p_event_id", "p_value"],
     )
-    return out.select("event_id", "p_event_id", "p_value")
 
 
 register_sql(
