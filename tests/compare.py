@@ -845,6 +845,69 @@ def py_oracle_dedup_lsh_tuning_curve(sf_dir: str) -> tuple[list[str], list[tuple
     return ["bucket", "n_pairs", "n_candidates", "hit_rate"], rows
 
 
+def py_oracle_dedup_bloom_decontaminate(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Bloom decontamination re-derived with the portable XXH64: 2^16-bit
+    filter over the eval set's (doc_id % 17 == 0) distinct shingles, k=4
+    positions pos_j = pmod(xxhash64(j, shingle), 2^16); a probe shingle is
+    flagged iff all 4 bits are set. Exact overlap alongside."""
+    m_bits, k = 1 << 16, 4
+
+    def positions(s: str) -> list[int]:
+        return [_signed64(_xx_str(s, _xx_int(j, 42))) % m_bits for j in range(k)]
+
+    eval_sh: set[str] = set()
+    probe: dict[int, set[str]] = {}
+    for doc_id, text in _load_documents(sf_dir):
+        sg = set(_py_shingles(_py_tokens(text)))
+        if doc_id % 17 == 0:
+            eval_sh.update(sg)
+        else:
+            probe[doc_id] = sg
+    bloom: set[int] = set()
+    for s in eval_sh:
+        bloom.update(positions(s))
+    rows = []
+    for doc_id in sorted(probe):
+        n_bloom = sum(1 for s in probe[doc_id] if all(p in bloom for p in positions(s)))
+        n_exact = len(probe[doc_id] & eval_sh)
+        rows.append((doc_id, len(probe[doc_id]), n_bloom, n_exact))
+    return ["id", "n_shingles", "n_bloom_hits", "n_exact_hits"], rows
+
+
+def py_oracle_embed_kcenter_sample(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Farthest-point k-center replayed with the same left-to-right
+    (x-y)^2 double folds as Spark's F.aggregate (NOT numpy sums — order
+    changes the FP result), so every greedy selection matches the operator
+    bit-for-bit. Ties argmax to the lowest id."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
+
+    def d2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    k = 8
+    picked = [(1, ids[0], 0.0)]
+    centers = [vecs[0]]
+    for rank in range(2, k + 1):
+        best_id, best_d, best_v = None, -1.0, None
+        for i, v in zip(ids, vecs):
+            dmin = min(d2(v, c) for c in centers)
+            if dmin > best_d or (dmin == best_d and i < best_id):
+                best_id, best_d, best_v = i, dmin, v
+        picked.append((rank, best_id, best_d))
+        centers.append(best_v)
+    rows = [(r, i, _spark_round(d, 4)) for r, i, d in picked]
+    return ["sel_rank", "vec_id", "min_dist2"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -861,4 +924,6 @@ PY_ORACLES = {
     "text_quality_classifier": py_oracle_text_quality_classifier,
     "text_cms_heavy_hitters": py_oracle_text_cms_heavy_hitters,
     "dedup_lsh_tuning_curve": py_oracle_dedup_lsh_tuning_curve,
+    "dedup_bloom_decontaminate": py_oracle_dedup_bloom_decontaminate,
+    "embed_kcenter_sample": py_oracle_embed_kcenter_sample,
 }

@@ -564,3 +564,46 @@ def test_bpe_train_and_encode(docs):
     base = bpe_encode(docs, []).agg(F.sum("n_bpe_tokens")).collect()[0][0]
     enc = bpe_encode(docs, pairs).agg(F.sum("n_bpe_tokens")).collect()[0][0]
     assert enc < base
+
+
+def test_bloom_decontaminate_one_sided(spark, sf_dir):
+    """Bloom membership can only over-report (false positives, never false
+    negatives): every exact overlap is flagged, and flagged-minus-exact is
+    the observable FP count. The fixture plants real overlaps (eval docs
+    share shingles with near-duplicate probe docs)."""
+    from universql_spark.queries import load_all
+
+    rows = load_all()["dedup_bloom_decontaminate"].spark(spark, sf_dir).collect()
+    assert rows, "probe side is non-empty"
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
+    assert all(r["n_shingles"] >= r["n_bloom_hits"] for r in rows)
+    assert any(r["n_exact_hits"] > 0 for r in rows), "fixture has true overlap"
+
+
+def test_kcenter_sample_properties(spark, sf_dir):
+    """Farthest-point sampling invariants: dense ranks, distinct picks,
+    and the selection distance is non-increasing from the second pick on
+    (the min-distance-to-selected function only shrinks as the set grows)."""
+    from universql_spark.operators.cluster import kcenter_sample
+
+    out = kcenter_sample(spark.table("embeddings"), k=6).collect()
+    assert [r["sel_rank"] for r in out] == list(range(1, 7))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == len(ids)
+    d = [r["min_dist2"] for r in out]
+    assert d[0] == 0.0
+    assert all(d[i] >= d[i + 1] for i in range(1, len(d) - 1))
+    assert d[1] > 0.0
+
+
+def test_seqlen_histogram_totals(spark, sf_dir):
+    """Histogram partitions the corpus: bucket doc counts sum to the table
+    count, shares to ~1, and bucket bounds are consistent."""
+    from universql_spark.queries import load_all
+
+    rows = load_all()["corpus_seqlen_histogram"].spark(spark, sf_dir).collect()
+    n_docs = spark.table("documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert 32 * r["bucket"] <= r["min_tokens"] <= r["max_tokens"] < 32 * (r["bucket"] + 1)

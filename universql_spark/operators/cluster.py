@@ -195,3 +195,57 @@ def pca_project(
         proj_cols.append(F.round(dot, 6))
     out = df.select(F.col(id_col), F.array(*proj_cols).alias("proj"))
     return out, comps
+
+
+def kcenter_sample(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point (Gonzalez 1985 k-center) diversity sample: k vectors
+    that greedily maximize the minimum pairwise distance — the standard
+    "coverage" sampler for picking maximally-diverse training examples or
+    seeding annotation batches.
+
+    Scale shape: k-1 NARROW passes, each computing every row's min dist2
+    to the selected set (the set enters the plan as ONE nested-array
+    literal, like similarity._probe_clusters) and reducing to a single
+    argmax row via orderBy+limit(1) — Spark plans that as
+    TakeOrderedAndProject (per-partition top-1, driver merge), never a
+    global sort shuffle. Driver state is k x dim floats. Deterministic:
+    seed = lowest id, distance ties argmax to the lowest id, double
+    arithmetic is the same left-to-right (x-y)^2 fold everywhere, so a
+    python oracle reproduces selections bit-for-bit.
+    """
+    vd = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    first = (
+        corpus.orderBy(id_col).limit(1).select(F.col(id_col).alias("id"), vd.alias("v")).collect()[0]
+    )
+    picked: list[tuple] = [(1, first["id"], 0.0)]
+    centers = [[float(x) for x in first["v"]]]
+    for rank in range(2, k + 1):
+        d2min = F.array_min(
+            F.transform(
+                F.lit(centers),
+                lambda c: F.aggregate(
+                    F.zip_with(vd, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        far = (
+            corpus.select(F.col(id_col).alias("id"), vd.alias("v"), d2min.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rank, far["id"], far["d2"]))
+        centers.append([float(x) for x in far["v"]])
+    spark = corpus.sparkSession
+    out = spark.createDataFrame(
+        [(r, i, float(d)) for r, i, d in picked],
+        schema="sel_rank INT, vec_id BIGINT, min_dist2 DOUBLE",
+    )
+    return out.select("sel_rank", "vec_id", F.round("min_dist2", 4).alias("min_dist2"))

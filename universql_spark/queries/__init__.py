@@ -220,11 +220,20 @@ _GATE_PRIORITY: list[str] = [
     "text_bm25_topk", "win_nth_value", "text_bpe_merges",
     "dedup_line_removal", "text_cms_heavy_hitters", "dedup_lsh_tuning_curve",
     "agg_percentile_within_group", "agg_grouping_id", "fn_pattern_quantified",
-    # 7 regression re-gates (bench headliners + r5 regression watch):
-    "dedup_minhash_lsh", "ann_ivf_topk", "text_tfidf_topk",
+    # 3 specs changed late in r6 (re-gate: minhash SQL rewrite, IVF
+    # parquet-backed index + fused scoring SQL, as-of SQL twin) + 1 bench
+    # headliner:
+    "dedup_minhash_lsh", "ann_ivf_topk", "join_asof", "text_tfidf_topk",
+    # 3 new late-r6 specs (Bloom decontamination, k-center diversity
+    # sample, sequence-length histogram) — never gated:
+    "dedup_bloom_decontaminate", "embed_kcenter_sample",
+    "corpus_seqlen_histogram",
+    # ---- end of first-50 ----
+    # (displaced to make room, all driver-green r5 and unchanged since:
+    # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
+    # fn_fuzzy_scalar_ext)
     "dedup_crossdoc_ngrams", "stream_tumbling_counts",
     "cb_q12", "fn_fuzzy_scalar_ext",
-    # ---- end of first-50 ----
     # driver-green already (kept for deterministic ordering of the
     # most-load-bearing specs after the rotation tiers):
     "fn_higher_order",

@@ -2379,3 +2379,152 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universql_spark.operators.bpe import bpe_train
 
     return bpe_train(spark.table("documents"), n_merges=8)
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    None,  # bitmap membership is xxhash64-dependent; python oracle in
+    # tests/compare.py (PY_ORACLES) rebuilds the bitmap with the portable
+    # XXH64 and matches per-doc hit counts byte-for-byte.
+    category="dedup",
+    doc="Bloom-filter decontamination (Bloom 1970): 64 Kbit sharded bitmap "
+        "over the eval set's shingles, corpus probed by bitmap join; "
+        "n_bloom_hits >= n_exact_hits always (one-sided error), and exact "
+        "overlap is carried alongside so false positives are observable",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a SHARDED Bloom filter — the
+    set-membership sibling of text_cms_heavy_hitters' frequency sketch:
+    at 100 TB the exact shingle anti-join moves the eval set's full
+    shingle relation through a shuffle per probe batch, while the Bloom
+    bitmap is a FIXED m-bit structure (here m=2^16, k=4) that (a) builds
+    with one word-keyed bit_or aggregate — partial aggregation collapses
+    every map task to <= m/64 rows — and (b) probes as a broadcast join
+    on the word index, never touching shingle text. Bitmaps from disjoint
+    eval shards merge by word-wise OR (mergeable, like every sketch here).
+
+    Eval set = doc_id % 17 == 0 (stands in for a benchmark suite). Each
+    eval shingle sets k=4 bits: pos_j = pmod(xxhash64(j, shingle), m),
+    sharded as (word = pos div 64, mask = 1 << (pos % 64)). A probe
+    shingle is flagged iff all 4 of its bits are set; the exact-overlap
+    count (a plain semi-join, also broadcast-sized at gate scale) rides
+    alongside so n_bloom_hits - n_exact_hits exposes the false-positive
+    rate the m/k choice buys. Everything is JVM expression pipeline; the
+    only corpus-sized shuffle is the per-doc distinct-shingle groupBy."""
+    m_bits, k = 1 << 16, 4
+    sh = dedup.shingle_rows(spark.table("documents")).select("id", "s").distinct()
+    ev_sh = sh.filter(F.col("id") % 17 == 0).select("s").distinct()
+    probe_sh = sh.filter(F.col("id") % 17 != 0)
+
+    def bits(col):
+        return F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(j), col), F.lit(m_bits)).alias("p")
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+
+    bloom = (
+        ev_sh.select(bits(F.col("s")))
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe_bits = probe_sh.select("id", "s", bits(F.col("s"))).select(
+        "id",
+        "s",
+        F.expr("pos DIV 64").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    hit = (
+        probe_bits.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "set",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("id", "s")
+        .agg((F.sum("set") == k).cast("int").alias("bloom_hit"))
+    )
+    exact = probe_sh.join(F.broadcast(ev_sh), "s").select(
+        "id", "s", F.lit(1).alias("exact_hit")
+    )
+    return (
+        hit.join(exact, ["id", "s"], "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).alias("n_exact_hits"),
+        )
+        .select("id", "n_shingles", "n_bloom_hits", "n_exact_hits")
+        .orderBy("id")
+    )
+
+
+@register(
+    "embed_kcenter_sample",
+    None,  # iterative greedy argmax is not SQL-expressible; python oracle
+    # in tests/compare.py (PY_ORACLES) replays the same left-to-right
+    # double folds, so selections match bit-for-bit.
+    category="similarity",
+    doc="farthest-point (k-center) diversity sample: 8 maximally-spread "
+        "embeddings via k-1 narrow argmax passes (TakeOrdered top-1, no "
+        "sort shuffle); the coverage sampler for diverse training batches",
+)
+def embed_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez k-center over the embeddings table -> (sel_rank, vec_id,
+    min_dist2 to the previously selected set, 4dp). See
+    operators/cluster.kcenter_sample for the scale argument."""
+    from universql_spark.operators.cluster import kcenter_sample
+
+    return kcenter_sample(spark.table("embeddings"), k=8)
+
+
+@register(
+    "corpus_seqlen_histogram",
+    f"""WITH t AS (SELECT doc_id, {_duck_token_count('text')} AS n_tokens FROM documents)
+SELECT (n_tokens // 32) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       round(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM t), 4) AS doc_share
+FROM t GROUP BY bucket ORDER BY bucket""",
+    category="corpus",
+    doc="sequence-length histogram (width-32 token buckets): the packing/"
+        "truncation audit run before choosing a training context length",
+)
+def corpus_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in width-32 integer buckets, with per-bucket
+    doc share — the audit behind context-length / packing decisions
+    (how much of the corpus truncates at L, how much padding short docs
+    cost). Integer bucketing (n DIV 32) keeps the histogram FP-free; the
+    whole thing is one partial-agg pass plus a scalar-count broadcast, no
+    corpus payload on any shuffle."""
+    from pyspark.sql.window import Window
+
+    d = spark.table("documents")
+    t = d.select(
+        "doc_id", textops.token_count(F.col("text")).alias("n_tokens")
+    )
+    hist = t.groupBy(F.expr("n_tokens DIV 32").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    # doc share from the HISTOGRAM itself (unpartitioned window over the
+    # bounded bucket rows) — no second corpus pass for the total
+    return hist.withColumn(
+        "doc_share",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 4),
+    ).orderBy("bucket")
