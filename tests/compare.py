@@ -866,10 +866,11 @@ def py_oracle_dedup_bloom_decontaminate(sf_dir: str) -> tuple[list[str], list[tu
     bloom: set[int] = set()
     for s in eval_sh:
         bloom.update(positions(s))
+    ev_h = {_signed64(_xx_str(s, 42)) for s in eval_sh}
     rows = []
     for doc_id in sorted(probe):
         n_bloom = sum(1 for s in probe[doc_id] if all(p in bloom for p in positions(s)))
-        n_exact = len(probe[doc_id] & eval_sh)
+        n_exact = sum(1 for s in probe[doc_id] if _signed64(_xx_str(s, 42)) in ev_h)
         rows.append((doc_id, len(probe[doc_id]), n_bloom, n_exact))
     return ["id", "n_shingles", "n_bloom_hits", "n_exact_hits"], rows
 

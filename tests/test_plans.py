@@ -379,8 +379,10 @@ def test_no_mandatory_broadcast_on_sf_scaled_tables(spark, sf_dir):
     # "cells" = the count-min sketch (<= w*d = 128 rows at ANY corpus size
     # by construction), "probes" = distinct tokens of a 10-doc sample
     # (sample-bound, corpus-size-independent)
+    # "bloom" = the Bloom bitmap (<= m/64 = 1024 word rows at ANY corpus
+    # size by construction — same bounded-sketch class as "cells")
     allowed = {"region", "nation", "n1", "n2", "total", "maxrev", "avg_bal",
-               "n_docs", "z", "dfreq", "st", "ad", "cells", "probes"}
+               "n_docs", "z", "dfreq", "st", "ad", "cells", "probes", "bloom"}
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     for fname in ("tpch.py", "llmops.py"):
         src = open(os.path.join(qdir, fname)).read()

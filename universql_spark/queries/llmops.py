@@ -2454,8 +2454,16 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id", "s")
         .agg((F.sum("set") == k).cast("int").alias("bloom_hit"))
     )
-    exact = probe_sh.join(F.broadcast(ev_sh), "s").select(
-        "id", "s", F.lit(1).alias("exact_hit")
+    # exact-overlap side: hash-keyed semi join, NO broadcast hint (the
+    # eval shingle relation is SF-scaled — the planner picks broadcast at
+    # small SF and shuffles past the threshold); the wire carries 8-byte
+    # xxhash64 longs, never shingle text (64-bit collisions ~ n^2/2^65;
+    # the python oracle mirrors the hash-keyed check exactly)
+    ev_h = ev_sh.select(F.xxhash64("s").alias("h")).distinct()
+    exact = (
+        probe_sh.select("id", "s", F.xxhash64("s").alias("h"))
+        .join(ev_h, "h")
+        .select("id", "s", F.lit(1).alias("exact_hit"))
     )
     return (
         hit.join(exact, ["id", "s"], "left")
