@@ -847,30 +847,32 @@ def py_oracle_dedup_lsh_tuning_curve(sf_dir: str) -> tuple[list[str], list[tuple
 
 def py_oracle_dedup_bloom_decontaminate(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """Bloom decontamination re-derived with the portable XXH64: 2^16-bit
-    filter over the eval set's (doc_id % 17 == 0) distinct shingles, k=4
-    positions pos_j = pmod(xxhash64(j, shingle), 2^16); a probe shingle is
-    flagged iff all 4 bits are set. Exact overlap alongside."""
+    filter over the eval set's (doc_id % 17 == 0) shingles; h = xxhash64(
+    shingle), k=4 positions DERIVED FROM h (pos_j = pmod(xxhash64(j, h),
+    2^16), the engine's double-hashing scheme); a probe shingle is flagged
+    iff all 4 bits are set. Exact overlap and per-doc dedup both key on h
+    — the engine's exact key — so even a 64-bit hash collision cannot
+    diverge the two sides."""
     m_bits, k = 1 << 16, 4
 
-    def positions(s: str) -> list[int]:
-        return [_signed64(_xx_str(s, _xx_int(j, 42))) % m_bits for j in range(k)]
+    def positions(h: int) -> list[int]:
+        return [_signed64(_xx_long(h, _xx_int(j, 42))) % m_bits for j in range(k)]
 
-    eval_sh: set[str] = set()
-    probe: dict[int, set[str]] = {}
+    ev_h: set[int] = set()
+    probe: dict[int, set[int]] = {}
     for doc_id, text in _load_documents(sf_dir):
-        sg = set(_py_shingles(_py_tokens(text)))
+        hs = {_signed64(_xx_str(s, 42)) for s in _py_shingles(_py_tokens(text))}
         if doc_id % 17 == 0:
-            eval_sh.update(sg)
+            ev_h.update(hs)
         else:
-            probe[doc_id] = sg
+            probe[doc_id] = hs
     bloom: set[int] = set()
-    for s in eval_sh:
-        bloom.update(positions(s))
-    ev_h = {_signed64(_xx_str(s, 42)) for s in eval_sh}
+    for h in ev_h:
+        bloom.update(positions(h))
     rows = []
     for doc_id in sorted(probe):
-        n_bloom = sum(1 for s in probe[doc_id] if all(p in bloom for p in positions(s)))
-        n_exact = sum(1 for s in probe[doc_id] if _signed64(_xx_str(s, 42)) in ev_h)
+        n_bloom = sum(1 for h in probe[doc_id] if all(p in bloom for p in positions(h)))
+        n_exact = len(probe[doc_id] & ev_h)
         rows.append((doc_id, len(probe[doc_id]), n_bloom, n_exact))
     return ["id", "n_shingles", "n_bloom_hits", "n_exact_hits"], rows
 

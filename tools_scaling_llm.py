@@ -32,6 +32,7 @@ QUERIES = [
     "dedup_crossdoc_ngrams",
     "dedup_line_removal",
     "text_cms_heavy_hitters",
+    "dedup_bloom_decontaminate",
 ]
 N_DOCS, N_VECS = 50_000, 20_000
 

@@ -2381,6 +2381,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark.table("documents"), n_merges=8)
 
 
+#: last persisted (id, shingle-hash) relation of the Bloom spec
+#: (unpersisted on the next invocation)
+_BLOOM_HANDLE: list = []
+
+
 @register(
     "dedup_bloom_decontaminate",
     None,  # bitmap membership is xxhash64-dependent; python oracle in
@@ -2405,42 +2410,55 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eval set = doc_id % 17 == 0 (stands in for a benchmark suite). Each
     eval shingle sets k=4 bits: pos_j = pmod(xxhash64(j, shingle), m),
-    sharded as (word = pos div 64, mask = 1 << (pos % 64)). A probe
-    shingle is flagged iff all 4 of its bits are set; the exact-overlap
-    count (a plain semi-join, also broadcast-sized at gate scale) rides
-    alongside so n_bloom_hits - n_exact_hits exposes the false-positive
-    rate the m/k choice buys. Everything is JVM expression pipeline; the
-    only corpus-sized shuffle is the per-doc distinct-shingle groupBy."""
+    sharded as (word = pos div 64, mask = 1 << (pos % 64)).
+
+    Shingle TEXT never rides any shuffle, and no shuffle/grouping key is
+    wider than two longs (the first cut shuffled (id, s) text three times
+    and measured ~8x wall for 10x data; a second cut that carried the
+    position ARRAY as a grouping key paid interpreted array hashing on
+    every exchange): each shingle is reduced to h = xxhash64(s) in the
+    scan projection, and the k bit positions DERIVE FROM h (double
+    hashing, Kirsch-Mitzenmacher style: pos_j = pmod(xxhash64(j, h), m)),
+    so every distinct / group-by / join downstream keys on (id, h) longs.
+    The eval-side build needs NO distinct at all — bit_or is idempotent,
+    so duplicate shingles set the same bits and partial aggregation still
+    collapses every map task to <= m/64 rows. A probe shingle is flagged
+    iff all 4 of its bits are set; the exact-overlap count (un-hinted
+    hash-keyed semi join on h) rides alongside so n_bloom_hits -
+    n_exact_hits exposes the false-positive rate the m/k choice buys.
+    Both sides key membership by h, so even a 64-bit collision
+    (~n^2/2^65) cannot diverge the engine from the python oracle."""
     m_bits, k = 1 << 16, 4
-    sh = dedup.shingle_rows(spark.table("documents")).select("id", "s").distinct()
-    ev_sh = sh.filter(F.col("id") % 17 == 0).select("s").distinct()
-    probe_sh = sh.filter(F.col("id") % 17 != 0)
-
-    def bits(col):
-        return F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(j), col), F.lit(m_bits)).alias("p")
-                    for j in range(k)
-                ]
-            )
-        ).alias("pos")
-
-    bloom = (
-        ev_sh.select(bits(F.col("s")))
-        .select(
-            F.expr("pos DIV 64").alias("word"),
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    sh = dedup.shingle_rows(spark.table("documents")).select("id", "s")
+    hashed = sh.select("id", F.xxhash64("s").alias("h"))
+    # the (id, h) relation feeds FOUR branches (bitmap build, probe hit
+    # pass, eval-hash set, exact join) — a diamond DAG where the shingle
+    # window above it would re-execute per branch (the minhash lesson,
+    # operators/dedup.py); persist the two-long relation once per
+    # invocation, previous handle unpersisted on entry
+    while _BLOOM_HANDLE:
+        try:
+            _BLOOM_HANDLE.pop().unpersist()
+        except Exception:  # session gone / already unpersisted
+            pass
+    hashed = hashed.persist()
+    _BLOOM_HANDLE.append(hashed)
+    pos = F.explode(
+        F.array(
+            *[F.pmod(F.xxhash64(F.lit(j), F.col("h")), F.lit(m_bits)) for j in range(k)]
         )
+    ).alias("pos")
+    word = F.expr("pos DIV 64").alias("word")
+    mask = F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask")
+    bloom = (
+        hashed.filter(F.col("id") % 17 == 0)
+        .select(pos)
+        .select(word, mask)
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    probe_bits = probe_sh.select("id", "s", bits(F.col("s"))).select(
-        "id",
-        "s",
-        F.expr("pos DIV 64").alias("word"),
-        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
-    )
+    probe = hashed.filter(F.col("id") % 17 != 0).distinct()  # (id, h) longs
+    probe_bits = probe.select("id", "h", pos).select("id", "h", word, mask)
     hit = (
         probe_bits.join(F.broadcast(bloom), "word", "left")
         .withColumn(
@@ -2451,22 +2469,13 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0),
         )
-        .groupBy("id", "s")
+        .groupBy("id", "h")
         .agg((F.sum("set") == k).cast("int").alias("bloom_hit"))
     )
-    # exact-overlap side: hash-keyed semi join, NO broadcast hint (the
-    # eval shingle relation is SF-scaled — the planner picks broadcast at
-    # small SF and shuffles past the threshold); the wire carries 8-byte
-    # xxhash64 longs, never shingle text (64-bit collisions ~ n^2/2^65;
-    # the python oracle mirrors the hash-keyed check exactly)
-    ev_h = ev_sh.select(F.xxhash64("s").alias("h")).distinct()
-    exact = (
-        probe_sh.select("id", "s", F.xxhash64("s").alias("h"))
-        .join(ev_h, "h")
-        .select("id", "s", F.lit(1).alias("exact_hit"))
-    )
+    ev_h = hashed.filter(F.col("id") % 17 == 0).select("h").distinct()
+    exact = probe.join(ev_h, "h").select("id", "h", F.lit(1).alias("exact_hit"))
     return (
-        hit.join(exact, ["id", "s"], "left")
+        hit.join(exact, ["id", "h"], "left")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_shingles"),
