@@ -272,3 +272,63 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
     got = {r.doc_id for r in spark.table("t_quality_gate").collect()}
     want = {r.doc_id for r in docs.filter(gate).select("doc_id").collect()}
     assert got == want and got
+
+
+def test_stream_windowed_cms_equals_batch_and_bounds(spark, sf_dir):
+    """Streaming per-window CMS cells == the batch recompute, and the
+    sketch estimate (min over rows) is a one-sided bound on every user's
+    exact per-window count."""
+    from universql_spark.session import load_table
+
+    stream = windows.windowed_cms_cells(windows.events_stream(spark, sf_dir))
+    windows.run_to_memory(stream, "t_cms")
+    got = {tuple(r) for r in spark.table("t_cms").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.lit(r), F.col("user_id")), F.lit(32)).alias("c"),
+                )
+                for r in range(4)
+            ]
+        )
+    ).alias("rc")
+    batch = (
+        ev.select("ts", cells)
+        .select("ts", "rc.r", "rc.c")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "r", "c")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "r", "c", "cnt",
+        )
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # one-sided error: estimate >= exact for every (window, user)
+    sketch = {(ws, r, c): cnt for ws, r, c, cnt in got}
+    exact = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "user_id", "n",
+        )
+        .collect()
+    )
+    probes = exact[:200]
+    from tests.compare import _signed64, _xx_int, _xx_long
+
+    for row in probes:
+        est = min(
+            sketch.get(
+                (row["win_start"], r, _signed64(_xx_long(row["user_id"], _xx_int(r, 42))) % 32),
+                0,
+            )
+            for r in range(4)
+        )
+        assert est >= row["n"], (row["win_start"], row["user_id"])

@@ -213,3 +213,45 @@ def view_click_attribution_outer(
         F.col("c_user").alias("user_id"), "click_id", "view_id",
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
     )
+
+
+def windowed_cms_cells(
+    events: DataFrame, w: int = 32, d: int = 4, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-window count-min sketch cells over the user_id stream — the
+    mergeable-sketch path for streaming heavy hitters (the streaming twin
+    of queries/llmops.text_cms_heavy_hitters).
+
+    Why this shape at scale: exact per-window user counts hold state
+    proportional to the distinct-user cardinality per window (unbounded on
+    a web stream); the sketch holds <= w*d cells per window NO MATTER the
+    cardinality, the cells are non-negative counts that merge across
+    micro-batches by addition (exactly what a streaming agg's state update
+    does), and the watermark evicts whole windows. A probe's estimate is
+    min over the d rows of its cells — never an undercount. Downstream,
+    per-window sketches merge across windows/shards by cell-wise addition.
+    """
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.lit(r), F.col("user_id")), F.lit(w)).alias("c"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rc")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", cells)
+        .select("ts", "rc.r", "rc.c")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "r", "c")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "r",
+            "c",
+            "cnt",
+        )
+    )
