@@ -465,3 +465,21 @@ def test_cms_sketch_partial_agg_broadcast_probes(spark, sf_dir):
     assert "HashAggregate" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_long_keyed_exchanges_broadcast_bitmap(spark, sf_dir):
+    """Bloom decontamination: every hash exchange keys on id/h/word LONGS
+    (shingle text never rides a shuffle), the bitmap probe is a BROADCAST
+    join, and the bitmap build partial-aggregates (bit_or collapses every
+    map task to <= m/64 word rows before its exchange)."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "dedup_bloom_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    parts = _re.findall(r"hashpartitioning\((\w+)#\d+(L?)", p)
+    assert parts, f"expected hash exchanges in:\n{p}"
+    assert all(m[1] == "L" for m in parts), (
+        f"bloom exchanges must carry longs only, got: {parts}"
+    )
+    assert {m[0] for m in parts} <= {"id", "doc_id", "h", "word"}, parts
