@@ -3110,3 +3110,25 @@ def test_string_object_odds_and_ends(engine):
     assert out == {
         "a": 65, "h": 1, "m": '{"a":1,"b":2}', "c": '{"a":1,"b":2}', "e": '{"b":2}',
     }
+
+
+def test_regexp_instr_count_and_try_base64(engine):
+    """r6: REGEXP_COUNT position form, REGEXP_INSTR position/occurrence/
+    option forms (0 = match start, 1 = first char after; 0 when no Nth
+    occurrence), TRY_BASE64_DECODE_STRING NULL-on-invalid."""
+    rows = engine.execute(
+        "SELECT REGEXP_COUNT('a1b2c3', '[0-9]', 3) AS a, "
+        "REGEXP_COUNT('a1b2c3', '[0-9]', 1, 'i') AS b, "
+        "REGEXP_INSTR('a1b2c3', '[0-9]', 1, 2) AS c, "
+        "REGEXP_INSTR('a1b2c3', '[0-9]', 3, 1) AS d, "
+        "REGEXP_INSTR('a1b2c3', '[0-9]', 1, 2, 1) AS e, "
+        "REGEXP_INSTR('abc', '[0-9]', 1, 1) AS f, "
+        "REGEXP_INSTR('xAByc', 'ab', 1, 1, 0, 'i') AS g, "
+        "REGEXP_INSTR('aa11bb22', '[0-9]+', 1, 2, 1) AS h, "
+        "TRY_BASE64_DECODE_STRING('aGk=') AS i, "
+        "TRY_BASE64_DECODE_STRING('!!!') AS j"
+    ).to_pylist()[0]
+    assert rows == {
+        "a": 2, "b": 3, "c": 4, "d": 4, "e": 5, "f": 0, "g": 2, "h": 9,
+        "i": "hi", "j": None,
+    }

@@ -992,6 +992,58 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "regexp_replace", regexp_replace_rw)
 
+    # REGEXP_COUNT(s, pat[, pos[, params]]) — Spark's builtin stops at 2
+    # args; position offsets via substr, params via inline flags
+    def regexp_count_rw(a: list[str]) -> str | None:
+        if len(a) not in (3, 4):
+            return None
+        pref = _re_flags(a[3]) if len(a) == 4 else ""
+        return f"regexp_count(substr({a[0]}, {a[2].strip()}), {_flagged(a[1], pref)})"
+
+    sql = _rewrite_calls(sql, "regexp_count", regexp_count_rw)
+
+    # REGEXP_INSTR(s, pat[, pos[, occ[, option[, params]]]]) — Snowflake's
+    # 3rd arg is the search POSITION (Spark's 3-arg form means group idx,
+    # so 3+ args must be rewritten). Same split()/extract_all decomposition
+    # as occurrence-N REGEXP_REPLACE: s == seg1 m1 seg2 … mn seg_{n+1}, so
+    # the Nth match starts after sum(len(seg_i)+len(m_i), i<N) + len(seg_N).
+    # option 0 -> start of match, 1 -> first char AFTER the match; 0 when
+    # there is no Nth occurrence (Snowflake's contract).
+    def regexp_instr_rw(a: list[str]) -> str | None:
+        if not 3 <= len(a) <= 6:
+            return None
+        s, pat = a[0], a[1]
+        pos, occ = a[2].strip(), (a[3].strip() if len(a) >= 4 else "1")
+        option = a[4].strip() if len(a) >= 5 else "0"
+        pref = _re_flags(a[5]) if len(a) == 6 else ""
+        p = _flagged(pat, pref)
+        t = f"substr({s}, {pos})"
+        segs = f"split({t}, {p}, -1)"
+        ms = f"regexp_extract_all({t}, {p}, 0)"
+        o = f"CAST({occ} AS INT)"
+        # sequence(1, 0) DESCENDS in Spark, so the o=1 prefix sum needs an
+        # explicit guard (same as the occurrence-N REGEXP_REPLACE rewrite)
+        before = (
+            f"((CASE WHEN {o} > 1 THEN aggregate(sequence(1, {o} - 1), 0, (acc, i) -> acc"
+            f" + length(element_at({segs}, i)) + length(element_at({ms}, i))) ELSE 0 END)"
+            f" + length(element_at({segs}, {o})))"
+        )
+        endoff = f" + (CASE WHEN CAST({option} AS INT) = 1 THEN length(element_at({ms}, {o})) ELSE 0 END)"
+        return (
+            f"CASE WHEN size({ms}) < {o} OR {o} < 1 THEN 0 "
+            f"ELSE ({pos}) - 1 + {before} + 1{endoff} END"
+        )
+
+    sql = _rewrite_calls(sql, "regexp_instr", regexp_instr_rw)
+
+    sql = _rewrite_calls(
+        sql,
+        "try_base64_decode_string",
+        lambda a: f"decode(try_to_binary({a[0]}, 'base64'), 'UTF-8')"
+        if len(a) == 1
+        else None,
+    )
+
     # quoted date-part units -> bare keywords: Snowflake accepts
     # DATEADD('quarter', …) and DATEADD(quarter, …) interchangeably; Spark's
     # timestampadd/-diff (the rename targets) parse only the bare form

@@ -229,6 +229,11 @@ _GATE_PRIORITY: list[str] = [
     "dedup_bloom_decontaminate", "embed_kcenter_sample",
     "corpus_seqlen_histogram",
     # ---- end of first-50 ----
+    # newest late-r6 specs (REGR family, REGEXP_INSTR/COUNT long forms,
+    # WIDTH_BUCKET/MONTHS_BETWEEN): local-gated + pytest'd this round;
+    # first in line for the r7 driver rotation (the r6 window is spent
+    # completing never-gated coverage per VERDICT r5 #2)
+    "agg_regr_family", "fn_regexp_instr_count", "fn_width_bucket_months",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

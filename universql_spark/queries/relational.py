@@ -1721,3 +1721,104 @@ FROM nation ORDER BY n_name""",
     doc="quantified pattern predicates LIKE ANY / ILIKE ANY / LIKE ALL "
         "(Snowflake + Spark native syntax; DuckDB oracle expands to OR/AND)",
 )
+
+
+register_sql(
+    "agg_regr_family",
+    """SELECT l_returnflag AS flag,
+       CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS DOUBLE) AS slope,
+       CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS DOUBLE) AS icept,
+       CAST(ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS DOUBLE) AS r2,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       CAST(ROUND(REGR_AVGX(l_extendedprice, l_quantity), 6) AS DOUBLE) AS ax,
+       CAST(ROUND(REGR_AVGY(l_extendedprice, l_quantity), 6) AS DOUBLE) AS ay,
+       CAST(ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS DOUBLE) AS cv
+FROM lineitem GROUP BY l_returnflag ORDER BY flag""",
+    category="agg",
+    doc="linear-regression aggregate family (REGR_SLOPE/INTERCEPT/R2/COUNT/"
+        "AVGX/AVGY + COVAR_SAMP) — Snowflake surface, native in Spark and "
+        "DuckDB; rounded like agg_stats (moment sums are FP-order "
+        "sensitive), one partial-agg pass",
+)
+
+
+_REGEXP_INSTR_ORACLE = """SELECT doc_id,
+       CAST(len(regexp_extract_all(substr(text, 5), '[aeiou]+')) AS INT) AS cnt5,
+       CAST(CASE WHEN len(regexp_extract_all(text, '[aeiou]+')) < 3 THEN 0 ELSE
+         length(str_split_regex(text, '[aeiou]+')[1])
+       + length(regexp_extract_all(text, '[aeiou]+')[1])
+       + length(str_split_regex(text, '[aeiou]+')[2])
+       + length(regexp_extract_all(text, '[aeiou]+')[2])
+       + length(str_split_regex(text, '[aeiou]+')[3]) + 1 END AS INT) AS in3,
+       CAST(CASE WHEN len(regexp_extract_all(text, '[aeiou]+')) < 3 THEN 0 ELSE
+         length(str_split_regex(text, '[aeiou]+')[1])
+       + length(regexp_extract_all(text, '[aeiou]+')[1])
+       + length(str_split_regex(text, '[aeiou]+')[2])
+       + length(regexp_extract_all(text, '[aeiou]+')[2])
+       + length(str_split_regex(text, '[aeiou]+')[3]) + 1
+       + length(regexp_extract_all(text, '[aeiou]+')[3]) END AS INT) AS in3e,
+       CAST(CASE WHEN len(regexp_extract_all(text, 'zq7xx')) < 1 THEN 0 ELSE 1 END AS INT) AS in_none,
+       text AS rt
+FROM documents ORDER BY doc_id"""
+
+
+@register(
+    "fn_regexp_instr_count",
+    _REGEXP_INSTR_ORACLE,
+    category="scalar",
+    doc="REGEXP_COUNT with position, REGEXP_INSTR with position/occurrence/"
+        "option (0=start, 1=end), TRY_BASE64_DECODE_STRING round-trip — "
+        "r6 dialect additions over real corpus text",
+)
+def fn_regexp_instr_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position/occurrence regexp location surface, verbatim Snowflake
+    through the dialect layer: REGEXP_INSTR's 3rd arg is the search
+    POSITION (Spark's native 3-arg form means group index, so long forms
+    rewrite to the split()/extract_all position arithmetic — the same
+    decomposition as occurrence-N REGEXP_REPLACE); REGEXP_COUNT gains its
+    position arg via substr. TRY_BASE64_DECODE_STRING(BASE64_ENCODE(text))
+    round-trips the corpus through try_to_binary. The DuckDB oracle
+    derives the same positions independently from str_split_regex /
+    regexp_extract_all prefix sums."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT doc_id,
+       CAST(REGEXP_COUNT(text, '[aeiou]+', 5) AS INT) AS cnt5,
+       CAST(REGEXP_INSTR(text, '[aeiou]+', 1, 3) AS INT) AS in3,
+       CAST(REGEXP_INSTR(text, '[aeiou]+', 1, 3, 1) AS INT) AS in3e,
+       CAST(REGEXP_INSTR(text, 'zq7xx', 1, 1) AS INT) AS in_none,
+       TRY_BASE64_DECODE_STRING(BASE64_ENCODE(text)) AS rt
+FROM documents ORDER BY doc_id"""
+    )
+
+
+_NUMDT_EXT_ORACLE = """SELECT n_nationkey AS k,
+       CAST(CASE WHEN n_nationkey >= 25 THEN 6 ELSE CAST(floor(n_nationkey / 5.0) AS INT) + 1 END AS INT) AS wb,
+       CAST(n_nationkey AS DOUBLE) AS mb
+FROM nation ORDER BY k"""
+
+
+@register(
+    "fn_width_bucket_months",
+    _NUMDT_EXT_ORACLE,
+    category="scalar",
+    doc="WIDTH_BUCKET (native passthrough) and MONTHS_BETWEEN over a "
+        "varying date lattice — Snowflake surface verified against "
+        "independent DuckDB bucket arithmetic",
+)
+def fn_width_bucket_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDTH_BUCKET(v, 0, 25, 5) (Spark-native; the oracle restates the
+    bucket function as explicit floor arithmetic incl. the v >= max ->
+    n+1 overflow bucket) and MONTHS_BETWEEN over same-day-of-month pairs
+    (exact integers by definition — no 31-day-fraction FP edge)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """SELECT n_nationkey AS k,
+       CAST(WIDTH_BUCKET(n_nationkey, 0, 25, 5) AS INT) AS wb,
+       CAST(MONTHS_BETWEEN(DATEADD(month, n_nationkey, '2024-01-15'::date), '2024-01-15'::date) AS DOUBLE) AS mb
+FROM nation ORDER BY k"""
+    )
