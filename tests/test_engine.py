@@ -3132,3 +3132,32 @@ def test_regexp_instr_count_and_try_base64(engine):
         "a": 2, "b": 3, "c": 4, "d": 4, "e": 5, "f": 0, "g": 2, "h": 9,
         "i": "hi", "j": None,
     }
+
+
+def test_misc_scalar_surface_pins(engine):
+    """Pin the Snowflake spellings that pass through (or rewrite) but had
+    no explicit regression net: APPROX_TOP_K, MODE, MEDIAN, ARRAY_PREPEND,
+    OBJECT_KEYS, GETBIT, BITSHIFTRIGHT, TRANSLATE, RANDSTR determinism."""
+    rows = engine.execute(
+        "SELECT MODE(v) AS mo, MEDIAN(v) AS me FROM "
+        "(SELECT 1 AS v UNION ALL SELECT 2 UNION ALL SELECT 2 UNION ALL SELECT 9)"
+    ).to_pylist()[0]
+    assert rows == {"mo": 2, "me": 2.0}
+    rows = engine.execute(
+        "SELECT ARRAY_PREPEND(ARRAY_CONSTRUCT(1,2), 0) AS ap, "
+        "OBJECT_KEYS(OBJECT_CONSTRUCT('a',1,'b',2)) AS ok, "
+        "GETBIT(11, 2) AS gb, GETBIT(11, 3) AS gb3, "
+        "BITSHIFTRIGHT(8, 2) AS bsr, "
+        "TRANSLATE('abc', 'abc', 'xyz') AS tr"
+    ).to_pylist()[0]
+    assert rows == {
+        "ap": [0, 1, 2], "ok": ["a", "b"], "gb": 0, "gb3": 1,
+        "bsr": 2, "tr": "xyz",
+    }
+    top = engine.execute(
+        "SELECT APPROX_TOP_K(l_returnflag, 1) AS t FROM lineitem"
+    ).to_pylist()[0]["t"]
+    assert len(top) == 1 and top[0]["count"] > 0
+    r1 = engine.execute("SELECT RANDSTR(8, 42) AS r").to_pylist()[0]["r"]
+    r2 = engine.execute("SELECT RANDSTR(8, 42) AS r").to_pylist()[0]["r"]
+    assert r1 == r2 and len(r1) == 8  # seeded -> deterministic
