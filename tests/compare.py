@@ -911,6 +911,33 @@ def py_oracle_embed_kcenter_sample(sf_dir: str) -> tuple[list[str], list[tuple]]
     return ["sel_rank", "vec_id", "min_dist2"], rows
 
 
+def py_oracle_agg_linear_count_distinct(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Linear-counting sketch re-derived with the portable XXH64: one bit
+    per l_partkey at pmod(xxhash64(key), 2^16) per l_returnflag group;
+    n_set_bits integer-exact, estimate = round(-m ln(1 - n/m))."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    m_bits = 1 << 16
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_partkey"])
+    bits: dict[str, set[int]] = {}
+    exact: dict[str, set[int]] = {}
+    for flag, key in zip(t["l_returnflag"].to_pylist(), t["l_partkey"].to_pylist()):
+        bits.setdefault(flag, set()).add(_signed64(_xx_long(key, 42)) % m_bits)
+        exact.setdefault(flag, set()).add(key)
+    rows = []
+    for flag in sorted(bits):
+        n = len(bits[flag])
+        est = int(
+            decimal.Decimal(repr(-m_bits * math.log(1.0 - n / m_bits))).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        rows.append((flag, n, est, len(exact[flag])))
+    return ["flag", "n_set_bits", "lc_estimate", "exact_distinct"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -929,4 +956,5 @@ PY_ORACLES = {
     "dedup_lsh_tuning_curve": py_oracle_dedup_lsh_tuning_curve,
     "dedup_bloom_decontaminate": py_oracle_dedup_bloom_decontaminate,
     "embed_kcenter_sample": py_oracle_embed_kcenter_sample,
+    "agg_linear_count_distinct": py_oracle_agg_linear_count_distinct,
 }

@@ -607,3 +607,18 @@ def test_seqlen_histogram_totals(spark, sf_dir):
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-2
     for r in rows:
         assert 32 * r["bucket"] <= r["min_tokens"] <= r["max_tokens"] < 32 * (r["bucket"] + 1)
+
+
+def test_linear_count_sketch_bounds(spark, sf_dir):
+    """Linear-counting invariants: set bits never exceed the true distinct
+    count (each key sets one bit), the estimate is >= n_set_bits (log
+    expansion corrects collisions upward), and at this load factor the
+    estimate lands within 5% of exact."""
+    from universql_spark.queries import load_all
+
+    rows = load_all()["agg_linear_count_distinct"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_set_bits"] <= r["exact_distinct"]
+        assert r["lc_estimate"] >= r["n_set_bits"]
+        assert abs(r["lc_estimate"] - r["exact_distinct"]) <= max(3, 0.05 * r["exact_distinct"])

@@ -2545,3 +2545,59 @@ def corpus_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_share",
         F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 4),
     ).orderBy("bucket")
+
+
+@register(
+    "agg_linear_count_distinct",
+    None,  # bitmap membership is xxhash64-dependent; python oracle in
+    # tests/compare.py (PY_ORACLES) rebuilds the bitmap with the portable
+    # XXH64 — n_set_bits matches exactly, the estimate deterministically.
+    category="agg",
+    doc="linear-counting distinct sketch (Whang et al. 1990): fixed 64 Kbit "
+        "bitmap per group, est = -m ln(1 - n_set/m) — the third mergeable "
+        "sketch next to CMS (frequency) and Bloom (membership), and unlike "
+        "HLL++ it is exactly reproducible by the portable-XXH64 oracle",
+)
+def agg_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-sketch counterpart of approx_count_distinct with an
+    EXACT oracle: each l_partkey sets ONE bit (pos = pmod(xxhash64(key),
+    m=2^16)) in a per-group bitmap sharded as (word, bit_or mask) rows —
+    partial aggregation collapses every map task to <= groups x m/64 rows
+    before the only sketch exchange, and bitmaps from disjoint shards
+    merge by word-wise OR. n_set_bits (sum of bit_count) is integer-exact
+    against the python oracle; the estimate column is the closed-form
+    -m ln(1 - n_set/m) rounded to an integer (both sides evaluate one
+    libm log at double precision — the diff is ulps, never 0.5). The
+    exact distinct count rides alongside so the sketch error is
+    observable per group. Native HLL++ stays available as
+    agg_approx_distinct (rows-only by construction — engine-internal
+    sketch); this spec is the one the gate can actually VERIFY."""
+    m_bits = 1 << 16
+    li = spark.table("lineitem")
+    pos = F.pmod(F.xxhash64("l_partkey"), F.lit(m_bits))
+    bitmap = (
+        li.select("l_returnflag", pos.alias("pos"))
+        .select(
+            "l_returnflag",
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("l_returnflag", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bit_count("bits")).alias("n_set_bits"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    est = F.expr(f"CAST(ROUND(-{m_bits}D * ln(1.0 - n_set_bits / {m_bits}D), 0) AS BIGINT)")
+    return (
+        bitmap.join(exact, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            "n_set_bits",
+            est.alias("lc_estimate"),
+            "exact_distinct",
+        )
+        .orderBy("flag")
+    )
