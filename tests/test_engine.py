@@ -3161,3 +3161,28 @@ def test_misc_scalar_surface_pins(engine):
     r1 = engine.execute("SELECT RANDSTR(8, 42) AS r").to_pylist()[0]["r"]
     r2 = engine.execute("SELECT RANDSTR(8, 42) AS r").to_pylist()[0]["r"]
     assert r1 == r2 and len(r1) == 8  # seeded -> deterministic
+
+
+def test_temp_and_plain_table_column_lifecycle(engine):
+    """r6: TRUNCATE / ADD / RENAME / DROP COLUMN work on every table kind
+    (Snowflake allows them everywhere; Spark's v1 catalog rejects
+    RENAME/DROP COLUMN and temp views reject all four). RENAME keeps the
+    column position; ADD appends; plain tables rewrite copy-on-write."""
+    engine.execute("CREATE TEMP TABLE lct AS SELECT 1 AS a, 2 AS b")
+    engine.execute("ALTER TABLE lct ADD COLUMN c NUMBER(10,2)")
+    engine.execute("ALTER TABLE lct RENAME COLUMN b TO b2")
+    engine.execute("ALTER TABLE lct DROP COLUMN a")
+    rows = engine.execute("SELECT * FROM lct").to_pylist()
+    assert rows == [{"b2": 2, "c": None}]
+    engine.execute("TRUNCATE TABLE lct")
+    assert engine.execute("SELECT COUNT(*) AS c FROM lct").to_pylist() == [{"c": 0}]
+
+    engine.execute("CREATE OR REPLACE TABLE lcp AS SELECT 1 AS a, 2 AS b, 3 AS c")
+    engine.execute("ALTER TABLE lcp RENAME COLUMN b TO b2")
+    engine.execute("ALTER TABLE lcp DROP COLUMN a")
+    assert engine.execute("SELECT * FROM lcp").to_pylist() == [{"b2": 2, "c": 3}]
+    engine.execute("INSERT INTO lcp SELECT 9, 9")
+    assert engine.execute(
+        "SELECT COUNT(*) AS n, SUM(b2) AS s FROM lcp"
+    ).to_pylist() == [{"n": 2, "s": 11}]
+    engine.execute("DROP TABLE lcp")

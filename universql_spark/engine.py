@@ -1591,6 +1591,71 @@ class Engine:
                 self.snap_tables[bn].truncate()
                 self._refresh_snap_view(bn)
                 return _status(f"truncated iceberg {bn}")
+            # --- table lifecycle on TEMP (view-backed) and plain v1 catalog
+            # tables. Snowflake allows TRUNCATE / ADD / RENAME / DROP COLUMN
+            # on every table kind; Spark's v1 catalog rejects RENAME/DROP
+            # COLUMN, and temp views reject all four. The transform builds
+            # through _run_select (so Snowflake types and star modifiers
+            # resolve through the dialect); temp tables rebuild their view,
+            # plain tables rewrite copy-on-write via an eager checkpoint
+            # before the overwrite (the CTAS-over-self move above).
+            am = re.match(
+                r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+ADD\s+COLUMN\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+([\w(),0-9 ]+?)\s*$",
+                stmt, re.I,
+            )
+            rcm = re.match(
+                r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+RENAME\s+COLUMN\s+"
+                r"(\w+)\s+TO\s+(\w+)\s*$",
+                stmt, re.I,
+            )
+            dcm = re.match(
+                r"^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+DROP\s+"
+                r"(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                stmt, re.I,
+            )
+            target = tm or am or rcm or dcm
+            if target is not None:
+                bn = bare_name(target.group(1))
+                is_view = bn in {
+                    t.name.lower()
+                    for t in self.spark.catalog.listTables()
+                    if t.isTemporary
+                } and bn not in self.snap_tables
+                resolved = self._resolve_name(target.group(1))
+                is_plain = (
+                    not is_view
+                    and bn not in self.snap_tables
+                    and self.spark.catalog.tableExists(resolved)
+                )
+                if tm and is_view:
+                    self.spark.table(bn).limit(0).createOrReplaceTempView(bn)
+                    return _status(f"truncated {bn}")
+                df = None
+                if am and is_view:
+                    # through _run_select so the Snowflake TYPE resolves via
+                    # the dialect (NUMBER(10,2) -> DECIMAL etc.); new column
+                    # appends at the end, Snowflake's ADD COLUMN position
+                    df = self._run_select(
+                        f"SELECT *, CAST(NULL AS {am.group(3)}) AS {am.group(2)} FROM {bn}"
+                    )
+                elif rcm and (is_view or is_plain):
+                    # withColumnRenamed keeps the column POSITION (a star
+                    # RENAME modifier would move it to the end)
+                    df = self.spark.table(bn).withColumnRenamed(
+                        rcm.group(2), rcm.group(3)
+                    )
+                elif dcm and (is_view or is_plain):
+                    df = self.spark.table(bn).drop(dcm.group(2))
+                if df is not None:
+                    if is_view:
+                        df.createOrReplaceTempView(bn)
+                    else:
+                        df = df.localCheckpoint(eager=True)
+                        df.write.mode("overwrite").option(
+                            "overwriteSchema", "true"
+                        ).saveAsTable(resolved)
+                    return _status(f"altered {bn}")
             dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*$", stmt, re.I)
             if dm and bare_name(dm.group(1)) in self.snap_tables:
                 # Snowflake Time-Travel drop: the object moves to the
