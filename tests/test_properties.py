@@ -206,3 +206,87 @@ def test_top_rewrite_structure_preserved(q):
     tops = _re.findall(r"\bTOP\s+(\d+)", masked)
     assert not _re.search(r"\bTOP\s+\d+", out_masked)
     assert sorted(tops) == sorted(_re.findall(r"\bLIMIT\s+(\d+)", out_masked))
+
+
+# -- differential expression fuzz: Spark vs DuckDB ---------------------------
+# Random expression trees over an ANSI-common scalar subset, evaluated on
+# the 25-row nation fixture by BOTH engines and compared with the gate's
+# canonicalizer. The grammar is deliberately restricted to constructs with
+# identical cross-engine semantics (no '/', no SUBSTR start 0, bounded
+# magnitudes so Spark 4's default ANSI mode cannot overflow) — the point is
+# fuzzing the COMPOSITION space, where canonicalization and null-handling
+# bugs hide.
+
+_int_leaf = st.one_of(
+    st.just("k"),
+    st.integers(min_value=-9, max_value=9).map(str),
+)
+_str_leaf = st.one_of(
+    st.just("s"),
+    st.sampled_from(["'ab'", "'XY z'", "''"]),
+)
+
+
+def _int_node(children):
+    a = children
+    return st.one_of(
+        st.tuples(a, a).map(lambda t: f"({t[0]} + {t[1]})"),
+        st.tuples(a, a).map(lambda t: f"({t[0]} - {t[1]})"),
+        st.tuples(a, a).map(lambda t: f"(({t[0]} * {t[1]}) % 1000)"),
+        st.tuples(a, a).map(lambda t: f"COALESCE({t[0]}, {t[1]})"),
+        st.tuples(a, a).map(lambda t: f"LEAST({t[0]}, {t[1]})"),
+        st.tuples(a, a).map(lambda t: f"GREATEST({t[0]}, {t[1]})"),
+        a.map(lambda x: f"ABS({x})"),
+        st.tuples(a, a, a).map(
+            lambda t: f"(CASE WHEN ({t[0]} % 2) = 0 THEN {t[1]} ELSE {t[2]} END)"
+        ),
+    )
+
+
+def _str_node(children):
+    a = children
+    return st.one_of(
+        a.map(lambda x: f"UPPER({x})"),
+        a.map(lambda x: f"LOWER({x})"),
+        a.map(lambda x: f"TRIM({x})"),
+        st.tuples(a, a).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(a, st.integers(1, 3), st.integers(1, 4)).map(
+            lambda t: f"SUBSTR({t[0]}, {t[1]}, {t[2]})"
+        ),
+    )
+
+
+_int_expr = st.recursive(_int_leaf, _int_node, max_leaves=6)
+_str_expr = st.recursive(_str_leaf, _str_node, max_leaves=5)
+
+
+@pytest.fixture(scope="module")
+def _duck(sf_dir):
+    from tests.compare import duck_connection
+
+    return duck_connection(sf_dir)
+
+
+@given(ie=_int_expr, se=_str_expr)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_expression_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, ie, se):
+    from tests.compare import normalize_rows
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    q = (
+        f"SELECT n_nationkey AS k2, {ie} AS e1, LENGTH({se}) AS e2, {se} AS e3 "
+        "FROM (SELECT n_nationkey AS k, n_name AS s, n_nationkey FROM nation) "
+        "ORDER BY k2"
+    )
+    s_tbl = spark.sql(q).toArrow()
+    s_rows = [tuple(d[c] for c in s_tbl.column_names) for d in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(q).arrow()
+    d_rows = [tuple(d[c] for c in d_tbl.column_names) for d in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), q
