@@ -3186,3 +3186,28 @@ def test_temp_and_plain_table_column_lifecycle(engine):
         "SELECT COUNT(*) AS n, SUM(b2) AS s FROM lcp"
     ).to_pylist() == [{"n": 2, "s": 11}]
     engine.execute("DROP TABLE lcp")
+
+
+def test_recluster_and_clustering_depth(engine):
+    """r6: ALTER TABLE ... RECLUSTER re-lays data on the recorded CLUSTER BY
+    keys (single key = plain range sort, LINEAR semantics) and
+    SYSTEM$CLUSTERING_DEPTH reports the manifest-bounds stabbing depth —
+    1.0 after reclustering (disjoint per-file bounds). SUSPEND/RESUME
+    RECLUSTER are recorded no-ops (no background service)."""
+    engine.execute(
+        "CREATE OR REPLACE ICEBERG TABLE rcx CLUSTER BY (a) AS "
+        "SELECT 3 AS a, 4 AS b UNION ALL SELECT 1, 2"
+    )
+    engine.execute("INSERT INTO rcx SELECT 2, 9")
+    before = engine.execute("SELECT SYSTEM$CLUSTERING_DEPTH('rcx') AS d").to_pylist()[0]["d"]
+    assert float(before) > 1.0  # overlapping file bounds after the append
+    out = engine.execute("ALTER TABLE rcx RECLUSTER").to_pylist()[0]
+    assert out["files_after"] <= out["files_before"]
+    after = engine.execute("SELECT SYSTEM$CLUSTERING_DEPTH('rcx') AS d").to_pylist()[0]["d"]
+    assert float(after) == 1.0
+    st = engine.execute("ALTER TABLE rcx SUSPEND RECLUSTER").to_pylist()[0]["status"]
+    assert "suspended" in st
+    assert engine.execute("SELECT * FROM rcx ORDER BY a").to_pylist() == [
+        {"a": 1, "b": 2}, {"a": 2, "b": 9}, {"a": 3, "b": 4},
+    ]
+    engine.execute("DROP TABLE rcx")

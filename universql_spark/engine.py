@@ -1573,6 +1573,39 @@ class Engine:
                 before, after = self.snap_tables[bn].compact(self.spark, zorder_by=zcols)
                 self._refresh_snap_view(bn)
                 return pa.table({"files_before": [before], "files_after": [after]})
+            rcl = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+RECLUSTER"
+                r"(?:\s+MAX_SIZE\s*=\s*\d+)?\s*$",
+                stmt, re.I,
+            )
+            if rcl and bare_name(rcl.group(1)) in self.snap_tables:
+                # Snowflake's manual ALTER TABLE ... RECLUSTER = recluster
+                # on the table's recorded CLUSTER BY keys — the same
+                # range-cluster rewrite as OPTIMIZE ZORDER BY, driven by
+                # the stored sort order instead of an explicit column list
+                bn = bare_name(rcl.group(1))
+                zcols = self._recorded_cluster_keys(bn)
+                if not zcols:
+                    raise QueryError(
+                        f"{bn} has no clustering key (CREATE ... CLUSTER BY "
+                        "first, or use OPTIMIZE ... ZORDER BY)", "42000",
+                    )
+                before, after = self.snap_tables[bn].compact(self.spark, zorder_by=zcols)
+                self._refresh_snap_view(bn)
+                return pa.table({"files_before": [before], "files_after": [after]})
+            srm = re.match(
+                r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(SUSPEND|RESUME)\s+RECLUSTER\s*$",
+                stmt, re.I,
+            )
+            if srm and bare_name(srm.group(1)) in self.snap_tables:
+                # automatic-clustering toggle: recorded, unenforced (there
+                # is no background clustering service in a library engine —
+                # same recorded-no-op convention as GRANT / COMMENT)
+                verb = "suspended" if srm.group(2).upper() == "SUSPEND" else "resumed"
+                return _status(
+                    f"automatic reclustering {verb} on "
+                    f"{bare_name(srm.group(1))} (recorded; no background service)"
+                )
             vm = re.match(
                 r"^\s*VACUUM\s+([\w.\"]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", stmt, re.I
             )
@@ -2080,6 +2113,17 @@ class Engine:
             r"(?:,\s*'\(?\s*([^')]*?)\s*\)?'\s*)?\)",
             lambda m: "'" + self._clustering_information(
                 m.group(1), m.group(2)).replace("'", "''") + "'",
+            stmt,
+            flags=re.I,
+        )
+        stmt = re.sub(
+            r"\bSYSTEM\$CLUSTERING_DEPTH\s*\(\s*'([\w.\"]+)'\s*"
+            r"(?:,\s*'\(?\s*([^')]*?)\s*\)?'\s*)?\)",
+            lambda m: str(
+                __import__("json").loads(
+                    self._clustering_information(m.group(1), m.group(2))
+                )["average_depth"]
+            ),
             stmt,
             flags=re.I,
         )
@@ -2904,6 +2948,28 @@ class Engine:
             if files:
                 con.execute(f"CREATE VIEW {bn} AS SELECT * FROM read_parquet({files!r})")
         return con.execute(stmt).arrow()
+
+    def _recorded_cluster_keys(self, bn: str) -> list[str] | None:
+        """The table's stored CLUSTER BY columns (Iceberg default sort
+        order), or None when no clustering key is recorded."""
+        from universql_spark.iceberg_format import IcebergTable  # noqa: PLC0415
+
+        snap = self.snap_tables.get(bn)
+        if not isinstance(snap, IcebergTable):
+            return None
+        _v, meta = snap._read_metadata()
+        order = next(
+            (o for o in meta.get("sort-orders", [])
+             if o["order-id"] == meta.get("default-sort-order-id")),
+            None,
+        )
+        if not order or not order["fields"]:
+            return None
+        fields = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )["fields"]
+        by_id = {f["id"]: f["name"] for f in fields}
+        return [by_id[f["source-id"]].lower() for f in order["fields"]]
 
     def _clustering_information(self, table: str, cols_arg: str | None) -> str:
         """SYSTEM$CLUSTERING_INFORMATION('t'[, '(c1, c2)']) -> the JSON

@@ -187,7 +187,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
 def zorder_files(df: DataFrame, cols: list[str], n_files: int, bits: int = 16) -> DataFrame:
     """Range-partition by the Z-key into n_files write tasks, sorted within
     each, then drop the key — the layout step of OPTIMIZE ZORDER. Feed the
-    result straight to a parquet/Iceberg write (one file per partition)."""
+    result straight to a parquet/Iceberg write (one file per partition).
+    A single column needs no bit interleaving: LINEAR clustering on it
+    (plain range sort) gives strictly disjoint per-file bounds, which is
+    the optimum a Z-curve only approximates in 2+ dimensions."""
+    if len(cols) == 1:
+        return df.repartitionByRange(n_files, cols[0]).sortWithinPartitions(cols[0])
     keyed = df.withColumn("__z", zorder_key(df, cols, bits))
     return (
         keyed.repartitionByRange(n_files, "__z")
