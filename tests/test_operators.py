@@ -622,3 +622,18 @@ def test_linear_count_sketch_bounds(spark, sf_dir):
         assert r["n_set_bits"] <= r["exact_distinct"]
         assert r["lc_estimate"] >= r["n_set_bits"]
         assert abs(r["lc_estimate"] - r["exact_distinct"]) <= max(3, 0.05 * r["exact_distinct"])
+
+
+def test_patchify_orientation_and_means(spark):
+    """Patchify parses real BMP bytes: the x/y-asymmetric gradient makes a
+    forgotten bottom-up flip swap patch-row means — pin all four patch
+    means of a known image (base=7, 8x6, 2x2 grid: 7 + 4c + 3r + 2.5)."""
+    from universql_spark.operators import multimodal
+
+    df = spark.createDataFrame([(7,)], "doc_id LONG")
+    media = multimodal.synthesize_gradient_bmp_media(df)
+    out = {
+        (r["patch_row"], r["patch_col"]): r["patch_mean"]
+        for r in multimodal.patchify_images(media, 2, 2).collect()
+    }
+    assert out == {(0, 0): 9.5, (0, 1): 13.5, (1, 0): 12.5, (1, 1): 16.5}

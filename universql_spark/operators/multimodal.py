@@ -552,3 +552,106 @@ def audio_chunks(media: DataFrame, window_sec: float = 0.5) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=AUDIO_CHUNK_SCHEMA)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("patch_h", T.IntegerType()),
+        T.StructField("patch_w", T.IntegerType()),
+        T.StructField("patch_mean", T.DoubleType()),
+    ]
+)
+
+
+def encode_gradient_bmp(width: int, height: int, base: int) -> bytes:
+    """A real 24-bit BMP whose pixel at LOGICAL (x, y) — y = 0 is the top
+    row — is base + x + y on all three channels (callers keep
+    base + width + height < 256 so no wrap). Rows are written bottom-up
+    per the BMP spec, so a decoder that forgets the flip reads a
+    vertically mirrored gradient — the asymmetry is what lets the
+    patchify oracle catch orientation bugs instead of having them cancel."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = b""
+    for y in range(height - 1, -1, -1):  # bottom-up
+        vals = bytes(v for x in range(width) for v in [base + x + y] * 3)
+        body += vals + b"\x00" * pad
+    return header + info + body
+
+
+def synthesize_gradient_bmp_media(
+    docs: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 6
+) -> DataFrame:
+    """One gradient BMP per doc: base = doc_id % 100 (bounded so
+    base + x + y < 256 at 8x6)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col]
+            out = [encode_gradient_bmp(width, height, int(i) % 100) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": out,
+                    "meta": [
+                        {"mime": "image/bmp", "byte_len": len(c), "source": "synthetic"}
+                        for c in out
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def patchify_images(media: DataFrame, grid_rows: int = 2, grid_cols: int = 2) -> DataFrame:
+    """ViT-style patch extraction: each BMP splits into a grid_rows x
+    grid_cols grid of equal patches; output one row per patch with its
+    pixel mean (4dp). The byte-level work — header parse, stride strip,
+    BOTTOM-UP row flip to logical top-down order, channel reshape — is the
+    exact plumbing a real vision featurizer sits on; swap the mean for a
+    projection and this is ViT preprocessing.
+
+    Scale shape: mapInPandas is narrow (no shuffle); the fan-out is
+    grid_rows*grid_cols rows per image, emitted per Arrow batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "patch_row", "patch_col", "patch_h", "patch_w", "patch_mean"]
+        for batch in batches:
+            rows = []
+            for mid, b in zip(batch["media_id"], batch["content"]):
+                try:
+                    if not b or b[:2] != b"BM":
+                        continue
+                    data_offset = struct.unpack_from("<I", b, 10)[0]
+                    width, height = struct.unpack_from("<ii", b, 18)
+                    if struct.unpack_from("<H", b, 28)[0] != 24:
+                        continue
+                    row = width * 3
+                    stride = row + (4 - row % 4) % 4
+                    px = np.frombuffer(b, np.uint8, count=stride * abs(height), offset=data_offset)
+                    px = px.reshape(abs(height), stride)[:, :row]
+                    if height > 0:
+                        px = px[::-1]  # file is bottom-up; we index top-down
+                    h, w = abs(height), width
+                    ph, pw = h // grid_rows, w // grid_cols
+                    img = px.reshape(h, w, 3)
+                    for r in range(grid_rows):
+                        for c in range(grid_cols):
+                            patch = img[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw, :]
+                            rows.append(
+                                (mid, r, c, ph, pw, round(float(patch.mean()), 4))
+                            )
+                except ValueError:
+                    continue
+            out = pd.DataFrame(rows, columns=cols)
+            for ic in ("patch_row", "patch_col", "patch_h", "patch_w"):
+                out[ic] = out[ic].astype("Int32")
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(kernel, schema=PATCH_SCHEMA)

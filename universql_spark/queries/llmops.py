@@ -2601,3 +2601,30 @@ def agg_linear_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "multimodal_patchify",
+    """SELECT d.doc_id AS media_id, g.r AS patch_row, g.c AS patch_col,
+       3 AS patch_h, 4 AS patch_w,
+       CAST(d.doc_id % 100 + 4 * g.c + 3 * g.r + 2.5 AS DOUBLE) AS patch_mean
+FROM documents d CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS g(r, c)
+ORDER BY media_id, patch_row, patch_col""",
+    category="multimodal",
+    doc="ViT-style patch grid over real BMP bytes: bottom-up row flip, "
+        "stride strip, 2x2 equal patches with exact means — the oracle "
+        "restates the gradient arithmetic (base + x + y per pixel)",
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch extraction end to end: per doc a true 24-bit gradient BMP
+    (pixel(x, y) = doc_id % 100 + x + y, written bottom-up per the spec)
+    is encoded, then patchify_images parses the bytes back and means each
+    4x3 patch of the 2x2 grid. The gradient is x/y-ASYMMETRIC, so a
+    forgotten bottom-up flip (or transposed patch indexing) swaps patch-row
+    means and breaks the hash — orientation bugs cannot cancel between
+    encoder and decoder. Oracle: patch mean of base + x + y over
+    x in [4c, 4c+3], y in [3r, 3r+2] is base + 4c + 1.5 + 3r + 1."""
+    media = multimodal.synthesize_gradient_bmp_media(spark.table("documents"))
+    return multimodal.patchify_images(media, 2, 2).orderBy(
+        "media_id", "patch_row", "patch_col"
+    )
