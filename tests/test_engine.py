@@ -3211,3 +3211,13 @@ def test_recluster_and_clustering_depth(engine):
         {"a": 1, "b": 2}, {"a": 2, "b": 9}, {"a": 3, "b": 4},
     ]
     engine.execute("DROP TABLE rcx")
+
+
+def test_positional_refs_over_values(engine):
+    """r6: $N over a VALUES relation resolves to the Nth VALUES column
+    (Snowflake positional semantics); $N elsewhere keeps the headerless
+    stage convention (_cN-1, covered by the COPY tests)."""
+    rows = engine.execute(
+        "SELECT $1 AS a, $2 * 2 AS b FROM (VALUES (1, 2), (3, 4)) ORDER BY a"
+    ).to_pylist()
+    assert rows == [{"a": 1, "b": 4}, {"a": 3, "b": 8}]

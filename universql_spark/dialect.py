@@ -2340,7 +2340,16 @@ def snowflake_to_spark(sql: str) -> str:
             flags=re.I,
         ),
     )
-    sql = _outside_literals(sql, _rewrite_positional)
+    # positional columns: over a VALUES relation Snowflake's $N means the
+    # Nth VALUES column (Spark names them colN); everywhere else $N is the
+    # headerless-stage convention (_cN-1)
+    if re.search(r"(?i)\bFROM\s*\(?\s*VALUES\s*\(", sql):
+        sql = _outside_literals(
+            sql,
+            lambda s: _POSITIONAL_RE.sub(lambda m: f"col{m.group(1)}", s),
+        )
+    else:
+        sql = _outside_literals(sql, _rewrite_positional)
     sql = rewrite_star_modifiers(sql)
     sql = _outside_literals(sql, _rewrite_sample)
     sql = _rewrite_ratio_to_report(sql)
