@@ -3221,3 +3221,18 @@ def test_positional_refs_over_values(engine):
         "SELECT $1 AS a, $2 * 2 AS b FROM (VALUES (1, 2), (3, 4)) ORDER BY a"
     ).to_pylist()
     assert rows == [{"a": 1, "b": 4}, {"a": 3, "b": 8}]
+
+
+def test_regr_valx_valy_and_distinct_within_group(engine):
+    """r6: REGR_VALX/VALY pair-completeness scalars; ARRAY_AGG(DISTINCT x)
+    WITHIN GROUP (ORDER BY x) sorts the distinct set (Snowflake requires
+    ordering by the DISTINCT expression itself)."""
+    rows = engine.execute(
+        "SELECT REGR_VALX(NULL, 2.0) AS a, CAST(REGR_VALX(1.0, 2.0) AS DOUBLE) AS b, "
+        "REGR_VALY(NULL, 2.0) AS c, REGR_VALY(1.0, NULL) AS d"
+    ).to_pylist()[0]
+    assert rows == {"a": None, "b": 2.0, "c": None, "d": None}
+    v = engine.execute(
+        "SELECT ARRAY_AGG(DISTINCT n_regionkey) WITHIN GROUP (ORDER BY n_regionkey) AS v FROM nation"
+    ).to_pylist()[0]["v"]
+    assert v == [0, 1, 2, 3, 4]

@@ -1044,6 +1044,23 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
         else None,
     )
 
+    # REGR_VALX(y, x) -> x when y is non-null (and symmetrically VALY):
+    # the pair-completeness guards the REGR_* aggregates apply per row
+    sql = _rewrite_calls(
+        sql,
+        "regr_valx",
+        lambda a: f"CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE ({a[1]}) END"
+        if len(a) == 2
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "regr_valy",
+        lambda a: f"CASE WHEN ({a[1]}) IS NULL THEN NULL ELSE ({a[0]}) END"
+        if len(a) == 2
+        else None,
+    )
+
     # quoted date-part units -> bare keywords: Snowflake accepts
     # DATEADD('quarter', …) and DATEADD(quarter, …) interchangeably; Spark's
     # timestampadd/-diff (the rename targets) parse only the bare form
@@ -2166,6 +2183,17 @@ def _rewrite_array_agg_within_group(sql: str) -> str:
         desc = bool(re.search(r"\bDESC\b", order, re.I))
         key = re.sub(r"\s+(ASC|DESC)\s*$", "", order, flags=re.I).strip()
         out.append(sql[i : m.start()])
+        # ARRAY_AGG(DISTINCT x) WITHIN GROUP: Snowflake requires the order
+        # key to be the DISTINCT expression itself, so the sort_array path
+        # is always valid (the struct path would nest DISTINCT invalidly)
+        dx = re.match(r"(?is)^DISTINCT\s+(.*)$", x)
+        if dx:
+            if key != dx.group(1).strip():
+                raise ValueError(
+                    "ARRAY_AGG(DISTINCT ...) WITHIN GROUP must order by the "
+                    "DISTINCT expression (Snowflake restriction)"
+                )
+            key = x
         if key == x:
             arr = f"sort_array(array_agg({x})" + (", false)" if desc else ")")
         else:
