@@ -3236,3 +3236,19 @@ def test_regr_valx_valy_and_distinct_within_group(engine):
         "SELECT ARRAY_AGG(DISTINCT n_regionkey) WITHIN GROUP (ORDER BY n_regionkey) AS v FROM nation"
     ).to_pylist()[0]["v"]
     assert v == [0, 1, 2, 3, 4]
+
+
+def test_epoch_date_parts(engine):
+    """r6: DATE_PART/EXTRACT epoch_* fields map to the unix_* accessors
+    (Spark's extract has no epoch fields)."""
+    rows = engine.execute(
+        "SELECT DATE_PART('epoch_second', '2024-01-15 00:00:00'::timestamp) AS a, "
+        "DATE_PART(epoch_millisecond, '2024-01-15 00:00:00'::timestamp) AS b, "
+        "EXTRACT(epoch_second FROM '2024-01-15 00:00:00'::timestamp) AS d, "
+        "EXTRACT(epoch_nanosecond FROM '2024-01-15 00:00:00'::timestamp) AS n, "
+        "EXTRACT(hour FROM '2024-01-15 13:00:00'::timestamp) AS h"
+    ).to_pylist()[0]
+    assert rows == {
+        "a": 1705276800, "b": 1705276800000, "d": 1705276800,
+        "n": 1705276800000000000, "h": 13,
+    }

@@ -373,14 +373,55 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         lambda a: f"filter({a[0]}, __e -> __e IS NOT NULL)" if len(a) == 1 else None,
     )
     # DATE_PART(part, expr): Snowflake accepts a BARE part keyword; Spark's
-    # date_part needs a string literal
-    sql = _rewrite_calls(
-        sql,
-        "date_part",
-        lambda a: f"date_part('{a[0].strip()}', {a[1]})"
-        if len(a) == 2 and re.fullmatch(r"[A-Za-z_]+", a[0].strip())
-        else None,
-    )
+    # date_part needs a string literal. The epoch_* parts have no Spark
+    # extract field — they map to the unix_* timestamp accessors.
+    _EPOCH_PARTS = {
+        "epoch": "unix_seconds(CAST({x} AS TIMESTAMP))",
+        "epoch_second": "unix_seconds(CAST({x} AS TIMESTAMP))",
+        "epoch_seconds": "unix_seconds(CAST({x} AS TIMESTAMP))",
+        "epoch_millisecond": "unix_millis(CAST({x} AS TIMESTAMP))",
+        "epoch_milliseconds": "unix_millis(CAST({x} AS TIMESTAMP))",
+        "epoch_microsecond": "unix_micros(CAST({x} AS TIMESTAMP))",
+        "epoch_microseconds": "unix_micros(CAST({x} AS TIMESTAMP))",
+        "epoch_nanosecond": "unix_micros(CAST({x} AS TIMESTAMP)) * 1000L",
+        "epoch_nanoseconds": "unix_micros(CAST({x} AS TIMESTAMP)) * 1000L",
+    }
+
+    def date_part_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        part = a[0].strip().strip("'").lower()
+        if part in _EPOCH_PARTS:
+            return _EPOCH_PARTS[part].format(x=a[1])
+        if re.fullmatch(r"[A-Za-z_]+", a[0].strip()):
+            return f"date_part('{a[0].strip()}', {a[1]})"
+        return None
+
+    sql = _rewrite_calls(sql, "date_part", date_part_rw)
+
+    # EXTRACT(epoch_* FROM expr) is SYNTAX (not a call), so the call
+    # rewriter never sees it — paren-match it to the same unix_* mapping
+    def _extract_epoch(s: str) -> str:
+        pat = re.compile(r"\bEXTRACT\s*\(\s*(epoch\w*)\s+FROM\s+", re.I)
+        out: list[str] = []
+        i = 0
+        while True:
+            m = pat.search(s, i)
+            if not m:
+                out.append(s[i:])
+                break
+            part = m.group(1).lower()
+            open_p = s.index("(", m.start())
+            close = _match_paren(s, open_p)
+            if part not in _EPOCH_PARTS:
+                out.append(s[i : close + 1])
+            else:
+                out.append(s[i : m.start()])
+                out.append(_EPOCH_PARTS[part].format(x=s[m.end() : close]))
+            i = close + 1
+        return "".join(out)
+
+    sql = _extract_epoch(sql)
     # DAYNAME/MONTHNAME: 3-letter abbreviations
     sql = _rewrite_calls(
         sql, "dayname", lambda a: f"date_format({a[0]}, 'EEE')" if len(a) == 1 else None
