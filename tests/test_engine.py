@@ -3252,3 +3252,20 @@ def test_epoch_date_parts(engine):
         "a": 1705276800, "b": 1705276800000, "d": 1705276800,
         "n": 1705276800000000000, "h": 13,
     }
+
+
+def test_windowed_skew_kurtosis(engine):
+    """r6: SKEW/KURTOSIS with an OVER clause — the sample-correction CASE
+    cannot carry OVER itself, so the window spec distributes into every
+    aggregate inside; per-partition windowed value == the aggregate twin."""
+    win = engine.execute(
+        "SELECT n_regionkey, KURTOSIS(n_nationkey) OVER (PARTITION BY n_regionkey) AS ku, "
+        "SKEW(n_nationkey) OVER (PARTITION BY n_regionkey) AS sk "
+        "FROM nation ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    agg = engine.execute(
+        "SELECT KURTOSIS(n_nationkey) AS k, SKEW(n_nationkey) AS s "
+        "FROM nation WHERE n_regionkey = 0"
+    ).to_pylist()[0]
+    assert round(win["ku"], 10) == round(agg["k"], 10)
+    assert round(win["sk"], 10) == round(agg["s"], 10)

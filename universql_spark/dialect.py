@@ -1439,6 +1439,50 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         "previous_day",
         lambda a: f"next_day(date_sub({a[0]}, 8), {a[1]})" if len(a) == 2 else None,
     )
+    # windowed SKEW/KURTOSIS first: the sample-correction CASE cannot take
+    # an OVER clause itself, so the window spec distributes into every
+    # aggregate call inside the corrected expression
+    def _windowed_moments(s: str) -> str:
+        pat = re.compile(r"\b(skew|kurtosis)\s*\(", re.I)
+        i = 0
+        while True:
+            m = pat.search(s, i)
+            if not m:
+                return s
+            close = _match_paren(s, s.index("(", m.start()))
+            x = s[s.index("(", m.start()) + 1 : close]
+            p = close + 1
+            while p < len(s) and s[p].isspace():
+                p += 1
+            if s[p : p + 4].lower() != "over":
+                i = close + 1
+                continue
+            q = p + 4
+            while q < len(s) and s[q].isspace():
+                q += 1
+            if q >= len(s) or s[q] != "(":
+                i = close + 1
+                continue
+            oclose = _match_paren(s, q)
+            w = f"OVER ({s[q + 1 : oclose]})"
+            # inner calls use __*_pop sentinels so the PLAIN skew/kurtosis
+            # rewrites below cannot re-correct them; renamed back after
+            c = f"count({x}) {w}"
+            if m.group(1).lower() == "skew":
+                repl = (
+                    f"CASE WHEN {c} >= 3 THEN __skewness_pop({x}) {w}"
+                    f" * sqrt({c} * ({c} - 1)) / ({c} - 2) ELSE NULL END"
+                )
+            else:
+                repl = (
+                    f"CASE WHEN {c} >= 4 THEN"
+                    f" (({c} + 1) * __kurtosis_pop({x}) {w} + 6)"
+                    f" * ({c} - 1) / (({c} - 2) * ({c} - 3)) ELSE NULL END"
+                )
+            s = s[: m.start()] + repl + s[oclose + 1 :]
+            i = m.start() + len(repl)
+
+    sql = _windowed_moments(sql)
     sql = _rewrite_calls(
         sql,
         "skew",
@@ -1462,6 +1506,8 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         if len(a) == 1
         else None,
     )
+    sql = re.sub(r"\b__skewness_pop\(", "skewness(", sql)
+    sql = re.sub(r"\b__kurtosis_pop\(", "kurtosis(", sql)
     sql = _rewrite_calls(
         sql,
         "boolxor_agg",
