@@ -3269,3 +3269,32 @@ def test_windowed_skew_kurtosis(engine):
     ).to_pylist()[0]
     assert round(win["ku"], 10) == round(agg["k"], 10)
     assert round(win["sk"], 10) == round(agg["s"], 10)
+
+
+def test_hash_agg_search_show_history(engine):
+    """r6: HASH_AGG (order-invariant wrapping 64-bit sum of row hashes,
+    duplicates counted), SEARCH (default-analyzer token overlap, both
+    sides tokenized), SHOW TABLES HISTORY (live + UNDROP-able dropped)."""
+    a = engine.execute(
+        "SELECT HASH_AGG(n_nationkey) AS h FROM (SELECT n_nationkey FROM nation ORDER BY n_nationkey)"
+    ).to_pylist()
+    b = engine.execute(
+        "SELECT HASH_AGG(n_nationkey) AS h FROM (SELECT n_nationkey FROM nation ORDER BY n_name DESC)"
+    ).to_pylist()
+    assert a == b and isinstance(a[0]["h"], int)
+    dup = engine.execute(
+        "SELECT HASH_AGG(v) AS h FROM (SELECT 1 AS v UNION ALL SELECT 1)"
+    ).to_pylist()[0]["h"]
+    single = engine.execute("SELECT HASH_AGG(v) AS h FROM (SELECT 1 AS v)").to_pylist()[0]["h"]
+    assert dup != single  # duplicates change the hash (unlike an XOR fold)
+
+    r = engine.execute(
+        "SELECT SEARCH('hello world', 'WORLD') AS a, SEARCH('hello world', 'word') AS b, "
+        "SEARCH('NATION_3', 'nation_3') AS c"
+    ).to_pylist()[0]
+    assert r == {"a": True, "b": False, "c": True}
+
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE hist_t AS SELECT 1 AS a")
+    engine.execute("DROP TABLE hist_t")
+    hist = engine.execute("SHOW TABLES HISTORY").to_pylist()
+    assert any(r["name"] == "HIST_T" and r["dropped_on"] for r in hist)

@@ -1085,6 +1085,47 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
         else None,
     )
 
+    # HASH_AGG(args) -> order-invariant 64-bit aggregate hash: per-row
+    # xxhash64 summed exactly in DECIMAL(38) and wrapped to a signed
+    # 64-bit value. Summation (not XOR) so duplicate rows change the
+    # result — the table-equality use case HASH_AGG exists for. Snowflake
+    # documents the output as engine-specific; ours is stable and
+    # partition-order-independent by construction.
+    def hash_agg_rw(a: list[str]) -> str | None:
+        if not a:
+            return None
+        args = ", ".join(a)
+        w = (
+            f"pmod(sum(CAST(xxhash64({args}) AS DECIMAL(38,0))), "
+            f"CAST(18446744073709551616 AS DECIMAL(38,0)))"
+        )
+        return (
+            f"CAST(CASE WHEN {w} >= CAST(9223372036854775808 AS DECIMAL(38,0)) "
+            f"THEN {w} - CAST(18446744073709551616 AS DECIMAL(38,0)) "
+            f"ELSE {w} END AS BIGINT)"
+        )
+
+    sql = _rewrite_calls(sql, "hash_agg", hash_agg_rw)
+
+    # SEARCH(col, 'term') -> default-analyzer semantics: BOTH sides
+    # tokenize (lowercase, split on non-alphanumerics) and the match is
+    # any-token-overlap — SEARCH(name, 'nation_3') hits 'NATION_3' because
+    # both sides tokenize to [nation, 3]
+    sql = _rewrite_calls(
+        sql,
+        "search",
+        lambda a: (
+            # arrays_overlap (symmetric) rather than array_contains: the
+            # Snowflake ARRAY_CONTAINS arg-swap rewrite downstream would
+            # flip generated Spark-order arguments
+            f"arrays_overlap("
+            f"filter(split(lower({a[0]}), '[^a-z0-9]+'), __t -> __t != ''), "
+            f"filter(split(lower({a[1]}), '[^a-z0-9]+'), __q -> __q != ''))"
+        )
+        if len(a) == 2
+        else None,
+    )
+
     # REGR_VALX(y, x) -> x when y is non-null (and symmetrically VALY):
     # the pair-completeness guards the REGR_* aggregates apply per row
     sql = _rewrite_calls(

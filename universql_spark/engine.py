@@ -1900,6 +1900,22 @@ class Engine:
                         ],
                     }
                 )
+            if re.match(r"^\s*SHOW\s+TABLES\s+HISTORY\s*$", stmt, re.I):
+                # live snapshot tables + the Time-Travel dropped registry
+                # (UNDROP-able until the slot is reused) — the view users
+                # run to find what UNDROP can still restore
+                live = sorted(self.snap_tables)
+                dropped = sorted(self.dropped_tables)
+                return pa.table(
+                    {
+                        "name": [n.upper() for n in live + dropped],
+                        "kind": ["TABLE"] * (len(live) + len(dropped)),
+                        "dropped_on": pa.array(
+                            [None] * len(live) + ["(dropped; UNDROP-able)"] * len(dropped),
+                            type=pa.string(),
+                        ),
+                    }
+                )
             if re.match(r"^\s*SHOW\s+EXTERNAL\s+VOLUMES\s*$", stmt, re.I):
                 names = sorted(self.volumes)
                 return pa.table(
