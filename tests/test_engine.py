@@ -3298,3 +3298,14 @@ def test_hash_agg_search_show_history(engine):
     engine.execute("DROP TABLE hist_t")
     hist = engine.execute("SHOW TABLES HISTORY").to_pylist()
     assert any(r["name"] == "HIST_T" and r["dropped_on"] for r in hist)
+
+
+def test_object_ops_compose_over_object_construct(engine):
+    """r6: OBJECT_PICK/DELETE/INSERT accept a constructed object argument
+    (struct serialized through to_json), not just canonical VARIANT text."""
+    r = engine.execute(
+        "SELECT OBJECT_PICK(OBJECT_CONSTRUCT('a',1,'b',2), 'a') AS v, "
+        "OBJECT_DELETE(OBJECT_CONSTRUCT('a',1,'b',2), 'a') AS w, "
+        "OBJECT_INSERT(OBJECT_CONSTRUCT('a',1), 'c', 3) AS x"
+    ).to_pylist()[0]
+    assert r == {"v": '{"a":1}', "w": '{"b":2}', "x": '{"a":1,"c":3}'}

@@ -1708,6 +1708,11 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
     # lexicographically; the oracle states the same insertion-order values
     # with DuckDB's order-preserving json functions).
     def _obj_map(obj: str) -> str:
+        # a syntactic OBJECT_CONSTRUCT/struct argument is a STRUCT, not the
+        # canonical VARIANT JSON text — serialize it first so OBJECT_PICK/
+        # DELETE/INSERT compose over constructed objects
+        if re.match(r"(?is)^\s*(object_construct|named_struct|struct)\s*\(", obj.strip()):
+            obj = f"to_json({obj})"
         return f"from_json({obj}, 'map<string,variant>')"
 
     def _wrap_variant(v: str) -> str:
