@@ -3309,3 +3309,82 @@ def test_object_ops_compose_over_object_construct(engine):
         "OBJECT_INSERT(OBJECT_CONSTRUCT('a',1), 'c', 3) AS x"
     ).to_pylist()[0]
     assert r == {"v": '{"a":1}', "w": '{"b":2}', "x": '{"a":1,"c":3}'}
+
+
+def test_bitmap_family_exact_distinct(engine):
+    """r6: BITMAP_BUCKET_NUMBER/BIT_POSITION/CONSTRUCT_AGG/OR_AGG/COUNT —
+    the precomputed count-distinct rollup algebra must reproduce the exact
+    COUNT(DISTINCT), including values straddling the 32768 bucket edge."""
+    r = engine.execute(
+        "WITH v AS (SELECT * FROM VALUES (1),(2),(2),(32768),(32769),(32769),(70000) AS t(x)),"
+        " b AS (SELECT BITMAP_BUCKET_NUMBER(x) AS bkt,"
+        "       BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(x)) AS bmp"
+        "       FROM v GROUP BY bkt)"
+        " SELECT CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) AS nd,"
+        "        CAST(COUNT(*) AS BIGINT) AS n_buckets FROM b"
+    ).to_pylist()[0]
+    assert r == {"nd": 5, "n_buckets": 3}  # {1,2} {32768? no: 32768->bkt1 pos 32767} ...
+    # bucket sanity: 1..32768 -> bucket 1, 32769 -> bucket 2
+    r2 = engine.execute(
+        "SELECT BITMAP_BUCKET_NUMBER(1) AS a, BITMAP_BUCKET_NUMBER(32768) AS b,"
+        " BITMAP_BUCKET_NUMBER(32769) AS c, BITMAP_BIT_POSITION(1) AS p0,"
+        " BITMAP_BIT_POSITION(32768) AS p1, BITMAP_BIT_POSITION(32769) AS p2"
+    ).to_pylist()[0]
+    assert r2 == {"a": 1, "b": 1, "c": 2, "p0": 0, "p1": 32767, "p2": 0}
+    # OR_AGG merges bitmaps (set union) across groups
+    r3 = engine.execute(
+        "WITH v AS (SELECT * FROM VALUES ('g1', 5), ('g1', 6), ('g2', 6), ('g2', 7) AS t(g, x)),"
+        " b AS (SELECT g, BITMAP_BUCKET_NUMBER(x) AS bkt,"
+        "       BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(x)) AS bmp FROM v GROUP BY g, bkt)"
+        " SELECT CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) AS nd"
+        " FROM (SELECT bkt, BITMAP_OR_AGG(bmp) AS bmp FROM b GROUP BY bkt)"
+    ).to_pylist()[0]
+    assert r3 == {"nd": 3}
+
+
+def test_insert_function_guarded_from_merge(engine, spark):
+    """r6 regression: INSERT(base, pos, len, repl) is a string function,
+    but MERGE's 'WHEN NOT MATCHED THEN INSERT (c1,c2,c3,c4)' column list
+    must never be rewritten to overlay — exactly-4-column merges used to
+    hit the unguarded call scan."""
+    r = engine.execute("SELECT INSERT('abcdefg', 3, 2, 'XY') AS v").to_pylist()[0]
+    assert r == {"v": "abXYefg"}
+    engine.execute("CREATE OR REPLACE TEMP TABLE ig_t AS SELECT 1 AS a, 2 AS b, 3 AS c, 4 AS d")
+    engine.execute("CREATE OR REPLACE TEMP TABLE ig_s AS SELECT 9 AS a, 8 AS b, 7 AS c, 6 AS d")
+    engine.execute(
+        "MERGE INTO ig_t t USING ig_s s ON t.a = s.a "
+        "WHEN NOT MATCHED THEN INSERT (a, b, c, d) VALUES (s.a, s.b, s.c, s.d)"
+    )
+    rows = engine.execute("SELECT * FROM ig_t ORDER BY a").to_pylist()
+    assert rows == [
+        {"a": 1, "b": 2, "c": 3, "d": 4},
+        {"a": 9, "b": 8, "c": 7, "d": 6},
+    ]
+
+
+def test_parse_ip_getdate_misc(engine):
+    """r6: PARSE_IP IPv4/CIDR fields (exact shift-derived range bounds),
+    the no-prefix form (range/netmask fields absent from the VARIANT),
+    RTRIMMED_LENGTH, GETDATE, FACTORIAL, HAVERSINE."""
+    r = engine.execute(
+        "SELECT CAST(PARSE_IP('192.168.1.10/28', 'INET'):ipv4 AS BIGINT) AS v,"
+        " CAST(PARSE_IP('192.168.1.10/28', 'INET'):ipv4_range_start AS BIGINT) AS r0,"
+        " CAST(PARSE_IP('192.168.1.10/28', 'INET'):ipv4_range_end AS BIGINT) AS r1,"
+        " CAST(PARSE_IP('192.168.1.10/28', 'INET'):netmask_prefix_length AS INT) AS p,"
+        " CAST(PARSE_IP('192.168.1.10/28', 'INET'):host AS VARCHAR) AS h"
+    ).to_pylist()[0]
+    assert r["v"] == 192 * 16777216 + 168 * 65536 + 256 + 10
+    assert r["r0"] == r["v"] - (r["v"] % 16) and r["r1"] == r["r0"] + 15
+    assert r == {**r, "p": 28, "h": "192.168.1.10"}
+    # no prefix: range fields are JSON-absent (colon path -> NULL)
+    r2 = engine.execute(
+        "SELECT CAST(PARSE_IP('10.0.0.1', 'INET'):ipv4 AS BIGINT) AS v,"
+        " PARSE_IP('10.0.0.1', 'INET'):netmask_prefix_length AS p"
+    ).to_pylist()[0]
+    assert r2 == {"v": 10 * 16777216 + 1, "p": None}
+    r3 = engine.execute(
+        "SELECT RTRIMMED_LENGTH('  pad  ') AS rtl, GETDATE() IS NOT NULL AS g,"
+        " CAST(FACTORIAL(5) AS BIGINT) AS f,"
+        " CAST(ROUND(HAVERSINE(40.7127, -74.0059, 34.0500, -118.2500), 1) AS DOUBLE) AS hv"
+    ).to_pylist()[0]
+    assert r3 == {"rtl": 5, "g": True, "f": 120, "hv": 3936.4}

@@ -1327,6 +1327,160 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
     return sql
 
 
+def _rewrite_insert_function(s: str) -> str:
+    """INSERT as a STRING FUNCTION only (INSERT(base, pos, len, repl) ->
+    overlay(base, repl, pos, len)): requires exactly 4 args AND skips any
+    INSERT preceded by THEN — MERGE's ``WHEN NOT MATCHED THEN INSERT
+    (c1, c2, c3, c4)`` clause is a column list, not a call, and a plain
+    call scan would destroy exactly-4-column merges (the call scanner
+    tolerates whitespace before '(', so "requires '(' directly after the
+    name" is NOT a sufficient guard)."""
+    if not re.search(r"(?i)\binsert\s*\(", s):
+        return s
+    out: list[str] = []
+    i = 0
+    low = s.lower()
+    while True:
+        j = low.find("insert", i)
+        if j < 0:
+            out.append(s[i:])
+            break
+        k = j + 6
+        if (j > 0 and (s[j - 1].isalnum() or s[j - 1] == "_")) or (
+            k < len(s) and (s[k].isalnum() or s[k] == "_")
+        ):
+            out.append(s[i:k])
+            i = k
+            continue
+        while k < len(s) and s[k].isspace():
+            k += 1
+        prev = s[:j].rstrip().lower()
+        if k >= len(s) or s[k] != "(" or prev.endswith("then") or not prev:
+            out.append(s[i : j + 6])
+            i = j + 6
+            continue
+        m = _match_paren(s, k)
+        args = _split_top_args(s[k + 1 : m])
+        if len(args) != 4:
+            out.append(s[i : j + 6])
+            i = j + 6
+            continue
+        out.append(s[i:j])
+        out.append(f"overlay({args[0]}, {args[3]}, {args[1]}, {args[2]})")
+        i = m + 1
+    return "".join(out)
+
+
+def _rewrite_scalar_emulations_r6(sql: str) -> str:
+    """Round-6 final surface:
+
+    - **BITMAP_* family** — Snowflake's documented precomputed
+      count-distinct pattern: split the value domain into 32768-value
+      buckets, aggregate ONE mergeable bitmap per (group, bucket), merge
+      by OR on rollup, COUNT = popcount, and SUM(BITMAP_COUNT) over
+      buckets is the EXACT COUNT(DISTINCT). Snowflake's bitmap value is
+      an opaque binary; ours is the sorted position-SET as array<int> —
+      bounded at 32768 entries per bucket by construction, same algebra
+      (OR = set union, COUNT = cardinality), deterministic and portable
+      across engines. At 100 TB this is the rollup-table shape: partial
+      aggregation collapses each task to <= one array per (group,
+      bucket), and re-aggregation unions arrays instead of re-scanning
+      facts.
+    - PARSE_IP(ip[, 'INET']) — IPv4 + optional /prefix subset -> VARIANT
+      object (JSON text, like PARSE_URL): family/host/ip_fields/ipv4/
+      ipv4_range_start/ipv4_range_end/netmask_prefix_length. Range
+      bounds via 64-bit shifts (exact).
+    - RTRIMMED_LENGTH / GETDATE / HAVERSINE (great-circle km, R=6371 —
+      Snowflake returns the same formula's value within FP noise).
+    """
+    sql = _rewrite_calls(
+        sql,
+        "bitmap_bucket_number",
+        lambda a: f"CAST(1 + floor((({a[0]}) - 1) / 32768) AS BIGINT)"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bitmap_bit_position",
+        lambda a: f"CAST(pmod(({a[0]}) - 1, 32768) AS BIGINT)" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bitmap_construct_agg",
+        lambda a: f"array_sort(collect_set(CAST({a[0]} AS INT)))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bitmap_or_agg",
+        lambda a: f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bitmap_count",
+        lambda a: f"CAST(size({a[0]}) AS BIGINT)" if len(a) == 1 else None,
+    )
+
+    # PARSE_IP: IPv4 dotted-quad with optional /prefix. Spark-side pure
+    # expressions; every subterm is restated inline (no lateral aliases in
+    # generated text). ip_fields follows Snowflake's IPv4 convention
+    # ([ipv4, 0, 0, 0]).
+    def parse_ip_rw(a: list[str]) -> str | None:
+        if len(a) not in (1, 2, 3):
+            return None
+        x = a[0]
+        host = f"element_at(split({x}, '/'), 1)"
+        haspfx = f"(instr({x}, '/') > 0)"
+        pfx = f"CAST(element_at(split({x}, '/'), 2) AS INT)"
+        oct_ = lambda i: f"CAST(element_at(split({host}, '\\\\.'), {i}) AS BIGINT)"  # noqa: E731
+        ipv4 = (
+            f"({oct_(1)} * 16777216 + {oct_(2)} * 65536 + {oct_(3)} * 256 + {oct_(4)})"
+        )
+        r0 = f"shiftleft(shiftright({ipv4}, 32 - {pfx}), 32 - {pfx})"
+        r1 = f"({r0} + shiftleft(CAST(1 AS BIGINT), 32 - {pfx}) - 1)"
+        return (
+            "to_json(named_struct("
+            "'family', 4, "
+            f"'host', {host}, "
+            f"'ip_fields', array({ipv4}, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)), "
+            f"'ipv4', {ipv4}, "
+            f"'ipv4_range_end', CASE WHEN {haspfx} THEN {r1} END, "
+            f"'ipv4_range_start', CASE WHEN {haspfx} THEN {r0} END, "
+            f"'netmask_prefix_length', CASE WHEN {haspfx} THEN {pfx} END))"
+        )
+
+    sql = _rewrite_calls(sql, "parse_ip", parse_ip_rw)
+
+    sql = _rewrite_calls(
+        sql,
+        "rtrimmed_length",
+        lambda a: f"length(rtrim({a[0]}))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "getdate",
+        lambda a: "current_timestamp()"
+        if not a or (len(a) == 1 and not a[0].strip())
+        else None,
+    )
+
+    def haversine_rw(a: list[str]) -> str | None:
+        if len(a) != 4:
+            return None
+        lat1, lon1, lat2, lon2 = a
+        return (
+            f"(2 * 6371 * asin(sqrt("
+            f"power(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * power(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    sql = _rewrite_calls(sql, "haversine", haversine_rw)
+    return sql
+
+
 def _rewrite_strtok_to_array(sql: str) -> str:
     """Snowflake STRTOK_TO_ARRAY(str[, delims]) splits on ANY single char of
     the delimiter set and drops empty tokens; Spark split() takes a Java
@@ -1371,8 +1525,9 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
       'i'/'s'/'m' params to inline flags.
     - REGEXP_SUBSTR_ALL -> regexp_extract_all(s, p, 0) (Spark requires the
       explicit group-0 index when the pattern has no capture groups).
-    - INSERT(str, pos, len, repl) -> overlay (SQL-statement INSERT INTO is
-      never matched: the scanner requires '(' directly after the name).
+    - INSERT(str, pos, len, repl) -> overlay (guarded: 4 args only, and
+      never after THEN, so MERGE's "THEN INSERT (cols)" list survives —
+      see _rewrite_insert_function).
     - TO_CHAR/TO_VARCHAR(ts, 'YYYY-MM-DD...') -> date_format with the shared
       Snowflake->JDK token table (copy_into._map_datetime_format); the 1-arg
       form still falls through to the TO_CHAR->string rename.
@@ -1436,11 +1591,7 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         "regexp_substr_all",
         lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
     )
-    sql = _rewrite_calls(
-        sql,
-        "insert",
-        lambda a: f"overlay({a[0]}, {a[3]}, {a[1]}, {a[2]})" if len(a) == 4 else None,
-    )
+    sql = _rewrite_insert_function(sql)
 
     def to_char_rw(a):
         if len(a) != 2:
@@ -2530,6 +2681,7 @@ def snowflake_to_spark(sql: str) -> str:
     # r5 also runs BEFORE strtok (STRTOK_SPLIT_TO_TABLE emitted a textual
     # STRTOK_TO_ARRAY in the early table-function pass)
     sql = _rewrite_scalar_emulations_r5(sql)
+    sql = _rewrite_scalar_emulations_r6(sql)
     sql = _rewrite_strtok_to_array(sql)
     sql = _rewrite_scalar_emulations(sql)
     sql = _outside_literals(sql, _rename_functions)

@@ -1822,3 +1822,108 @@ def fn_width_bucket_months(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST(MONTHS_BETWEEN(DATEADD(month, n_nationkey, '2024-01-15'::date), '2024-01-15'::date) AS DOUBLE) AS mb
 FROM nation ORDER BY k"""
     )
+
+
+_BITMAP_DISTINCT_ORACLE = """SELECT o_orderpriority AS pri,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS nd_total
+FROM orders GROUP BY pri ORDER BY pri"""
+
+
+@register(
+    "agg_bitmap_distinct",
+    _BITMAP_DISTINCT_ORACLE,
+    category="agg",
+    doc="BITMAP_BUCKET_NUMBER / BITMAP_BIT_POSITION / BITMAP_CONSTRUCT_AGG / "
+        "BITMAP_OR_AGG / BITMAP_COUNT — Snowflake's precomputed "
+        "count-distinct rollup pattern; the oracle is the EXACT "
+        "COUNT(DISTINCT) the bitmap algebra must reproduce",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's bitmap count-distinct family end-to-end (the documented
+    rollup-table pattern): the value domain splits into 32768-value buckets
+    (BITMAP_BUCKET_NUMBER/BIT_POSITION), one mergeable bitmap aggregates
+    per (group, bucket) (BITMAP_CONSTRUCT_AGG), rollups merge bitmaps by
+    OR (BITMAP_OR_AGG), and SUM(BITMAP_COUNT) over buckets is the exact
+    distinct count. 100 TB shape: partial aggregation collapses each task
+    to <= one bounded array per (group, bucket) — the facts are scanned
+    once, every re-aggregation after that unions position sets instead of
+    re-scanning. Our bitmap value is the sorted position-set array<int>
+    (bounded at 32768 entries/bucket); Snowflake's is an opaque binary —
+    same algebra, deterministic cross-engine. Reference parity:
+    universql routes these to Snowflake/DuckDB natives (no local impl)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """WITH b AS (SELECT o_orderpriority AS pri, BITMAP_BUCKET_NUMBER(o_custkey) AS bkt,
+                  BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(o_custkey)) AS bmp
+           FROM orders GROUP BY pri, bkt),
+     m AS (SELECT bkt, BITMAP_OR_AGG(bmp) AS bmp FROM b GROUP BY bkt)
+SELECT pri, CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) AS nd,
+       (SELECT CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) FROM m) AS nd_total
+FROM b GROUP BY pri ORDER BY pri"""
+    )
+
+
+_PARSE_IP_MISC_ORACLE = """WITH ips AS (SELECT n_nationkey AS k,
+  '10.' || CAST(n_nationkey AS VARCHAR) || '.' || CAST((n_nationkey * 7) % 256 AS VARCHAR)
+   || '.' || CAST((n_nationkey * 13) % 256 AS VARCHAR) || '/' || CAST(8 + (n_nationkey % 17) AS VARCHAR) AS ip
+  FROM nation),
+p AS (SELECT k, ip,
+  CAST(string_split(string_split(ip, '/')[1], '.')[1] AS BIGINT) * 16777216
+  + CAST(string_split(string_split(ip, '/')[1], '.')[2] AS BIGINT) * 65536
+  + CAST(string_split(string_split(ip, '/')[1], '.')[3] AS BIGINT) * 256
+  + CAST(string_split(string_split(ip, '/')[1], '.')[4] AS BIGINT) AS ipv4,
+  string_split(ip, '/')[1] AS host,
+  CAST(string_split(ip, '/')[2] AS INT) AS pfx
+  FROM ips)
+SELECT k, ip, ipv4, host, pfx,
+  CAST((ipv4 >> (32 - pfx)) << (32 - pfx) AS BIGINT) AS r0,
+  CAST(((ipv4 >> (32 - pfx)) << (32 - pfx)) + (CAST(1 AS BIGINT) << (32 - pfx)) - 1 AS BIGINT) AS r1,
+  substr('abcdefg', 1, 2) || 'XY' || substr('abcdefg', 5) AS ins,
+  CAST(length(rtrim('  pad  ')) AS INT) AS rtl,
+  CAST(factorial(CAST(k % 11 AS INT)) AS BIGINT) AS fact,
+  CAST(ROUND(2*6371*asin(sqrt(power(sin(radians(34.0500 - 40.7127)/2), 2)
+    + cos(radians(40.7127))*cos(radians(34.0500))*power(sin(radians(-118.2500 - -74.0059)/2), 2))), 4) AS DOUBLE) AS hav
+FROM p ORDER BY k"""
+
+
+@register(
+    "fn_parse_ip_misc",
+    _PARSE_IP_MISC_ORACLE,
+    category="scalar",
+    doc="PARSE_IP (IPv4/CIDR -> VARIANT: ipv4 int, host, prefix, exact "
+        "range bounds via 64-bit shifts), INSERT-as-string-function, "
+        "RTRIMMED_LENGTH, FACTORIAL, HAVERSINE — oracle restates the "
+        "octet/shift arithmetic independently in DuckDB",
+)
+def fn_parse_ip_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-r6 scalar surface, verbatim Snowflake through the dialect
+    layer. PARSE_IP returns the VARIANT object (JSON text) and the spec
+    extracts ipv4/host/prefix/range fields by colon path — the oracle
+    re-derives each from string_split octets and >> << shifts (exact at
+    32 bits in BIGINT). INSERT exercises the THEN-guarded rewrite (the
+    same pass must NOT touch MERGE column lists — pinned in
+    test_engine). HAVERSINE uses the R=6371 great-circle formula on both
+    engines; rounded to 4dp."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        """WITH ips AS (SELECT n_nationkey AS k,
+  '10.' || CAST(n_nationkey AS VARCHAR) || '.' || CAST((n_nationkey * 7) % 256 AS VARCHAR)
+   || '.' || CAST((n_nationkey * 13) % 256 AS VARCHAR) || '/' || CAST(8 + (n_nationkey % 17) AS VARCHAR) AS ip
+  FROM nation)
+SELECT k, ip,
+  CAST(PARSE_IP(ip, 'INET'):ipv4 AS BIGINT) AS ipv4,
+  CAST(PARSE_IP(ip, 'INET'):host AS VARCHAR) AS host,
+  CAST(PARSE_IP(ip, 'INET'):netmask_prefix_length AS INT) AS pfx,
+  CAST(PARSE_IP(ip, 'INET'):ipv4_range_start AS BIGINT) AS r0,
+  CAST(PARSE_IP(ip, 'INET'):ipv4_range_end AS BIGINT) AS r1,
+  INSERT('abcdefg', 3, 2, 'XY') AS ins,
+  CAST(RTRIMMED_LENGTH('  pad  ') AS INT) AS rtl,
+  CAST(FACTORIAL(CAST(k % 11 AS INT)) AS BIGINT) AS fact,
+  CAST(ROUND(HAVERSINE(40.7127, -74.0059, 34.0500, -118.2500), 4) AS DOUBLE) AS hav
+FROM ips ORDER BY k"""
+    )
