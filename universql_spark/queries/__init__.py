@@ -236,6 +236,7 @@ _GATE_PRIORITY: list[str] = [
     "agg_regr_family", "fn_regexp_instr_count", "fn_width_bucket_months",
     "agg_linear_count_distinct", "multimodal_patchify",
     "agg_bitmap_distinct", "fn_parse_ip_misc",
+    "text_pmi_collocations", "corpus_source_kl",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

@@ -2628,3 +2628,91 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.patchify_images(media, 2, 2).orderBy(
         "media_id", "patch_row", "patch_col"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: collocation mining + mixture drift (late r6)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "text_pmi_collocations",
+    """WITH t AS (SELECT filter(split(lower(trim(text)), ' +'), x -> x != '') AS w FROM documents),
+big AS (SELECT explode(transform(sequence(1, size(w) - 1),
+                                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))) AS bg
+        FROM t WHERE size(w) >= 2),
+pc AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+uni AS (SELECT explode(w) AS tok FROM t),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM uni)
+SELECT bg AS bigram, CAST(c12 AS BIGINT) AS c12,
+       CAST(ROUND(CAST(c12 AS DOUBLE) * n / (u1.c * u2.c), 4) AS DOUBLE) AS lift
+FROM pc JOIN uc u1 ON split_part(bg, ' ', 1) = u1.tok
+        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.tok
+        CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY c12 DESC, bigram LIMIT 20""",
+    oracle="""WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS w FROM documents),
+big AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        FROM t WHERE len(w) >= 2),
+pc AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+uni AS (SELECT unnest(w) AS tok FROM t),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM uni)
+SELECT bg AS bigram, CAST(c12 AS BIGINT) AS c12,
+       CAST(ROUND(CAST(c12 AS DOUBLE) * n / (u1.c * u2.c), 4) AS DOUBLE) AS lift
+FROM pc JOIN uc u1 ON split_part(bg, ' ', 1) = u1.tok
+        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.tok
+        CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY c12 DESC, bigram LIMIT 20""",
+    category="text",
+    doc="PMI/lift collocation mining (phrase discovery for tokenizer/vocab "
+    "work): adjacent-bigram counts vs unigram independence baseline, "
+    "lift = c12*N/(c1*c2) on exact integer counts (one double division, "
+    "deterministic), top-20 with full tiebreak. 100 TB shape: two "
+    "hash-keyed token aggregations + a join keyed by the bigram's words — "
+    "text never rides a shuffle twice",
+)
+
+
+register_sql(
+    "corpus_source_kl",
+    """WITH uni AS (SELECT source, explode(filter(split(lower(trim(text)), ' +'), x -> x != '')) AS tok FROM documents),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM uni GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
+terms AS (
+  SELECT sc.source, st.ns, tot.n,
+         abs(sc.c * tot.n - cc.cw * st.ns) - cc.cw * st.ns AS tvterm,
+         CAST(sc.c AS DOUBLE) / st.ns
+           * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(cc.cw AS DOUBLE) / tot.n)) AS klterm
+  FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok CROSS JOIN tot)
+SELECT source, ns AS n_tokens,
+       CAST(ROUND(0.5 * CAST(SUM(tvterm) AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE) AS tv,
+       CAST(ROUND(CAST(SUM(CAST(klterm AS DECIMAL(38,18))) AS DOUBLE), 5) AS DOUBLE) AS kl
+FROM terms GROUP BY source, ns, n ORDER BY source""",
+    oracle="""WITH uni AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok FROM documents),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM uni GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
+terms AS (
+  SELECT sc.source, st.ns, tot.n,
+         abs(sc.c * tot.n - cc.cw * st.ns) - cc.cw * st.ns AS tvterm,
+         CAST(sc.c AS DOUBLE) / st.ns
+           * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(cc.cw AS DOUBLE) / tot.n)) AS klterm
+  FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok CROSS JOIN tot)
+SELECT source, ns AS n_tokens,
+       CAST(ROUND(0.5 * CAST(SUM(tvterm) AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE) AS tv,
+       CAST(ROUND(CAST(SUM(CAST(klterm AS DECIMAL(38,18))) AS DOUBLE), 5) AS DOUBLE) AS kl
+FROM terms GROUP BY source, ns, n ORDER BY source""",
+    category="corpus",
+    doc="training-mix drift per source: total-variation distance (EXACT "
+    "integer arithmetic until one final double division: "
+    "0.5*sum|c_sw*N - c_w*n_s|/(n_s*N), absent-word mass folded in "
+    "algebraically as +0.5) and KL(p_source || p_corpus) (per-term double, "
+    "order-independent decimal-exact summation, 5dp). 100 TB shape: one "
+    "(source, token) partial agg, token-keyed join against corpus counts — "
+    "payload is counts, never text",
+)

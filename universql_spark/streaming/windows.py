@@ -22,6 +22,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from universql_spark.session import load_table
 
@@ -253,5 +254,46 @@ def windowed_cms_cells(
             "r",
             "c",
             "cnt",
+        )
+    )
+
+
+def user_tier_dim(events_batch: DataFrame) -> DataFrame:
+    """Static enrichment dimension: per-user lifetime-value quartile tier.
+    In production this is a dimension table (users, price books, model
+    registries) refreshed out of band; here it derives deterministically
+    from the batch fixture so stream==batch is checkable."""
+    per_user = events_batch.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("ltv")
+    )
+    return per_user.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy(F.col("ltv").asc(), F.col("user_id").asc())).alias("tier"),
+    )
+
+
+def static_enriched_counts(
+    events: DataFrame, dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STATIC inner join + windowed aggregation: each micro-batch
+    joins against the static dimension (broadcast by the planner — the dim
+    is bounded), then tumbling counts per (window, tier). Stream-static
+    joins are stateless on the stream side — no watermark needed for the
+    join itself, only for the windowed agg's state eviction. At 100 TB
+    ingest the dim stays a broadcast; the only stateful operator is the
+    window agg, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "tier")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("v"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "tier",
+            "c",
+            F.col("v").cast("double").alias("v"),
         )
     )
