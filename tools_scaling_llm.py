@@ -33,6 +33,8 @@ QUERIES = [
     "dedup_line_removal",
     "text_cms_heavy_hitters",
     "dedup_bloom_decontaminate",
+    "text_pmi_collocations",
+    "corpus_source_kl",
 ]
 N_DOCS, N_VECS = 50_000, 20_000
 

@@ -2640,16 +2640,19 @@ register_sql(
 big AS (SELECT explode(transform(sequence(1, size(w) - 1),
                                  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))) AS bg
         FROM t WHERE size(w) >= 2),
-pc AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+pc AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg HAVING COUNT(*) >= 5),
 uni AS (SELECT explode(w) AS tok FROM t),
 uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
-tot AS (SELECT COUNT(*) AS n FROM uni)
+tot AS (SELECT COUNT(*) AS n FROM uni),
+ex AS (SELECT bg, c12, posexplode(array(split_part(bg, ' ', 1), split_part(bg, ' ', 2))) AS (pos, word)
+       FROM pc),
+g AS (SELECT bg, MAX(c12) AS c12,
+             MAX(CASE WHEN pos = 0 THEN c END) AS c1,
+             MAX(CASE WHEN pos = 1 THEN c END) AS c2
+      FROM ex JOIN uc ON ex.word = uc.tok GROUP BY bg)
 SELECT bg AS bigram, CAST(c12 AS BIGINT) AS c12,
-       CAST(ROUND(CAST(c12 AS DOUBLE) * n / (u1.c * u2.c), 4) AS DOUBLE) AS lift
-FROM pc JOIN uc u1 ON split_part(bg, ' ', 1) = u1.tok
-        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.tok
-        CROSS JOIN tot
-WHERE c12 >= 5
+       CAST(ROUND(CAST(c12 AS DOUBLE) * n / (c1 * c2), 4) AS DOUBLE) AS lift
+FROM g CROSS JOIN tot
 ORDER BY c12 DESC, bigram LIMIT 20""",
     oracle="""WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS w FROM documents),
 big AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
@@ -2669,50 +2672,88 @@ ORDER BY c12 DESC, bigram LIMIT 20""",
     doc="PMI/lift collocation mining (phrase discovery for tokenizer/vocab "
     "work): adjacent-bigram counts vs unigram independence baseline, "
     "lift = c12*N/(c1*c2) on exact integer counts (one double division, "
-    "deterministic), top-20 with full tiebreak. 100 TB shape: two "
-    "hash-keyed token aggregations + a join keyed by the bigram's words — "
-    "text never rides a shuffle twice",
+    "deterministic), top-20 with full tiebreak. 100 TB shape: three fully "
+    "parallel corpus passes (bigram agg, unigram agg, token count — Spark "
+    "inlines CTEs, so the count is a cheap extra scan rather than an "
+    "unpartitioned window over an unbounded vocab), then the unigram join "
+    "done ONCE via posexplode of the bigram's two words (not one join per "
+    "position, which would duplicate the whole unigram-agg subtree)",
 )
 
 
-register_sql(
+_CORPUS_SOURCE_KL_ORACLE = """WITH uni AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok FROM documents),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM uni GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
+terms AS (
+  SELECT sc.source, st.ns, tot.n,
+         abs(sc.c * tot.n - cc.cw * st.ns) - cc.cw * st.ns AS tvterm,
+         CAST(sc.c AS DOUBLE) / st.ns
+           * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(cc.cw AS DOUBLE) / tot.n)) AS klterm
+  FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok CROSS JOIN tot)
+SELECT source, ns AS n_tokens,
+       CAST(ROUND(0.5 * CAST(SUM(tvterm) AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE) AS tv,
+       CAST(ROUND(CAST(SUM(CAST(klterm AS DECIMAL(38,18))) AS DOUBLE), 5) AS DOUBLE) AS kl
+FROM terms GROUP BY source, ns, n ORDER BY source"""
+
+
+@register(
     "corpus_source_kl",
-    """WITH uni AS (SELECT source, explode(filter(split(lower(trim(text)), ' +'), x -> x != '')) AS tok FROM documents),
-sc AS (SELECT source, tok, COUNT(*) AS c FROM uni GROUP BY source, tok),
-st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
-cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY tok),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
-terms AS (
-  SELECT sc.source, st.ns, tot.n,
-         abs(sc.c * tot.n - cc.cw * st.ns) - cc.cw * st.ns AS tvterm,
-         CAST(sc.c AS DOUBLE) / st.ns
-           * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(cc.cw AS DOUBLE) / tot.n)) AS klterm
-  FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok CROSS JOIN tot)
-SELECT source, ns AS n_tokens,
-       CAST(ROUND(0.5 * CAST(SUM(tvterm) AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE) AS tv,
-       CAST(ROUND(CAST(SUM(CAST(klterm AS DECIMAL(38,18))) AS DOUBLE), 5) AS DOUBLE) AS kl
-FROM terms GROUP BY source, ns, n ORDER BY source""",
-    oracle="""WITH uni AS (SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')) AS tok FROM documents),
-sc AS (SELECT source, tok, COUNT(*) AS c FROM uni GROUP BY source, tok),
-st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
-cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cw FROM sc GROUP BY tok),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sc),
-terms AS (
-  SELECT sc.source, st.ns, tot.n,
-         abs(sc.c * tot.n - cc.cw * st.ns) - cc.cw * st.ns AS tvterm,
-         CAST(sc.c AS DOUBLE) / st.ns
-           * ln((CAST(sc.c AS DOUBLE) / st.ns) / (CAST(cc.cw AS DOUBLE) / tot.n)) AS klterm
-  FROM sc JOIN st ON sc.source = st.source JOIN cc ON sc.tok = cc.tok CROSS JOIN tot)
-SELECT source, ns AS n_tokens,
-       CAST(ROUND(0.5 * CAST(SUM(tvterm) AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE) AS tv,
-       CAST(ROUND(CAST(SUM(CAST(klterm AS DECIMAL(38,18))) AS DOUBLE), 5) AS DOUBLE) AS kl
-FROM terms GROUP BY source, ns, n ORDER BY source""",
+    _CORPUS_SOURCE_KL_ORACLE,
     category="corpus",
     doc="training-mix drift per source: total-variation distance (EXACT "
-    "integer arithmetic until one final double division: "
-    "0.5*sum|c_sw*N - c_w*n_s|/(n_s*N), absent-word mass folded in "
-    "algebraically as +0.5) and KL(p_source || p_corpus) (per-term double, "
-    "order-independent decimal-exact summation, 5dp). 100 TB shape: one "
-    "(source, token) partial agg, token-keyed join against corpus counts — "
-    "payload is counts, never text",
+    "integer arithmetic until one final double division) and "
+    "KL(p_source || p_corpus) (order-independent decimal-exact term sums)",
 )
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the corpus: TV distance computed in
+    exact integer arithmetic until one final double division —
+    0.5*sum|c_sw*N - c_w*n_s|/(n_s*N), with the absent-word mass folded in
+    algebraically as +0.5 (so only words PRESENT in the source are ever
+    joined) — and KL(p_source || p_corpus) as per-term doubles summed
+    order-independently through DECIMAL(38,18).
+
+    100 TB shape: the corpus is scanned ONCE into the (source, token)
+    count relation — the sufficient statistic for every downstream number
+    (vocab x sources rows, like the minhash signature index) — which is
+    persisted because Spark inlines CTEs and would otherwise re-derive it
+    per reference. Everything after is bounded: a tiny per-source
+    aggregate (broadcast), a token-keyed hash join against corpus counts,
+    and a 1-row total. Payload on every shuffle is counts, never text."""
+    docs = spark.table("documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(lower(trim(text)), ' +'), x -> x != '')")).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("c")).persist()
+    st = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    cc = sc.groupBy("tok").agg(F.sum("c").cast("long").alias("cw"))
+    tot = st.agg(F.sum("ns").cast("long").alias("n"))
+    terms = (
+        sc.join(st, "source")
+        .join(cc, "tok")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "ns",
+            "n",
+            F.expr("abs(c * n - cw * ns) - cw * ns").alias("tvterm"),
+            F.expr(
+                "CAST(CAST(c AS DOUBLE) / ns"
+                " * ln((CAST(c AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n))"
+                " AS DECIMAL(38,18))"
+            ).alias("klterm"),
+        )
+    )
+    return (
+        terms.groupBy("source", "ns", "n")
+        .agg(F.sum("tvterm").alias("s_tv"), F.sum("klterm").alias("s_kl"))
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            F.expr("CAST(ROUND(0.5 * CAST(s_tv AS DOUBLE) / (ns * n) + 0.5, 6) AS DOUBLE)").alias("tv"),
+            F.expr("CAST(ROUND(CAST(s_kl AS DOUBLE), 5) AS DOUBLE)").alias("kl"),
+        )
+        .orderBy("source")
+    )

@@ -1855,14 +1855,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from universql_spark.engine import Engine
 
     eng = Engine(spark=spark)
+    # The production pattern is a MATERIALIZED rollup table (build bitmaps
+    # once, query them many times). Spark inlines CTEs/temp views, which
+    # would re-scan orders for every downstream reference — persist the
+    # bitmap relation (bounded: |groups| x |buckets| rows) so the fact
+    # table is scanned exactly once, the same convention as the minhash
+    # signature index in operators/dedup.py.
+    b = eng.execute_df(
+        """SELECT o_orderpriority AS pri, BITMAP_BUCKET_NUMBER(o_custkey) AS bkt,
+       BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(o_custkey)) AS bmp
+FROM orders GROUP BY pri, bkt"""
+    ).persist()
+    b.createOrReplaceTempView("bitmap_rollup")
     return eng.execute_df(
-        """WITH b AS (SELECT o_orderpriority AS pri, BITMAP_BUCKET_NUMBER(o_custkey) AS bkt,
-                  BITMAP_CONSTRUCT_AGG(BITMAP_BIT_POSITION(o_custkey)) AS bmp
-           FROM orders GROUP BY pri, bkt),
-     m AS (SELECT bkt, BITMAP_OR_AGG(bmp) AS bmp FROM b GROUP BY bkt)
+        """WITH m AS (SELECT bkt, BITMAP_OR_AGG(bmp) AS bmp FROM bitmap_rollup GROUP BY bkt)
 SELECT pri, CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) AS nd,
        (SELECT CAST(SUM(BITMAP_COUNT(bmp)) AS BIGINT) FROM m) AS nd_total
-FROM b GROUP BY pri ORDER BY pri"""
+FROM bitmap_rollup GROUP BY pri ORDER BY pri"""
     )
 
 
