@@ -938,6 +938,49 @@ def py_oracle_agg_linear_count_distinct(sf_dir: str) -> tuple[list[str], list[tu
     return ["flag", "n_set_bits", "lc_estimate", "exact_distinct"], rows
 
 
+def py_oracle_embed_hard_negatives(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Hard-negative mining replayed in pure python with the SAME
+    left-to-right double folds as Spark's F.aggregate (dot and norm), so
+    every cosine is bit-identical before the 4dp HALF_UP round; top-2 per
+    probe (vec_id < 25) among different-label vectors, ties to lowest id."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    labels = t["label"].to_pylist()
+    vecs = [[float(x) for x in v] for v in t["embedding"].to_pylist()]
+
+    def dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def nrm(a: list[float]) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    norms = [nrm(v) for v in vecs]
+    rows: list[tuple] = []
+    for qi in range(len(ids)):
+        if ids[qi] >= 25:
+            continue
+        cands: list[tuple] = []
+        for ni in range(len(ids)):
+            if ids[ni] == ids[qi] or labels[ni] == labels[qi]:
+                continue
+            c = _spark_round(dot(vecs[qi], vecs[ni]) / (norms[qi] * norms[ni]), 4)
+            cands.append((-c, ids[ni]))
+        cands.sort()
+        for rank, (negc, nid) in enumerate(cands[:2], 1):
+            rows.append((ids[qi], nid, -negc, rank))
+    return ["q_id", "n_id", "cos", "rank"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -957,4 +1000,5 @@ PY_ORACLES = {
     "dedup_bloom_decontaminate": py_oracle_dedup_bloom_decontaminate,
     "embed_kcenter_sample": py_oracle_embed_kcenter_sample,
     "agg_linear_count_distinct": py_oracle_agg_linear_count_distinct,
+    "embed_hard_negatives": py_oracle_embed_hard_negatives,
 }

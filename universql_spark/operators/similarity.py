@@ -731,3 +731,44 @@ def semdedup(
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     survivors = base.select("id", "cluster").join(dropped, "id", "left_anti")
     return pairs.orderBy("cluster", "id_a", "id_b"), survivors.orderBy("id")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    sort: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-cosine-similar corpus vectors with a DIFFERENT label.
+
+    Same scale shape as brute_force_topk (queries MUST be the bounded,
+    broadcast-sized probe set; corpus scanned once; per-query window
+    top-k) — the label-mismatch predicate rides the broadcast join, so no
+    extra pass or shuffle. Ranking key is round(cos, 4) with id tiebreak,
+    the deliberately coarse convention that keeps float noise from
+    flipping the top-k boundary between engines."""
+    qv, cv = _as_double_sql(vec_col), _as_double_sql(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(qv).alias("q_vec"),
+        F.expr(_norm_sql(qv)).alias("q_nrm"),
+        F.col(label_col).alias("q_lbl"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.expr(cv).alias("n_vec"),
+        F.expr(_norm_sql(cv)).alias("n_nrm"),
+        F.col(label_col).alias("n_lbl"),
+    )
+    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("n_id")) & (F.col("q_lbl") != F.col("n_lbl")),
+    ).select("q_id", "n_id", F.round(cos, 4).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.orderBy("q_id", "rank") if sort else out

@@ -237,6 +237,7 @@ _GATE_PRIORITY: list[str] = [
     "agg_linear_count_distinct", "multimodal_patchify",
     "agg_bitmap_distinct", "fn_parse_ip_misc",
     "text_pmi_collocations", "corpus_source_kl",
+    "text_ngram_diversity", "dedup_fuzzy_verify", "embed_hard_negatives",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

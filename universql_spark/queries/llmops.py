@@ -2757,3 +2757,104 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+register_sql(
+    "text_ngram_diversity",
+    """WITH t AS (SELECT source, filter(split(lower(trim(text)), ' +'), x -> x != '') AS w FROM documents),
+tri AS (SELECT source, explode(transform(sequence(1, size(w) - 2),
+                                         i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))) AS g
+        FROM t WHERE size(w) >= 3),
+uni AS (SELECT source, explode(w) AS tok FROM t),
+a3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM tri GROUP BY source),
+a1 AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT tok) AS d1 FROM uni GROUP BY source)
+SELECT a1.source, CAST(n1 AS BIGINT) AS n_tokens, CAST(d1 AS BIGINT) AS d_tokens,
+       CAST(n3 AS BIGINT) AS n_trigrams, CAST(d3 AS BIGINT) AS d_trigrams,
+       CAST(ROUND(CAST(d1 AS DOUBLE) / n1, 6) AS DOUBLE) AS ttr,
+       CAST(ROUND(CAST(d3 AS DOUBLE) / n3, 6) AS DOUBLE) AS trigram_diversity
+FROM a1 JOIN a3 ON a1.source = a3.source ORDER BY a1.source""",
+    oracle="""WITH t AS (SELECT source, string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS w FROM documents),
+tri AS (SELECT source, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+        FROM t WHERE len(w) >= 3),
+uni AS (SELECT source, unnest(w) AS tok FROM t),
+a3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM tri GROUP BY source),
+a1 AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT tok) AS d1 FROM uni GROUP BY source)
+SELECT a1.source, CAST(n1 AS BIGINT) AS n_tokens, CAST(d1 AS BIGINT) AS d_tokens,
+       CAST(n3 AS BIGINT) AS n_trigrams, CAST(d3 AS BIGINT) AS d_trigrams,
+       CAST(ROUND(CAST(d1 AS DOUBLE) / n1, 6) AS DOUBLE) AS ttr,
+       CAST(ROUND(CAST(d3 AS DOUBLE) / n3, 6) AS DOUBLE) AS trigram_diversity
+FROM a1 JOIN a3 ON a1.source = a3.source ORDER BY a1.source""",
+    category="text",
+    doc="n-gram diversity / type-token ratio per source (the standard "
+    "repetitiveness + memorization-risk signal for generated or scraped "
+    "corpora): distinct-over-total for unigrams and trigrams, exact "
+    "integer counts, one deterministic double division each. 100 TB "
+    "shape: two hash-keyed (source, gram) aggregations, counts-only "
+    "output",
+)
+
+
+register_sql(
+    "dedup_fuzzy_verify",
+    """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt,
+             filter(split(lower(trim(text)), ' +'), x -> x != '') AS w FROM documents),
+sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 1),
+                       i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))) AS s
+       FROM t WHERE size(w) >= 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+v AS (SELECT c.id_a, c.id_b,
+             levenshtein(ta.txt, tb.txt) AS lev,
+             greatest(length(ta.txt), length(tb.txt)) AS mx
+      FROM cand c JOIN t ta ON c.id_a = ta.doc_id JOIN t tb ON c.id_b = tb.doc_id)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+       CAST(ROUND(1.0 - CAST(lev AS DOUBLE) / mx, 4) AS DOUBLE) AS sim
+FROM v WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.8
+ORDER BY id_a, id_b""",
+    oracle="""WITH t AS (SELECT doc_id, lower(trim(text)) AS txt,
+             string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS w FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS s
+       FROM t WHERE len(w) >= 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+v AS (SELECT c.id_a, c.id_b,
+             levenshtein(ta.txt, tb.txt) AS lev,
+             greatest(length(ta.txt), length(tb.txt)) AS mx
+      FROM cand c JOIN t ta ON c.id_a = ta.doc_id JOIN t tb ON c.id_b = tb.doc_id)
+SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+       CAST(ROUND(1.0 - CAST(lev AS DOUBLE) / mx, 4) AS DOUBLE) AS sim
+FROM v WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.8
+ORDER BY id_a, id_b""",
+    category="dedup",
+    doc="edit-distance VERIFICATION of shared-shingle candidates (the "
+    "fuzzy-dedup complement to the set-similarity verifiers: Jaccard "
+    "misses word-internal edits, levenshtein catches them): 2-gram "
+    "equi-join candidates, pair-distinct BEFORE text joins back, one "
+    "levenshtein per candidate pair, sim = 1 - lev/max(len). 100 TB "
+    "shape: candidate generation is the hash-keyed shingle join (text "
+    "never rides it); the quadratic levenshtein runs once per CANDIDATE, "
+    "never per pair of documents",
+)
+
+
+@register(
+    "embed_hard_negatives",
+    None,
+    category="embedding",
+    doc="hard-negative mining for contrastive training: per query, top-2 "
+    "most-cosine-similar vectors with a DIFFERENT label (probes "
+    "broadcast, corpus scanned once, label predicate on the join; "
+    "round(cos,4)+id ranking) — python-oracled with bit-exact "
+    "left-to-right folds",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (operators/similarity.py
+    hard_negatives): for each probe vector (vec_id < 25 — the bounded,
+    broadcast probe set), the 2 nearest corpus vectors whose label
+    differs. At 100 TB the corpus side stays a single scan feeding a
+    per-query window top-k; no shuffle carries vectors except the one
+    broadcast of the probe set. Verified against a pure-python oracle
+    replaying the same left-to-right double folds (PY_ORACLES)."""
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 25)
+    return similarity.hard_negatives(emb, probes, k=2)
