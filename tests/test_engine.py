@@ -3388,3 +3388,15 @@ def test_parse_ip_getdate_misc(engine):
         " CAST(ROUND(HAVERSINE(40.7127, -74.0059, 34.0500, -118.2500), 1) AS DOUBLE) AS hv"
     ).to_pylist()[0]
     assert r3 == {"rtl": 5, "g": True, "f": 120, "hv": 3936.4}
+
+
+def test_system_wait(engine):
+    """r6: SYSTEM$WAIT(n[, unit]) — sleeps (capped) and returns Snowflake's
+    literal 'waited n <unit>' string; MILLISECONDS unit honored."""
+    import time
+
+    t0 = time.time()
+    r = engine.execute("SELECT SYSTEM$WAIT(1) AS w").to_pylist()[0]
+    assert r == {"w": "waited 1 seconds"} and time.time() - t0 >= 1.0
+    r2 = engine.execute("SELECT SYSTEM$WAIT(50, 'MILLISECONDS') AS w").to_pylist()[0]
+    assert r2 == {"w": "waited 50 milliseconds"}

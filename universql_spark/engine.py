@@ -2143,6 +2143,24 @@ class Engine:
             stmt,
             flags=re.I,
         )
+        def _system_wait(m: re.Match) -> str:
+            # SYSTEM$WAIT(n[, 'SECONDS'|'MILLISECONDS']) — sleeps (capped at
+            # 5 s: the test/demo semantics; Snowflake's own docs position it
+            # as a testing aid) and substitutes Snowflake's literal result
+            import time as _time  # noqa: PLC0415
+
+            n = int(m.group(1))
+            unit = (m.group(2) or "SECONDS").upper()
+            secs = n / 1000.0 if unit.startswith("MILLI") else float(n)
+            _time.sleep(min(secs, 5.0))
+            return f"'waited {n} {unit.lower()}'"
+
+        stmt = re.sub(
+            r"\bSYSTEM\$WAIT\s*\(\s*(\d+)\s*(?:,\s*'(\w+)'\s*)?\)",
+            _system_wait,
+            stmt,
+            flags=re.I,
+        )
         stmt = self._resolve_sequences(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
