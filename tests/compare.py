@@ -981,6 +981,64 @@ def py_oracle_embed_hard_negatives(sf_dir: str) -> tuple[list[str], list[tuple]]
     return ["q_id", "n_id", "cos", "rank"], rows
 
 
+def py_oracle_graph_pagerank_similarity(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Replays the whole pipeline: tokens -> distinct 2-gram shingles ->
+    stop-gram pruning (df <= 50) -> integer-exact Jaccard >= 0.3 edges over
+    the pruned space -> 10 PageRank iterations with the SAME numeric
+    discipline as the operator (per-contribution double division, HALF_UP
+    quantize to 18 decimals, exact Decimal sums, scalar double teleport)."""
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by(
+        "doc_id"
+    )
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sh: dict[int, set] = {}
+    df_count: dict[str, int] = {}
+    for i, txt in zip(ids, texts):
+        w = _py_tokens(txt)
+        grams = {f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)}
+        sh[i] = grams
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    rare = {g for g, c in df_count.items() if c <= 50}
+    shr = {i: g & rare for i, g in sh.items()}
+    edges: dict[int, list] = {i: [] for i in ids}
+    id_list = sorted(ids)
+    for ai in range(len(id_list)):
+        a = id_list[ai]
+        for bi in range(ai + 1, len(id_list)):
+            b = id_list[bi]
+            inter = len(shr[a] & shr[b])
+            if inter == 0:
+                continue
+            union = len(shr[a]) + len(shr[b]) - inter
+            if inter * 10 >= union * 3:
+                edges[a].append(b)
+                edges[b].append(a)
+    n = len(ids)
+    d = 0.85
+    q18 = decimal.Decimal(1).scaleb(-18)
+    r = {i: 1.0 / n for i in ids}
+    for _ in range(10):
+        s: dict[int, decimal.Decimal] = {i: decimal.Decimal(0) for i in ids}
+        for u in ids:
+            deg = len(edges[u])
+            if not deg:
+                continue
+            c = decimal.Decimal(r[u] / deg).quantize(
+                q18, rounding=decimal.ROUND_HALF_UP
+            )
+            for v in edges[u]:
+                s[v] += c
+        r = {i: (1.0 - d) / n + d * float(s[i]) for i in ids}
+    rows = [(i, _spark_round(r[i], 8)) for i in sorted(ids)]
+    return ["id", "rank"], rows
+
+
 PY_ORACLES = {
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
@@ -1001,4 +1059,5 @@ PY_ORACLES = {
     "embed_kcenter_sample": py_oracle_embed_kcenter_sample,
     "agg_linear_count_distinct": py_oracle_agg_linear_count_distinct,
     "embed_hard_negatives": py_oracle_embed_hard_negatives,
+    "graph_pagerank_similarity": py_oracle_graph_pagerank_similarity,
 }

@@ -637,3 +637,20 @@ def test_patchify_orientation_and_means(spark):
         for r in multimodal.patchify_images(media, 2, 2).collect()
     }
     assert out == {(0, 0): 9.5, (0, 1): 13.5, (1, 0): 12.5, (1, 1): 16.5}
+
+
+def test_pagerank_path_graph(spark):
+    """PageRank invariants on a 3-node path a-b-c: mass conserved (no
+    dangling nodes => sum == 1 within fp), center outranks endpoints,
+    endpoints tie exactly (symmetry is bit-exact under decimal sums)."""
+    from universql_spark.operators.components import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r = {row["id"]: row["rank"] for row in pagerank(nodes, edges, iters=25).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[2] > r[1] and r[1] == r[3]
+    # dangling node keeps teleport-only mass (lost-mass variant)
+    nodes2 = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    r2 = {row["id"]: row["rank"] for row in pagerank(nodes2, edges, iters=5).collect()}
+    assert abs(r2[4] - 0.15 / 4) < 1e-12

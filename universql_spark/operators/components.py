@@ -116,3 +116,65 @@ def connected_components(
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
     return (labels, rounds) if with_stats else labels
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph (each edge walks both ways).
+
+    Per iteration: r(v) <- (1-d)/N + d * sum_{u~v} r(u)/deg(u). One
+    edge⋈rank hash join + one node-keyed aggregation per round — the
+    textbook distributed shape; no driver-side graph, lineage truncated
+    per round like connected_components.
+
+    Cross-engine determinism: ranks live in DOUBLE, but every per-node
+    contribution SUM is order-independent — each contribution r/deg (one
+    deterministic double division) is cast to DECIMAL(38,18) (HALF_UP at
+    the 18th digit) and summed exactly; the teleport add and the damping
+    multiply are scalar double ops. Dangling nodes keep teleport-only
+    mass (the lost-mass variant — no dangling redistribution; the oracle
+    mirrors this).
+
+    Reference parity: the reference has no graph operators at all — this
+    extends the dedup-groups layer (connected components) with
+    centrality over the same similarity graphs."""
+    spark = nodes.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    e = _symmetric(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    )
+    deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    e = ckpt(e.join(deg, "a"))  # (a, b, deg(a)) — deg rides the edge once
+    ids = nodes.select(F.col(id_col).alias("id"))
+    n = ids.count()  # scalar (metadata-sized collect)
+    r = ids.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = e.join(r, F.col("a") == F.col("id")).select(
+            F.col("b").alias("id"),
+            F.expr("CAST(rank / deg AS DECIMAL(38,18))").alias("c"),
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        r = ckpt(
+            ids.join(sums, "id", "left").select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r

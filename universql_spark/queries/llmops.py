@@ -2858,3 +2858,69 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     probes = emb.filter(F.col("vec_id") < 25)
     return similarity.hard_negatives(emb, probes, k=2)
+
+
+@register(
+    "graph_pagerank_similarity",
+    None,
+    category="graph",
+    doc="PageRank centrality over the rare-shingle similarity graph "
+    "(stop-gram-pruned 2-gram Jaccard >= 0.3, integer-exact threshold); "
+    "10 damped iterations, decimal-exact contribution sums — "
+    "python-oracled end to end",
+)
+def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph centrality (operators/components.py pagerank): which
+    documents sit at the center of near-duplicate neighborhoods — the
+    ranking signal dedup pipelines use to pick the canonical survivor.
+
+    Graph construction is the scale-shaped part: 2-gram shingles are
+    STOP-GRAM PRUNED (doc-frequency <= 50 — frequent shingles pair
+    everything with everything, the classic candidate-join blowup), the
+    pair join runs over the pruned shingle space only, and similarity is
+    Jaccard over that SAME pruned space with the integer-exact threshold
+    inter*10 >= union*3. PageRank then runs 10 damped iterations with
+    order-independent DECIMAL(38,18) contribution sums. Every number is
+    replayed exactly by the python oracle (PY_ORACLES)."""
+    from universql_spark.operators import components
+
+    docs = spark.table("documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' +'), x -> x != '')").alias("w"),
+    )
+    # size(w) >= 2 guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+    # would index element_at(w, 0) and error; short docs become dangling
+    # nodes (teleport-only mass), mirrored by the oracle's empty gram set
+    sh = t.filter(F.expr("size(w) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))"
+            )
+        ).alias("s"),
+    )
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 50)
+    shr = sh.join(rare.select("s"), "s")  # rare-shingle space
+    nsh = shr.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        shr.alias("x")
+        .join(
+            shr.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    edges = (
+        inter.join(
+            nsh.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("na")), "id_a"
+        )
+        .join(nsh.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nb")), "id_b")
+        .filter("inter * 10 >= (na + nb - inter) * 3")
+        .select("id_a", "id_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    r = components.pagerank(nodes, edges, damping=0.85, iters=10)
+    return r.select("id", F.round("rank", 8).alias("rank")).orderBy("id")
