@@ -239,6 +239,7 @@ _GATE_PRIORITY: list[str] = [
     "text_pmi_collocations", "corpus_source_kl",
     "text_ngram_diversity", "dedup_fuzzy_verify", "embed_hard_negatives",
     "graph_pagerank_similarity",
+    "events_retention_cohorts", "ts_interpolate_linear",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

@@ -2924,3 +2924,78 @@ def graph_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("id"))
     r = components.pagerank(nodes, edges, damping=0.85, iters=10)
     return r.select("id", F.round("rank", 8).alias("rank")).orderBy("id")
+
+
+register_sql(
+    "events_retention_cohorts",
+    """WITH fe AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+j AS (SELECT a.user_id,
+             CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+             CAST(floor(datediff(a.d, f.first_d) / 7.0) AS INT) AS wk
+      FROM act a JOIN fe f ON a.user_id = f.user_id)
+SELECT CAST(cohort_week AS STRING) AS cohort_week, wk,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_week, wk ORDER BY cohort_week, wk""",
+    oracle="""WITH fe AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+j AS (SELECT a.user_id,
+             CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+             CAST(floor(datediff('day', f.first_d, a.d) / 7.0) AS INT) AS wk
+      FROM act a JOIN fe f ON a.user_id = f.user_id)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, wk,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY cohort_week, wk ORDER BY cohort_week, wk""",
+    category="events",
+    doc="retention cohort matrix: users bucketed by first-event week "
+    "(Monday-start date_trunc in both engines), distinct active users per "
+    "(cohort, weeks-since-first) cell; per-user first-event agg + "
+    "user-keyed join, integer week arithmetic",
+)
+
+
+register_sql(
+    "ts_interpolate_linear",
+    """WITH b AS (SELECT user_id, CAST(floor(unix_seconds(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) AS bkt,
+                  CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v6
+           FROM events WHERE user_id < 10 GROUP BY user_id, bkt),
+l AS (SELECT user_id, explode(sequence(MIN(bkt), MAX(bkt))) AS bkt FROM b GROUP BY user_id),
+j AS (SELECT l.user_id, l.bkt, b.v6 FROM l LEFT JOIN b ON l.user_id = b.user_id AND l.bkt = b.bkt),
+w AS (SELECT user_id, bkt, v6,
+        last_value(v6) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv6,
+        last_value(CASE WHEN v6 IS NOT NULL THEN bkt END) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v6) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv6,
+        first_value(CASE WHEN v6 IS NOT NULL THEN bkt END) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+SELECT user_id, bkt,
+       CASE WHEN v6 IS NOT NULL THEN v6
+            ELSE CAST(ROUND((pv6 * (nb - bkt) + nv6 * (bkt - pb)) / (nb - pb)) AS BIGINT) END AS v_micro,
+       (v6 IS NULL) AS filled
+FROM w ORDER BY user_id, bkt""",
+    oracle="""WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / 600) AS BIGINT) AS bkt,
+                  CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v6
+           FROM events WHERE user_id < 10 GROUP BY user_id, bkt),
+l AS (SELECT user_id, unnest(generate_series(MIN(bkt), MAX(bkt))) AS bkt FROM b GROUP BY user_id),
+j AS (SELECT l.user_id, l.bkt, b.v6 FROM l LEFT JOIN b ON l.user_id = b.user_id AND l.bkt = b.bkt),
+w AS (SELECT user_id, bkt, v6,
+        last_value(v6 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv6,
+        last_value(CASE WHEN v6 IS NOT NULL THEN bkt END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v6 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv6,
+        first_value(CASE WHEN v6 IS NOT NULL THEN bkt END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+SELECT user_id, bkt,
+       CASE WHEN v6 IS NOT NULL THEN v6
+            ELSE CAST(ROUND((pv6 * (nb - bkt) + nv6 * (bkt - pb)) / (nb - pb)) AS BIGINT) END AS v_micro,
+       (v6 IS NULL) AS filled
+FROM w ORDER BY user_id, bkt""",
+    category="timeseries",
+    doc="10-min bucket lattice per user (endpoints always present) with "
+    "LINEAR interpolation of missing buckets in integer MICRO-UNITS: "
+    "per-bucket sums exact in DECIMAL -> 1e6-scaled BIGINT, prev/next "
+    "located via IGNORE NULLS window frames (one sort per user "
+    "partition, no self-join), interp = exact BIGINT cross-products, "
+    "ONE double division, round-to-integer (half-away ties agree "
+    "cross-engine; 6dp double rounding does NOT — exact .5 ties on "
+    "1-ulp-different doubles flipped 6 rows). Complement to the LOCF "
+    "spec (win_ignore_nulls_locf)",
+)
