@@ -3400,3 +3400,25 @@ def test_system_wait(engine):
     assert r == {"w": "waited 1 seconds"} and time.time() - t0 >= 1.0
     r2 = engine.execute("SELECT SYSTEM$WAIT(50, 'MILLISECONDS') AS w").to_pylist()[0]
     assert r2 == {"w": "waited 50 milliseconds"}
+
+
+def test_round_mode_week_tz_array_object_ext(engine):
+    """r6 probe-round gaps: 3-arg ROUND rounding modes, WEEK, ARRAY_REVERSE,
+    TO_TIMESTAMP_TZ, OBJECT_CONSTRUCT_KEEP_NULL, GET_IGNORE_CASE."""
+    r = engine.execute(
+        "SELECT CAST(ROUND(2.5, 0, 'HALF_TO_EVEN') AS INT) AS he,"
+        " CAST(ROUND(2.5, 0, 'HALF_AWAY_FROM_ZERO') AS INT) AS ha,"
+        " CAST(ROUND(3.5, 0, 'HALF_TO_EVEN') AS INT) AS he2,"
+        " WEEK('2024-01-15'::date) AS wk,"
+        " TO_TIMESTAMP_TZ('2024-01-15 10:30:00') IS NOT NULL AS tz,"
+        " TO_JSON(ARRAY_REVERSE(ARRAY_CONSTRUCT(1,2,3))) AS ar,"
+        " OBJECT_CONSTRUCT_KEEP_NULL('a', NULL, 'b', 2) AS ok,"
+        " GET_IGNORE_CASE(OBJECT_CONSTRUCT('Alpha', 1, 'Beta', 2), 'alpha') AS gi"
+    ).to_pylist()[0]
+    assert r == {
+        "he": 2, "ha": 3, "he2": 4, "wk": 3, "tz": True,
+        "ar": "[3,2,1]", "ok": '{"a":null,"b":2}', "gi": "1",
+    }
+    # 1/2-arg ROUND unaffected by the 3-arg mode rewrite
+    r2 = engine.execute("SELECT CAST(ROUND(2.345, 2) AS DOUBLE) AS r").to_pylist()[0]
+    assert r2 == {"r": 2.35}

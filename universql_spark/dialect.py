@@ -130,12 +130,17 @@ _FN_RENAMES = {
     "ARRAY_FLATTEN": "flatten",
     "ARRAY_MAX": "array_max",
     "ARRAY_MIN": "array_min",
+    "ARRAY_REVERSE": "reverse",
     # string
     "EDITDISTANCE": "levenshtein",
     "STARTSWITH": "startswith",
     "ENDSWITH": "endswith",
     # datetime
     "WEEKISO": "weekofyear",
+    "WEEK": "weekofyear",  # default WEEK policy (ISO weeks); call-sites only,
+    # so DATEADD(week, ...) bare units are untouched
+    "TO_TIMESTAMP_TZ": "to_timestamp",  # session-tz timestamp (no Spark twin;
+    # to_timestamp_ltz/ntz ARE Spark 4 natives and pass through)
     # aggregates (same shape in Spark)
     "BOOLAND_AGG": "bool_and",
     "BOOLOR_AGG": "bool_or",
@@ -1465,6 +1470,49 @@ def _rewrite_scalar_emulations_r6(sql: str) -> str:
         if not a or (len(a) == 1 and not a[0].strip())
         else None,
     )
+
+    # ROUND(x, n, 'HALF_TO_EVEN'|'HALF_AWAY_FROM_ZERO'): Spark's bround IS
+    # half-even; bare round is half-away (on decimals) / half-up-on-repr
+    # (on doubles) — the same split Snowflake documents
+    def round_mode_rw(a: list[str]) -> str | None:
+        if len(a) != 3 or not _STRING_RE.fullmatch(a[2].strip()):
+            return None
+        mode = a[2].strip()[1:-1].upper()
+        if mode == "HALF_TO_EVEN":
+            return f"bround({a[0]}, {a[1]})"
+        if mode == "HALF_AWAY_FROM_ZERO":
+            return f"round({a[0]}, {a[1]})"
+        return None
+
+    sql = _rewrite_calls(sql, "round", round_mode_rw)
+
+    # OBJECT_CONSTRUCT_KEEP_NULL -> VARIANT JSON text with null fields KEPT
+    # (plain OBJECT_CONSTRUCT builds a struct whose to_json drops nulls —
+    # exactly Snowflake's null-dropping OBJECT_CONSTRUCT contract)
+    def obj_keep_null_rw(a: list[str]) -> str | None:
+        if not a or len(a) % 2 != 0:
+            return None
+        return (
+            f"to_json(named_struct({', '.join(a)}), map('ignoreNullFields', 'false'))"
+        )
+
+    sql = _rewrite_calls(sql, "object_construct_keep_null", obj_keep_null_rw)
+
+    # GET_IGNORE_CASE(obj, 'key'): case-insensitive field access over the
+    # VARIANT JSON text (flat objects — the common config/metadata case); a
+    # syntactic OBJECT_CONSTRUCT/struct argument is serialized first
+    def get_ic_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        obj = a[0].strip()
+        if re.match(r"(?is)^\s*(object_construct|named_struct|struct)\s*\(", obj):
+            obj = f"to_json({obj})"
+        return (
+            f"element_at(transform_keys(from_json({obj}, 'map<string,string>'), "
+            f"(__k, __v) -> lower(__k)), lower({a[1]}))"
+        )
+
+    sql = _rewrite_calls(sql, "get_ignore_case", get_ic_rw)
 
     def haversine_rw(a: list[str]) -> str | None:
         if len(a) != 4:
