@@ -3422,3 +3422,31 @@ def test_round_mode_week_tz_array_object_ext(engine):
     # 1/2-arg ROUND unaffected by the 3-arg mode rewrite
     r2 = engine.execute("SELECT CAST(ROUND(2.345, 2) AS DOUBLE) AS r").to_pylist()[0]
     assert r2 == {"r": 2.35}
+
+
+def test_time_parts_codec_xmlget(engine):
+    """r6 probe wave 2: TIME_FROM_PARTS ('HH:mm:ss' — the TO_TIME
+    representation), TIMESTAMP_LTZ/TZ_FROM_PARTS, COMPRESS/
+    DECOMPRESS_STRING/DECOMPRESS_BINARY (zlib + gzip, Arrow-batched pandas
+    UDFs, deterministic gzip mtime=0), XMLGET subset over XML text."""
+    r = engine.execute(
+        "SELECT TIME_FROM_PARTS(9, 5, 3) AS t,"
+        " TIMESTAMP_LTZ_FROM_PARTS(2024, 1, 15, 10, 30, 0) IS NOT NULL AS lp,"
+        " TIMESTAMP_TZ_FROM_PARTS(2024, 1, 15, 10, 30, 0) IS NOT NULL AS tp,"
+        " DECOMPRESS_STRING(COMPRESS('hello world', 'zlib'), 'zlib') AS z,"
+        " DECOMPRESS_STRING(COMPRESS('hello world', 'gzip'), 'gzip') AS g,"
+        " CAST(DECOMPRESS_BINARY(COMPRESS('ab', 'zlib'), 'zlib') AS STRING) AS b,"
+        " XMLGET('<a><b attr=\"1\">inner</b><b>second</b></a>', 'b') AS x0,"
+        " XMLGET('<a><b>inner</b><b>second</b></a>', 'b', 1) AS x1,"
+        " XMLGET('<a></a>', 'c') IS NULL AS xn"
+    ).to_pylist()[0]
+    assert r == {
+        "t": "09:05:03", "lp": True, "tp": True,
+        "z": "hello world", "g": "hello world", "b": "ab",
+        "x0": '{"@":"b","$":"inner"}', "x1": '{"@":"b","$":"second"}', "xn": True,
+    }
+    # unsupported codec raises loudly, never passes data through
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.execute("SELECT COMPRESS('x', 'snappy')").to_pylist()

@@ -116,6 +116,8 @@ _FN_RENAMES = {
     "DATE_FROM_PARTS": "make_date",
     "TIMESTAMP_FROM_PARTS": "make_timestamp",
     "TIMESTAMP_NTZ_FROM_PARTS": "make_timestamp",
+    "TIMESTAMP_LTZ_FROM_PARTS": "make_timestamp",
+    "TIMESTAMP_TZ_FROM_PARTS": "make_timestamp",
     "TO_TIMESTAMP_NTZ": "to_timestamp",
     "SYSDATE": "current_timestamp",
     # array surface (same shape in Spark; arg-order divergences are handled
@@ -1470,6 +1472,38 @@ def _rewrite_scalar_emulations_r6(sql: str) -> str:
         if not a or (len(a) == 1 and not a[0].strip())
         else None,
     )
+
+    # TIME_FROM_PARTS(h, m, s[, ns]) -> the canonical 'HH:mm:ss' TIME string
+    # (same representation as TO_TIME — Spark has no TIME type)
+    sql = _rewrite_calls(
+        sql,
+        "time_from_parts",
+        lambda a: (
+            f"concat(lpad(CAST({a[0]} AS STRING), 2, '0'), ':', "
+            f"lpad(CAST({a[1]} AS STRING), 2, '0'), ':', "
+            f"lpad(CAST({a[2]} AS STRING), 2, '0'))"
+        )
+        if len(a) in (3, 4)
+        else None,
+    )
+
+    # XMLGET(xml_text, 'tag'[, instance]) — practical subset over XML TEXT:
+    # returns the Snowflake-shaped element object {"@": tag, "$": inner}
+    # as VARIANT JSON (access inner text with GET_PATH(x, '\"$\"') or
+    # GET(x, '$')). instance is 0-based like Snowflake's.
+    def xmlget_rw(a: list[str]) -> str | None:
+        if len(a) not in (2, 3) or not _STRING_RE.fullmatch(a[1].strip()):
+            return None
+        tag = a[1].strip()[1:-1]
+        inst = a[2].strip() if len(a) == 3 else "0"
+        pat = f"'(?s)<{tag}(?:\\\\s[^>]*)?>(.*?)</{tag}>'"
+        inner = f"try_element_at(regexp_extract_all({a[0]}, {pat}, 1), ({inst}) + 1)"
+        return (
+            f"CASE WHEN {inner} IS NULL THEN NULL ELSE "
+            f"to_json(named_struct('@', '{tag}', '$', {inner})) END"
+        )
+
+    sql = _rewrite_calls(sql, "xmlget", xmlget_rw)
 
     # ROUND(x, n, 'HALF_TO_EVEN'|'HALF_AWAY_FROM_ZERO'): Spark's bround IS
     # half-even; bare round is half-away (on decimals) / half-up-on-repr

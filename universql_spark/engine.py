@@ -186,6 +186,58 @@ def _jarowinkler_pandas_udf():
     return pandas_udf(jw, "int", PandasUDFType.SCALAR)
 
 
+def _codec_pandas_udfs():
+    """Arrow-batched COMPRESS / DECOMPRESS_BINARY / DECOMPRESS_STRING
+    (Snowflake utility scalars; zlib + gzip via the stdlib — snappy/zstd
+    raise a clear error rather than silently passing through). gzip output
+    pins mtime=0 so compression is deterministic across runs."""
+    import gzip as _gzip  # noqa: PLC0415
+    import zlib as _zlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
+
+    def _codec(method: str):
+        m = (method or "zlib").strip().lower()
+        if m == "zlib":
+            return _zlib.compress, _zlib.decompress
+        if m == "gzip":
+            return (lambda b: _gzip.compress(b, mtime=0)), _gzip.decompress
+        raise ValueError(f"COMPRESS: unsupported method {method!r} (zlib, gzip)")
+
+    def comp(data, method):
+        return pd.Series(
+            [
+                None
+                if d is None
+                else _codec(m)[0](d.encode("utf-8") if isinstance(d, str) else bytes(d))
+                for d, m in zip(data, method)
+            ],
+            dtype="object",
+        )
+
+    def decomp(data, method):
+        return pd.Series(
+            [None if d is None else _codec(m)[1](bytes(d)) for d, m in zip(data, method)],
+            dtype="object",
+        )
+
+    def decomp_str(data, method):
+        return pd.Series(
+            [
+                None if d is None else _codec(m)[1](bytes(d)).decode("utf-8")
+                for d, m in zip(data, method)
+            ],
+            dtype="object",
+        )
+
+    return (
+        pandas_udf(comp, "binary", PandasUDFType.SCALAR),
+        pandas_udf(decomp, "binary", PandasUDFType.SCALAR),
+        pandas_udf(decomp_str, "string", PandasUDFType.SCALAR),
+    )
+
+
 _FROM_LIST_END_RE = re.compile(
     r"\b(WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|UNION|EXCEPT|INTERSECT|MINUS|SELECT)\b",
     re.I,
@@ -452,6 +504,10 @@ class Engine:
             self.spark.udf.register(
                 "jarowinkler_similarity", _jarowinkler_pandas_udf()
             )
+            _comp, _dec_b, _dec_s = _codec_pandas_udfs()
+            self.spark.udf.register("compress", _comp)
+            self.spark.udf.register("decompress_binary", _dec_b)
+            self.spark.udf.register("decompress_string", _dec_s)
         except Exception:
             pass
         try:
