@@ -237,6 +237,12 @@ def _int_node(children):
         st.tuples(a, a).map(lambda t: f"LEAST({t[0]}, {t[1]})"),
         st.tuples(a, a).map(lambda t: f"GREATEST({t[0]}, {t[1]})"),
         a.map(lambda x: f"ABS({x})"),
+        # CAST: Spark sign(int) -> DOUBLE, DuckDB -> INTEGER (first real
+        # divergence this fuzzer caught — a TYPE class, values equal)
+        a.map(lambda x: f"CAST(SIGN({x}) AS INT)"),
+        # bounded: Spark factorial is NULL past 20, DuckDB errors on
+        # negatives — pmod keeps the domain shared
+        a.map(lambda x: f"CAST(FACTORIAL(CAST(ABS({x}) % 8 AS INT)) AS BIGINT)"),  # DuckDB: factorial(INTEGER) only, returns HUGEINT -> arrow decimal
         st.tuples(a, a, a).map(
             lambda t: f"(CASE WHEN ({t[0]} % 2) = 0 THEN {t[1]} ELSE {t[2]} END)"
         ),
@@ -252,6 +258,13 @@ def _str_node(children):
         st.tuples(a, a).map(lambda t: f"({t[0]} || {t[1]})"),
         st.tuples(a, st.integers(1, 3), st.integers(1, 4)).map(
             lambda t: f"SUBSTR({t[0]}, {t[1]}, {t[2]})"
+        ),
+        a.map(lambda x: f"REVERSE({x})"),
+        a.map(lambda x: f"REPLACE({x}, 'a', 'z')"),
+        a.map(lambda x: f"TRANSLATE({x}, 'ab', 'xy')"),
+        st.tuples(a, st.integers(1, 6)).map(lambda t: f"LPAD({t[0]}, {t[1]}, '.')"),
+        st.tuples(a, st.integers(1, 2)).map(
+            lambda t: f"SPLIT_PART({t[0]}, 'a', {t[1]})"
         ),
     )
 
