@@ -272,6 +272,28 @@ def _str_node(children):
 _int_expr = st.recursive(_int_leaf, _int_node, max_leaves=6)
 _str_expr = st.recursive(_str_leaf, _str_node, max_leaves=5)
 
+# date lane: the shared Spark/DuckDB date surface. CAST around date_trunc —
+# Spark returns TIMESTAMP, DuckDB DATE (a type class, values equal).
+_date_leaf = st.one_of(
+    st.just("DATE '2024-01-15'"),
+    st.just("date_add(DATE '2020-02-29', (ABS(k) * 37) % 1000)"),
+)
+
+
+def _date_node(children):
+    d = children
+    return st.one_of(
+        st.tuples(d, st.integers(-40, 40)).map(lambda t: f"date_add({t[0]}, {t[1]})"),
+        d.map(lambda x: f"CAST(date_trunc('month', {x}) AS DATE)"),
+        d.map(lambda x: f"CAST(date_trunc('year', {x}) AS DATE)"),
+        d.map(lambda x: f"last_day({x})"),
+        st.tuples(d, d).map(lambda t: f"greatest({t[0]}, {t[1]})"),
+        st.tuples(d, d).map(lambda t: f"least({t[0]}, {t[1]})"),
+    )
+
+
+_date_expr = st.recursive(_date_leaf, _date_node, max_leaves=5)
+
 
 @pytest.fixture(scope="module")
 def _duck(sf_dir):
@@ -280,19 +302,19 @@ def _duck(sf_dir):
     return duck_connection(sf_dir)
 
 
-@given(ie=_int_expr, se=_str_expr)
+@given(ie=_int_expr, se=_str_expr, de=_date_expr)
 @settings(
     max_examples=60,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_expression_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, ie, se):
+def test_expression_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, ie, se, de):
     from tests.compare import normalize_rows
     from universql_spark.queries import ensure_views
 
     ensure_views(spark, sf_dir)
     q = (
-        f"SELECT n_nationkey AS k2, {ie} AS e1, LENGTH({se}) AS e2, {se} AS e3 "
+        f"SELECT n_nationkey AS k2, {ie} AS e1, LENGTH({se}) AS e2, {se} AS e3, {de} AS e4 "
         "FROM (SELECT n_nationkey AS k, n_name AS s, n_nationkey FROM nation) "
         "ORDER BY k2"
     )
