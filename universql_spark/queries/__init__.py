@@ -23,7 +23,13 @@ value-hash comparison turns into FP-noise roulette):
    per engine, which no order-insensitive compare can fix.
 4. **Alias every computed column identically on both sides** — the driver
    sorts columns by NAME before hashing.
-5. **No raw array/map/struct OUTPUT columns in oracled specs.** The driver's
+5. **Never divide through a DECIMAL literal.** ``x * 1.0 / y`` and
+   ``(a - b) / 1024.0`` are DECIMAL division in Spark (literal 1.0 is
+   DECIMAL(2,1); result scale-rounded by engine-specific rules) but DOUBLE
+   division in DuckDB — values diverge at the 4th-6th decimal. Write
+   ``CAST(x AS DOUBLE) / y`` or an exact e-notation double literal
+   (``101.66015625e0``).
+6. **No raw array/map/struct OUTPUT columns in oracled specs.** The driver's
    canonicalizer sorts rows with pandas, which cannot hash python lists —
    the spec errors out regardless of value correctness. Emit
    ``TO_JSON(expr)`` on the Spark side and ``to_json(expr)`` on the DuckDB
@@ -240,6 +246,7 @@ _GATE_PRIORITY: list[str] = [
     "text_ngram_diversity", "dedup_fuzzy_verify", "embed_hard_negatives",
     "graph_pagerank_similarity",
     "events_retention_cohorts", "ts_interpolate_linear",
+    "agg_histogram_quantile",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

@@ -2999,3 +2999,37 @@ FROM w ORDER BY user_id, bkt""",
     "1-ulp-different doubles flipped 6 rows). Complement to the LOCF "
     "spec (win_ignore_nulls_locf)",
 )
+
+
+_HISTQ = """WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(least(floor((l_extendedprice - 900) / 101.66015625e0), 1023) AS INT) AS bin,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY flag, bin),
+cw AS (SELECT flag, bin, c,
+         SUM(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY flag) AS tot
+       FROM h)
+SELECT flag,
+  CAST(SUM(c) AS BIGINT) AS n,
+  CAST(ROUND(MIN_BY(900 + (bin + CAST(CAST(CEIL(0.50 * tot) AS BIGINT) - (cum - c) AS DOUBLE) / c) * 101.66015625e0, bin)
+       FILTER (WHERE cum >= CAST(CEIL(0.50 * tot) AS BIGINT)), 4) AS DOUBLE) AS p50,
+  CAST(ROUND(MIN_BY(900 + (bin + CAST(CAST(CEIL(0.95 * tot) AS BIGINT) - (cum - c) AS DOUBLE) / c) * 101.66015625e0, bin)
+       FILTER (WHERE cum >= CAST(CEIL(0.95 * tot) AS BIGINT)), 4) AS DOUBLE) AS p95,
+  CAST(ROUND(MIN_BY(900 + (bin + CAST(CAST(CEIL(0.99 * tot) AS BIGINT) - (cum - c) AS DOUBLE) / c) * 101.66015625e0, bin)
+       FILTER (WHERE cum >= CAST(CEIL(0.99 * tot) AS BIGINT)), 4) AS DOUBLE) AS p99
+FROM cw GROUP BY flag ORDER BY flag"""
+
+register_sql(
+    "agg_histogram_quantile",
+    _HISTQ,
+    oracle=_HISTQ,
+    category="agg",
+    doc="portable mergeable QUANTILE sketch — fixed 1024-bin equi-width "
+    "histogram (bins from disjoint shards merge by addition, like the "
+    "repo's CMS/Bloom/linear-counting sketches; Spark's own GK/HLL "
+    "internals are engine-private, hence rows-only — this one is "
+    "deterministic and oracled): per-group bin counts, running-sum "
+    "window locates the target-rank bin, within-bin linear "
+    "interpolation; identical ANSI text runs on both engines",
+)
