@@ -3347,15 +3347,21 @@ def test_insert_function_guarded_from_merge(engine, spark):
     but MERGE's 'WHEN NOT MATCHED THEN INSERT (c1,c2,c3,c4)' column list
     must never be rewritten to overlay — exactly-4-column merges used to
     hit the unguarded call scan."""
+    import uuid
+
     r = engine.execute("SELECT INSERT('abcdefg', 3, 2, 'XY') AS v").to_pylist()[0]
     assert r == {"v": "abXYefg"}
-    engine.execute("CREATE OR REPLACE TEMP TABLE ig_t AS SELECT 1 AS a, 2 AS b, 3 AS c, 4 AS d")
-    engine.execute("CREATE OR REPLACE TEMP TABLE ig_s AS SELECT 9 AS a, 8 AS b, 7 AS c, 6 AS d")
+    # unique names: the MERGE path materializes a managed table whose
+    # warehouse LOCATION outlives the session — a fixed name fails the next
+    # run with LOCATION_ALREADY_EXISTS
+    t, s = f"ig_t_{uuid.uuid4().hex[:8]}", f"ig_s_{uuid.uuid4().hex[:8]}"
+    engine.execute(f"CREATE OR REPLACE TEMP TABLE {t} AS SELECT 1 AS a, 2 AS b, 3 AS c, 4 AS d")
+    engine.execute(f"CREATE OR REPLACE TEMP TABLE {s} AS SELECT 9 AS a, 8 AS b, 7 AS c, 6 AS d")
     engine.execute(
-        "MERGE INTO ig_t t USING ig_s s ON t.a = s.a "
+        f"MERGE INTO {t} t USING {s} s ON t.a = s.a "
         "WHEN NOT MATCHED THEN INSERT (a, b, c, d) VALUES (s.a, s.b, s.c, s.d)"
     )
-    rows = engine.execute("SELECT * FROM ig_t ORDER BY a").to_pylist()
+    rows = engine.execute(f"SELECT * FROM {t} ORDER BY a").to_pylist()
     assert rows == [
         {"a": 1, "b": 2, "c": 3, "d": 4},
         {"a": 9, "b": 8, "c": 7, "d": 6},
