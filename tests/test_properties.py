@@ -302,6 +302,65 @@ def _duck(sf_dir):
     return duck_connection(sf_dir)
 
 
+# window lane: the shared Spark/DuckDB window-function surface over
+# (k = n_nationkey UNIQUE, g = n_regionkey GROUPS). Determinism rules:
+# rank-family functions may order by a TIED key (their value depends only on
+# key values); everything sequence-dependent (row_number/lag/lead/ntile,
+# framed aggregates) orders by the unique k. Framed SUM/COUNT are CAST to
+# BIGINT (DuckDB window SUM(int) -> HUGEINT, Spark -> LONG — width class).
+_win_rank = st.tuples(
+    st.sampled_from(["RANK()", "DENSE_RANK()", "PERCENT_RANK()", "CUME_DIST()"]),
+    st.integers(2, 6),
+).map(lambda t: f"{t[0]} OVER (PARTITION BY g ORDER BY (k % {t[1]}))")
+
+_win_seq = st.one_of(
+    st.just("ROW_NUMBER() OVER (PARTITION BY g ORDER BY k)"),
+    st.tuples(st.sampled_from(["LAG", "LEAD"]), st.integers(1, 3), st.integers(-5, 5)).map(
+        lambda t: f"{t[0]}(k, {t[1]}, {t[2]}) OVER (PARTITION BY g ORDER BY k)"
+    ),
+    st.integers(2, 5).map(lambda n: f"NTILE({n}) OVER (PARTITION BY g ORDER BY k)"),
+    st.sampled_from(["FIRST_VALUE", "LAST_VALUE"]).map(
+        lambda f: f"{f}(k) OVER (PARTITION BY g ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+    ),
+)
+
+_win_frame = st.tuples(
+    st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]),
+    st.integers(0, 3),
+    st.integers(0, 3),
+    st.sampled_from(["ROWS", "RANGE"]),
+).map(
+    lambda t: f"CAST({t[0]}(k) OVER (PARTITION BY g ORDER BY k "
+    f"{t[3]} BETWEEN {t[1]} PRECEDING AND {t[2]} FOLLOWING) AS BIGINT)"
+)
+
+
+@given(w1=_win_rank, w2=_win_seq, w3=_win_frame)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, w1, w2, w3):
+    from tests.compare import normalize_rows
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    q = (
+        f"SELECT k, {w1} AS w1, {w2} AS w2, {w3} AS w3 "
+        "FROM (SELECT n_nationkey AS k, n_regionkey AS g FROM nation) "
+        "ORDER BY k"
+    )
+    s_tbl = spark.sql(q).toArrow()
+    s_rows = [tuple(d[c] for c in s_tbl.column_names) for d in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(q).arrow()
+    d_rows = [tuple(d[c] for c in d_tbl.column_names) for d in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), q
+
+
 @given(ie=_int_expr, se=_str_expr, de=_date_expr)
 @settings(
     max_examples=60,
