@@ -35,6 +35,8 @@ QUERIES = [
     "dedup_bloom_decontaminate",
     "text_pmi_collocations",
     "corpus_source_kl",
+    "ann_hamming_topk",
+    "dedup_ngram_containment",
 ]
 N_DOCS, N_VECS = 50_000, 20_000
 

@@ -190,6 +190,11 @@ def jaccard_pairs(
     return out.orderBy("id_a", "id_b") if sort else out
 
 
+#: last persisted containment shingle relation (unpersisted on next call —
+#: same one-index-at-a-time policy as _SIGSH_HANDLE)
+_CONTAIN_HANDLE: list = []
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -197,6 +202,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sort: bool = True,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) >= threshold.
 
@@ -207,17 +213,38 @@ def containment_pairs(
     self-equi-join on the 8-byte hash (co-partitioned shuffle carrying two
     longs per row) -> per-pair intersection counts -> containment from the
     per-doc distinct-shingle sizes. Equal to the exact string-set result
-    absent a 64-bit collision (same argument as duplicate_spans). A
-    corpus-frequent shingle makes a quadratic bucket — at scale prune
-    stop-grams by document frequency first (the pagerank-similarity op
-    ships that pruning), which only drops pairs whose overlap is
-    boilerplate anyway.
+    absent a 64-bit collision (same argument as duplicate_spans).
+
+    ``max_df`` is the scale guard: a shingle present in more than max_df
+    documents is boilerplate that identifies nothing, and it is what makes
+    the equi-join quadratic (a df-127 bucket alone yields 8k candidate
+    pairs; a boilerplate-saturated corpus measured 117M). Pruning by
+    document frequency BEFORE the join caps per-bucket fan-out at
+    max_df^2/2 and containment is then computed over the informative
+    shingle sets (sizes counted after pruning, so the ratio stays a true
+    containment of the kept sets). The df relation is one extra hash-keyed
+    aggregation carrying (hash, count) longs. The kept relation feeds three
+    consumers (sizes + both join sides) — a diamond DAG, so it is persisted
+    once per invocation (the minhash-signature lesson; previous handle
+    unpersisted on entry).
     """
     rows = (
         shingle_rows(docs, text_col, id_col, n)
         .select("id", F.xxhash64("s").alias("h"))
         .distinct()
     )
+    if max_df is not None:
+        keep = rows.groupBy("h").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        rows = rows.join(keep.select("h"), "h")
+    while _CONTAIN_HANDLE:
+        try:
+            _CONTAIN_HANDLE.pop().unpersist()
+        except Exception:
+            pass
+    rows = rows.persist()
+    _CONTAIN_HANDLE.append(rows)
     sizes = rows.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         rows.select(F.col("id").alias("id_a"), "h")

@@ -116,11 +116,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_CONTAINMENT_PAIRS = f"""WITH t AS (
   SELECT doc_id, {_duck_tokens('text')} AS w FROM documents),
-sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM t)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)), 4) AS containment
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / least(len(a.s), len(b.s)), 4) >= 0.2
+shl AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+df AS (SELECT s FROM (SELECT s, count(*) AS c FROM shl GROUP BY s) WHERE c <= 64),
+kept AS (SELECT doc_id, shl.s FROM shl JOIN df USING (s)),
+sets AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(i * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+FROM inter
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE round(i * 1.0 / least(sa.sz, sb.sz), 4) >= 0.2
 ORDER BY id_a, id_b"""
 
 
@@ -128,14 +137,17 @@ ORDER BY id_a, id_b"""
     "dedup_ngram_containment",
     _DUCK_CONTAINMENT_PAIRS,
     category="dedup",
-    doc="asymmetric n-gram containment pairs (|A∩B|/min(|A|,|B|) >= 0.2): "
-        "the subset/quotation dedup measure Jaccard under-scores; "
-        "hash-keyed shingle equi-join, never all-pairs",
+    doc="asymmetric n-gram containment pairs (|A∩B|/min(|A|,|B|) >= 0.2) "
+        "over df<=64 informative shingles: the subset/quotation dedup "
+        "measure Jaccard under-scores; hash-keyed shingle equi-join with "
+        "stop-gram pruning, never all-pairs",
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment pairs via the hash-keyed shingle join (operators/dedup.
-    containment_pairs). Oracle replays the exact string-set formulation
-    brute-force; intersection counts coincide absent an xxhash64 collision
+    """Containment pairs via the stop-gram-pruned hash-keyed shingle join
+    (operators/dedup.containment_pairs, max_df=64 — a no-op on the driver
+    fixtures whose max shingle df is 7/25, load-bearing on boilerplate-
+    saturated corpora). Oracle replays the identical pruned-join pipeline
+    on exact shingle strings; counts coincide absent an xxhash64 collision
     (the duplicate_spans argument)."""
     return dedup.containment_pairs(spark.table("documents"), threshold=0.2, n=3)
 
