@@ -3126,11 +3126,13 @@ def test_regexp_instr_count_and_try_base64(engine):
         "REGEXP_INSTR('xAByc', 'ab', 1, 1, 0, 'i') AS g, "
         "REGEXP_INSTR('aa11bb22', '[0-9]+', 1, 2, 1) AS h, "
         "TRY_BASE64_DECODE_STRING('aGk=') AS i, "
-        "TRY_BASE64_DECODE_STRING('!!!') AS j"
+        "TRY_BASE64_DECODE_STRING('!!!') AS j, "
+        "TRY_HEX_DECODE_STRING('6869') AS k, "
+        "TRY_HEX_DECODE_STRING('zz') AS l"
     ).to_pylist()[0]
     assert rows == {
         "a": 2, "b": 3, "c": 4, "d": 4, "e": 5, "f": 0, "g": 2, "h": 9,
-        "i": "hi", "j": None,
+        "i": "hi", "j": None, "k": "hi", "l": None,
     }
 
 

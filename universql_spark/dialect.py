@@ -1799,6 +1799,16 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         "hex_decode_string",
         lambda a: f"cast(unhex({a[0]}) AS STRING)" if len(a) == 1 else None,
     )
+    # TRY_ twin: try_to_binary(x, 'hex') -> NULL on malformed input (Spark
+    # unhex alone zero-pads odd-length input instead of failing, so route
+    # through try_to_binary like the base64 twin above)
+    sql = _rewrite_calls(
+        sql,
+        "try_hex_decode_string",
+        lambda a: f"decode(try_to_binary({a[0]}, 'hex'), 'UTF-8')"
+        if len(a) == 1
+        else None,
+    )
     sql = _rewrite_calls(
         sql,
         "array_unique_agg",
