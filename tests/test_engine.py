@@ -1041,6 +1041,53 @@ def test_variant_colon_path_on_column(engine):
     engine.execute("DROP TABLE vcp_t")
 
 
+def test_niladic_context_functions(engine):
+    """ANSI niladic keyword forms + the invoker/user context surface:
+    LOCALTIME/LOCALTIMESTAMP (no parens), INVOKER_ROLE (= active role,
+    no hierarchy locally), ALL_USER_NAMES (single-user engine)."""
+    out = engine.execute(
+        "SELECT LOCALTIME IS NOT NULL AS a, LOCALTIMESTAMP IS NOT NULL AS b, "
+        "INVOKER_ROLE() = CURRENT_ROLE() AS c, "
+        "ARRAY_SIZE(ALL_USER_NAMES()) = 1 AS d, "
+        "'LOCALTIME literal survives' AS e"
+    ).to_pylist()[0]
+    assert out == {"a": True, "b": True, "c": True, "d": True,
+                   "e": "LOCALTIME literal survives"}
+
+
+def test_flatten_variant_inputs(engine):
+    """LATERAL FLATTEN over VARIANT (JSON-text) inputs — the canonical
+    Snowflake semi-structured idioms: PARSE_JSON literal, colon path,
+    bare variant column with PATH (engine retry), OUTER over a missing
+    path. Nested objects surface as their compact JSON text (the VARIANT
+    convention), and array-typed inputs keep their native element type."""
+    out = engine.execute(
+        "SELECT f.value FROM TABLE(FLATTEN(INPUT => PARSE_JSON('[1,2]'))) f"
+    ).to_pylist()
+    assert [r["value"] for r in out] == ["1", "2"]
+    engine.execute(
+        "CREATE OR REPLACE TEMP TABLE fvt AS "
+        "SELECT 1 AS id, PARSE_JSON('{\"items\": [1, 2, {\"a\": 3}]}') AS v"
+    )
+    out = engine.execute(
+        "SELECT f.value FROM fvt, LATERAL FLATTEN(INPUT => v:items) f"
+    ).to_pylist()
+    assert [r["value"] for r in out] == ["1", "2", '{"a":3}']
+    out = engine.execute(  # bare variant column + PATH: the retry path
+        "SELECT f.value FROM fvt, LATERAL FLATTEN(INPUT => v, PATH => 'items') f"
+    ).to_pylist()
+    assert [r["value"] for r in out] == ["1", "2", '{"a":3}']
+    out = engine.execute(
+        "SELECT id, f.value FROM fvt, "
+        "LATERAL FLATTEN(INPUT => v:nope, OUTER => TRUE) f"
+    ).to_pylist()
+    assert out == [{"id": 1, "value": None}]
+    out = engine.execute(  # array input unchanged: native element type
+        "SELECT f.value FROM TABLE(FLATTEN(INPUT => ARRAY_CONSTRUCT(1,2))) f"
+    ).to_pylist()
+    assert [r["value"] for r in out] == [1, 2]
+
+
 def test_iceberg_metadata_tables(engine):
     engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_md AS SELECT CAST(1 AS BIGINT) AS id "
                    "UNION ALL SELECT 2")

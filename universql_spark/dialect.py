@@ -747,6 +747,20 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
     sql = _rewrite_calls(sql, "localtime", _noargs("date_format(localtimestamp(), 'HH:mm:ss')"))
     sql = _rewrite_calls(sql, "current_time", _noargs("date_format(current_timestamp(), 'HH:mm:ss')"))
     sql = _rewrite_calls(sql, "systimestamp", _noargs("current_timestamp()"))
+    sql = _rewrite_calls(sql, "all_user_names", _noargs("array(current_user())"))
+    # ANSI niladic keyword forms (no parens — Spark only parses the
+    # function spellings): LOCALTIMESTAMP first so LOCALTIME can't nibble
+    # its prefix (word boundary already prevents it; order is belt and
+    # braces)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bLOCALTIME\b(?!\s*\()",
+            "date_format(localtimestamp(), 'HH:mm:ss')",
+            re.sub(r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", s, flags=re.I),
+            flags=re.I,
+        ),
+    )
     # numeric TRUNCATE/TRUNC (toward zero, optional scale); the date form
     # TRUNC(d, 'MONTH') has a string second arg and falls through to Spark
     def trunc_rw(a: list[str]) -> str | None:
@@ -2246,13 +2260,59 @@ def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool, bool]:
     return input_expr, path, outer, recursive
 
 
-def rewrite_flatten(sql: str) -> str:
+#: textual signals that a FLATTEN input is VARIANT (JSON text in this
+#: engine): PARSE_JSON (stripped to its string argument later in the
+#: pipeline), the JSON-path accessors (all return STRING), TO_VARIANT,
+#: or a bare string literal. A raw single-colon path (v:items) is detected
+#: separately (it rewrites to get_json_object downstream).
+_VARIANTISH_RE = re.compile(
+    r"(?i)\bPARSE_JSON\s*\(|\bTRY_PARSE_JSON\s*\(|\bGET_PATH\s*\(|"
+    r"\bJSON_EXTRACT_PATH_TEXT\s*\(|\bGET_JSON_OBJECT\s*\(|\bTO_VARIANT\s*\("
+)
+
+
+def _looks_variant(expr: str) -> bool:
+    e = expr.strip()
+    if _VARIANTISH_RE.search(e) or _STRING_RE.fullmatch(e):
+        return True
+    # single colon outside string literals = Snowflake path access (:: is a
+    # cast and must not trigger)
+    in_str = False
+    i = 0
+    while i < len(e):
+        c = e[i]
+        if c == "'":
+            in_str = not in_str
+        elif not in_str and c == ":":
+            if i + 1 < len(e) and e[i + 1] == ":":
+                i += 2
+                continue
+            if i > 0 and e[i - 1] == ":":
+                i += 1
+                continue
+            return True
+        i += 1
+    return False
+
+
+def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
     """Snowflake `, LATERAL FLATTEN(input => expr [, path/outer/mode]) f` ->
     Spark `LATERAL VIEW [explode|explode_outer](expr[path]) f AS value`
     (f.value keeps working; the reference flags FLATTEN as a dialect hard
     part, SURVEY.md §7.3). PATH => 'a.b' becomes bracket navigation
     (works on struct fields and map keys alike); OUTER => TRUE keeps rows
     whose input is empty/NULL via explode_outer.
+
+    VARIANT inputs (JSON text under this engine's VARIANT convention):
+    explode() needs an array, so inputs that are textually variant-ish —
+    PARSE_JSON(...), colon paths, JSON-path accessors, string literals —
+    coerce through ``from_json(x, 'array<string>')``, whose elements are
+    each element's JSON text (Spark re-serializes nested objects rather
+    than nulling them), i.e. exactly the VARIANT values Snowflake's
+    FLATTEN emits. ``coerce_all`` applies the same wrap to EVERY
+    non-recursive input — the engine's retry path for flattening a bare
+    JSON-text COLUMN, where no textual signal exists (Engine._run_select
+    retries on the explode type-mismatch error).
 
     The argument is paren-MATCHED, not regex-scanned, so nested calls like
     FLATTEN(input => split(f(x), ',')) rewrite correctly."""
@@ -2266,6 +2326,11 @@ def rewrite_flatten(sql: str) -> str:
         open_idx = m.end() - 1
         close = _match_paren(sql, open_idx)
         input_expr, path, outer, recursive = _parse_flatten_args(sql[open_idx + 1 : close].strip())
+        if not recursive and (coerce_all or _looks_variant(input_expr)):
+            if path:
+                input_expr = f"get_json_object({input_expr}, '$.{path}')"
+                path = None
+            input_expr = f"from_json({input_expr}, 'array<string>')"
         if path:
             nav = "".join(f"['{p}']" for p in path.split("."))
             input_expr = f"({input_expr}){nav}"
@@ -2658,8 +2723,12 @@ def _rewrite_generator(sql: str) -> str:
     )
 
 
-def snowflake_to_spark(sql: str) -> str:
-    """One statement of Snowflake-ish SQL -> Spark SQL text."""
+def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
+    """One statement of Snowflake-ish SQL -> Spark SQL text.
+
+    ``flatten_coerce_all``: coerce every LATERAL FLATTEN input through the
+    VARIANT (JSON-text) decoder — the engine's retry for flattening a bare
+    JSON-text column (see rewrite_flatten)."""
     # $$-quoted strings first: their bodies are literals and must be masked
     # from every later rewrite ('' is the only escape in the '-quoted form)
     sql = _DOLLAR_QUOTE_RE.sub(lambda m: "'" + m.group(1).replace("'", "''") + "'", sql)
@@ -2728,7 +2797,7 @@ def snowflake_to_spark(sql: str) -> str:
     sql = re.sub(
         r"(?i)\bFROM\s+LATERAL\s*\(", "FROM (SELECT 1) __one, LATERAL (", sql
     )
-    sql = rewrite_flatten(sql)
+    sql = rewrite_flatten(sql, coerce_all=flatten_coerce_all)
     # solo FROM TABLE(FLATTEN(...)): Spark's LATERAL VIEW needs a base
     # relation — synthesize the one-row table Snowflake implies
     sql = re.sub(r"(?i)\bFROM\s+LATERAL\s+VIEW\b", "FROM (SELECT 1) LATERAL VIEW", sql)

@@ -2120,7 +2120,10 @@ class Engine:
         stmt = self._resolve_result_scan(stmt)
         stmt = self._resolve_stage_refs(stmt)
         stmt = re.sub(
-            r"\bCURRENT_ROLE\s*\(\s*\)", f"'{self.current_role}'", stmt, flags=re.I
+            r"\b(?:CURRENT_ROLE|INVOKER_ROLE)\s*\(\s*\)",
+            f"'{self.current_role}'",
+            stmt,
+            flags=re.I,
         )
         # session-context scalars substitute textually (a UDF closure can't
         # capture engine state — pickling self would drag the SparkContext)
@@ -2231,7 +2234,26 @@ class Engine:
             stmt = info_schema.resolve(
                 self.spark, stmt, default_catalog=self.current_database or "UNIVERSQL"
             )
-        return self.spark.sql(snowflake_to_spark(stmt))
+        try:
+            return self.spark.sql(snowflake_to_spark(stmt))
+        except Exception as e:
+            # FLATTEN over a bare VARIANT column: JSON text has no textual
+            # signal at rewrite time, so the first plan tried explode() on
+            # a string. Retry once with every flatten input coerced through
+            # the JSON-array decoder (dialect.rewrite_flatten coerce_all).
+            msg = str(e)
+            explode_mismatch = (
+                "UNEXPECTED_INPUT_TYPE" in msg
+                and '"explode(' in msg.replace("explode_outer(", "explode(")
+            )
+            # PATH over a JSON-text column fails earlier, at the bracket
+            # navigation (extract needs STRUCT/ARRAY/MAP, got STRING)
+            path_on_string = (
+                "INVALID_EXTRACT_BASE_FIELD_TYPE" in msg and '"STRING"' in msg
+            )
+            if "FLATTEN" in stmt.upper() and (explode_mismatch or path_on_string):
+                return self.spark.sql(snowflake_to_spark(stmt, flatten_coerce_all=True))
+            raise
 
     def _resolve_info_schema_extras(self, stmt: str) -> str:
         """Engine-state information_schema surfaces (the module-level views
