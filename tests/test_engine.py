@@ -1041,6 +1041,30 @@ def test_variant_colon_path_on_column(engine):
     engine.execute("DROP TABLE vcp_t")
 
 
+def test_variant_value_semijoins_and_uuid5(engine):
+    """ARRAY_CONTAINS/ARRAY_POSITION with the documented value::VARIANT /
+    TO_VARIANT signature (the cast is stripped so the native equality
+    types); MAP_SIZE over both object conventions; PARSE_XML identity;
+    GET_PATH quoted segments ('"$"', '"a b"') in bracket form;
+    UUID_STRING(ns, name) = RFC 4122 v5 (pinned against python uuid5)."""
+    import uuid as U
+
+    out = engine.execute(
+        "SELECT ARRAY_CONTAINS(2::VARIANT, ARRAY_CONSTRUCT(1,2)) AS a, "
+        "ARRAY_CONTAINS(TO_VARIANT(5), ARRAY_CONSTRUCT(1,2)) AS b, "
+        "ARRAY_POSITION(2::VARIANT, ARRAY_CONSTRUCT(1,2)) AS c, "
+        "MAP_SIZE(OBJECT_CONSTRUCT('a',1,'b',2)) AS d, "
+        "MAP_SIZE(MAP_CAT(OBJECT_CONSTRUCT('a',1), OBJECT_CONSTRUCT('b',2))) AS e, "
+        "GET_PATH(XMLGET(PARSE_XML('<a><b>7</b></a>'), 'b'), '\"$\"') AS f, "
+        "GET_PATH(PARSE_JSON('{\"a b\": 1}'), '\"a b\"') AS g, "
+        "UUID_STRING('6ba7b810-9dad-11d1-80b4-00c04fd430c8', 'example.com') AS h"
+    ).to_pylist()[0]
+    assert out == {
+        "a": True, "b": False, "c": 1, "d": 2, "e": 2, "f": "7", "g": "1",
+        "h": str(U.uuid5(U.NAMESPACE_DNS, "example.com")),
+    }
+
+
 def test_niladic_context_functions(engine):
     """ANSI niladic keyword forms + the invoker/user context surface:
     LOCALTIME/LOCALTIMESTAMP (no parens), INVOKER_ROLE (= active role,

@@ -356,16 +356,75 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     # take (value, array) — Spark's take (array, value). ARRAY_POSITION is
     # additionally 0-based returning NULL-if-absent vs Spark's 1-based
     # 0-if-absent.
+    # Snowflake's documented signature REQUIRES the value as VARIANT
+    # (ARRAY_CONTAINS(2::VARIANT, arr)); VARIANT is JSON text here, which
+    # would break the equality's typing — strip the cast/wrapper and let
+    # Spark's native coercion compare the raw value.
+    def _unvariant(v: str) -> str:
+        v = v.strip()
+        m = re.fullmatch(r"(?is)(.*?)\s*::\s*VARIANT", v)
+        if m:
+            return m.group(1).strip()
+        m = re.fullmatch(r"(?is)TO_VARIANT\s*\((.*)\)", v)
+        if m and _match_paren(v, v.upper().index("(")) == len(v) - 1:
+            return m.group(1).strip()
+        # TO_VARIANT was already expanded by the earlier pass (this pass
+        # runs after it): unwrap the engine-emitted json-element shell
+        # `(CASE WHEN (X) IS NULL THEN NULL ELSE substr(to_json(array(X)),
+        # 2, ...) END)` by paren-matching X out of the guard.
+        probe = "(CASE WHEN ("
+        if v.startswith(probe) and "ELSE substr(to_json(array(" in v:
+            close = _match_paren(v, len(probe) - 1)
+            inner = v[len(probe) : close]
+            if v[close:].startswith(") IS NULL THEN NULL ELSE substr(to_json(array("):
+                return inner.strip()
+        return v
+
     sql = _rewrite_calls(
         sql,
         "array_contains",
-        lambda a: f"array_contains({a[1]}, {a[0]})" if len(a) == 2 else None,
+        lambda a: f"array_contains({a[1]}, {_unvariant(a[0])})" if len(a) == 2 else None,
     )
     sql = _rewrite_calls(
         sql,
         "array_position",
-        lambda a: f"(nullif(array_position({a[1]}, {a[0]}), 0) - 1)" if len(a) == 2 else None,
+        lambda a: f"(nullif(array_position({a[1]}, {_unvariant(a[0])}), 0) - 1)"
+        if len(a) == 2
+        else None,
     )
+    # MAP_SIZE over the engine's map/object convention: struct-built
+    # OBJECT_CONSTRUCT chains serialize first (json_object_keys needs JSON
+    # text); everything else (MAP_CAT output, variant columns) IS JSON text
+    def map_size_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        if re.match(
+            r"(?is)^\s*(object_construct(_keep_null)?|named_struct)\s*\(", a[0]
+        ):
+            return f"size(json_object_keys(to_json({a[0]})))"
+        return f"size(json_object_keys({a[0]}))"
+
+    sql = _rewrite_calls(sql, "map_size", map_size_rw)
+
+    # UUID_STRING(namespace_uuid, name) — RFC 4122 v5 (the 0-arg v4 form is
+    # a plain rename to Spark's uuid()): sha1 over namespace bytes || name
+    # bytes, version nibble forced to 5 and the variant nibble to
+    # (d & 0x3) | 0x8 — matches python uuid.uuid5 (pinned in tests).
+    def uuid5_rw(a: list[str]) -> str | None:
+        if len(a) != 2:
+            return None
+        h = (
+            f"sha1(concat(unhex(replace(lower({a[0]}), '-', '')), "
+            f"encode({a[1]}, 'UTF-8')))"
+        )
+        return (
+            f"lower(concat(substr({h}, 1, 8), '-', substr({h}, 9, 4), '-5', "
+            f"substr({h}, 14, 3), '-', "
+            f"conv(CAST(conv(substr({h}, 17, 1), 16, 10) AS INT) % 4 + 8, 10, 16), "
+            f"substr({h}, 18, 3), '-', substr({h}, 21, 12)))"
+        )
+
+    sql = _rewrite_calls(sql, "uuid_string", uuid5_rw)
     # ARRAY_SLICE(arr, from, to): 0-based, end-exclusive -> Spark slice(arr,
     # start 1-based, LENGTH)
     sql = _rewrite_calls(
@@ -501,14 +560,33 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         "regexp_substr",
         lambda args: f"regexp_extract({args[0]}, {args[1]}, 0)" if len(args) == 2 else None,
     )
-    # GET_PATH(v, 'a.b') == v:a.b (VARIANT is JSON text here)
-    sql = _rewrite_calls(
-        sql,
-        "get_path",
-        lambda args: f"get_json_object({args[0]}, '$.{args[1].strip()[1:-1]}')"
-        if len(args) == 2 and _STRING_RE.fullmatch(args[1].strip())
-        else None,
-    )
+    # GET_PATH(v, 'a.b') == v:a.b (VARIANT is JSON text here). Segments
+    # double-quoted in Snowflake's path grammar ('"$"', 'a."x y".b') carry
+    # characters that break dotted JSONPath — emit them in bracket form
+    # ($['$']), which Spark's get_json_object accepts.
+    def _get_path_rw(args: list[str]) -> str | None:
+        if len(args) != 2 or not _STRING_RE.fullmatch(args[1].strip()):
+            return None
+        path = args[1].strip()[1:-1]
+        out, i = "$", 0
+        while i < len(path):
+            c = path[i]
+            if c == ".":
+                i += 1
+                continue
+            if c == '"':
+                j = path.index('"', i + 1)
+                out += f"['{path[i + 1 : j]}']"
+                i = j + 1
+            else:
+                j = i
+                while j < len(path) and path[j] != ".":
+                    j += 1
+                out += "." + path[i:j]
+                i = j
+        return f"get_json_object({args[0]}, '{out.replace(chr(39), chr(39) * 2)}')"
+
+    sql = _rewrite_calls(sql, "get_path", _get_path_rw)
     return sql
 
 
@@ -2852,5 +2930,8 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     # JSON text passes through unchanged (the reference likewise maps
     # VARIANT -> JSON text, duckdb.py:443-444 / snowflake.py:196-198)
     sql = re.sub(r"\bPARSE_JSON\s*\(", "(", sql, flags=re.I)
+    # PARSE_XML likewise: XML stays TEXT (XMLGET extracts over it), so the
+    # call is an identity wrapper here
+    sql = re.sub(r"\bPARSE_XML\s*\(", "(", sql, flags=re.I)
     sql = _rewrite_colon_paths(sql)  # self-masks literals (lhs may BE one)
     return sql
