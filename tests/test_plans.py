@@ -483,3 +483,37 @@ def test_bloom_long_keyed_exchanges_broadcast_bitmap(spark, sf_dir):
         f"bloom exchanges must carry longs only, got: {parts}"
     )
     assert {m[0] for m in parts} <= {"id", "doc_id", "h", "word"}, parts
+
+
+def test_containment_join_carries_longs_only(spark, sf_dir):
+    """Containment dedup: every pre-pair exchange is keyed on the 8-byte
+    shingle hash (h, a long) — shingle TEXT never rides a shuffle — and the
+    candidate generation is an equi-hash join (never cartesian). The df
+    stop-gram filter partial-aggregates before its exchange."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "dedup_ngram_containment")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+    parts = _re.findall(r"hashpartitioning\((\w+)#(\d+)(L?)", p)
+    h_parts = [m for m in parts if m[0] == "h"]
+    assert h_parts, f"expected h-keyed exchanges in:\n{p}"
+    assert all(m[2] == "L" for m in h_parts), (
+        f"shingle exchanges must carry the hash long, not text: {h_parts}"
+    )
+
+
+def test_hamming_topk_broadcast_probes_no_vector_shuffle(spark, sf_dir):
+    """Binary-Hamming ANN: probes broadcast against the signature scan (one
+    BroadcastHashJoin-free nested loop is WRONG here — the q_id != n_id
+    condition makes it a broadcast nested loop by necessity, but the
+    broadcast side is the bounded probe set); the only exchange is the
+    final per-query window, keyed on q_id, and no embedding array column
+    appears in any exchange (signatures are two longs)."""
+    p = plan(spark, sf_dir, "ann_hamming_topk")
+    assert "CartesianProduct" not in p
+    # the probe side is broadcast (bounded), whatever join flavor planned
+    assert "Broadcast" in p
+    for chunk in p.split("Exchange hashpartitioning")[1:]:
+        args = chunk.split("\n")[0]
+        assert "embedding#" not in args, f"vector column on an exchange: {args}"
