@@ -101,6 +101,22 @@ def test_hamming_topk_matches_numpy(emb):
         assert [(r.n_id, r.hamming) for r in got_q] == want
 
 
+def test_hamming_rerank_recall_floor(emb):
+    """Two-stage retrieval: reranked top-k must recover a healthy fraction
+    of the exact brute-force top-k (64-bit signatures over noisy clustered
+    vectors; shortlist 10x k), and its rows must be exact-cosine-consistent
+    (each returned cos equals the brute-force cos for that pair)."""
+    brute = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    two = similarity.hamming_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=50
+    )
+    b = {(r.q_id, r.n_id): r.cos for r in brute.collect()}
+    t = {(r.q_id, r.n_id): r.cos for r in two.collect()}
+    hits = set(b) & set(t)
+    assert len(hits) / len(b) >= 0.4, f"recall collapsed: {len(hits)}/{len(b)}"
+    assert all(b[p] == t[p] for p in hits), "rerank cosine must equal exact"
+
+
 def test_containment_pairs_superset_of_jaccard(docs):
     """containment >= jaccard always, so the jaccard-0.8 pair set embeds in
     the containment-0.8 set; and the hash-keyed path equals brute force."""

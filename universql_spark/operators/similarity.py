@@ -270,6 +270,46 @@ def hamming_topk(
     return out.orderBy("q_id", "rank") if sort else out
 
 
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sort: bool = True,
+) -> DataFrame:
+    """Two-stage retrieval: binary-Hamming shortlist -> exact cosine rerank.
+
+    The production ANN composition (Faiss's IVF+refine / binary-index
+    convention): stage 1 scans 8-byte signatures and keeps `shortlist` >> k
+    candidates per query on integer Hamming ranking (deterministic, id
+    tiebreak); stage 2 computes the exact cosine ONLY for shortlist rows —
+    at 100 TB the float vectors are fetched for shortlist*|Q| rows instead
+    of the whole corpus. Both stages are deterministic, so a SQL oracle
+    reproduces the final (q_id, n_id, cos, rank) rows exactly; recall vs
+    full brute force is a fixture property asserted in tests.
+    """
+    short = hamming_topk(
+        corpus, queries, k=shortlist, dim=dim, id_col=id_col, vec_col=vec_col, sort=False
+    ).select("q_id", "n_id")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    c = _with_norm(corpus, id_col, vec_col, "n")
+    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
+    scored = (
+        short.join(c, "n_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return out.orderBy("q_id", "rank") if sort else out
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -247,7 +247,7 @@ _GATE_PRIORITY: list[str] = [
     "graph_pagerank_similarity",
     "events_retention_cohorts", "ts_interpolate_linear",
     "agg_histogram_quantile",
-    "ann_hamming_topk", "dedup_ngram_containment",
+    "ann_hamming_topk", "dedup_ngram_containment", "ann_hamming_rerank_topk",
     # (displaced to make room, all driver-green r5 and unchanged since:
     # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
     # fn_fuzzy_scalar_ext)

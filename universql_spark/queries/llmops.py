@@ -452,6 +452,44 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, sort=False)
 
 
+_DUCK_SIG_CTE = """sig AS (
+  SELECT vec_id,
+    list_reduce(list_transform(embedding[1:32],  x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), (a,b) -> a*2+b) AS w0,
+    list_reduce(list_transform(embedding[33:64], x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), (a,b) -> a*2+b) AS w1
+  FROM embeddings)"""
+
+
+@register(
+    "ann_hamming_rerank_topk",
+    f"""WITH {_DUCK_SIG_CTE},
+short AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id
+  FROM sig a JOIN sig b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+      ORDER BY bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)), b.vec_id) <= 50),
+{_DUCK_COS_CTE}
+SELECT s.q_id, s.n_id, round({_DUCK_COS_AB}, 4) AS cos,
+       CAST(row_number() OVER (PARTITION BY s.q_id
+            ORDER BY round({_DUCK_COS_AB}, 4) DESC, s.n_id) AS INT) AS rank
+FROM short s JOIN d a ON a.vec_id = s.q_id JOIN d b ON b.vec_id = s.n_id
+QUALIFY rank <= 5
+ORDER BY q_id, rank""",
+    category="similarity",
+    doc="two-stage retrieval: binary-Hamming shortlist (50 per query over "
+        "8-byte signatures) -> exact cosine rerank of shortlist rows only — "
+        "the production composition where full vectors are fetched for "
+        "shortlist*|Q| rows, never the corpus",
+)
+def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.hamming_rerank_topk: integer-exact stage 1, round-4 cosine
+    stage 2 — both deterministic, so the oracle replays the identical
+    pipeline (recall vs brute force is asserted in tests)."""
+    emb = spark.table("embeddings")
+    return similarity.hamming_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=50, dim=64, sort=False
+    )
+
+
 @register("ann_pq_topk", None, category="similarity")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. IVFADC+R shape): driver-side
