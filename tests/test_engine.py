@@ -1110,6 +1110,10 @@ def test_flatten_variant_inputs(engine):
         "SELECT f.value FROM TABLE(FLATTEN(INPUT => ARRAY_CONSTRUCT(1,2))) f"
     ).to_pylist()
     assert [r["value"] for r in out] == [1, 2]
+    out = engine.execute(  # Snowflake's INDEX column: 0-based position
+        "SELECT f.index, f.value FROM TABLE(FLATTEN(INPUT => ARRAY_CONSTRUCT('a','b'))) f"
+    ).to_pylist()
+    assert out == [{"index": 0, "value": "a"}, {"index": 1, "value": "b"}]
 
 
 def test_iceberg_metadata_tables(engine):

@@ -2423,8 +2423,10 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
             fn = "flatten_recursive_outer" if outer else "flatten_recursive"
             out.append(f", LATERAL {fn}({input_expr}) {alias}")
         else:
-            fn = "explode_outer" if outer else "explode"
-            out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS value")
+            # posexplode: Snowflake FLATTEN's INDEX column (0-based, NULL
+            # under OUTER on empty input) comes for free next to VALUE
+            fn = "posexplode_outer" if outer else "posexplode"
+            out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS index, value")
         i = j
     return "".join(out)
 
