@@ -2313,12 +2313,14 @@ _NOT_ALIAS_KWS = {
 }
 
 
-def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool, bool]:
-    """FLATTEN's kwargs -> (input expr, path or None, outer, recursive).
-    MODE => 'ARRAY'/'BOTH' is accepted (arrays are the only thing explode
-    flattens here); RECURSIVE => TRUE routes to the flatten_recursive UDTF
-    (operators/flatten.py)."""
-    input_expr, path, outer, recursive = None, None, False, False
+def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool, bool, str]:
+    """FLATTEN's kwargs -> (input expr, path or None, outer, recursive,
+    mode). MODE => 'ARRAY'/'BOTH' flattens arrays (explode's native
+    domain); MODE => 'OBJECT' emits one (key, value) row per object member
+    (Spark can't pick per row — Snowflake's BOTH is dynamic — so OBJECT is
+    explicit); RECURSIVE => TRUE routes to the flatten_recursive UDTF
+    (operators/flatten.py), which walks both."""
+    input_expr, path, outer, recursive, mode = None, None, False, False, "ARRAY"
     for arg in _split_top_args(inner):
         m = re.match(r"(?is)\s*(INPUT|PATH|OUTER|MODE|RECURSIVE)\s*=>\s*(.*)", arg)
         if not m:
@@ -2333,9 +2335,11 @@ def _parse_flatten_args(inner: str) -> tuple[str, str | None, bool, bool]:
             outer = val.upper() == "TRUE"
         elif key == "RECURSIVE":
             recursive = val.upper() == "TRUE"
+        elif key == "MODE":
+            mode = val.strip("'\"").upper()
     if input_expr is None:
         raise ValueError(f"FLATTEN without an input argument: {inner[:80]}")
-    return input_expr, path, outer, recursive
+    return input_expr, path, outer, recursive, mode
 
 
 #: textual signals that a FLATTEN input is VARIANT (JSON text in this
@@ -2403,12 +2407,16 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
             break
         open_idx = m.end() - 1
         close = _match_paren(sql, open_idx)
-        input_expr, path, outer, recursive = _parse_flatten_args(sql[open_idx + 1 : close].strip())
-        if not recursive and (coerce_all or _looks_variant(input_expr)):
+        input_expr, path, outer, recursive, mode = _parse_flatten_args(
+            sql[open_idx + 1 : close].strip()
+        )
+        obj_mode = mode == "OBJECT"
+        if not recursive and (obj_mode or coerce_all or _looks_variant(input_expr)):
             if path:
                 input_expr = f"get_json_object({input_expr}, '$.{path}')"
                 path = None
-            input_expr = f"from_json({input_expr}, 'array<string>')"
+            elem = "map<string,string>" if obj_mode else "array<string>"
+            input_expr = f"from_json({input_expr}, '{elem}')"
         if path:
             nav = "".join(f"['{p}']" for p in path.split("."))
             input_expr = f"({input_expr}){nav}"
@@ -2422,6 +2430,11 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
             # (key, path, idx, value) for every element at every depth.
             fn = "flatten_recursive_outer" if outer else "flatten_recursive"
             out.append(f", LATERAL {fn}({input_expr}) {alias}")
+        elif obj_mode:
+            # object members: one (key, value) row each — Snowflake's KEY
+            # column; members of a JSON object are unordered, so no INDEX
+            fn = "explode_outer" if outer else "explode"
+            out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS key, value")
         else:
             # posexplode: Snowflake FLATTEN's INDEX column (0-based, NULL
             # under OUTER on empty input) comes for free next to VALUE
