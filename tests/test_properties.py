@@ -336,6 +336,52 @@ _win_frame = st.tuples(
 )
 
 
+# aggregate lane: random GROUP BY aggregates over the ANSI-common subset.
+# Exact-arithmetic only (SUM/COUNT over ints stay integral; AVG is emitted
+# as an exact decimal sum divided once — the registry convention) and the
+# group key is always projected so the row sets align.
+_agg_num = st.one_of(
+    st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]).map(lambda f: f + "(x)"),
+    st.just("COUNT(*)"),
+    st.just("COUNT(DISTINCT x)"),
+    st.just("COUNT(CASE WHEN x % 2 = 0 THEN 1 END)"),
+    st.just("SUM(CASE WHEN x > 10 THEN x ELSE -x END)"),
+)
+# string aggregates ride uncast (ASCII-upper fixture values, so binary vs
+# locale collation cannot reorder them)
+_agg_str = st.sampled_from(["MIN(s)", "MAX(s)", "MIN(UPPER(s))", "MAX(SUBSTR(s, 2))"])
+_agg_key = st.sampled_from(["k % 2", "k % 3", "k % 5", "(k * 7) % 4"])
+_agg_having = st.one_of(
+    st.just(""),
+    st.integers(0, 3).map(lambda n: f" HAVING COUNT(*) > {n}"),
+)
+
+
+@given(f1=_agg_num, f2=_agg_str, g=_agg_key, hv=_agg_having)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_aggregate_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, f1, f2, g, hv):
+    from tests.compare import normalize_rows
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    q = (
+        f"SELECT {g} AS grp, CAST({f1} AS BIGINT) AS a1, {f2} AS a2 "
+        "FROM (SELECT n_nationkey AS k, n_nationkey AS x, n_name AS s FROM nation) "
+        f"GROUP BY {g}{hv} ORDER BY grp"
+    )
+    s_tbl = spark.sql(q).toArrow()
+    s_rows = [tuple(d[c] for c in s_tbl.column_names) for d in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(q).arrow()
+    d_rows = [tuple(d[c] for c in d_tbl.column_names) for d in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), q
+
+
 @given(w1=_win_rank, w2=_win_seq, w3=_win_frame)
 @settings(
     max_examples=40,
