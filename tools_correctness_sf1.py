@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Correctness at 10x the driver-gate scale -> CORRECTNESS_SF1.json.
+
+The driver gate and the full local gate both compare Spark vs DuckDB at
+sf0.01; the scaling tables measure PERFORMANCE at sf1. This tool closes the
+remaining gap — evidence that the VALUES also hold at scale: every TPC-H
+spec (the suite with a real 10x fixture, tools_scaling.ensure_sf1's
+dbgen(sf=1) cast to fixture parity) runs through the same differential
+check as the local gate (row count + column set + order-insensitive
+canonical values) against DuckDB executing the identical oracle SQL on the
+same sf1 parquet.
+
+Determinism conventions (DECIMAL-exact sums, deterministic LIMIT
+tiebreaks, no raw timestamps) are what make this pass at ANY scale — a
+convention that only held at toy scale would surface here.
+
+Usage: python tools_correctness_sf1.py   [writes CORRECTNESS_SF1.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tests.compare import duck_connection, normalize_rows
+from tools_scaling import SF1, ensure_sf1
+from universql_spark.queries import load_all
+from universql_spark.session import get_spark
+
+
+def main() -> None:
+    ensure_sf1()
+    registry = load_all()
+    names = sorted(n for n in registry if n.startswith("tpch_q"))
+    spark = get_spark("correctness_sf1", sf_dir=SF1)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(SF1)
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    for name in names:
+        spec = registry[name]
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            s_tbl = spec.spark(spark, SF1).toArrow()
+            s_cols = s_tbl.column_names
+            s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+            rec["spark_rows"] = len(s_rows)
+            d_tbl = con.execute(spec.oracle).fetch_arrow_table()
+            d_cols = d_tbl.column_names
+            d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
+            rec["oracle_rows"] = len(d_rows)
+            rec["rows_match"] = len(s_rows) == len(d_rows)
+            rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+            rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(
+                d_cols, d_rows
+            )
+        except Exception as e:  # noqa: BLE001 - the artifact records failures
+            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+            traceback.print_exc(limit=2, file=sys.stderr)
+        out[name] = rec
+        print(
+            ("ok  " if rec["hash_match"] else "BAD ") + name,
+            rec["spark_rows"],
+            flush=True,
+        )
+    summary = {
+        "specs_total": len(out),
+        "all_match": sum(
+            1 for r in out.values() if r["rows_match"] and r["schema_match"] and r["hash_match"]
+        ),
+        # fixture-tuned literals (NATION_7 etc.) don't exist in dbgen data,
+        # so a few specs return 0 rows at sf1 — matching, but vacuously.
+        # Disclosed so the artifact reads honestly.
+        "nonempty_match": sum(
+            1
+            for r in out.values()
+            if r["hash_match"] and (r["spark_rows"] or 0) > 0
+        ),
+        "empty_at_sf1": sorted(
+            n for n, r in out.items() if r["hash_match"] and not r["spark_rows"]
+        ),
+        "errors": sum(1 for r in out.values() if r["err"]),
+        "sf_dir": SF1,
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_SF1.json"), "w") as f:
+        json.dump({"summary": summary, "specs": out}, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

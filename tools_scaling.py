@@ -47,12 +47,24 @@ def ensure_sf1() -> None:
     con.execute("LOAD tpch")
     print("dbgen(sf=1)...", flush=True)
     con.execute("CALL dbgen(sf=1)")
+    # fixture-parity VALUE mapping: the driver fixtures name nations
+    # NATION_<key> (regions keep dbgen names); specs filter on those
+    # literals, so the sf1 correctness gate would go vacuous on dbgen's
+    # real names. Key-derived rename — join cardinalities untouched.
+    overrides = {
+        "n_name": "'NATION_' || CAST(n_nationkey AS VARCHAR)",
+        # fixture p_type is the single leading word of dbgen's 3-word type
+        # ('ECONOMY' vs 'ECONOMY ANODIZED STEEL') — same selectivity class
+        "p_type": "split_part(p_type, ' ', 1)",
+    }
     for t in TPCH_TABLES:
         # fixture-parity projection: same column subset, same types
         cols = con.execute(
             f"DESCRIBE SELECT * FROM '{SF01}/{t}.parquet'"
         ).fetchall()
-        sel = ", ".join(f"CAST({c} AS {typ}) AS {c}" for c, typ, *_ in cols)
+        sel = ", ".join(
+            f"CAST({overrides.get(c, c)} AS {typ}) AS {c}" for c, typ, *_ in cols
+        )
         con.execute(
             f"COPY (SELECT {sel} FROM {t}) TO '{SF1}/{t}.parquet' (FORMAT PARQUET)"
         )

@@ -8,13 +8,18 @@ two at sf0.01; ``bench=True`` specs form the sf0.1 benchmark suite.
 Cross-engine determinism conventions (both sides MUST follow these, or the
 value-hash comparison turns into FP-noise roulette):
 
-1. **Sums of doubles go through DECIMAL.** Floating-point addition is not
-   associative; Spark sums in partition order, DuckDB in its own order, so raw
-   ``SUM(double)`` differs in ULPs (and by ~1e-3 absolute at 1e9 magnitude).
-   Convention: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`` — the decimal
-   sum is exact and order-independent, the final double conversion is a single
-   deterministic IEEE rounding. Same for AVG: exact decimal sum cast to double,
-   then one double division by the count.
+1. **Sums of doubles go through DECIMAL, and back to double THROUGH THE
+   DIGIT STRING.** Floating-point addition is not associative; Spark sums in
+   partition order, DuckDB in its own order, so raw ``SUM(double)`` differs
+   in ULPs (and by ~1e-3 absolute at 1e9 magnitude). Convention:
+   ``CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE)`` — the
+   decimal sum is exact and order-independent, and the string round-trip
+   makes the final conversion correctly rounded on BOTH engines: DuckDB's
+   direct decimal->double cast is int128->double followed by a divide by
+   10^scale (two roundings, 1-2 ulp off once sums reach ~1e10 — caught by
+   the sf1 gate on tpch_q1 sum_charge), while string->double parsing is
+   correctly rounded everywhere. Same for AVG: exact decimal sum -> string
+   -> double, then one double division by the count.
 2. **No raw timestamps in output columns.** Spark emits tz-aware (UTC) arrow
    timestamps, DuckDB naive ones — equal instants that compare unequal.
    Output ``CAST(ts AS DATE)`` or an explicitly formatted string.

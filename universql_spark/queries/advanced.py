@@ -86,7 +86,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)"))
+        .agg(F.expr("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"))
         .select(
             "l_returnflag",
             F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
@@ -135,7 +135,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
 @register(
     "agg_salted_sum",
-    """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+    """SELECT event_type, CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS total,
        COUNT(*) AS total_count
 FROM events GROUP BY event_type ORDER BY event_type""",
     category="agg",

@@ -44,13 +44,24 @@ HITS = """hits AS (
 
 
 def dsum(x: str) -> str:
-    """Order-independent double sum: exact DECIMAL sum, one final rounding."""
-    return f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE)"
+    """Order-independent double sum: exact DECIMAL sum, one final rounding.
+
+    The decimal -> double hop goes THROUGH THE DIGIT STRING: DuckDB's
+    direct decimal->double cast is not correctly rounded (int128 -> double,
+    then a divide by 10^scale — two roundings), which surfaces as a 1-2 ulp
+    divergence once sums reach ~1e10 (caught by the sf1 correctness gate on
+    tpch_q1's sum_charge; the decimal sums themselves were digit-identical).
+    Both engines' string->double parse IS correctly rounded, so formatting
+    the exact decimal and re-parsing lands on the identical double. Cost:
+    one string round-trip per OUTPUT row (post-aggregation — a handful of
+    groups), zero change to the aggregate itself.
+    """
+    return f"CAST(CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
 
 
 def davg(x: str) -> str:
     """Deterministic avg: exact decimal sum -> double -> one division."""
-    return f"CAST(SUM(CAST({x} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({x})"
+    return f"{dsum(x)} / COUNT({x})"
 
 
 # Timestamp -> string formatting diverges by dialect (convention #2).

@@ -655,7 +655,7 @@ WHERE rn <= 3""")
 register_sql(
     "text_lang_stats",
     """SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang""",
     category="text",
@@ -1179,13 +1179,13 @@ register(
          value
   FROM events)
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS total
 FROM w GROUP BY ws ORDER BY win_start""",
     category="streaming",
 )(lambda spark, sf_dir: (
     spark.table("events")
     .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-    .agg(F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)").alias("total"))
+    .agg(F.expr("CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE)").alias("total"))
     .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "total")
     .orderBy("win_start")
 ))

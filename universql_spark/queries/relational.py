@@ -43,9 +43,9 @@ FROM orders ORDER BY o_orderpriority, rk LIMIT 50""",
 register_sql(
     "win_running_sum",
     """SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running
 FROM events ORDER BY user_id, event_id""",
     category="window",
     doc="running sum per user (decimal-exact so engines agree bit-for-bit)",
@@ -64,9 +64,9 @@ FROM events ORDER BY user_id, event_id LIMIT 200""",
 register_sql(
     "win_moving_avg",
     """SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
        / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg
 FROM events ORDER BY user_id, event_id LIMIT 200""",
@@ -236,7 +236,7 @@ register_sql(
     """WITH big_cust AS (
   SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 2
 )
-SELECT c.c_mktsegment, COUNT(*) AS c, CAST(SUM(CAST(b.n AS DECIMAL(28,6))) AS DOUBLE) AS total
+SELECT c.c_mktsegment, COUNT(*) AS c, CAST(CAST(SUM(CAST(b.n AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS total
 FROM big_cust b JOIN customer c ON b.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     category="join",
@@ -266,7 +266,7 @@ WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)""",
 register_sql(
     "subq_correlated",
     """SELECT o_orderkey, o_totalprice FROM orders o
-WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+WHERE o_totalprice > 1.5 * (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                                    / COUNT(*)
                             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 ORDER BY o_orderkey""",
@@ -431,8 +431,8 @@ register_sql(
 register_sql(
     "win_range_frame",
     """SELECT o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
-            OVER (ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS rsum
 FROM orders ORDER BY o_orderkey LIMIT 100""",
     category="window",
     doc="RANGE frame (value-based) window, vs the ROWS frames elsewhere",
@@ -444,7 +444,7 @@ FROM orders ORDER BY o_orderkey LIMIT 100""",
 register_sql(
     "null_agg_semantics",
     """SELECT COUNT(*) AS n_rows, COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull,
-       CAST(SUM(CAST(NULLIF(l_quantity, 1.0) AS DECIMAL(28,6))) AS DOUBLE) AS sum_skip_nulls,
+       CAST(CAST(SUM(CAST(NULLIF(l_quantity, 1.0) AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_skip_nulls,
        COUNT(DISTINCT NULLIF(l_returnflag, 'N')) AS d_nonnull
 FROM lineitem""",
     category="nulls",
@@ -615,7 +615,7 @@ FROM nation ORDER BY k""",
 register_sql(
     "agg_group_by_all",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""",
     category="agg",
     doc="GROUP BY ALL (infer grouping keys from non-aggregate select items)",
@@ -776,8 +776,8 @@ FROM orders ORDER BY o_orderkey LIMIT 50"""
 
 
 _RTR_ORACLE = """SELECT l_returnflag AS rf, l_linestatus AS ls,
-       round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) /
-             SUM(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) OVER (PARTITION BY l_returnflag), 6) AS share,
+       round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE) /
+             SUM(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE)) OVER (PARTITION BY l_returnflag), 6) AS share,
        round(CAST(median(l_quantity) AS DOUBLE), 4) AS med,
        mode() WITHIN GROUP (ORDER BY l_linenumber) AS md
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY rf, ls"""
@@ -799,7 +799,7 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     return eng.execute_df(
         """SELECT l_returnflag AS rf, l_linestatus AS ls,
-       ROUND(RATIO_TO_REPORT(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE))
+       ROUND(RATIO_TO_REPORT(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS STRING) AS DOUBLE))
              OVER (PARTITION BY l_returnflag), 6) AS share,
        ROUND(CAST(MEDIAN(l_quantity) AS DOUBLE), 4) AS med,
        MODE(l_linenumber) AS md
@@ -1197,7 +1197,7 @@ d AS (
   SELECT array_to_string(h[greatest(len(h) - 1, 1):], '.') AS domain, value
   FROM (SELECT string_split(host, '.') AS h, value FROM u) t)
 SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
-       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
+       round(CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE), 4) AS total_value
 FROM d GROUP BY domain ORDER BY domain"""
 
 

@@ -278,9 +278,9 @@ register_q7(tpch_q7_volume)
 
 register_q14 = register(
     "tpch_q14_promo",
-    f"""SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100.0 AS promo_revenue
+    f"""SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
+     / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS STRING) AS DOUBLE) * 100.0 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
@@ -298,10 +298,10 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.table("part")
     joined = li.join(part, li.l_partkey == part.p_partkey)
     num = F.expr(
-        "CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) "
-        "ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)"
+        "CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) "
+        "ELSE 0 END AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
     )
-    den = F.expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)")
+    den = F.expr("CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)")
     return joined.agg((num / den * F.lit(100.0)).alias("promo_revenue"))
 
 
@@ -403,8 +403,8 @@ register_q2(tpch_q2_mincost)
 register_q8 = register(
     "tpch_q8_mktshare",
     """SELECT o_year,
-       CAST(SUM(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-       / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS mkt_share
 FROM (SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS nation
@@ -457,9 +457,9 @@ def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     num = F.expr(
-        "CAST(SUM(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)"
+        "CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
     )
-    den = F.expr("CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE)")
+    den = F.expr("CAST(CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS STRING) AS DOUBLE)")
     return joined.groupBy("o_year").agg((num / den).alias("mkt_share")).orderBy("o_year")
 
 
@@ -517,7 +517,7 @@ register_q9(tpch_q9_profit)
 
 register_q11 = register(
     "tpch_q11_important",
-    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS value
+    """SELECT l_partkey, CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS value
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_7'
@@ -729,7 +729,7 @@ register_q16(tpch_q16_suppcnt)
 
 register_q17 = register(
     "tpch_q17_smallqty",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3' AND p_size = 5
   AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
@@ -757,7 +757,7 @@ def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_small.join(thresholds, li_small.l_partkey == F.col("_tk"))
         .filter(F.col("l_quantity") < F.col("_qty_threshold"))
-        .agg(F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0").alias("avg_yearly"))
+        .agg(F.expr("CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / 7.0").alias("avg_yearly"))
     )
 
 
@@ -873,7 +873,7 @@ register_q21(tpch_q21_waiting)
 register_q22 = register(
     "tpch_q22_opportunity",
     f"""WITH avg_bal AS (
-    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS a
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*) AS a
     FROM customer
     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
 SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, {dsum('c_acctbal')} AS totacctbal
@@ -901,7 +901,7 @@ def tpch_q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = [1, 3, 5, 7, 9, 11, 13]
     cust = spark.table("customer").filter(F.col("c_nationkey").isin(nk))
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)").alias("_a")
+        F.expr("CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*)").alias("_a")
     )
     recent = (
         spark.table("orders")

@@ -67,7 +67,7 @@ def sliding_value_sum(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)").alias("total"))
+        .agg(F.expr("CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE)").alias("total"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "total")
     )
 
