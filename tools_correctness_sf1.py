@@ -32,49 +32,75 @@ from tools_scaling import SF1, ensure_sf1
 from universql_spark.queries import load_all
 from universql_spark.session import get_spark
 
+#: LLM-pipeline specs gated on the 10x corpus (tools_scaling_llm fixture,
+#: 50k docs / 20k vectors): SQL-oracled AND oracle-linear (hash-groupBy /
+#: window / bounded-probe shapes — never the O(n^2) pair oracles, which
+#: time out by design at this scale).
+LLM_SPECS = [
+    "dedup_exact",
+    "text_tokens",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_char_entropy",
+    "text_quality_mask",
+    "text_gopher_rules",
+    "text_vocab_topk",
+    "corpus_seqlen_histogram",
+    "embed_quantize_int8",
+    "ann_hamming_topk",
+    "ann_hamming_rerank_topk",
+    "dedup_crossdoc_ngrams",
+]
+
+
+def _one(spec, name: str, spark, sf_dir: str, con, out: dict) -> None:
+    rec: dict = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+        "sf_dir": sf_dir,
+    }
+    try:
+        s_tbl = spec.spark(spark, sf_dir).toArrow()
+        s_cols = s_tbl.column_names
+        s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+        rec["spark_rows"] = len(s_rows)
+        d_tbl = con.execute(spec.oracle).fetch_arrow_table()
+        d_cols = d_tbl.column_names
+        d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
+        rec["oracle_rows"] = len(d_rows)
+        rec["rows_match"] = len(s_rows) == len(d_rows)
+        rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+        rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+    except Exception as e:  # noqa: BLE001 - the artifact records failures
+        rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+        traceback.print_exc(limit=2, file=sys.stderr)
+    out[name] = rec
+    print(("ok  " if rec["hash_match"] else "BAD ") + name, rec["spark_rows"], flush=True)
+
 
 def main() -> None:
     ensure_sf1()
+    import tools_scaling_llm
+
+    tools_scaling_llm.ensure_fixture()
     registry = load_all()
-    names = sorted(n for n in registry if n.startswith("tpch_q"))
+    sections = [
+        (SF1, sorted(n for n in registry if n.startswith("tpch_q"))),
+        (tools_scaling_llm.SF1, [n for n in LLM_SPECS if registry[n].oracle]),
+    ]
     spark = get_spark("correctness_sf1", sf_dir=SF1)
     spark.sparkContext.setLogLevel("ERROR")
-    con = duck_connection(SF1)
     out: dict[str, dict] = {}
     t0 = time.time()
-    for name in names:
-        spec = registry[name]
-        rec: dict = {
-            "rows_match": None,
-            "schema_match": None,
-            "hash_match": None,
-            "spark_rows": None,
-            "oracle_rows": None,
-            "err": None,
-        }
-        try:
-            s_tbl = spec.spark(spark, SF1).toArrow()
-            s_cols = s_tbl.column_names
-            s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
-            rec["spark_rows"] = len(s_rows)
-            d_tbl = con.execute(spec.oracle).fetch_arrow_table()
-            d_cols = d_tbl.column_names
-            d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
-            rec["oracle_rows"] = len(d_rows)
-            rec["rows_match"] = len(s_rows) == len(d_rows)
-            rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
-            rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(
-                d_cols, d_rows
-            )
-        except Exception as e:  # noqa: BLE001 - the artifact records failures
-            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
-            traceback.print_exc(limit=2, file=sys.stderr)
-        out[name] = rec
-        print(
-            ("ok  " if rec["hash_match"] else "BAD ") + name,
-            rec["spark_rows"],
-            flush=True,
-        )
+    for sf_dir, names in sections:
+        con = duck_connection(sf_dir)
+        for name in names:
+            _one(registry[name], name, spark, sf_dir, con, out)
     summary = {
         "specs_total": len(out),
         "all_match": sum(
@@ -92,7 +118,7 @@ def main() -> None:
             n for n, r in out.items() if r["hash_match"] and not r["spark_rows"]
         ),
         "errors": sum(1 for r in out.values() if r["err"]),
-        "sf_dir": SF1,
+        "fixtures": sorted({r["sf_dir"] for r in out.values()}),
         "wall_sec": round(time.time() - t0, 1),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_SF1.json"), "w") as f:

@@ -2026,15 +2026,16 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_quantize_int8",
     """WITH m AS (
-  SELECT vec_id, embedding,
-         greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) AS mx
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS mx
   FROM embeddings)
 SELECT vec_id,
        round(mx, 6) AS scale,
-       to_json(list_transform(embedding,
-               x -> CAST(round(x * 127.0 / mx) AS INT))) AS q8,
-       CAST(len(list_filter(embedding,
-               x -> CAST(round(x * 127.0 / mx) AS INT) = 0)) AS INT) AS n_zero
+       to_json(list_transform(v,
+               x -> CAST(round(x * 127e0 / mx) AS INT))) AS q8,
+       CAST(len(list_filter(v,
+               x -> CAST(round(x * 127e0 / mx) AS INT) = 0)) AS INT) AS n_zero
 FROM m ORDER BY vec_id""",
     category="similarity",
     doc="symmetric per-vector int8 quantization (max-abs scale): the 4x "
@@ -2058,10 +2059,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("mx", 6).alias("scale"),
         F.expr(
-            "to_json(transform(v, x -> CAST(round(x * 127.0 / mx) AS INT)))"
+            "to_json(transform(v, x -> CAST(round(x * 127e0 / mx) AS INT)))"
         ).alias("q8"),
         F.expr(
-            "CAST(size(filter(v, x -> CAST(round(x * 127.0 / mx) AS INT) = 0)) AS INT)"
+            "CAST(size(filter(v, x -> CAST(round(x * 127e0 / mx) AS INT) = 0)) AS INT)"
         ).alias("n_zero"),
     ).orderBy("vec_id")
 
