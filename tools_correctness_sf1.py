@@ -51,6 +51,11 @@ LLM_SPECS = [
     "ann_hamming_topk",
     "ann_hamming_rerank_topk",
     "dedup_crossdoc_ngrams",
+    "embed_matryoshka_recall",
+    "corpus_pack_sequences",
+    "dedup_substring_spans",
+    "dedup_line_removal",
+    "text_bm25_topk",
 ]
 
 
