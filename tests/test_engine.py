@@ -1796,6 +1796,33 @@ def test_stream_change_tracking(spark, sf_dir):
     assert eng.execute("SHOW STREAMS").to_pydict()["name"] == []
 
 
+def test_stream_on_plain_table_adopts(spark, sf_dir):
+    """CREATE STREAM on a PLAIN managed table auto-adopts it into the
+    snapshot format (metadata-only file moves — the first-DML upgrade
+    path), so change tracking works like Snowflake's without requiring the
+    user to declare ICEBERG up front. Policy SHOW surfaces alongside."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    eng.execute(
+        "CREATE OR REPLACE TABLE plain_st AS SELECT 1 AS id;"
+        "CREATE OR REPLACE STREAM plain_s ON TABLE plain_st"
+    )
+    eng.execute("INSERT INTO plain_st VALUES (2)")
+    out = eng.execute("SELECT id, metadata$action AS act FROM plain_s").to_pydict()
+    assert out["id"] == [2] and out["act"] == ["INSERT"]
+    eng.execute("DROP STREAM plain_s; DROP TABLE plain_st")
+    eng.execute(
+        "CREATE OR REPLACE MASKING POLICY shmp AS (val STRING) RETURNS STRING -> "
+        "CASE WHEN CURRENT_ROLE() = 'ACCOUNTADMIN' THEN val ELSE '***' END"
+    )
+    eng.execute(
+        "CREATE OR REPLACE ROW ACCESS POLICY shrap AS (id INT) RETURNS BOOLEAN -> id > 0"
+    )
+    mp = eng.execute("SHOW MASKING POLICIES LIKE 'shmp'").to_pydict()
+    assert mp["name"] == ["shmp"] and mp["kind"] == ["MASKING_POLICY"]
+    rap = eng.execute("SHOW ROW ACCESS POLICIES").to_pydict()
+    assert "shrap" in rap["name"]
+
+
 def test_task_objects_with_stream_gate(spark, sf_dir):
     """CREATE TASK ... WHEN SYSTEM$STREAM_HAS_DATA('s') AS <dml>: EXECUTE
     TASK skips while the stream is empty, runs + consumes when it has data

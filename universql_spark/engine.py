@@ -1129,6 +1129,29 @@ class Engine:
                     }
                 )
             m = re.match(
+                r"^\s*SHOW\s+(MASKING|ROW\s+ACCESS)\s+POLICIES\s*(?:LIKE\s+'[^']*')?\s*$",
+                stmt,
+                re.I,
+            )
+            if m:
+                kind = m.group(1).upper()
+                reg = self.masking_policies if kind == "MASKING" else self.row_policies
+                lm = re.search(r"LIKE\s+'([^']*)'", stmt, re.I)
+                names = sorted(reg)
+                if lm:
+                    pat = _like_regex(lm.group(1))
+                    names = [n for n in names if pat.match(n)]
+                return pa.table(
+                    {
+                        "name": names,
+                        "kind": [
+                            "MASKING_POLICY" if kind == "MASKING" else "ROW_ACCESS_POLICY"
+                        ]
+                        * len(names),
+                        "body": [reg[n][1] for n in names],
+                    }
+                )
+            m = re.match(
                 r"^\s*SHOW\s+COLUMNS\s+IN\s+(?:TABLE\s+)?([\w.\"]+)\s*$", stmt, re.I
             )
             if m:
@@ -1201,8 +1224,17 @@ class Engine:
             if m:
                 tbl = bare_name(self._resolve_name(m.group(2)))
                 if tbl not in self.snap_tables:
+                    # change tracking needs snapshots: ADOPT a plain managed
+                    # parquet table into the snapshot format (metadata-only
+                    # file moves — the same upgrade first DML performs)
+                    self._adopt_for_dml(
+                        re.compile(r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?STREAM\s+[\w.\"]+\s+ON\s+TABLE\s+([\w.\"]+)"),
+                        stmt,
+                    )
+                if tbl not in self.snap_tables:
                     raise QueryError(
-                        f"STREAM requires a snapshot/Iceberg table; {tbl} is not one",
+                        f"STREAM requires a snapshot/Iceberg table (or an adoptable "
+                        f"plain managed table); {tbl} is not one",
                         sql_state="42000",
                     )
                 self.streams[bare_name(m.group(1))] = {
