@@ -1796,6 +1796,30 @@ def test_stream_change_tracking(spark, sf_dir):
     assert eng.execute("SHOW STREAMS").to_pydict()["name"] == []
 
 
+def test_show_surface_completions(spark, sf_dir):
+    """r6-endgame SHOW gaps: STAGES LIKE filter, PIPES (honestly empty),
+    IMPORTED KEYS from the declared-FK registry, TABLES IN DATABASE via
+    the db__schema name mapping."""
+    eng = Engine(spark=spark, sf_dir=sf_dir)
+    assert eng.execute("SHOW PIPES").to_pylist() == []
+    eng.execute("CREATE OR REPLACE TABLE parent_k (id INT PRIMARY KEY)")
+    eng.execute(
+        "CREATE OR REPLACE TABLE child_k (pid INT, "
+        "CONSTRAINT fk1 FOREIGN KEY (pid) REFERENCES parent_k (id))"
+    )
+    fk = eng.execute("SHOW IMPORTED KEYS").to_pylist()
+    assert {"pk_table_name": "PARENT_K", "pk_column_name": "ID",
+            "fk_table_name": "CHILD_K", "fk_column_name": "PID"} in fk
+    eng.execute("CREATE STAGE show_st1; CREATE STAGE other_st2")
+    assert eng.execute("SHOW STAGES LIKE 'show%'").to_pydict()["name"] == ["SHOW_ST1"]
+    eng.execute(
+        "CREATE DATABASE IF NOT EXISTS showdb; USE DATABASE showdb; "
+        "CREATE OR REPLACE TABLE sd_t AS SELECT 1 AS id"
+    )
+    assert "SD_T" in eng.execute("SHOW TABLES IN DATABASE showdb").to_pydict()["name"]
+    eng.execute("DROP TABLE sd_t; DROP TABLE child_k; DROP TABLE parent_k")
+
+
 def test_stream_on_plain_table_adopts(spark, sf_dir):
     """CREATE STREAM on a PLAIN managed table auto-adopts it into the
     snapshot format (metadata-only file moves — the first-DML upgrade

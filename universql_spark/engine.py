@@ -1950,8 +1950,12 @@ class Engine:
                         "null?": ["Y"] * len(res.schema),
                     }
                 )
-            if re.match(r"^\s*SHOW\s+STAGES\s*$", stmt, re.I):
+            m = re.match(r"^\s*SHOW\s+STAGES\s*(?:LIKE\s+'([^']*)')?\s*$", stmt, re.I)
+            if m:
                 names = sorted(self.stages)
+                if m.group(1):
+                    pat = _like_regex(m.group(1))
+                    names = [n for n in names if pat.match(n) or pat.match(n.upper())]
                 return pa.table(
                     {
                         "name": [n.upper() for n in names],
@@ -1961,6 +1965,43 @@ class Engine:
                                  for n in names],
                     }
                 )
+            if re.match(r"^\s*SHOW\s+PIPES\s*(?:LIKE\s+'[^']*')?\s*$", stmt, re.I):
+                # Snowpipe is a cloud-ingestion service this engine replaces
+                # with COPY INTO + streaming ingest; the registry is honestly
+                # empty, and SHOW answers with the empty table (not an error)
+                return pa.table({"name": pa.array([], pa.string()),
+                                 "definition": pa.array([], pa.string())})
+            if re.match(r"^\s*SHOW\s+(?:IMPORTED|EXPORTED)\s+KEYS.*$", stmt, re.I):
+                # foreign keys: recorded (unenforced, Snowflake-style) by
+                # _extract_constraints under the "fk" key
+                fk_t, fk_c, pk_t, pk_c = [], [], [], []
+                for tname, cons in sorted(self.table_constraints.items()):
+                    for fk in cons.get("fk", []):
+                        refs = fk.get("ref_columns") or [""] * len(fk["columns"])
+                        for col, ref in zip(fk["columns"], refs):
+                            fk_t.append(tname.upper())
+                            fk_c.append(col.upper())
+                            pk_t.append(fk["references"].upper())
+                            pk_c.append(ref.upper())
+                return pa.table({
+                    "pk_table_name": pa.array(pk_t, pa.string()),
+                    "pk_column_name": pa.array(pk_c, pa.string()),
+                    "fk_table_name": pa.array(fk_t, pa.string()),
+                    "fk_column_name": pa.array(fk_c, pa.string()),
+                })
+            m = re.match(
+                r"^\s*SHOW\s+TABLES\s+IN\s+DATABASE\s+([\w\"]+)\s*$", stmt, re.I
+            )
+            if m:
+                # db.schema maps to the db__schema Spark database (names.py);
+                # bare-db listing unions its schemas' tables
+                db = bare_name(m.group(1)).lower()
+                dbs = [d.name for d in self.spark.catalog.listDatabases()
+                       if d.name == db or d.name.startswith(db + "__")]
+                rows = []
+                for d in dbs:
+                    rows += [t.name.upper() for t in self.spark.catalog.listTables(d)]
+                return pa.table({"name": pa.array(sorted(rows), pa.string())})
             if re.match(r"^\s*SHOW\s+FILE\s+FORMATS\s*$", stmt, re.I):
                 names = sorted(self.file_formats)
                 return pa.table(
