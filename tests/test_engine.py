@@ -1812,12 +1812,13 @@ def test_show_surface_completions(spark, sf_dir):
             "fk_table_name": "CHILD_K", "fk_column_name": "PID"} in fk
     eng.execute("CREATE STAGE show_st1; CREATE STAGE other_st2")
     assert eng.execute("SHOW STAGES LIKE 'show%'").to_pydict()["name"] == ["SHOW_ST1"]
+    eng.execute("DROP TABLE child_k; DROP TABLE parent_k")  # before USE switches db
     eng.execute(
         "CREATE DATABASE IF NOT EXISTS showdb; USE DATABASE showdb; "
         "CREATE OR REPLACE TABLE sd_t AS SELECT 1 AS id"
     )
     assert "SD_T" in eng.execute("SHOW TABLES IN DATABASE showdb").to_pydict()["name"]
-    eng.execute("DROP TABLE sd_t; DROP TABLE child_k; DROP TABLE parent_k")
+    eng.execute("DROP TABLE sd_t")
 
 
 def test_stream_on_plain_table_adopts(spark, sf_dir):
