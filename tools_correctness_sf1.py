@@ -58,6 +58,14 @@ LLM_SPECS = [
     "text_bm25_topk",
 ]
 
+#: ClickBench bench-tier specs gated on the 10x events table (1M rows —
+#: tools_scaling_llm.ensure_events): bounded outputs (grouped aggregates,
+#: LIMIT top-k), linear oracles.
+CB_SPECS = [
+    "cb_q00", "cb_q02", "cb_q04", "cb_q07", "cb_q09", "cb_q12", "cb_q15",
+    "cb_q18", "cb_q20", "cb_q27", "cb_q29", "cb_q32", "cb_q36", "cb_q42",
+]
+
 
 def _one(spec, name: str, spark, sf_dir: str, con, out: dict) -> None:
     rec: dict = {
@@ -93,10 +101,11 @@ def main() -> None:
     import tools_scaling_llm
 
     tools_scaling_llm.ensure_fixture()
+    tools_scaling_llm.ensure_events()
     registry = load_all()
     sections = [
         (SF1, sorted(n for n in registry if n.startswith("tpch_q"))),
-        (tools_scaling_llm.SF1, [n for n in LLM_SPECS if registry[n].oracle]),
+        (tools_scaling_llm.SF1, [n for n in LLM_SPECS if registry[n].oracle] + CB_SPECS),
     ]
     spark = get_spark("correctness_sf1", sf_dir=SF1)
     spark.sparkContext.setLogLevel("ERROR")

@@ -118,6 +118,44 @@ def ensure_fixture() -> None:
     print(f"wrote 10x fixture -> {SF1}", flush=True)
 
 
+#: 10x events (1M rows, 15k users) mirroring the driver fixture's shape —
+#: same schema (timestamp[us]), value ranges, event-type domain, '{"k": N}'
+#: props — so the ClickBench specs gate at 10x scale too (seed 4242,
+#: deterministic). Replaces the sf0.1 symlink on first call.
+N_EVENTS, N_USERS = 1_000_000, 15_000
+
+
+def ensure_events() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = f"{SF1}/events.parquet"
+    if os.path.exists(dst) and not os.path.islink(dst):
+        return
+    rng = np.random.default_rng(4242)
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base_us + rng.integers(0, span_us, N_EVENTS)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tidx = rng.choice(5, N_EVENTS, p=[0.45, 0.35, 0.1, 0.05, 0.05])
+    k = rng.integers(0, 100, N_EVENTS)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(N_EVENTS), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, N_USERS, N_EVENTS), pa.int64()),
+            "event_type": pa.array(types[tidx], pa.string()),
+            "value": pa.array(np.round(rng.uniform(0, 560, N_EVENTS), 2), pa.float64()),
+            "props": pa.array([f'{{"k": {v}}}' for v in k], pa.string()),
+        }
+    )
+    if os.path.islink(dst):
+        os.remove(dst)
+    pq.write_table(tbl, dst)
+    print(f"wrote 10x events -> {dst}", flush=True)
+
+
 def main() -> None:
     ensure_fixture()
     from universql_spark.queries import ensure_views, load_all
