@@ -382,6 +382,50 @@ def test_aggregate_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, f1, f2, g, hv
     ), q
 
 
+# join lane: random join types x conditions x post-filters over the nation
+# self-join. The comparison is order-insensitive (normalize_rows), so no
+# ORDER BY is needed — which sidesteps the engines' different NULL-ordering
+# defaults on outer-join output.
+_join_type = st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+_join_cond = st.sampled_from(
+    [
+        "a.g = b.g2",
+        "a.g = b.g2 AND a.k % 2 = b.k2 % 2",
+        "a.k % 7 = b.k2 % 7",
+        "a.k = b.k2 + 1",
+    ]
+)
+_join_filter = st.sampled_from(
+    ["", " WHERE a.k > 3", " WHERE COALESCE(b.k2, -1) % 2 = 0", " WHERE a.k IS NOT NULL AND a.k < 20"]
+)
+
+
+@given(jt=_join_type, cond=_join_cond, flt=_join_filter)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, jt, cond, flt):
+    from tests.compare import normalize_rows
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    q = (
+        "SELECT a.k AS ak, b.k2 AS bk, a.g AS ag "
+        "FROM (SELECT n_nationkey AS k, n_regionkey AS g FROM nation) a "
+        f"{jt} (SELECT n_nationkey AS k2, n_regionkey AS g2 FROM nation) b "
+        f"ON {cond}{flt}"
+    )
+    s_tbl = spark.sql(q).toArrow()
+    s_rows = [tuple(d[c] for c in s_tbl.column_names) for d in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(q).arrow()
+    d_rows = [tuple(d[c] for c in d_tbl.column_names) for d in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), q
+
+
 @given(w1=_win_rank, w2=_win_seq, w3=_win_frame)
 @settings(
     max_examples=40,
