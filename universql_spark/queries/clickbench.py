@@ -137,7 +137,7 @@ _cb(17, """SELECT user_id, event_type, COUNT(*) AS c FROM hits
 GROUP BY user_id, event_type ORDER BY user_id, event_type LIMIT 10""",
     doc="hash agg + LIMIT (deterministic order for hash-compare)")
 # Q18 extract(minute) group key
-_cb(18, """SELECT user_id, extract(minute FROM ts) AS m, event_type, COUNT(*) AS c
+_cb(18, """SELECT user_id, CAST(extract(minute FROM ts) AS BIGINT) AS m, event_type, COUNT(*) AS c
 FROM hits GROUP BY user_id, m, event_type ORDER BY c DESC, user_id, m, event_type LIMIT 10""",
     bench=True, doc="EXTRACT(minute) as group key")
 # Q19 point lookup

@@ -436,7 +436,7 @@ def dml_iceberg_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ICEMD_ORACLE = """
 WITH n AS (SELECT COUNT(DISTINCT event_type) AS c FROM events)
-SELECT 1 AS k, 'append' AS v FROM n
+SELECT CAST(1 AS BIGINT) AS k, 'append' AS v FROM n
 UNION ALL SELECT 2, 'append' FROM n
 UNION ALL SELECT 3, 'delete' FROM n
 UNION ALL SELECT 100, CAST(c AS VARCHAR) FROM n

@@ -211,7 +211,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurs >=2 times corpus-wide. Oracle replays the identical pipeline on
     exact shingle STRINGS where Spark keys the shuffle on xxhash64 — equal
     outputs absent a 64-bit collision."""
-    return dedup.duplicate_spans(spark.table("documents"), n=5, min_count=2).orderBy("doc_id")
+    out = dedup.duplicate_spans(spark.table("documents"), n=5, min_count=2)
+    return out.withColumn("total_tokens", F.col("total_tokens").cast("long")).orderBy("doc_id")
 
 
 @register("dedup_simhash", None, category="dedup")
@@ -535,8 +536,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     return d.select(
         "doc_id",
-        textops.token_count(F.col("text")).alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))).alias("n_distinct"),
+        textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))).cast("long").alias("n_distinct"),
     ).orderBy("doc_id")
 
 
@@ -1004,9 +1005,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_emails, n_urls, redacted = textops.pii_scrub(F.col("t"))
     return aug.select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_urls.alias("n_urls"),
-        F.length(redacted).alias("redacted_len"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        F.length(redacted).cast("long").alias("redacted_len"),
     ).orderBy("doc_id")
 
 
@@ -1424,7 +1425,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_sql(
     "corpus_shuffle_deterministic",
     """SELECT doc_id,
-       row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING) || '-shuf42'), doc_id) AS pos
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING) || '-shuf42'), doc_id) AS BIGINT) AS pos
 FROM documents ORDER BY pos LIMIT 500""",
     oracle="""SELECT doc_id,
        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '-shuf42'), doc_id) AS pos
@@ -2642,8 +2643,8 @@ def corpus_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = t.groupBy(F.expr("n_tokens DIV 32").alias("bucket")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
     )
     # doc share from the HISTOGRAM itself (unpartitioned window over the
     # bounded bucket rows) — no second corpus pass for the total

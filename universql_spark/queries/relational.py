@@ -24,7 +24,7 @@ register_sql(
     "win_rank_topn_per_group",
     """SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
   FROM orders) t WHERE rn <= 3 ORDER BY c_custkey, rn""",
     category="window",
     doc="top-N per group via ROW_NUMBER — one shuffle on the partition key",
@@ -33,8 +33,8 @@ register_sql(
 register_sql(
     "win_rank_dense",
     """SELECT o_orderpriority, o_orderkey,
-       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk,
-       DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS drk
+       CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS BIGINT) AS drk
 FROM orders ORDER BY o_orderpriority, rk LIMIT 50""",
     category="window",
     doc="RANK + DENSE_RANK in one window pass",
@@ -76,7 +76,7 @@ FROM events ORDER BY user_id, event_id LIMIT 200""",
 
 register_sql(
     "win_ntile_cume",
-    """SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+    """SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
        CAST(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS pr
 FROM orders ORDER BY o_orderkey LIMIT 200""",
     category="window",
@@ -301,7 +301,7 @@ FROM orders ORDER BY o_orderkey LIMIT 20""",
 register_sql(
     "array_construct_ops",
     """SELECT o_orderkey,
-       size(array(o_orderkey, o_custkey)) AS alen,
+       CAST(size(array(o_orderkey, o_custkey)) AS BIGINT) AS alen,
        array(o_orderkey, o_custkey)[0] AS first_el
 FROM orders ORDER BY o_orderkey LIMIT 20""",
     oracle="""SELECT o_orderkey,
@@ -361,12 +361,12 @@ register_sql(
     """SELECT o_orderkey,
        upper(o_orderstatus) AS up, lower(o_orderpriority) AS lo,
        substr(o_orderpriority, 1, 1) AS sub,
-       length(o_orderpriority) AS ln,
+       CAST(length(o_orderpriority) AS BIGINT) AS ln,
        trim(concat(' ', o_orderstatus, ' ')) AS tr,
        replace(o_orderpriority, '-', '_') AS rep,
        coalesce(NULL, o_orderstatus) AS co,
        nullif(o_orderstatus, 'O') AS ni,
-       position('-' IN o_orderpriority) AS pos,
+       CAST(position('-' IN o_orderpriority) AS BIGINT) AS pos,
        reverse(o_orderstatus) AS rev,
        lpad(o_orderstatus, 3, 'x') AS lp,
        rpad(o_orderstatus, 3, 'y') AS rp
@@ -393,8 +393,8 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""",
 register_sql(
     "func_datetime_gallery",
     """SELECT o_orderkey,
-       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-       hour(o_orderdate) AS h, minute(o_orderdate) AS mi,
+       CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d,
+       CAST(hour(o_orderdate) AS BIGINT) AS h, CAST(minute(o_orderdate) AS BIGINT) AS mi,
        CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus3,
        CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
 FROM orders ORDER BY o_orderkey LIMIT 50""",
@@ -699,9 +699,9 @@ FROM nation ORDER BY k"""
 _ARRAY_EXT_ORACLE = """SELECT n_nationkey AS k,
        len(list_distinct([n_nationkey % 3, n_regionkey, n_nationkey % 3])) AS n_uniq,
        list_contains([n_regionkey, 99], n_nationkey % 5) AS has_el,
-       CASE WHEN list_position([10, 20, 30], (n_nationkey % 3) * 10 + 10) IS NULL
+       CAST(CASE WHEN list_position([10, 20, 30], (n_nationkey % 3) * 10 + 10) IS NULL
             THEN NULL ELSE list_position([10, 20, 30], (n_nationkey % 3) * 10 + 10) - 1
-       END AS pos0,
+       END AS BIGINT) AS pos0,
        array_to_string([n_nationkey, n_regionkey], '-') AS joined,
        [n_nationkey, n_regionkey, 7][2] AS sliced_first,
        len([n_nationkey]) + len(list_filter([n_regionkey, NULL], x -> x IS NOT NULL)) AS compacted
@@ -728,12 +728,12 @@ def fn_array_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     return eng.execute_df(
         """SELECT n_nationkey AS k,
-       ARRAY_SIZE(ARRAY_DISTINCT(ARRAY_CONSTRUCT(n_nationkey % 3, n_regionkey, n_nationkey % 3))) AS n_uniq,
+       CAST(ARRAY_SIZE(ARRAY_DISTINCT(ARRAY_CONSTRUCT(n_nationkey % 3, n_regionkey, n_nationkey % 3))) AS BIGINT) AS n_uniq,
        ARRAY_CONTAINS(n_nationkey % 5, ARRAY_CONSTRUCT(n_regionkey, 99)) AS has_el,
        ARRAY_POSITION((n_nationkey % 3) * 10 + 10, ARRAY_CONSTRUCT(10, 20, 30)) AS pos0,
        ARRAY_TO_STRING(ARRAY_CONSTRUCT(n_nationkey, n_regionkey), '-') AS joined,
        ARRAY_SLICE(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 1, 2)[0] AS sliced_first,
-       ARRAY_SIZE(ARRAY_CAT(ARRAY_CONSTRUCT(n_nationkey), ARRAY_COMPACT(ARRAY_CONSTRUCT(n_regionkey, NULL)))) AS compacted
+       CAST(ARRAY_SIZE(ARRAY_CAT(ARRAY_CONSTRUCT(n_nationkey), ARRAY_COMPACT(ARRAY_CONSTRUCT(n_regionkey, NULL)))) AS BIGINT) AS compacted
 FROM nation ORDER BY k"""
     )
 
@@ -765,10 +765,10 @@ def fn_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark=spark)
     return eng.execute_df(
         """SELECT o_orderkey AS k,
-       DATE_PART(quarter, o_orderdate) AS qtr,
+       CAST(DATE_PART(quarter, o_orderdate) AS BIGINT) AS qtr,
        DAYNAME(o_orderdate) AS dname,
        MONTHNAME(o_orderdate) AS mname,
-       DAYOFWEEKISO(o_orderdate) AS dow_iso,
+       CAST(DAYOFWEEKISO(o_orderdate) AS BIGINT) AS dow_iso,
        LAST_DAY(o_orderdate) AS month_end,
        ADD_MONTHS(o_orderdate, 3) AS plus3m
 FROM orders ORDER BY o_orderkey LIMIT 50"""
@@ -896,7 +896,7 @@ _STATS_EXT_ORACLE = """SELECT l_returnflag AS rf,
        round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS slope,
        round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2) + 0.0 AS icept,
        round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4) + 0.0 AS r2,
-       regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS n
+       CAST(regr_count(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY rf"""
 
 
@@ -971,8 +971,8 @@ def fn_string_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
        GET(SPLIT(p_name, ' '), 1) AS second_word,
        COALESCE(GET(SPLIT(p_name, ' '), 2), '<none>') AS third_word,
        REGEXP_LIKE(p_name, '.*ros.*') AS has_ros,
-       REGEXP_COUNT(p_name, 'o') AS n_o,
-       REGEXP_INSTR(p_name, '[aeiou]') AS first_vowel,
+       CAST(REGEXP_COUNT(p_name, 'o') AS BIGINT) AS n_o,
+       CAST(REGEXP_INSTR(p_name, '[aeiou]') AS BIGINT) AS first_vowel,
        GET(REGEXP_SUBSTR_ALL(p_name, '[aeiou]'), 0) AS v1,
        INSERT(p_name, 1, 3, 'XX') AS ins,
        BASE64_DECODE_STRING(BASE64_ENCODE(p_brand)) AS b64rt,
@@ -1092,7 +1092,8 @@ def win_change_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STAR_MOD_ORACLE = """SELECT * EXCLUDE (o_orderpriority, o_orderstatus, o_custkey),
+_STAR_MOD_ORACLE = """SELECT * EXCLUDE (o_orderpriority, o_orderstatus, o_custkey, o_orderdate),
+       CAST(o_orderdate AS DATE) AS o_orderdate,
        o_orderstatus AS status,
        o_custkey % 100 AS o_custkey
 FROM orders ORDER BY o_orderkey LIMIT 100"""
@@ -1116,7 +1117,7 @@ def fn_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df(
         """SELECT * EXCLUDE (o_orderpriority)
        RENAME (o_orderstatus AS status)
-       REPLACE (o_custkey % 100 AS o_custkey)
+       REPLACE (o_custkey % 100 AS o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate)
 FROM orders ORDER BY o_orderkey LIMIT 100"""
     )
 
@@ -1464,12 +1465,12 @@ def fn_bitwise_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.execute_df(
         """SELECT n_nationkey AS k,
        EQUAL_NULL(n_nationkey, n_regionkey) AS eqn,
-       BITSHIFTLEFT(n_nationkey, 2) AS shl,
-       BITSHIFTRIGHT(n_nationkey, 1) AS shr,
-       BITAND(n_nationkey, 5) AS band,
-       BITOR(n_nationkey, 8) AS bor,
-       BITXOR(n_nationkey, 3) AS bxor,
-       GETBIT(n_nationkey, 2) AS bit2
+       CAST(BITSHIFTLEFT(n_nationkey, 2) AS BIGINT) AS shl,
+       CAST(BITSHIFTRIGHT(n_nationkey, 1) AS BIGINT) AS shr,
+       CAST(BITAND(n_nationkey, 5) AS BIGINT) AS band,
+       CAST(BITOR(n_nationkey, 8) AS BIGINT) AS bor,
+       CAST(BITXOR(n_nationkey, 3) AS BIGINT) AS bxor,
+       CAST(GETBIT(n_nationkey, 2) AS BIGINT) AS bit2
 FROM nation ORDER BY k"""
     )
 

@@ -268,7 +268,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(_dsum(REVENUE, "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -451,7 +451,7 @@ def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"), "inner")
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             F.expr("l_extendedprice * (1 - l_discount)").alias("volume"),
             "nation",
         )
@@ -501,7 +501,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             F.expr("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity").alias("amount"),
         )
     )
