@@ -37,6 +37,7 @@ QUERIES = [
     "corpus_source_kl",
     "ann_hamming_topk",
     "dedup_ngram_containment",
+    "ann_hamming_rerank_topk",
 ]
 N_DOCS, N_VECS = 50_000, 20_000
 
