@@ -1114,6 +1114,11 @@ def test_flatten_variant_inputs(engine):
         "SELECT f.index, f.value FROM TABLE(FLATTEN(INPUT => ARRAY_CONSTRUCT('a','b'))) f"
     ).to_pylist()
     assert out == [{"index": 0, "value": "a"}, {"index": 1, "value": "b"}]
+    out = engine.execute(  # standalone flatten composes with JOINs (TVF form)
+        "SELECT f.value FROM TABLE(FLATTEN(INPUT => ARRAY_CONSTRUCT(1,2))) f "
+        "JOIN (SELECT 1 AS x) t ON f.value = t.x"
+    ).to_pylist()
+    assert out == [{"value": 1}]
     out = engine.execute(  # MODE => 'OBJECT': one (key, value) row/member
         "SELECT f.key, f.value FROM TABLE(FLATTEN("
         "INPUT => PARSE_JSON('{\"a\": 1, \"b\": {\"c\": 2}}'), MODE => 'OBJECT')) f"

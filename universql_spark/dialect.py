@@ -2527,6 +2527,34 @@ def rewrite_qualify(sql: str) -> str:
     return f"SELECT * FROM ({body}) __q WHERE {cond} {tail}".rstrip()
 
 
+_SOLO_LV_RE = re.compile(r"(?i)\bFROM\s+LATERAL\s+VIEW\s+((?:pos)?explode(?:_outer)?)\s*\(")
+
+
+def _solo_lateral_view_to_tvf(sql: str) -> str:
+    """`FROM LATERAL VIEW posexplode(x) f AS index, value` (the solo
+    TABLE(FLATTEN(...)) shape) -> `FROM posexplode(x) AS f(index, value)`:
+    Spark's explode family works as a FROM-clause table function (3.4+),
+    and unlike LATERAL VIEW the TVF form may be followed by JOINs."""
+    out, i = [], 0
+    while True:
+        m = _SOLO_LV_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        open_idx = m.end() - 1
+        close = _match_paren(sql, open_idx)
+        am = re.match(r"\s*(\w+)\s+AS\s+(\w+),\s*(\w+)", sql[close + 1 :])
+        if close < 0 or not am:
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        alias, c1, c2 = am.groups()
+        out.append(sql[i : m.start()])
+        out.append(f"FROM {m.group(1)}{sql[open_idx:close + 1]} AS {alias}({c1}, {c2})")
+        i = close + 1 + am.end()
+    return "".join(out)
+
+
 def strip_table_wrapper(sql: str) -> str:
     """`SELECT * FROM table(to_query('...'))` -> `SELECT * FROM to_query('...')`
     (the engine then intercepts to_query; reference duckdb.py:428-434)."""
@@ -2891,8 +2919,14 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
         r"(?i)\bFROM\s+LATERAL\s*\(", "FROM (SELECT 1) __one, LATERAL (", sql
     )
     sql = rewrite_flatten(sql, coerce_all=flatten_coerce_all)
-    # solo FROM TABLE(FLATTEN(...)): Spark's LATERAL VIEW needs a base
-    # relation — synthesize the one-row table Snowflake implies
+    # solo FROM TABLE(FLATTEN(...)): rewrite_flatten emitted a LATERAL VIEW
+    # directly after FROM. Spark's grammar puts LATERAL VIEW after all
+    # joins, so a following JOIN would fail to parse — emit the
+    # table-valued-function form instead (FROM posexplode(x) AS f(index,
+    # value)), which composes with joins like any relation.
+    sql = _solo_lateral_view_to_tvf(sql)
+    # fallback for any remaining solo LATERAL VIEW (non-explode emitters):
+    # synthesize the one-row base relation Snowflake implies
     sql = re.sub(r"(?i)\bFROM\s+LATERAL\s+VIEW\b", "FROM (SELECT 1) LATERAL VIEW", sql)
     sql = rewrite_qualify(sql)
     # IDENTIFIER('name') -> name (Snowflake identifier indirection, §7.3)
