@@ -1065,6 +1065,21 @@ def test_variant_value_semijoins_and_uuid5(engine):
     }
 
 
+def test_temporal_variant_predicates_and_defaults(engine):
+    """r6-endgame probe closures: IS_DATE/IS_TIME on temporal-built
+    variants (shape test on the quoted ISO rendering; false on PARSE_JSON
+    output, matching Snowflake), 2-arg REGEXP_REPLACE (strip matches),
+    GET over struct-built objects."""
+    out = engine.execute(
+        "SELECT IS_DATE(TO_VARIANT('2024-01-01'::DATE)) AS a, "
+        "IS_DATE(PARSE_JSON('\"hello\"')) AS b, "
+        "IS_TIME(TO_VARIANT(TO_TIME('12:30:00'))) AS c, "
+        "REGEXP_REPLACE('a1b2', '[0-9]') AS d, "
+        "GET(OBJECT_CONSTRUCT('a', 1), 'a') AS e"
+    ).to_pylist()[0]
+    assert out == {"a": True, "b": False, "c": True, "d": "ab", "e": "1"}
+
+
 def test_niladic_context_functions(engine):
     """ANSI niladic keyword forms + the invoker/user context surface:
     LOCALTIME/LOCALTIMESTAMP (no parens), INVOKER_ROLE (= active role,

@@ -969,6 +969,28 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
     sql = _rewrite_calls(sql, "is_array", _is("({v}) LIKE '[%'"))
     sql = _rewrite_calls(sql, "is_object", _is("({v}) LIKE '{{%'"))
     sql = _rewrite_calls(sql, "is_boolean", _is("({v}) IN ('true', 'false')"))
+    # temporal variants: under the JSON-text convention TO_VARIANT(date/
+    # time/timestamp) yields the quoted ISO rendering — the IS_* predicate
+    # is a shape test on that rendering (PARSE_JSON output is never a
+    # temporal type, matching Snowflake's semantics where these are only
+    # true for variants built FROM temporal values)
+    sql = _rewrite_calls(
+        sql, "is_date",
+        _is("({v}) RLIKE '^\"[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}\"$'"),
+    )
+    sql = _rewrite_calls(
+        sql, "is_date_value",
+        _is("({v}) RLIKE '^\"[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}\"$'"),
+    )
+    sql = _rewrite_calls(
+        sql, "is_time",
+        _is("({v}) RLIKE '^\"[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}\"$'"),
+    )
+    for _ts in ("is_timestamp_ltz", "is_timestamp_ntz", "is_timestamp_tz"):
+        sql = _rewrite_calls(
+            sql, _ts,
+            _is("({v}) RLIKE '^\"[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}[ T][0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}'"),
+        )
 
     def _as(cond: str, value: str):
         return lambda a: (
@@ -2102,9 +2124,18 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
         if len(a) != 2 or not _STRING_RE.fullmatch(a[1].strip()):
             return None
         obj, key = a[0].strip(), a[1].strip()
+        if re.match(r"(?is)^\s*(object_construct(_keep_null)?|named_struct)\s*\(", obj):
+            # struct-built objects serialize first (the object_keys pattern)
+            obj = f"to_json({obj})"
         return f"get_json_object({obj}, concat('$.', {key}))"
 
     sql = _rewrite_calls(sql, "get", get_rw)
+    # 2-arg REGEXP_REPLACE: Snowflake defaults the replacement to '' (strip
+    # matches); Spark requires it explicitly
+    sql = _rewrite_calls(
+        sql, "regexp_replace",
+        lambda a: f"regexp_replace({a[0]}, {a[1]}, '')" if len(a) == 2 else None,
+    )
 
     # bitwise scalar surface (Spark's BIT* names are aggregates; the
     # scalar forms map to operators) + null-safe equality
