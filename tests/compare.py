@@ -296,8 +296,12 @@ def py_oracle_embed_pca_project(sf_dir: str) -> tuple[list[str], list[tuple]]:
         if len(nz) and nz[0] < 0:
             row *= -1
     proj = np.round((X - mean) @ comps.T, 6)
-    rows = [(int(ids[i]), [float(x) for x in proj[i]]) for i in range(len(ids))]
-    return ["vec_id", "proj"], rows
+    rows = [
+        (int(ids[i]), int(d), float(proj[i][d]))
+        for i in range(len(ids))
+        for d in range(proj.shape[1])
+    ]
+    return ["vec_id", "dim", "x"], rows
 
 
 

@@ -1139,6 +1139,50 @@ def test_flatten_variant_inputs(engine):
         "INPUT => PARSE_JSON('{\"a\": 1, \"b\": {\"c\": 2}}'), MODE => 'OBJECT')) f"
     ).to_pylist()
     assert out == [{"key": "a", "value": "1"}, {"key": "b", "value": '{"c":2}'}]
+    # bare variant column, NO PATH: the coerce-all retry must recognize
+    # Spark's posexplode error spelling (the default ARRAY path emits
+    # posexplode for the INDEX column; ADVICE r7 high — '"explode(' alone
+    # never matched and this canonical idiom raised DATATYPE_MISMATCH
+    # instead of retrying)
+    engine.execute("CREATE OR REPLACE TEMP TABLE fvt2 AS "
+                   "SELECT PARSE_JSON('[10, 20]') AS arr")
+    out = engine.execute(
+        "SELECT f.index, f.value FROM fvt2, LATERAL FLATTEN(INPUT => arr) f"
+    ).to_pylist()
+    assert out == [{"index": 0, "value": "10"}, {"index": 1, "value": "20"}]
+
+
+def test_advice_r7_dialect_edges(engine):
+    """ADVICE r7 low findings pinned:
+
+    - LOCALTIME/LOCALTIMESTAMP used as identifiers (alias position,
+      quoted, dotted member) survive the niladic keyword rewrite;
+    - GET_PATH with an unterminated quoted segment degrades to a normal
+      engine error (or passthrough), never a raw ValueError out of the
+      rewrite pipeline;
+    - IS_DATE on a date-SHAPED variant string is a KNOWN divergence: the
+      predicate is a shape test on the JSON rendering, so
+      PARSE_JSON('"2024-01-02"') classifies TRUE here where Snowflake
+      returns FALSE for string-typed variants (documented in COVERAGE.md).
+    """
+    out = engine.execute(
+        'SELECT 1 AS LOCALTIME, 2 AS "LOCALTIMESTAMP"'
+    ).to_pylist()[0]
+    assert out == {"LOCALTIME": 1, "LOCALTIMESTAMP": 2}
+    out = engine.execute(
+        "WITH t AS (SELECT 7 AS localtime) SELECT t.localtime AS v FROM t"
+    ).to_pylist()[0]
+    assert out == {"v": 7}
+    try:
+        engine.execute("SELECT GET_PATH(PARSE_JSON('{}'), 'a.\"x') AS g")
+    except ValueError as e:  # must not be the rewrite's raw index() error
+        raise AssertionError(f"raw ValueError escaped the rewrite: {e}") from e
+    except Exception:
+        pass  # a normal engine/parse error is acceptable degradation
+    out = engine.execute(
+        "SELECT IS_DATE(PARSE_JSON('\"2024-01-02\"')) AS known_fp"
+    ).to_pylist()[0]
+    assert out == {"known_fp": True}  # divergence pinned, not silent
 
 
 def test_iceberg_metadata_tables(engine):

@@ -575,7 +575,9 @@ def _rewrite_scalar_emulations(sql: str) -> str:
                 i += 1
                 continue
             if c == '"':
-                j = path.index('"', i + 1)
+                j = path.find('"', i + 1)
+                if j < 0:  # unterminated quoted segment: leave unrewritten
+                    return None
                 out += f"['{path[i + 1 : j]}']"
                 i = j + 1
             else:
@@ -829,16 +831,32 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
     # ANSI niladic keyword forms (no parens — Spark only parses the
     # function spellings): LOCALTIMESTAMP first so LOCALTIME can't nibble
     # its prefix (word boundary already prevents it; order is belt and
-    # braces)
-    sql = _outside_literals(
-        sql,
-        lambda s: re.sub(
+    # braces). Expression position only: a column or alias NAMED localtime
+    # (SELECT 1 AS LOCALTIME, t."LOCALTIME", x.localtime) must survive the
+    # rewrite (ADVICE r6 low), so matches preceded by AS / '.' / a quote,
+    # or followed by a quote, are left alone.
+    def _niladic_session_ts(s: str) -> str:
+        def _sub(pattern: str, repl: str, text: str) -> str:
+            def do(m: "re.Match[str]") -> str:
+                i, j = m.start(), m.end()
+                if i > 0 and text[i - 1] in '"`.':
+                    return m.group(0)
+                if j < len(text) and text[j] in '"`':
+                    return m.group(0)
+                if re.search(r"(?i)\bAS$", text[:i].rstrip()):
+                    return m.group(0)
+                return repl
+
+            return re.sub(pattern, do, text, flags=re.I)
+
+        s = _sub(r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", s)
+        return _sub(
             r"\bLOCALTIME\b(?!\s*\()",
             "date_format(localtimestamp(), 'HH:mm:ss')",
-            re.sub(r"\bLOCALTIMESTAMP\b(?!\s*\()", "localtimestamp()", s, flags=re.I),
-            flags=re.I,
-        ),
-    )
+            s,
+        )
+
+    sql = _outside_literals(sql, _niladic_session_ts)
     # numeric TRUNCATE/TRUNC (toward zero, optional scale); the date form
     # TRUNC(d, 'MONTH') has a string second arg and falls through to Spark
     def trunc_rw(a: list[str]) -> str | None:
@@ -971,9 +989,13 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
     sql = _rewrite_calls(sql, "is_boolean", _is("({v}) IN ('true', 'false')"))
     # temporal variants: under the JSON-text convention TO_VARIANT(date/
     # time/timestamp) yields the quoted ISO rendering — the IS_* predicate
-    # is a shape test on that rendering (PARSE_JSON output is never a
-    # temporal type, matching Snowflake's semantics where these are only
-    # true for variants built FROM temporal values)
+    # is a shape test on that rendering. KNOWN DIVERGENCE (ADVICE r7,
+    # COVERAGE.md "Known divergences"): a variant STRING whose rendering
+    # happens to be date-shaped (PARSE_JSON('"2024-01-02"')) classifies
+    # TRUE here, whereas Snowflake tracks the variant's stored type and
+    # returns FALSE for string-typed variants. The JSON-text encoding
+    # cannot distinguish TO_VARIANT(DATE) from a same-rendering string;
+    # pinned by tests/test_engine.py::test_advice_r7_dialect_edges.
     sql = _rewrite_calls(
         sql, "is_date",
         _is("({v}) RLIKE '^\"[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}\"$'"),

@@ -2315,9 +2315,14 @@ class Engine:
             # a string. Retry once with every flatten input coerced through
             # the JSON-array decoder (dialect.rewrite_flatten coerce_all).
             msg = str(e)
-            explode_mismatch = (
-                "UNEXPECTED_INPUT_TYPE" in msg
-                and '"explode(' in msg.replace("explode_outer(", "explode(")
+            # rewrite_flatten emits posexplode/posexplode_outer for the
+            # default ARRAY path (it carries the INDEX column), so the
+            # quoted expression in Spark's error may be any of the four
+            # explode spellings (ADVICE r6 high: '"explode(' alone never
+            # matched the posexplode forms and the retry was dead code for
+            # bare INPUT => json_text_col with no PATH).
+            explode_mismatch = "UNEXPECTED_INPUT_TYPE" in msg and re.search(
+                r'"(pos)?explode(_outer)?\(', msg
             )
             # PATH over a JSON-text column fails earlier, at the bracket
             # navigation (extract needs STRUCT/ARRAY/MAP, got STRING)

@@ -202,48 +202,15 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
-    # ---- round-6 first-50 (VERDICT r5 'Next round' #2): the 32 specs with
-    # no driver evidence of any kind, completing cumulative 240/240 driver
-    # coverage. Oracled never-gated first (r5 additions lead), then the two
-    # specs changed this round (result-edge convention fixes — need fresh
-    # driver evidence), then the 9 rows-only/numpy never-gated (the driver
-    # records its weaker rows-only check for these — that is the point:
-    # every spec gets A driver row), then 14 regression re-gates on the
-    # most load-bearing greens (nothing ungated remains for those slots).
-    # 23 oracled never-gated:
-    "corpus_source_quota", "text_char_entropy", "embed_matryoshka_recall",
-    "fn_sketch_seq_collate", "corpus_temperature_mix", "fn_datetime_parts_ext",
-    "fn_regexp_occurrence_ext", "fn_conversion_ext", "dedup_component_histogram",
-    "text_quality_mask",
-    "null_join_semantics", "order_by_ordinal", "unpivot_stack",
-    "tpch_q1", "tpch_q3", "tpch_q4_semi", "tpch_q5", "tpch_q6",
-    "tpch_q7_volume", "tpch_q10_returns", "tpch_q14_promo",
-    "tpch_q18_big_orders", "tpch_q19_disjunct",
-    # changed this round (re-gate; see the result-edge convention note in
-    # queries/relational.py at types_cast_gallery):
-    "types_cast_gallery", "fn_string_ext",
-    # 9 never-gated rows-only/numpy-oracled (rows-only driver check):
-    "embed_kmeans", "embed_pca_project", "embed_cluster_profile",
-    "dedup_simhash", "ann_lsh_buckets", "ann_lsh_pairs",
-    "agg_approx_distinct", "agg_approx_quantile", "sample_reservoir",
-    # r6 new specs (BM25 ranking, NTH_VALUE frames, BPE merge table,
-    # C4-style span removal, count-min sketch, LSH S-curve):
-    "text_bm25_topk", "win_nth_value", "text_bpe_merges",
-    "dedup_line_removal", "text_cms_heavy_hitters", "dedup_lsh_tuning_curve",
-    "agg_percentile_within_group", "agg_grouping_id", "fn_pattern_quantified",
-    # 3 specs changed late in r6 (re-gate: minhash SQL rewrite, IVF
-    # parquet-backed index + fused scoring SQL, as-of SQL twin) + 1 bench
-    # headliner:
-    "dedup_minhash_lsh", "ann_ivf_topk", "join_asof", "text_tfidf_topk",
-    # 3 new late-r6 specs (Bloom decontamination, k-center diversity
-    # sample, sequence-length histogram) — never gated:
-    "dedup_bloom_decontaminate", "embed_kcenter_sample",
-    "corpus_seqlen_histogram",
-    # ---- end of first-50 ----
-    # newest late-r6 specs (REGR family, REGEXP_INSTR/COUNT long forms,
-    # WIDTH_BUCKET/MONTHS_BETWEEN): local-gated + pytest'd this round;
-    # first in line for the r7 driver rotation (the r6 window is spent
-    # completing never-gated coverage per VERDICT r5 #2)
+    # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
+    # with no driver evidence of any kind (local-green since late r6) lead,
+    # closing cumulative driver coverage at 271/271; then embed_pca_project
+    # (the r6 round's ONE real defect — raw array<double> output crashed
+    # the driver canonicalizer; now exploded to scalar (vec_id, dim, x)
+    # rows per convention #6 and needing a clean driver row); then specs
+    # changed in r7; then regression re-gates on the most load-bearing
+    # greens to fill the window.
+    # 19 never-gated (local r6 green, heads of the post-r6 tier):
     "agg_regr_family", "fn_regexp_instr_count", "fn_width_bucket_months",
     "agg_linear_count_distinct", "multimodal_patchify",
     "agg_bitmap_distinct", "fn_parse_ip_misc",
@@ -253,14 +220,37 @@ _GATE_PRIORITY: list[str] = [
     "events_retention_cohorts", "ts_interpolate_linear",
     "agg_histogram_quantile",
     "ann_hamming_topk", "dedup_ngram_containment", "ann_hamming_rerank_topk",
-    # (displaced to make room, all driver-green r5 and unchanged since:
-    # dedup_crossdoc_ngrams, stream_tumbling_counts, cb_q12,
-    # fn_fuzzy_scalar_ext)
-    "dedup_crossdoc_ngrams", "stream_tumbling_counts",
-    "cb_q12", "fn_fuzzy_scalar_ext",
+    # the r6 defect, fixed this round (needs a clean driver row):
+    "embed_pca_project",
+    # ---- specs added/changed in r7 go here (kept ahead of re-gates) ----
+    # ---- re-gates: load-bearing greens filling the 50-slot window ----
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18_big_orders",
+    "dedup_minhash_lsh", "ann_ivf_topk", "text_tfidf_topk", "join_asof",
+    "dedup_exact", "dedup_components", "text_tokens", "text_quality",
+    "cb_q00", "cb_q07", "cb_q27", "cb_q29", "cb_q42",
+    "types_cast_gallery", "fn_string_ext", "fn_higher_order",
+    "stream_tumbling_counts", "agg_grouping_id",
+    "agg_percentile_within_group", "win_nth_value", "text_bm25_topk",
+    "dedup_line_removal", "corpus_seqlen_histogram",
+    "order_by_ordinal", "unpivot_stack",
+    # ---- end of first-50 ----
+    # round-6 window (all driver-green r6), kept next for deterministic
+    # ordering:
+    "corpus_source_quota", "text_char_entropy", "embed_matryoshka_recall",
+    "fn_sketch_seq_collate", "corpus_temperature_mix", "fn_datetime_parts_ext",
+    "fn_regexp_occurrence_ext", "fn_conversion_ext", "dedup_component_histogram",
+    "text_quality_mask", "null_join_semantics",
+    "tpch_q4_semi", "tpch_q7_volume", "tpch_q10_returns", "tpch_q14_promo",
+    "tpch_q19_disjunct",
+    "embed_kmeans", "embed_cluster_profile",
+    "dedup_simhash", "ann_lsh_buckets", "ann_lsh_pairs",
+    "agg_approx_distinct", "agg_approx_quantile", "sample_reservoir",
+    "text_bpe_merges", "text_cms_heavy_hitters", "dedup_lsh_tuning_curve",
+    "fn_pattern_quantified",
+    "dedup_bloom_decontaminate", "embed_kcenter_sample",
+    "dedup_crossdoc_ngrams", "cb_q12", "fn_fuzzy_scalar_ext",
     # driver-green already (kept for deterministic ordering of the
     # most-load-bearing specs after the rotation tiers):
-    "fn_higher_order",
     "tpch_q8_mktshare", "tpch_q9_profit",
     "tpch_q11_important", "tpch_q12_late", "tpch_q13_custdist",
     "tpch_q15_topsupp", "tpch_q16_suppcnt", "tpch_q17_smallqty",
@@ -268,16 +258,16 @@ _GATE_PRIORITY: list[str] = [
     "adv_connect_by", "adv_recursive_cte", "corpus_stratified_sample",
     "text_quality_percentile", "agg_array_object_agg", "adv_flatten_recursive",
     "dedup_exact_props", "dedup_ngram_jaccard",
-    "dedup_embedding", "dedup_components",
+    "dedup_embedding",
     "dedup_pipeline_survivors", "ann_cosine_topk_pandas",
-    "text_quality", "text_langid", "text_fingerprint",
+    "text_langid", "text_fingerprint",
     "text_lang_stats", "text_lm_score",
     "profile_documents", "quality_constraints", "multimodal_decode_meta",
     "multimodal_audio_meta", "multimodal_frame_sample",
     "corpus_training_mix", "adv_variant_colon_path",
     "win_rank_topn_per_group", "win_ignore_nulls_locf",
     "agg_listagg_ordered", "agg_min_max_by",
-    "cb_q41", "cb_q42",
+    "cb_q41",
 ]
 
 #: Number of leading _GATE_PRIORITY slots the driver samples.
