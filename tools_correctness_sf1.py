@@ -66,6 +66,20 @@ CB_SPECS = [
     "cb_q18", "cb_q20", "cb_q27", "cb_q29", "cb_q32", "cb_q36", "cb_q42",
 ]
 
+#: DML specs gated at 10x (VERDICT r6 #7 — the one §2.2 family whose
+#: driver/local evidence stopped at sf0.01): the partition- and
+#: file-granular COW paths plus the Iceberg snapshot/merge ring run their
+#: full Engine scripts against the 1M-row events fixture; the two
+#: TPC-H-table-based specs (schema evolution on nation, Iceberg identity
+#: partitioning on orders) run on the dbgen sf1 fixture.
+DML_SPECS_EVENTS = [
+    "dml_merge_partitioned", "dml_delete_partitioned", "dml_update_partitioned",
+    "dml_plain_file_granular", "dml_insert_multi", "dml_stream_changes",
+    "dml_iceberg_clone", "dml_iceberg_upsert_cdc", "dml_iceberg_snapshot_history",
+    "dml_iceberg_merge_timetravel", "dml_iceberg_merge_on_read",
+]
+DML_SPECS_TPCH = ["dml_schema_evolution", "dml_iceberg_partitioned"]
+
 
 def _one(spec, name: str, spark, sf_dir: str, con, out: dict) -> None:
     rec: dict = {
@@ -104,8 +118,11 @@ def main() -> None:
     tools_scaling_llm.ensure_events()
     registry = load_all()
     sections = [
-        (SF1, sorted(n for n in registry if n.startswith("tpch_q"))),
-        (tools_scaling_llm.SF1, [n for n in LLM_SPECS if registry[n].oracle] + CB_SPECS),
+        (SF1, sorted(n for n in registry if n.startswith("tpch_q")) + DML_SPECS_TPCH),
+        (
+            tools_scaling_llm.SF1,
+            [n for n in LLM_SPECS if registry[n].oracle] + CB_SPECS + DML_SPECS_EVENTS,
+        ),
     ]
     spark = get_spark("correctness_sf1", sf_dir=SF1)
     spark.sparkContext.setLogLevel("ERROR")

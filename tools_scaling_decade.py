@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""One more decade on the headline families (VERDICT r6 #5) -> DECADE.json.
+
+The r6 gate proved values hold at 10x the driver scale (CORRECTNESS_SF1);
+this tool pushes the headline families one further decade — where skew and
+shuffle width actually bite — and hash-compares against DuckDB wherever
+DuckDB stays tractable:
+
+- TPC-H q1/q3/q5/q18 on dbgen(sf=10) (60M-row lineitem, 100x the sf0.1
+  bench fixture, 1000x the driver gate): full value-hash vs DuckDB running
+  the identical oracle SQL on the same parquet.
+- dedup_exact / text_tfidf_topk on a 500k-doc corpus (10x the r6 LLM scale
+  gate): value-hash vs DuckDB (both oracles are linear).
+- dedup_minhash_lsh on the same 500k docs: WALL-CURVED only — its oracle is
+  the O(n^2) brute-force pair join (>560 s at 5k docs, r6 BENCH_NOTES), so
+  no engine can oracle it at this scale; recorded evidence is the Spark
+  wall-clock curve 50k -> 500k plus the pair count.
+
+Fixture generation is deterministic (dbgen; seeded corpus generator), so
+re-runs are byte-stable. dbgen(sf=10) runs chunked (children=8) on a
+disk-backed DuckDB database to bound memory; the scratch db is removed
+after the parquet COPY.
+
+Usage: python tools_scaling_decade.py   [writes DECADE.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tests.compare import duck_connection, normalize_rows
+from universql_spark.queries import load_all
+from universql_spark.session import get_spark
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SF01 = "/root/testdata/sf0.1"
+SF10 = os.path.join(HERE, "data", "tpch_sf10")
+DOCS500K = os.path.join(HERE, "data", "llm_500k")
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+AUX_TABLES = ["events", "documents", "embeddings"]
+
+TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18_big_orders"]
+DOC_QUERIES_ORACLED = ["dedup_exact", "text_tfidf_topk"]
+
+N_DOCS = 500_000
+
+
+def ensure_sf10() -> None:
+    if os.path.exists(os.path.join(SF10, "lineitem.parquet")):
+        return
+    import duckdb
+
+    os.makedirs(SF10, exist_ok=True)
+    scratch = os.path.join(SF10, "_dbgen_scratch.duckdb")
+    con = duckdb.connect(scratch)  # disk-backed: dbgen spills, not OOMs
+    con.execute("LOAD tpch")
+    children = 8
+    for step in range(children):
+        print(f"dbgen(sf=10) chunk {step + 1}/{children}...", flush=True)
+        con.execute(f"CALL dbgen(sf=10, children={children}, step={step})")
+    # same fixture-parity value mapping as tools_scaling.ensure_sf1
+    overrides = {
+        "n_name": "'NATION_' || CAST(n_nationkey AS VARCHAR)",
+        "p_type": "split_part(p_type, ' ', 1)",
+    }
+    for t in TPCH_TABLES:
+        cols = con.execute(f"DESCRIBE SELECT * FROM '{SF01}/{t}.parquet'").fetchall()
+        sel = ", ".join(
+            f"CAST({overrides.get(c, c)} AS {typ}) AS {c}" for c, typ, *_ in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM {t}) TO '{SF10}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 1048576)"
+        )
+        print(f"  wrote {t}", flush=True)
+    con.close()
+    os.remove(scratch)
+    for t in AUX_TABLES:
+        dst = f"{SF10}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SF01}/{t}.parquet", dst)
+
+
+def ensure_docs500k() -> None:
+    """500k-doc corpus, same generative process as tools_scaling_llm's 50k
+    fixture (identical vocab/length/duplication-rate mix, fresh seed) so the
+    curve compares like with like."""
+    if os.path.exists(os.path.join(DOCS500K, "documents.parquet")):
+        return
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools_scaling_llm import LANGS, VOCAB
+
+    os.makedirs(DOCS500K, exist_ok=True)
+    rng = random.Random(4343)
+    texts: list[str] = []
+    ids, langs, srcs, lens = [], [], [], []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 100 and r < 0.002:
+            text = texts[rng.randrange(len(texts))]
+        elif i > 100 and r < 0.007:
+            words = texts[rng.randrange(len(texts))].split()
+            for _ in range(rng.randint(1, 2)):
+                words[rng.randrange(len(words))] = rng.choice(VOCAB)
+            text = " ".join(words)
+        else:
+            n = rng.randint(10, 100)
+            text = " ".join(rng.choice(VOCAB) for _ in range(n))
+        texts.append(text)
+        ids.append(i)
+        langs.append(rng.choice(LANGS))
+        srcs.append(f"src{rng.randrange(20)}")
+        lens.append(len(text))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": langs,
+                "source": srcs,
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        ),
+        f"{DOCS500K}/documents.parquet",
+        row_group_size=65536,
+    )
+    for t in TPCH_TABLES + ["events", "embeddings"]:
+        dst = f"{DOCS500K}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def _hash_one(spec, name, spark, sf_dir, con, out):
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None,
+        "spark_sec": None, "duck_sec": None, "err": None, "sf_dir": sf_dir,
+    }
+    try:
+        t0 = time.perf_counter()
+        s_tbl = spec.spark(spark, sf_dir).toArrow()
+        rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+        s_cols = s_tbl.column_names
+        s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+        rec["spark_rows"] = len(s_rows)
+        t0 = time.perf_counter()
+        d_tbl = con.execute(spec.oracle).fetch_arrow_table()
+        rec["duck_sec"] = round(time.perf_counter() - t0, 2)
+        d_cols = d_tbl.column_names
+        d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
+        rec["oracle_rows"] = len(d_rows)
+        rec["rows_match"] = len(s_rows) == len(d_rows)
+        rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+        rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+    except Exception as e:  # noqa: BLE001 - the artifact records failures
+        rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+        traceback.print_exc(limit=2, file=sys.stderr)
+    out[name] = rec
+    print(("ok  " if rec["hash_match"] else "BAD ") + name,
+          rec["spark_rows"], f"spark {rec['spark_sec']}s duck {rec['duck_sec']}s",
+          flush=True)
+
+
+def main() -> None:
+    ensure_sf10()
+    ensure_docs500k()
+    registry = load_all()
+    out: dict[str, dict] = {}
+    t_start = time.time()
+
+    spark = get_spark("scaling_decade", sf_dir=SF10)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(SF10)
+    for name in TPCH_QUERIES:
+        _hash_one(registry[name], name, spark, SF10, con, out)
+    con = duck_connection(DOCS500K)
+    for name in DOC_QUERIES_ORACLED:
+        _hash_one(registry[name], name, spark, DOCS500K, con, out)
+
+    # minhash wall-curve: oracle is O(n^2) — wall + pair count only
+    from tools_scaling_llm import SF1 as LLM50K, ensure_fixture
+
+    ensure_fixture()
+    mh = registry["dedup_minhash_lsh"]
+    curve = {}
+    for label, d in [("50k", LLM50K), ("500k", DOCS500K)]:
+        t0 = time.perf_counter()
+        n = mh.spark(spark, d).count()
+        curve[label] = {"wall_sec": round(time.perf_counter() - t0, 2), "pairs": n}
+        print(f"minhash {label}: {curve[label]}", flush=True)
+    out["dedup_minhash_lsh_curve"] = curve
+
+    summary = {
+        "hash_specs": len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED),
+        "all_match": sum(1 for r in out.values() if r.get("hash_match")),
+        "errors": sum(1 for r in out.values() if r.get("err")),
+        "wall_sec": round(time.time() - t_start, 1),
+    }
+    with open(os.path.join(HERE, "DECADE.json"), "w") as f:
+        json.dump({"summary": summary, "specs": out}, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
