@@ -1185,6 +1185,40 @@ def test_advice_r7_dialect_edges(engine):
     assert out == {"known_fp": True}  # divergence pinned, not silent
 
 
+def test_const_literals_and_probe_closures_r7(engine):
+    """r7 probe closures: Snowflake array/object CONSTANT syntax
+    ([1,2,3] / {'a': 1}) in expression position — subscripts, casts,
+    colon paths, and IN-lists untouched — plus MAP_KEYS over both object
+    conventions and SOUNDEX_P123 (duplicate-first-code splice)."""
+    out = engine.execute(
+        # elements homogeneous per array: Spark arrays are typed where
+        # Snowflake's are variant — same standing limit as ARRAY_CONSTRUCT
+        "SELECT [[1,2],[3]] AS a, {'k': [1,2], 'n': {'m': 5}} AS b, "
+        "CASE WHEN 1=1 THEN [9] ELSE [0] END AS c, "
+        "GET([4,5,6], 1) AS d, ARRAY_SIZE([7,8]) AS e"
+    ).to_pylist()[0]
+    assert out["a"] == [[1, 2], [3]]
+    assert out["b"] == {"k": [1, 2], "n": {"m": 5}}
+    assert out["c"] == [9] and out["d"] == 5 and out["e"] == 2
+    out = engine.execute(  # subscript after an array-valued column survives
+        "SELECT x[0] AS f FROM (SELECT [5,6] AS x)"
+    ).to_pylist()[0]
+    assert out == {"f": 5}
+    out = engine.execute(
+        "SELECT MAP_KEYS(OBJECT_CONSTRUCT('a',1,'b',2)) AS s, "
+        "MAP_KEYS(PARSE_JSON('{\"k\": 9}')) AS j, "
+        "SOUNDEX_P123('Pfister') AS p, SOUNDEX_P123('Robert') AS r"
+    ).to_pylist()[0]
+    assert out == {"s": ["a", "b"], "j": ["k"], "p": "P123", "r": "R163"}
+    out = engine.execute(  # array MUTATION family strips VARIANT elements
+        "SELECT ARRAY_REMOVE([1,2,1], 1::VARIANT) AS rm, "
+        "ARRAY_INSERT([1,2], 1, 9::VARIANT) AS ins, "
+        "ARRAY_APPEND([1,2], TO_VARIANT(3)) AS app, "
+        "ARRAY_PREPEND([1,2], 0::VARIANT) AS pre"
+    ).to_pylist()[0]
+    assert out == {"rm": [2], "ins": [1, 9, 2], "app": [1, 2, 3], "pre": [0, 1, 2]}
+
+
 def test_iceberg_metadata_tables(engine):
     engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_md AS SELECT CAST(1 AS BIGINT) AS id "
                    "UNION ALL SELECT 2")
@@ -1628,6 +1662,29 @@ def test_match_recognize_skip_to_next_row(engine, spark):
     # it'd be the same here, but SKIP TO NEXT ROW re-scans from t2 and still
     # finds the t3/t4 match
     assert out == [{"mn": 1, "s": 1, "e": 2}, {"mn": 2, "s": 3, "e": 4}]
+
+
+def test_statement_probe_closures_r7(engine):
+    """r7 statement-level probe closures: TRANSIENT tables (regular tables
+    without fail-safe — a storage-tier distinction with no local analog),
+    CREATE SEQUENCE IF NOT EXISTS, TRUNCATE's bare/IF EXISTS forms over any
+    table kind, INSERT OVERWRITE INTO (truncate + insert), and CALLable
+    system functions."""
+    eng = engine
+    eng.execute("CREATE OR REPLACE TRANSIENT TABLE st_tr AS SELECT 1 AS a")
+    assert eng.execute("SELECT * FROM st_tr").to_pylist() == [{"a": 1}]
+    eng.execute("CREATE SEQUENCE IF NOT EXISTS st_seq START = 5 INCREMENT = 2")
+    assert eng.execute("SELECT st_seq.NEXTVAL AS v").to_pylist() == [{"v": 5}]
+    eng.execute("TRUNCATE st_tr")  # bare form, no TABLE keyword
+    assert eng.execute("SELECT COUNT(*) AS c FROM st_tr").to_pylist() == [{"c": 0}]
+    out = eng.execute("TRUNCATE TABLE IF EXISTS st_no_such").to_pylist()
+    assert "did not exist" in out[0]["status"]
+    eng.execute("CREATE OR REPLACE TABLE st_t AS SELECT 1 AS a, 'x' AS b")
+    eng.execute("INSERT INTO st_t SELECT 5, 'w'")
+    eng.execute("INSERT OVERWRITE INTO st_t SELECT 9, 'z'")
+    assert eng.execute("SELECT * FROM st_t").to_pylist() == [{"a": 9, "b": "z"}]
+    out = eng.execute("CALL SYSTEM$WAIT(0)").to_pylist()
+    assert "waited" in str(out[0]).lower()
 
 
 def test_json_validation_and_array_insert(engine):

@@ -359,27 +359,8 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     # Snowflake's documented signature REQUIRES the value as VARIANT
     # (ARRAY_CONTAINS(2::VARIANT, arr)); VARIANT is JSON text here, which
     # would break the equality's typing — strip the cast/wrapper and let
-    # Spark's native coercion compare the raw value.
-    def _unvariant(v: str) -> str:
-        v = v.strip()
-        m = re.fullmatch(r"(?is)(.*?)\s*::\s*VARIANT", v)
-        if m:
-            return m.group(1).strip()
-        m = re.fullmatch(r"(?is)TO_VARIANT\s*\((.*)\)", v)
-        if m and _match_paren(v, v.upper().index("(")) == len(v) - 1:
-            return m.group(1).strip()
-        # TO_VARIANT was already expanded by the earlier pass (this pass
-        # runs after it): unwrap the engine-emitted json-element shell
-        # `(CASE WHEN (X) IS NULL THEN NULL ELSE substr(to_json(array(X)),
-        # 2, ...) END)` by paren-matching X out of the guard.
-        probe = "(CASE WHEN ("
-        if v.startswith(probe) and "ELSE substr(to_json(array(" in v:
-            close = _match_paren(v, len(probe) - 1)
-            inner = v[len(probe) : close]
-            if v[close:].startswith(") IS NULL THEN NULL ELSE substr(to_json(array("):
-                return inner.strip()
-        return v
-
+    # Spark's native coercion compare the raw value. (_unvariant is
+    # module-level so the later r3 ARRAY_INSERT pass shares it.)
     sql = _rewrite_calls(
         sql,
         "array_contains",
@@ -392,6 +373,27 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         if len(a) == 2
         else None,
     )
+    # the array MUTATION family takes ::VARIANT/TO_VARIANT elements in
+    # Snowflake (arrays are variant-typed there); over Spark's typed arrays
+    # the element strips to its native value (r7 probe closure — same
+    # convention as array_contains/array_position above)
+    sql = _rewrite_calls(
+        sql,
+        "array_remove",
+        lambda a: f"array_remove({a[0]}, {_unvariant(a[1])})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "array_append",
+        lambda a: f"array_append({a[0]}, {_unvariant(a[1])})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "array_prepend",
+        lambda a: f"array_prepend({a[0]}, {_unvariant(a[1])})" if len(a) == 2 else None,
+    )
+    # (ARRAY_INSERT has its own 0->1-based rewrite in the r3 pass below —
+    # the element unwrap is applied there to avoid double position shifts)
     # MAP_SIZE over the engine's map/object convention: struct-built
     # OBJECT_CONSTRUCT chains serialize first (json_object_keys needs JSON
     # text); everything else (MAP_CAT output, variant columns) IS JSON text
@@ -405,6 +407,45 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         return f"size(json_object_keys({a[0]}))"
 
     sql = _rewrite_calls(sql, "map_size", map_size_rw)
+
+    # MAP_KEYS over the same dual convention (r7 probe closure): struct-
+    # built objects go through their JSON rendering; JSON-text objects
+    # (PARSE_JSON / colon-path output) feed json_object_keys directly.
+    # (Spark's native map_keys is unreachable from the Snowflake surface —
+    # OBJECT_CONSTRUCT is named_struct and VARIANT objects are JSON text.)
+    def map_keys_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        if re.match(
+            r"(?is)^\s*(object_construct(_keep_null)?|named_struct)\s*\(", a[0]
+        ):
+            return f"json_object_keys(to_json({a[0]}))"
+        return f"json_object_keys({a[0]})"
+
+    sql = _rewrite_calls(sql, "map_keys", map_keys_rw)
+
+    # SOUNDEX_P123 (r7 probe closure): Snowflake's variant keeps the code
+    # of the SECOND letter when it duplicates the first letter's code
+    # (SOUNDEX('Pfister')='P236' vs SOUNDEX_P123='P123' — hence the name);
+    # everywhere else the two agree. Rebuild from Spark's soundex: when
+    # code(letter1) == code(letter2) != vowel-class, splice the duplicate
+    # digit back in and keep the first two surviving digits.
+    def soundex_p123_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        s = a[0]
+        letters = f"regexp_replace({s}, '[^A-Za-z]', '')"
+        tbl = "'BFPVCGJKQSXZDTLMNRAEIOUYHW', '11112222222233455600000000'"
+        c1 = f"translate(upper(substring({letters}, 1, 1)), {tbl})"
+        c2 = f"translate(upper(substring({letters}, 2, 1)), {tbl})"
+        sx = f"soundex({s})"
+        return (
+            f"(CASE WHEN {c1} <> '0' AND {c1} = {c2} "
+            f"THEN concat(substring({sx}, 1, 1), {c2}, substring({sx}, 2, 2)) "
+            f"ELSE {sx} END)"
+        )
+
+    sql = _rewrite_calls(sql, "soundex_p123", soundex_p123_rw)
 
     # UUID_STRING(namespace_uuid, name) — RFC 4122 v5 (the 0-arg v4 form is
     # a plain rename to Spark's uuid()): sha1 over namespace bytes || name
@@ -2022,7 +2063,7 @@ def _rewrite_scalar_emulations_r3(sql: str) -> str:
         "array_insert",
         lambda a: (
             f"array_insert({a[0]}, CASE WHEN ({a[1]}) >= 0 THEN ({a[1]}) + 1"
-            f" ELSE ({a[1]}) END, {a[2]})"
+            f" ELSE ({a[1]}) END, {_unvariant(a[2])})"
         )
         if len(a) == 3
         else None,
@@ -2897,6 +2938,136 @@ def _rewrite_generator(sql: str) -> str:
     )
 
 
+def _unvariant(v: str) -> str:
+    """Strip a Snowflake VARIANT wrapper from an expression: `x::VARIANT`,
+    `TO_VARIANT(x)`, or the engine-emitted json-element shell the earlier
+    TO_VARIANT expansion produces — the array value/element functions take
+    VARIANT by Snowflake's signatures, but over Spark's typed arrays the
+    raw value is what coerces correctly."""
+    v = v.strip()
+    m = re.fullmatch(r"(?is)(.*?)\s*::\s*VARIANT", v)
+    if m:
+        return m.group(1).strip()
+    m = re.fullmatch(r"(?is)TO_VARIANT\s*\((.*)\)", v)
+    if m and _match_paren(v, v.upper().index("(")) == len(v) - 1:
+        return m.group(1).strip()
+    probe = "(CASE WHEN ("
+    if v.startswith(probe) and "ELSE substr(to_json(array(" in v:
+        close = _match_paren(v, len(probe) - 1)
+        inner = v[len(probe) : close]
+        if v[close:].startswith(") IS NULL THEN NULL ELSE substr(to_json(array("):
+            return inner.strip()
+    return v
+
+
+#: keywords after which a '[' or '{' opens a CONSTANT, not a subscript —
+#: the previous significant token being a word normally means subscript
+#: (col[0]); these words are expression-position openers instead.
+_CONST_OPEN_KEYWORDS = frozenset(
+    "select when then else and or not in values union intersect except all "
+    "by on return returns set as case coalesce if iff".split()
+)
+
+
+def _rewrite_const_literals(sql: str) -> str:
+    """Snowflake array/object CONSTANTS -> function form:
+    ``[1, 2, [3]]`` -> ``array(1, 2, array(3))`` and
+    ``{'a': 1, 'b': x}`` -> ``object_construct('a', 1, 'b', x)``.
+
+    One char scan, string-literal aware. A ``[``/``{`` opens a constant iff
+    the previous significant char is an operator/comma/open-paren/another
+    constant opener — or ends a keyword like SELECT/THEN — and is a
+    subscript/no-op otherwise (``a[0]``, ``v['k']``, ``f(x)[1]``). Object
+    keys are string literals by Snowflake's grammar, so the key-value ``:``
+    is replaced only when it directly follows a string at the object's own
+    nesting level (``::`` casts and colon paths inside VALUES survive).
+    """
+    res: list[str] = []
+    stack: list[dict] = []  # {kind: '['|'{', const: bool, paren: int}
+    i, n = 0, len(sql)
+    prev_sig = ""  # previous significant (non-space) char
+    prev_word = ""  # the word that prev_sig terminates, lowercased
+    after_string = False  # previous significant token was a '...' literal
+    while i < n:
+        c = sql[i]
+        if c == "'":  # copy the whole string literal ('' escape)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            res.append(sql[i : j + 1])
+            i = j + 1
+            prev_sig, prev_word, after_string = "'", "", True
+            continue
+        if c == "`":  # backtick identifier (emitted by _dquote_idents)
+            j = sql.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            res.append(sql[i : j + 1])
+            i = j + 1
+            prev_sig, prev_word, after_string = "`", "", False
+            continue
+        if c in "[{":
+            is_const = (
+                prev_sig == ""
+                or prev_sig in "(,=<>+-*/%|&^[{!?:"
+                or (
+                    prev_sig.isalnum()
+                    and prev_word in _CONST_OPEN_KEYWORDS
+                )
+            ) and not after_string
+            if c == "[":
+                res.append("array(" if is_const else c)
+                stack.append({"kind": "[", "const": is_const, "paren": 0})
+            else:
+                res.append("object_construct(" if is_const else c)
+                stack.append({"kind": "{", "const": is_const, "paren": 0})
+            prev_sig, prev_word, after_string = c, "", False
+            i += 1
+            continue
+        if c in "]}":
+            frame = stack.pop() if stack else {"const": False}
+            res.append(")" if frame.get("const") else c)
+            prev_sig, prev_word, after_string = c, "", False
+            i += 1
+            continue
+        if c == "(" and stack:
+            stack[-1]["paren"] += 1
+        elif c == ")" and stack:
+            stack[-1]["paren"] -= 1
+        if (
+            c == ":"
+            and after_string
+            and stack
+            and stack[-1]["kind"] == "{"
+            and stack[-1]["const"]
+            and stack[-1]["paren"] == 0
+            and not (i + 1 < n and sql[i + 1] == ":")
+        ):
+            res.append(",")  # object-constant key separator
+            prev_sig, prev_word, after_string = ",", "", False
+            i += 1
+            continue
+        res.append(c)
+        if c.isalnum() or c in "_$":
+            # words accumulate over CONSECUTIVE word chars only (the raw
+            # previous char, not prev_sig — '1 THEN' must not read '1then')
+            if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_$"):
+                prev_word += c.lower()
+            else:
+                prev_word = c.lower()
+        elif not c.isspace():
+            prev_word = ""
+        if not c.isspace():
+            prev_sig = c
+            after_string = False
+        i += 1
+    return "".join(res)
+
+
 def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text.
 
@@ -2925,6 +3096,11 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
         return re.sub(r'"((?:[^"]|"")+)"', one, chunk)
 
     sql = _outside_literals(sql, _dquote_idents)
+    # array/object CONSTANT syntax ([1,2] / {'a': 1}) before any function
+    # rewrite, so the emitted array()/object_construct() calls flow through
+    # the same downstream mappings as their spelled-out forms
+    if "[" in sql or "{" in sql:
+        sql = _rewrite_const_literals(sql)
     sql = strip_table_wrapper(sql)
     # SPLIT_TO_TABLE(x, d) -> correlated lateral subquery with Snowflake's
     # 1-BASED index column; the emitted SPLIT() flows through the literal-

@@ -63,7 +63,7 @@ class QueryError(Exception):
 _CTAS_PROPS = r"(?:(?:EXTERNAL_VOLUME|BASE_LOCATION|CATALOG)\s*=\s*'[^']*'\s+)*"
 _CTAS_PROP_RE = re.compile(r"(EXTERNAL_VOLUME|BASE_LOCATION|CATALOG)\s*=\s*'([^']*)'", re.I)
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:TRANSIENT\s+)?(ICEBERG\s+)?TABLE\s+([\w.\"]+)\s+"
     rf"({_CTAS_PROPS})"
     r"(?:(PARTITION|CLUSTER)\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?"
     rf"({_CTAS_PROPS})AS\s+(.*)$",
@@ -335,7 +335,7 @@ _COPY_STAGE_REF_RE = re.compile(r"\bFROM\s+@(\w+)((?:/[^\s(;]*)?)", re.I)
 #: CREATE TABLE with a column list (no AS SELECT) — checked AFTER the CTAS
 #: regex, so `(...)` here is a column-definition list
 _CREATE_TABLE_COLS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+([\w.\"]+)\s*\((.+)\)\s*$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?(?:TRANSIENT\s+)?TABLE\s+([\w.\"]+)\s*\((.+)\)\s*$",
     re.I | re.S,
 )
 _TXN_RE = re.compile(r"^\s*(BEGIN|COMMIT|ROLLBACK)(\s+(?:WORK|TRANSACTION|NAME\s+\w+))?\s*$", re.I)
@@ -1706,12 +1706,41 @@ class Engine:
                 return pa.table(
                     {"snapshots_expired": [dropped], "data_files_deleted": [deleted]}
                 )
-            tm = re.match(r"^\s*TRUNCATE\s+TABLE\s+([\w.\"]+)\s*$", stmt, re.I)
-            if tm and bare_name(tm.group(1)) in self.snap_tables:
-                bn = bare_name(tm.group(1))
-                self.snap_tables[bn].truncate()
-                self._refresh_snap_view(bn)
-                return _status(f"truncated iceberg {bn}")
+            tm = re.match(
+                r"^\s*TRUNCATE\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([\w.\"]+)\s*$",
+                stmt, re.I,
+            )
+            if tm:
+                bn = bare_name(tm.group(2))
+                if bn in self.snap_tables:
+                    self.snap_tables[bn].truncate()
+                    self._refresh_snap_view(bn)
+                    return _status(f"truncated iceberg {bn}")
+                # every other table kind (temp view-backed, plain v1):
+                # TRUNCATE == unconditional DELETE, which the DML layer
+                # already handles per table kind (r7 probe closure — the
+                # bare `TRUNCATE t` and IF EXISTS forms are valid Snowflake)
+                try:
+                    self.execute(f"DELETE FROM {tm.group(2)}")
+                except Exception:
+                    if tm.group(1):  # IF EXISTS: missing table is fine
+                        return _status(f"{bn} did not exist")
+                    raise
+                return _status(f"truncated {bn}")
+            om = re.match(
+                r"^\s*INSERT\s+OVERWRITE\s+INTO\s+([\w.\"]+)(.*)$", stmt, re.I | re.S
+            )
+            if om:
+                # Snowflake INSERT OVERWRITE INTO: truncate, then the normal
+                # INSERT path (r7 probe closure). Two engine ops, same final
+                # state; the truncate respects each table kind above.
+                self.execute(f"TRUNCATE TABLE {om.group(1)}")
+                return self.execute(f"INSERT INTO {om.group(1)}{om.group(2)}")
+            cm_sys = re.match(r"^\s*CALL\s+(SYSTEM\$\w+\s*\(.*\))\s*$", stmt, re.I | re.S)
+            if cm_sys:
+                # system functions are CALLable in Snowflake; evaluate the
+                # SELECT form (SYSTEM$WAIT etc. rewrite there)
+                return self.execute(f"SELECT {cm_sys.group(1)}")
             # --- table lifecycle on TEMP (view-backed) and plain v1 catalog
             # tables. Snowflake allows TRUNCATE / ADD / RENAME / DROP COLUMN
             # on every table kind; Spark's v1 catalog rejects RENAME/DROP
@@ -1829,9 +1858,9 @@ class Engine:
                 self._refresh_external_table(bare_name(em.group(1)))
                 return _status(f"external table {bare_name(em.group(1))} refreshed")
             sm = re.match(
-                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+([\w.\"]+)"
-                r"(?:\s+START\s*(?:WITH\s*)?=?\s*(-?\d+))?"
-                r"(?:\s+INCREMENT\s*(?:BY\s*)?=?\s*(-?\d+))?\s*$",
+                r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)"
+                r"(?:\s*,?\s+START\s*(?:WITH\s*)?=?\s*(-?\d+))?"
+                r"(?:\s*,?\s+INCREMENT\s*(?:BY\s*)?=?\s*(-?\d+))?\s*$",
                 stmt, re.I,
             )
             if sm:
