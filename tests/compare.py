@@ -487,6 +487,34 @@ def _load_documents(sf_dir: str) -> list[tuple[int, str]]:
     return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
 
 
+def py_oracle_fn_minhash_verbatim(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Snowflake-verbatim MINHASH/MINHASH_COMBINE/APPROXIMATE_SIMILARITY
+    re-derived with the portable XXH64: per-lang 16-perm sketches
+    (min over xxhash64(i, xxhash64(text))), elementwise-min combine, and
+    the positionwise min==max Jaccard estimator."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    sketches: dict[str, list[int]] = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        h0 = spark_xxhash64_str(text)
+        sk = sketches.setdefault(lang, [2**63 - 1] * 16)
+        for i in range(16):
+            h = spark_xxhash64_int_long(i, h0)
+            if h < sk[i]:
+                sk[i] = h
+    groups = list(sketches.values())
+    combined = [min(s[i] for s in groups) for i in range(16)]
+    eq = sum(
+        1 for i in range(16) if min(s[i] for s in groups) == max(s[i] for s in groups)
+    )
+    return ["combined", "sim", "n_groups"], [
+        (json.dumps(combined, separators=(",", ":")), round(eq / 16.0, 4), len(groups))
+    ]
+
+
 def py_oracle_dedup_simhash(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """simhash_pairs(max_hamming=3) re-derived: per-bit majority vote over
     non-distinct token hashes; brute-force hamming pairs (the 4x16-bit
@@ -1050,6 +1078,7 @@ PY_ORACLES = {
     "embed_pca_project": py_oracle_embed_pca_project,
     "embed_cluster_profile": py_oracle_embed_cluster_profile,
     "dedup_simhash": py_oracle_dedup_simhash,
+    "fn_minhash_verbatim": py_oracle_fn_minhash_verbatim,
     "ann_lsh_buckets": py_oracle_ann_lsh_buckets,
     "ann_lsh_pairs": py_oracle_ann_lsh_pairs,
     "dedup_incremental_index": py_oracle_dedup_incremental_index,

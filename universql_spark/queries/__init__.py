@@ -235,7 +235,10 @@ _GATE_PRIORITY: list[str] = [
     "ann_hamming_topk", "dedup_ngram_containment", "ann_hamming_rerank_topk",
     # the r6 defect, fixed this round (needs a clean driver row):
     "embed_pca_project",
-    # ---- specs added/changed in r7 go here (kept ahead of re-gates) ----
+    # ---- specs added/changed in r7 (kept ahead of re-gates) ----
+    # Snowflake-verbatim MINHASH/COMBINE/APPROXIMATE_SIMILARITY, new r7
+    # (XXH64 numpy oracle; displaces the unpivot_stack re-gate):
+    "fn_minhash_verbatim",
     # ---- re-gates: load-bearing greens filling the 50-slot window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18_big_orders",
     "dedup_minhash_lsh", "ann_ivf_topk", "text_tfidf_topk", "join_asof",
@@ -245,8 +248,9 @@ _GATE_PRIORITY: list[str] = [
     "stream_tumbling_counts", "agg_grouping_id",
     "agg_percentile_within_group", "win_nth_value", "text_bm25_topk",
     "dedup_line_removal", "corpus_seqlen_histogram",
-    "order_by_ordinal", "unpivot_stack",
+    "order_by_ordinal",
     # ---- end of first-50 ----
+    "unpivot_stack",
     # round-6 window (all driver-green r6), kept next for deterministic
     # ordering:
     "corpus_source_quota", "text_char_entropy", "embed_matryoshka_recall",

@@ -1499,6 +1499,27 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_pairs(batch, corpus, threshold=0.8)
 
 
+@register("fn_minhash_verbatim", None, category="dedup")
+def fn_minhash_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's OWN sketch spellings — MINHASH(k, e) aggregate,
+    MINHASH_COMBINE (lossless elementwise-min union), and the
+    APPROXIMATE_SIMILARITY Jaccard estimator — verbatim through the engine
+    (dialect.py minhash_rw/combine_rw/jaccard_rw): per-lang 16-permutation
+    sketches over documents.text, combined and estimated in one statement.
+    Numpy-oracled: tests/compare.py's portable XXH64 re-derives every
+    sketch value bit-for-bit (the same xxhash64(i, xxhash64(text)) chain
+    the rewrite emits). Sketch array emitted as TO_JSON per convention #6."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT TO_JSON(MINHASH_COMBINE(mh)) AS combined, "
+        "ROUND(APPROXIMATE_SIMILARITY(mh), 4) AS sim, "
+        "COUNT(*) AS n_groups "
+        "FROM (SELECT lang, MINHASH(16, text) AS mh FROM documents GROUP BY lang)"
+    )
+
+
 register_sql(
     "corpus_train_val_split",
     """SELECT split, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
