@@ -356,6 +356,18 @@ _SIG_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 _SIG_INDEX_PATH: str | None = None
 
 
+def _cleanup_sig_index_dir() -> None:
+    import shutil  # noqa: PLC0415
+
+    if _SIG_INDEX_PATH:
+        shutil.rmtree(_SIG_INDEX_PATH, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_sig_index_dir)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -516,8 +516,21 @@ _IVF_TRAIN_CACHE: dict[tuple, list[list[float]]] = {}
 _IVF_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 
 #: scratch directory holding the one live parquet-materialized index
-#: (removed when the quantizer key changes)
+#: (removed when the quantizer key changes, and at interpreter exit so
+#: repeated processes don't accumulate dirs under /tmp)
 _IVF_INDEX_PATH: str | None = None
+
+
+def _cleanup_index_dir() -> None:
+    import shutil  # noqa: PLC0415
+
+    if _IVF_INDEX_PATH:
+        shutil.rmtree(_IVF_INDEX_PATH, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_index_dir)
 
 
 def ivf_train_sample(
