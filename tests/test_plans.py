@@ -86,6 +86,19 @@ def test_minhash_partial_aggregation(spark, sf_dir):
     assert "CartesianProduct" not in p  # candidate join is an equi-join
 
 
+def test_minhash_repeat_plans_read_the_index(spark, sf_dir):
+    """The signature index is write-once (r7): after the first call
+    materializes it to parquet, a REPEAT plan must be leaf scans + banded
+    join + verify — zero Window nodes (the shingle lead()-window only runs
+    at index-write time) and no repartition of the source docs."""
+    plan(spark, sf_dir, "dedup_minhash_lsh")  # first call writes the index
+    p = plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "Window" not in p, "signature build re-ran on a repeat plan"
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) >= 3  # 3 index refs
+
+
 @pytest.mark.parametrize("name", ["cb_q36", "cb_q40"])
 def test_date_predicates_push(spark, sf_dir, name):
     p = plan(spark, sf_dir, name)

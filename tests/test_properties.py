@@ -477,6 +477,62 @@ def test_expression_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, ie, se, de):
 
 
 # ---------------------------------------------------------------------------
+# 8th differential lane (r7): array/object CONSTANT syntax. DuckDB parses
+# [1,2] / {'a': 1} natively; the Spark side goes through the dialect's
+# _rewrite_const_literals char scan — random nested constants must produce
+# identical structured values on both engines. Arrays stay homogeneous
+# (Spark arrays are typed — the documented standing limit); object keys are
+# unique by construction.
+# ---------------------------------------------------------------------------
+
+_cl_int = st.integers(-5, 99)
+_cl_str = st.text(alphabet="abxy", min_size=0, max_size=4)
+_cl_arr = st.lists(_cl_int, min_size=1, max_size=4)
+_cl_obj = st.recursive(
+    st.dictionaries(
+        st.sampled_from(list("abcd")),
+        st.one_of(_cl_int, _cl_str, _cl_arr),
+        min_size=1,
+        max_size=3,
+    ),
+    lambda kids: st.dictionaries(
+        st.sampled_from(list("pqrs")),
+        st.one_of(_cl_int, _cl_arr, kids),
+        min_size=1,
+        max_size=3,
+    ),
+    max_leaves=4,
+)
+
+
+def _const_sql(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        return "[" + ", ".join(_const_sql(x) for x in v) + "]"
+    return "{" + ", ".join(f"'{k}': {_const_sql(x)}" for k, x in v.items()) + "}"
+
+
+@given(obj=_cl_obj, arr=_cl_arr, n=_cl_int)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_const_literal_fuzz_spark_matches_duckdb(spark, _duck, obj, arr, n):
+    from universql_spark.dialect import snowflake_to_spark
+
+    q = f"SELECT {_const_sql(obj)} AS o, {_const_sql(arr)} AS a, {n} AS k"
+    s = spark.sql(snowflake_to_spark(q)).toArrow().to_pylist()
+    d = _duck.execute(q).arrow().to_pylist()
+    assert s == d, q
+
+
+# ---------------------------------------------------------------------------
 # Approximate specs: deterministic-bound property tests (VERDICT r6 #6).
 # The driver gate records these four rows-only forever (sketch internals /
 # sampling are engine-specific), so the VALUE evidence lives here: error
