@@ -1152,6 +1152,38 @@ def test_flatten_variant_inputs(engine):
     assert out == [{"index": 0, "value": "10"}, {"index": 1, "value": "20"}]
 
 
+def test_flatten_seq_this_path_columns(engine):
+    """Snowflake FLATTEN's remaining output columns (r7): THIS = the raw
+    flattened input (JSON text under the VARIANT convention), PATH = '[i]'
+    array paths (PATH-arg prefixed) / the member key in OBJECT mode, SEQ
+    non-null and equal across rows of one input. Resolved where referenced
+    (LATERAL VIEW can't emit computed columns); f.* stays (index, value)."""
+    out = engine.execute(
+        "SELECT f.this AS t, f.path AS p, f.value AS v "
+        "FROM TABLE(FLATTEN(INPUT => PARSE_JSON('[1,2]'))) f"
+    ).to_pylist()
+    assert out == [
+        {"t": "[1,2]", "p": "[0]", "v": "1"},
+        {"t": "[1,2]", "p": "[1]", "v": "2"},
+    ]
+    out = engine.execute(
+        "SELECT DISTINCT f.seq IS NOT NULL AS s "
+        "FROM TABLE(FLATTEN(INPUT => PARSE_JSON('[1,2]'))) f"
+    ).to_pylist()
+    assert out == [{"s": True}]
+    engine.execute("CREATE OR REPLACE TEMP TABLE fstp AS "
+                   "SELECT PARSE_JSON('{\"items\": [5]}') AS v")
+    out = engine.execute(
+        "SELECT f.path AS p FROM fstp, LATERAL FLATTEN(INPUT => v, PATH => 'items') f"
+    ).to_pylist()
+    assert out == [{"p": "items[0]"}]
+    out = engine.execute(
+        "SELECT f.path AS p, f.value AS v FROM TABLE(FLATTEN("
+        "INPUT => PARSE_JSON('{\"a\": 1}'), MODE => 'OBJECT')) f"
+    ).to_pylist()
+    assert out == [{"p": "a", "v": "1"}]
+
+
 def test_advice_r7_dialect_edges(engine):
     """ADVICE r7 low findings pinned:
 

@@ -2493,6 +2493,9 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
     The argument is paren-MATCHED, not regex-scanned, so nested calls like
     FLATTEN(input => split(f(x), ',')) rewrite correctly."""
     out: list[str] = []
+    #: (alias, 'OBJECT'|'ARRAY', raw input expr, PATH arg) per flatten —
+    #: consumed by the post-pass that resolves the SEQ/THIS/PATH columns
+    extras: list[tuple[str, str, str, str | None]] = []
     i = 0
     while True:
         m = _FLATTEN_START_RE.search(sql, i)
@@ -2504,6 +2507,7 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
         input_expr, path, outer, recursive, mode = _parse_flatten_args(
             sql[open_idx + 1 : close].strip()
         )
+        raw_input, raw_path = input_expr, path
         obj_mode = mode == "OBJECT"
         if not recursive and (obj_mode or coerce_all or _looks_variant(input_expr)):
             if path:
@@ -2534,8 +2538,37 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
             # under OUTER on empty input) comes for free next to VALUE
             fn = "posexplode_outer" if outer else "posexplode"
             out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS index, value")
+        if not recursive:
+            extras.append((alias, "OBJECT" if obj_mode else "ARRAY", raw_input, raw_path))
         i = j
-    return "".join(out)
+    res = "".join(out)
+    # Snowflake FLATTEN's remaining output columns, resolved ONLY where
+    # referenced (LATERAL VIEW can't emit computed columns next to the
+    # generator's): THIS = the element being flattened (the raw input —
+    # JSON text for variant inputs, per the VARIANT convention); PATH =
+    # '[i]' for array elements (PATH-arg-prefixed) / the member key for
+    # OBJECT mode; SEQ = unique per distinct input value via xxhash64
+    # (Snowflake only promises uniqueness per input record — identical
+    # inputs sharing a seq is the one divergence, documented in
+    # COVERAGE.md). f.* keeps the (index|key, value) pair only.
+    for alias, mode_, raw, rpath in extras:
+        pat = rf"\b{re.escape(alias)}\s*\.\s*(seq|this|path)\b"
+        if not re.search(pat, res, flags=re.I):
+            continue
+
+        def _col(mm: re.Match, _a=alias, _m=mode_, _raw=raw, _rp=rpath) -> str:
+            col = mm.group(1).lower()
+            if col == "seq":
+                return f"abs(xxhash64({_raw}))"
+            if col == "this":
+                return f"({_raw})"
+            if _m == "OBJECT":
+                return f"{_a}.key"
+            prefix = f"'{_rp}', " if _rp else ""
+            return f"concat({prefix}'[', {_a}.index, ']')"
+
+        res = re.sub(pat, _col, res, flags=re.I)
+    return res
 
 
 _QUALIFY_KW_RE = re.compile(r"\bQUALIFY\b", re.I)
