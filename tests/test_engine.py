@@ -1696,6 +1696,28 @@ def test_match_recognize_skip_to_next_row(engine, spark):
     assert out == [{"mn": 1, "s": 1, "e": 2}, {"mn": 2, "s": 3, "e": 4}]
 
 
+def test_datetime_probe_closures_r7(engine):
+    """r7 sweep-5 closures: TO_TIMESTAMP epoch forms — all-digit string
+    literal via Snowflake's magnitude heuristic (<=11 digits seconds,
+    <=14 ms, <=17 us, else ns) and the (value, scale) 2-arg form —
+    DATE_PART dayofyear/yearday aliases, and comma-separated multi-unit
+    INTERVAL strings."""
+    out = engine.execute(
+        "SELECT TO_TIMESTAMP('1700000000') AS a, "
+        "TO_TIMESTAMP('1700000000000') AS b, "
+        "TO_TIMESTAMP(1700000000000, 3) AS c, "
+        "TO_TIMESTAMP('1700000000123456', 6) AS d, "
+        "DATE_PART('dayofyear', '2024-03-15'::DATE) AS e, "
+        "'2024-01-01'::DATE + INTERVAL '1 year, 3 months' AS f"
+    ).to_pylist()[0]
+    assert str(out["a"]).startswith("2023-11-14 22:13:20")
+    assert str(out["b"]).startswith("2023-11-14 22:13:20")
+    assert str(out["c"]).startswith("2023-11-14 22:13:20")
+    assert ".123456" in str(out["d"])
+    assert out["e"] == 75
+    assert str(out["f"]) == "2025-04-01"
+
+
 def test_statement_probe_closures_r7(engine):
     """r7 statement-level probe closures: TRANSIENT tables (regular tables
     without fail-safe — a storage-tier distinction with no local analog),

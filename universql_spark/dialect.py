@@ -494,17 +494,58 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         "epoch_nanoseconds": "unix_micros(CAST({x} AS TIMESTAMP)) * 1000L",
     }
 
+    # Snowflake part aliases Spark's extract-field grammar doesn't accept
+    _PART_ALIASES = {"dayofyear": "doy", "yearday": "doy", "weekofyear": "week"}
+
     def date_part_rw(a: list[str]) -> str | None:
         if len(a) != 2:
             return None
         part = a[0].strip().strip("'").lower()
         if part in _EPOCH_PARTS:
             return _EPOCH_PARTS[part].format(x=a[1])
-        if re.fullmatch(r"[A-Za-z_]+", a[0].strip()):
-            return f"date_part('{a[0].strip()}', {a[1]})"
+        part = _PART_ALIASES.get(part, part)
+        if re.fullmatch(r"[A-Za-z_]+", a[0].strip().strip("'")):
+            return f"date_part('{part}', {a[1]})"
         return None
 
     sql = _rewrite_calls(sql, "date_part", date_part_rw)
+
+    # TO_TIMESTAMP epoch forms (r7 probe closures):
+    # - (numeric_or_digit_string, scale): value is seconds x 10^-scale
+    # - single all-digit LITERAL: Snowflake's magnitude heuristic
+    #   (<=11 digits seconds, <=14 ms, <=17 us, else ns)
+    # Column-typed single args keep Spark's cast semantics (the runtime
+    # auto-epoch of integer-like STRINGS is not decidable textually —
+    # documented standing divergence).
+    def _ts_epoch_rw(a: list[str]) -> str | None:
+        def emit(val: str, scale: int) -> str:
+            if scale <= 6:
+                return f"timestamp_micros(CAST({val} AS BIGINT) * {10 ** (6 - scale)})"
+            return f"timestamp_micros(CAST({val} AS BIGINT) DIV {10 ** (scale - 6)})"
+
+        if len(a) == 2 and re.fullmatch(r"[0-9]", a[1].strip()):
+            v = a[0].strip()
+            if re.fullmatch(r"-?[0-9]+", v) or re.fullmatch(r"'-?[0-9]+'", v):
+                return emit(v.strip("'"), int(a[1].strip()))
+            return None
+        if len(a) == 1:
+            m2 = re.fullmatch(r"'(-?[0-9]+)'", a[0].strip())
+            if m2:
+                digits = len(m2.group(1).lstrip("-"))
+                scale = 0 if digits <= 11 else 3 if digits <= 14 else 6 if digits <= 17 else 9
+                return emit(m2.group(1), scale)
+        return None
+
+    sql = _rewrite_calls(sql, "to_timestamp", _ts_epoch_rw)
+    sql = _rewrite_calls(sql, "try_to_timestamp", _ts_epoch_rw)
+
+    # Snowflake interval strings separate units with commas; Spark's
+    # multi-unit form is space-separated ('1 year, 3 months' -> '1 year 3 months')
+    sql = re.sub(
+        r"(?is)\bINTERVAL\s+'([^']*,[^']*)'",
+        lambda m: "INTERVAL '" + re.sub(r"\s*,\s*", " ", m.group(1)) + "'",
+        sql,
+    )
 
     # EXTRACT(epoch_* FROM expr) is SYNTAX (not a call), so the call
     # rewriter never sees it — paren-match it to the same unix_* mapping
