@@ -48,8 +48,60 @@ AUX_TABLES = ["events", "documents", "embeddings"]
 
 TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18_big_orders"]
 DOC_QUERIES_ORACLED = ["dedup_exact", "text_tfidf_topk"]
+CB_QUERIES = [
+    "cb_q00", "cb_q02", "cb_q04", "cb_q07", "cb_q09", "cb_q12", "cb_q15",
+    "cb_q18", "cb_q20", "cb_q27", "cb_q29", "cb_q32", "cb_q36", "cb_q42",
+]
 
 N_DOCS = 500_000
+N_EVENTS, N_USERS = 10_000_000, 150_000
+EVENTS10M = os.path.join(HERE, "data", "events_10m")
+
+
+def ensure_events10m() -> None:
+    """10M-row events fixture (10x the CORRECTNESS_SF1 events decade),
+    mirroring tools_scaling_llm.ensure_events' shape — same schema/domains/
+    props format, seed 424242 — written in 1M-row chunks so generation
+    stays under a few hundred MB of resident memory."""
+    if os.path.exists(os.path.join(EVENTS10M, "events.parquet")):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(EVENTS10M, exist_ok=True)
+    rng = np.random.default_rng(424242)
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    etypes = np.array(["click", "view", "purchase", "signup", "scroll"])
+    writer = None
+    chunk = 1_000_000
+    for start in range(0, N_EVENTS, chunk):
+        n = min(chunk, N_EVENTS - start)
+        ts = base_us + rng.integers(0, span_us, n)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(start, start + n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, N_USERS, n), pa.int64()),
+                "event_type": pa.array(etypes[rng.integers(0, 5, n)]),
+                "value": pa.array(rng.uniform(0, 1000, n).round(4), pa.float64()),
+                "props": pa.array(
+                    ['{"k": %d}' % k for k in rng.integers(0, 100, n)]
+                ),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(
+                f"{EVENTS10M}/events.parquet", t.schema
+            )
+        writer.write_table(t, row_group_size=1_048_576)
+        print(f"  events chunk {start + n}/{N_EVENTS}", flush=True)
+    writer.close()
+    for t in TPCH_TABLES + ["documents", "embeddings"]:
+        dst = f"{EVENTS10M}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
 
 
 def ensure_sf10() -> None:
@@ -187,6 +239,10 @@ def main() -> None:
     con = duck_connection(DOCS500K)
     for name in DOC_QUERIES_ORACLED:
         _hash_one(registry[name], name, spark, DOCS500K, con, out)
+    ensure_events10m()
+    con = duck_connection(EVENTS10M)
+    for name in CB_QUERIES:
+        _hash_one(registry[name], name, spark, EVENTS10M, con, out)
 
     # minhash wall-curve: oracle is O(n^2) — wall + pair count only
     from tools_scaling_llm import SF1 as LLM50K, ensure_fixture
@@ -202,7 +258,7 @@ def main() -> None:
     out["dedup_minhash_lsh_curve"] = curve
 
     summary = {
-        "hash_specs": len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED),
+        "hash_specs": len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED) + len(CB_QUERIES),
         "all_match": sum(1 for r in out.values() if r.get("hash_match")),
         "errors": sum(1 for r in out.values() if r.get("err")),
         "wall_sec": round(time.time() - t_start, 1),
