@@ -1696,6 +1696,25 @@ def test_match_recognize_skip_to_next_row(engine, spark):
     assert out == [{"mn": 1, "s": 1, "e": 2}, {"mn": 2, "s": 3, "e": 4}]
 
 
+def test_hash_binary_and_md5_halves_r7(engine):
+    """r7 sweep-6 closures: binary-returning hash variants (unhex of the
+    hex twins) and the MD5 unsigned 64-bit halves (DECIMAL(20,0) via conv)
+    — pinned against hashlib."""
+    import hashlib
+
+    out = engine.execute(
+        "SELECT SHA2_BINARY('x', 256) AS a, SHA1_BINARY('x') AS b, "
+        "MD5_BINARY('x') AS c, MD5_NUMBER_LOWER64('x') AS lo, "
+        "MD5_NUMBER_UPPER64('x') AS hi"
+    ).to_pylist()[0]
+    md5x = hashlib.md5(b"x").hexdigest()
+    assert bytes(out["a"]) == hashlib.sha256(b"x").digest()
+    assert bytes(out["b"]) == hashlib.sha1(b"x").digest()
+    assert bytes(out["c"]) == hashlib.md5(b"x").digest()
+    assert int(out["lo"]) == int(md5x[16:], 16)
+    assert int(out["hi"]) == int(md5x[:16], 16)
+
+
 def test_datetime_probe_closures_r7(engine):
     """r7 sweep-5 closures: TO_TIMESTAMP epoch forms — all-digit string
     literal via Snowflake's magnitude heuristic (<=11 digits seconds,

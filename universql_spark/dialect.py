@@ -408,6 +408,38 @@ def _rewrite_scalar_emulations(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "map_size", map_size_rw)
 
+    # binary-returning hash variants + MD5 64-bit halves (r7 probe
+    # closures): Spark's sha1/sha2/md5 return hex text, so BINARY = unhex;
+    # the MD5_NUMBER halves are unsigned 64-bit -> DECIMAL(20,0) via conv
+    # (conv parses hex as unsigned, exactly Snowflake's NUMBER rendering).
+    sql = _rewrite_calls(
+        sql, "sha1_binary", lambda a: f"unhex(sha1({a[0]}))" if len(a) == 1 else None
+    )
+    sql = _rewrite_calls(
+        sql,
+        "sha2_binary",
+        lambda a: f"unhex(sha2({a[0]}, {a[1] if len(a) == 2 else 256}))"
+        if len(a) in (1, 2)
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "md5_binary", lambda a: f"unhex(md5({a[0]}))" if len(a) == 1 else None
+    )
+    sql = _rewrite_calls(
+        sql,
+        "md5_number_lower64",
+        lambda a: f"CAST(conv(substring(md5({a[0]}), 17, 16), 16, 10) AS DECIMAL(20,0))"
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "md5_number_upper64",
+        lambda a: f"CAST(conv(substring(md5({a[0]}), 1, 16), 16, 10) AS DECIMAL(20,0))"
+        if len(a) == 1
+        else None,
+    )
+
     # MAP_KEYS over the same dual convention (r7 probe closure): struct-
     # built objects go through their JSON rendering; JSON-text objects
     # (PARSE_JSON / colon-path output) feed json_object_keys directly.
