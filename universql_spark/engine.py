@@ -1711,21 +1711,28 @@ class Engine:
                 stmt, re.I,
             )
             if tm:
+                # bare `TRUNCATE t` and IF EXISTS forms are valid Snowflake
+                # (r7 probe closure); dispatch per table kind like the
+                # column-lifecycle branch below
                 bn = bare_name(tm.group(2))
                 if bn in self.snap_tables:
                     self.snap_tables[bn].truncate()
                     self._refresh_snap_view(bn)
                     return _status(f"truncated iceberg {bn}")
-                # every other table kind (temp view-backed, plain v1):
-                # TRUNCATE == unconditional DELETE, which the DML layer
-                # already handles per table kind (r7 probe closure — the
-                # bare `TRUNCATE t` and IF EXISTS forms are valid Snowflake)
-                try:
-                    self.execute(f"DELETE FROM {tm.group(2)}")
-                except Exception:
+                is_view = bn in {
+                    t.name.lower()
+                    for t in self.spark.catalog.listTables()
+                    if t.isTemporary
+                }
+                if is_view:
+                    self.spark.table(bn).limit(0).createOrReplaceTempView(bn)
+                    return _status(f"truncated {bn}")
+                resolved = self._resolve_name(tm.group(2))
+                if not self.spark.catalog.tableExists(resolved):
                     if tm.group(1):  # IF EXISTS: missing table is fine
                         return _status(f"{bn} did not exist")
-                    raise
+                    raise QueryError(f"table {bn} does not exist", "02000")
+                self.spark.sql(f"TRUNCATE TABLE {resolved}")
                 return _status(f"truncated {bn}")
             om = re.match(
                 r"^\s*INSERT\s+OVERWRITE\s+INTO\s+([\w.\"]+)(.*)$", stmt, re.I | re.S
@@ -3898,9 +3905,13 @@ class Engine:
             except Exception as e:
                 # LOCATION_ALREADY_EXISTS: a previous process's in-memory
                 # catalog died but its managed-table directory survived.
-                # OR REPLACE owns the name, so reclaim the orphan location
-                # (exactly what a catalog-managed table format does) and retry.
-                if replace and "LOCATION_ALREADY_EXISTS" in str(e):
+                # The catalog is the source of truth on BOTH modes: under
+                # OR REPLACE we own the name, and under errorifexists the
+                # catalog-existence check already passed (or Spark would
+                # have raised TABLE_OR_VIEW_ALREADY_EXISTS instead) — so
+                # the location is an orphan either way. Reclaim and retry
+                # (exactly what a catalog-managed table format does).
+                if "LOCATION_ALREADY_EXISTS" in str(e):
                     lm = re.search(r"location 'file:([^']+)'", str(e))
                     if lm:
                         import shutil

@@ -120,6 +120,18 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
 def _replace_table(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     """Shadow-write + swap: never reads and overwrites the same files."""
     shadow = f"{table}__dml_shadow"
+    # crash recovery: a process killed mid-swap can leave the shadow's
+    # LOCATION on disk with no catalog entry — Spark then refuses the
+    # managed CTAS with LOCATION_ALREADY_EXISTS. An orphaned dir (location
+    # exists, catalog doesn't know the table) is safe to purge.
+    if not spark.catalog.tableExists(shadow):
+        import shutil  # noqa: PLC0415
+        from urllib.parse import urlparse  # noqa: PLC0415
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = urlparse(wh).path or wh
+        if loc:
+            shutil.rmtree(f"{loc.rstrip('/')}/{shadow.lower()}", ignore_errors=True)
     new_df.write.mode("overwrite").saveAsTable(shadow)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {shadow} RENAME TO {table}")
