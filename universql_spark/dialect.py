@@ -571,6 +571,10 @@ def _rewrite_scalar_emulations(sql: str) -> str:
     sql = _rewrite_calls(sql, "to_timestamp", _ts_epoch_rw)
     sql = _rewrite_calls(sql, "try_to_timestamp", _ts_epoch_rw)
 
+    # NTH_VALUE's FROM FIRST modifier is Spark's (only) default — strip it
+    # (FROM LAST has no Spark spelling: standing, COVERAGE.md)
+    sql = re.sub(r"(?is)\)\s*FROM\s+FIRST\s+(?=(?:IGNORE|RESPECT)\s+NULLS\b|OVER\b)", ") ", sql)
+
     # Snowflake interval strings separate units with commas; Spark's
     # multi-unit form is space-separated ('1 year, 3 months' -> '1 year 3 months')
     sql = re.sub(
