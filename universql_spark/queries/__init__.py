@@ -239,6 +239,9 @@ _GATE_PRIORITY: list[str] = [
     # Snowflake-verbatim MINHASH/COMBINE/APPROXIMATE_SIMILARITY, new r7
     # (XXH64 numpy oracle; displaces the unpivot_stack re-gate):
     "fn_minhash_verbatim",
+    # array/object CONSTANT syntax over table columns, new r7 (DuckDB
+    # parses the identical constants natively; displaces order_by_ordinal):
+    "adv_const_literals",
     # ---- re-gates: load-bearing greens filling the 50-slot window ----
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18_big_orders",
     "dedup_minhash_lsh", "ann_ivf_topk", "text_tfidf_topk", "join_asof",
@@ -248,9 +251,8 @@ _GATE_PRIORITY: list[str] = [
     "stream_tumbling_counts", "agg_grouping_id",
     "agg_percentile_within_group", "win_nth_value", "text_bm25_topk",
     "dedup_line_removal", "corpus_seqlen_histogram",
-    "order_by_ordinal",
     # ---- end of first-50 ----
-    "unpivot_stack",
+    "order_by_ordinal", "unpivot_stack",
     # round-6 window (all driver-green r6), kept next for deterministic
     # ordering:
     "corpus_source_quota", "text_char_entropy", "embed_matryoshka_recall",

@@ -221,6 +221,33 @@ def adv_variant_colon_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONST_LIT_ORACLE = """SELECT n_nationkey AS k,
+       to_json({'key': n_regionkey, 'tags': [n_nationkey, n_nationkey + 1]}) AS obj,
+       to_json([n_regionkey, 2, 3]) AS arr,
+       CAST([n_nationkey, 9, 10][2] AS BIGINT) AS el
+FROM nation ORDER BY k"""
+
+
+@register("adv_const_literals", _CONST_LIT_ORACLE, category="variant")
+def adv_const_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake array/object CONSTANT syntax ([..], {'k': v}) over table
+    columns through the dialect's char-scan rewrite (r7,
+    dialect._rewrite_const_literals), value-checked against DuckDB parsing
+    the IDENTICAL constants natively. GET is 0-based vs DuckDB's 1-based
+    subscript; JSON text of int arrays/objects is byte-identical."""
+    from universql_spark.dialect import snowflake_to_spark
+
+    return spark.sql(
+        snowflake_to_spark(
+            "SELECT n_nationkey AS k, "
+            "TO_JSON({'key': n_regionkey, 'tags': [n_nationkey, n_nationkey + 1]}) AS obj, "
+            "TO_JSON([n_regionkey, 2, 3]) AS arr, "
+            "CAST(GET([n_nationkey, 9, 10], 1) AS BIGINT) AS el "
+            "FROM nation ORDER BY k"
+        )
+    )
+
+
 _FLATTEN_REC_ORACLE = """WITH RECURSIVE src AS (
   SELECT n_nationkey AS id,
          '{"name": "' || n_name || '", "tags": [' || n_nationkey || ', {"r": ' || n_regionkey || '}]}' AS doc
