@@ -1184,6 +1184,32 @@ def test_flatten_seq_this_path_columns(engine):
     assert out == [{"p": "a", "v": "1"}]
 
 
+def test_flatten_shared_alias_across_blocks(engine):
+    """ADVICE r8 (medium): two FLATTENs in different query blocks sharing
+    an alias (both `f`) must resolve SEQ/THIS/PATH against their OWN raw
+    input. The old post-pass re.sub'd the whole statement per flatten, so
+    the first flatten's input leaked into the second UNION branch."""
+    engine.execute("CREATE OR REPLACE TEMP TABLE fshared AS "
+                   "SELECT PARSE_JSON('[1]') AS xs, PARSE_JSON('[9]') AS ys")
+    out = engine.execute(
+        "SELECT f.this AS t, f.value AS v FROM fshared, LATERAL FLATTEN(INPUT => xs) f "
+        "UNION ALL "
+        "SELECT f.this AS t, f.value AS v FROM fshared, LATERAL FLATTEN(INPUT => ys) f "
+        "ORDER BY v"
+    ).to_pylist()
+    assert out == [{"t": "[1]", "v": "1"}, {"t": "[9]", "v": "9"}]
+    # same-block references both before (SELECT list) and after (WHERE)
+    # the LATERAL still resolve when another same-alias flatten follows
+    out = engine.execute(
+        "SELECT f.path AS p FROM fshared, LATERAL FLATTEN(INPUT => xs) f "
+        "WHERE f.this IS NOT NULL "
+        "UNION ALL "
+        "SELECT f.path AS p FROM fshared, LATERAL FLATTEN(INPUT => ys) f "
+        "ORDER BY p"
+    ).to_pylist()
+    assert out == [{"p": "[0]"}, {"p": "[0]"}]
+
+
 def test_advice_r7_dialect_edges(engine):
     """ADVICE r7 low findings pinned:
 
@@ -1717,8 +1743,9 @@ def test_hash_binary_and_md5_halves_r7(engine):
 
 def test_datetime_probe_closures_r7(engine):
     """r7 sweep-5 closures: TO_TIMESTAMP epoch forms — all-digit string
-    literal via Snowflake's magnitude heuristic (<=11 digits seconds,
-    <=14 ms, <=17 us, else ns) and the (value, scale) 2-arg form —
+    literal via Snowflake's magnitude heuristic (VALUE-based per the docs,
+    fixed r8 per ADVICE: seconds below 31536000000, then ms/us/ns at each
+    further 10^3 — NOT digit counts) and the (value, scale) 2-arg form —
     DATE_PART dayofyear/yearday aliases, and comma-separated multi-unit
     INTERVAL strings."""
     out = engine.execute(
@@ -1727,7 +1754,11 @@ def test_datetime_probe_closures_r7(engine):
         "TO_TIMESTAMP(1700000000000, 3) AS c, "
         "TO_TIMESTAMP('1700000000123456', 6) AS d, "
         "DATE_PART('dayofyear', '2024-03-15'::DATE) AS e, "
-        "'2024-01-01'::DATE + INTERVAL '1 year, 3 months' AS f"
+        "'2024-01-01'::DATE + INTERVAL '1 year, 3 months' AS f, "
+        "TO_TIMESTAMP('50000000000') AS g, "
+        "TO_TIMESTAMP('31535999999') AS h, "
+        "TO_TIMESTAMP('50000000000000') AS i, "
+        "TO_TIMESTAMP('50000000000000000') AS j"
     ).to_pylist()[0]
     assert str(out["a"]).startswith("2023-11-14 22:13:20")
     assert str(out["b"]).startswith("2023-11-14 22:13:20")
@@ -1735,6 +1766,11 @@ def test_datetime_probe_closures_r7(engine):
     assert ".123456" in str(out["d"])
     assert out["e"] == 75
     assert str(out["f"]) == "2025-04-01"
+    # ADVICE r7 repro: 11-digit values at/above 31536000000 are MILLISECONDS
+    assert str(out["g"]).startswith("1971-08-02")   # 5e10 ms, not year 3554
+    assert str(out["h"]).startswith("2969-05-02")   # last seconds-band value
+    assert str(out["i"]).startswith("1971-08-02")   # 5e13 us
+    assert str(out["j"]).startswith("1971-08-02")   # 5e16 ns
 
 
 def test_statement_probe_closures_r7(engine):
@@ -3784,3 +3820,90 @@ def test_time_parts_codec_xmlget(engine):
 
     with _pytest.raises(Exception):
         engine.execute("SELECT COMPRESS('x', 'snappy')").to_pylist()
+
+
+def test_warehouse_guard_reclamation(engine, tmp_path):
+    """ADVICE r8 (medium): orphan-location reclamation must not delete a
+    directory another LIVE engine process may own. The pid registry under
+    {warehouse}/_live_pids decides: a foreign live pid blocks reclamation,
+    a dead pid's marker is pruned and reclamation proceeds."""
+    import os
+    import subprocess
+
+    from universql_spark import warehouse_guard as wg
+
+    wh = wg._warehouse_path(engine.spark)
+    # Engine.__init__ registered this process
+    assert os.path.exists(os.path.join(wh, wg.LIVE_DIR, str(os.getpid())))
+    victim = tmp_path / "victim_table"
+    victim.mkdir()
+    (victim / "part-0.parquet").write_bytes(b"x")
+    # a FOREIGN live engine (pid 1 is always alive) blocks reclamation
+    foreign = os.path.join(wh, wg.LIVE_DIR, "1")
+    open(foreign, "w").close()
+    try:
+        assert wg.reclaim_orphan(engine.spark, str(victim)) is False
+        assert victim.exists()
+    finally:
+        os.unlink(foreign)
+    # a DEAD pid's stale marker is pruned; sole-live-engine reclamation runs
+    p = subprocess.Popen(["true"])
+    p.wait()
+    stale = os.path.join(wh, wg.LIVE_DIR, str(p.pid))
+    open(stale, "w").close()
+    assert wg.reclaim_orphan(engine.spark, str(victim)) is True
+    assert not victim.exists()
+    assert not os.path.exists(stale)
+
+
+def test_dml_shadow_crash_recovery_qualified(engine):
+    """ADVICE r8 (medium): the shadow-swap DML path recovers from an
+    orphaned shadow LOCATION via the error-reported path — which is also
+    correct for qualified db.tbl names, where the old {warehouse}/{name}
+    join never matched the real managed location."""
+    import os
+    import shutil
+
+    engine.execute(
+        "CREATE OR REPLACE TABLE gdb.s.gt AS SELECT 1 AS id UNION ALL SELECT 2"
+    )
+    # plant an orphan where the qualified shadow's managed location lives:
+    # write the shadow once to learn the path, drop it, recreate dir junk
+    from universql_spark.engine_dml import _replace_table
+
+    spark = engine.spark
+    resolved = engine._resolve_name("gdb.s.gt")
+    spark.range(1).write.mode("overwrite").saveAsTable(f"{resolved}__dml_shadow")
+    loc = (
+        spark.sql(f"DESC FORMATTED {resolved}__dml_shadow")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+        .removeprefix("file:")
+    )
+    spark.sql(f"DROP TABLE {resolved}__dml_shadow")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "junk"), "w") as f:
+        f.write("orphan")
+    # UPDATE goes through the shadow swap (qualified targets skip snapshot
+    # adoption) and must recover from the orphan, not fail or mis-delete
+    engine.execute("UPDATE gdb.s.gt SET id = id + 10")
+    rows = sorted(r["id"] for r in engine.execute("SELECT id FROM gdb.s.gt").to_pylist())
+    assert rows == [11, 12]
+    engine.execute("DROP TABLE gdb.s.gt")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_insert_overwrite_atomic_on_failure(engine):
+    """ADVICE r8 (low): INSERT OVERWRITE INTO must leave prior data intact
+    when the source query fails (Snowflake's overwrite is atomic); the old
+    truncate-then-insert emulation left the table empty."""
+    import pytest as _pytest
+
+    engine.execute("CREATE OR REPLACE TABLE iovw_t AS SELECT 1 AS a, 'x' AS b")
+    with _pytest.raises(Exception):
+        engine.execute("INSERT OVERWRITE INTO iovw_t SELECT no_such_col FROM iovw_t")
+    assert engine.execute("SELECT * FROM iovw_t").to_pylist() == [{"a": 1, "b": "x"}]
+    # and the success path still fully replaces
+    engine.execute("INSERT OVERWRITE INTO iovw_t SELECT 9, 'z'")
+    assert engine.execute("SELECT * FROM iovw_t").to_pylist() == [{"a": 9, "b": "z"}]
+    engine.execute("DROP TABLE iovw_t")

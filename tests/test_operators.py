@@ -699,3 +699,29 @@ def test_pagerank_path_graph(spark):
     nodes2 = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
     r2 = {row["id"]: row["rank"] for row in pagerank(nodes2, edges, iters=5).collect()}
     assert abs(r2[4] - 0.15 / 4) < 1e-12
+
+
+def test_minhash_index_invalidated_by_data_rewrite(spark, tmp_path):
+    """ADVICE r8 (low): the write-once signature index must not outlive the
+    DATA it was built from. An in-place rewrite of the corpus parquet can
+    leave the plan's semanticHash unchanged (catalog tables key the plan on
+    the table identity, not the files) — the index key therefore folds in
+    _data_version (leaf file listing + mtime/size)."""
+    import time
+
+    p = str(tmp_path / "corpus")
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+    spark.createDataFrame(rows, "doc_id int, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    docs1 = spark.read.parquet(p)
+    pairs1 = dedup.minhash_lsh_pairs(docs1, threshold=0.8).count()
+    assert pairs1 == 8 * 7 // 2  # all-identical corpus: every pair survives
+    time.sleep(0.01)  # ensure mtime moves even on coarse filesystems
+    rows2 = [(i, f"utterly distinct text {i} {i * 7} {i * 13}") for i in range(8)]
+    spark.createDataFrame(rows2, "doc_id int, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    docs2 = spark.read.parquet(p)
+    pairs2 = dedup.minhash_lsh_pairs(docs2, threshold=0.8).count()
+    assert pairs2 == 0, "stale signature index served after data rewrite"

@@ -542,10 +542,13 @@ def _rewrite_scalar_emulations(sql: str) -> str:
 
     sql = _rewrite_calls(sql, "date_part", date_part_rw)
 
-    # TO_TIMESTAMP epoch forms (r7 probe closures):
+    # TO_TIMESTAMP epoch forms (r7 probe closures; thresholds fixed r8):
     # - (numeric_or_digit_string, scale): value is seconds x 10^-scale
-    # - single all-digit LITERAL: Snowflake's magnitude heuristic
-    #   (<=11 digits seconds, <=14 ms, <=17 us, else ns)
+    # - single all-digit LITERAL: Snowflake's documented magnitude
+    #   heuristic is VALUE-based, not digit-count-based — seconds below
+    #   31536000000 (milliseconds in a year), then ms / us / ns at each
+    #   further 10^3 (ADVICE r7: '50000000000' is 11 digits but >= the
+    #   bound, so it is MILLISECONDS — 1971, not year 3554)
     # Column-typed single args keep Spark's cast semantics (the runtime
     # auto-epoch of integer-like STRINGS is not decidable textually —
     # documented standing divergence).
@@ -563,8 +566,13 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         if len(a) == 1:
             m2 = re.fullmatch(r"'(-?[0-9]+)'", a[0].strip())
             if m2:
-                digits = len(m2.group(1).lstrip("-"))
-                scale = 0 if digits <= 11 else 3 if digits <= 14 else 6 if digits <= 17 else 9
+                v = abs(int(m2.group(1)))
+                scale = (
+                    0 if v < 31536000000
+                    else 3 if v < 31536000000000
+                    else 6 if v < 31536000000000000
+                    else 9
+                )
                 return emit(m2.group(1), scale)
         return None
 
@@ -2570,9 +2578,11 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
     The argument is paren-MATCHED, not regex-scanned, so nested calls like
     FLATTEN(input => split(f(x), ',')) rewrite correctly."""
     out: list[str] = []
-    #: (alias, 'OBJECT'|'ARRAY', raw input expr, PATH arg) per flatten —
+    #: (alias, 'OBJECT'|'ARRAY', raw input expr, PATH arg, end position of
+    #: the emitted LATERAL clause in the rewritten string) per flatten —
     #: consumed by the post-pass that resolves the SEQ/THIS/PATH columns
-    extras: list[tuple[str, str, str, str | None]] = []
+    extras: list[tuple[str, str, str, str | None, int]] = []
+    cum = 0  # length of "".join(out) so far — tracks rewrite positions
     i = 0
     while True:
         m = _FLATTEN_START_RE.search(sql, i)
@@ -2600,6 +2610,7 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
         if am and am.group(1).upper() not in _NOT_ALIAS_KWS:
             alias, j = am.group(1), am.end()
         out.append(sql[i : m.start()])
+        cum += m.start() - i
         if recursive:
             # Lateral-correlated Python UDTF (operators/flatten.py) — emits
             # (key, path, idx, value) for every element at every depth.
@@ -2615,8 +2626,11 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
             # under OUTER on empty input) comes for free next to VALUE
             fn = "posexplode_outer" if outer else "posexplode"
             out.append(f" LATERAL VIEW {fn}({input_expr}) {alias} AS index, value")
+        cum += len(out[-1])
         if not recursive:
-            extras.append((alias, "OBJECT" if obj_mode else "ARRAY", raw_input, raw_path))
+            extras.append(
+                (alias, "OBJECT" if obj_mode else "ARRAY", raw_input, raw_path, cum)
+            )
         i = j
     res = "".join(out)
     # Snowflake FLATTEN's remaining output columns, resolved ONLY where
@@ -2628,13 +2642,40 @@ def rewrite_flatten(sql: str, coerce_all: bool = False) -> str:
     # (Snowflake only promises uniqueness per input record — identical
     # inputs sharing a seq is the one divergence, documented in
     # COVERAGE.md). f.* keeps the (index|key, value) pair only.
-    for alias, mode_, raw, rpath in extras:
-        pat = rf"\b{re.escape(alias)}\s*\.\s*(seq|this|path)\b"
-        if not re.search(pat, res, flags=re.I):
-            continue
+    #
+    # Scoping: when two flattens in DIFFERENT query blocks share an alias
+    # (both named `f` in UNION branches, say), a statement-global re.sub
+    # would resolve both branches' f.this against the FIRST flatten's raw
+    # input. So substitution is dispatched by match POSITION: for an alias
+    # used by n>1 flattens, flatten k owns the region up to the block start
+    # of flatten k+1, approximated by the first SELECT keyword after
+    # flatten k's emitted LATERAL clause (references precede AND follow the
+    # LATERAL within a block, so the split must fall between blocks, not at
+    # the LATERAL itself). One combined re.sub over the final string keeps
+    # every recorded position valid — matching never sees shifted offsets.
+    if extras:
+        by_alias: dict[str, list[tuple[str, str, str, str | None, int]]] = {}
+        for rec in extras:
+            by_alias.setdefault(rec[0].lower(), []).append(rec)
+        #: alias(lower) -> (region split points, recs); regions[k] spans
+        #: [splits[k-1], splits[k]) with sentinel 0 / len(res) at the ends
+        regions: dict[str, tuple[list[int], list]] = {}
+        for key, group in by_alias.items():
+            splits = []
+            for rec in group[:-1]:
+                sm = re.compile(r"\bSELECT\b", re.I).search(res, rec[4])
+                splits.append(sm.start() if sm else len(res))
+            regions[key] = (splits, group)
+        alias_alt = "|".join(
+            sorted({re.escape(rec[0]) for rec in extras}, key=len, reverse=True)
+        )
+        pat = rf"\b({alias_alt})\s*\.\s*(seq|this|path)\b"
 
-        def _col(mm: re.Match, _a=alias, _m=mode_, _raw=raw, _rp=rpath) -> str:
-            col = mm.group(1).lower()
+        def _col(mm: re.Match) -> str:
+            splits, group = regions[mm.group(1).lower()]
+            k = sum(1 for s in splits if s <= mm.start())
+            _a, _m, _raw, _rp, _ = group[min(k, len(group) - 1)]
+            col = mm.group(2).lower()
             if col == "seq":
                 return f"abs(xxhash64({_raw}))"
             if col == "this":

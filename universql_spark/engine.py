@@ -374,6 +374,12 @@ class Engine:
         fallback: str | None = None,
     ):
         self.spark = spark or get_spark("universql_engine")
+        # record this process as live in the shared warehouse dir, so
+        # orphan-location reclamation (crash recovery) can tell a dead
+        # process's leftovers from another LIVE engine's tables (ADVICE r7)
+        from universql_spark import warehouse_guard  # noqa: PLC0415
+
+        warehouse_guard.register_process(self.spark)
         self.current_database: str | None = None
         self.current_schema: str | None = None
         #: name -> base URL/path, already in Spark-readable form (s3-> s3a
@@ -1462,14 +1468,17 @@ class Engine:
                 except Exception as e:
                     # same reclamation rule as the CTAS path: OR REPLACE owns
                     # the name, so an orphaned managed-table dir left by a
-                    # previous process's dead in-memory catalog is removed
+                    # previous process's dead in-memory catalog is removed —
+                    # but only when no OTHER live engine shares the warehouse
+                    # (warehouse_guard pid registry, ADVICE r7)
                     if replace and "LOCATION_ALREADY_EXISTS" in str(e):
-                        lm = re.search(r"location 'file:([^']+)'", str(e))
-                        if not lm:
-                            raise
-                        import shutil  # noqa: PLC0415
+                        from universql_spark import warehouse_guard  # noqa: PLC0415
 
-                        shutil.rmtree(lm.group(1), ignore_errors=True)
+                        lm = re.search(r"location 'file:([^']+)'", str(e))
+                        if not lm or not warehouse_guard.reclaim_orphan(
+                            self.spark, lm.group(1)
+                        ):
+                            raise
                         self.spark.sql(ddl)
                     else:
                         raise
@@ -1738,11 +1747,32 @@ class Engine:
                 r"^\s*INSERT\s+OVERWRITE\s+INTO\s+([\w.\"]+)(.*)$", stmt, re.I | re.S
             )
             if om:
-                # Snowflake INSERT OVERWRITE INTO: truncate, then the normal
-                # INSERT path (r7 probe closure). Two engine ops, same final
-                # state; the truncate respects each table kind above.
-                self.execute(f"TRUNCATE TABLE {om.group(1)}")
-                return self.execute(f"INSERT INTO {om.group(1)}{om.group(2)}")
+                # Snowflake INSERT OVERWRITE INTO is ATOMIC: a failing
+                # source query leaves the prior data intact. Emulation
+                # (ADVICE r7 — the old truncate-then-insert left the table
+                # EMPTY on failure): stage the new rows into a same-schema
+                # scratch table FIRST — this validates the source and
+                # materializes its rows — then truncate + copy from the
+                # staged parquet (already validated and typed, so the
+                # post-truncate window carries no query risk). Costs one
+                # extra write of the NEW rows only; overwrite batches are
+                # usually far smaller than the table they replace.
+                tgt = om.group(1)
+                staging = f"__iovw_{bare_name(tgt)}"
+                self.execute(
+                    f"CREATE OR REPLACE TABLE {staging} AS "
+                    f"SELECT * FROM {tgt} WHERE 1 = 0"
+                )
+                try:
+                    self.execute(f"INSERT INTO {staging}{om.group(2)}")
+                    self.execute(f"TRUNCATE TABLE {tgt}")
+                    out = self.execute(f"INSERT INTO {tgt} SELECT * FROM {staging}")
+                finally:
+                    try:
+                        self.execute(f"DROP TABLE IF EXISTS {staging}")
+                    except Exception:
+                        pass  # never mask the INSERT's own error
+                return out
             cm_sys = re.match(r"^\s*CALL\s+(SYSTEM\$\w+\s*\(.*\))\s*$", stmt, re.I | re.S)
             if cm_sys:
                 # system functions are CALLable in Snowflake; evaluate the
@@ -3634,10 +3664,13 @@ class Engine:
         self._reclaim_dropped(bn)
         if os.path.exists(root):
             # orphan from a previous process's in-memory catalog (same
-            # reclamation rule as the CTAS LOCATION_ALREADY_EXISTS path)
-            import shutil  # noqa: PLC0415
+            # reclamation rule as the CTAS LOCATION_ALREADY_EXISTS path:
+            # only when no other live engine shares the warehouse —
+            # a same-named snapshot root may be ANOTHER process's table)
+            from universql_spark import warehouse_guard  # noqa: PLC0415
 
-            shutil.rmtree(root, ignore_errors=True)
+            if not warehouse_guard.reclaim_orphan(self.spark, root):
+                return None  # leave DML on the safe shadow-swap path
         dest_dir = os.path.join(root, "data", "adopted-v1")
         os.makedirs(dest_dir, exist_ok=True)
         moved = []
@@ -3905,18 +3938,18 @@ class Engine:
             except Exception as e:
                 # LOCATION_ALREADY_EXISTS: a previous process's in-memory
                 # catalog died but its managed-table directory survived.
-                # The catalog is the source of truth on BOTH modes: under
-                # OR REPLACE we own the name, and under errorifexists the
-                # catalog-existence check already passed (or Spark would
-                # have raised TABLE_OR_VIEW_ALREADY_EXISTS instead) — so
-                # the location is an orphan either way. Reclaim and retry
-                # (exactly what a catalog-managed table format does).
+                # THIS process's catalog is not cross-process truth, though
+                # (ADVICE r7): another live engine sharing the warehouse
+                # dir may own that location right now, and reclaiming would
+                # delete its data. warehouse_guard's pid registry decides —
+                # reclaim + retry only when we are the sole live engine
+                # (the single-process crash-recovery UX, which is the
+                # common case); surface the original error otherwise.
                 if "LOCATION_ALREADY_EXISTS" in str(e):
-                    lm = re.search(r"location 'file:([^']+)'", str(e))
-                    if lm:
-                        import shutil
+                    from universql_spark import warehouse_guard  # noqa: PLC0415
 
-                        shutil.rmtree(lm.group(1), ignore_errors=True)
+                    lm = re.search(r"location 'file:([^']+)'", str(e))
+                    if lm and warehouse_guard.reclaim_orphan(self.spark, lm.group(1)):
                         writer.saveAsTable(resolved)
                     else:
                         raise

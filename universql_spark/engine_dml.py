@@ -119,20 +119,29 @@ def _split_assignments(s: str) -> list[tuple[str, str]]:
 
 def _replace_table(spark: SparkSession, table: str, new_df: DataFrame) -> None:
     """Shadow-write + swap: never reads and overwrites the same files."""
-    shadow = f"{table}__dml_shadow"
-    # crash recovery: a process killed mid-swap can leave the shadow's
-    # LOCATION on disk with no catalog entry — Spark then refuses the
-    # managed CTAS with LOCATION_ALREADY_EXISTS. An orphaned dir (location
-    # exists, catalog doesn't know the table) is safe to purge.
-    if not spark.catalog.tableExists(shadow):
-        import shutil  # noqa: PLC0415
-        from urllib.parse import urlparse  # noqa: PLC0415
+    from . import warehouse_guard  # noqa: PLC0415
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "")
-        loc = urlparse(wh).path or wh
-        if loc:
-            shutil.rmtree(f"{loc.rstrip('/')}/{shadow.lower()}", ignore_errors=True)
-    new_df.write.mode("overwrite").saveAsTable(shadow)
+    warehouse_guard.register_process(spark)
+    shadow = f"{table}__dml_shadow"
+    try:
+        new_df.write.mode("overwrite").saveAsTable(shadow)
+    except Exception as e:
+        # crash recovery: a process killed mid-swap leaves the shadow's
+        # LOCATION on disk with no catalog entry — Spark then refuses the
+        # managed write with LOCATION_ALREADY_EXISTS. Reclaim ONLY the
+        # error-reported location (correct for qualified db.tbl names,
+        # whose dir is not {warehouse}/{name}) and only when no OTHER live
+        # engine process shares this warehouse (ADVICE r7: the old
+        # unconditional pre-rmtree could delete a concurrent process's
+        # live table data).
+        lm = re.search(r"location 'file:([^']+)'", str(e))
+        if (
+            "LOCATION_ALREADY_EXISTS" not in str(e)
+            or not lm
+            or not warehouse_guard.reclaim_orphan(spark, lm.group(1))
+        ):
+            raise
+        new_df.write.mode("overwrite").saveAsTable(shadow)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {shadow} RENAME TO {table}")
 

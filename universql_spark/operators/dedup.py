@@ -20,6 +20,8 @@ no Python in the hot path. Scale behavior, operator by operator:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -356,6 +358,31 @@ _SIG_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 _SIG_INDEX_PATH: str | None = None
 
 
+def _data_version(docs: DataFrame) -> int:
+    """Content-version fingerprint of a corpus: its leaf input files plus
+    each file's (mtime, size). semanticHash alone keys the PLAN, and a
+    catalog table's plan hash survives an in-place data rewrite (ADVICE r7:
+    the engine's partition-granular COW DML writes new part-files into the
+    SAME table location, so a stale signature index would be served). Part-
+    file names change on every rewrite, so the sorted listing alone already
+    moves; stat() covers same-name truncate/append edges. Driver cost is
+    one (cached) file-index listing + local stats — sub-ms at bench scale,
+    one metadata round-trip per index build at cluster scale."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return 0
+    sig = []
+    for f in sorted(files):
+        p = f.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((f, 0, 0))
+    return hash(tuple(sig))
+
+
 def _cleanup_sig_index_dir() -> None:
     import shutil  # noqa: PLC0415
 
@@ -409,7 +436,7 @@ def minhash_lsh_pairs(
     # shingle set -> banded self-join -> exact verify).
     spark = docs.sparkSession
     try:
-        ikey = (docs.semanticHash(), n, num_perm, text_col, id_col)
+        ikey = (docs.semanticHash(), _data_version(docs), n, num_perm, text_col, id_col)
     except Exception:
         ikey = None
     sigsh = _SIG_INDEX_CACHE.get(ikey) if (materialize and ikey is not None) else None

@@ -551,8 +551,14 @@ def ivf_train_sample(
     to the lowest index, empty cells keep their centroid)."""
     import numpy as np  # noqa: PLC0415
 
+    from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
+
     try:
-        key = (corpus.semanticHash(), n_cells, iters, n_train, id_col, vec_col)
+        # _data_version: an in-place corpus rewrite keeps a catalog table's
+        # plan hash — stale centroids would silently skew every probe
+        # (same ADVICE-r7 fix as the MinHash signature index)
+        key = (corpus.semanticHash(), _data_version(corpus),
+               n_cells, iters, n_train, id_col, vec_col)
     except Exception:
         key = None
     if key is not None and key in _IVF_TRAIN_CACHE:
@@ -609,8 +615,11 @@ def ivf_topk(
         corpus, n_cells, iters, id_col=id_col, vec_col=vec_col
     )
     v = _as_double(F.col(vec_col))
+    from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
+
     try:
-        ikey = (corpus.semanticHash(), n_cells, iters, id_col, vec_col)
+        ikey = (corpus.semanticHash(), _data_version(corpus),
+                n_cells, iters, id_col, vec_col)
     except Exception:
         ikey = None
     index = _IVF_INDEX_CACHE.get(ikey) if ikey is not None else None
