@@ -13,13 +13,19 @@ calibration and the overhead decomposition):
 
   queries / value (HEADLINE) — best-of-N FULL executions: fresh DataFrame
     each run (fresh plan + every stage re-executed). At sf0.1 this carries a
-    fixed ~0.2-0.5s/query plan+scheduling constant that is data-volume-
+    fixed ~0.1-0.2s/query plan+scheduling constant that is data-volume-
     independent (same ~0.3s at sf0.001), i.e. it vanishes relative to work
     at 100 TB. The r2 single-row-group scan-parallelism penalty is gone:
     registration ingests single-row-group fixtures into the engine's
     resident multi-file layout once during warmup (session._resident_path,
     BENCH_NOTES item 3 — disclosed, value-identical, the 191-spec local
-    gate runs on the same layout), so scans parallelize.
+    gate runs on the same layout), so scans parallelize. r8: the timed
+    replan runs start only after the cold pass has covered the WHOLE
+    suite — interleaving each query's timed runs with its own first
+    execution measured the JVM's C2 compiler mid-flight (r7's
+    unreproducible 5.7-9.4 s epoch band was mostly this), exactly what
+    ClickBench's warm-server best-of-3 protocol avoids. The cold tier
+    still records the true first execution of every query.
   prepared_queries — hot executions of a PREPARED query: DataFrame built
     once (parse + analysis amortized — the Engine.prepare model), each timed
     rep re-collects. The closest analog of the reference's published hot
@@ -66,25 +72,48 @@ def main() -> None:
             spark.table(t.name).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    replan: dict[str, float] = {}
-    prepared: dict[str, float] = {}
+    load_in = os.getloadavg()
+    # COLD PASS over the whole suite first: records each query's true first
+    # execution (plan + codegen compile + first-touch), and — completing
+    # before any timed run — gives the JVM's background C2 compiler the
+    # full suite's generated code up front. Timing each query's replan runs
+    # back-to-back with its own first execution measured compilation, not
+    # the engine (r7's 5.7-9.4 s "machine epochs" were largely this).
     cold: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).toArrow()
+        cold[name] = round(time.perf_counter() - t0, 4)
+    # steady-state ramp: two more untimed full passes. Measured pass curve
+    # on an idle box (BENCH_NOTES r8): per-pass suite totals 22.8 (cold) ->
+    # 11.1 -> ~10 flat; per-query best-of-3 keeps falling until each query
+    # has executed ~5 times (7.6 -> 5.2-5.5 s Σ27) because HotSpot's C2
+    # compiles the hot paths asynchronously across executions. A long-lived
+    # engine (and the reference's warm-server ClickBench protocol) runs in
+    # that regime; timing the C2 ramp instead was most of r7's
+    # unreproducible 5.7-9.4 s epoch spread.
+    warm_passes = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2"))
+    for _ in range(warm_passes):
+        for spec in bench_specs.values():
+            spec.spark(spark, sf_dir).toArrow()
+
+    replan: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    prepared: dict[str, float] = {}
     for name, spec in bench_specs.items():
         # Result materialization is df.toArrow() — the engine's actual
         # result edge (Engine/protocol results are Arrow tables, like the
         # reference's Arrow IPC responses). Row-object collect() measured
         # 15-90 ms/query of Py4J row deserialization the product never
         # pays (BENCH_NOTES r6).
-        best = float("inf")
-        for r in range(runs):
+        ss: list[float] = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)
             df.toArrow()
-            dur = time.perf_counter() - t0
-            if r == 0:
-                cold[name] = round(dur, 4)
-            best = min(best, dur)
-        replan[name] = round(best, 4)
+            ss.append(round(time.perf_counter() - t0, 4))
+        samples[name] = ss  # every sample recorded: epochs stay auditable
+        replan[name] = min(ss)
         # prepared/hot tier: same DataFrame, plan amortized, best-of-N
         # (N>=3: each rep is ~0.1s, and best-of-3 rides out scheduler noise)
         best_hot = float("inf")
@@ -106,6 +135,13 @@ def main() -> None:
                 "prepared_queries": prepared,
                 "cold_total": round(sum(cold.values()), 4),
                 "cold_queries": cold,
+                # audit trail (VERDICT r7 #2): every replan sample, run
+                # count, and the 1/5/15-min load entering + leaving — a
+                # reading from a loaded box is visible as such in the JSON
+                "replan_samples": samples,
+                "runs_per_query": runs,
+                "load_avg_in": [round(x, 2) for x in load_in],
+                "load_avg_out": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -90,16 +90,17 @@ _DUCK_COS_AB = (
 @register(
     "dedup_exact",
     """SELECT md5(lower(trim(text))) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-FROM documents GROUP BY md5(lower(trim(text))) ORDER BY content_hash""",
+FROM documents GROUP BY md5(lower(trim(text)))""",
     bench=True,
     category="dedup",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy with min-id survivor (operators/dedup.py).
-    No final ORDER BY (r7, same rationale as the r5/r6 pair/topk/window
-    opt-outs): the gate compares order-insensitively and the survivor map
-    feeds dedup joins, never presentation; the global sort cost a range
-    exchange + input-sampling job (pure fixed cost at any scale)."""
+    No final ORDER BY on EITHER side (Spark r7, oracle r8 — VERDICT r7
+    sort-symmetry nit): the gate compares order-insensitively and the
+    survivor map feeds dedup joins, never presentation; the global sort
+    cost a range exchange + input-sampling job (pure fixed cost at any
+    scale)."""
     return dedup.exact_groups(spark.table("documents"))
 
 
@@ -531,14 +532,15 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tokens",
     f"""SELECT doc_id, {_duck_token_count('text')} AS n_tokens,
        len(list_distinct({_duck_tokens('text')})) AS n_distinct
-FROM documents ORDER BY doc_id""",
+FROM documents""",
     bench=True,
     category="text",
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token + distinct-token counts per document. No final ORDER BY (r7,
-    the standing sort opt-out): per-doc token counts feed budget joins,
-    never presentation, and the gate compares order-insensitively."""
+    """Token + distinct-token counts per document. No final ORDER BY on
+    EITHER side (Spark r7, oracle r8 — VERDICT r7 sort-symmetry nit):
+    per-doc token counts feed budget joins, never presentation, and the
+    gate compares order-insensitively."""
     d = spark.table("documents")
     return d.select(
         "doc_id",

@@ -114,8 +114,14 @@ def get_spark(
         # task-count-dominated): 4m/128k beats the r3-chosen 2m/64k by 17%
         # on a 15-query probe (6.18 vs 7.48 s) by halving scan task counts;
         # shuffle.partitions stays 8 (4 regressed the CPU-bound operators).
+        # r8: openCost raised 128k -> 2m so each ~1-2 MB resident file costs
+        # a full half-bin — packing then assigns ONE file per task and every
+        # resident scan fans out to all 32 files ≙ 32 cores (at 128k, two
+        # files packed per task left half the cores idle on the CPU-bound
+        # scans; interleaved A/B at sf0.1: −0.3 s suite, biggest wins on
+        # scan-heavy cb_q*). Cluster guidance unchanged: keep defaults there.
         .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "128k")
+        .config("spark.sql.files.openCostInBytes", "2m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
