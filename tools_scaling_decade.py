@@ -121,6 +121,11 @@ def ensure_sf10() -> None:
     overrides = {
         "n_name": "'NATION_' || CAST(n_nationkey AS VARCHAR)",
         "p_type": "split_part(p_type, ' ', 1)",
+        # fixture p_name is an 8x8 adjective-noun vocabulary ('small ring');
+        # key-derived remap keeps q20's LIKE 'small%' ~1/8-selective at
+        # every scale (dbgen's color-list names never match it — the r7
+        # sf1 gate's tpch_q20_supply row was empty for exactly this reason)
+        "p_name": "list_value('small','hot','red','blue','large','old','cold','new')[(p_partkey % 8) + 1] || ' ' || list_value('widget','plate','gear','bolt','rod','ring','gizmo','anvil')[((p_partkey // 8) % 8) + 1]",
     }
     for t in TPCH_TABLES:
         cols = con.execute(f"DESCRIBE SELECT * FROM '{SF01}/{t}.parquet'").fetchall()

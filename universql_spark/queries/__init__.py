@@ -215,6 +215,19 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
+    # ---- round-8 head: specs whose behavior or oracle changed this round,
+    # plus the two freshly golden-value-oracled specs (VERDICT r7 #4 —
+    # these two previously recorded `no_oracle` forever; their driver rows
+    # should now be hash-green):
+    "fn_minhash_verbatim", "agg_linear_count_distinct",
+    # predicate/fraction changes de-emptying the sf1 gate (VERDICT r7 #3):
+    "tpch_q10_returns", "tpch_q11_important", "tpch_q20_supply",
+    # oracle ORDER BY dropped for sort symmetry (VERDICT r7 'wrong' #3):
+    "dedup_exact", "text_tokens",
+    # index caches now fold a data-version into their keys (ADVICE r7):
+    "dedup_minhash_lsh", "ann_ivf_topk", "ann_cosine_topk",
+    # dialect ring touched (FLATTEN alias scoping + epoch thresholds):
+    "adv_flatten_recursive", "adv_variant_colon_path", "fn_datetime_parts_ext",
     # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
     # with no driver evidence of any kind (local-green since late r6) lead,
     # closing cumulative driver coverage at 271/271; then embed_pca_project

@@ -1501,7 +1501,45 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_pairs(batch, corpus, threshold=0.8)
 
 
-@register("fn_minhash_verbatim", None, category="dedup")
+#: GOLDEN-VALUE ORACLE (r8, VERDICT r7 #4): DuckDB cannot evaluate Spark's
+#: xxhash64 chain, so the expected row is PINNED as literals derived from
+#: the independent numpy/XXH64 oracle in tests/compare.py
+#: (py_oracle_fn_minhash_verbatim — bit-exact portable XXH64, maintained
+#: and cross-checked locally every round). Scale-pinned: the branch is
+#: selected by the fixture's lineitem count (6,000 = sf0.001 pytest gate,
+#: 60,000 = sf0.01 driver/local gate; documents is 500 rows at BOTH, so
+#: it cannot serve as the probe). Any other scale yields zero oracle rows
+#: — an HONEST mismatch, never a silent pass.
+_MINHASH_GOLD_SF0001 = (
+    "[-9212357877603264758,-9219084097645173735,-9194831892695583804,"
+    "-9147575738739725478,-9190881652668123776,-9203808277192722968,"
+    "-9176935881623090456,-9217276455331421372,-9216089129918997574,"
+    "-9217420067250681168,-9155040913940038209,-9208320019189403960,"
+    "-9201284126569924075,-9211675487285050127,-9202183483928173424,"
+    "-9219588591833606885]"
+)
+_MINHASH_GOLD_SF001 = (
+    "[-9214247210413733691,-9172539834372508711,-9200407691047257113,"
+    "-9182360672969259192,-9218309677971152996,-9204998408819317348,"
+    "-9219549513508770738,-9124543057098911439,-9190918539490421522,"
+    "-9216861509526230346,-9220797250358633182,-9215275420088208755,"
+    "-9187794582867772813,-9201673101075473683,-9160347740799291872,"
+    "-9219358056551921470]"
+)
+
+
+@register(
+    "fn_minhash_verbatim",
+    f"""SELECT combined, sim, n_groups FROM (
+  SELECT '{_MINHASH_GOLD_SF0001}' AS combined,
+         CAST(0.0 AS DOUBLE) AS sim, CAST(5 AS BIGINT) AS n_groups
+  WHERE (SELECT count(*) FROM lineitem) = 6000
+  UNION ALL
+  SELECT '{_MINHASH_GOLD_SF001}', CAST(0.0 AS DOUBLE), CAST(5 AS BIGINT)
+  WHERE (SELECT count(*) FROM lineitem) = 60000
+)""",
+    category="dedup",
+)
 def fn_minhash_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake's OWN sketch spellings — MINHASH(k, e) aggregate,
     MINHASH_COMBINE (lossless elementwise-min union), and the
@@ -1510,7 +1548,10 @@ def fn_minhash_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches over documents.text, combined and estimated in one statement.
     Numpy-oracled: tests/compare.py's portable XXH64 re-derives every
     sketch value bit-for-bit (the same xxhash64(i, xxhash64(text)) chain
-    the rewrite emits). Sketch array emitted as TO_JSON per convention #6."""
+    the rewrite emits). Sketch array emitted as TO_JSON per convention #6.
+    r8: the numpy oracle's (deterministic, scale-pinned) output is ALSO
+    pinned as a golden-value DuckDB oracle so the driver gate records a
+    value-verified row (provenance in the oracle SQL's comment above)."""
     from universql_spark.engine import Engine
 
     eng = Engine(spark=spark)
@@ -2690,9 +2731,28 @@ def corpus_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_linear_count_distinct",
-    None,  # bitmap membership is xxhash64-dependent; python oracle in
-    # tests/compare.py (PY_ORACLES) rebuilds the bitmap with the portable
-    # XXH64 — n_set_bits matches exactly, the estimate deterministically.
+    # GOLDEN-VALUE ORACLE (r8, VERDICT r7 #4): bitmap membership is
+    # xxhash64-dependent, so the expected rows are pinned as literals
+    # derived from the independent numpy/XXH64 oracle
+    # (tests/compare.py py_oracle_agg_linear_count_distinct), branch
+    # selected by the fixture's lineitem count (6,000 = sf0.001 pytest
+    # gate, 60,000 = sf0.01 driver/local gate). Any other scale returns
+    # zero oracle rows — an honest mismatch, never a silent pass.
+    """SELECT flag, n_set_bits, lc_estimate, exact_distinct FROM (
+  SELECT * FROM (VALUES
+    ('A', CAST(200 AS BIGINT), CAST(200 AS BIGINT), CAST(200 AS BIGINT)),
+    ('N', CAST(200 AS BIGINT), CAST(200 AS BIGINT), CAST(200 AS BIGINT)),
+    ('R', CAST(200 AS BIGINT), CAST(200 AS BIGINT), CAST(200 AS BIGINT))
+  ) t(flag, n_set_bits, lc_estimate, exact_distinct)
+  WHERE (SELECT count(*) FROM lineitem) = 6000
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('A', CAST(1973 AS BIGINT), CAST(2003 AS BIGINT), CAST(2000 AS BIGINT)),
+    ('N', CAST(1973 AS BIGINT), CAST(2003 AS BIGINT), CAST(2000 AS BIGINT)),
+    ('R', CAST(1973 AS BIGINT), CAST(2003 AS BIGINT), CAST(2000 AS BIGINT))
+  ) t2(flag, n_set_bits, lc_estimate, exact_distinct)
+  WHERE (SELECT count(*) FROM lineitem) = 60000
+)""",
     category="agg",
     doc="linear-counting distinct sketch (Whang et al. 1990): fixed 64 Kbit "
         "bitmap per group, est = -m ln(1 - n_set/m) — the third mergeable "

@@ -180,15 +180,20 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     category="tpch",
 )
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned-item reporting: fact->dim joins + top-k on aggregate."""
+    """Returned-item reporting: fact->dim joins + top-k on aggregate.
+
+    Window widened to 1993-10-01..1997-01-01 (r8, VERDICT r7 #3): dbgen
+    correlates R/A return flags with receipt dates before mid-1995 while
+    the driver fixture's R-flags populate 1996 — the old 1996Q4 window made
+    the sf1 gate's row an empty-vs-empty match."""
     orders = spark.table("orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1993-10-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
@@ -523,7 +528,7 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_7'
 GROUP BY l_partkey
 HAVING SUM(CAST(l_extendedprice AS DECIMAL(28,6))) > (
-    SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 0.0008
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 0.0001
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_7')
@@ -540,6 +545,11 @@ def tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global total; the threshold comparison stays in exact DECIMAL on both
     engines so boundary parts can't flip on FP noise. The 1-row total is a
     broadcast — no second shuffle.
+
+    Fraction 0.0001 (r8, VERDICT r7 #3) — TPC-H q11's canonical numerator
+    at SF=1: the old 0.0008 exceeded every per-part share at sf1 (max
+    0.000166 of the nation total), making the sf1 gate's row vacuously
+    empty; 0.0001 is non-vacuous at sf0.01, sf1, and sf10.
     """
     nation = spark.table("nation").filter(F.col("n_name") == "NATION_7")
     supp = spark.table("supplier").join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -548,7 +558,7 @@ def tpch_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = base.groupBy("l_partkey").agg(
         F.expr("SUM(CAST(l_extendedprice AS DECIMAL(28,6)))").alias("_value_dec")
     )
-    total = base.agg(F.expr("SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 0.0008").alias("_threshold"))
+    total = base.agg(F.expr("SUM(CAST(l_extendedprice AS DECIMAL(28,6))) * 0.0001").alias("_threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("_value_dec") > F.col("_threshold"))
