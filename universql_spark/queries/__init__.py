@@ -220,6 +220,9 @@ _GATE_PRIORITY: list[str] = [
     # these two previously recorded `no_oracle` forever; their driver rows
     # should now be hash-green):
     "fn_minhash_verbatim", "agg_linear_count_distinct",
+    # six more golden-value conversions (tools_golden_oracles.py):
+    "embed_cluster_profile", "text_bpe_merges", "dedup_simhash",
+    "text_cms_heavy_hitters", "dedup_incremental_index", "embed_hard_negatives",
     # predicate/fraction changes de-emptying the sf1 gate (VERDICT r7 #3):
     "tpch_q10_returns", "tpch_q11_important", "tpch_q20_supply",
     # oracle ORDER BY dropped for sort symmetry (VERDICT r7 'wrong' #3):

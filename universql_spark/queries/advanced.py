@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from universql_spark.operators import temporal
+from universql_spark.queries.golden_oracles import GOLDEN
 from universql_spark.queries import register, register_sql
 from universql_spark.queries.clickbench import dsum
 
@@ -463,7 +464,7 @@ def adv_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_cluster_profile", None, category="similarity")
+@register("embed_cluster_profile", GOLDEN["embed_cluster_profile"], category="similarity")
 def embed_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster profile over the k-means(8, 4 iters) assignments:
     member count + exact total within-cluster distance (dist2 rounded to

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from universql_spark.operators import dedup, multimodal, similarity, textops
+from universql_spark.queries.golden_oracles import GOLDEN
 from universql_spark.queries import register, register_sql
 
 # ---------------------------------------------------------------------------
@@ -220,7 +221,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("total_tokens", F.col("total_tokens").cast("long")).orderBy("doc_id")
 
 
-@register("dedup_simhash", None, category="dedup")
+@register("dedup_simhash", GOLDEN["dedup_simhash"], category="dedup")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming<=3). No SQL oracle: the 64-bit
     signature depends on Spark's xxhash64; tests check recall vs jaccard."""
@@ -1478,7 +1479,8 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_index",
-    None,
+    GOLDEN["dedup_incremental_index"],  # golden-value oracle, r8 (see
+    # tools_golden_oracles.py provenance chain)
     category="dedup",
     doc="incremental MinHash dedup against a signature index: new-batch "
         "pairs only (new x new + new x corpus, never corpus x corpus); "
@@ -1944,9 +1946,12 @@ def dedup_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_cms_heavy_hitters",
-    None,  # sketch estimates are not SQL-expressible; python oracle in
+    # sketch estimates are not SQL-expressible; the python oracle in
     # tests/compare.py (PY_ORACLES) rebuilds the sketch with the portable
-    # XXH64 and matches exact/est/overcount byte-for-byte.
+    # XXH64 and matches exact/est/overcount byte-for-byte — r8: its answer
+    # is pinned as a golden-value DuckDB oracle (tools_golden_oracles.py)
+    # so the driver gate records a value-verified row.
+    GOLDEN["text_cms_heavy_hitters"],
     category="text",
     doc="count-min sketch token frequencies (Cormode & Muthukrishnan 2005): "
         "w=32 x d=4 mergeable sketch over the corpus token stream, probe "
@@ -2542,7 +2547,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_merges",
-    None,
+    GOLDEN["text_bpe_merges"],  # golden-value oracle, r8
     category="text",
     doc="distributed BPE tokenizer training: 8 merge rounds over the "
         "corpus word histogram (operators/bpe.py); python-oracled in the "
@@ -3040,7 +3045,7 @@ ORDER BY id_a, id_b""",
 
 @register(
     "embed_hard_negatives",
-    None,
+    GOLDEN["embed_hard_negatives"],  # golden-value oracle, r8
     category="embedding",
     doc="hard-negative mining for contrastive training: per query, top-2 "
     "most-cosine-similar vectors with a DIFFERENT label (probes "
