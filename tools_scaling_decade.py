@@ -345,14 +345,19 @@ FROM events"""
 
 
 def _naive(rows):
-    """tz-aware -> naive timestamps (Spark emits UTC-aware Arrow, DuckDB
-    naive — equal instants that compare unequal, determinism convention #2;
-    verbatim text can't be rewritten, so the comparator normalizes)."""
+    """Cross-engine TYPE-class normalization for verbatim text (which can't
+    be rewritten to the determinism conventions): tz-aware -> naive
+    timestamps (convention #2), and integral Decimals -> int (DuckDB's
+    SUM(INT) widens to HUGEINT and arrives as Decimal; Spark's stays
+    BIGINT — same value, different arrow type)."""
     import datetime
+    import decimal
 
     def fix(v):
         if isinstance(v, datetime.datetime) and v.tzinfo is not None:
             return v.replace(tzinfo=None)
+        if isinstance(v, decimal.Decimal):
+            return int(v) if v == v.to_integral_value() else float(v)
         return v
 
     return [tuple(fix(v) for v in r) for r in rows]
@@ -393,7 +398,8 @@ def run_verbatim_decade(spark, out: dict) -> None:
         name = f"verbatim_q{i:02d}"
         rec = {"hash_match": None, "rows_match": None, "spark_rows": None,
                "oracle_rows": None, "spark_sec": None, "duck_sec": None,
-               "boundary_tie": False, "err": None}
+               "boundary_tie": False, "fp_ulp": False,
+               "unordered_limit": False, "err": None}
         try:
             t0 = time.perf_counter()
             s_tbl = eng.execute(q)
@@ -411,7 +417,33 @@ def run_verbatim_decade(spark, out: dict) -> None:
             # column names differ (unaliased aggregates render per-engine);
             # verbatim compare is positional on sorted row tuples
             rec["hash_match"] = sorted(map(repr, s_rows)) == sorted(map(repr, d_rows))
-            if not rec["hash_match"] and rec["rows_match"] and " LIMIT " in q.upper():
+            qup = q.upper()
+            if not rec["hash_match"] and rec["rows_match"]:
+                # expected-divergence diagnoses for verbatim text (the
+                # adapted cb_q* specs remove each with a convention):
+                # (a) raw SUM(double): FP addition is not associative —
+                #     Spark sums in partition order, DuckDB in its own;
+                #     equal to within ULPs (determinism convention #1)
+                if " LIMIT " not in qup or " ORDER BY " in qup:
+                    import math
+
+                    def _close(a, b):
+                        if isinstance(a, float) and isinstance(b, float):
+                            return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+                        return repr(a) == repr(b)
+
+                    sa = sorted(s_rows, key=repr)
+                    sb = sorted(d_rows, key=repr)
+                    rec["fp_ulp"] = all(
+                        len(ra) == len(rb) and all(map(_close, ra, rb))
+                        for ra, rb in zip(sa, sb)
+                    )
+                # (b) LIMIT with no ORDER BY: each engine returns an
+                #     arbitrary row subset — underdetermined by the SQL
+                elif " ORDER BY " not in qup:
+                    rec["unordered_limit"] = True
+            if not rec["hash_match"] and rec["rows_match"] and not rec["fp_ulp"] \
+                    and not rec["unordered_limit"] and " LIMIT " in qup:
                 # boundary-tie diagnosis: same multiset of numeric values
                 # per column position EXCEPT the free (untied) key columns —
                 # approximated as: every column's sorted multiset matches
@@ -437,6 +469,13 @@ def run_verbatim_decade(spark, out: dict) -> None:
         "total": len(queries),
         "hash_match": sum(1 for r in verb.values() if r["hash_match"]),
         "boundary_tie": sum(1 for r in verb.values() if r["boundary_tie"]),
+        "fp_ulp": sum(1 for r in verb.values() if r["fp_ulp"]),
+        "unordered_limit": sum(1 for r in verb.values() if r["unordered_limit"]),
+        "unexplained": sum(
+            1 for r in verb.values()
+            if not (r["hash_match"] or r["boundary_tie"] or r["fp_ulp"]
+                    or r["unordered_limit"] or r["err"])
+        ),
         "errors": sum(1 for r in verb.values() if r["err"]),
         "queries": verb,
     }
@@ -499,6 +538,9 @@ def main() -> None:
         "errors": sum(1 for r in out.values() if r.get("err")),
         "verbatim_hash_match": out.get("verbatim_10m", {}).get("hash_match"),
         "verbatim_boundary_tie": out.get("verbatim_10m", {}).get("boundary_tie"),
+        "verbatim_fp_ulp": out.get("verbatim_10m", {}).get("fp_ulp"),
+        "verbatim_unordered_limit": out.get("verbatim_10m", {}).get("unordered_limit"),
+        "verbatim_unexplained": out.get("verbatim_10m", {}).get("unexplained"),
         "verbatim_errors": out.get("verbatim_10m", {}).get("errors"),
         "wall_sec": round(time.time() - t_start, 1),
     }
