@@ -3822,7 +3822,7 @@ def test_time_parts_codec_xmlget(engine):
         engine.execute("SELECT COMPRESS('x', 'snappy')").to_pylist()
 
 
-def test_warehouse_guard_reclamation(engine, tmp_path):
+def test_warehouse_guard_reclamation(engine, tmp_path, monkeypatch):
     """ADVICE r8 (medium): orphan-location reclamation must not delete a
     directory another LIVE engine process may own. The pid registry under
     {warehouse}/_live_pids decides: a foreign live pid blocks reclamation,
@@ -3832,9 +3832,15 @@ def test_warehouse_guard_reclamation(engine, tmp_path):
 
     from universql_spark import warehouse_guard as wg
 
-    wh = wg._warehouse_path(engine.spark)
-    # Engine.__init__ registered this process
-    assert os.path.exists(os.path.join(wh, wg.LIVE_DIR, str(os.getpid())))
+    # Engine.__init__ registered this process in the REAL warehouse
+    real_wh = wg._warehouse_path(engine.spark)
+    assert os.path.exists(os.path.join(real_wh, wg.LIVE_DIR, str(os.getpid())))
+    # ...but assert reclamation against an ISOLATED registry: the real
+    # shared warehouse may legitimately hold other live engines when
+    # suites/tools run concurrently (the exact situation the guard is for)
+    wh = str(tmp_path / "isolated_warehouse")
+    os.makedirs(os.path.join(wh, wg.LIVE_DIR), exist_ok=True)
+    monkeypatch.setattr(wg, "_warehouse_path", lambda spark: wh)
     victim = tmp_path / "victim_table"
     victim.mkdir()
     (victim / "part-0.parquet").write_bytes(b"x")
@@ -3856,13 +3862,20 @@ def test_warehouse_guard_reclamation(engine, tmp_path):
     assert not os.path.exists(stale)
 
 
-def test_dml_shadow_crash_recovery_qualified(engine):
+def test_dml_shadow_crash_recovery_qualified(engine, monkeypatch):
     """ADVICE r8 (medium): the shadow-swap DML path recovers from an
     orphaned shadow LOCATION via the error-reported path — which is also
     correct for qualified db.tbl names, where the old {warehouse}/{name}
     join never matched the real managed location."""
     import os
     import shutil
+
+    from universql_spark import warehouse_guard as wg
+
+    # pin the sole-live-engine condition: concurrent suites/tools in the
+    # shared warehouse would (correctly) refuse reclamation and turn this
+    # crash-RECOVERY test into a refusal test
+    monkeypatch.setattr(wg, "other_live_engines", lambda spark: [])
 
     engine.execute(
         "CREATE OR REPLACE TABLE gdb.s.gt AS SELECT 1 AS id UNION ALL SELECT 2"
@@ -3907,3 +3920,47 @@ def test_insert_overwrite_atomic_on_failure(engine):
     engine.execute("INSERT OVERWRITE INTO iovw_t SELECT 9, 'z'")
     assert engine.execute("SELECT * FROM iovw_t").to_pylist() == [{"a": 9, "b": "z"}]
     engine.execute("DROP TABLE iovw_t")
+
+
+def test_warehouse_guard_real_second_process(engine, tmp_path, monkeypatch):
+    """ADVICE r8, cross-PROCESS repro: a real second python process
+    registers in the shared warehouse; while it lives, this process's
+    reclamation is refused; after it exits, its marker is pruned and
+    reclamation proceeds. (The unit test fakes liveness with pid 1; this
+    one exercises the registry against an actual process lifecycle.)
+    The registry is pointed at an isolated dir: the REAL shared warehouse
+    legitimately contains other live engines when suites run concurrently
+    (which is exactly the situation the guard exists for)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from universql_spark import warehouse_guard as wg
+
+    wh = str(tmp_path / "isolated_warehouse")
+    os.makedirs(wh, exist_ok=True)
+    monkeypatch.setattr(wg, "_warehouse_path", lambda spark: wh)
+    helper = (
+        "import os, sys, time\n"
+        f"d = os.path.join({wh!r}, {wg.LIVE_DIR!r})\n"
+        "os.makedirs(d, exist_ok=True)\n"
+        "open(os.path.join(d, str(os.getpid())), 'w').write(str(os.getpid()))\n"
+        "print('ready', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    victim = tmp_path / "second_proc_table"
+    victim.mkdir()
+    (victim / "part-0.parquet").write_bytes(b"x")
+    p = subprocess.Popen([sys.executable, "-c", helper], stdout=subprocess.PIPE)
+    try:
+        assert p.stdout.readline().strip() == b"ready"
+        assert wg.reclaim_orphan(engine.spark, str(victim)) is False
+        assert victim.exists()
+    finally:
+        p.kill()
+        p.wait()
+    # give the kernel a beat to reap, then the dead pid no longer blocks
+    time.sleep(0.2)
+    assert wg.reclaim_orphan(engine.spark, str(victim)) is True
+    assert not victim.exists()
