@@ -3964,3 +3964,21 @@ def test_warehouse_guard_real_second_process(engine, tmp_path, monkeypatch):
     time.sleep(0.2)
     assert wg.reclaim_orphan(engine.spark, str(victim)) is True
     assert not victim.exists()
+
+
+def test_array_multiset_semantics(engine):
+    """r8 probe sweep: ARRAY_EXCEPT/ARRAY_INTERSECTION are multiset ops in
+    Snowflake — per-occurrence cancellation, order preserved, no dedup
+    (Spark's builtins are set-based; the dialect emulates positionally)."""
+    out = engine.execute(
+        "SELECT ARRAY_EXCEPT(ARRAY_CONSTRUCT('A','B','B','B','C'), ARRAY_CONSTRUCT('B')) AS e1, "
+        "ARRAY_INTERSECTION(ARRAY_CONSTRUCT('B','B'), ARRAY_CONSTRUCT('B','B','C')) AS i1, "
+        "ARRAY_INTERSECTION(ARRAY_CONSTRUCT('B','B','B'), ARRAY_CONSTRUCT('B')) AS i2, "
+        "ARRAY_EXCEPT(ARRAY_CONSTRUCT(1, NULL, NULL), ARRAY_CONSTRUCT(NULL)) AS e2"
+    ).to_pylist()[0]
+    assert out == {
+        "e1": ["A", "B", "B", "C"],
+        "i1": ["B", "B"],
+        "i2": ["B"],
+        "e2": [1, None],
+    }

@@ -126,8 +126,9 @@ _FN_RENAMES = {
     "ARRAY_CAT": "concat",
     "ARRAY_DISTINCT": "array_distinct",
     "ARRAYS_OVERLAP": "arrays_overlap",
-    "ARRAY_EXCEPT": "array_except",
-    "ARRAY_INTERSECTION": "array_intersect",
+    # ARRAY_EXCEPT / ARRAY_INTERSECTION: NOT renamed to Spark's set-based
+    # builtins — Snowflake's are multiset ops (dedicated rewrite in
+    # _rewrite_scalar_emulations_r3b)
     "ARRAY_TO_STRING": "array_join",
     "ARRAY_FLATTEN": "flatten",
     "ARRAY_MAX": "array_max",
@@ -2205,6 +2206,34 @@ def _rewrite_scalar_emulations_r3b(sql: str) -> str:
         )
 
     sql = _rewrite_calls(sql, "array_remove_at", remove_at_inline)
+
+    # ARRAY_EXCEPT / ARRAY_INTERSECTION are MULTISET operations in
+    # Snowflake (r8 probe sweep): ARRAY_EXCEPT(['A','B','B','B','C'],
+    # ['B']) keeps TWO Bs, and ARRAY_INTERSECTION(['B','B'],['B','B','C'])
+    # keeps both — Spark's array_except/array_intersect are set-based
+    # (dedup the result AND ignore multiplicity). Emulation: walk the
+    # first array positionally and compare each element's running
+    # occurrence count against its count in the second array (null-safe
+    # <=> equality, matching Snowflake's NULL-equals-NULL array
+    # semantics). O(n^2) lambda per array — arrays are row-local values,
+    # never the scan axis, so this stays inside whole-stage codegen.
+    def _multiset_rw(keep_when_gt: bool):
+        op = ">" if keep_when_gt else "<="
+
+        def rw(a):
+            if len(a) != 2:
+                return None
+            A, B = a[0].strip(), a[1].strip()
+            return (
+                f"filter({A}, (x, i) ->"
+                f" size(filter(slice({A}, 1, i + 1), y -> y <=> x))"
+                f" {op} size(filter({B}, y -> y <=> x)))"
+            )
+
+        return rw
+
+    sql = _rewrite_calls(sql, "array_except", _multiset_rw(True))
+    sql = _rewrite_calls(sql, "array_intersection", _multiset_rw(False))
 
     # OBJECT_INSERT/DELETE/PICK — VARIANT-object manipulation over the
     # JSON-text representation, all JVM-side: parse once to

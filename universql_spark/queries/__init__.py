@@ -231,6 +231,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_minhash_lsh", "ann_ivf_topk", "ann_cosine_topk",
     # dialect ring touched (FLATTEN alias scoping + epoch thresholds):
     "adv_flatten_recursive", "adv_variant_colon_path", "fn_datetime_parts_ext",
+    # new r8: Snowflake multiset ARRAY_EXCEPT/ARRAY_INTERSECTION semantics
+    # (probe-sweep gap; Spark's builtins are set-based):
+    "fn_array_multiset",
     # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
     # with no driver evidence of any kind (local-green since late r6) lead,
     # closing cumulative driver coverage at 271/271; then embed_pca_project

@@ -484,3 +484,39 @@ def embed_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_MULTISET_DUCK = """WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS a
+  FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, a, a[1:3] AS b FROM t)
+SELECT doc_id,
+  array_to_string(list_filter(a, (x, i) ->
+    len(list_filter(a[1:i], y -> y IS NOT DISTINCT FROM x))
+      > len(list_filter(b, y -> y IS NOT DISTINCT FROM x))), '|') AS exc,
+  array_to_string(list_filter(a, (x, i) ->
+    len(list_filter(a[1:i], y -> y IS NOT DISTINCT FROM x))
+      <= len(list_filter(b, y -> y IS NOT DISTINCT FROM x))), '|') AS inter
+FROM s ORDER BY doc_id"""
+
+
+@register("fn_array_multiset", _MULTISET_DUCK, category="fn")
+def fn_array_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake's ARRAY_EXCEPT / ARRAY_INTERSECTION are MULTISET ops
+    (r8 probe sweep): each occurrence in the second array cancels ONE
+    occurrence in the first, order preserved, no dedup — Spark's builtins
+    are set-based, so the dialect emulates via positional running-count
+    lambdas (dialect._multiset_rw). The oracle replays the same
+    positional-count definition with DuckDB's indexed list lambdas over
+    the documents token arrays (real duplicate tokens at every scale)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT doc_id, "
+        "ARRAY_TO_STRING(ARRAY_EXCEPT(SPLIT(lower(trim(text)), ' '), "
+        "  ARRAY_SLICE(SPLIT(lower(trim(text)), ' '), 0, 3)), '|') AS exc, "
+        "ARRAY_TO_STRING(ARRAY_INTERSECTION(SPLIT(lower(trim(text)), ' '), "
+        "  ARRAY_SLICE(SPLIT(lower(trim(text)), ' '), 0, 3)), '|') AS inter "
+        "FROM documents WHERE doc_id < 50 ORDER BY doc_id"
+    )
