@@ -481,6 +481,56 @@ def run_verbatim_decade(spark, out: dict) -> None:
     }
 
 
+def run_stream_decade(spark, out: dict) -> None:
+    """Structured Streaming at 10M rows (r8): the tumbling-window pipeline
+    (streaming/windows.py — watermark + window(), the operators a real
+    stream runs) drains the 10M-event fixture as a file stream
+    (availableNow trigger, memory sink) and must hash-match BOTH its batch
+    twin (stream_tumbling_counts) and DuckDB computing the same windows —
+    the stream==batch equivalence the pytest suite pins at sf0.001,
+    re-proven three orders of magnitude up."""
+    import duckdb
+
+    from universql_spark.queries import ensure_views, load_all
+    from universql_spark.streaming import windows as SW
+
+    registry = load_all()
+    ensure_views(spark, EVENTS10M)
+    rec = {"stream_rows": None, "batch_rows": None, "oracle_rows": None,
+           "stream_eq_batch": None, "hash_match": None,
+           "stream_sec": None, "err": None, "sf_dir": EVENTS10M}
+    try:
+        agg = SW.tumbling_counts(SW.events_stream(spark, EVENTS10M))
+        t0 = time.perf_counter()
+        SW.run_to_memory(agg, "decade_stream_tc")
+        rec["stream_sec"] = round(time.perf_counter() - t0, 2)
+        s_tbl = spark.table("decade_stream_tc").toArrow()
+        s_cols = list(s_tbl.column_names)
+        s_rows = [tuple(d[c] for c in s_cols) for d in s_tbl.to_pylist()]
+        rec["stream_rows"] = len(s_rows)
+        spec = registry["stream_tumbling_counts"]
+        b_tbl = spec.spark(spark, EVENTS10M).toArrow()
+        b_cols = list(b_tbl.column_names)
+        b_rows = [tuple(d[c] for c in b_cols) for d in b_tbl.to_pylist()]
+        rec["batch_rows"] = len(b_rows)
+        rec["stream_eq_batch"] = normalize_rows(s_cols, s_rows) == normalize_rows(b_cols, b_rows)
+        con = duck_connection(EVENTS10M)
+        d_tbl = con.execute(spec.oracle).fetch_arrow_table()
+        d_cols = list(d_tbl.column_names)
+        d_rows = [tuple(d[c] for c in d_cols) for d in d_tbl.to_pylist()]
+        rec["oracle_rows"] = len(d_rows)
+        rec["hash_match"] = (
+            rec["stream_eq_batch"]
+            and normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows)
+        )
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
+        traceback.print_exc(limit=2, file=sys.stderr)
+    out["stream_tumbling_10m"] = rec
+    print(("ok  " if rec["hash_match"] else "BAD ") + "stream_tumbling_10m",
+          rec["stream_rows"], f"stream {rec['stream_sec']}s", flush=True)
+
+
 def main() -> None:
     ensure_sf10()
     ensure_docs500k()
@@ -515,6 +565,8 @@ def main() -> None:
         _hash_one(registry[name], name, spark, EVENTS10M, con, out)
     # r8: the verbatim ClickBench corpus at 10M events (VERDICT r7 #6)
     run_verbatim_decade(spark, out)
+    # r8: Structured Streaming at 10M events (stream == batch == DuckDB)
+    run_stream_decade(spark, out)
 
     # minhash wall-curve: oracle is O(n^2) — wall + pair count only
     from tools_scaling_llm import SF1 as LLM50K, ensure_fixture
@@ -542,6 +594,7 @@ def main() -> None:
         "verbatim_unordered_limit": out.get("verbatim_10m", {}).get("unordered_limit"),
         "verbatim_unexplained": out.get("verbatim_10m", {}).get("unexplained"),
         "verbatim_errors": out.get("verbatim_10m", {}).get("errors"),
+        "stream_10m_match": out.get("stream_tumbling_10m", {}).get("hash_match"),
         "wall_sec": round(time.time() - t_start, 1),
     }
     with open(os.path.join(HERE, "DECADE.json"), "w") as f:
