@@ -215,3 +215,51 @@ def test_mor_delete_conflicts_with_concurrent_compaction(spark, tmp_path):
     final = IcebergTable(a.root)
     assert _rows(spark, final) == set(range(20)) | set(range(100, 110))
     assert len(final.current_files()) == 1
+
+
+def test_two_engine_processes_share_warehouse_dml(tmp_path):
+    """r8 (ADVICE follow-through): two LIVE engine processes sharing the
+    warehouse dir run COW DML concurrently on their own tables — both
+    succeed, neither's data is disturbed, and neither reclaims the other's
+    locations (the pid-registry guard refuses while both live). The child
+    is a REAL process with its own SparkSession/Engine."""
+    import subprocess
+    import sys
+    import textwrap
+
+    child_code = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from universql_spark.engine import Engine
+        from universql_spark.session import get_spark
+
+        eng = Engine(spark=get_spark("guard_child", cpus=4))
+        eng.execute("CREATE OR REPLACE TABLE guard_child_t AS "
+                    "SELECT 1 AS id, 'x' AS v UNION ALL SELECT 2, 'y'")
+        eng.execute("UPDATE guard_child_t SET v = 'z' WHERE id = 2")
+        rows = sorted(r["v"] for r in
+                      eng.execute("SELECT v FROM guard_child_t").to_pylist())
+        assert rows == ["x", "z"], rows
+        eng.execute("DROP TABLE guard_child_t")
+        print("CHILD_OK", flush=True)
+        """
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", child_code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    # parent DML on ITS table while the child engine lives
+    from universql_spark.engine import Engine
+    from universql_spark.session import get_spark
+
+    eng = Engine(spark=get_spark("universql_spark_tests", cpus=8))
+    eng.execute("CREATE OR REPLACE TABLE guard_parent_t AS "
+                "SELECT 1 AS id, 10 AS n UNION ALL SELECT 2, 20")
+    eng.execute("UPDATE guard_parent_t SET n = n + 1")
+    out, err = p.communicate(timeout=300)
+    assert b"CHILD_OK" in out, err.decode()[-2000:]
+    rows = sorted(r["n"] for r in
+                  eng.execute("SELECT n FROM guard_parent_t").to_pylist())
+    assert rows == [11, 21]
+    eng.execute("DROP TABLE guard_parent_t")
