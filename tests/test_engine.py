@@ -3850,6 +3850,13 @@ def test_warehouse_guard_reclamation(engine, tmp_path, monkeypatch):
     try:
         assert wg.reclaim_orphan(engine.spark, str(victim)) is False
         assert victim.exists()
+        # owned=True (OR REPLACE / DML shadow semantics) reclaims anyway:
+        # the caller holds replace rights over the name (r8 refinement —
+        # the all-mode guard made crash recovery fail under co-tenancy)
+        owned_victim = tmp_path / "owned_victim"
+        owned_victim.mkdir()
+        assert wg.reclaim_orphan(engine.spark, str(owned_victim), owned=True) is True
+        assert not owned_victim.exists()
     finally:
         os.unlink(foreign)
     # a DEAD pid's stale marker is pruned; sole-live-engine reclamation runs

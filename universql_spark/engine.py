@@ -1476,7 +1476,7 @@ class Engine:
 
                         lm = re.search(r"location 'file:([^']+)'", str(e))
                         if not lm or not warehouse_guard.reclaim_orphan(
-                            self.spark, lm.group(1)
+                            self.spark, lm.group(1), owned=True  # replace-gated
                         ):
                             raise
                         self.spark.sql(ddl)
@@ -3949,7 +3949,13 @@ class Engine:
                     from universql_spark import warehouse_guard  # noqa: PLC0415
 
                     lm = re.search(r"location 'file:([^']+)'", str(e))
-                    if lm and warehouse_guard.reclaim_orphan(self.spark, lm.group(1)):
+                    # owned=replace: OR REPLACE claims the name, so the
+                    # orphan is reclaimed even with other live engines
+                    # (replacement IS the requested semantic); errorifexists
+                    # reclaims only as the sole live engine
+                    if lm and warehouse_guard.reclaim_orphan(
+                        self.spark, lm.group(1), owned=replace
+                    ):
                         writer.saveAsTable(resolved)
                     else:
                         raise

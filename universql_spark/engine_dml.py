@@ -130,15 +130,20 @@ def _replace_table(spark: SparkSession, table: str, new_df: DataFrame) -> None:
         # LOCATION on disk with no catalog entry — Spark then refuses the
         # managed write with LOCATION_ALREADY_EXISTS. Reclaim ONLY the
         # error-reported location (correct for qualified db.tbl names,
-        # whose dir is not {warehouse}/{name}) and only when no OTHER live
-        # engine process shares this warehouse (ADVICE r7: the old
-        # unconditional pre-rmtree could delete a concurrent process's
-        # live table data).
+        # whose dir is not {warehouse}/{name}) — never the blind
+        # {warehouse}/{shadow} pre-rmtree ADVICE r7 flagged, which could
+        # hit a concurrent process's unrelated live table.
         lm = re.search(r"location 'file:([^']+)'", str(e))
         if (
             "LOCATION_ALREADY_EXISTS" not in str(e)
             or not lm
-            or not warehouse_guard.reclaim_orphan(spark, lm.group(1))
+            # owned=True: the shadow name derives from a table THIS
+            # process's catalog owns, and the swap holds replace semantics
+            # over it — an on-disk leftover at that exact location is a
+            # crash orphan (or another process's IN-FLIGHT shadow of the
+            # same-named table, i.e. an already-unsafe concurrent DML on
+            # one table; reclaiming fails its statement, never its data)
+            or not warehouse_guard.reclaim_orphan(spark, lm.group(1), owned=True)
         ):
             raise
         new_df.write.mode("overwrite").saveAsTable(shadow)

@@ -100,13 +100,22 @@ def other_live_engines(spark) -> list[int]:
     return out
 
 
-def reclaim_orphan(spark, location: str) -> bool:
-    """Delete an apparently-orphaned managed-table location iff no other
-    live engine process shares this warehouse. Returns True when the
-    location was reclaimed (caller may retry its write), False when another
-    live process might own it (caller must surface the original error)."""
+def reclaim_orphan(spark, location: str, owned: bool = False) -> bool:
+    """Delete an apparently-orphaned managed-table location. Returns True
+    when the location was reclaimed (caller may retry its write), False
+    when another live process might own it (caller must surface the
+    original error).
+
+    ``owned=True`` — the caller holds REPLACE semantics over the name (a
+    CREATE OR REPLACE, or the DML shadow of a table in this process's own
+    catalog): reclamation proceeds even with other live engines, because
+    replacing the name's contents is exactly what the statement requests;
+    a shared real catalog would do the same. ``owned=False`` (errorifexists
+    creates) keeps the conservative rule: reclaim only when this is the
+    sole live engine in the warehouse — another live process may own that
+    location as a table its catalog knows and ours doesn't."""
     register_process(spark)
-    if other_live_engines(spark):
+    if not owned and other_live_engines(spark):
         return False
     loc = urlparse(location).path or location
     shutil.rmtree(loc, ignore_errors=True)
