@@ -29,7 +29,10 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
-        return ("f", repr(v))
+        # IEEE -0.0 == 0.0 but repr() distinguishes them; engines disagree
+        # on the sign of a rounded-to-zero result (numpy round(-1e-9, 6)
+        # -> -0.0, Spark round -> 0.0 — 4 cells of 1.6M at the PCA decade)
+        return ("f", repr(v + 0.0 if v == 0.0 else v))
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)

@@ -581,12 +581,17 @@ def main() -> None:
         print(f"minhash {label}: {curve[label]}", flush=True)
     out["dedup_minhash_lsh_curve"] = curve
 
+    hash_spec_names = (
+        TPCH_QUERIES + DOC_QUERIES_ORACLED + CB_QUERIES
+        + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
+    )
     summary = {
-        "hash_specs": (
-            len(TPCH_QUERIES) + len(DOC_QUERIES_ORACLED) + len(CB_QUERIES)
-            + len(ANN_QUERIES_ORACLED) + len(ANN_QUERIES_NUMPY) + len(DML_DECADE)
+        "hash_specs": len(hash_spec_names),
+        # count ONLY the named hash specs — out also holds the verbatim /
+        # stream / curve dicts whose truthy sub-keys must not be counted
+        "all_match": sum(
+            1 for n in hash_spec_names if out.get(n, {}).get("hash_match")
         ),
-        "all_match": sum(1 for r in out.values() if r.get("hash_match")),
         "errors": sum(1 for r in out.values() if r.get("err")),
         "verbatim_hash_match": out.get("verbatim_10m", {}).get("hash_match"),
         "verbatim_boundary_tie": out.get("verbatim_10m", {}).get("boundary_tie"),
