@@ -3989,3 +3989,59 @@ def test_array_multiset_semantics(engine):
         "i2": ["B"],
         "e2": [1, None],
     }
+
+
+def test_string_conversion_probe_closures(engine):
+    """r8 probe sweep #4 (string/conversion spellings): the four documented
+    Snowflake semantics Spark's builtins miss — SPLIT_PART part 0 is
+    treated as 1; CONCAT_WS is NULL-poisoning (any NULL argument, separator
+    included, nulls the result); 1-arg INITCAP's default delimiter set is
+    whitespace PLUS punctuation; TO_BOOLEAN/TRY_TO_BOOLEAN accept
+    'on'/'off'. All rewritten in the dialect ring."""
+    out = engine.execute(
+        "SELECT SPLIT_PART('a.b.c', '.', 0) AS sp0, "
+        "CONCAT_WS(',', 'a', NULL, 'b') AS cw_null, "
+        "CONCAT_WS(NULL, 'a', 'b') AS cw_nullsep, "
+        "CONCAT_WS(',', 'a', 'b') AS cw_ok, "
+        "INITCAP('the sql-code') AS ic_punct, "
+        "INITCAP('a_b.c/d,e') AS ic_mixed, "
+        "INITCAP('a.b c', '.') AS ic_custom, "
+        "TO_BOOLEAN('off') AS tb_off, "
+        "TO_BOOLEAN('ON') AS tb_on, "
+        "TO_BOOLEAN(2) AS tb_num, "
+        "TRY_TO_BOOLEAN('maybe') AS ttb_bad, "
+        "TRY_TO_BOOLEAN('off') AS ttb_off"
+    ).to_pylist()[0]
+    assert out["sp0"] == "a"
+    assert out["cw_null"] is None
+    assert out["cw_nullsep"] is None
+    assert out["cw_ok"] == "a,b"
+    assert out["ic_punct"] == "The Sql-Code"
+    assert out["ic_mixed"] == "A_B.C/D,E"
+    assert out["ic_custom"] == "A.B c"
+    assert out["tb_off"] is False
+    assert out["tb_on"] is True
+    assert out["tb_num"] is True
+    assert out["ttb_bad"] is None
+    assert out["ttb_off"] is False
+
+
+def test_semi_structured_probe_closures(engine):
+    """r8 probe sweep #5: IS_NULL_VALUE distinguishes JSON null (TRUE) from
+    a missing path (SQL NULL) via Spark's variant functions; datetime
+    format elements are case-insensitive ('DD-Mon-YYYY'), matching
+    Snowflake's documented behavior."""
+    out = engine.execute(
+        "SELECT IS_NULL_VALUE(PARSE_JSON('{\"a\": null}'):a) AS nv_null, "
+        "IS_NULL_VALUE(PARSE_JSON('{\"a\": null}'):b) AS nv_missing, "
+        "IS_NULL_VALUE(PARSE_JSON('{\"a\": 3}'):a) AS nv_val, "
+        "IS_NULL_VALUE(PARSE_JSON('{\"a\": [1, null]}'):a[1]) AS nv_arr, "
+        "TO_DATE('05-Mar-2024', 'DD-Mon-YYYY') AS d_mon, "
+        "TO_CHAR(DATE '2024-03-05', 'dd-mon-yyyy') AS c_low"
+    ).to_pylist()[0]
+    assert out["nv_null"] is True
+    assert out["nv_missing"] is None
+    assert out["nv_val"] is False
+    assert out["nv_arr"] is True
+    assert str(out["d_mon"]) == "2024-03-05"
+    assert out["c_low"] == "05-Mar-2024"

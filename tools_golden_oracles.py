@@ -28,7 +28,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: specs to pin: small (<100 rows/scale), deterministic, numpy-oracled
+#: specs to pin: deterministic, numpy-oracled, scale-pinned outputs. The
+#: four approximate specs (agg_approx_distinct/quantile, sample_reservoir,
+#: fn_hll_mergeable) stay rows-only — their values come from Spark's own
+#: sketch implementations, so pinning them would be circular, not an
+#: independent oracle; they carry deterministic-bound property tests
+#: instead (tests/test_properties.py).
 SPECS = [
     "embed_cluster_profile",
     "text_bpe_merges",
@@ -36,6 +41,22 @@ SPECS = [
     "text_cms_heavy_hitters",
     "dedup_incremental_index",
     "embed_hard_negatives",
+    # r8 continuation: every remaining deterministic numpy-oracled spec —
+    # after these, `no_oracle` in the driver artifact means exactly
+    # "approximate by construction", nothing else.
+    "graph_pagerank_similarity",
+    "embed_kmeans",
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "dedup_lsh_tuning_curve",
+    "dedup_bloom_decontaminate",
+    "embed_kcenter_sample",
+    "ann_pq_topk",
+    "dedup_semantic",
+    "text_quality_classifier",
+    "text_compression_ratio",
+    "multimodal_audio_chunks",
+    "embed_pca_project",
 ]
 
 #: gate fixtures and the lineitem-count probe that identifies each
@@ -56,7 +77,12 @@ def _lit(v, duck_type: str) -> str:
         return f"CAST(NULL AS {duck_type})"
     if duck_type in ("DOUBLE", "FLOAT"):
         # string->double parse is correctly rounded on both engines
-        # (determinism convention #1); repr() round-trips the exact value
+        # (determinism convention #1); repr() round-trips the exact value.
+        # -0.0 pins as 0.0: IEEE-equal, but numpy rounds tiny negatives to
+        # -0.0 where Spark's round yields +0.0 (tests/compare._canon has
+        # the same normalization).
+        if v == 0.0:
+            v = 0.0
         return f"CAST('{v!r}' AS {duck_type})"
     if duck_type == "VARCHAR":
         return "'" + str(v).replace("'", "''") + "'"

@@ -50,31 +50,44 @@ _CSV_OPTIONS = {
 }
 
 _SNOW_TO_SPARK_DATETIME = [
+    ("TZH:TZM", "XXX"),
     ("YYYY", "yyyy"),
-    ("YY", "yy"),
-    ("MON", "MMM"),
-    ("MM", "MM"),
-    ("DD", "dd"),
     ("HH24", "HH"),
     ("HH12", "hh"),
-    ("MI", "mm"),
-    ("SS", "ss"),
+    ("MMMM", "MMMM"),
+    ("MON", "MMM"),
     ("FF3", "SSS"),
     ("FF6", "SSSSSS"),
-    ("TZH:TZM", "XXX"),
+    ("YY", "yy"),
+    ("MM", "MM"),
+    ("DD", "dd"),
+    ("MI", "mm"),
+    ("SS", "ss"),
     ("DY", "EEE"),
     ("AM", "a"),
     ("PM", "a"),
 ]
 
+_DT_TOKEN_RE = None  # compiled lazily (module import order)
+
 
 def _map_datetime_format(fmt: str) -> str:
     """Snowflake datetime format tokens -> Spark/JDK patterns. The reference
     has the same table (plugins/snow.py:41-68) — including an upstream bug
-    where the .replace result is discarded; here it is actually applied."""
-    for sf, spark in _SNOW_TO_SPARK_DATETIME:
-        fmt = fmt.replace(sf, spark)
-    return fmt
+    where the .replace result is discarded; here it is actually applied.
+    Snowflake format elements are case-INsensitive ('DD-Mon-YYYY' is valid),
+    so matching is one case-insensitive longest-first pass (r8 probe sweep:
+    sequential case-sensitive .replace left 'Mon' unmapped and could
+    re-match earlier rules' output)."""
+    global _DT_TOKEN_RE
+    if _DT_TOKEN_RE is None:
+        import re
+
+        _DT_TOKEN_RE = re.compile(
+            "|".join(re.escape(sf) for sf, _ in _SNOW_TO_SPARK_DATETIME), re.I
+        )
+    table = {sf: spark for sf, spark in _SNOW_TO_SPARK_DATETIME}
+    return _DT_TOKEN_RE.sub(lambda m: table[m.group(0).upper()], fmt)
 
 
 def _unq(v: str) -> str:

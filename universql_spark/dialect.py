@@ -331,8 +331,20 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         "nullifzero": lambda a: f"nullif({a[0]}, 0)",
         "zeroifnull": lambda a: f"coalesce({a[0]}, 0)",
         "square": lambda a: f"power({a[0]}, 2)",
-        "to_boolean": lambda a: f"cast({a[0]} AS BOOLEAN)",
-        "try_to_boolean": lambda a: f"try_cast({a[0]} AS BOOLEAN)",
+        # Snowflake's string set is Spark's cast set PLUS 'on'/'off'
+        # (TRUE: true/t/yes/y/on/1, FALSE: false/f/no/n/off/0, any case);
+        # the ELSE branch keeps Spark's native cast for everything else,
+        # including the numeric nonzero->true path
+        "to_boolean": lambda a: (
+            f"(CASE WHEN lower(cast({a[0]} AS STRING)) = 'on' THEN true "
+            f"WHEN lower(cast({a[0]} AS STRING)) = 'off' THEN false "
+            f"ELSE cast({a[0]} AS BOOLEAN) END)"
+        ),
+        "try_to_boolean": lambda a: (
+            f"(CASE WHEN lower(cast({a[0]} AS STRING)) = 'on' THEN true "
+            f"WHEN lower(cast({a[0]} AS STRING)) = 'off' THEN false "
+            f"ELSE try_cast({a[0]} AS BOOLEAN) END)"
+        ),
         "try_to_double": lambda a: f"try_cast({a[0]} AS DOUBLE)",
         "try_to_date": lambda a: f"try_cast({a[0]} AS DATE)",
         "try_to_timestamp": lambda a: f"try_cast({a[0]} AS TIMESTAMP)",
@@ -353,6 +365,33 @@ def _rewrite_scalar_emulations(sql: str) -> str:
                 else None
             ),
         )
+    # Snowflake SPLIT_PART treats part 0 as 1 (documented); Spark raises
+    # INVALID_INDEX_OF_ZERO. Guard the index; constant folding erases the
+    # CASE for literal parts.
+    sql = _rewrite_calls(
+        sql,
+        "split_part",
+        lambda a: (
+            f"split_part({a[0]}, {a[1]}, "
+            f"(CASE WHEN ({a[2]}) = 0 THEN 1 ELSE ({a[2]}) END))"
+        )
+        if len(a) == 3
+        else None,
+    )
+    # Snowflake CONCAT_WS is NULL-poisoning (any NULL argument — separator
+    # or value — makes the result NULL, like its CONCAT/||); Spark's skips
+    # NULL values. r8 probe-sweep closure.
+    sql = _rewrite_calls(
+        sql,
+        "concat_ws",
+        lambda a: (
+            "(CASE WHEN "
+            + " OR ".join(f"({x}) IS NULL" for x in a)
+            + f" THEN NULL ELSE concat_ws({', '.join(a)}) END)"
+        )
+        if len(a) >= 2
+        else None,
+    )
     # Snowflake ARRAY_CONTAINS(value, array) / ARRAY_POSITION(value, array)
     # take (value, array) — Spark's take (array, value). ARRAY_POSITION is
     # additionally 0-based returning NULL-if-absent vs Spark's 1-based
@@ -1057,9 +1096,18 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
         if len(a) == 1
         else None,
     )
-    # INITCAP(x, delims): capitalize the char after ANY delimiter char
-    # (first char always); positional transform over the char array
+    # INITCAP(x[, delims]): capitalize the char after ANY delimiter char
+    # (first char always); positional transform over the char array.
+    # The 1-arg form uses Snowflake's documented default delimiter set —
+    # whitespace PLUS punctuation (so 'sql-code' -> 'Sql-Code'), where
+    # Spark's native initcap splits on whitespace only.
+    sf_initcap_delims = (
+        """' \\t\\n\\r!?@"^#$&~_,.:;+-*%/|\\\\[](){}<>'"""
+    )
+
     def initcap2_rw(a: list[str]) -> str | None:
+        if len(a) == 1:
+            a = [a[0], sf_initcap_delims]
         if len(a) != 2:
             return None
         x, d = a[0], a[1]
@@ -1103,7 +1151,30 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
             else None
         )
 
-    sql = _rewrite_calls(sql, "is_null_value", _is("({v}) = 'null'"))
+    # IS_NULL_VALUE must distinguish JSON null from a MISSING path (TRUE vs
+    # SQL NULL) — get_json_object collapses both to SQL NULL, so when the
+    # argument is a path extraction, re-extract through Spark's variant
+    # functions (variant_get keeps JSON null as a variant-null;
+    # is_variant_null detects exactly it; a missing path is SQL NULL).
+    # Plain JSON-text arguments keep the text test (r8 probe sweep #5).
+    def _isnull_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        g = _rewrite_colon_paths(a[0]).strip()
+        if g.lower().startswith("get_json_object"):
+            k = g.find("(")
+            close = _match_paren(g, k)
+            if close == len(g) - 1:
+                inner = _split_top_args(g[k + 1 : close])
+                if len(inner) == 2:
+                    vg = f"variant_get(try_parse_json({inner[0]}), {inner[1]})"
+                    return (
+                        f"(CASE WHEN {vg} IS NULL THEN NULL "
+                        f"ELSE is_variant_null({vg}) END)"
+                    )
+        return f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE ({a[0]}) = 'null' END)"
+
+    sql = _rewrite_calls(sql, "is_null_value", _isnull_rw)
     sql = _rewrite_calls(sql, "is_integer", _is(f"({{v}}) RLIKE {_INT_RE_SQL}"))
     sql = _rewrite_calls(
         sql, "is_decimal", _is(f"({{v}}) RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$'")

@@ -223,6 +223,14 @@ _GATE_PRIORITY: list[str] = [
     # six more golden-value conversions (tools_golden_oracles.py):
     "embed_cluster_profile", "text_bpe_merges", "dedup_simhash",
     "text_cms_heavy_hitters", "dedup_incremental_index", "embed_hard_negatives",
+    # ...and the remaining 13 deterministic numpy-oracled specs, converted
+    # late r8 — after these, every `no_oracle` driver row is an
+    # approximate-by-construction spec (property-tested), nothing else:
+    "graph_pagerank_similarity", "embed_kmeans", "ann_lsh_buckets",
+    "ann_lsh_pairs", "dedup_lsh_tuning_curve", "dedup_bloom_decontaminate",
+    "embed_kcenter_sample", "ann_pq_topk", "dedup_semantic",
+    "text_quality_classifier", "text_compression_ratio",
+    "multimodal_audio_chunks", "embed_pca_project",
     # predicate/fraction changes de-emptying the sf1 gate (VERDICT r7 #3):
     "tpch_q10_returns", "tpch_q11_important", "tpch_q20_supply",
     # oracle ORDER BY dropped for sort symmetry (VERDICT r7 'wrong' #3):
@@ -234,6 +242,9 @@ _GATE_PRIORITY: list[str] = [
     # new r8: Snowflake multiset ARRAY_EXCEPT/ARRAY_INTERSECTION semantics
     # (probe-sweep gap; Spark's builtins are set-based):
     "fn_array_multiset",
+    # new r8 (probe sweep #4): SPLIT_PART part 0, CONCAT_WS null-poisoning,
+    # INITCAP default punctuation delimiters, TO_BOOLEAN on/off:
+    "fn_string_edges",
     # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
     # with no driver evidence of any kind (local-green since late r6) lead,
     # closing cumulative driver coverage at 271/271; then embed_pca_project

@@ -158,11 +158,13 @@ def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@register("embed_kmeans", None, category="similarity")
+@register("embed_kmeans", GOLDEN["embed_kmeans"], category="similarity")
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means(8, 4 iters) cluster assignments over the embeddings — an
-    iterative algorithm (non-SQL-expressible: rows-only check; tests assert
-    monotone inertia + full coverage)."""
+    iterative algorithm (not SQL-derivable; the driver oracle is a
+    golden-value pin of the independent numpy Lloyd re-derivation,
+    tools_golden_oracles.py provenance chain; tests assert monotone
+    inertia + full coverage)."""
     from universql_spark.operators import cluster
 
     out, _ = cluster.kmeans(spark.table("embeddings"), k=8, iters=4)
@@ -519,4 +521,44 @@ def fn_array_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ARRAY_TO_STRING(ARRAY_INTERSECTION(SPLIT(lower(trim(text)), ' '), "
         "  ARRAY_SLICE(SPLIT(lower(trim(text)), ' '), 0, 3)), '|') AS inter "
         "FROM documents WHERE doc_id < 50 ORDER BY doc_id"
+    )
+
+
+_STRING_EDGES_DUCK = """SELECT o_orderkey,
+  split_part(o_orderpriority, '-', 1) AS sp_zero,
+  array_to_string(list_transform(string_split(lower(o_orderpriority), ''),
+    (c, i) -> CASE WHEN i = 1 OR contains(' -', array_extract(
+                     string_split(lower(o_orderpriority), ''), i - 1))
+              THEN upper(c) ELSE c END), '') AS ic_punct,
+  CAST(NULL AS VARCHAR) AS cw_null,
+  o_orderpriority || '|' || o_orderstatus AS cw_ok,
+  (o_orderkey % 2 = 0) AS tb_onoff,
+  CASE WHEN o_orderstatus = 'F' THEN false ELSE NULL END AS ttb_status
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"""
+
+
+@register("fn_string_edges", _STRING_EDGES_DUCK, category="fn")
+def fn_string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe sweep #4 closures, value-checked over table data through the
+    full dialect ring: SPLIT_PART part 0 is treated as 1 (Spark raises
+    INVALID_INDEX_OF_ZERO); 1-arg INITCAP's default delimiter set includes
+    punctuation ('1-URGENT' -> '1-Urgent'; Spark's builtin splits on
+    whitespace only); CONCAT_WS is NULL-poisoning (any NULL argument nulls
+    the whole result — Spark's skips NULLs); TO_BOOLEAN/TRY_TO_BOOLEAN
+    accept 'on'/'off' and map 'F' -> false / non-boolean text -> NULL. The
+    oracle replays each documented semantic explicitly in DuckDB (which
+    shares Spark's divergent behaviors, so a pass proves the rewrite, not
+    engine agreement)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT o_orderkey, "
+        "SPLIT_PART(o_orderpriority, '-', 0) AS sp_zero, "
+        "INITCAP(o_orderpriority) AS ic_punct, "
+        "CONCAT_WS('|', o_orderpriority, NULLIF(o_orderstatus, o_orderstatus)) AS cw_null, "
+        "CONCAT_WS('|', o_orderpriority, o_orderstatus) AS cw_ok, "
+        "TO_BOOLEAN(IFF(o_orderkey % 2 = 0, 'on', 'off')) AS tb_onoff, "
+        "TRY_TO_BOOLEAN(o_orderstatus) AS ttb_status "
+        "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
     )

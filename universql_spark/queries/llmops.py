@@ -497,30 +497,34 @@ def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_pq_topk", None, category="similarity")
+@register("ann_pq_topk", GOLDEN["ann_pq_topk"], category="similarity")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. IVFADC+R shape): driver-side
     codebook training on a bounded sample, distributed encode to m=8 codes
     per vector (32x compression), ADC scoring from table lookups only, and
-    exact re-ranking of the rerank*k shortlist. No SQL oracle (codebooks
-    come from k-means); tests pin lossless-case equality with brute force
-    and recall >= 0.6 on the fixture."""
+    exact re-ranking of the rerank*k shortlist. Codebooks come from k-means
+    (not SQL-derivable): the driver oracle is a golden-value pin of the
+    independent numpy re-derivation (tools_golden_oracles.py); tests pin
+    lossless-case equality with brute force and recall >= 0.6."""
     emb = spark.table("embeddings")
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=10)
 
 
-@register("ann_lsh_buckets", None, category="similarity")
+@register("ann_lsh_buckets", GOLDEN["ann_lsh_buckets"], category="similarity")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN index-build step).
-    Deterministic but xxhash64-dependent -> rows-only check; recall vs brute
-    force is asserted in tests."""
+    Deterministic but xxhash64-dependent: the driver oracle is a golden-
+    value pin of the portable-XXH64 numpy re-derivation
+    (tools_golden_oracles.py); recall vs brute force asserted in tests."""
     return similarity.lsh_bucket_profile(spark.table("embeddings"), dim=64, bits=8)
 
 
-@register("ann_lsh_pairs", None, category="similarity")
+@register("ann_lsh_pairs", GOLDEN["ann_lsh_pairs"], category="similarity")
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed near-dup pairs — the scale path for dedup_embedding
-    (bits=4 x 8 tables: ~0.8 recall at the fixture's cos≈0.5 pair mass)."""
+    (bits=4 x 8 tables: ~0.8 recall at the fixture's cos≈0.5 pair mass).
+    Driver oracle: golden-value pin of the portable-XXH64 numpy
+    re-derivation (tools_golden_oracles.py)."""
     return similarity.lsh_bucketed_pairs(spark.table("embeddings"), threshold=0.45, dim=64, bits=4, tables=8)
 
 
@@ -1265,7 +1269,7 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("embed_pca_project", None, category="similarity")
+@register("embed_pca_project", GOLDEN["embed_pca_project"], category="similarity")
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA embedding compression (operators/cluster.pca_project):
     moment accumulation is a partial-aggregated position explode (driver
@@ -1367,13 +1371,13 @@ register_sql(
 
 @register(
     "dedup_semantic",
-    None,
+    GOLDEN["dedup_semantic"],
     category="dedup",
     doc="SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, "
         "cosine near-dup pairs WITHIN clusters only, drop-the-higher-id "
-        "survivors; rows-only (k-means isn't SQL-expressible) — k=1 "
-        "equality vs the brute-force oracle pinned by "
-        "test_semdedup_k1_equals_brute_force",
+        "survivors; driver oracle is a golden-value pin of the numpy "
+        "re-derivation (tools_golden_oracles.py) — k=1 equality vs the "
+        "brute-force oracle pinned by test_semdedup_k1_equals_brute_force",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-compare semantic dedup: comparisons are O(sum n_c^2)
@@ -1404,12 +1408,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_classifier",
-    None,
+    GOLDEN["text_quality_classifier"],
     category="text",
     doc="hashed-feature logistic regression (fastText-shaped quality "
-        "gate) trained distributed by full-batch GD; python-oracled in "
-        "the local gate (independent decimal-exact GD re-derivation); "
-        "determinism under repartitioning + separability pinned by tests",
+        "gate) trained distributed by full-batch GD; driver oracle is a "
+        "golden-value pin of the independent decimal-exact GD "
+        "re-derivation (tools_golden_oracles.py); determinism under "
+        "repartitioning + separability pinned by tests",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a weak-supervision quality gate on the documents table (label:
@@ -1455,11 +1460,12 @@ FROM documents ORDER BY pos LIMIT 500""",
 
 @register(
     "text_compression_ratio",
-    None,
+    GOLDEN["text_compression_ratio"],
     category="text",
     doc="zlib compression-ratio repetitiveness signal (Dolma/RefinedWeb-"
-        "style quality gate); python-oracled in the local gate (no SQL "
-        "zlib); monotonicity vs synthetic repetition also pinned by "
+        "style quality gate); no SQL zlib — driver oracle is a golden-"
+        "value pin of the python re-derivation (tools_golden_oracles.py); "
+        "monotonicity vs synthetic repetition also pinned by "
         "test_compression_ratio_signal",
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,12 +1597,13 @@ GROUP BY split, lang ORDER BY split, lang""",
 
 @register(
     "multimodal_audio_chunks",
-    None,
+    GOLDEN["multimodal_audio_chunks"],
     category="multimodal",
     doc="fixed-window audio chunking with per-chunk RMS/peak (ASR-pipeline "
-        "segmentation primitive); python-oracled in the local gate (the "
-        "synthesis contract re-derived); exact tiling and square-wave "
-        "metering also pinned by test_audio_chunks_cover_file_exactly",
+        "segmentation primitive); driver oracle is a golden-value pin of "
+        "the python synthesis-contract re-derivation "
+        "(tools_golden_oracles.py); exact tiling and square-wave metering "
+        "also pinned by test_audio_chunks_cover_file_exactly",
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-0.25s chunk metering over synthesized PCM16 WAV payloads: row
@@ -2046,10 +2053,12 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_lsh_tuning_curve",
-    None,  # the LSH candidate set is minhash-signature-dependent (not
-    # SQL-expressible); python oracle in tests/compare.py (PY_ORACLES)
+    # the LSH candidate set is minhash-signature-dependent (not
+    # SQL-derivable); the python oracle in tests/compare.py (PY_ORACLES)
     # re-derives signatures/bands with the portable XXH64 and the exact
-    # Jaccard side with integer bucketing.
+    # Jaccard side with integer bucketing — pinned as a golden-value
+    # driver oracle (tools_golden_oracles.py).
+    GOLDEN["dedup_lsh_tuning_curve"],
     category="dedup",
     doc="empirical LSH S-curve (b=16, r=4): per-Jaccard-bucket fraction of "
         "pairs surfaced as minhash-LSH candidates, measured on a bounded "
@@ -2575,9 +2584,11 @@ _BLOOM_HANDLE: list = []
 
 @register(
     "dedup_bloom_decontaminate",
-    None,  # bitmap membership is xxhash64-dependent; python oracle in
+    # bitmap membership is xxhash64-dependent; the python oracle in
     # tests/compare.py (PY_ORACLES) rebuilds the bitmap with the portable
-    # XXH64 and matches per-doc hit counts byte-for-byte.
+    # XXH64 and matches per-doc hit counts byte-for-byte — pinned as a
+    # golden-value driver oracle (tools_golden_oracles.py).
+    GOLDEN["dedup_bloom_decontaminate"],
     category="dedup",
     doc="Bloom-filter decontamination (Bloom 1970): 64 Kbit sharded bitmap "
         "over the eval set's shingles, corpus probed by bitmap join; "
@@ -2676,9 +2687,11 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_kcenter_sample",
-    None,  # iterative greedy argmax is not SQL-expressible; python oracle
-    # in tests/compare.py (PY_ORACLES) replays the same left-to-right
-    # double folds, so selections match bit-for-bit.
+    # iterative greedy argmax is not SQL-derivable; the python oracle in
+    # tests/compare.py (PY_ORACLES) replays the same left-to-right double
+    # folds, so selections match bit-for-bit — pinned as a golden-value
+    # driver oracle (tools_golden_oracles.py).
+    GOLDEN["embed_kcenter_sample"],
     category="similarity",
     doc="farthest-point (k-center) diversity sample: 8 maximally-spread "
         "embeddings via k-1 narrow argmax passes (TakeOrdered top-1, no "
@@ -3068,7 +3081,9 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_pagerank_similarity",
-    None,
+    # iterative power method, numpy-oracled — pinned as a golden-value
+    # driver oracle (tools_golden_oracles.py).
+    GOLDEN["graph_pagerank_similarity"],
     category="graph",
     doc="PageRank centrality over the rare-shingle similarity graph "
     "(stop-gram-pruned 2-gram Jaccard >= 0.3, integer-exact threshold); "
