@@ -4045,3 +4045,31 @@ def test_semi_structured_probe_closures(engine):
     assert out["nv_arr"] is True
     assert str(out["d_mon"]) == "2024-03-05"
     assert out["c_low"] == "05-Mar-2024"
+
+
+def test_datetime_probe_closures(engine):
+    """r8 probe sweep #6: Snowflake DATEDIFF counts unit-BOUNDARY crossings
+    (not elapsed complete units — DuckDB's date_diff shares this
+    definition); DATEADD accepts the full documented unit-alias set
+    (yyyy/mons/hrs/...); DAYOFWEEK and every dow spelling are 0=Sunday..
+    6=Saturday (default WEEK_START=0); nanosecond is a real extract part."""
+    out = engine.execute(
+        "SELECT DATEDIFF(month, DATE '2024-01-31', DATE '2024-02-01') AS dd_m, "
+        "DATEDIFF(year, DATE '2023-12-31', DATE '2024-01-01') AS dd_y, "
+        "DATEDIFF(week, DATE '2024-01-06', DATE '2024-01-08') AS dd_w, "
+        "DATEDIFF(hour, TIMESTAMP '2024-01-01 10:59:59', TIMESTAMP '2024-01-01 11:00:00') AS dd_h, "
+        "DATEDIFF(day, DATE '2024-03-01', DATE '2024-02-01') AS dd_neg, "
+        "DATEDIFF(ms, TIMESTAMP '2024-01-01 00:00:00.0009', TIMESTAMP '2024-01-01 00:00:00.001') AS dd_ms, "
+        "DATEADD(yyyy, 1, DATE '2024-02-29') AS da_y, "
+        "DATEADD(hrs, 2, TIMESTAMP '2024-01-01 00:00:00') AS da_h, "
+        "DAYOFWEEK(DATE '2024-01-07') AS dow_sun, "
+        "EXTRACT(DAYOFWEEK FROM DATE '2024-01-06') AS dow_sat, "
+        "DATE_PART('dow', DATE '2024-01-08') AS dow_mon, "
+        "DATE_PART(nanosecond, TIMESTAMP '2024-01-01 00:00:00.123456') AS ns"
+    ).to_pylist()[0]
+    assert out["dd_m"] == 1 and out["dd_y"] == 1 and out["dd_w"] == 1
+    assert out["dd_h"] == 1 and out["dd_neg"] == -29 and out["dd_ms"] == 1
+    assert str(out["da_y"]).startswith("2025-02-28")
+    assert str(out["da_h"]).startswith("2024-01-01 02:00:00")
+    assert out["dow_sun"] == 0 and out["dow_sat"] == 6 and out["dow_mon"] == 1
+    assert out["ns"] == 123456000

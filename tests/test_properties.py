@@ -682,3 +682,60 @@ def test_reservoir_sample_fraction_seed_and_subset(spark, sf_dir):
         .collect()
     }
     assert s3 != s1  # different seed, different draw
+
+
+# ---------------------------------------------------------------------------
+# 10th differential lane (r8): DATEDIFF boundary semantics + DAYOFWEEK.
+# DuckDB's native datediff/dayofweek share Snowflake's definitions
+# (boundary crossings; 0=Sunday) — the same quoted-unit text runs verbatim
+# on both engines, the Spark side through the full dialect (which expands
+# timestampdiff to truncate-then-count, probe sweep #6).
+# ---------------------------------------------------------------------------
+
+_DD_UNITS = ["year", "quarter", "month", "week", "day",
+             "hour", "minute", "second", "millisecond"]
+_DD_TS = st.sampled_from([
+    "TIMESTAMP '2024-01-15 12:34:56.789'",
+    "TIMESTAMP '2023-12-31 23:59:59'",
+    "TIMESTAMP '2024-02-29 00:00:00'",
+    "TIMESTAMP '2020-07-04 01:02:03.25'",
+    "TIMESTAMP '2024-01-01 00:00:00'",
+])
+_DD_DATE = st.one_of(
+    st.just("DATE '2024-01-15'"),
+    st.just("date_add(DATE '2020-02-29', (ABS(k) * 37) % 1000)"),
+    st.just("date_add(DATE '2024-01-15', k - 12)"),
+)
+
+
+@given(
+    unit=st.sampled_from(_DD_UNITS),
+    is_ts=st.booleans(),
+    pick=st.integers(0, 4),
+    data=st.data(),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_datediff_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, unit, is_ts, pick, data):
+    from tests.compare import normalize_rows
+    from universql_spark.dialect import snowflake_to_spark
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    strat = _DD_TS if is_ts else _DD_DATE
+    a, b = data.draw(strat), data.draw(strat)
+    q = (
+        f"SELECT k, DATEDIFF('{unit}', {a}, {b}) AS dd, "
+        f"DAYOFWEEK({b}) AS dow "
+        "FROM (SELECT n_nationkey AS k FROM nation) ORDER BY k"
+    )
+    s_tbl = spark.sql(snowflake_to_spark(q)).toArrow()
+    s_rows = [tuple(d[c] for c in s_tbl.column_names) for d in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(q).arrow()
+    d_rows = [tuple(d[c] for c in d_tbl.column_names) for d in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), q

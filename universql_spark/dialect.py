@@ -568,6 +568,11 @@ def _rewrite_scalar_emulations(sql: str) -> str:
 
     # Snowflake part aliases Spark's extract-field grammar doesn't accept
     _PART_ALIASES = {"dayofyear": "doy", "yearday": "doy", "weekofyear": "week"}
+    # Snowflake DAYOFWEEK (default WEEK_START=0) is 0=Sunday..6=Saturday;
+    # Spark's dayofweek is 1=Sunday..7=Saturday (r8 probe sweep #6).
+    _DOW_PARTS = {"dayofweek", "weekday", "dow", "dw"}
+    _NANO_PARTS = {"nanosecond", "ns", "nsec", "nanosec", "nsecond",
+                   "nanoseconds", "nanosecs", "nsecs"}
 
     def date_part_rw(a: list[str]) -> str | None:
         if len(a) != 2:
@@ -575,11 +580,37 @@ def _rewrite_scalar_emulations(sql: str) -> str:
         part = a[0].strip().strip("'").lower()
         if part in _EPOCH_PARTS:
             return _EPOCH_PARTS[part].format(x=a[1])
+        if part in _DOW_PARTS:
+            return f"(dayofweek({a[1]}) - 1)"
+        if part in _NANO_PARTS:  # nanos within the second, 0..999999999
+            return f"(pmod(unix_micros(CAST({a[1]} AS TIMESTAMP)), 1000000) * 1000)"
         part = _PART_ALIASES.get(part, part)
         if re.fullmatch(r"[A-Za-z_]+", a[0].strip().strip("'")):
             return f"date_part('{part}', {a[1]})"
         return None
 
+    # EXTRACT(dow-or-nano-or-epoch FROM x) -> the same date_part path (the
+    # emitted call IS re-scanned by the date_part pass below); standard
+    # fields stay native EXTRACT. Must run before date_part_rw, and the
+    # standalone DAYOFWEEK(x) rewrite must run before date_part_rw too —
+    # otherwise it would double-shift date_part's (dayofweek(x) - 1) output.
+    _EXTRACT_SPECIAL = _DOW_PARTS | _NANO_PARTS | set(_EPOCH_PARTS)
+
+    def extract_rw(a: list[str]) -> str | None:
+        if len(a) != 1:
+            return None
+        m = re.match(r"^\s*(\w+)\s+FROM\s+(.+)$", a[0], re.I | re.S)
+        if m and m.group(1).lower() in _EXTRACT_SPECIAL:
+            return f"date_part('{m.group(1).lower()}', {m.group(2)})"
+        return None
+
+    sql = _rewrite_calls(sql, "extract", extract_rw)
+    # the standalone DAYOFWEEK(x) function has the same 0=Sunday convention
+    # (Snowflake default WEEK_START=0; Spark's builtin is 1=Sunday..7)
+    sql = _rewrite_calls(
+        sql, "dayofweek",
+        lambda a: f"(dayofweek({a[0]}) - 1)" if len(a) == 1 else None,
+    )
     sql = _rewrite_calls(sql, "date_part", date_part_rw)
 
     # TO_TIMESTAMP epoch forms (r7 probe closures; thresholds fixed r8):
@@ -1501,6 +1532,71 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
               "timestampadd", "timestampdiff"):
         sql = _rewrite_calls(sql, f, unq_unit(f))
 
+    # Unit-alias normalization + Snowflake DATEDIFF boundary semantics
+    # (r8 probe sweep #6). By this point every DATEADD/DATEDIFF spelling is
+    # renamed to timestampadd/timestampdiff with a bare unit keyword.
+    #
+    # Snowflake accepts dozens of unit aliases (yyyy, mons, hrs, ...);
+    # Spark's timestampadd knows only the canonical names. And Snowflake
+    # DATEDIFF counts unit-BOUNDARY CROSSINGS (DATEDIFF(month,
+    # '2024-01-31', '2024-02-01') = 1; DATEDIFF(hour, 10:59:59, 11:00:00)
+    # = 1) where Spark's timestampdiff counts elapsed COMPLETE units (0 for
+    # both) — so timestampdiff expands to truncate-to-unit-then-count
+    # expressions. DuckDB's date_diff shares Snowflake's boundary
+    # definition, so the fuzz lanes oracle these directly.
+    def ts_add_rw(a: list[str]) -> str | None:
+        if len(a) != 3:
+            return None
+        u = _DT_UNIT_ALIASES.get(a[0].strip().lower())
+        if u is None:
+            return None
+        if u == "nanosecond":  # Spark timestamps are microsecond-grained
+            return f"timestampadd(microsecond, ({a[1]}) DIV 1000, {a[2]})"
+        return f"timestampadd({u}, {a[1]}, {a[2]})"
+
+    def ts_diff_rw(a: list[str]) -> str | None:
+        if len(a) != 3:
+            return None
+        u = _DT_UNIT_ALIASES.get(a[0].strip().lower())
+        if u is None:
+            return None
+        x, y = a[1].strip(), a[2].strip()  # (start, end): end - start
+
+        def um(e: str, trunc: str | None = None) -> str:
+            t = f"CAST({e} AS TIMESTAMP)"
+            return f"unix_micros({f'date_trunc({trunc!r}, {t})' if trunc else t})"
+
+        if u == "year":
+            return f"CAST(year({y}) - year({x}) AS BIGINT)"
+        if u == "quarter":
+            return (f"CAST((year({y}) * 4 + quarter({y})) - "
+                    f"(year({x}) * 4 + quarter({x})) AS BIGINT)")
+        if u == "month":
+            return (f"CAST((year({y}) * 12 + month({y})) - "
+                    f"(year({x}) * 12 + month({x})) AS BIGINT)")
+        # day counts via unix_date, not datediff: this ring runs BEFORE the
+        # token rename pass, which would remap an emitted datediff(...)
+        if u == "week":
+            return (f"CAST((unix_date(CAST(date_trunc('week', {y}) AS DATE)) - "
+                    f"unix_date(CAST(date_trunc('week', {x}) AS DATE))) DIV 7 AS BIGINT)")
+        if u == "day":
+            return (f"CAST(unix_date(CAST({y} AS DATE)) - "
+                    f"unix_date(CAST({x} AS DATE)) AS BIGINT)")
+        micros = {"hour": 3_600_000_000, "minute": 60_000_000,
+                  "second": 1_000_000, "millisecond": 1_000}.get(u)
+        if micros is not None:
+            return (f"CAST(({um(y, u)} - {um(x, u)}) DIV {micros} AS BIGINT)")
+        if u == "microsecond":
+            return f"CAST({um(y)} - {um(x)} AS BIGINT)"
+        return f"CAST(({um(y)} - {um(x)}) * 1000 AS BIGINT)"  # nanosecond
+
+    # this ring runs before the DATEADD->timestampadd token rename, so the
+    # original spellings are still in the text — rewrite all of them
+    for f in ("dateadd", "timeadd", "timestampadd"):
+        sql = _rewrite_calls(sql, f, ts_add_rw)
+    for f in ("datediff", "timediff", "timestampdiff"):
+        sql = _rewrite_calls(sql, f, ts_diff_rw)
+
     # LAST_DAY(d, part): Snowflake's 2-arg form (month/quarter/year/week)
     def last_day_rw(a: list[str]) -> str | None:
         if len(a) != 2:
@@ -1919,6 +2015,23 @@ def _rewrite_strtok_to_array(sql: str) -> str:
 
     return _rewrite_calls(sql, "strtok_to_array", rw)
 
+
+#: Snowflake date/time unit aliases (documented "Supported date and time
+#: parts") -> the canonical unit keyword Spark's timestampadd understands.
+_DT_UNIT_ALIASES = {u: c for c, us in {
+    "year": ["year", "y", "yy", "yyy", "yyyy", "yr", "years", "yrs"],
+    "quarter": ["quarter", "q", "qtr", "qtrs", "quarters"],
+    "month": ["month", "mm", "mon", "mons", "months"],
+    "week": ["week", "w", "wk", "weekofyear", "woy", "wy", "weeks"],
+    "day": ["day", "d", "dd", "days", "dayofmonth"],
+    "hour": ["hour", "h", "hh", "hr", "hours", "hrs"],
+    "minute": ["minute", "m", "mi", "min", "minutes", "mins"],
+    "second": ["second", "s", "sec", "seconds", "secs"],
+    "millisecond": ["millisecond", "ms", "msec", "milliseconds"],
+    "microsecond": ["microsecond", "us", "usec", "microseconds"],
+    "nanosecond": ["nanosecond", "ns", "nsec", "nanosec", "nsecond",
+                   "nanoseconds", "nanosecs", "nsecs"],
+}.items() for u in us}
 
 _TIME_SLICE_SEC = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400, "WEEK": 604800}
 _TIME_SLICE_MONTHS = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}

@@ -245,6 +245,9 @@ _GATE_PRIORITY: list[str] = [
     # new r8 (probe sweep #4): SPLIT_PART part 0, CONCAT_WS null-poisoning,
     # INITCAP default punctuation delimiters, TO_BOOLEAN on/off:
     "fn_string_edges",
+    # new r8 (probe sweep #6): DATEDIFF boundary-crossing semantics, unit
+    # aliases, DAYOFWEEK 0=Sunday — oracled by DuckDB's NATIVE date_diff:
+    "fn_datediff_boundaries",
     # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
     # with no driver evidence of any kind (local-green since late r6) lead,
     # closing cumulative driver coverage at 271/271; then embed_pca_project

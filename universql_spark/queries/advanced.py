@@ -562,3 +562,38 @@ def fn_string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TRY_TO_BOOLEAN(o_orderstatus) AS ttb_status "
         "FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey"
     )
+
+
+_DATEDIFF_DUCK = """SELECT event_id,
+  date_diff('month', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_month,
+  date_diff('week', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_week,
+  date_diff('day', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_day,
+  date_diff('hour', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_hour,
+  date_diff('minute', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_min,
+  CAST(dayofweek(ts) AS INT) AS dow
+FROM events WHERE event_id < 300 ORDER BY event_id"""
+
+
+@register("fn_datediff_boundaries", _DATEDIFF_DUCK, category="fn")
+def fn_datediff_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe sweep #6 closure, value-checked over table data: Snowflake
+    DATEDIFF counts unit-BOUNDARY CROSSINGS — DATEDIFF(month, Jan 31,
+    Feb 1) = 1 — where Spark's timestampdiff counts elapsed complete
+    units; the dialect expands to truncate-to-unit-then-count expressions.
+    DAYOFWEEK is 0=Sunday..6=Saturday (WEEK_START=0 default). The oracle
+    is DuckDB's NATIVE date_diff/dayofweek, which share Snowflake's
+    definitions — a genuine cross-engine check of the expansion, positive
+    and negative spans both exercised (the anchor sits mid-fixture)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT event_id, "
+        "DATEDIFF('month', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_month, "
+        "DATEDIFF('week', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_week, "
+        "DATEDIFF('day', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_day, "
+        "DATEDIFF('hour', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_hour, "
+        "DATEDIFF('minute', TIMESTAMP '2024-01-15 12:00:00', ts) AS dd_min, "
+        "CAST(DAYOFWEEK(ts) AS INT) AS dow "
+        "FROM events WHERE event_id < 300 ORDER BY event_id"
+    )
