@@ -4073,3 +4073,23 @@ def test_datetime_probe_closures(engine):
     assert str(out["da_h"]).startswith("2024-01-01 02:00:00")
     assert out["dow_sun"] == 0 and out["dow_sat"] == 6 and out["dow_mon"] == 1
     assert out["ns"] == 123456000
+
+
+def test_default_null_ordering(engine):
+    """r8 probe sweep #7: Snowflake's default NULL ordering is ASC -> NULLS
+    LAST, DESC -> NULLS FIRST — the opposite of Spark's on both counts,
+    visible to any LIMIT/top-k over a nullable sort key. The dialect
+    appends the explicit clause to every sort key that lacks one
+    (statement, subquery, and window ORDER BYs); explicit NULLS clauses
+    are untouched."""
+    three = "(SELECT 1 AS v UNION ALL SELECT NULL UNION ALL SELECT 2)"
+    out = engine.execute(
+        f"SELECT (SELECT v FROM {three} ORDER BY v LIMIT 1) AS asc_first, "
+        f"(SELECT v FROM {three} ORDER BY v DESC LIMIT 1) AS desc_first, "
+        f"(SELECT v FROM {three} ORDER BY v NULLS FIRST LIMIT 1) AS explicit_kept, "
+        f"(SELECT first_value(v) OVER (ORDER BY v DESC) FROM {three} LIMIT 1) AS win_desc"
+    ).to_pylist()[0]
+    assert out["asc_first"] == 1       # NULL sorts last ascending
+    assert out["desc_first"] is None   # NULL sorts first descending
+    assert out["explicit_kept"] is None
+    assert out["win_desc"] is None

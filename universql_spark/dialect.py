@@ -3432,6 +3432,77 @@ def _rewrite_const_literals(sql: str) -> str:
     return "".join(res)
 
 
+_ORDER_BY_START_RE = re.compile(r"\bORDER\s+BY\b", re.I)
+#: keywords that terminate an ORDER BY item list at depth 0 (statement
+#: clauses and window frame starts)
+_ORDER_BY_END_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|UNION|EXCEPT|MINUS|INTERSECT)\b",
+    re.I,
+)
+_NULLS_CLAUSE_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)\s*$", re.I)
+_DESC_RE = re.compile(r"\bDESC\s*$", re.I)
+
+
+def _normalize_order_by_nulls(sql: str) -> str:
+    """Append Snowflake's default NULL ordering to every ORDER BY sort key
+    that lacks an explicit NULLS clause: ASC -> NULLS LAST, DESC -> NULLS
+    FIRST. Spark's defaults are the opposite (NULLS FIRST asc / NULLS LAST
+    desc), which silently reorders nullable sort keys — visible to any
+    LIMIT/top-k query. Scans a literal-masked copy; insertions index the
+    original text."""
+    spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked = "".join(masked)
+    inserts: list[tuple[int, str]] = []  # (position, text-to-insert)
+
+    def close_item(start: int, end: int) -> None:
+        item = masked[start:end]
+        if not item.strip() or _NULLS_CLAUSE_RE.search(item.rstrip()):
+            return
+        pos = start + len(item.rstrip())  # insert before trailing space
+        if _DESC_RE.search(item.rstrip()):
+            inserts.append((pos, " NULLS FIRST"))
+        else:
+            inserts.append((pos, " NULLS LAST"))
+
+    i = 0
+    while True:
+        m = _ORDER_BY_START_RE.search(masked, i)
+        if m is None:
+            break
+        j = m.end()
+        depth = 0
+        item_start = j
+        while j < len(masked):
+            c = masked[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break  # closes the enclosing subquery/OVER
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif c == "," and depth == 0:
+                close_item(item_start, j)
+                item_start = j + 1
+            elif depth == 0 and c.isalpha():
+                e = _ORDER_BY_END_RE.match(masked, j)
+                if e:
+                    break
+                # skip the rest of this word so keywords match whole
+                while j + 1 < len(masked) and (masked[j + 1].isalnum() or masked[j + 1] == "_"):
+                    j += 1
+            j += 1
+        close_item(item_start, j)
+        i = j
+    for pos, text in sorted(inserts, reverse=True):
+        sql = sql[:pos] + text + sql[pos:]
+    return sql
+
+
 def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     """One statement of Snowflake-ish SQL -> Spark SQL text.
 
@@ -3576,4 +3647,11 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     # call is an identity wrapper here
     sql = re.sub(r"\bPARSE_XML\s*\(", "(", sql, flags=re.I)
     sql = _rewrite_colon_paths(sql)  # self-masks literals (lhs may BE one)
+    # LAST: Snowflake's default NULL ordering is the opposite of Spark's
+    # (ASC -> NULLS LAST, DESC -> NULLS FIRST; Spark defaults NULLS FIRST
+    # asc / NULLS LAST desc), so every sort key without an explicit NULLS
+    # clause gets one. Runs after every ORDER-BY-consuming rewrite
+    # (WITHIN GROUP, window events, ...) so only real Spark ORDER BYs
+    # remain (r8 probe sweep #7).
+    sql = _normalize_order_by_nulls(sql)
     return sql

@@ -597,3 +597,27 @@ def fn_datediff_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(DAYOFWEEK(ts) AS INT) AS dow "
         "FROM events WHERE event_id < 300 ORDER BY event_id"
     )
+
+
+_NULL_ORDER_DUCK = """SELECT o_orderkey, st
+FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders)
+ORDER BY st DESC NULLS FIRST, o_orderkey NULLS LAST LIMIT 50"""
+
+
+@register("adv_null_ordering", _NULL_ORDER_DUCK, category="advanced")
+def adv_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe sweep #7 closure over table data: Snowflake's default NULL
+    ordering (ASC -> NULLS LAST, DESC -> NULLS FIRST) is the opposite of
+    Spark's on both counts — without the dialect's ORDER BY normalization
+    this LIMIT-50 slice returns status rows instead of the NULL block.
+    The oracle spells Snowflake's defaults explicitly in DuckDB (whose own
+    default is NULLS LAST in both directions, so an explicit clause is a
+    genuine statement of the contract, not engine agreement)."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT o_orderkey, st "
+        "FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders) "
+        "ORDER BY st DESC, o_orderkey LIMIT 50"
+    )
