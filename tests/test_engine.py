@@ -1441,7 +1441,9 @@ def test_connect_by_level(engine):
     """CONNECT BY / START WITH / PRIOR / LEVEL -> recursive CTE rewrite."""
     engine.execute(
         "CREATE OR REPLACE TEMP VIEW cbt AS "
-        "SELECT id, CASE WHEN id = 0 THEN NULL ELSE CAST((id - 1) / 3 AS BIGINT) END AS pid "
+        # FLOOR, not a bare ::BIGINT — integer-target casts ROUND half away
+        # from zero in Snowflake (r8), which would reshape the tree
+        "SELECT id, CASE WHEN id = 0 THEN NULL ELSE CAST(FLOOR((id - 1) / 3) AS BIGINT) END AS pid "
         "FROM range(13) AS r(id)"
     )
     out = engine.execute(
@@ -4093,3 +4095,37 @@ def test_default_null_ordering(engine):
     assert out["desc_first"] is None   # NULL sorts first descending
     assert out["explicit_kept"] is None
     assert out["win_desc"] is None
+
+
+def test_spaced_colon_paths(engine):
+    """r8 probe sweep #8: whitespace is legal around the semi-structured
+    path colon and its separators (`v : a . b [0]` == `v:a.b[0]`); `::`
+    casts and already-tight paths are untouched."""
+    out = engine.execute(
+        "SELECT PARSE_JSON('{\"a\": {\"b\": 5}}') : a . b AS nested, "
+        "PARSE_JSON('{\"a\": [10, 20]}'):a [1] AS bracket, "
+        "PARSE_URL('https://h.com/p?q=1') :host AS url_host, "
+        "1 :: INT AS cast_kept"
+    ).to_pylist()[0]
+    assert out["nested"] == "5"
+    assert out["bracket"] == "20"
+    assert out["url_host"] == "h.com"
+    assert out["cast_kept"] == 1
+
+
+def test_integer_cast_rounding(engine):
+    """r8 probe sweep #8: integer-target casts round half away from zero in
+    Snowflake (and DuckDB) where Spark truncates — 3.5::INT is 4, '1.9'::INT
+    is 2; BIGINT extremes stay exact through the DECIMAL(38,0) chain."""
+    out = engine.execute(
+        "SELECT 3.5::INT AS a, 2.5::INT AS b, (-3.5)::INT AS c, "
+        "CAST(3.7 AS BIGINT) AS d, CAST(3.4 AS INT) AS e, "
+        "'1.9'::INT AS f, TRY_CAST('bad' AS INT) AS g, "
+        "CAST(9223372036854775807 AS BIGINT) AS h, "
+        "'::INT kept' AS lit"
+    ).to_pylist()[0]
+    assert (out["a"], out["b"], out["c"]) == (4, 3, -4)
+    assert (out["d"], out["e"], out["f"]) == (4, 3, 2)
+    assert out["g"] is None
+    assert out["h"] == 9223372036854775807
+    assert out["lit"] == "::INT kept"

@@ -3051,7 +3051,89 @@ def _map_to_datetime(m: re.Match) -> str:
     return f"{fn}({m.group(2)}, '{_map_datetime_format(m.group(3))}')"
 
 
-_COLON_PATH_RE = re.compile(r":((?:[A-Za-z_]\w*|\[\d+\])(?:\.[A-Za-z_]\w*|\[\d+\])*)")
+#: whitespace is legal around the path separators too (`v:a . b [0]`);
+#: matched here and stripped at emission
+_COLON_PATH_RE = re.compile(
+    r":((?:[A-Za-z_]\w*|\[\d+\])(?:\s*\.\s*[A-Za-z_]\w*|\s*\[\d+\])*)"
+)
+
+
+_INT_COLON_CAST_RE = re.compile(
+    r"::\s*(INT|INTEGER|BIGINT|SMALLINT|TINYINT|BYTEINT)\b", re.I
+)
+_INT_CAST_AS_RE = re.compile(
+    r"\sAS\s+(INT|INTEGER|BIGINT|SMALLINT|TINYINT|BYTEINT)\s*$", re.I
+)
+
+
+def _round_integer_casts(sql: str) -> str:
+    """Integer-target casts round half away from zero in Snowflake (and
+    DuckDB); Spark truncates. Chain through DECIMAL(38,0) — whose Spark
+    cast rounds — for both the `::INT` postfix and CAST/TRY_CAST forms.
+    The `::` substitution scans a literal-masked copy (a string literal
+    could contain '::INT'); the CAST rewrites are quote-aware already."""
+    spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked = "".join(masked)
+    for m in reversed(list(_INT_COLON_CAST_RE.finditer(masked))):
+        sql = (
+            sql[: m.start()]
+            + f"::DECIMAL(38, 0)::{m.group(1)}"
+            + sql[m.end() :]
+        )
+
+    def cast_rw(fname: str):
+        def rw(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            m = _INT_CAST_AS_RE.search(a[0])
+            if not m:
+                return None
+            inner = a[0][: m.start()]
+            return f"{fname}({inner} AS DECIMAL(38, 0))::{m.group(1)}"
+
+        return rw
+
+    sql = _rewrite_calls(sql, "cast", cast_rw("CAST"))
+    sql = _rewrite_calls(sql, "try_cast", cast_rw("TRY_CAST"))
+    return sql
+
+
+def _tighten_path_colons(sql: str) -> str:
+    """Snowflake allows whitespace around the semi-structured path colon
+    (`v : a` == `v:a`); the path rewrite below matches the tight form only.
+    Remove the whitespace when BOTH sides qualify — the left end is an
+    identifier char / `)` / `]` / string literal and the right starts a
+    path segment — so bind-style `:name` after operators/commas and `::`
+    casts are untouched (r8 probe sweep #8)."""
+    spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked = "".join(masked)
+    for p in range(len(masked) - 1, -1, -1):
+        if masked[p] != ":":
+            continue
+        if (p > 0 and masked[p - 1] == ":") or masked[p + 1 : p + 2] == ":":
+            continue  # '::' cast
+        l = p - 1
+        while l >= 0 and masked[l] in " \t\n\r":
+            l -= 1
+        r = p + 1
+        while r < len(masked) and masked[r] in " \t\n\r":
+            r += 1
+        if l == p - 1 and r == p + 1:
+            continue  # already tight
+        if l < 0 or r >= len(masked):
+            continue
+        left_ok = masked[l].isalnum() or masked[l] in "_)]\x00"
+        right_ok = masked[r].isalpha() or masked[r] in "_["
+        if left_ok and right_ok:
+            sql = sql[: l + 1] + ":" + sql[r:]
+            masked = masked[: l + 1] + ":" + masked[r:]
+    return sql
 
 
 def _rewrite_colon_paths(sql: str) -> str:
@@ -3102,7 +3184,8 @@ def _rewrite_colon_paths(sql: str) -> str:
             i = m.end()
             continue
         out.append(sql[i:k])
-        out.append(f"get_json_object({sql[k:j]}, '$.{m.group(1)}')")
+        path = re.sub(r"\s+", "", m.group(1))
+        out.append(f"get_json_object({sql[k:j]}, '$.{path}')")
         i = m.end()
     return "".join(out)
 
@@ -3646,7 +3729,14 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     # PARSE_XML likewise: XML stays TEXT (XMLGET extracts over it), so the
     # call is an identity wrapper here
     sql = re.sub(r"\bPARSE_XML\s*\(", "(", sql, flags=re.I)
+    sql = _tighten_path_colons(sql)  # `v : a` -> `v:a` (whitespace legal)
     sql = _rewrite_colon_paths(sql)  # self-masks literals (lhs may BE one)
+    # integer-target casts ROUND in Snowflake (3.5::INT = 4, '1.9'::INT =
+    # 2 — DuckDB agrees) where Spark truncates (3) or faults on fractional
+    # strings; route through DECIMAL(38,0), whose Spark cast rounds half
+    # away from zero. Exact for every BIGINT (38 digits > 2^63); NUMBER/
+    # DECIMAL targets already round natively (r8 probe sweep #8).
+    sql = _round_integer_casts(sql)
     # LAST: Snowflake's default NULL ordering is the opposite of Spark's
     # (ASC -> NULLS LAST, DESC -> NULLS FIRST; Spark defaults NULLS FIRST
     # asc / NULLS LAST desc), so every sort key without an explicit NULLS
