@@ -297,3 +297,56 @@ def test_async_query_lifecycle(client):
     assert st["data"]["queries"][0]["status"] == "FAILED_WITH_ERROR"
     res = client.get(f"/queries/{qid}/result", headers=hdr).get_json()
     assert not res["success"] and res["data"]["sqlState"]
+
+
+def test_qmark_bindings(client):
+    """Server-side statement bindings (paramstyle qmark): the query-request
+    body's `bindings` map substitutes `?` placeholders positionally with
+    the connector's documented wire encodings (TEXT raw, FIXED numeral,
+    BOOLEAN text, DATE epoch days, TIMESTAMP_NTZ epoch nanos, BINARY hex).
+    The reference never handled these (its default-paramstyle client
+    interpolates client-side) — real qmark clients need them."""
+    token = _login(client)
+    out = _query_body(client, token, {
+        "sqlText": "SELECT ? AS s, ? AS n, ? AS b, ? AS d, ? AS ts, ? AS bin, '?' AS lit",
+        "bindings": {
+            "1": {"type": "TEXT", "value": "o'clock"},
+            "2": {"type": "FIXED", "value": "42"},
+            "3": {"type": "BOOLEAN", "value": "True"},
+            "4": {"type": "DATE", "value": "19738"},          # 2024-01-16
+            "5": {"type": "TIMESTAMP_NTZ", "value": "1705363200000000000"},
+            "6": {"type": "BINARY", "value": "DEADBEEF"},
+        },
+    })
+    assert out["success"], out
+    row = _decode(out).to_pylist()[0]
+    assert row["s"] == "o'clock"
+    assert row["n"] == 42
+    assert row["b"] is True
+    assert str(row["d"]).startswith("2024-01-16")
+    assert str(row["ts"]).startswith("2024-01-16")
+    assert row["bin"] == b"\xde\xad\xbe\xef"
+    assert row["lit"] == "?"  # placeholder inside a string literal survives
+
+
+def test_numeric_bindings_and_errors(client):
+    """`:N` numeric-style placeholders resolve by index; an unknown bind
+    type returns the error envelope without killing the session."""
+    token = _login(client)
+    out = _query_body(client, token, {
+        "sqlText": "SELECT :2 AS hi, :1 AS lo, 1::INT AS cast_kept",
+        "bindings": {
+            "1": {"type": "FIXED", "value": "1"},
+            "2": {"type": "FIXED", "value": "2"},
+        },
+    })
+    assert out["success"], out
+    row = _decode(out).to_pylist()[0]
+    assert (row["hi"], row["lo"], row["cast_kept"]) == (2, 1, 1)
+    bad = _query_body(client, token, {
+        "sqlText": "SELECT ? AS x",
+        "bindings": {"1": {"type": "OBJECT", "value": "{}"}},
+    })
+    assert bad["success"] is False and "unsupported bind type" in bad["message"]
+    ok = _query(client, token, "SELECT 5 AS five")
+    assert ok["success"]

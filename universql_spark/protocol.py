@@ -98,6 +98,76 @@ def _body() -> dict:
     return json.loads(raw) if raw else {}
 
 
+import re as _re_bind  # noqa: E402
+
+_BIND_STR_RE = _re_bind.compile(r"'(?:[^']|'')*'")
+
+
+def _apply_bindings(sql: str, bindings: dict) -> str:
+    """Server-side statement bindings (paramstyle qmark `?` / numeric `:N`).
+
+    The reference never sees these — the Python connector's default
+    pyformat paramstyle interpolates client-side — but a qmark-mode client
+    ships `bindings: {"1": {"type": ..., "value": ...}}` in the
+    query-request body (public REST contract; value encodings per the
+    public snowflake-connector-python converter: TEXT raw, FIXED/REAL
+    numeral strings, BOOLEAN true/false, DATE epoch DAYS, TIMESTAMP_*
+    epoch NANOSECONDS, BINARY hex). Values render as Snowflake-dialect
+    literals and flow through the normal dialect ring; placeholders inside
+    string literals are masked out."""
+    if not bindings:
+        return sql
+
+    def lit(b: dict) -> str:
+        t = (b.get("type") or "TEXT").upper()
+        v = b.get("value")
+        if v is None:
+            return "NULL"
+        if t == "TEXT":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t in ("FIXED", "REAL"):
+            return str(v)
+        if t == "BOOLEAN":
+            return "TRUE" if str(v).lower() in ("true", "1", "t") else "FALSE"
+        if t == "DATE":
+            return f"DATEADD(day, {int(v)}, '1970-01-01'::DATE)"
+        if t.startswith("TIMESTAMP"):
+            return f"TO_TIMESTAMP({int(v)}, 9)"
+        if t == "BINARY":
+            return f"TO_BINARY('{v}', 'HEX')"
+        raise QueryError(f"unsupported bind type: {t}", sql_state="22023")
+
+    spans = [(m.start(), m.end()) for m in _BIND_STR_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked = "".join(masked)
+    out: list[str] = []
+    pos = qmark = i = 0
+    while i < len(masked):
+        c = masked[i]
+        if c == "?":
+            qmark += 1
+            out.append(sql[pos:i])
+            out.append(lit(bindings.get(str(qmark), {})))
+            pos = i + 1
+        elif (
+            c == ":"
+            and masked[i + 1 : i + 2].isdigit()
+            and masked[i - 1 : i] != ":"
+        ):
+            j = i + 1
+            while j < len(masked) and masked[j].isdigit():
+                j += 1
+            out.append(sql[pos:i])
+            out.append(lit(bindings.get(masked[i + 1 : j], {})))
+            pos = j
+            i = j - 1
+        i += 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def create_app(engine: Engine | None = None) -> "Flask":
     if not HAS_FLASK:
         raise RuntimeError("flask not available")
@@ -154,7 +224,15 @@ def create_app(engine: Engine | None = None) -> "Flask":
         if token is None:
             return {"success": False, "message": "invalid token", "code": "390104"}, 401
         body = _body()
-        sql = body.get("sqlText", "")
+        try:
+            sql = _apply_bindings(body.get("sqlText", ""), body.get("bindings") or {})
+        except QueryError as e:
+            return {
+                "success": False,
+                "message": e.args[0] if e.args else str(e),
+                "code": "002010",
+                "data": {"sqlState": getattr(e, "sql_state", "22023")},
+            }
         # the client's requestId IS the cancellation handle: all Spark jobs
         # this statement schedules run under a job group named after it, so
         # abort-request can cancelJobGroup (reference cancels the DuckDB
