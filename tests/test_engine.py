@@ -4129,3 +4129,20 @@ def test_integer_cast_rounding(engine):
     assert out["g"] is None
     assert out["h"] == 9223372036854775807
     assert out["lit"] == "::INT kept"
+
+
+def test_quantified_subquery_comparisons(engine):
+    """r8 probe sweep #9: = ANY/SOME -> IN, <> ALL -> NOT IN (exact), and
+    the ordering/equality forms via guarded MIN/MAX scalar subqueries
+    (ALL over the empty set is TRUE, ANY FALSE)."""
+    out = engine.execute(
+        "SELECT "
+        "(SELECT COUNT(*) FROM nation WHERE n_regionkey = ANY (SELECT r_regionkey FROM region WHERE r_regionkey < 2)) AS any_eq, "
+        "(SELECT COUNT(*) FROM nation WHERE n_nationkey > ALL (SELECT r_regionkey FROM region)) AS all_gt, "
+        "(SELECT COUNT(*) FROM nation WHERE n_nationkey > ALL (SELECT r_regionkey FROM region WHERE r_regionkey > 99)) AS all_empty, "
+        "(SELECT COUNT(*) FROM nation WHERE n_nationkey < SOME (SELECT r_regionkey FROM region WHERE r_regionkey > 99)) AS some_empty, "
+        "(SELECT COUNT(*) FROM nation WHERE n_regionkey = ALL (SELECT r_regionkey FROM region WHERE r_regionkey = 2)) AS eq_all, "
+        "(SELECT COUNT(*) FROM nation WHERE n_regionkey <> ANY (SELECT r_regionkey FROM region WHERE r_regionkey < 2)) AS ne_any"
+    ).to_pylist()[0]
+    assert out == {"any_eq": 10, "all_gt": 20, "all_empty": 25,
+                   "some_empty": 0, "eq_all": 5, "ne_any": 25}

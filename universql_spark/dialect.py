@@ -3101,6 +3101,83 @@ def _round_integer_casts(sql: str) -> str:
     return sql
 
 
+_QUANT_RE = re.compile(r"(=|<>|!=|>=|<=|>|<)\s*(ANY|SOME|ALL)\s*\(", re.I)
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """Quantified subquery comparisons — `x = ANY (sub)`, `x > ALL (sub)` —
+    which Spark's parser lacks (only IN/EXISTS). `= ANY/SOME` -> IN and
+    `<> ALL` -> NOT IN are exact; the ordering forms become MIN/MAX scalar
+    comparisons with an emptiness guard (ALL over the empty set is TRUE,
+    ANY is FALSE). NULL elements: the MIN/MAX forms yield TRUE/FALSE where
+    the standard's three-valued logic can yield UNKNOWN — identical under
+    WHERE (UNKNOWN filters like FALSE), divergent only when the bare
+    boolean is projected or negated with NULL elements present
+    (documented narrow edge; r8 probe sweep #9)."""
+    while True:
+        spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+        masked = list(sql)
+        for a, b in spans:
+            masked[a:b] = "\x00" * (b - a)
+        masked = "".join(masked)
+        m = _QUANT_RE.search(masked)
+        if m is None:
+            return sql
+        op, quant = m.group(1), m.group(2).upper()
+        open_idx = m.end() - 1
+        close = _match_paren(sql, open_idx)
+        sub = sql[open_idx + 1 : close]
+        if op == "=" and quant in ("ANY", "SOME"):
+            sql = sql[: m.start()] + f"IN ({sub})" + sql[close + 1 :]
+            continue
+        if op in ("<>", "!=") and quant == "ALL":
+            sql = sql[: m.start()] + f"NOT IN ({sub})" + sql[close + 1 :]
+            continue
+        # ordering / remaining forms need the left operand's span
+        j = m.start()
+        while j > 0 and masked[j - 1] in " \t\n\r":
+            j -= 1
+        k = j
+        if k > 0 and masked[k - 1] == ")":
+            depth = 0
+            k -= 1
+            while k >= 0:
+                if masked[k] == ")":
+                    depth += 1
+                elif masked[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] in "_."):
+                k -= 1
+        elif k > 0 and masked[k - 1] == "\x00":
+            k = dict((b, a) for a, b in spans)[k]
+        else:
+            while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] in "_.$"):
+                k -= 1
+        lhs = sql[k:j].strip() or "NULL"
+        agg_of = {
+            (">", "ALL"): "MAX", (">=", "ALL"): "MAX",
+            ("<", "ALL"): "MIN", ("<=", "ALL"): "MIN",
+            (">", "ANY"): "MIN", (">=", "ANY"): "MIN",
+            ("<", "ANY"): "MAX", ("<=", "ANY"): "MAX",
+            (">", "SOME"): "MIN", (">=", "SOME"): "MIN",
+            ("<", "SOME"): "MAX", ("<=", "SOME"): "MAX",
+        }.get((op, quant))
+        empty_val = "TRUE" if quant == "ALL" else "FALSE"
+        guard = f"WHEN NOT EXISTS (SELECT 1 FROM ({sub}) AS __qt(__v)) THEN {empty_val}"
+        if agg_of is not None:
+            body = f"({lhs}) {op} (SELECT {agg_of}(__v) FROM ({sub}) AS __qt(__v))"
+        elif op == "=" and quant == "ALL":
+            body = (f"({lhs}) = (SELECT MIN(__v) FROM ({sub}) AS __qt(__v)) "
+                    f"AND ({lhs}) = (SELECT MAX(__v) FROM ({sub}) AS __qt(__v))")
+        else:  # <> / != ANY|SOME
+            body = (f"(({lhs}) <> (SELECT MIN(__v) FROM ({sub}) AS __qt(__v)) "
+                    f"OR ({lhs}) <> (SELECT MAX(__v) FROM ({sub}) AS __qt(__v)))")
+        sql = sql[:k] + f"(CASE {guard} ELSE {body} END)" + sql[close + 1 :]
+
+
 def _tighten_path_colons(sql: str) -> str:
     """Snowflake allows whitespace around the semi-structured path colon
     (`v : a` == `v:a`); the path rewrite below matches the tight form only.
@@ -3620,6 +3697,11 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     if "[" in sql or "{" in sql:
         sql = _rewrite_const_literals(sql)
     sql = strip_table_wrapper(sql)
+    # quantified subquery comparisons (= ANY / > ALL / ...) before any
+    # other rewrite — the embedded subquery text then flows through the
+    # pipeline like a hand-written one
+    if _QUANT_RE.search(sql):
+        sql = _rewrite_quantified_comparisons(sql)
     # SPLIT_TO_TABLE(x, d) -> correlated lateral subquery with Snowflake's
     # 1-BASED index column; the emitted SPLIT() flows through the literal-
     # delimiter split rewrite below, so empties and regex chars behave

@@ -251,6 +251,9 @@ _GATE_PRIORITY: list[str] = [
     # new r8 (probe sweep #7): default NULL ordering (ASC NULLS LAST /
     # DESC NULLS FIRST — both opposite to Spark's defaults):
     "adv_null_ordering",
+    # new r8 (probe sweep #9): quantified subquery comparisons, oracled by
+    # DuckDB running the identical = ANY / > ALL text natively:
+    "adv_quantified_cmp",
     # ---- round-7 first-50 (VERDICT r6 'Next round' #1-2): the 19 specs
     # with no driver evidence of any kind (local-green since late r6) lead,
     # closing cumulative driver coverage at 271/271; then embed_pca_project

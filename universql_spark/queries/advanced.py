@@ -621,3 +621,34 @@ def adv_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders) "
         "ORDER BY st DESC, o_orderkey LIMIT 50"
     )
+
+
+_QUANTIFIED_DUCK = """SELECT n_nationkey,
+  n_regionkey = ANY (SELECT r_regionkey FROM region WHERE r_regionkey < 2) AS any_eq,
+  n_nationkey > ALL (SELECT r_regionkey FROM region) AS all_gt,
+  n_nationkey < ANY (SELECT r_regionkey FROM region) AS any_lt,
+  n_nationkey > ALL (SELECT r_regionkey FROM region WHERE r_regionkey > 99) AS all_empty,
+  n_nationkey <> ALL (SELECT r_regionkey FROM region) AS ne_all
+FROM nation ORDER BY n_nationkey"""
+
+
+@register("adv_quantified_cmp", _QUANTIFIED_DUCK, category="advanced")
+def adv_quantified_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 probe sweep #9: quantified subquery comparisons (= ANY, > ALL,
+    < ANY, <> ALL, empty-set ALL) — Spark's parser lacks them, so the
+    dialect rewrites to IN/NOT IN (exact) and guarded MIN/MAX scalar
+    subqueries. The oracle is DuckDB executing the IDENTICAL quantified
+    text natively — a genuine cross-engine check including the
+    ALL-over-empty-set = TRUE edge."""
+    from universql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    return eng.execute_df(
+        "SELECT n_nationkey, "
+        "n_regionkey = ANY (SELECT r_regionkey FROM region WHERE r_regionkey < 2) AS any_eq, "
+        "n_nationkey > ALL (SELECT r_regionkey FROM region) AS all_gt, "
+        "n_nationkey < ANY (SELECT r_regionkey FROM region) AS any_lt, "
+        "n_nationkey > ALL (SELECT r_regionkey FROM region WHERE r_regionkey > 99) AS all_empty, "
+        "n_nationkey <> ALL (SELECT r_regionkey FROM region) AS ne_all "
+        "FROM nation ORDER BY n_nationkey"
+    )
