@@ -725,3 +725,48 @@ def test_minhash_index_invalidated_by_data_rewrite(spark, tmp_path):
     docs2 = spark.read.parquet(p)
     pairs2 = dedup.minhash_lsh_pairs(docs2, threshold=0.8).count()
     assert pairs2 == 0, "stale signature index served after data rewrite"
+
+
+def test_maxsim_identical_vector_scores_full(emb):
+    """A planted exact duplicate of a query vector must MaxSim-score exactly
+    n_sub (every sub-cosine = 1.0) and rank first for that query."""
+    dup = (
+        emb.filter(F.col("vec_id") == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    corpus = emb.unionByName(dup)
+    out = similarity.maxsim_topk(
+        corpus, emb.filter(F.col("vec_id") == 0), dim=64, n_sub=4, k=3
+    ).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.d_id == 100000 and abs(top.maxsim - 4.0) < 1e-9
+    # scores are bounded by n_sub and ranks are dense starting at 1
+    assert all(r.maxsim <= 4.0 + 1e-9 for r in out)
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+
+
+def test_maxsim_dominates_single_slice_cosine(emb):
+    """MaxSim >= the plain full-vector cosine decomposed per slice: summing
+    per-slice maxima can only beat matching each query slice to the same
+    doc slice (the defining late-interaction inequality)."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = {
+        (r.q_id, r.d_id): r.maxsim
+        for r in similarity.maxsim_topk(emb, probes, dim=64, n_sub=4, k=5).collect()
+    }
+    sub_q = similarity._subvector_rows(probes, "vec_id", "embedding", 4, 64, "q")
+    sub_c = similarity._subvector_rows(emb, "vec_id", "embedding", 4, 64, "d")
+    from pyspark.sql import functions as SF
+
+    cos = SF.expr(similarity._dot_sql("q_vec", "d_vec")) / (
+        SF.col("q_nrm") * SF.col("d_nrm")
+    )
+    diag = (
+        sub_c.join(SF.broadcast(sub_q), SF.col("q_sub") == SF.col("d_sub"))
+        .filter(SF.col("q_id") != SF.col("d_id"))
+        .groupBy("q_id", "d_id")
+        .agg(SF.sum(cos).alias("diag"))
+    )
+    diag_map = {(r.q_id, r.d_id): r.diag for r in diag.collect()}
+    for key, ms in out.items():
+        assert ms >= round(diag_map[key], 4) - 1e-6, (key, ms, diag_map[key])

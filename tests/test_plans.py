@@ -530,3 +530,18 @@ def test_hamming_topk_broadcast_probes_no_vector_shuffle(spark, sf_dir):
     for chunk in p.split("Exchange hashpartitioning")[1:]:
         args = chunk.split("\n")[0]
         assert "embedding#" not in args, f"vector column on an exchange: {args}"
+
+
+def test_maxsim_broadcast_probes_bounded_exchanges(spark, sf_dir):
+    """MaxSim late-interaction: the probe bag is broadcast (non-equi join ->
+    BroadcastNestedLoopJoin), the corpus sub-vector explode is a narrow map,
+    and the only exchanges are the two partial-agg shuffles + the per-query
+    window — never a corpus x corpus cartesian."""
+    import re as _re
+
+    p = plan(spark, sf_dir, "ann_maxsim_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 3, p[:2000]

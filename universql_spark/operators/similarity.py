@@ -931,3 +931,78 @@ def hard_negatives(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return out.orderBy("q_id", "rank") if sort else out
+
+
+def _subvector_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int,
+    dim: int,
+    prefix: str,
+) -> DataFrame:
+    """(id, sub_no, sub_vec, sub_nrm): each vector split into n_sub
+    contiguous slices (the deterministic multi-vector synthesis — in a real
+    late-interaction corpus each doc arrives with its own token vectors;
+    the slicing stands in for that with no RNG so oracles can reproduce
+    it). Slice + norm are codegen expressions; one output row per
+    (vector, slice)."""
+    w = dim // n_sub
+    v = _as_double_sql(vec_col)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sub_no"),
+                F.expr(f"slice({v}, {i * w + 1}, {w})").alias("sub"),
+            )
+            for i in range(n_sub)
+        ]
+    )
+    ex = df.select(F.col(id_col).alias(f"{prefix}_id"), F.explode(subs).alias("s"))
+    return ex.select(
+        f"{prefix}_id",
+        F.col("s.sub_no").alias(f"{prefix}_sub"),
+        F.col("s.sub").alias(f"{prefix}_vec"),
+        F.expr(_norm_sql("s.sub")).alias(f"{prefix}_nrm"),
+    )
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    n_sub: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sort: bool = True,
+) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval.
+
+    Each document and query is a BAG of sub-vectors (here: n_sub contiguous
+    slices of the embedding — deterministic, oracle-reproducible).
+    score(q, d) = sum over q's sub-vectors of the max cosine against any of
+    d's sub-vectors; per-query top-k by score.
+
+    Scale shape: the probe set (queries x n_sub rows) is broadcast; the
+    corpus sub-vector explode is a narrow map (no shuffle); the only
+    exchanges are the two partial-agg shuffles on (q_id, d_id, q_sub) then
+    (q_id, d_id) — both bounded by |probes| x |corpus|, never corpus x
+    corpus — and the final per-query window. At 100 TB the composition is
+    IVF/Hamming candidate pruning first, MaxSim re-rank on the survivors
+    (same operator, smaller corpus side).
+
+    Ranking key is round(maxsim, 4) with id tiebreak (the repo-wide
+    convention that keeps float noise off the top-k boundary)."""
+    c = _subvector_rows(corpus, id_col, vec_col, n_sub, dim, "d")
+    q = _subvector_rows(queries, id_col, vec_col, n_sub, dim, "q")
+    cos = F.expr(_dot_sql("q_vec", "d_vec")) / (F.col("q_nrm") * F.col("d_nrm"))
+    best = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("d_id"))
+        .groupBy("q_id", "d_id", "q_sub")
+        .agg(F.max(cos).alias("best"))
+    )
+    scored = best.groupBy("q_id", "d_id").agg(F.round(F.sum("best"), 4).alias("maxsim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("d_id"))
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    return out.orderBy("q_id", "rank") if sort else out

@@ -430,6 +430,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_DUCK_MAXSIM = """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, g AS sub_no, list_slice(v, g*16+1, g*16+16) AS sub
+  FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS g) t),
+sn AS (
+  SELECT vec_id, sub_no, sub,
+         sqrt(list_reduce(list_transform(sub, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM s),
+p AS (SELECT * FROM sn WHERE vec_id < 5),
+best AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS d_id, p.sub_no AS q_sub,
+         max(list_reduce(list_transform(list_zip(p.sub, c.sub), z -> z[1] * z[2]), (x, y) -> x + y)
+             / (p.nrm * c.nrm)) AS best
+  FROM p JOIN sn c ON c.vec_id <> p.vec_id
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT q_id, d_id, round(SUM(best), 4) AS maxsim FROM best GROUP BY 1, 2)
+SELECT q_id, d_id, maxsim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, d_id) AS INT) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
+
+
+@register("ann_maxsim_topk", _DUCK_MAXSIM, category="similarity")
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late-interaction retrieval
+    (similarity.maxsim_topk): each vector is a bag of 4 sub-vectors
+    (contiguous 16-dim slices — deterministic multi-vector synthesis);
+    score(q, d) = sum over q's sub-vectors of the max sub-cosine against
+    d's bag; top-5 per query for 5 probe vectors. Broadcast probe bag,
+    narrow corpus explode, two bounded partial-agg shuffles — the re-rank
+    stage a late-interaction retriever runs after candidate pruning."""
+    emb = spark.table("embeddings")
+    out = similarity.maxsim_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, n_sub=4, k=5, sort=False
+    )
+    return out
+
+
 @register(
     "ann_hamming_topk",
     """WITH sig AS (
@@ -1250,6 +1289,52 @@ _DUCK_BPE = f"""SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT) AS n_bpe,
        CAST({_duck_token_count('text')} AS BIGINT) AS n_ws
 FROM documents ORDER BY doc_id"""
+
+
+_DUCK_STATIC_ENRICH = """WITH ltv AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(28,6))) AS ltv FROM events GROUP BY user_id),
+dim AS (
+  SELECT user_id, CAST(ntile(4) OVER (ORDER BY ltv, user_id) AS INT) AS tier FROM ltv)
+SELECT strftime(time_bucket(INTERVAL '10 minutes', e.ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       d.tier, COUNT(*) AS c,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS v
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1, 2 ORDER BY win_start, tier"""
+
+
+@register("stream_static_enrich", _DUCK_STATIC_ENRICH, category="streaming")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STATIC join + windowed agg (streaming/windows.py
+    static_enriched_counts): events enriched against a bounded per-user
+    LTV-quartile dimension (user_tier_dim), then tumbling 10-minute
+    counts + exact DECIMAL(28,6) value sums per (window, tier).
+    test_stream_static_enrichment_equals_batch pins stream == batch for the
+    identical operator chain. Scale shape: the dim is bounded (one row per
+    user) and broadcast by the planner; the stream side is stateless for
+    the join — only the windowed agg holds state, evicted by watermark.
+    The ntile tier is deterministic under the total order (ltv, user_id),
+    so both engines assign identical quartiles."""
+    from pyspark.sql.window import Window as W
+
+    from universql_spark.streaming import windows as sw
+
+    ev = spark.table("events")
+    dim = sw.user_tier_dim(ev).withColumn("tier", F.col("tier").cast("int"))
+    return (
+        ev.join(dim, "user_id")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "tier")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("dv"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "tier",
+            "c",
+            F.expr("CAST(CAST(dv AS STRING) AS DOUBLE)").alias("v"),
+        )
+        .orderBy("win_start", "tier")
+    )
 
 
 @register("text_tokens_bpe", _DUCK_BPE, category="text")
