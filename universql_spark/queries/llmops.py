@@ -3261,6 +3261,84 @@ FROM j GROUP BY cohort_week, wk ORDER BY cohort_week, wk""",
 
 
 register_sql(
+    "events_funnel_steps",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 2 HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 2 HOUR
+      GROUP BY e.user_id)
+SELECT COUNT(v.user_id) AS step_view,
+       COUNT(c.user_id) AS step_click,
+       COUNT(p.user_id) AS step_purchase,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN unix_micros(c.t2) - unix_micros(v.t1) END) AS BIGINT) AS sum_delta12_us,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN unix_micros(p.t3) - unix_micros(c.t2) END) AS BIGINT) AS sum_delta23_us
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON c.user_id = p.user_id""",
+    oracle="""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 2 HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 2 HOUR
+      GROUP BY e.user_id)
+SELECT COUNT(v.user_id) AS step_view,
+       COUNT(c.user_id) AS step_click,
+       COUNT(p.user_id) AS step_purchase,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN epoch_us(c.t2) - epoch_us(v.t1) END) AS BIGINT) AS sum_delta12_us,
+       CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN epoch_us(p.t3) - epoch_us(c.t2) END) AS BIGINT) AS sum_delta23_us
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON c.user_id = p.user_id""",
+    category="events",
+    doc="ordered conversion funnel view -> click -> purchase: each step is "
+    "the user's FIRST qualifying event within 2 hours of the previous "
+    "step; per-step user counts + exact microsecond step-latency sums. "
+    "Three user-keyed partial aggs + two user-keyed joins (same shuffle "
+    "key throughout — co-partitioned at scale, no fact x fact blowup); "
+    "all-integer arithmetic, no float path",
+)
+
+
+register_sql(
+    "events_decay_features",
+    """WITH w AS (
+  SELECT user_id,
+         CAST(ROUND(EXP(-(CAST(unix_micros(TIMESTAMP '2024-01-31 00:00:00') - unix_micros(ts) AS DOUBLE)
+                          / 86400000000.0) / 7.0), 6) AS DECIMAL(18,6)) AS decay,
+         value
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(decay) AS STRING) AS DOUBLE) AS recency_score,
+       CAST(CAST(SUM(decay * CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS weighted_value
+FROM w GROUP BY user_id ORDER BY user_id""",
+    oracle="""WITH w AS (
+  SELECT user_id,
+         CAST(ROUND(EXP(-(CAST(epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts) AS DOUBLE)
+                          / 86400000000.0) / 7.0), 6) AS DECIMAL(18,6)) AS decay,
+         value
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(decay) AS STRING) AS DOUBLE) AS recency_score,
+       CAST(CAST(SUM(decay * CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS weighted_value
+FROM w GROUP BY user_id ORDER BY user_id""",
+    category="events",
+    doc="exponential time-decay user features (7-day half-life style "
+    "recency score + decay-weighted value) at a fixed reference time: "
+    "per-event weight = exp(-age_days/7) rounded to 6dp then summed "
+    "EXACTLY in DECIMAL(18,6) — the order-insensitive determinism "
+    "convention (per-term rounding kills cross-engine libm ulp noise; "
+    "decimal summation kills FP reorder noise). One user-keyed partial "
+    "agg, codegen-only expressions — the classic feature-store "
+    "aggregation shape",
+)
+
+
+register_sql(
     "ts_interpolate_linear",
     """WITH b AS (SELECT user_id, CAST(floor(unix_seconds(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) AS bkt,
                   CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v6
