@@ -833,6 +833,48 @@ def test_iceberg_file_granular_delete_and_time_travel(engine):
     engine.execute("DROP TABLE ice_t")
 
 
+def test_time_travel_before_and_changes_clause(engine):
+    """Snowflake BEFORE(...) and CHANGES(INFORMATION => ...) clauses:
+    BEFORE(SNAPSHOT) = the preceding snapshot, fractional OFFSET seconds,
+    BEFORE(STATEMENT => qid) = the state recorded just before that
+    history-changing statement ran, and CHANGES = the row-level delta
+    between two points (APPEND_ONLY keeps only INSERTs)."""
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE ice_tt AS SELECT 1 AS v")
+    engine.execute("INSERT INTO ice_tt SELECT 2")
+    engine.execute("INSERT INTO ice_tt SELECT 3")
+    # ring: [..., create, ins2, ins3]; -2 once the SELECT's own id exists
+    ins3_qid = engine.execute("SELECT LAST_QUERY_ID(-1) AS q").to_pylist()[0]["q"]
+    assert engine.execute(
+        "SELECT COUNT(*) AS c FROM ice_tt BEFORE(SNAPSHOT => 2)"
+    ).to_pylist() == [{"c": 1}]
+    assert engine.execute(
+        "SELECT COUNT(*) AS c FROM ice_tt AT(OFFSET => -0.0001)"
+    ).to_pylist() == [{"c": 3}]
+    assert engine.execute(
+        f"SELECT COUNT(*) AS c FROM ice_tt BEFORE(STATEMENT => '{ins3_qid}')"
+    ).to_pylist() == [{"c": 2}]
+    delta = engine.execute(
+        'SELECT v, "METADATA$ACTION" AS act FROM ice_tt '
+        "CHANGES(INFORMATION => DEFAULT) AT(SNAPSHOT => 1) ORDER BY v"
+    ).to_pylist()
+    assert delta == [{"v": 2, "act": "INSERT"}, {"v": 3, "act": "INSERT"}]
+    bounded = engine.execute(
+        "SELECT v FROM ice_tt CHANGES(INFORMATION => APPEND_ONLY) "
+        "AT(SNAPSHOT => 1) END(SNAPSHOT => 2) ORDER BY v"
+    ).to_pylist()
+    assert bounded == [{"v": 2}]
+    # CHANGES on a plain view refuses with a clear message
+    import pytest as _pytest
+
+    from universql_spark.engine import QueryError as _QE
+
+    with _pytest.raises(_QE, match="snapshot-tracked"):
+        engine.execute(
+            "SELECT COUNT(*) FROM events CHANGES(INFORMATION => DEFAULT) AT(OFFSET => -60)"
+        )
+    engine.execute("DROP TABLE ice_tt")
+
+
 def test_iceberg_update_file_granular(engine):
     engine.execute(
         "CREATE OR REPLACE ICEBERG TABLE ice_u AS "
@@ -1841,6 +1883,39 @@ def test_asof_join_sql_directions(engine, spark):
         "MATCH_CONDITION (tt >= qt) ORDER BY tt"
     ).to_pylist()
     assert [r["quote"] for r in keyless] == [None, 10.0, 20.0, 11.0]
+
+
+def test_asof_join_right_alias_references(engine, spark):
+    """Snowflake lets the SELECT list reference BOTH sides of an ASOF JOIN;
+    right-alias-qualified references (q.qt — including the MATCH_CONDITION
+    timestamp itself) must resolve to the joined output, and a left bare
+    TABLE name must stay usable as a qualifier."""
+    spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("B", 3, 20.0)], ["sym", "qt", "quote"]
+    ).createOrReplaceTempView("asof_q")
+    spark.createDataFrame(
+        [("A", 2, 100), ("A", 5, 200), ("A", 0, 300), ("B", 4, 400)],
+        ["sym", "tt", "size"],
+    ).createOrReplaceTempView("asof_t")
+    out = engine.execute(
+        "SELECT t.tt, q.qt AS matched_at, q.quote FROM asof_t t ASOF JOIN asof_q q "
+        "MATCH_CONDITION (t.tt >= q.qt) ON t.sym = q.sym ORDER BY t.sym, t.tt"
+    ).to_pylist()
+    assert [r["matched_at"] for r in out] == [None, 1, 5, 3]
+    assert [r["quote"] for r in out] == [None, 10.0, 11.0, 20.0]
+    # left operand WITHOUT an alias: its bare table name qualifies output
+    out2 = engine.execute(
+        "SELECT asof_t.tt, q.quote FROM asof_t ASOF JOIN asof_q q "
+        "MATCH_CONDITION (asof_t.tt >= q.qt) ON asof_t.sym = q.sym "
+        "ORDER BY asof_t.sym, asof_t.tt"
+    ).to_pylist()
+    assert [r["quote"] for r in out2] == [None, 10.0, 11.0, 20.0]
+    # self-join where both sides share column names: right refs land on _r
+    out3 = engine.execute(
+        "SELECT a.tt, b.tt AS prev_tt FROM asof_t a ASOF JOIN asof_t b "
+        "MATCH_CONDITION (a.tt > b.tt) ON a.sym = b.sym ORDER BY a.sym, a.tt"
+    ).to_pylist()
+    assert [r["prev_tt"] for r in out3] == [None, 0, 2, None]
 
 
 def test_scripting_block(engine):

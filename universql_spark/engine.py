@@ -89,7 +89,15 @@ _LAG_UNITS = {
 #: `t AT(SNAPSHOT => 3)` / `t AT(TIMESTAMP => '...')` time travel on
 #: snapshot tables (Snowflake's AT clause over the Iceberg-like format)
 _AT_RE = re.compile(
-    r"\b([\w.]+)\s+AT\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|BRANCH|TAG)\s*=>\s*('[^']*'|-?\d+)\s*\)", re.I
+    r"\b([\w.]+)\s+(AT|BEFORE)\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|BRANCH|TAG|STATEMENT)"
+    r"\s*=>\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\)",
+    re.I,
+)
+_CHANGES_RE = re.compile(
+    r"\b([\w.]+)\s+CHANGES\s*\(\s*INFORMATION\s*=>\s*(DEFAULT|APPEND_ONLY)\s*\)"
+    r"\s*(AT|BEFORE)\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET|STATEMENT)\s*=>\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\)"
+    r"(?:\s*END\s*\(\s*(SNAPSHOT|TIMESTAMP|OFFSET)\s*=>\s*('[^']*'|-?\d+(?:\.\d+)?)\s*\))?",
+    re.I,
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA)\s+)?([\w.\"]+)\s*$", re.I)
 _TO_QUERY_RE = re.compile(r"\bto_query\s*\(\s*'((?:[^']|'')*)'\s*\)", re.I)
@@ -451,6 +459,10 @@ class Engine:
         #: query id -> result table (RESULT_SCAN surface; bounded ring)
         self._results: dict[str, pa.Table] = {}
         self._last_qid: str | None = None
+        #: query id -> {snap table -> snapshot id BEFORE that statement ran}
+        #: (BEFORE(STATEMENT => qid) time travel; recorded for
+        #: history-changing statements only — same bounded ring as _results)
+        self._stmt_pre_snapshots: dict[str, dict[str, int]] = {}
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
         #: stage name -> default FILE FORMAT name (CREATE STAGE ... FILE_FORMAT=)
@@ -557,6 +569,23 @@ class Engine:
         for stmt in split_statements(sql):
             t0 = time.perf_counter()
             self._streams_consumed.clear()
+            # BEFORE(STATEMENT => qid) support: history-changing statements
+            # record each snapshot table's pre-statement snapshot id (a
+            # metadata-json read per table — no data scan)
+            pre_snaps: dict[str, int] | None = None
+            if self.snap_tables and re.match(
+                r"^\s*(INSERT|MERGE|UPDATE|DELETE|TRUNCATE|CREATE|COPY|ALTER|DROP)\b",
+                stmt,
+                re.I,
+            ):
+                pre_snaps = {}
+                for tname, t in self.snap_tables.items():
+                    try:
+                        snaps = t.snapshots()
+                        if snaps:
+                            pre_snaps[tname] = snaps[-1]["id"]
+                    except Exception:  # noqa: BLE001 - table mid-drop
+                        continue
             result = self._execute_one(stmt)
             # Snowflake stream consumption: only a DML that read the stream
             # advances its bookmark; a plain SELECT re-reads the same delta
@@ -577,8 +606,12 @@ class Engine:
             # RESULT_SCAN surface: retain the last few result sets by id
             self._results[qid] = result
             self._last_qid = qid
+            if pre_snaps:
+                self._stmt_pre_snapshots[qid] = pre_snaps
             while len(self._results) > 20:
-                self._results.pop(next(iter(self._results)))
+                old = next(iter(self._results))
+                self._results.pop(old)
+                self._stmt_pre_snapshots.pop(old, None)
         return result
 
     def execute_df(self, sql: str) -> DataFrame:
@@ -2360,6 +2393,7 @@ class Engine:
             flags=re.I,
         )
         stmt = self._resolve_sequences(stmt)
+        stmt = self._resolve_changes_clause(stmt)
         stmt = self._resolve_time_travel(stmt)
         stmt = self._resolve_streams(stmt)
         stmt = self._resolve_metadata_tables(stmt)
@@ -2675,6 +2709,8 @@ class Engine:
             strict = op in (">", "<")
 
             keys: list[str] = []
+            #: original right column (lower) -> its name in the joined output
+            right_map: dict[str, str] = {}
             for x, y in on_pairs:
                 xs, xc = side_of(x)
                 ys, yc = side_of(y)
@@ -2683,6 +2719,7 @@ class Engine:
                 lk, rk = (xc, yc) if xs == "l" else (yc, xc)
                 if rk.lower() != lk.lower():
                     rdf = rdf.withColumnRenamed(rk, lk)
+                right_map[rk.lower()] = lk
                 keys.append(lk)
             if not keys:
                 # keyless as-of: a constant key keeps one global ordering
@@ -2691,24 +2728,58 @@ class Engine:
                 ldf = ldf.withColumn("__asof_k", F.lit(1))
                 rdf = rdf.withColumn("__asof_k", F.lit(1))
                 keys = ["__asof_k"]
-            # right payload columns colliding with left names get an _r
-            # suffix (the flattened view can't carry two same-named columns
-            # the way Snowflake's qualified output does — documented)
+            # right payload columns (the MATCH_CONDITION ts included — its
+            # value is part of Snowflake's joined output) colliding with
+            # left names get an _r suffix (the flattened view can't carry
+            # two same-named columns the way Snowflake's qualified output
+            # does); right-alias-qualified references elsewhere in the
+            # statement are rewritten to the output names below
             lc = {c.lower() for c in ldf.columns}
+            key_l = {k.lower() for k in keys}
+            b_final = b_col
             for c in rdf.columns:
-                if c.lower() in lc and c.lower() not in [k.lower() for k in keys] and c != b_col:
+                if c.lower() in key_l:
+                    continue
+                if c.lower() in lc:
                     rdf = rdf.withColumnRenamed(c, f"{c}_r")
+                    right_map.setdefault(c.lower(), f"{c}_r")
+                    if c == b_col:
+                        b_final = f"{c}_r"
+                else:
+                    right_map.setdefault(c.lower(), c)
+            payload = [c for c in rdf.columns if c.lower() not in key_l]
 
             out = asof_join(
-                ldf, rdf, keys, left_ts=a_col, right_ts=b_col,
-                direction=direction, strict=strict,
+                ldf, rdf, keys, left_ts=a_col, right_ts=b_final,
+                payload=payload, direction=direction, strict=strict,
             )
             if "__asof_k" in out.columns:
                 out = out.drop("__asof_k")
             view = f"__asof_{uuid.uuid4().hex[:8]}"
             out.createOrReplaceTempView(view)
-            alias = f" {l_alias}" if l_alias else ""
-            stmt = stmt[:start] + view + alias + stmt[end:]
+            # splice the view in under the LEFT alias (or the left table's
+            # bare name) so left-qualified references keep resolving, and
+            # rewrite RIGHT-qualified references (r_alias.col — Snowflake
+            # lets the SELECT list name both sides) to the output columns.
+            out_alias = l_alias or (l_name if l_name else None)
+            r_qual = (r_alias or r_name or "").lower()
+            if r_qual and r_qual != (out_alias or "").lower():
+                ref_re = re.compile(rf"\b{re.escape(r_qual)}\s*\.\s*(\w+)", re.I)
+
+                def _rw_right_refs(text: str) -> str:
+                    def repl(mm: "re.Match[str]") -> str:
+                        f = right_map.get(mm.group(1).lower())
+                        if f is None:
+                            return mm.group(0)
+                        return f"{out_alias}.{f}" if out_alias else f
+
+                    return ref_re.sub(repl, text)
+
+                stmt = _rw_right_refs(stmt[:start]) + "\x00SPLICE\x00" + _rw_right_refs(stmt[end:])
+            else:
+                stmt = stmt[:start] + "\x00SPLICE\x00" + stmt[end:]
+            alias = f" {out_alias}" if out_alias else ""
+            stmt = stmt.replace("\x00SPLICE\x00", view + alias, 1)
 
     def _resolve_dynamic_pivot(self, stmt: str) -> str:
         """Snowflake dynamic PIVOT: `PIVOT (agg FOR col IN (ANY [ORDER BY
@@ -3769,9 +3840,101 @@ class Engine:
             return self.snap_tables[bn].read(self.spark)
         return self.spark.table(self._resolve_name(name))
 
+    def _snapshot_point(
+        self, name: str, snap, kind: str, val: str, before: bool
+    ) -> int:
+        """Resolve an AT/BEFORE clause argument to a snapshot id.
+
+        BEFORE semantics (Snowflake): the state up to but NOT including the
+        point — BEFORE(SNAPSHOT => n) is the snapshot preceding n,
+        BEFORE(TIMESTAMP/OFFSET => t) is the state at t - 1 ms, and
+        BEFORE(STATEMENT => qid) is the state recorded just before that
+        history-changing statement executed (_stmt_pre_snapshots ring)."""
+        snaps = snap.snapshots()
+        ids = [s["id"] for s in snaps]
+        if kind == "SNAPSHOT":
+            try:
+                sid = int(val)
+            except ValueError:
+                raise QueryError(f"SNAPSHOT must be an integer id: {val!r}") from None
+            if not before:
+                return sid
+            earlier = [i for i in ids if i < sid]
+            if not earlier:
+                raise QueryError(f"no snapshot of {name} before snapshot {sid}")
+            return earlier[-1]
+        if kind in ("BRANCH", "TAG"):
+            return snap.resolve_ref(val.strip("'"))
+        if kind == "STATEMENT":
+            qid = val.strip("'")
+            rec = self._stmt_pre_snapshots.get(qid)
+            if rec is None or name not in rec:
+                raise QueryError(
+                    f"BEFORE(STATEMENT => {qid!r}): statement id not found in the "
+                    f"retained history ring or it predates table {name}; only "
+                    "history-changing statements (INSERT/MERGE/UPDATE/DELETE/"
+                    "CREATE/...) record pre-statement snapshots"
+                )
+            return rec[name]
+        if kind == "OFFSET":
+            # OFFSET => -60: the table as of 60 seconds ago (fractional ok)
+            ms = int(time.time() * 1000 + float(val) * 1000)
+        else:  # TIMESTAMP
+            import datetime as dt
+
+            ts = dt.datetime.fromisoformat(val.strip("'"))
+            ms = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        if before:
+            ms -= 1
+        eligible = [s["id"] for s in snaps if s["timestamp_ms"] <= ms]
+        if not eligible:
+            raise QueryError(f"no snapshot of {name} at or before the requested time")
+        return eligible[-1]
+
+    def _resolve_changes_clause(self, stmt: str) -> str:
+        """`t CHANGES(INFORMATION => DEFAULT|APPEND_ONLY) AT|BEFORE(...)
+        [END(...)]` -> temp view over the table's row-level change feed
+        between the two points (SnapshotTable.changes_between — the same
+        file-granular diff under STREAM objects). APPEND_ONLY keeps only
+        INSERT actions, Snowflake's contract for append-only change
+        queries. Runs before _resolve_time_travel so the AT inside the
+        CHANGES clause is consumed here."""
+        if "CHANGES" not in stmt.upper():
+            return stmt
+
+        def repl(m: re.Match) -> str:
+            name = bare_name(m.group(1))
+            snap = self.snap_tables.get(name)
+            if snap is None:
+                raise QueryError(
+                    f"CHANGES requires a snapshot-tracked table; {m.group(1)!r} "
+                    "is a view or plain table without change history"
+                )
+            info = m.group(2).upper()
+            start = self._snapshot_point(
+                name, snap, m.group(4).upper(), m.group(5), m.group(3).upper() == "BEFORE"
+            )
+            if m.group(6):
+                end = self._snapshot_point(name, snap, m.group(6).upper(), m.group(7), False)
+            else:
+                end = snap.snapshots()[-1]["id"]
+            df = snap.changes_between(self.spark, start, end)
+            if info == "APPEND_ONLY":
+                from pyspark.sql import functions as F  # noqa: PLC0415
+
+                df = df.filter(F.col("METADATA$ACTION") == "INSERT")
+            view = f"{name}__changes_{start}_{end}_{info.lower()}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _CHANGES_RE.sub(repl, stmt)
+
     def _resolve_time_travel(self, stmt: str) -> str:
-        """`t AT(SNAPSHOT => 2)` -> temp view over that snapshot's files."""
-        if " AT" not in stmt.upper():
+        """`t AT(SNAPSHOT => 2)` / `t BEFORE(STATEMENT => qid)` -> temp view
+        over that snapshot's files (_snapshot_point resolves the argument
+        kinds: SNAPSHOT/TIMESTAMP/OFFSET/BRANCH/TAG/STATEMENT)."""
+        up = stmt.upper()
+        if " AT" not in up and "BEFORE" not in up:
             return stmt
 
         def repl(m: re.Match) -> str:
@@ -3779,26 +3942,11 @@ class Engine:
             snap = self.snap_tables.get(name)
             if snap is None:
                 return m.group(0)
-            kind, val = m.group(2).upper(), m.group(3)
-            if kind == "SNAPSHOT":
-                df = snap.read(self.spark, snapshot_id=int(val))
-                view = f"{name}__snap_{val}"
-            elif kind in ("BRANCH", "TAG"):
-                ref = val.strip("'")
-                df = snap.read(self.spark, snapshot_id=snap.resolve_ref(ref))
-                view = f"{name}__ref_{ref}"
-            elif kind == "OFFSET":
-                # AT(OFFSET => -60): the table as of 60 seconds ago
-                ms = int(time.time() * 1000) + int(val) * 1000
-                df = snap.read(self.spark, timestamp_ms=ms)
-                view = f"{name}__off_{val.lstrip('-')}"
-            else:
-                import datetime as dt
-
-                ts = dt.datetime.fromisoformat(val.strip("'"))
-                ms = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
-                df = snap.read(self.spark, timestamp_ms=ms)
-                view = f"{name}__at_{ms}"
+            before = m.group(2).upper() == "BEFORE"
+            kind, val = m.group(3).upper(), m.group(4)
+            sid = self._snapshot_point(name, snap, kind, val, before)
+            df = snap.read(self.spark, snapshot_id=sid)
+            view = f"{name}__snap_{sid}"
             df.createOrReplaceTempView(view)
             return view
 
