@@ -4221,3 +4221,80 @@ def test_quantified_subquery_comparisons(engine):
     ).to_pylist()[0]
     assert out == {"any_eq": 10, "all_gt": 20, "all_empty": 25,
                    "some_empty": 0, "eq_all": 5, "ne_any": 25}
+
+
+def test_temp_table_dml(engine):
+    """Snowflake temp tables (CREATE TEMP TABLE AS SELECT) take
+    INSERT/DELETE/UPDATE: the view-backed table re-materializes
+    (localCheckpoint) per DML — data semantics, not a live query."""
+    engine.execute("CREATE OR REPLACE TEMP TABLE tdml AS SELECT 1 AS v, 'a' AS s")
+    assert engine.execute("INSERT INTO tdml SELECT 2, 'b'").to_pylist() == [
+        {"number of rows inserted": 1}
+    ]
+    # CTE-prefixed INSERT body (legal Snowflake), VALUES, and column-list
+    engine.execute("INSERT INTO tdml WITH c AS (SELECT 3 AS v) SELECT v, 'c' FROM c")
+    engine.execute("INSERT INTO tdml VALUES (4, 'd'), (5, 'e')")
+    assert engine.execute("INSERT INTO tdml (s) VALUES ('f')").to_pylist() == [
+        {"number of rows inserted": 1}
+    ]
+    assert engine.execute(
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM tdml"
+    ).to_pylist() == [{"n": 6, "sv": 15}]
+    assert engine.execute(
+        "UPDATE tdml SET v = v * 10 WHERE s IN ('a','b')"
+    ).to_pylist() == [{"number of rows updated": 2}]
+    assert engine.execute("DELETE FROM tdml WHERE v IS NULL").to_pylist() == [
+        {"number of rows deleted": 1}
+    ]
+    rows = engine.execute("SELECT v, s FROM tdml ORDER BY s").to_pylist()
+    assert rows == [
+        {"v": 10, "s": "a"},
+        {"v": 20, "s": "b"},
+        {"v": 3, "s": "c"},
+        {"v": 4, "s": "d"},
+        {"v": 5, "s": "e"},
+    ]
+    engine.execute("DROP TABLE tdml")
+
+
+def test_procedure_unquoted_body(engine):
+    """CREATE PROCEDURE ... AS BEGIN ...; END without $$ quoting (legal
+    Snowflake): the statement splitter must not cut at the ';' inside the
+    block, including nested IF ... END IF and CASE expressions."""
+    out = engine.execute(
+        "CREATE OR REPLACE PROCEDURE pu(a INT) RETURNS INT LANGUAGE SQL AS "
+        "BEGIN LET b := a * 2; IF (b > 5) THEN RETURN b; END IF; RETURN 0; END; "
+        "CALL pu(4)"
+    ).to_pylist()
+    assert out == [{"PU": "8"}]
+    out2 = engine.execute(
+        "CREATE OR REPLACE PROCEDURE pc() RETURNS INT AS "
+        "BEGIN LET v := CASE WHEN 1 = 1 THEN 2 ELSE 3 END; RETURN v; END"
+    )
+    assert engine.execute("CALL pc()").to_pylist() == [{"PC": "2"}]
+
+
+def test_windowed_within_group(engine):
+    """ARRAY_AGG/LISTAGG WITHIN GROUP (ORDER BY ...) OVER (PARTITION BY ...):
+    the within-group order moves into a full-frame window spec; DISTINCT
+    (unsupported as a Spark distinct window agg) goes through
+    array_distinct over the ordered collect."""
+    rows = engine.execute(
+        "SELECT DISTINCT user_id, "
+        "ARRAY_AGG(DISTINCT event_type) WITHIN GROUP (ORDER BY event_type) "
+        "OVER (PARTITION BY user_id) AS seq, "
+        "LISTAGG(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type) "
+        "OVER (PARTITION BY user_id) AS s "
+        "FROM events WHERE user_id < 2 ORDER BY user_id"
+    ).to_pylist()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["seq"] == sorted(r["seq"])
+        assert r["s"] == ",".join(r["seq"])
+    # non-distinct windowed form collects in the WITHIN GROUP order
+    first = engine.execute(
+        "SELECT DISTINCT user_id, "
+        "ARRAY_AGG(ts) WITHIN GROUP (ORDER BY ts) OVER (PARTITION BY user_id) AS t "
+        "FROM events WHERE user_id = 0"
+    ).to_pylist()[0]["t"]
+    assert first == sorted(first)

@@ -30,6 +30,14 @@ def split_statements(sql: str) -> list[str]:
     buf: list[str] = []
     i, n = 0, len(sql)
     in_s: str | None = None  # "'" or '"'
+    #: BEGIN/CASE ... END nesting depth — ';' inside an UNQUOTED scripting
+    #: body (CREATE PROCEDURE ... AS BEGIN ...; END — legal Snowflake since
+    #: the $$-less form landed) must not split. SQL CASE expressions also
+    #: count (their plain END pairs with CASE); END IF/FOR/WHILE/LOOP/REPEAT
+    #: close constructs whose openers never incremented, so they are no-ops,
+    #: and END CASE closes a scripting CASE (counted once at CASE).
+    depth = 0
+    _tx = ("work", "transaction", "name")
     while i < n:
         ch = sql[i]
         if in_s:
@@ -60,10 +68,59 @@ def split_statements(sql: str) -> list[str]:
             i = n if j < 0 else j + 2
             continue
         elif ch == ";":
-            stmt = "".join(buf).strip()
-            if stmt:
-                out.append(stmt)
-            buf = []
+            if depth > 0:
+                buf.append(ch)
+            else:
+                stmt = "".join(buf).strip()
+                if stmt:
+                    out.append(stmt)
+                buf = []
+        elif (ch.isalpha() or ch == "_") and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_$")
+        ):
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] in "_$"):
+                j += 1
+            word = sql[i:j].lower()
+            if word in ("begin", "case"):
+                # transaction BEGIN (BEGIN; / BEGIN WORK|TRANSACTION|NAME)
+                # is a standalone statement, not a block opener
+                k = j
+                while k < n and sql[k].isspace():
+                    k += 1
+                nxt = ""
+                if k < n and (sql[k].isalpha() or sql[k] == "_"):
+                    e = k
+                    while e < n and (sql[e].isalnum() or sql[e] == "_"):
+                        e += 1
+                    nxt = sql[k:e].lower()
+                if not (
+                    word == "begin" and (k >= n or sql[k] == ";" or nxt in _tx)
+                ):
+                    depth += 1
+            elif word == "end" and depth > 0:
+                k = j
+                while k < n and sql[k].isspace():
+                    k += 1
+                nxt = ""
+                if k < n and (sql[k].isalpha() or sql[k] == "_"):
+                    e = k
+                    while e < n and (sql[e].isalnum() or sql[e] == "_"):
+                        e += 1
+                    nxt = sql[k:e].lower()
+                if nxt in ("if", "for", "while", "loop", "repeat"):
+                    pass  # closes a construct whose opener never counted
+                else:
+                    depth -= 1
+                    if nxt == "case":
+                        # END CASE is one closer; skip the CASE token so it
+                        # is not re-read as a new opener
+                        buf.append(sql[i:e])
+                        i = e
+                        continue
+            buf.append(sql[i:j])
+            i = j
+            continue
         else:
             buf.append(ch)
         i += 1
@@ -3374,6 +3431,33 @@ def _rewrite_array_agg_within_group(sql: str) -> str:
                     "DISTINCT expression (Snowflake restriction)"
                 )
             key = x
+        # windowed form: ARRAY_AGG(x) WITHIN GROUP (ORDER BY o) OVER
+        # (PARTITION BY p) — Spark's array_agg window collects in FRAME
+        # order, so the WITHIN GROUP order moves into the window spec with
+        # a full frame; DISTINCT (unsupported as a Spark distinct window
+        # agg) becomes array_distinct over the ordered collect, which
+        # preserves the sort because first occurrences arrive in order.
+        ov = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.I)
+        if ov:
+            spec_open = close + 1 + ov.end() - 1
+            spec_close = _match_paren(sql, spec_open)
+            spec = sql[spec_open + 1 : spec_close].strip()
+            if re.search(r"\bORDER\s+BY\b", spec, re.I):
+                raise ValueError(
+                    "ARRAY_AGG WITHIN GROUP ... OVER: the OVER clause may "
+                    "only contain PARTITION BY (Snowflake restriction)"
+                )
+            frame = (
+                f"{spec} ORDER BY {order} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            ).strip()
+            if dx:
+                arr = f"array_distinct(array_agg({dx.group(1).strip()}) OVER ({frame}))"
+            else:
+                arr = f"array_agg({x}) OVER ({frame})"
+            out.append(arr)
+            i = spec_close + 1
+            continue
         if key == x:
             arr = f"sort_array(array_agg({x})" + (", false)" if desc else ")")
         else:
@@ -3385,6 +3469,57 @@ def _rewrite_array_agg_within_group(sql: str) -> str:
                 arr = f"reverse({arr})"
         out.append(arr)
         i = close + 1
+    return "".join(out)
+
+
+_LISTAGG_DISTINCT_RE = re.compile(r"\bLISTAGG\s*\(\s*DISTINCT\b", re.I)
+
+
+def _rewrite_windowed_distinct_listagg(sql: str) -> str:
+    """LISTAGG(DISTINCT x[, sep]) WITHIN GROUP (ORDER BY x) OVER
+    (PARTITION BY p): Spark 4's native listagg covers every non-window and
+    non-distinct-window form, but refuses DISTINCT as a window function.
+    Emulate with an ordered full-frame array_agg window + array_distinct
+    (first occurrences arrive in sort order) + array_join. Snowflake
+    requires the order key to equal the DISTINCT expression, which is what
+    makes the distinct-after-collect order-preserving."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _LISTAGG_DISTINCT_RE.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        open_paren = sql.index("(", m.start())
+        arg_close = _match_paren(sql, open_paren)
+        args = _split_top_args(sql[open_paren + 1 : arg_close])
+        x = re.sub(r"(?is)^\s*DISTINCT\s+", "", args[0]).strip()
+        sep = args[1].strip() if len(args) > 1 else "''"
+        wg = _WITHIN_GROUP_RE.match(sql[arg_close + 1 :])
+        if not wg:
+            out.append(sql[i : arg_close + 1])
+            i = arg_close + 1
+            continue
+        close = _match_paren(sql, arg_close + 1 + wg.group(0).rindex("("))
+        order = sql[arg_close + 1 + wg.end() : close].strip()
+        ov = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.I)
+        if not ov:  # aggregate form — Spark's native listagg handles it
+            out.append(sql[i : close + 1])
+            i = close + 1
+            continue
+        spec_open = close + 1 + ov.end() - 1
+        spec_close = _match_paren(sql, spec_open)
+        spec = sql[spec_open + 1 : spec_close].strip()
+        frame = (
+            f"{spec} ORDER BY {order} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        ).strip()
+        out.append(sql[i : m.start()])
+        out.append(
+            f"array_join(array_distinct(array_agg(CAST(({x}) AS STRING)) "
+            f"OVER ({frame})), {sep})"
+        )
+        i = spec_close + 1
     return "".join(out)
 
 
@@ -3783,6 +3918,7 @@ def snowflake_to_spark(sql: str, flatten_coerce_all: bool = False) -> str:
     sql = _outside_literals(sql, _rewrite_sample)
     sql = _rewrite_ratio_to_report(sql)
     sql = _rewrite_array_agg_within_group(sql)
+    sql = _rewrite_windowed_distinct_listagg(sql)
     sql = _rewrite_decode(sql)
     # the r3 ring runs BEFORE strtok: STRTOK_TO_ARRAY emits an internal
     # regex-char-class split() that the literal-delimiter SPLIT rewrite

@@ -463,6 +463,11 @@ class Engine:
         #: (BEFORE(STATEMENT => qid) time travel; recorded for
         #: history-changing statements only — same bounded ring as _results)
         self._stmt_pre_snapshots: dict[str, dict[str, int]] = {}
+        #: names created by CREATE TEMP TABLE AS SELECT (view-backed):
+        #: INSERT/DELETE/UPDATE on them re-materialize the view
+        #: (localCheckpoint) instead of falling into Spark's
+        #: can't-insert-into-RDD-based-table refusal
+        self._temp_ctas: set[str] = set()
         #: name -> (fmt, reader options) from CREATE FILE FORMAT
         self.file_formats: dict[str, tuple[str, dict[str, str]]] = {}
         #: stage name -> default FILE FORMAT name (CREATE STAGE ... FILE_FORMAT=)
@@ -1519,7 +1524,7 @@ class Engine:
             # snapshot-table lifecycle statements (INSERT/COPY/ALTER/TRUNCATE
             # route to manifest commits; plain tables fall through to Spark)
             im = re.match(
-                r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\(([^)]*)\))?\s*(SELECT|VALUES)(.*)$",
+                r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*(\(([^)]*)\))?\s*(SELECT|VALUES|WITH)(.*)$",
                 stmt,
                 re.I | re.S,
             )
@@ -1594,6 +1599,8 @@ class Engine:
                 snap.append(df)
                 self._refresh_snap_view(bn)
                 return _status(f"inserted into iceberg {bn}")
+            if im and self._is_temp_ctas(im.group(1)):
+                return self._temp_insert(im)
             am = re.match(
                 r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()0-9,]+)\s*$",
                 stmt,
@@ -2238,6 +2245,9 @@ class Engine:
                     out = engine_dml.execute_delete_snap(self.spark, sql, snap[1])
                     self._refresh_snap_view(snap[0])
                     return out
+                dm2 = engine_dml._DELETE_RE.match(sql)
+                if dm2 and self._is_temp_ctas(dm2.group(1)):
+                    return self._temp_delete(dm2)
                 return engine_dml.execute_delete(self.spark, sql, resolve=self._resolve_name)
             if _UPDATE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
@@ -2248,6 +2258,9 @@ class Engine:
                     out = engine_dml.execute_update_snap(self.spark, sql, snap[1])
                     self._refresh_snap_view(snap[0])
                     return out
+                um2 = engine_dml._UPDATE_RE.match(sql)
+                if um2 and self._is_temp_ctas(um2.group(1)):
+                    return self._temp_update(um2)
                 return engine_dml.execute_update(self.spark, sql, resolve=self._resolve_name)
             if _MERGE_RE.match(stmt):
                 sql = snowflake_to_spark(stmt)
@@ -3000,6 +3013,96 @@ class Engine:
         r"(?:VALUES\s*\(((?:[^()]|\([^()]*\))*)\))?\s*",
         re.I | re.S,
     )
+
+    # -- temp-CTAS table DML ------------------------------------------------
+    # CREATE TEMP TABLE AS SELECT lands as a session temp view; Snowflake
+    # temp tables nevertheless take INSERT/DELETE/UPDATE. These re-derive
+    # the view and re-materialize it (localCheckpoint) so the table holds
+    # DATA (not a live query): repeated DML neither deepens the lazy plan
+    # nor re-evaluates non-deterministic sources.
+
+    def _is_temp_ctas(self, name: str) -> bool:
+        bn = bare_name(name)
+        if bn not in self._temp_ctas:
+            return False
+        try:
+            live = any(
+                t.name == bn and t.isTemporary for t in self.spark.catalog.listTables()
+            )
+        except Exception:  # noqa: BLE001 - catalog listing is advisory
+            live = True
+        if not live:
+            self._temp_ctas.discard(bn)
+        return live
+
+    def _temp_register(self, bn: str, df: DataFrame) -> None:
+        df.localCheckpoint(eager=True).createOrReplaceTempView(bn)
+
+    def _temp_insert(self, im: re.Match) -> pa.Table:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        bn = bare_name(im.group(1))
+        tdf = self.spark.table(bn)
+        tcols, ttypes = tdf.columns, dict(tdf.dtypes)
+        before = tdf.count()
+        df = self._run_select(im.group(4) + im.group(5))
+        if im.group(3):  # explicit column list; missing cols -> NULL
+            given = [c.strip().strip('"').lower() for c in im.group(3).split(",")]
+            df = df.toDF(*given)
+            df = df.select(
+                *[
+                    F.col(c).cast(ttypes[c]).alias(c)
+                    if c in given
+                    else F.lit(None).cast(ttypes[c]).alias(c)
+                    for c in tcols
+                ]
+            )
+        else:
+            df = df.toDF(*tcols).select(
+                *[F.col(c).cast(ttypes[c]).alias(c) for c in tcols]
+            )
+        self._temp_register(bn, tdf.unionByName(df))
+        after = self.spark.table(bn).count()
+        return pa.table({"number of rows inserted": [after - before]})
+
+    def _temp_delete(self, m: re.Match) -> pa.Table:
+        bn = bare_name(m.group(1))
+        before = self.spark.table(bn).count()
+        cond = (m.group(2) or "").strip()
+        if cond:
+            new = self.spark.sql(
+                f"SELECT * FROM {bn} WHERE NOT coalesce(({cond}), false)"
+            )
+        else:
+            new = self.spark.table(bn).limit(0)
+        self._temp_register(bn, new)
+        after = self.spark.table(bn).count()
+        return pa.table({"number of rows deleted": [before - after]})
+
+    def _temp_update(self, m: re.Match) -> pa.Table:
+        bn = bare_name(m.group(1))
+        tdf = self.spark.table(bn)
+        ttypes = dict(tdf.dtypes)
+        assigns = {
+            c.strip().strip('"').lower(): e
+            for c, e in engine_dml._split_assignments(m.group(2))
+        }
+        unknown = [c for c in assigns if c not in {x.lower() for x in tdf.columns}]
+        if unknown:
+            raise QueryError(f"UPDATE {bn}: unknown column(s) {unknown}")
+        cond = (m.group(3) or "TRUE").strip()
+        proj = ", ".join(
+            f"CASE WHEN coalesce(({cond}), false) THEN CAST(({assigns[c.lower()]}) AS {ttypes[c]}) "
+            f"ELSE `{c}` END AS `{c}`"
+            if c.lower() in assigns
+            else f"`{c}`"
+            for c in tdf.columns
+        )
+        n = self.spark.sql(
+            f"SELECT COUNT(*) FROM {bn} WHERE coalesce(({cond}), false)"
+        ).first()[0]
+        self._temp_register(bn, self.spark.sql(f"SELECT {proj} FROM {bn}"))
+        return pa.table({"number of rows updated": [n]})
 
     def _insert_multi(self, mode: str, clauses: str, select: str) -> pa.Table:
         """Snowflake multi-table INSERT ALL|FIRST: the source SELECT runs
@@ -4057,6 +4160,7 @@ class Engine:
         if temp:
             # session-scoped, like the reference's TEMP CTAS (duckdb.py:336-342)
             df.createOrReplaceTempView(bare_name(name))
+            self._temp_ctas.add(bare_name(name))
         else:
             bn = bare_name(name)
             if bn in self.snap_tables:
