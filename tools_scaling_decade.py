@@ -63,8 +63,16 @@ EVENTS10M = os.path.join(HERE, "data", "events_10m")
 #: embed_pca_project hash-compares vs the independent numpy oracle.
 EMB200K = os.path.join(HERE, "data", "emb_200k")
 N_VECS_DECADE = 200_000
-ANN_QUERIES_ORACLED = ["ann_ivf_topk", "ann_hamming_rerank_topk"]
+ANN_QUERIES_ORACLED = ["ann_ivf_topk", "ann_hamming_rerank_topk", "ann_maxsim_topk"]
 ANN_QUERIES_NUMPY = ["embed_pca_project"]
+#: r8 continuation: the new event-analytics / streaming-twin / windowed
+#: collect specs at 10M events (67 events/user x 150k users)
+EVENTS_DECADE_NEW = [
+    "events_funnel_steps",
+    "events_decay_features",
+    "stream_static_enrich",
+    "win_ordered_collect",
+]
 #: r8 (VERDICT r7 #5): one partitioned-DML decade row — the full Engine
 #: MERGE script against the 10M-row events fixture.
 DML_DECADE = ["dml_merge_partitioned"]
@@ -550,6 +558,8 @@ def main() -> None:
     con = duck_connection(EVENTS10M)
     for name in CB_QUERIES:
         _hash_one(registry[name], name, spark, EVENTS10M, con, out)
+    for name in EVENTS_DECADE_NEW:
+        _hash_one(registry[name], name, spark, EVENTS10M, con, out)
     # r8: ANN/embedding decade (VERDICT r7 #5)
     ensure_emb200k()
     con = duck_connection(EMB200K)
@@ -582,7 +592,7 @@ def main() -> None:
     out["dedup_minhash_lsh_curve"] = curve
 
     hash_spec_names = (
-        TPCH_QUERIES + DOC_QUERIES_ORACLED + CB_QUERIES
+        TPCH_QUERIES + DOC_QUERIES_ORACLED + CB_QUERIES + EVENTS_DECADE_NEW
         + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
     )
     summary = {

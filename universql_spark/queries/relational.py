@@ -107,6 +107,24 @@ register_sql(
     doc="batch sessionization: LAG gap -> cumulative session ids (30 min gap)",
 )
 
+_ORDERED_COLLECT = """SELECT DISTINCT user_id,
+       array_agg(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seq,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+FROM events WHERE user_id < 20 ORDER BY user_id"""
+
+register_sql(
+    "win_ordered_collect",
+    _ORDERED_COLLECT,
+    category="window",
+    doc="per-user ordered event-type sequences via a full-frame windowed "
+    "array_agg (the session-modeling collect a behavior pipeline feeds to "
+    "a sequence model); deterministic order on the unique (ts, event_id) "
+    "key; one shuffle on user_id, no per-group collect to the driver. "
+    "The engine-side twin (ARRAY_AGG WITHIN GROUP ... OVER) is pinned in "
+    "test_windowed_within_group",
+)
+
 # ---------------------------------------------------------------------------
 # Grouping sets / rollup / cube
 # ---------------------------------------------------------------------------
