@@ -831,6 +831,38 @@ def py_oracle_text_cms_heavy_hitters(sf_dir: str) -> tuple[list[str], list[tuple
     return ["token", "exact_cnt", "cms_est", "overcount"], rows
 
 
+
+def py_oracle_stream_cms_cells(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Windowed count-min sketch cells re-derived in pure python with the
+    portable XXH64: for each first-day event, d=4 cells
+    (r, spark_pmod(xxhash64(r, user_id), 32)) increment inside the event's
+    10-minute tumbling window — the batch twin of
+    streaming/windows.windowed_cms_cells."""
+    import datetime as _dt
+    import os as _os
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    w, d_rows = 32, 4
+    t = _pq.read_table(
+        _os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    cnt: Counter = Counter()
+    cutoff = _dt.datetime(2024, 1, 2)
+    for ts, uid in zip(t["ts"].to_pylist(), t["user_id"].to_pylist()):
+        if ts >= cutoff:
+            continue
+        epoch = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
+        win = _dt.datetime.fromtimestamp(epoch // 600 * 600, _dt.timezone.utc)
+        ws = win.strftime("%Y-%m-%d %H:%M:%S")
+        for r in range(d_rows):
+            c = spark_xxhash64_int_long(r, uid) % w
+            cnt[(ws, r, c)] += 1
+    rows = [(ws, r, c, n) for (ws, r, c), n in sorted(cnt.items())]
+    return ["win_start", "r", "c", "cnt"], rows
+
+
 def py_oracle_dedup_lsh_tuning_curve(sf_dir: str) -> tuple[list[str], list[tuple]]:
     """LSH S-curve re-derived: exact 3-gram Jaccard over all sample pairs
     (integer bucket (10*inter)//union), candidate set from portable-XXH64
@@ -1090,6 +1122,7 @@ PY_ORACLES = {
     "multimodal_audio_chunks": py_oracle_multimodal_audio_chunks,
     "text_quality_classifier": py_oracle_text_quality_classifier,
     "text_cms_heavy_hitters": py_oracle_text_cms_heavy_hitters,
+    "stream_cms_cells": py_oracle_stream_cms_cells,
     "dedup_lsh_tuning_curve": py_oracle_dedup_lsh_tuning_curve,
     "dedup_bloom_decontaminate": py_oracle_dedup_bloom_decontaminate,
     "embed_kcenter_sample": py_oracle_embed_kcenter_sample,

@@ -57,6 +57,8 @@ SPECS = [
     "text_compression_ratio",
     "multimodal_audio_chunks",
     "embed_pca_project",
+    # r8 continuation: windowed CMS batch twin (deterministic XXH64 cells)
+    "stream_cms_cells",
 ]
 
 #: gate fixtures and the lineitem-count probe that identifies each

@@ -905,6 +905,50 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_cms_cells",
+    GOLDEN.get("stream_cms_cells"),
+    category="streaming",
+)
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming windowed count-min sketch
+    (streaming/windows.windowed_cms_cells, stream == batch pinned in
+    test_stream_windowed_cms_equals_batch_and_bounds): per 10-minute
+    tumbling window, the d=4 x w=32 CMS cell counts over the user_id
+    stream, first fixture day. The 100 TB shape: state is <= w*d cells per
+    window regardless of user cardinality, cells merge across micro-batches
+    and shards by addition, and a probe's min-over-rows estimate never
+    undercounts. Deterministic XXH64 cells -> golden-value oracle derived
+    from the independent pure-python XXH64 re-implementation
+    (tests/compare.py py_oracle_stream_cms_cells)."""
+    w, d = 32, 4
+    ev = spark.table("events").filter(F.col("ts") < F.lit("2024-01-02"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.lit(r), F.col("user_id")), F.lit(w)).alias("c"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rc")
+    return (
+        ev.select("ts", cells)
+        .select("ts", "rc.r", "rc.c")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "r", "c")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "r",
+            F.col("c").cast("bigint").alias("c"),
+            "cnt",
+        )
+        .orderBy("win_start", "r", "c")
+    )
+
+
 def _duck_corpus_mix_sql() -> str:
     langs = list(textops.LANG_MARKERS)
     mx = f"greatest({', '.join('s_' + x for x in langs)})"
