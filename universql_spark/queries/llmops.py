@@ -949,6 +949,26 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+register_sql(
+    "stream_user_profiles",
+    """WITH r AS (
+  SELECT user_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS value_sum,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS last_type
+FROM r GROUP BY user_id ORDER BY user_id""",
+    category="streaming",
+    doc="batch twin of the applyInPandasWithState custom stateful operator "
+    "(streaming/stateful.user_profiles: per-user running event count / "
+    "value sum / last event type in explicit GroupState, Update mode; "
+    "stream final state == batch pinned in test_stateful_user_profiles). "
+    "Deterministic form: exact DECIMAL sum, last event via (ts, event_id) "
+    "row_number — window and aggregate share the user_id shuffle",
+)
+
+
 def _duck_corpus_mix_sql() -> str:
     langs = list(textops.LANG_MARKERS)
     mx = f"greatest({', '.join('s_' + x for x in langs)})"
