@@ -739,3 +739,72 @@ def test_datediff_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, unit, is_ts, p
     assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
         list(d_tbl.column_names), d_rows
     ), q
+
+
+# ---------------------------------------------------------------------------
+# 11th differential lane (r8 continuation): ordered collects — ARRAY_AGG /
+# LISTAGG WITHIN GROUP in aggregate and WINDOWED positions, through the
+# full dialect (the _rewrite_array_agg_within_group /
+# _rewrite_windowed_distinct_listagg paths) vs DuckDB's native ordered
+# aggregates (array_agg(x ORDER BY ...) / string_agg / full-frame window
+# collects). Ties are broken by the unique key k so collect order is
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+_OC_EXPR = st.sampled_from(["k", "k % 5", "(k * 7) % 11", "g * 10 + k % 3"])
+_OC_DESC = st.booleans()
+
+
+@given(x=_OC_EXPR, desc=_OC_DESC, desc2=_OC_DESC, windowed=st.booleans(), listagg=st.booleans())
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ordered_collect_fuzz_spark_matches_duckdb(
+    spark, sf_dir, _duck, x, desc, desc2, windowed, listagg
+):
+    from tests.compare import normalize_rows
+    from universql_spark.dialect import snowflake_to_spark
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    d = " DESC" if desc else ""
+    d2 = " DESC" if desc2 else ""  # independent per-key directions
+    src = "(SELECT n_nationkey AS k, n_regionkey AS g FROM nation)"
+    if windowed:
+        # windowed collect: WITHIN GROUP order moves into a full-frame spec
+        sf = (
+            f"SELECT DISTINCT g, ARRAY_AGG({x}) WITHIN GROUP (ORDER BY {x}{d}, k{d2}) "
+            f"OVER (PARTITION BY g) AS a FROM {src} ORDER BY g"
+        )
+        du = (
+            f"SELECT DISTINCT g, array_agg({x}) OVER (PARTITION BY g ORDER BY {x}{d}, k{d2} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS a "
+            f"FROM {src} ORDER BY g"
+        )
+    elif listagg:
+        sf = (
+            f"SELECT g, LISTAGG(CAST({x} AS STRING), ',') WITHIN GROUP (ORDER BY {x}{d}, k{d2}) AS a "
+            f"FROM {src} GROUP BY g ORDER BY g"
+        )
+        du = (
+            f"SELECT g, string_agg(CAST({x} AS VARCHAR), ',' ORDER BY {x}{d}, k{d2}) AS a "
+            f"FROM {src} GROUP BY g ORDER BY g"
+        )
+    else:
+        sf = (
+            f"SELECT g, ARRAY_AGG({x}) WITHIN GROUP (ORDER BY {x}{d}, k{d2}) AS a "
+            f"FROM {src} GROUP BY g ORDER BY g"
+        )
+        du = (
+            f"SELECT g, array_agg({x} ORDER BY {x}{d}, k{d2}) AS a "
+            f"FROM {src} GROUP BY g ORDER BY g"
+        )
+    s_tbl = spark.sql(snowflake_to_spark(sf)).toArrow()
+    s_rows = [tuple(r[c] for c in s_tbl.column_names) for r in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(du).arrow()
+    d_rows = [tuple(r[c] for c in d_tbl.column_names) for r in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), (sf, du)

@@ -3417,8 +3417,22 @@ def _rewrite_array_agg_within_group(sql: str) -> str:
         close = _match_paren(sql, arg_close + 1 + wg.group(0).rindex("("))
         order = sql[arg_close + 1 + wg.end() : close].strip()
         x = sql[m.end() : arg_close].strip()
-        desc = bool(re.search(r"\bDESC\b", order, re.I))
-        key = re.sub(r"\s+(ASC|DESC)\s*$", "", order, flags=re.I).strip()
+        # parse the order list into (expr, desc, nulls_first) triples —
+        # Snowflake defaults: ASC -> NULLS LAST, DESC -> NULLS FIRST
+        keys: list[tuple[str, bool, bool]] = []
+        for part in _split_top_args(order):
+            p = part.strip()
+            nf = re.search(r"\sNULLS\s+(FIRST|LAST)\s*$", p, re.I)
+            if nf:
+                p = p[: nf.start()].rstrip()
+            dm = re.search(r"\s(ASC|DESC)\s*$", p, re.I)
+            kdesc = bool(dm and dm.group(1).upper() == "DESC")
+            if dm:
+                p = p[: dm.start()].rstrip()
+            nulls_first = (nf.group(1).upper() == "FIRST") if nf else kdesc
+            keys.append((p, kdesc, nulls_first))
+        desc = keys[0][1] if keys else False
+        key = keys[0][0] if len(keys) == 1 else ""
         out.append(sql[i : m.start()])
         # ARRAY_AGG(DISTINCT x) WITHIN GROUP: Snowflake requires the order
         # key to be the DISTINCT expression itself, so the sort_array path
@@ -3459,14 +3473,30 @@ def _rewrite_array_agg_within_group(sql: str) -> str:
             i = spec_close + 1
             continue
         if key == x:
+            # single same-expression key: ARRAY_AGG skips NULL inputs, so
+            # sort_array's null placement can't diverge from Snowflake's
             arr = f"sort_array(array_agg({x})" + (", false)" if desc else ")")
         else:
+            # general case — any key count, mixed ASC/DESC, NULLS
+            # FIRST/LAST: pack the key tuple + value into structs and sort
+            # with an explicit comparator (the r8 probe found the old
+            # trailing-DESC + whole-array reverse silently mis-sorted
+            # mixed-direction multi-key orders)
+            conds: list[str] = []
+            for idx, (e, kdesc, nfirst) in enumerate(keys):
+                lf, rf = f"l.o{idx}", f"r.o{idx}"
+                lt, gt = (1, -1) if kdesc else (-1, 1)
+                ln, rn = (-1, 1) if nfirst else (1, -1)
+                conds.append(f"WHEN {lf} IS NULL AND {rf} IS NOT NULL THEN {ln}")
+                conds.append(f"WHEN {lf} IS NOT NULL AND {rf} IS NULL THEN {rn}")
+                conds.append(f"WHEN {lf} < {rf} THEN {lt}")
+                conds.append(f"WHEN {lf} > {rf} THEN {gt}")
+            comparator = f"(l, r) -> CASE {' '.join(conds)} ELSE 0 END"
+            fields = ", ".join(f"({e}) AS o{idx}" for idx, (e, _, _) in enumerate(keys))
             arr = (
-                f"transform(array_sort(array_agg(struct(({key}) AS o, ({x}) AS v))), "
-                f"__s -> __s.v)"
+                f"transform(array_sort(array_agg(struct({fields}, ({x}) AS v)), "
+                f"{comparator}), __s -> __s.v)"
             )
-            if desc:
-                arr = f"reverse({arr})"
         out.append(arr)
         i = close + 1
     return "".join(out)
