@@ -56,6 +56,21 @@ LLM_SPECS = [
     "dedup_substring_spans",
     "dedup_line_removal",
     "text_bm25_topk",
+    # r8 continuation: MaxSim late-interaction on the 20k-vector fixture
+    "ann_maxsim_topk",
+]
+
+#: r8 continuation: the new event-analytics / streaming-twin specs at 1M
+#: events — all linear oracles, bounded outputs. stream_cms_cells is
+#: excluded by design: its golden-value oracle is scale-pinned to the
+#: sf0.001/sf0.01 gate fixtures (any other scale yields an honest
+#: mismatch, never a silent pass).
+EVENTS_SPECS = [
+    "events_funnel_steps",
+    "events_decay_features",
+    "stream_static_enrich",
+    "stream_user_profiles",
+    "win_ordered_collect",
 ]
 
 #: ClickBench bench-tier specs gated on the 10x events table (1M rows —
@@ -121,7 +136,10 @@ def main() -> None:
         (SF1, sorted(n for n in registry if n.startswith("tpch_q")) + DML_SPECS_TPCH),
         (
             tools_scaling_llm.SF1,
-            [n for n in LLM_SPECS if registry[n].oracle] + CB_SPECS + DML_SPECS_EVENTS,
+            [n for n in LLM_SPECS if registry[n].oracle]
+            + CB_SPECS
+            + EVENTS_SPECS
+            + DML_SPECS_EVENTS,
         ),
     ]
     spark = get_spark("correctness_sf1", sf_dir=SF1)
