@@ -1377,7 +1377,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     user) and broadcast by the planner; the stream side is stateless for
     the join — only the windowed agg holds state, evicted by watermark.
     The ntile tier is deterministic under the total order (ltv, user_id),
-    so both engines assign identical quartiles."""
+    so both engines assign identical quartiles. Disclosed: ntile's global
+    order runs the DIM build through one partition — fine for a
+    broadcast-sized dimension (its row count is bounded by the broadcast
+    budget anyway); at billion-user scale the tier would derive from
+    broadcast approx-quantile thresholds instead."""
     from pyspark.sql.window import Window as W
 
     from universql_spark.streaming import windows as sw
