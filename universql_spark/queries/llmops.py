@@ -1147,6 +1147,48 @@ def stream_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.view_click_attribution(spark.table("events")).orderBy("click_id", "view_id")
 
 
+_DUCK_ATTRIB_OUTER = """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time
+FROM c LEFT JOIN v
+  ON v.user_id = c.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes'
+ORDER BY click_id, view_id"""
+
+
+@register("stream_view_click_outer", _DUCK_ATTRIB_OUTER, category="streaming")
+def stream_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM LEFT OUTER join
+    (streaming/windows.view_click_attribution_outer): every click emits —
+    attributed to preceding same-user views within 10 minutes, null-padded
+    otherwise. The live-stream semantics (unmatched clicks emit only after
+    the watermark passes the join window — state-store eviction) are
+    pinned in test_stream_stream_left_outer_emits_nulls_on_watermark; this
+    twin states the final relation both must converge to. One equi-key
+    (user_id) shuffle with a residual time-range predicate — never a
+    range nested-loop."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 minutes")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "view_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+    ).orderBy("click_id", "view_id")
+
+
 _DUCK_STRATIFIED = """WITH rated AS (
   SELECT doc_id, lang,
          CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END AS keep_pct
