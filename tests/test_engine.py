@@ -4298,3 +4298,25 @@ def test_windowed_within_group(engine):
         "FROM events WHERE user_id = 0"
     ).to_pylist()[0]["t"]
     assert first == sorted(first)
+
+
+def test_time_type_surface(engine):
+    """TIME spellings on the canonical 'HH:mm:ss' string mapping: ::TIME /
+    CAST AS TIME / TO_TIME over timestamps / TO_TIME with format /
+    TIMEADD over time values (wrapping past midnight, Snowflake's TIME
+    arithmetic contract)."""
+    out = engine.execute(
+        "SELECT '10:30:00'::TIME AS a, CAST('10:30:00' AS TIME) AS b, "
+        "TO_TIME('2024-01-05 23:45:10'::TIMESTAMP_NTZ) AS c, "
+        "TO_TIME('10.30.15', 'HH24.MI.SS') AS d, "
+        "TIMEADD('minute', 30, '23:45:00'::TIME) AS e, "
+        "DATEADD('second', -90, TIME_FROM_PARTS(0, 1, 0)) AS f, "
+        "'09:00:00'::TIME < '10:00:00'::TIME AS lt"
+    ).to_pylist()[0]
+    assert out == {
+        "a": "10:30:00", "b": "10:30:00", "c": "23:45:10", "d": "10:30:15",
+        "e": "00:15:00", "f": "23:59:30", "lt": True,
+    }
+    # TIMEADD over non-time targets keeps plain timestamp arithmetic
+    ts = engine.execute("SELECT TIMEADD('day', 1, '2024-01-01'::DATE) AS t").to_pylist()[0]["t"]
+    assert str(ts).startswith("2024-01-02")

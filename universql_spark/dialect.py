@@ -1170,20 +1170,37 @@ def _rewrite_scalar_emulations_r5(sql: str) -> str:
         sql, "try_to_number",
         lambda a: f"TRY_CAST({a[0]} AS DECIMAL({a[1]}, {a[2]}))" if len(a) == 3 else None,
     )
-    # TO_TIME: Spark has no TIME type — the canonical 'HH:mm:ss' string is
-    # the honest local mapping (sorts and equality-compares correctly)
-    sql = _rewrite_calls(
-        sql, "to_time",
-        lambda a: f"date_format(to_timestamp(concat('1970-01-01 ', {a[0]})), 'HH:mm:ss')"
-        if len(a) == 1
-        else None,
-    )
-    sql = _rewrite_calls(
-        sql, "try_to_time",
-        lambda a: f"date_format(try_to_timestamp(concat('1970-01-01 ', {a[0]})), 'HH:mm:ss')"
-        if len(a) == 1
-        else None,
-    )
+    # TIME surface (r8 continuation probe): ::TIME casts, CAST AS TIME, and
+    # TIMEADD over time values normalize onto the canonical string mapping
+    # BEFORE the TO_TIME rewrites below consume them
+    sql = _rewrite_time_surface(sql)
+    # TO_TIME: Spark has no released TIME type — the canonical 'HH:mm:ss'
+    # string is the honest local mapping (sorts and equality-compares
+    # correctly). 1-arg accepts time strings AND timestamps/timestamp
+    # strings (time-of-day extraction); 2-arg maps the Snowflake format
+    # through the shared token table. TO_TIME stays strict on garbage
+    # (second coalesce branch errors); TRY_TO_TIME yields NULL.
+    from universql_spark.copy_into import _map_datetime_format as _mdf  # noqa: PLC0415
+
+    def to_time_rw(strict: bool):
+        outer = "to_timestamp" if strict else "try_to_timestamp"
+
+        def rw(a: list[str]) -> str | None:
+            if len(a) == 1:
+                return (
+                    f"date_format(coalesce("
+                    f"try_to_timestamp(concat('1970-01-01 ', CAST({a[0]} AS STRING))), "
+                    f"{outer}(CAST({a[0]} AS STRING))), 'HH:mm:ss')"
+                )
+            if len(a) == 2 and _STRING_RE.fullmatch(a[1].strip()):
+                fmt = _mdf(a[1].strip()[1:-1])
+                return f"date_format({outer}({a[0]}, '{fmt}'), 'HH:mm:ss')"
+            return None
+
+        return rw
+
+    sql = _rewrite_calls(sql, "to_time", to_time_rw(True))
+    sql = _rewrite_calls(sql, "try_to_time", to_time_rw(False))
     # INITCAP(x[, delims]): capitalize the char after ANY delimiter char
     # (first char always); positional transform over the char array.
     # The 1-arg form uses Snowflake's documented default delimiter set —
@@ -3113,6 +3130,111 @@ def _map_to_datetime(m: re.Match) -> str:
 _COLON_PATH_RE = re.compile(
     r":((?:[A-Za-z_]\w*|\[\d+\])(?:\s*\.\s*[A-Za-z_]\w*|\s*\[\d+\])*)"
 )
+
+
+_TIME_COLON_CAST_RE = re.compile(r"::\s*TIME\b(?!STAMP)(\s*\(\s*\d+\s*\))?", re.I)
+_TIME_CAST_AS_RE = re.compile(r"\sAS\s+TIME(\s*\(\s*\d+\s*\))?\s*$", re.I)
+_TIME_SHAPED_RE = re.compile(
+    r"^\s*(?:(?:TO_TIME|TRY_TO_TIME|TIME_FROM_PARTS)\s*\(|'\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?'\s*$)",
+    re.I,
+)
+
+
+def _colon_cast_operand_start(masked: str, pos: int) -> int:
+    """Start index of the primary expression ending just before the `::` at
+    ``pos`` (identifier chains, masked string literals, numbers, function
+    calls, parenthesized expressions — scanned on a literal-masked copy)."""
+    i = pos - 1
+    while i >= 0 and masked[i].isspace():
+        i -= 1
+    while i >= 0:
+        if masked[i] == ")":
+            depth = 0
+            while i >= 0:
+                if masked[i] == ")":
+                    depth += 1
+                elif masked[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            i -= 1
+            # optional function name directly before the '('
+            j = i
+            while j >= 0 and (masked[j].isalnum() or masked[j] in "_$"):
+                j -= 1
+            if j < i:
+                i = j
+        elif masked[i] == "\x00":  # masked string literal
+            while i >= 0 and masked[i] == "\x00":
+                i -= 1
+        elif masked[i].isalnum() or masked[i] in "_$":
+            while i >= 0 and (masked[i].isalnum() or masked[i] in "_$."):
+                i -= 1
+        else:
+            break
+        # qualified continuation (a.b, sch.fn(...)) — keep scanning
+        j = i
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        if j >= 0 and masked[j] == ".":
+            i = j - 1
+            continue
+        break
+    return i + 1
+
+
+def _rewrite_time_surface(sql: str) -> str:
+    """TIME-type spellings onto the canonical 'HH:mm:ss' string mapping:
+    `x::TIME` and CAST/TRY_CAST(x AS TIME[(p)]) become TO_TIME(x) (the
+    rewrites that follow expand it), and TIMEADD/DATEADD whose target is
+    statically time-shaped (a TO_TIME/TIME_FROM_PARTS call or a quoted
+    time literal) wraps through a 1970-01-01 timestamp and formats back —
+    wrapping past midnight rolls the day off, Snowflake's TIME arithmetic
+    contract. Column references of time-string columns are not statically
+    detectable — those flow through the plain timestamp path (documented
+    subset)."""
+    spans = [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+    masked = list(sql)
+    for a, b in spans:
+        masked[a:b] = "\x00" * (b - a)
+    masked_s = "".join(masked)
+    for m in reversed(list(_TIME_COLON_CAST_RE.finditer(masked_s))):
+        start = _colon_cast_operand_start(masked_s, m.start())
+        operand = sql[start : m.start()].strip()
+        sql = sql[:start] + f"TO_TIME({operand})" + sql[m.end() :]
+        # lengths shifted — re-mask from scratch for the next iteration
+        spans = [(x.start(), x.end()) for x in _STRING_RE.finditer(sql)]
+        masked = list(sql)
+        for a, b in spans:
+            masked[a:b] = "\x00" * (b - a)
+        masked_s = "".join(masked)
+
+    def cast_rw(fname: str):
+        def rw(a: list[str]) -> str | None:
+            if len(a) != 1:
+                return None
+            m2 = _TIME_CAST_AS_RE.search(a[0])
+            if not m2:
+                return None
+            return f"TO_TIME({a[0][: m2.start()]})"
+
+        return rw
+
+    sql = _rewrite_calls(sql, "cast", cast_rw("CAST"))
+    sql = _rewrite_calls(sql, "try_cast", cast_rw("TRY_CAST"))
+
+    def time_add_rw(a: list[str]) -> str | None:
+        if len(a) != 3 or not _TIME_SHAPED_RE.match(a[2].strip()):
+            return None
+        return (
+            f"date_format(timestampadd({a[0]}, {a[1]}, "
+            f"to_timestamp(concat('1970-01-01 ', {a[2]}))), 'HH:mm:ss')"
+        )
+
+    for f in ("timeadd", "dateadd"):
+        sql = _rewrite_calls(sql, f, time_add_rw)
+    return sql
 
 
 _INT_COLON_CAST_RE = re.compile(
