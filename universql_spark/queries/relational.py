@@ -107,6 +107,35 @@ register_sql(
     doc="batch sessionization: LAG gap -> cumulative session ids (30 min gap)",
 )
 
+_FUZZY_JOIN = """WITH probes AS (
+  SELECT c_custkey AS p_id,
+         substr(c_name, 1, 11) || 'x' || substr(c_name, 13) AS p_name
+  FROM customer WHERE c_custkey % 7 = 0),
+cands AS (
+  SELECT p.p_id, c.c_custkey, levenshtein(p.p_name, c.c_name) AS dist
+  FROM probes p JOIN customer c
+    ON right(p.p_name, 4) = right(c.c_name, 4)
+  WHERE levenshtein(p.p_name, c.c_name) <= 2),
+ranked AS (
+  SELECT p_id, c_custkey AS matched_id, dist,
+         row_number() OVER (PARTITION BY p_id ORDER BY dist, c_custkey) AS rn
+  FROM cands)
+SELECT p_id, matched_id, CAST(dist AS BIGINT) AS dist
+FROM ranked WHERE rn = 1 ORDER BY p_id"""
+
+register_sql(
+    "join_fuzzy_blocked",
+    _FUZZY_JOIN,
+    category="join",
+    doc="entity-resolution fuzzy join: deterministic typo'd probe names "
+    "matched back via BLOCKING (equi-join on a stable key slice — here "
+    "the suffix the typo never touches) then edit-distance verify "
+    "(levenshtein <= 2, shared definition) and best-match-per-probe "
+    "window. The scale story is the blocking equi-join: candidate pairs "
+    "are per-block, never probe x corpus; at 100 TB the block key is a "
+    "phonetic/q-gram signature with the same plan shape",
+)
+
 _ORDERED_COLLECT = """SELECT DISTINCT user_id,
        array_agg(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seq,
