@@ -534,9 +534,12 @@ def test_hamming_topk_broadcast_probes_no_vector_shuffle(spark, sf_dir):
 
 def test_maxsim_broadcast_probes_bounded_exchanges(spark, sf_dir):
     """MaxSim late-interaction: the probe bag is broadcast (non-equi join ->
-    BroadcastNestedLoopJoin), the corpus sub-vector explode is a narrow map,
-    and the only exchanges are the two partial-agg shuffles + the per-query
-    window — never a corpus x corpus cartesian."""
+    BroadcastNestedLoopJoin) and the whole score computes row-locally
+    (n_sub^2 slice dots + greatest + fixed-order sum), so the ONLY
+    exchange is the per-query window — no aggregation shuffle, never a
+    corpus x corpus cartesian. (The first cut exploded sub-vectors through
+    two wide partial-agg exchanges; row-local evaluation measured 96x
+    faster at 200k vectors: 9.6 s -> 0.10 s.)"""
     import re as _re
 
     p = plan(spark, sf_dir, "ann_maxsim_topk")
@@ -544,4 +547,4 @@ def test_maxsim_broadcast_probes_bounded_exchanges(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
-    assert n_exchanges <= 3, p[:2000]
+    assert n_exchanges <= 1, p[:2000]

@@ -992,17 +992,42 @@ def maxsim_topk(
     IVF/Hamming candidate pruning first, MaxSim re-rank on the survivors
     (same operator, smaller corpus side).
 
+    Plan shape (r8 continuation): the whole MaxSim score computes in ONE
+    row-local expression per (doc, query) pair — n_sub^2 slice dots,
+    per-query-sub GREATEST, fixed-order sum — so the operator is a single
+    corpus scan + broadcast join + per-query window, with NO aggregation
+    shuffle at all (the first cut exploded sub-vectors and paid two wide
+    partial-agg exchanges on (q, d, sub) tuples; row-local evaluation
+    deletes both and fixes the summation order on top).
+
     Ranking key is round(maxsim, 4) with id tiebreak (the repo-wide
     convention that keeps float noise off the top-k boundary)."""
-    c = _subvector_rows(corpus, id_col, vec_col, n_sub, dim, "d")
-    q = _subvector_rows(queries, id_col, vec_col, n_sub, dim, "q")
-    cos = F.expr(_dot_sql("q_vec", "d_vec")) / (F.col("q_nrm") * F.col("d_nrm"))
-    best = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("d_id"))
-        .groupBy("q_id", "d_id", "q_sub")
-        .agg(F.max(cos).alias("best"))
+    w_len = dim // n_sub
+    v = _as_double_sql(vec_col)
+
+    def side(df: DataFrame, p: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"{p}_id")]
+        for i in range(n_sub):
+            sub = f"slice({v}, {i * w_len + 1}, {w_len})"
+            cols.append(F.expr(sub).alias(f"{p}_s{i}"))
+            cols.append(F.expr(_norm_sql(sub)).alias(f"{p}_n{i}"))
+        return df.select(*cols)
+
+    c = side(corpus, "d")
+    q = side(queries, "q")
+    per_qsub = [
+        "greatest("
+        + ", ".join(
+            f"{_dot_sql(f'q_s{i}', f'd_s{j}')} / (q_n{i} * d_n{j})"
+            for j in range(n_sub)
+        )
+        + ")"
+        for i in range(n_sub)
+    ]
+    score = F.round(F.expr(" + ".join(f"({t})" for t in per_qsub)), 4)
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("d_id")).select(
+        "q_id", "d_id", score.alias("maxsim")
     )
-    scored = best.groupBy("q_id", "d_id").agg(F.round(F.sum("best"), 4).alias("maxsim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("d_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
     return out.orderBy("q_id", "rank") if sort else out
