@@ -2454,18 +2454,34 @@ class Engine:
         FUNCTIONS (created SQL UDFs/UDTFs)."""
         low = stmt.lower()
         if "query_history" in low:
-            rows = [
-                (q.get("sql", "")[:2000], float(q.get("duration_sec", 0.0)))
-                for q in self.query_log[-1000:]
-            ]
-            self.spark.createDataFrame(
-                rows, "QUERY_TEXT string, TOTAL_ELAPSED_TIME double"
-            ).createOrReplaceTempView("information_schema__query_history")
-            stmt = re.sub(
-                r"(?is)\bTABLE\s*\(\s*(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*QUERY_HISTORY\s*\(\s*\)\s*\)",
-                "information_schema__query_history",
-                stmt,
+            qh_re = re.compile(
+                r"(?is)\bTABLE\s*\(\s*(?:\w+\s*\.\s*)?INFORMATION_SCHEMA\s*\.\s*"
+                r"QUERY_HISTORY(?:_BY_SESSION|_BY_USER|_BY_WAREHOUSE)?\s*\(([^)]*)\)\s*\)"
             )
+
+            def qh_repl(m: re.Match) -> str:
+                # Snowflake named args: RESULT_LIMIT => n caps at the NEWEST
+                # n entries; the BY_SESSION/USER/WAREHOUSE variants collapse
+                # to the same log (one engine == one session/user/warehouse)
+                limit = 1000
+                lm = re.search(r"RESULT_LIMIT\s*=>\s*(\d+)", m.group(1), re.I)
+                if lm:
+                    limit = int(lm.group(1))
+                rows = [
+                    (
+                        q.get("query_id", ""),
+                        q.get("sql", "")[:2000],
+                        float(q.get("duration_sec", 0.0)),
+                    )
+                    for q in self.query_log[-limit:]
+                ]
+                self.spark.createDataFrame(
+                    rows,
+                    "QUERY_ID string, QUERY_TEXT string, TOTAL_ELAPSED_TIME double",
+                ).createOrReplaceTempView("information_schema__query_history")
+                return "information_schema__query_history"
+
+            stmt = qh_re.sub(qh_repl, stmt)
         if "load_history" in low:
             from universql_spark.copy_into import _LOAD_HISTORY  # noqa: PLC0415
 
