@@ -363,3 +363,37 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     # every tier 1..4 is populated (the dim actually joined)
     tiers = {t for (_, t, _, _) in got}
     assert tiers == {1, 2, 3, 4}
+
+
+def test_chained_stateful_join_then_window_equals_batch(spark, sf_dir):
+    """MULTIPLE stateful operators in one streaming query (Spark 3.4+):
+    stream-stream attribution join chained directly into a tumbling
+    windowed aggregation — no intermediate sink. Output must equal the
+    same plan in batch."""
+    stream = windows.attribution_windowed_counts(windows.events_stream(spark, sf_dir))
+    windows.run_append_to_memory(stream, "t_attrib_win")
+    got = {tuple(r) for r in spark.table("t_attrib_win").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        tuple(r)
+        for r in clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 minutes")),
+        )
+        .groupBy(F.window("c_ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_attrib"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_attrib",
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -1189,6 +1189,50 @@ def stream_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "view_id")
 
 
+_DUCK_ATTRIB_WIN = """WITH j AS (
+  SELECT c.ts AS c_ts
+  FROM events c JOIN events v
+    ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes')
+SELECT strftime(time_bucket(INTERVAL '10 minutes', c_ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n_attrib
+FROM j GROUP BY 1 ORDER BY win_start"""
+
+
+@register("stream_attrib_windowed", _DUCK_ATTRIB_WIN, category="streaming")
+def stream_attrib_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of CHAINED stateful streaming operators
+    (streaming/windows.attribution_windowed_counts): the stream-stream
+    attribution join feeds a tumbling windowed count in ONE query — Spark
+    3.4+ multiple-stateful-operator support, each with its own state
+    store and eviction. test_chained_stateful_join_then_window_equals_batch
+    pins stream == batch; this twin states the converged relation. The
+    100 TB shape for funnel dashboards: no intermediate sink between the
+    join and the rollup."""
+    ev = spark.table("events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 minutes")),
+        )
+        .groupBy(F.window("c_ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_attrib"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_attrib",
+        )
+        .orderBy("win_start")
+    )
+
+
 _DUCK_STRATIFIED = """WITH rated AS (
   SELECT doc_id, lang,
          CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 80 END AS keep_pct

@@ -297,3 +297,47 @@ def static_enriched_counts(
             F.col("v").cast("double").alias("v"),
         )
     )
+
+
+def attribution_windowed_counts(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: the stream-stream
+    attribution join feeds a tumbling windowed aggregation downstream —
+    Spark runs both stateful operators in a single query (3.4+ multiple
+    stateful operators), each with its own state store; the join's
+    two-sided event-time bound and the window's watermark evict
+    independently. The 100 TB shape for funnel dashboards: no intermediate
+    sink/re-read between the join and the rollup."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+    return (
+        joined.groupBy(F.window("c_ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_attrib"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_attrib",
+        )
+    )
