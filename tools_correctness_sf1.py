@@ -71,6 +71,8 @@ EVENTS_SPECS = [
     "stream_static_enrich",
     "stream_user_profiles",
     "win_ordered_collect",
+    "stream_view_click_outer",
+    "stream_attrib_windowed",
 ]
 
 #: ClickBench bench-tier specs gated on the 10x events table (1M rows —
@@ -93,7 +95,7 @@ DML_SPECS_EVENTS = [
     "dml_iceberg_clone", "dml_iceberg_upsert_cdc", "dml_iceberg_snapshot_history",
     "dml_iceberg_merge_timetravel", "dml_iceberg_merge_on_read",
 ]
-DML_SPECS_TPCH = ["dml_schema_evolution", "dml_iceberg_partitioned"]
+DML_SPECS_TPCH = ["dml_schema_evolution", "dml_iceberg_partitioned", "join_fuzzy_blocked"]
 
 
 def _one(spec, name: str, spark, sf_dir: str, con, out: dict) -> None:
