@@ -72,7 +72,11 @@ EVENTS_DECADE_NEW = [
     "events_decay_features",
     "stream_static_enrich",
     "win_ordered_collect",
+    "stream_view_click_outer",
+    "stream_attrib_windowed",
 ]
+#: blocking fuzzy join on the dbgen sf10 customer table (1.5M rows)
+TPCH_DECADE_EXTRA = ["join_fuzzy_blocked"]
 #: r8 (VERDICT r7 #5): one partitioned-DML decade row — the full Engine
 #: MERGE script against the 10M-row events fixture.
 DML_DECADE = ["dml_merge_partitioned"]
@@ -549,7 +553,7 @@ def main() -> None:
     spark = get_spark("scaling_decade", sf_dir=SF10)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(SF10)
-    for name in TPCH_QUERIES:
+    for name in TPCH_QUERIES + TPCH_DECADE_EXTRA:
         _hash_one(registry[name], name, spark, SF10, con, out)
     con = duck_connection(DOCS500K)
     for name in DOC_QUERIES_ORACLED:
@@ -592,8 +596,8 @@ def main() -> None:
     out["dedup_minhash_lsh_curve"] = curve
 
     hash_spec_names = (
-        TPCH_QUERIES + DOC_QUERIES_ORACLED + CB_QUERIES + EVENTS_DECADE_NEW
-        + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
+        TPCH_QUERIES + TPCH_DECADE_EXTRA + DOC_QUERIES_ORACLED + CB_QUERIES
+        + EVENTS_DECADE_NEW + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
     )
     summary = {
         "hash_specs": len(hash_spec_names),
