@@ -112,10 +112,10 @@ _FUZZY_JOIN = """WITH probes AS (
          substr(c_name, 1, 11) || 'x' || substr(c_name, 13) AS p_name
   FROM customer WHERE c_custkey % 7 = 0),
 cands AS (
-  SELECT p.p_id, c.c_custkey, levenshtein(p.p_name, c.c_name) AS dist
+  SELECT p.p_id, c.c_custkey, {lev} AS dist
   FROM probes p JOIN customer c
     ON right(p.p_name, 4) = right(c.c_name, 4)
-  WHERE levenshtein(p.p_name, c.c_name) <= 2),
+  WHERE {lev} BETWEEN 0 AND 2),
 ranked AS (
   SELECT p_id, c_custkey AS matched_id, dist,
          row_number() OVER (PARTITION BY p_id ORDER BY dist, c_custkey) AS rn
@@ -125,7 +125,11 @@ FROM ranked WHERE rn = 1 ORDER BY p_id"""
 
 register_sql(
     "join_fuzzy_blocked",
-    _FUZZY_JOIN,
+    # Spark's 3-arg bounded levenshtein early-exits past the threshold
+    # (returns -1, excluded by BETWEEN) — exact distance for every kept
+    # row, so values match the oracle's unbounded form
+    _FUZZY_JOIN.format(lev="levenshtein(p.p_name, c.c_name, 2)"),
+    oracle=_FUZZY_JOIN.format(lev="levenshtein(p.p_name, c.c_name)"),
     category="join",
     doc="entity-resolution fuzzy join: deterministic typo'd probe names "
     "matched back via BLOCKING (equi-join on a stable key slice — here "
