@@ -140,6 +140,37 @@ register_sql(
     "phonetic/q-gram signature with the same plan shape",
 )
 
+_TRIANGLES = """WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 600000000.0) AS BIGINT) AS win,
+         user_id
+  FROM events WHERE event_type = 'purchase'),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(DISTINCT u) + COUNT(DISTINCT v) FROM e) AS deg_nodes
+FROM tri"""
+
+register_sql(
+    "graph_triangle_count",
+    _TRIANGLES.format(epoch="unix_micros"),
+    oracle=_TRIANGLES.replace(
+        "unix_micros(CAST(ts AS TIMESTAMP))", "epoch_us(ts)"
+    ),
+    category="graph",
+    doc="triangle counting over the purchase co-occurrence graph "
+    "(users sharing a 10-min window), ORIENTED by id (every edge stored "
+    "u < v once) — the classic formulation that bounds the wedge join by "
+    "per-node out-degree instead of total degree, so hub nodes cannot "
+    "blow the intermediate up; two equi-joins, no cartesian. The "
+    "dedup-graph QA companion to connected components",
+)
+
 _ORDERED_COLLECT = """SELECT DISTINCT user_id,
        array_agg(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seq,
