@@ -73,6 +73,7 @@ EVENTS_SPECS = [
     "win_ordered_collect",
     "stream_view_click_outer",
     "stream_attrib_windowed",
+    "graph_triangle_count",
 ]
 
 #: ClickBench bench-tier specs gated on the 10x events table (1M rows —
