@@ -548,3 +548,20 @@ def test_maxsim_broadcast_probes_bounded_exchanges(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges <= 1, p[:2000]
+
+
+def test_fuzzy_join_blocked_no_cartesian(spark, sf_dir):
+    """Entity-resolution fuzzy join: the blocking key makes the candidate
+    stage an EQUI-join (hash/broadcast on the suffix slice) — never a
+    probe x corpus nested loop; the verify predicate rides the join."""
+    p = plan(spark, sf_dir, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Oriented triangle counting: both wedge-closure stages are equi-joins
+    on the oriented edge list — no cartesian anywhere in the plan."""
+    p = plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
