@@ -4320,3 +4320,25 @@ def test_time_type_surface(engine):
     # TIMEADD over non-time targets keeps plain timestamp arithmetic
     ts = engine.execute("SELECT TIMEADD('day', 1, '2024-01-01'::DATE) AS t").to_pylist()[0]["t"]
     assert str(ts).startswith("2024-01-02")
+
+
+def test_star_ilike_column_selection(engine):
+    """SELECT [t.]* ILIKE 'pattern': Snowflake's pattern star — expanded
+    engine-side from the FROM table's schema (escaped \\_ stays literal;
+    alias qualifiers resolve through the FROM clause)."""
+    out = engine.execute(
+        "SELECT * ILIKE 'n_n%' FROM nation ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out) == {"n_nationkey", "n_name"}
+    out2 = engine.execute(
+        "SELECT n.* ILIKE '%key' FROM nation n ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out2) == {"n_nationkey", "n_regionkey"}
+    out3 = engine.execute("SELECT * ILIKE 'l\\_ship%' FROM lineitem LIMIT 1").to_pylist()[0]
+    assert set(out3) == {"l_shipdate", "l_shipinstruct", "l_shipmode"}
+    import pytest as _p
+
+    from universql_spark.engine import QueryError as _QE
+
+    with _p.raises(_QE, match="matches no columns"):
+        engine.execute("SELECT * ILIKE 'zzz%' FROM nation")

@@ -2299,6 +2299,7 @@ class Engine:
         self._refresh_stale_dynamic(stmt)
         if "infer_schema" in stmt.lower():
             stmt = self._resolve_infer_schema(stmt)
+        stmt = self._resolve_star_ilike(stmt)
         stmt = self._resolve_table_functions(stmt)
         stmt = strip_table_wrapper(stmt)
         stmt = self._inline_to_query(stmt)
@@ -2445,6 +2446,60 @@ class Engine:
             if "FLATTEN" in stmt.upper() and (explode_mismatch or path_on_string):
                 return self.spark.sql(snowflake_to_spark(stmt, flatten_coerce_all=True))
             raise
+
+    _STAR_ILIKE_RE = re.compile(
+        r"(?:([\w.\"]+)\s*\.\s*)?\*\s+ILIKE\s+'([^']+)'", re.I
+    )
+
+    def _resolve_star_ilike(self, stmt: str) -> str:
+        """Snowflake `SELECT [t.]* ILIKE 'pattern'` — the star modifier that
+        selects columns by case-insensitive LIKE pattern. Spark has no
+        pattern star, so expand to an explicit column list by resolving the
+        (single) FROM operand's schema. Subset: the FROM must be a named
+        table/view (the documented common usage); pattern stars over
+        subqueries raise with a clear message."""
+        m = self._STAR_ILIKE_RE.search(stmt)
+        if not m:
+            return stmt
+
+        fm = re.search(r"\bFROM\s+([\w.\"]+)", stmt[m.end() :], re.I)
+        if not fm:
+            raise QueryError(
+                "SELECT * ILIKE requires a named table in FROM "
+                "(pattern stars over subqueries are not supported)"
+            )
+        qual = m.group(1)
+        src = fm.group(1)
+        if qual:
+            # the qualifier may be a FROM alias — resolve `FROM tbl [AS] q`
+            am = re.search(
+                rf"\bFROM\s+([\w.\"]+)\s+(?:AS\s+)?{re.escape(qual)}\b",
+                stmt,
+                re.I,
+            )
+            src = am.group(1) if am else qual
+        try:
+            cols = self.spark.table(self._resolve_name(src.strip('"'))).columns
+        except Exception as e:  # noqa: BLE001
+            raise QueryError(f"SELECT * ILIKE: cannot resolve {src!r}: {e}") from e
+        # LIKE pattern -> regex with escape support (\% and \_ literal)
+        rx, i = [], 0
+        p = m.group(2)
+        while i < len(p):
+            ch = p[i]
+            if ch == "\\" and i + 1 < len(p):
+                rx.append(re.escape(p[i + 1]))
+                i += 2
+                continue
+            rx.append(".*" if ch == "%" else "." if ch == "_" else re.escape(ch))
+            i += 1
+        pat = re.compile("".join(rx), re.I)
+        keep = [c for c in cols if pat.fullmatch(c)]
+        if not keep:
+            raise QueryError(f"SELECT * ILIKE {m.group(2)!r} matches no columns")
+        prefix = f"{qual}." if qual else ""
+        repl = ", ".join(f"{prefix}{c}" for c in keep)
+        return stmt[: m.start()] + repl + stmt[m.end() :]
 
     def _resolve_info_schema_extras(self, stmt: str) -> str:
         """Engine-state information_schema surfaces (the module-level views
