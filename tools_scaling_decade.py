@@ -74,6 +74,7 @@ EVENTS_DECADE_NEW = [
     "win_ordered_collect",
     "stream_view_click_outer",
     "stream_attrib_windowed",
+    "graph_triangle_count",
 ]
 #: blocking fuzzy join on the dbgen sf10 customer table (1.5M rows)
 TPCH_DECADE_EXTRA = ["join_fuzzy_blocked"]
