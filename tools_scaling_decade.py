@@ -74,7 +74,11 @@ EVENTS_DECADE_NEW = [
     "win_ordered_collect",
     "stream_view_click_outer",
     "stream_attrib_windowed",
-    "graph_triangle_count",
+    # graph_triangle_count stops at the sf1 gate BY DESIGN: co-occurrence
+    # graphs DENSIFY with event rate (at 10M events a 10-min window holds
+    # ~460 co-purchasers -> hundreds of millions of edges and a wedge-join
+    # blowup on ANY engine). The scale recipe is to shrink the window with
+    # rate (edges ~ rate^2 x window); the spec doc records it.
 ]
 #: blocking fuzzy join on the dbgen sf10 customer table (1.5M rows)
 TPCH_DECADE_EXTRA = ["join_fuzzy_blocked"]

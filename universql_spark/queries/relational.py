@@ -168,7 +168,12 @@ register_sql(
     "u < v once) — the classic formulation that bounds the wedge join by "
     "per-node out-degree instead of total degree, so hub nodes cannot "
     "blow the intermediate up; two equi-joins, no cartesian. The "
-    "dedup-graph QA companion to connected components",
+    "dedup-graph QA companion to connected components. Scale note: "
+    "co-occurrence graphs densify with event RATE (edges ~ rate^2 x "
+    "window), so the window must shrink as rate grows — at 10x this "
+    "fixture's rate the 10-min window is already wedge-join-hostile on "
+    "any engine (measured; the sf1 gate row is the honest scale ceiling "
+    "for this window width)",
 )
 
 _ORDERED_COLLECT = """SELECT DISTINCT user_id,
