@@ -4343,3 +4343,69 @@ def test_star_ilike_column_selection(engine):
 
     with _p.raises(_QE, match="matches no columns"):
         engine.execute("SELECT * ILIKE 'zzz%' FROM nation")
+
+
+def test_star_ilike_multiple_and_subquery_from(engine):
+    """r9 ADVICE: a statement may carry several pattern stars, and a
+    SELECT-list subquery's FROM must not be mistaken for the outer FROM."""
+    out = engine.execute(
+        "SELECT n.* ILIKE 'n_nat%', r.* ILIKE 'r_n%' "
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out) == {"n_nationkey", "r_name"}
+    # pattern star whose FROM follows a scalar subquery in the SELECT list
+    out2 = engine.execute(
+        "SELECT (SELECT MAX(r_regionkey) FROM region) AS mx, * ILIKE 'n_name' "
+        "FROM nation ORDER BY n_name LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out2) == {"mx", "n_name"}
+    assert out2["mx"] == 4
+
+
+def test_try_cast_time_null_on_garbage(engine):
+    """r9 ADVICE: TRY_CAST(x AS TIME) returns NULL on malformed input
+    (Snowflake contract) while strict CAST raises."""
+    out = engine.execute(
+        "SELECT TRY_CAST('garbage' AS TIME) AS a, "
+        "TRY_CAST('10:30:00' AS TIME) AS b, TRY_TO_TIME('nope') AS c"
+    ).to_pylist()[0]
+    assert out == {"a": None, "b": "10:30:00", "c": None}
+    with pytest.raises(QueryError):
+        engine.execute("SELECT CAST('garbage' AS TIME) AS a")
+
+
+def test_split_statements_begin_end_identifiers():
+    """r9 ADVICE: begin/end are not reserved in Snowflake — aliases and
+    qualified refs named begin/end must not shift the scripting depth."""
+    stmts = split_statements("SELECT ts AS begin FROM t; SELECT 2")
+    assert len(stmts) == 2
+    stmts = split_statements("SELECT t.end FROM t; SELECT 2")
+    assert len(stmts) == 2
+    stmts = split_statements("SELECT 1 AS end; SELECT CASE WHEN a THEN 1 END; SELECT 3")
+    assert len(stmts) == 3
+    # scripting blocks still hold together, including the $$-less
+    # CREATE PROCEDURE ... AS BEGIN body with an alias named end inside
+    stmts = split_statements(
+        "CREATE PROCEDURE p() RETURNS INT LANGUAGE SQL AS BEGIN "
+        "SELECT ts AS end FROM t; RETURN 1; END; SELECT 2"
+    )
+    assert len(stmts) == 2
+    stmts = split_statements("BEGIN SELECT 1; SELECT 2; END; SELECT 3")
+    assert len(stmts) == 2
+    # transaction BEGIN stays a standalone statement
+    stmts = split_statements("BEGIN; SELECT 1; COMMIT")
+    assert len(stmts) == 3
+
+
+def test_temp_insert_case_insensitive_columns(engine):
+    """r9 ADVICE: INSERT INTO temp (V) must match uppercase table columns
+    case-insensitively, and unknown names must raise."""
+    engine.execute('CREATE TEMP TABLE t9ci AS SELECT 1 AS "V", 2 AS w')
+    engine.execute("INSERT INTO t9ci (v) VALUES (10)")
+    rows = engine.execute("SELECT * FROM t9ci ORDER BY w NULLS FIRST").to_pylist()
+    assert rows[0]["V"] == 10 and rows[0]["w"] is None
+    assert rows[1]["V"] == 1 and rows[1]["w"] == 2
+    with pytest.raises((QueryError, ValueError), match="invalid identifier"):
+        engine.execute("INSERT INTO t9ci (nope) VALUES (1)")
+    engine.execute("DROP TABLE t9ci")

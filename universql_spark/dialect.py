@@ -38,6 +38,32 @@ def split_statements(sql: str) -> list[str]:
     #: and END CASE closes a scripting CASE (counted once at CASE).
     depth = 0
     _tx = ("work", "transaction", "name")
+
+    def _prev_word(pos: int) -> str:
+        """Last identifier/keyword before sql[pos], skipping whitespace."""
+        k = pos - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        e = k
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_$"):
+            k -= 1
+        return sql[k + 1 : e + 1].lower()
+
+    def _scripting_stmt(head: str, word: str) -> bool:
+        """BEGIN/CASE...END depth tracking only engages when the current
+        statement is a scripting block — a bare BEGIN/DECLARE opener or a
+        CREATE PROCEDURE/FUNCTION header. Plain SQL may legally use begin
+        and end as identifiers/aliases (they are not reserved in
+        Snowflake), so counting them there mis-merges statements."""
+        h = head.lstrip().lower()
+        if not h:
+            return word == "begin"
+        if h.startswith(("begin", "declare")):
+            return True
+        return h.startswith("create") and bool(
+            re.search(r"\b(procedure|function)\b", h[:200])
+        )
+
     while i < n:
         ch = sql[i]
         if in_s:
@@ -82,6 +108,17 @@ def split_statements(sql: str) -> list[str]:
             while j < n and (sql[j].isalnum() or sql[j] in "_$"):
                 j += 1
             word = sql[i:j].lower()
+            if word in ("begin", "case", "end"):
+                is_script = _scripting_stmt("".join(buf), word)
+                # alias position (ts AS begin) — except the CREATE
+                # PROCEDURE ... AS BEGIN body opener at depth 0
+                alias_pos = _prev_word(i) == "as" and not (
+                    word == "begin" and depth == 0 and is_script
+                )
+                if (i > 0 and sql[i - 1] == ".") or alias_pos or not is_script:
+                    buf.append(sql[i:j])
+                    i = j
+                    continue
             if word in ("begin", "case"):
                 # transaction BEGIN (BEGIN; / BEGIN WORK|TRANSACTION|NAME)
                 # is a standalone statement, not a block opener
@@ -3211,13 +3248,19 @@ def _rewrite_time_surface(sql: str) -> str:
         masked_s = "".join(masked)
 
     def cast_rw(fname: str):
+        # TRY_CAST(x AS TIME) must yield NULL on garbage (Snowflake
+        # contract) — route it through TRY_TO_TIME, which the later
+        # to_time_rw pass expands with try_to_timestamp; strict CAST
+        # keeps the erroring TO_TIME path.
+        target = "TRY_TO_TIME" if fname == "TRY_CAST" else "TO_TIME"
+
         def rw(a: list[str]) -> str | None:
             if len(a) != 1:
                 return None
             m2 = _TIME_CAST_AS_RE.search(a[0])
             if not m2:
                 return None
-            return f"TO_TIME({a[0][: m2.start()]})"
+            return f"{target}({a[0][: m2.start()]})"
 
         return rw
 

@@ -2458,11 +2458,29 @@ class Engine:
         (single) FROM operand's schema. Subset: the FROM must be a named
         table/view (the documented common usage); pattern stars over
         subqueries raise with a clear message."""
-        m = self._STAR_ILIKE_RE.search(stmt)
-        if not m:
-            return stmt
+        # loop: a statement may carry several pattern stars
+        # (SELECT a.* ILIKE 'x%', b.* ILIKE 'y%' FROM ...); re-search after
+        # each substitution since offsets shift
+        for _ in range(32):
+            m = self._STAR_ILIKE_RE.search(stmt)
+            if not m:
+                return stmt
+            stmt = self._expand_one_star_ilike(stmt, m)
+        return stmt
 
-        fm = re.search(r"\bFROM\s+([\w.\"]+)", stmt[m.end() :], re.I)
+    def _expand_one_star_ilike(self, stmt: str, m: re.Match) -> str:
+        # find the FROM belonging to the star's own SELECT: same paren
+        # depth, not a SELECT-list subquery's FROM (depth > 0) and not a
+        # FROM outside the star's query (depth < 0 means we left it)
+        fm = None
+        for cand in re.finditer(r"\bFROM\s+([\w.\"]+)", stmt[m.end() :], re.I):
+            seg = stmt[m.end() : m.end() + cand.start()]
+            depth = seg.count("(") - seg.count(")")
+            if depth < 0:
+                break
+            if depth == 0:
+                fm = cand
+                break
         if not fm:
             raise QueryError(
                 "SELECT * ILIKE requires a named table in FROM "
@@ -2473,7 +2491,7 @@ class Engine:
         if qual:
             # the qualifier may be a FROM alias — resolve `FROM tbl [AS] q`
             am = re.search(
-                rf"\bFROM\s+([\w.\"]+)\s+(?:AS\s+)?{re.escape(qual)}\b",
+                rf"\b(?:FROM|JOIN)\s+([\w.\"]+)\s+(?:AS\s+)?{re.escape(qual)}\b",
                 stmt,
                 re.I,
             )
@@ -3119,11 +3137,20 @@ class Engine:
         df = self._run_select(im.group(4) + im.group(5))
         if im.group(3):  # explicit column list; missing cols -> NULL
             given = [c.strip().strip('"').lower() for c in im.group(3).split(",")]
+            # Spark preserves identifier case in tdf.columns; Snowflake
+            # identifiers are case-insensitive — match on lower() and
+            # raise on names that hit no table column (Snowflake errors).
+            tset = {c.lower() for c in tcols}
+            unknown = [c for c in given if c not in tset]
+            if unknown:
+                raise ValueError(
+                    f"invalid identifier(s) in INSERT column list: {unknown}"
+                )
             df = df.toDF(*given)
             df = df.select(
                 *[
-                    F.col(c).cast(ttypes[c]).alias(c)
-                    if c in given
+                    F.col(c.lower()).cast(ttypes[c]).alias(c)
+                    if c.lower() in given
                     else F.lit(None).cast(ttypes[c]).alias(c)
                     for c in tcols
                 ]

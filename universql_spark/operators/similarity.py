@@ -984,21 +984,14 @@ def maxsim_topk(
     score(q, d) = sum over q's sub-vectors of the max cosine against any of
     d's sub-vectors; per-query top-k by score.
 
-    Scale shape: the probe set (queries x n_sub rows) is broadcast; the
-    corpus sub-vector explode is a narrow map (no shuffle); the only
-    exchanges are the two partial-agg shuffles on (q_id, d_id, q_sub) then
-    (q_id, d_id) — both bounded by |probes| x |corpus|, never corpus x
-    corpus — and the final per-query window. At 100 TB the composition is
-    IVF/Hamming candidate pruning first, MaxSim re-rank on the survivors
-    (same operator, smaller corpus side).
-
-    Plan shape (r8 continuation): the whole MaxSim score computes in ONE
-    row-local expression per (doc, query) pair — n_sub^2 slice dots,
-    per-query-sub GREATEST, fixed-order sum — so the operator is a single
-    corpus scan + broadcast join + per-query window, with NO aggregation
-    shuffle at all (the first cut exploded sub-vectors and paid two wide
-    partial-agg exchanges on (q, d, sub) tuples; row-local evaluation
-    deletes both and fixes the summation order on top).
+    Plan shape: the whole MaxSim score computes in ONE row-local
+    expression per (doc, query) pair — n_sub^2 slice dots, per-query-sub
+    GREATEST, fixed-order sum — so the operator is a single corpus scan +
+    broadcast join (the query side is the small, broadcast one) + per-query
+    window, with NO aggregation shuffle at all. Work is bounded by
+    |queries| x |corpus|, never corpus x corpus. At 100 TB the composition
+    is IVF/Hamming candidate pruning first, MaxSim re-rank on the
+    survivors (same operator, smaller corpus side).
 
     Ranking key is round(maxsim, 4) with id tiebreak (the repo-wide
     convention that keeps float noise off the top-k boundary)."""

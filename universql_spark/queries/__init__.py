@@ -215,6 +215,17 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
+    # ---- round-9 head (VERDICT r8 'Next round' #1): the 11 specs that
+    # have never appeared in any CORRECTNESS_rN driver gate (all are
+    # local/sf1/decade hash-green; all carry oracles). Gating these closes
+    # cumulative driver coverage at 289/289:
+    "ann_maxsim_topk", "join_fuzzy_blocked", "graph_triangle_count",
+    "win_ordered_collect", "events_funnel_steps", "events_decay_features",
+    "stream_cms_cells", "stream_static_enrich", "stream_user_profiles",
+    "stream_view_click_outer", "stream_attrib_windowed",
+    # ---- specs whose behavior changed in r9 (ADVICE fixes touched the
+    # TIME surface cast path and the dialect splitter):
+    "types_cast_gallery",
     # ---- round-8 head: specs whose behavior or oracle changed this round,
     # plus the two freshly golden-value-oracled specs (VERDICT r7 #4 —
     # these two previously recorded `no_oracle` forever; their driver rows
