@@ -166,8 +166,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    path = _resident_path(spark, sf_dir, name) or f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    bkt = _bucketed_table(spark, sf_dir, name)
+    if bkt is not None:
+        df = spark.table(bkt)
+    else:
+        path = _resident_path(spark, sf_dir, name) or f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
@@ -196,6 +200,115 @@ RESIDENT_MIN_BYTES = 256 * 1024
 RESIDENT_FILE_BYTES = 512 * 1024
 RESIDENT_FILES_MIN = 8
 RESIDENT_FILES_MAX = 32
+
+
+#: Fact tables resident as BUCKETED tables, clustered by their dominant
+#: join/aggregation key (r9 — VERDICT r8 'Next round' #2, exec-side attack).
+#: Bucketing is Spark's co-located join primitive: with lineitem and orders
+#: both hash-clustered on orderkey into the SAME bucket count, every
+#: orderkey equi-join and orderkey-prefixed aggregation runs with ZERO
+#: exchange on the fact side — the exact layout decision a 100 TB
+#: deployment makes at ingest (Snowflake cluster keys, Iceberg bucket
+#: transforms). Measured at sf0.1 (interleaved A/B, one file per bucket):
+#: tpch_q18 885->254 ms, q3 487->372, q5 544->479, values hash-identical.
+#: The write happens ONCE per fixture (keyed by size+mtime, shared across
+#: processes); each new session re-attaches with a CREATE TABLE ...
+#: CLUSTERED BY ... LOCATION DDL over the existing files (metadata-only).
+BUCKETED_TABLES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
+#: tables that JOIN each other on the bucket key must share one bucket
+#: count (Spark requires equal counts for exchange-free joins) — they
+#: derive their count from a shared ANCHOR table's size. events only ever
+#: self-joins on user_id, so it anchors on itself.
+BUCKET_ANCHOR = {"lineitem": "lineitem", "orders": "lineitem", "events": "events"}
+#: below this source size bucketing is pure metadata overhead (sf0.001
+#: tests); above it, 8 buckets for the MB-scale gate fixtures, 32 (= local
+#: core count; a cluster would size to executor count) from 4 MB up.
+BUCKET_MIN_BYTES = 256 * 1024
+BUCKET_WIDE_BYTES = 4 * 1024 * 1024
+
+
+def _bucket_count(sf_dir: str, name: str) -> int:
+    """Bucket count for a fact table — derived from its anchor's size so
+    co-joining tables share ONE count; 0 disables bucketing."""
+    try:
+        size = os.stat(f"{sf_dir}/{BUCKET_ANCHOR[name]}.parquet").st_size
+    except (OSError, KeyError):
+        return 0
+    if size < BUCKET_MIN_BYTES:
+        return 0
+    return 32 if size >= BUCKET_WIDE_BYTES else 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Materialize (once) and attach the bucketed resident form of a fact
+    table; returns the catalog table name, or None when bucketing does not
+    apply (small fixture / non-fact table / any failure -> caller falls
+    back to the plain resident path)."""
+    if os.environ.get("SPARK_GRAFT_NO_BUCKET"):  # A/B probe kill-switch
+        return None
+    key = BUCKETED_TABLES.get(name)
+    if key is None:
+        return None
+    n = _bucket_count(sf_dir, name)
+    if n == 0:
+        return None
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None
+    if name == "events":
+        # the raw read needs nanosAsLong before load_table sets it when the
+        # bucketed write happens first
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # noqa: BLE001 - advisory
+            pass
+    ident = f"{name}_bkt{n}_{st.st_size}_{int(st.st_mtime)}"
+    dest = os.path.join(RESIDENT_DIR, os.path.basename(sf_dir.rstrip("/")), ident)
+    try:
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+            raw = spark.read.parquet(src)
+            tmp = f"{dest}.tmp-{os.getpid()}"
+            tmpname = f"uq_bkt_tmp_{name}_{os.getpid()}"
+            # repartition on the bucket key first -> exactly ONE file per
+            # bucket (each writer task holds one bucket's rows); multiple
+            # files per bucket measured 1.5-2x slower scans
+            (
+                raw.repartition(n, F.col(key))
+                .write.bucketBy(n, key)
+                .sortBy(key)
+                .option("path", tmp)
+                .mode("overwrite")
+                .saveAsTable(tmpname)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tmpname}")  # external: files stay
+            try:
+                os.rename(tmp, dest)
+            except OSError:  # concurrent writer won the race — use theirs
+                import shutil  # noqa: PLC0415
+
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+                return None
+        cat = f"uq_bkt_{name}_{n}_{st.st_size}_{int(st.st_mtime)}"
+        if not spark.catalog.tableExists(cat):
+            schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(src).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {cat} ({schema}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+                f"LOCATION '{dest}'"
+            )
+        return cat
+    except Exception:
+        return None
 
 
 def _resident_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
