@@ -4050,6 +4050,75 @@ def test_warehouse_guard_real_second_process(engine, tmp_path, monkeypatch):
     assert not victim.exists()
 
 
+def test_warehouse_guard_sigkill_midswap_recovery(engine, tmp_path, monkeypatch):
+    """VERDICT r8 #6: a REAL engine process killed with SIGKILL mid-swap
+    (marker file left behind — atexit never runs on kill -9) must not block
+    recovery: the next process prunes the dead pid and reclaims the orphan
+    EXACTLY ONCE — after recovery the location belongs to a live process
+    again and a further process's reclamation is refused."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from universql_spark import warehouse_guard as wg
+
+    wh = str(tmp_path / "isolated_warehouse")
+    os.makedirs(os.path.join(wh, wg.LIVE_DIR), exist_ok=True)
+    monkeypatch.setattr(wg, "_warehouse_path", lambda spark: wh)
+    victim = tmp_path / "midswap_shadow"
+
+    # child 1: registers as live, plants the mid-swap shadow dir, hangs
+    helper = (
+        "import os, time\n"
+        f"d = os.path.join({wh!r}, {wg.LIVE_DIR!r})\n"
+        "open(os.path.join(d, str(os.getpid())), 'w').write(str(os.getpid()))\n"
+        f"os.makedirs({str(victim)!r}, exist_ok=True)\n"
+        f"open(os.path.join({str(victim)!r}, 'part-0.parquet'), 'wb').write(b'x')\n"
+        "print('ready', flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    p = subprocess.Popen([sys.executable, "-c", helper], stdout=subprocess.PIPE)
+    assert p.stdout.readline().strip() == b"ready"
+    marker = os.path.join(wh, wg.LIVE_DIR, str(p.pid))
+    assert os.path.exists(marker)
+    # while the child LIVES, reclamation is refused (it may own the swap)
+    assert wg.reclaim_orphan(engine.spark, str(victim)) is False
+    assert victim.exists()
+
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+    time.sleep(0.2)
+    assert os.path.exists(marker)  # SIGKILL skipped atexit — marker survives
+
+    # recovery: dead pid pruned by the liveness scan, orphan reclaimed
+    assert wg.reclaim_orphan(engine.spark, str(victim)) is True
+    assert not victim.exists()
+    assert not os.path.exists(marker)
+
+    # exactly once: THIS process now owns the location (re-registered by
+    # reclaim_orphan); a different live process must be refused
+    assert os.path.exists(os.path.join(wh, wg.LIVE_DIR, str(os.getpid())))
+    victim.mkdir()
+    (victim / "part-0.parquet").write_bytes(b"new-owner")
+    helper2 = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from universql_spark import warehouse_guard as wg\n"
+        "class _Conf:\n"
+        f"    def get(self, k, d=''): return {wh!r}\n"
+        "class _S:\n"
+        "    conf = _Conf()\n"
+        f"print(wg.reclaim_orphan(_S(), {str(victim)!r}))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", helper2], capture_output=True, text=True, check=True
+    )
+    assert out.stdout.strip() == "False"
+    assert (victim / "part-0.parquet").read_bytes() == b"new-owner"
+
+
 def test_array_multiset_semantics(engine):
     """r8 probe sweep: ARRAY_EXCEPT/ARRAY_INTERSECTION are multiset ops in
     Snowflake — per-occurrence cancellation, order preserved, no dedup

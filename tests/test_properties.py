@@ -808,3 +808,68 @@ def test_ordered_collect_fuzz_spark_matches_duckdb(
     assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
         list(d_tbl.column_names), d_rows
     ), (sf, du)
+
+
+# ---------------------------------------------------------------------------
+# 12th differential lane (r9, VERDICT r8 #7): the TIME surface — new in r8
+# with zero dedicated fuzz coverage. Spark has no released TIME type; the
+# dialect maps it to the canonical 'HH:mm:ss' string (::TIME casts,
+# TO_TIME/TRY_TO_TIME with and without formats, TIMEADD/DATEADD wrap-around
+# past midnight, comparisons). DuckDB HAS a native TIME whose arithmetic
+# wraps exactly like Snowflake's — CAST(... AS VARCHAR) of a whole-second
+# TIME prints the identical 'HH:MM:SS' text, giving a natural oracle.
+# ---------------------------------------------------------------------------
+
+_T_UNITS = ["hour", "minute", "second"]
+
+
+@given(
+    h=st.integers(0, 23),
+    m=st.integers(0, 59),
+    s=st.integers(0, 59),
+    unit=st.sampled_from(_T_UNITS),
+    delta=st.integers(-100000, 100000),
+    h2=st.integers(0, 23),
+    m2=st.integers(0, 59),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_time_surface_fuzz_spark_matches_duckdb(
+    spark, sf_dir, _duck, h, m, s, unit, delta, h2, m2
+):
+    from tests.compare import normalize_rows
+    from universql_spark.dialect import snowflake_to_spark
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    t = f"{h:02d}:{m:02d}:{s:02d}"
+    t2 = f"{h2:02d}:{m2:02d}:00"
+    dotted = f"{h:02d}.{m:02d}.{s:02d}"
+    sf = (
+        f"SELECT k, '{t}'::TIME AS a, CAST('{t}' AS TIME) AS b, "
+        f"TRY_CAST('garbage' AS TIME) AS g, "
+        f"TO_TIME('{dotted}', 'HH24.MI.SS') AS f, "
+        f"TIMEADD('{unit}', {delta} + k, '{t}'::TIME) AS ta, "
+        f"DATEADD('{unit}', -(({delta} + k) % 1440), '{t2}'::TIME) AS da, "
+        f"'{t}'::TIME < '{t2}'::TIME AS lt "
+        "FROM (SELECT n_nationkey AS k FROM nation) ORDER BY k"
+    )
+    du = (
+        f"SELECT k, CAST(TIME '{t}' AS VARCHAR) AS a, CAST(TIME '{t}' AS VARCHAR) AS b, "
+        f"CAST(TRY_CAST('garbage' AS TIME) AS VARCHAR) AS g, "
+        f"CAST(CAST(strptime('{dotted}', '%H.%M.%S') AS TIME) AS VARCHAR) AS f, "
+        f"CAST(TIME '{t}' + to_{unit}s(CAST({delta} + k AS BIGINT)) AS VARCHAR) AS ta, "
+        f"CAST(TIME '{t2}' - to_{unit}s(CAST(({delta} + k) % 1440 AS BIGINT)) AS VARCHAR) AS da, "
+        f"TIME '{t}' < TIME '{t2}' AS lt "
+        "FROM (SELECT n_nationkey AS k FROM nation) ORDER BY k"
+    )
+    s_tbl = spark.sql(snowflake_to_spark(sf)).toArrow()
+    s_rows = [tuple(r[c] for c in s_tbl.column_names) for r in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(du).arrow()
+    d_rows = [tuple(r[c] for c in d_tbl.column_names) for r in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), (sf, du)

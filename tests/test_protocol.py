@@ -350,3 +350,85 @@ def test_numeric_bindings_and_errors(client):
     assert bad["success"] is False and "unsupported bind type" in bad["message"]
     ok = _query(client, token, "SELECT 5 AS five")
     assert ok["success"]
+
+
+# -- recorded wire-capture replays (VERDICT r8 #8) ---------------------------
+
+
+def _capture(name):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "captures", name)
+    with open(path, "rb") as f:
+        return json.loads(f.read())
+
+
+def test_capture_replay_json_result_format(client):
+    """Replay a recorded client exchange that sets
+    PYTHON_CONNECTOR_QUERY_RESULT_FORMAT=JSON at login: the query response
+    must come back queryResultFormat=json with the string-encoded rowset
+    the public connector's converters decode (FIXED decimal text, BOOLEAN
+    '1'/'0', DATE epoch-days)."""
+    cap = _capture("json_format_exchange.json")
+    r = client.post(cap["login"]["path"], json=cap["login"]["body"])
+    token = r.get_json()["data"]["token"]
+    r2 = client.post(
+        cap["query"]["path"],
+        json=cap["query"]["body"],
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    ).get_json()
+    assert r2["success"] is True
+    data = r2["data"]
+    exp = cap["expect"]
+    assert data["queryResultFormat"] == exp["queryResultFormat"]
+    assert data["returned"] == exp["returned"]
+    assert data["rowset"] == exp["rowset"]
+    assert [c["name"].lower() for c in data["rowtype"]] == exp["rowtype_names"]
+    # per-query parameter overrides back to arrow for the same session
+    r3 = client.post(
+        "/queries/v1/query-request",
+        json={
+            "sqlText": "SELECT 2 AS two",
+            "parameters": {"PYTHON_CONNECTOR_QUERY_RESULT_FORMAT": "ARROW"},
+        },
+        headers={"Authorization": f'Snowflake Token="{token}"'},
+    ).get_json()
+    assert r3["data"]["queryResultFormat"] == "arrow"
+    assert _decode(r3).to_pylist() == [{"two": 2}]
+
+
+def test_capture_replay_multi_statement(client):
+    """Replay a recorded multi-statement submission: the parent response is
+    json-format carrying resultIds; each child result is fetched through
+    GET /queries/<id>/result exactly as the connector's nextset() does."""
+    cap = _capture("multi_statement_exchange.json")
+    token = _login(client)
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    r = client.post(cap["query"]["path"], json=cap["query"]["body"], headers=hdr).get_json()
+    assert r["success"] is True
+    data = r["data"]
+    exp = cap["expect"]
+    assert data["queryResultFormat"] == exp["queryResultFormat"]
+    ids = data["resultIds"].split(",")
+    assert len(ids) == exp["result_count"]
+    # parent rowset carries the FIRST statement's result
+    assert data["rowset"] == [["1"]]
+    for cid, want in zip(ids, exp["child_values"]):
+        child = client.get(f"/queries/{cid}/result", headers=hdr).get_json()
+        assert child["success"] is True
+        tbl = _decode(child)
+        assert [list(row.values()) for row in tbl.to_pylist()] == [want]
+    # statement-count mismatch is refused with the server's error code
+    bad = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "SELECT 1; SELECT 2", "parameters": {"MULTI_STATEMENT_COUNT": 5}},
+        headers=hdr,
+    ).get_json()
+    assert bad["success"] is False and bad["code"] == "000008"
+    # MULTI_STATEMENT_COUNT=0 accepts any count
+    anyn = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "SELECT 1; SELECT 2", "parameters": {"MULTI_STATEMENT_COUNT": 0}},
+        headers=hdr,
+    ).get_json()
+    assert anyn["success"] is True and len(anyn["data"]["resultIds"].split(",")) == 2

@@ -30,7 +30,7 @@ import threading
 import pyarrow as pa
 
 from universql_spark.engine import Engine, QueryError
-from universql_spark.result import normalize, rowtype
+from universql_spark.result import json_rowset, normalize, rowtype
 
 try:
     from flask import Flask, request
@@ -202,6 +202,9 @@ def create_app(engine: Engine | None = None) -> "Flask":
             "database": request.args.get("databaseName") or body.get("databaseName"),
             "schema": request.args.get("schemaName") or body.get("schemaName", "PUBLIC"),
             "warehouse": request.args.get("warehouse") or body.get("warehouse"),
+            # session-scoped parameters the client ships at login (e.g.
+            # PYTHON_CONNECTOR_QUERY_RESULT_FORMAT=JSON for older clients)
+            "parameters": dict(body.get("SESSION_PARAMETERS") or {}),
         }
         return {
             "success": True,
@@ -224,6 +227,18 @@ def create_app(engine: Engine | None = None) -> "Flask":
         if token is None:
             return {"success": False, "message": "invalid token", "code": "390104"}, 401
         body = _body()
+        params = body.get("parameters") or {}
+        # queryResultFormat=json fallback (VERDICT r8 #8): honored from the
+        # per-query parameter or the session parameter set at login; the
+        # multi-statement PARENT response below is ALWAYS json (the real
+        # server's contract — the parent carries resultIds, not data)
+        fmt = str(
+            params.get("PYTHON_CONNECTOR_QUERY_RESULT_FORMAT")
+            or sessions[token].get("parameters", {}).get(
+                "PYTHON_CONNECTOR_QUERY_RESULT_FORMAT"
+            )
+            or "arrow"
+        ).lower()
         try:
             sql = _apply_bindings(body.get("sqlText", ""), body.get("bindings") or {})
         except QueryError as e:
@@ -266,6 +281,59 @@ def create_app(engine: Engine | None = None) -> "Flask":
                 "code": "333334",
                 "data": {"queryId": query_id, "queryResultFormat": "arrow"},
             }
+        msc = params.get("MULTI_STATEMENT_COUNT")
+        if msc is not None and int(msc) != 1:
+            # multi-statement request: the connector sends the whole script
+            # as one sqlText plus MULTI_STATEMENT_COUNT (0 = any). The
+            # parent response is json-format and carries resultIds; the
+            # client then fetches each child via GET /queries/<id>/result
+            # (the same surface async results use).
+            from universql_spark.dialect import split_statements  # noqa: PLC0415
+
+            stmts = split_statements(sql)
+            if int(msc) not in (0, len(stmts)):
+                return {
+                    "success": False,
+                    "code": "000008",
+                    "message": (
+                        f"Actual statement count {len(stmts)} did not match "
+                        f"the desired statement count {int(msc)}."
+                    ),
+                    "data": {"sqlState": "0A000", "queryId": query_id},
+                }
+            ids: list[str] = []
+            first = None
+            try:
+                for s_i, s_sql in enumerate(stmts):
+                    cid = f"{query_id}-{s_i + 1:02d}"
+                    with exec_lock:
+                        tbl = normalize(eng.execute(s_sql))
+                    async_queries[cid] = ("done", tbl)
+                    _evict_async()
+                    ids.append(cid)
+                    if first is None:
+                        first = tbl
+            except QueryError as e:
+                return {
+                    "success": False,
+                    "message": e.message,
+                    "data": {
+                        "sqlState": e.sql_state,
+                        "errorCode": "002003",
+                        "queryId": query_id,
+                    },
+                }
+            return {
+                "success": True,
+                "data": {
+                    "queryId": query_id,
+                    "queryResultFormat": "json",
+                    "rowtype": rowtype(first),
+                    "returned": first.num_rows,
+                    "rowset": json_rowset(first),
+                    "resultIds": ",".join(ids),
+                },
+            }
         try:
             if body.get("describeOnly"):
                 # JDBC prepared-statement metadata: analyze the plan, return
@@ -300,6 +368,17 @@ def create_app(engine: Engine | None = None) -> "Flask":
             }
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
+        if fmt == "json":
+            return {
+                "success": True,
+                "data": {
+                    "queryId": query_id,
+                    "queryResultFormat": "json",
+                    "rowtype": rowtype(table),
+                    "returned": table.num_rows,
+                    "rowset": json_rowset(table),
+                },
+            }
         data = {
             "queryId": query_id,
             "queryResultFormat": "arrow",

@@ -101,3 +101,44 @@ def normalize(table: pa.Table, wire: bool = False) -> pa.Table:
         cols.append(col)
         fields.append(pa.field(field.name, t, field.nullable))
     return pa.table(cols, schema=pa.schema(fields))
+
+
+def json_rowset(table: pa.Table) -> list[list]:
+    """Snowflake JSON result-format rowset (VERDICT r8 #8).
+
+    Older clients and every multi-statement PARENT response use
+    queryResultFormat=json: `rowset` is a list of rows whose cells are
+    all strings (or null), decoded client-side by rowtype — encodings per
+    the public snowflake-connector-python converters: FIXED/REAL decimal
+    text, BOOLEAN '1'/'0', DATE epoch-days text, TIMESTAMP_*
+    'seconds.nanoseconds' text, BINARY hex, everything else raw text."""
+    import datetime as _dt
+
+    rt = rowtype(table)
+    cols: list[list] = []
+    for i, field in enumerate(table.schema):
+        t = rt[i]["type"]
+        enc: list = []
+        for v in table.column(i).to_pylist():
+            if v is None:
+                enc.append(None)
+            elif t == "boolean":
+                enc.append("1" if v else "0")
+            elif t == "date":
+                enc.append(str((v - _dt.date(1970, 1, 1)).days))
+            elif t.startswith("timestamp"):
+                if isinstance(v, _dt.datetime):
+                    if v.tzinfo is not None:
+                        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    delta = v - _dt.datetime(1970, 1, 1)
+                    micros = delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
+                    sec, frac = divmod(micros, 1_000_000)
+                    enc.append(f"{sec}.{frac * 1000:09d}")
+                else:
+                    enc.append(str(v))
+            elif t == "binary":
+                enc.append(v.hex() if isinstance(v, (bytes, bytearray)) else str(v))
+            else:
+                enc.append(str(v))
+        cols.append(enc)
+    return [list(row) for row in zip(*cols)] if cols else []
