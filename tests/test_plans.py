@@ -565,3 +565,34 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     p = plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_bucketed_facts_join_exchange_free(spark):
+    """r9 bucketed resident layout: lineitem/orders cluster on orderkey at
+    ingest (events on user_id), so orderkey equi-joins and orderkey-
+    prefixed aggregations run with NO exchange on the fact side — the
+    co-located-join layout a 100 TB deployment picks. Pinned at sf0.01
+    (above the 256 KB bucketing floor; the sf0.001 test fixture stays
+    plain by design)."""
+    import re as _re
+
+    from universql_spark.queries import ensure_views
+    from universql_spark.session import _bucketed_table
+
+    sf01 = "/root/testdata/sf0.01"
+    assert _bucketed_table(spark, sf01, "lineitem") is not None
+    ensure_views(spark, sf01)
+    try:
+        df = REG["tpch_q18_big_orders"].spark(spark, sf01)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p = df._jdf.queryExecution().explainString(mode)
+        # bucketed scans are visible and the orders<->lineitem join needs
+        # no exchange: the only exchanges left serve the customer join /
+        # final ordering, strictly fewer than the unbucketed 3
+        assert "Bucketed: true" in p
+        n_exchanges = len(_re.findall(r"\(\d+\) Exchange", p))
+        assert n_exchanges <= 2, p[:3000]
+    finally:
+        ensure_views(spark, "/root/testdata/sf0.001")

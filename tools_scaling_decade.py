@@ -46,8 +46,8 @@ DOCS500K = os.path.join(HERE, "data", "llm_500k")
 TPCH_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 AUX_TABLES = ["events", "documents", "embeddings"]
 
-TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18_big_orders"]
-DOC_QUERIES_ORACLED = ["dedup_exact", "text_tfidf_topk"]
+TPCH_QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18_big_orders"]
+DOC_QUERIES_ORACLED = ["dedup_exact", "text_tfidf_topk", "text_tokens"]
 CB_QUERIES = [
     "cb_q00", "cb_q02", "cb_q04", "cb_q07", "cb_q09", "cb_q12", "cb_q15",
     "cb_q18", "cb_q20", "cb_q27", "cb_q29", "cb_q32", "cb_q36", "cb_q42",
@@ -57,17 +57,32 @@ N_DOCS = 500_000
 N_EVENTS, N_USERS = 10_000_000, 150_000
 EVENTS10M = os.path.join(HERE, "data", "events_10m")
 
+#: r9 (VERDICT r8 #5): one more decade on the events axis — 100M rows
+#: (1000x the driver's sf0.1 fixture), users scaled 10x with the rows so
+#: per-user density stays constant. Run for the 5 CHEAPEST decade-green cb
+#: specs (second point on the amortization curve at a scale where DuckDB's
+#: oracle still terminates in minutes).
+N_EVENTS_100M, N_USERS_100M = 100_000_000, 1_500_000
+EVENTS100M = os.path.join(HERE, "data", "events_100m")
+CB_CENTURY = ["cb_q12", "cb_q36", "cb_q42", "cb_q15", "cb_q20"]
+
 #: r8 (VERDICT r7 #5): the ANN/embedding family's decade — 200k vectors
 #: (100x the driver gate's 2k, 10x the llm-sf1 20k). IVF + two-stage
 #: Hamming-rerank hash-compare vs DuckDB running the exact oracles;
 #: embed_pca_project hash-compares vs the independent numpy oracle.
 EMB200K = os.path.join(HERE, "data", "emb_200k")
 N_VECS_DECADE = 200_000
-ANN_QUERIES_ORACLED = ["ann_ivf_topk", "ann_hamming_rerank_topk", "ann_maxsim_topk"]
+ANN_QUERIES_ORACLED = [
+    "ann_ivf_topk",
+    "ann_hamming_rerank_topk",
+    "ann_maxsim_topk",
+    "ann_cosine_topk",
+]
 ANN_QUERIES_NUMPY = ["embed_pca_project"]
 #: r8 continuation: the new event-analytics / streaming-twin / windowed
 #: collect specs at 10M events (67 events/user x 150k users)
 EVENTS_DECADE_NEW = [
+    "join_asof",
     "events_funnel_steps",
     "events_decay_features",
     "stream_static_enrich",
@@ -123,6 +138,50 @@ def ensure_emb200k() -> None:
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
     print(f"wrote 200k-vector fixture -> {EMB200K}", flush=True)
+
+
+def _gen_events(dest: str, n_events: int, n_users: int, seed: int) -> None:
+    """Chunked synthetic events writer (same schema/domains/props format as
+    the sf fixtures, 1M-row chunks so resident memory stays bounded)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    etypes = np.array(["click", "view", "purchase", "signup", "scroll"])
+    writer = None
+    chunk = 1_000_000
+    for start in range(0, n_events, chunk):
+        n = min(chunk, n_events - start)
+        ts = base_us + rng.integers(0, span_us, n)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(start, start + n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+                "event_type": pa.array(etypes[rng.integers(0, 5, n)]),
+                "value": pa.array(rng.uniform(0, 1000, n).round(4), pa.float64()),
+                "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 100, n)]),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(f"{dest}/events.parquet", t.schema)
+        writer.write_table(t, row_group_size=1_048_576)
+        if (start // chunk) % 10 == 0:
+            print(f"  events chunk {start + n}/{n_events}", flush=True)
+    writer.close()
+    for t in TPCH_TABLES + ["documents", "embeddings"]:
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def ensure_events100m() -> None:
+    if not os.path.exists(os.path.join(EVENTS100M, "events.parquet")):
+        _gen_events(EVENTS100M, N_EVENTS_100M, N_USERS_100M, 4242421)
 
 
 def ensure_events10m() -> None:
@@ -582,6 +641,15 @@ def main() -> None:
     con = duck_connection(EVENTS10M)
     for name in DML_DECADE:
         _hash_one(registry[name], name, spark, EVENTS10M, con, out)
+    # r9 (VERDICT r8 #5): the century axis — 100M events for the 5 cheapest
+    # decade-green cb specs, recorded under <name>_100m keys
+    ensure_events100m()
+    con = duck_connection(EVENTS100M)
+    century: dict[str, dict] = {}
+    for name in CB_CENTURY:
+        _hash_one(registry[name], name, spark, EVENTS100M, con, century)
+    for name, rec in century.items():
+        out[f"{name}_100m"] = rec
     # r8: the verbatim ClickBench corpus at 10M events (VERDICT r7 #6)
     run_verbatim_decade(spark, out)
     # r8: Structured Streaming at 10M events (stream == batch == DuckDB)
