@@ -616,14 +616,33 @@ def main() -> None:
 
     spark = get_spark("scaling_decade", sf_dir=SF10)
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _warm(sf_dir: str, tables: list[str], con=None) -> None:
+        """Hot-run methodology (same as bench.py): the first registration
+        pays any ONE-TIME resident/bucketed ingest, and a count per table
+        warms parquet footers + OS page cache on BOTH engines — storage
+        and cache costs must not land in the first spec's spark_sec
+        (r9: the 100M-events generation evicted the sf10 fixture from the
+        page cache and inflated both engines' rows 3-9x)."""
+        from universql_spark.queries import ensure_views  # noqa: PLC0415
+
+        ensure_views(spark, sf_dir)
+        for t in tables:
+            spark.table(t).count()
+            if con is not None:
+                con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()
+
     con = duck_connection(SF10)
+    _warm(SF10, TPCH_TABLES, con)
     for name in TPCH_QUERIES + TPCH_DECADE_EXTRA:
         _hash_one(registry[name], name, spark, SF10, con, out)
     con = duck_connection(DOCS500K)
+    _warm(DOCS500K, ["documents"], con)
     for name in DOC_QUERIES_ORACLED:
         _hash_one(registry[name], name, spark, DOCS500K, con, out)
     ensure_events10m()
     con = duck_connection(EVENTS10M)
+    _warm(EVENTS10M, ["events"], con)
     for name in CB_QUERIES:
         _hash_one(registry[name], name, spark, EVENTS10M, con, out)
     for name in EVENTS_DECADE_NEW:
@@ -645,6 +664,7 @@ def main() -> None:
     # decade-green cb specs, recorded under <name>_100m keys
     ensure_events100m()
     con = duck_connection(EVENTS100M)
+    _warm(EVENTS100M, ["events"], con)
     century: dict[str, dict] = {}
     for name in CB_CENTURY:
         _hash_one(registry[name], name, spark, EVENTS100M, con, century)
@@ -671,6 +691,7 @@ def main() -> None:
     hash_spec_names = (
         TPCH_QUERIES + TPCH_DECADE_EXTRA + DOC_QUERIES_ORACLED + CB_QUERIES
         + EVENTS_DECADE_NEW + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
+        + [f"{n}_100m" for n in CB_CENTURY]
     )
     summary = {
         "hash_specs": len(hash_spec_names),
