@@ -1106,7 +1106,77 @@ def py_oracle_graph_pagerank_similarity(sf_dir: str) -> tuple[list[str], list[tu
     return ["id", "rank"], rows
 
 
+def py_oracle_ann_ivf_recall(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """recall@5 of the PRUNED IVF path (n_cells=8, n_probe=2) vs exact
+    cosine, independently in numpy/python with the operator's documented
+    conventions: coarse quantizer = 3-iter Lloyd on the lowest-4096-id
+    sample (init = 8 lowest-id vectors, argmin lowest-index ties, empty
+    cells keep their centroid — ivf_train_sample is itself driver-side
+    numpy, so training replication is exact by construction); corpus
+    assignment and probe-cell distances accumulate (x-y)^2 LEFT-TO-RIGHT
+    (the _dist2_sql convention), probe cells sort by (dist2, cell);
+    scoring = round(sequential-dot cosine, 4) with n_id tiebreak."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    n_cells, n_probe, k, iters = 8, 2, 5, 3
+    Xt = X[:4096]
+    C = Xt[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((Xt[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(n_cells):
+            if (a == c).any():
+                C[c] = Xt[a == c].mean(0)
+
+    def seq_d2(v, c) -> float:
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    assign = []
+    for i in range(len(ids)):
+        ds = [seq_d2(X[i], C[c]) for c in range(n_cells)]
+        best = min(range(n_cells), key=lambda c: (ds[c], c))
+        assign.append(best)
+    norms = [math.sqrt(_seq_fsum_sq(X[i])) for i in range(len(ids))]
+
+    rows = []
+    for qi in range(len(ids)):
+        if ids[qi] >= 10:
+            continue
+        ds = [(seq_d2(X[qi], C[c]), c) for c in range(n_cells)]
+        probe_cells = {c for _, c in sorted(ds)[:n_probe]}
+
+        def topk(cand_idx):
+            scored = []
+            for j in cand_idx:
+                acc = 0.0
+                for x, y in zip(X[qi], X[j]):
+                    acc += x * y
+                cos = _spark_round(acc / (norms[qi] * norms[j]), 4)
+                scored.append((-cos, int(ids[j])))
+            scored.sort()
+            return {nid for _, nid in scored[:k]}
+
+        all_others = [j for j in range(len(ids)) if j != qi]
+        exact = topk(all_others)
+        approx = topk([j for j in all_others if assign[j] in probe_cells])
+        rows.append((int(ids[qi]), round(len(exact & approx) / k, 4)))
+    rows.sort()
+    return ["q_id", "recall_at_k"], rows
+
+
+def _seq_fsum_sq(v) -> float:
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return acc
+
+
 PY_ORACLES = {
+    "ann_ivf_recall": py_oracle_ann_ivf_recall,
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
     "embed_kmeans": py_oracle_embed_kmeans,

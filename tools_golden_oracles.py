@@ -59,6 +59,9 @@ SPECS = [
     "embed_pca_project",
     # r8 continuation: windowed CMS batch twin (deterministic XXH64 cells)
     "stream_cms_cells",
+    # r9: pruned-IVF recall@5 quality spec (numpy replication of the
+    # quantizer + assignment + scoring conventions)
+    "ann_ivf_recall",
 ]
 
 #: gate fixtures and the lineitem-count probe that identifies each

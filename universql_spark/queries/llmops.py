@@ -430,6 +430,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "ann_ivf_recall",
+    GOLDEN.get("ann_ivf_recall"),
+    category="similarity",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the PRUNED IVF path — the honest quality number for the
+    configuration a 100 TB corpus actually runs (n_probe << n_cells; the
+    full-probe ann_ivf_topk spec only proves the machinery is exact when
+    every cell is searched). Per probe: |IVF(n_probe=2) top-5 ∩ exact
+    top-5| / 5. The measurement an LLM-retrieval team tunes n_probe
+    against; previously a pytest floor (test_ivf_pruned_probe_recall),
+    now a first-class value-gated spec with a golden oracle derived from
+    the independent numpy replication
+    (tests/compare.py py_oracle_ann_ivf_recall)."""
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk(
+        emb, probes, n_cells=8, n_probe=2, k=5, sort=False
+    ).select("q_id", "n_id", F.lit(1).alias("hit"))
+    exact = similarity.brute_force_topk(emb, probes, k=5, sort=False).select(
+        "q_id", "n_id"
+    )
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_k"))
+        .orderBy("q_id")
+    )
+
+
 _DUCK_MAXSIM = """WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 s AS (
@@ -948,6 +979,26 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("win_start", "r", "c")
     )
 
+
+register_sql(
+    "stream_dedup_keys",
+    """WITH r AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events)
+SELECT user_id, event_type, event_id AS first_event_id, n AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+    category="streaming",
+    doc="batch twin of the streaming exact-dedup operators "
+    "(streaming/windows.stream_dedup / stream_dedup_within_watermark: "
+    "dropDuplicates[WithinWatermark] keeps one state row per distinct key "
+    "— stream == batch pinned in test_stream_dedup_matches_batch_distincts "
+    "and test_stream_dedup_within_watermark). First event per "
+    "(user_id, event_type) by (ts, event_id) plus the duplicate count the "
+    "dedup suppresses; at ingest scale the within-watermark variant bounds "
+    "state to keys-per-horizon instead of keys-ever-seen",
+)
 
 register_sql(
     "stream_user_profiles",
