@@ -1175,8 +1175,69 @@ def _seq_fsum_sq(v) -> float:
     return acc
 
 
+def py_oracle_ann_pq_recall(sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """recall@5 of the CODES-ONLY ADC path (no exact re-rank) vs exact
+    cosine — the number that quantifies what 32x PQ compression costs
+    before refinement. Same derivation as py_oracle_ann_pq_topk (codebooks,
+    encode, ADC cosine round-4 with n_id ties) with the shortlist cut at
+    k and compared against the exact top-k over the full corpus."""
+    import numpy as np
+
+    ids, X = _load_embeddings(sf_dir)
+    m, k_codes, iters, k = 8, 16, 10, 5
+    dim = X.shape[1]
+    sub = dim // m
+    S = X[:4096]
+    books = []
+    for j in range(m):
+        Sj = S[:, j * sub:(j + 1) * sub]
+        C = Sj[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((Sj[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            asg = d2.argmin(1)
+            for c in range(k_codes):
+                if (asg == c).any():
+                    C[c] = Sj[asg == c].mean(0)
+        books.append(C)
+    codes = np.stack([
+        (((X[:, j * sub:(j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2)
+         .sum(-1).argmin(1))
+        for j in range(m)
+    ], axis=1)
+    nrm = np.sqrt((X * X).sum(1))
+    qn2 = np.stack([(books[j] ** 2).sum(1) for j in range(m)])
+    out = []
+    for qi in np.where(ids < 10)[0]:
+        q = X[qi]
+        T = np.stack([books[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+        approx = T[np.arange(m)[None, :], codes].sum(1)
+        n_nrm_q = np.sqrt(qn2[np.arange(m)[None, :], codes].sum(1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            adc = np.round(approx / (nrm[qi] * n_nrm_q), 4)
+        others = np.where(ids != ids[qi])[0]
+        adc_top = {
+            nid
+            for _s, nid in sorted(
+                ((float(adc[i]), int(ids[i])) for i in others),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        }
+        exact_top = {
+            nid
+            for _s, nid in sorted(
+                ((round(float(X[i] @ q / (nrm[i] * nrm[qi])), 4), int(ids[i]))
+                 for i in others),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        }
+        out.append((int(ids[qi]), round(len(adc_top & exact_top) / k, 4)))
+    out.sort()
+    return ["q_id", "recall_at_k"], out
+
+
 PY_ORACLES = {
     "ann_ivf_recall": py_oracle_ann_ivf_recall,
+    "ann_pq_recall": py_oracle_ann_pq_recall,
     "dedup_semantic": py_oracle_dedup_semantic,
     "ann_pq_topk": py_oracle_ann_pq_topk,
     "embed_kmeans": py_oracle_embed_kmeans,

@@ -62,6 +62,7 @@ SPECS = [
     # r9: pruned-IVF recall@5 quality spec (numpy replication of the
     # quantizer + assignment + scoring conventions)
     "ann_ivf_recall",
+    "ann_pq_recall",
 ]
 
 #: gate fixtures and the lineitem-count probe that identifies each

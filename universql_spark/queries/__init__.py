@@ -224,7 +224,7 @@ _GATE_PRIORITY: list[str] = [
     "stream_cms_cells", "stream_static_enrich", "stream_user_profiles",
     "stream_view_click_outer", "stream_attrib_windowed",
     # ---- new r9 specs (need first driver rows):
-    "ann_ivf_recall", "stream_dedup_keys",
+    "ann_ivf_recall", "ann_pq_recall", "stream_dedup_keys",
     # ---- specs whose behavior changed in r9 (ADVICE fixes touched the
     # TIME surface cast path and the dialect splitter):
     "types_cast_gallery",

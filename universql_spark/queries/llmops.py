@@ -580,6 +580,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=10)
 
 
+@register("ann_pq_recall", GOLDEN.get("ann_pq_recall"), category="similarity")
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the CODES-ONLY ADC path (rerank=None) vs exact cosine —
+    what 32x PQ compression costs BEFORE the exact refinement step. The
+    companion quality gate to ann_ivf_recall: together they pin the two
+    approximation knobs (probe width, code resolution) a 100 TB retrieval
+    deployment tunes. Golden oracle from the independent numpy PQ
+    re-derivation (tests/compare.py py_oracle_ann_pq_recall)."""
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.pq_topk(emb, probes, k=5, rerank=None).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=5, sort=False).select(
+        "q_id", "n_id"
+    )
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(F.round(F.count("hit") / F.lit(5.0), 4).alias("recall_at_k"))
+        .orderBy("q_id")
+    )
+
+
 @register("ann_lsh_buckets", GOLDEN["ann_lsh_buckets"], category="similarity")
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN index-build step).
