@@ -397,3 +397,25 @@ def test_chained_stateful_join_then_window_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_composite_key_matches_spec_keys(spark, sf_dir):
+    """r9: the stream_dedup_keys registry spec's key set == the streaming
+    dropDuplicates output on the same composite key. The spec pins the
+    deterministic batch representative (first by (ts, event_id)); the
+    stream keeps its first ARRIVAL — so the pinned equivalence is the
+    distinct key set and its cardinality, exactly one row per key on
+    both sides."""
+    from universql_spark.queries import ensure_views, load_all
+
+    stream = windows.events_stream(spark, sf_dir).withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicates(["user_id", "event_type"])
+    windows.run_append_to_memory(stream, "t_dedup_ck")
+    got = spark.table("t_dedup_ck")
+    ensure_views(spark, sf_dir)
+    spec_rows = load_all()["stream_dedup_keys"].spark(spark, sf_dir)
+    skeys = {(r["user_id"], r["event_type"]) for r in spec_rows.collect()}
+    gkeys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    assert skeys == gkeys
+    assert got.count() == len(skeys)

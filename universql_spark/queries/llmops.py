@@ -1016,12 +1016,14 @@ FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
     category="streaming",
     doc="batch twin of the streaming exact-dedup operators "
     "(streaming/windows.stream_dedup / stream_dedup_within_watermark: "
-    "dropDuplicates[WithinWatermark] keeps one state row per distinct key "
-    "— stream == batch pinned in test_stream_dedup_matches_batch_distincts "
-    "and test_stream_dedup_within_watermark). First event per "
-    "(user_id, event_type) by (ts, event_id) plus the duplicate count the "
-    "dedup suppresses; at ingest scale the within-watermark variant bounds "
-    "state to keys-per-horizon instead of keys-ever-seen",
+    "dropDuplicates[WithinWatermark] keeps one state row per distinct "
+    "key). The pinned stream==batch equivalence is ONE ROW PER DISTINCT "
+    "KEY (tests/test_streaming.py dedup tests — the stream keeps its "
+    "first ARRIVAL, which is processing-order-dependent); this batch form "
+    "makes the representative deterministic: first event per "
+    "(user_id, event_type) by (ts, event_id), plus the duplicate count "
+    "the dedup suppresses. At ingest scale the within-watermark variant "
+    "bounds state to keys-per-horizon instead of keys-ever-seen",
 )
 
 register_sql(
