@@ -218,17 +218,28 @@ BUCKETED_TABLES = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
     "events": "user_id",
+    "documents": "doc_id",
 }
 #: tables that JOIN each other on the bucket key must share one bucket
 #: count (Spark requires equal counts for exchange-free joins) — they
-#: derive their count from a shared ANCHOR table's size. events only ever
-#: self-joins on user_id, so it anchors on itself.
-BUCKET_ANCHOR = {"lineitem": "lineitem", "orders": "lineitem", "events": "events"}
+#: derive their count from a shared ANCHOR table's size. events/documents
+#: only ever self-join on their key, so they anchor on themselves.
+BUCKET_ANCHOR = {
+    "lineitem": "lineitem",
+    "orders": "lineitem",
+    "events": "events",
+    "documents": "documents",
+}
 #: below this source size bucketing is pure metadata overhead (sf0.001
 #: tests); above it, 8 buckets for the MB-scale gate fixtures, 32 (= local
-#: core count; a cluster would size to executor count) from 4 MB up.
+#: core count; a cluster would size to executor count) from the per-table
+#: wide threshold up. documents goes wide immediately: tokenization
+#: explodes each row ~100x, so its WORK volume — what bucket width should
+#: key on — is two orders past its source bytes (measured: tfidf -33% at
+#: 32 buckets vs -25% at 8 on a 0.6 MB source).
 BUCKET_MIN_BYTES = 256 * 1024
-BUCKET_WIDE_BYTES = 4 * 1024 * 1024
+BUCKET_WIDE_BYTES = {"documents": 256 * 1024}
+BUCKET_WIDE_DEFAULT = 4 * 1024 * 1024
 
 
 def _bucket_count(sf_dir: str, name: str) -> int:
@@ -240,7 +251,7 @@ def _bucket_count(sf_dir: str, name: str) -> int:
         return 0
     if size < BUCKET_MIN_BYTES:
         return 0
-    return 32 if size >= BUCKET_WIDE_BYTES else 8
+    return 32 if size >= BUCKET_WIDE_BYTES.get(name, BUCKET_WIDE_DEFAULT) else 8
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
