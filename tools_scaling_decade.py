@@ -140,6 +140,57 @@ def ensure_emb200k() -> None:
     print(f"wrote 200k-vector fixture -> {EMB200K}", flush=True)
 
 
+#: r9: one more decade on the similarity axis — 2M vectors (100x the
+#: driver's sf0.1 fixture). Brute force pays the full corpus per probe;
+#: IVF's pruning advantage should WIDEN with corpus size — this row
+#: measures that claim instead of asserting it.
+N_VECS_2M = 2_000_000
+EMB2M = os.path.join(HERE, "data", "emb_2m")
+ANN_CENTURY = ["ann_cosine_topk", "ann_ivf_topk"]
+
+
+def ensure_emb2m() -> None:
+    """2M-vector fixture, same generative process as emb_200k (10 unit-norm
+    cluster centers, 0.35 sigma, unit-normalized float32 x 64), fresh seed,
+    written in 200k-row chunks to bound resident memory."""
+    if os.path.exists(os.path.join(EMB2M, "embeddings.parquet")):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(EMB2M, exist_ok=True)
+    nrng = np.random.default_rng(778)
+    centers = nrng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    writer = None
+    chunk = 200_000
+    for start in range(0, N_VECS_2M, chunk):
+        n = min(chunk, N_VECS_2M - start)
+        labels = nrng.integers(0, 10, n)
+        X = centers[labels] + 0.35 * nrng.standard_normal((n, 64))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(start, start + n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in X],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([int(x) for x in labels], pa.int32()),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(f"{EMB2M}/embeddings.parquet", t.schema)
+        writer.write_table(t, row_group_size=8192)
+    writer.close()
+    for t in TPCH_TABLES + ["events", "documents"]:
+        dst = f"{EMB2M}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+    print(f"wrote 2M-vector fixture -> {EMB2M}", flush=True)
+
+
 def _gen_events(dest: str, n_events: int, n_users: int, seed: int) -> None:
     """Chunked synthetic events writer (same schema/domains/props format as
     the sf fixtures, 1M-row chunks so resident memory stays bounded)."""
@@ -656,6 +707,15 @@ def main() -> None:
 
     for name in ANN_QUERIES_NUMPY:
         _hash_one_numpy(registry[name], name, spark, EMB200K, PY_ORACLES[name], out)
+    # r9: similarity century — 2M vectors for brute-force vs IVF
+    ensure_emb2m()
+    con = duck_connection(EMB2M)
+    _warm(EMB2M, ["embeddings"], con)
+    ann_century: dict[str, dict] = {}
+    for name in ANN_CENTURY:
+        _hash_one(registry[name], name, spark, EMB2M, con, ann_century)
+    for name, rec in ann_century.items():
+        out[f"{name}_2m"] = rec
     # r8: partitioned DML at 10M events (VERDICT r7 #5)
     con = duck_connection(EVENTS10M)
     for name in DML_DECADE:
@@ -692,6 +752,7 @@ def main() -> None:
         TPCH_QUERIES + TPCH_DECADE_EXTRA + DOC_QUERIES_ORACLED + CB_QUERIES
         + EVENTS_DECADE_NEW + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
         + [f"{n}_100m" for n in CB_CENTURY]
+        + [f"{n}_2m" for n in ANN_CENTURY]
     )
     summary = {
         "hash_specs": len(hash_spec_names),
