@@ -177,8 +177,8 @@ register_sql(
 )
 
 _ORDERED_COLLECT = """SELECT DISTINCT user_id,
-       array_agg(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seq,
+       to_json(array_agg(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS seq,
        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
 FROM events WHERE user_id < 20 ORDER BY user_id"""
 
@@ -190,8 +190,13 @@ register_sql(
     "array_agg (the session-modeling collect a behavior pipeline feeds to "
     "a sequence model); deterministic order on the unique (ts, event_id) "
     "key; one shuffle on user_id, no per-group collect to the driver. "
-    "The engine-side twin (ARRAY_AGG WITHIN GROUP ... OVER) is pinned in "
-    "test_windowed_within_group",
+    "The sequence is serialized through to_json at the result edge per "
+    "convention #6 (reference universql/protocol/utils.py:231-240 applies "
+    "the same ARRAY->JSON rule) — a raw list column crashes the driver's "
+    "pandas canonicalizer (the r9 gate's one red row). Spark and DuckDB "
+    "to_json(array<string>) agree byte-for-byte on identifier-like "
+    "strings. The engine-side twin (ARRAY_AGG WITHIN GROUP ... OVER) is "
+    "pinned in test_windowed_within_group",
 )
 
 # ---------------------------------------------------------------------------
