@@ -4432,6 +4432,23 @@ def test_star_ilike_multiple_and_subquery_from(engine):
     assert out2["mx"] == 4
 
 
+def test_star_ilike_literal_paren_before_from(engine):
+    """r10 ADVICE: parens (and the word FROM) inside string literals between
+    the pattern star and its FROM must not skew the depth count — the FROM
+    locator runs on a literal-masked copy."""
+    out = engine.execute(
+        "SELECT * ILIKE 'n_n%', '(' AS lp, 'FROM x' AS f "
+        "FROM nation ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out) == {"n_nationkey", "n_name", "lp", "f"}
+    assert out["lp"] == "(" and out["f"] == "FROM x"
+    # alias resolution with a literal paren in the select list
+    out2 = engine.execute(
+        "SELECT n.* ILIKE '%key', ')' AS rp FROM nation n ORDER BY n_nationkey LIMIT 1"
+    ).to_pylist()[0]
+    assert set(out2) == {"n_nationkey", "n_regionkey", "rp"}
+
+
 def test_try_cast_time_null_on_garbage(engine):
     """r9 ADVICE: TRY_CAST(x AS TIME) returns NULL on malformed input
     (Snowflake contract) while strict CAST raises."""
@@ -4478,3 +4495,35 @@ def test_temp_insert_case_insensitive_columns(engine):
     with pytest.raises((QueryError, ValueError), match="invalid identifier"):
         engine.execute("INSERT INTO t9ci (nope) VALUES (1)")
     engine.execute("DROP TABLE t9ci")
+
+
+def test_prune_stale_resident_variants(tmp_path):
+    """r10 ADVICE: superseded resident/bucketed variant dirs for the same
+    table are garbage-collected when a new ident attaches; other tables'
+    variants and in-flight tmp writes are untouched."""
+    import os as _os
+
+    from universql_spark.session import _prune_stale_variants
+
+    parent = tmp_path / "sfX"
+    for d in [
+        "lineitem_bkt8_100_1",      # stale bucketed variant -> pruned
+        "lineitem_bkt32_200_2",     # the one being attached -> kept
+        "lineitem_bkt8_100_1.tmp-999",  # in-flight write -> kept
+        "orders_bkt8_50_1",         # different table -> kept
+        "lineitem-100-1",           # plain-resident namespace -> kept here
+    ]:
+        (parent / d).mkdir(parents=True)
+    _prune_stale_variants(str(parent), "lineitem_bkt", "lineitem_bkt32_200_2")
+    left = sorted(_os.listdir(parent))
+    assert left == [
+        "lineitem-100-1",
+        "lineitem_bkt32_200_2",
+        "lineitem_bkt8_100_1.tmp-999",
+        "orders_bkt8_50_1",
+    ]
+    # plain-resident namespace prunes independently
+    _prune_stale_variants(str(parent), "lineitem-", "lineitem-200-2")
+    assert "lineitem-100-1" not in _os.listdir(parent)
+    # nonexistent parent: no raise
+    _prune_stale_variants(str(tmp_path / "nope"), "x", "y")

@@ -432,3 +432,86 @@ def test_capture_replay_multi_statement(client):
         headers=hdr,
     ).get_json()
     assert anyn["success"] is True and len(anyn["data"]["resultIds"].split(",")) == 2
+
+
+# -- json_rowset timestamp encodings (ADVICE r9) ------------------------------
+
+
+def test_json_rowset_timestamp_tz_two_token_form():
+    """timestamp_tz cells must use the connector's two-token 'epoch offset'
+    form: snowflake-connector-python's JSON TIMESTAMP_TZ converter does
+    encoded_value.split() and computes tzinfo from int(offset) - 1440. A
+    single 'sec.nanos' token raises ValueError client-side for EVERY
+    tz-aware timestamp column (ADVICE r9 #1). Values are UTC-normalized so
+    the offset token is always 1440."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from universql_spark.result import json_rowset
+
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456, tzinfo=dt.timezone.utc)
+    tbl = pa.table({"t": pa.array([ts, None], pa.timestamp("us", tz="UTC"))})
+    rows = json_rowset(tbl)
+    cell = rows[0][0]
+    value, offset = cell.split()  # the connector's exact parse
+    assert offset == "1440"
+    # round-trip through the converter's arithmetic
+    got = dt.datetime.fromtimestamp(float(Decimal(value)), tz=dt.timezone.utc)
+    assert abs((got - ts).total_seconds()) < 1e-6
+    assert value == f"{int(ts.timestamp())}.123456000"
+    assert rows[1][0] is None
+
+
+def test_json_rowset_timestamp_ntz_single_token():
+    import datetime as dt
+
+    from universql_spark.result import json_rowset
+
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    tbl = pa.table({"t": pa.array([ts], pa.timestamp("us"))})
+    cell = json_rowset(tbl)[0][0]
+    assert " " not in cell and cell.endswith(".123456000")
+
+
+def test_json_rowset_pre_epoch_timestamp_sign_magnitude():
+    """1969-12-31T23:59:59.000001 is -0.999999 s; naive divmod encodes it
+    as '-1.000001000' (parses to -1.000001 s — ADVICE r9 #2). The decimal
+    text must be '-0.999999000'."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from universql_spark.result import json_rowset
+
+    ts = dt.datetime(1969, 12, 31, 23, 59, 59, 1)
+    tbl = pa.table({"t": pa.array([ts], pa.timestamp("us"))})
+    cell = json_rowset(tbl)[0][0]
+    assert cell == "-0.999999000"
+    assert Decimal(cell) == Decimal("-0.999999")
+    # a deeper pre-epoch instant: -2.5 s exactly
+    ts2 = dt.datetime(1969, 12, 31, 23, 59, 57, 500000)
+    tbl2 = pa.table({"t": pa.array([ts2], pa.timestamp("us"))})
+    assert json_rowset(tbl2)[0][0] == "-2.500000000"
+
+
+def test_multi_statement_degenerate_inputs(client):
+    """Comment-only sqlText with MULTI_STATEMENT_COUNT=0 and a non-numeric
+    MULTI_STATEMENT_COUNT must both return a 000008 error envelope, not an
+    HTTP 500 (ADVICE r9 #3)."""
+    token = _login(client)
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    r = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "-- nothing here ;;", "parameters": {"MULTI_STATEMENT_COUNT": 0}},
+        headers=hdr,
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["success"] is False and body["code"] == "000008"
+    r2 = client.post(
+        "/queries/v1/query-request",
+        json={"sqlText": "SELECT 1", "parameters": {"MULTI_STATEMENT_COUNT": "banana"}},
+        headers=hdr,
+    )
+    assert r2.status_code == 200
+    body2 = r2.get_json()
+    assert body2["success"] is False and body2["code"] == "000008"

@@ -2471,10 +2471,19 @@ class Engine:
     def _expand_one_star_ilike(self, stmt: str, m: re.Match) -> str:
         # find the FROM belonging to the star's own SELECT: same paren
         # depth, not a SELECT-list subquery's FROM (depth > 0) and not a
-        # FROM outside the star's query (depth < 0 means we left it)
+        # FROM outside the star's query (depth < 0 means we left it).
+        # Depth-count and FROM-locate on a literal-masked copy (same-length
+        # masking preserves offsets): a paren or the word FROM inside a
+        # string literal like WHERE note = '(' would otherwise skew the
+        # depth and reject a valid pattern-star query (ADVICE r9 #4).
+        from universql_spark.dialect import _STRING_RE  # noqa: PLC0415
+
+        masked = _STRING_RE.sub(
+            lambda mm: "'" + " " * (len(mm.group(0)) - 2) + "'", stmt
+        )
         fm = None
-        for cand in re.finditer(r"\bFROM\s+([\w.\"]+)", stmt[m.end() :], re.I):
-            seg = stmt[m.end() : m.end() + cand.start()]
+        for cand in re.finditer(r"\bFROM\s+([\w.\"]+)", masked[m.end() :], re.I):
+            seg = masked[m.end() : m.end() + cand.start()]
             depth = seg.count("(") - seg.count(")")
             if depth < 0:
                 break
@@ -2490,9 +2499,10 @@ class Engine:
         src = fm.group(1)
         if qual:
             # the qualifier may be a FROM alias — resolve `FROM tbl [AS] q`
+            # (searched on the masked copy for the same reason as above)
             am = re.search(
                 rf"\b(?:FROM|JOIN)\s+([\w.\"]+)\s+(?:AS\s+)?{re.escape(qual)}\b",
-                stmt,
+                masked,
                 re.I,
             )
             src = am.group(1) if am else qual

@@ -282,7 +282,20 @@ def create_app(engine: Engine | None = None) -> "Flask":
                 "data": {"queryId": query_id, "queryResultFormat": "arrow"},
             }
         msc = params.get("MULTI_STATEMENT_COUNT")
-        if msc is not None and int(msc) != 1:
+        if msc is not None:
+            # The parameter arrives client-controlled; a non-numeric value
+            # must produce the 000008 error envelope, not an HTTP 500
+            # (ADVICE r9 #3).
+            try:
+                msc = int(msc)
+            except (TypeError, ValueError):
+                return {
+                    "success": False,
+                    "code": "000008",
+                    "message": f"Invalid MULTI_STATEMENT_COUNT: {msc!r}",
+                    "data": {"sqlState": "0A000", "queryId": query_id},
+                }
+        if msc is not None and msc != 1:
             # multi-statement request: the connector sends the whole script
             # as one sqlText plus MULTI_STATEMENT_COUNT (0 = any). The
             # parent response is json-format and carries resultIds; the
@@ -291,13 +304,23 @@ def create_app(engine: Engine | None = None) -> "Flask":
             from universql_spark.dialect import split_statements  # noqa: PLC0415
 
             stmts = split_statements(sql)
-            if int(msc) not in (0, len(stmts)):
+            if not stmts:
+                # comment-/semicolon-only sqlText with MULTI_STATEMENT_COUNT=0
+                # previously fell through with first=None and 500'd on
+                # rowtype(first) (ADVICE r9 #3)
+                return {
+                    "success": False,
+                    "code": "000008",
+                    "message": "Actual statement count 0 did not match the desired statement count.",
+                    "data": {"sqlState": "0A000", "queryId": query_id},
+                }
+            if msc not in (0, len(stmts)):
                 return {
                     "success": False,
                     "code": "000008",
                     "message": (
                         f"Actual statement count {len(stmts)} did not match "
-                        f"the desired statement count {int(msc)}."
+                        f"the desired statement count {msc}."
                     ),
                     "data": {"sqlState": "0A000", "queryId": query_id},
                 }

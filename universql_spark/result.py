@@ -132,8 +132,20 @@ def json_rowset(table: pa.Table) -> list[list]:
                         v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
                     delta = v - _dt.datetime(1970, 1, 1)
                     micros = delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds
-                    sec, frac = divmod(micros, 1_000_000)
-                    enc.append(f"{sec}.{frac * 1000:09d}")
+                    # Sign and magnitude separately: divmod on negative micros
+                    # folds pre-1970 instants the wrong way (-0.999999 s would
+                    # encode as '-1.000001000', which decimal-parses as
+                    # -1.000001 s). '-0.999999000' is the correct decimal text.
+                    sign = "-" if micros < 0 else ""
+                    sec, frac = divmod(abs(micros), 1_000_000)
+                    tok = f"{sign}{sec}.{frac * 1000:09d}"
+                    if t == "timestamp_tz":
+                        # The connector's JSON TIMESTAMP_TZ converter does
+                        # encoded_value.split() expecting 'epoch offset' where
+                        # offset = tz minutes + 1440; values are UTC-normalized
+                        # above, so the offset token is always 1440.
+                        tok = f"{tok} 1440"
+                    enc.append(tok)
                 else:
                     enc.append(str(v))
             elif t == "binary":

@@ -242,6 +242,34 @@ BUCKET_WIDE_BYTES = {"documents": 256 * 1024}
 BUCKET_WIDE_DEFAULT = 4 * 1024 * 1024
 
 
+def _prune_stale_variants(parent: str, prefix: str, keep: str) -> None:
+    """Garbage-collect superseded resident/bucketed variants of one table.
+
+    A regenerated fixture gets a new ident (size + st_mtime_ns); the old
+    variant directories under RESIDENT_DIR would otherwise accumulate
+    forever (ADVICE r9 #5). Only siblings with the SAME table prefix are
+    touched, and only ones that are not the variant being attached — a
+    concurrent process on the same (current) fixture shares `keep` and is
+    unaffected; a process still reading a pruned variant was reading stale
+    data by definition. Best-effort: errors are ignored.
+    """
+    try:
+        for d in os.listdir(parent):
+            if d == keep or not d.startswith(prefix):
+                continue
+            # resident keys are `{name}-...` and bucketed idents
+            # `{name}_bkt...`; the prefix match is exact for both
+            # namespaces. Skip ANY in-flight write dir (`*.tmp-<pid>`) —
+            # a concurrent process may be materializing a newer variant.
+            if ".tmp-" in d:
+                continue
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _bucket_count(sf_dir: str, name: str) -> int:
     """Bucket count for a fact table — derived from its anchor's size so
     co-joining tables share ONE count; 0 disables bucketing."""
@@ -279,7 +307,10 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:  # noqa: BLE001 - advisory
             pass
-    ident = f"{name}_bkt{n}_{st.st_size}_{int(st.st_mtime)}"
+    # st_mtime_ns (not whole-second mtime): a fixture regenerated within the
+    # same second with identical byte size must not silently serve the stale
+    # bucketed copy (ADVICE r9 #5)
+    ident = f"{name}_bkt{n}_{st.st_size}_{st.st_mtime_ns}"
     dest = os.path.join(RESIDENT_DIR, os.path.basename(sf_dir.rstrip("/")), ident)
     try:
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
@@ -306,7 +337,8 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                 shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(dest, "_SUCCESS")):
                 return None
-        cat = f"uq_bkt_{name}_{n}_{st.st_size}_{int(st.st_mtime)}"
+        _prune_stale_variants(os.path.dirname(dest), f"{name}_bkt", ident)
+        cat = f"uq_bkt_{name}_{n}_{st.st_size}_{st.st_mtime_ns}"
         if not spark.catalog.tableExists(cat):
             schema = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
@@ -338,9 +370,10 @@ def _resident_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
         return None
     if md.num_row_groups > 1:
         return None  # source already scan-parallel
-    key = f"{name}-{st.st_size}-{int(st.st_mtime)}"
+    key = f"{name}-{st.st_size}-{st.st_mtime_ns}"
     dest = os.path.join(RESIDENT_DIR, os.path.basename(sf_dir.rstrip("/")), key)
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        _prune_stale_variants(os.path.dirname(dest), f"{name}-", key)
         return dest
     try:
         n = max(RESIDENT_FILES_MIN, min(RESIDENT_FILES_MAX, st.st_size // RESIDENT_FILE_BYTES))
@@ -352,7 +385,10 @@ def _resident_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
             import shutil  # noqa: PLC0415
 
             shutil.rmtree(tmp, ignore_errors=True)
-        return dest if os.path.exists(os.path.join(dest, "_SUCCESS")) else None
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            _prune_stale_variants(os.path.dirname(dest), f"{name}-", key)
+            return dest
+        return None
     except Exception:
         return None
 
