@@ -215,12 +215,17 @@ def register_sql(
 # over rounds. The full registry is additionally gated locally each round at
 # sf0.01 (tools_correctness_local.py -> CORRECTNESS_LOCAL.json).
 _GATE_PRIORITY: list[str] = [
-    # ---- round-9 head (VERDICT r8 'Next round' #1): the 11 specs that
-    # have never appeared in any CORRECTNESS_rN driver gate (all are
-    # local/sf1/decade hash-green; all carry oracles). Gating these closes
-    # cumulative driver coverage at 289/289:
+    # ---- round-10 head (VERDICT r9 'Next round' #1): win_ordered_collect's
+    # r9 driver row was an ERROR (raw ARRAY on the result edge crashed the
+    # gate's pandas canonicalizer); the sequence is now projected through
+    # to_json on both sides (relational.py) and needs a clean driver row:
+    "win_ordered_collect",
+    # ---- round-9 head (VERDICT r8 'Next round' #1): the specs that had
+    # never appeared in any CORRECTNESS_rN driver gate (all are
+    # local/sf1/decade hash-green; all carry oracles); all got green r9
+    # driver rows, kept next for re-gate continuity:
     "ann_maxsim_topk", "join_fuzzy_blocked", "graph_triangle_count",
-    "win_ordered_collect", "events_funnel_steps", "events_decay_features",
+    "events_funnel_steps", "events_decay_features",
     "stream_cms_cells", "stream_static_enrich", "stream_user_profiles",
     "stream_view_click_outer", "stream_attrib_windowed",
     # ---- new r9 specs (need first driver rows):

@@ -232,13 +232,18 @@ BUCKET_ANCHOR = {
 }
 #: below this source size bucketing is pure metadata overhead (sf0.001
 #: tests); above it, 8 buckets for the MB-scale gate fixtures, 32 (= local
-#: core count; a cluster would size to executor count) from the per-table
-#: wide threshold up. documents goes wide immediately: tokenization
-#: explodes each row ~100x, so its WORK volume — what bucket width should
-#: key on — is two orders past its source bytes (measured: tfidf -33% at
-#: 32 buckets vs -25% at 8 on a 0.6 MB source).
+#: core count; a cluster would size to executor count) from the 4 MB wide
+#: threshold up. r9 put documents wide from 256 KB on a work-volume
+#: argument (tokenization explodes each row ~100x); the r10 interleaved
+#: A/B at sf0.1 (0.6 MB source, dims cached) reversed that reading: 8
+#: buckets wins or ties EVERY documents bench spec — dedup_exact best
+#: 101 vs 126 ms, text_tfidf_topk 225 vs 260, text_tokens/minhash within
+#: noise — because at sub-MB sources the per-task scheduling constant
+#: (~1.5 ms x 32 tiny tasks) outweighs the extra scan width even for
+#: CPU-amplified operators. Width keys on SOURCE bytes uniformly; sf1
+#: documents (~6 MB) still goes 32-wide where the work volume is real.
 BUCKET_MIN_BYTES = 256 * 1024
-BUCKET_WIDE_BYTES = {"documents": 256 * 1024}
+BUCKET_WIDE_BYTES: dict[str, int] = {}
 BUCKET_WIDE_DEFAULT = 4 * 1024 * 1024
 
 
