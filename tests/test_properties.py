@@ -873,3 +873,86 @@ def test_time_surface_fuzz_spark_matches_duckdb(
     assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
         list(d_tbl.column_names), d_rows
     ), (sf, du)
+
+
+# ---------------------------------------------------------------------------
+# 13th differential lane (r10, VERDICT r9 #7): window FRAMES x QUALIFY.
+# The window family keeps producing real bugs (lane 11 caught one in r8;
+# r9's one red driver row was a window spec), and QUALIFY always rides on a
+# window — but no lane exercised the two TOGETHER: a framed window in the
+# projection plus a (possibly different) window inside the QUALIFY
+# condition, through the full dialect (rewrite_qualify projects each OVER
+# in the condition as a __qN helper and filters outside). DuckDB has
+# native QUALIFY with Snowflake's semantics, so the oracle runs the
+# almost-identical text verbatim. Determinism: every sequence-dependent
+# window orders by the UNIQUE k; framed SUM/COUNT cast to BIGINT (DuckDB
+# window SUM(int) -> HUGEINT width class).
+# ---------------------------------------------------------------------------
+
+_QF_FRAME = st.tuples(
+    st.sampled_from(["SUM", "MIN", "MAX", "COUNT", "FIRST_VALUE", "LAST_VALUE"]),
+    st.sampled_from(["UNBOUNDED PRECEDING", "2 PRECEDING", "CURRENT ROW"]),
+    st.sampled_from(["CURRENT ROW", "1 FOLLOWING", "UNBOUNDED FOLLOWING"]),
+    st.sampled_from(["ROWS", "RANGE"]),
+    st.booleans(),  # partitioned or global window
+)
+
+
+def _qf_expr(t) -> str:
+    fn, lo, hi, mode, part = t
+    if (lo, hi) == ("CURRENT ROW", "CURRENT ROW") and mode == "RANGE":
+        mode = "ROWS"  # same semantics on a unique key; avoid degenerate RANGE
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        frame = f"{mode} BETWEEN CURRENT ROW AND CURRENT ROW"
+    else:
+        frame = f"{mode} BETWEEN {lo} AND {hi}"
+    p = "PARTITION BY g " if part else ""
+    body = f"{fn}(k) OVER ({p}ORDER BY k {frame})"
+    if fn in ("SUM", "COUNT"):
+        body = f"CAST({body} AS BIGINT)"
+    return body
+
+
+_QF_QUALIFY = st.one_of(
+    # rank-on-a-window head: the canonical top-n-per-group
+    st.tuples(st.integers(1, 4), st.booleans()).map(
+        lambda t: f"ROW_NUMBER() OVER (PARTITION BY g ORDER BY k{' DESC' if t[1] else ''}) <= {t[0]}"
+    ),
+    # framed aggregate compared to a constant inside QUALIFY itself
+    st.tuples(_QF_FRAME, st.integers(0, 40)).map(
+        lambda t: f"{_qf_expr(t[0])} > {t[1]}"
+    ),
+    # alias-reference form: filter on the projected window's alias
+    st.integers(0, 40).map(lambda n: f"w > {n}"),
+    # boolean structure: AND/OR of two window predicates
+    st.tuples(st.integers(1, 3), st.integers(10, 30)).map(
+        lambda t: f"ROW_NUMBER() OVER (PARTITION BY g ORDER BY k) <= {t[0]} "
+        f"OR CAST(SUM(k) OVER (PARTITION BY g ORDER BY k "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) > {t[1]}"
+    ),
+)
+
+
+@given(w=_QF_FRAME, q=_QF_QUALIFY)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_frame_qualify_fuzz_spark_matches_duckdb(spark, sf_dir, _duck, w, q):
+    from tests.compare import normalize_rows
+    from universql_spark.dialect import snowflake_to_spark
+    from universql_spark.queries import ensure_views
+
+    ensure_views(spark, sf_dir)
+    src = "(SELECT n_nationkey AS k, n_regionkey AS g FROM nation)"
+    sql = (
+        f"SELECT k, g, {_qf_expr(w)} AS w FROM {src} QUALIFY {q} ORDER BY k"
+    )
+    s_tbl = spark.sql(snowflake_to_spark(sql)).toArrow()
+    s_rows = [tuple(r[c] for c in s_tbl.column_names) for r in s_tbl.to_pylist()]
+    d_tbl = _duck.execute(sql).arrow()
+    d_rows = [tuple(r[c] for c in d_tbl.column_names) for r in d_tbl.to_pylist()]
+    assert normalize_rows(list(s_tbl.column_names), s_rows) == normalize_rows(
+        list(d_tbl.column_names), d_rows
+    ), sql

@@ -65,6 +65,12 @@ EVENTS10M = os.path.join(HERE, "data", "events_10m")
 N_EVENTS_100M, N_USERS_100M = 100_000_000, 1_500_000
 EVENTS100M = os.path.join(HERE, "data", "events_100m")
 CB_CENTURY = ["cb_q12", "cb_q36", "cb_q42", "cb_q15", "cb_q20"]
+#: r10 (VERDICT r9 #6): second points on the event-analytics amortization
+#: curves — the funnel / decay-feature / windowed-collect family at 100M
+#: events (they had 10M rows only). All three stay hash-comparable:
+#: funnel returns 5 scalars, decay 1.5M per-user rows, windowed collect a
+#: 20-row JSON-serialized head.
+EVENTS_CENTURY = ["events_funnel_steps", "events_decay_features", "win_ordered_collect"]
 
 #: r8 (VERDICT r7 #5): the ANN/embedding family's decade — 200k vectors
 #: (100x the driver gate's 2k, 10x the llm-sf1 20k). IVF + two-stage
@@ -322,12 +328,10 @@ def ensure_sf10() -> None:
             shutil.copyfile(f"{SF01}/{t}.parquet", dst)
 
 
-def ensure_docs500k() -> None:
-    """500k-doc corpus, same generative process as tools_scaling_llm's 50k
-    fixture (identical vocab/length/duplication-rate mix, fresh seed) so the
-    curve compares like with like."""
-    if os.path.exists(os.path.join(DOCS500K, "documents.parquet")):
-        return
+def _gen_docs(dest: str, n_docs: int, seed: int) -> None:
+    """Deterministic corpus generator — the tools_scaling_llm 50k process
+    (identical vocab/length/duplication-rate mix) at any size/seed so the
+    minhash wall-curve compares like with like across axes."""
     import random
 
     import pyarrow as pa
@@ -335,11 +339,11 @@ def ensure_docs500k() -> None:
 
     from tools_scaling_llm import LANGS, VOCAB
 
-    os.makedirs(DOCS500K, exist_ok=True)
-    rng = random.Random(4343)
+    os.makedirs(dest, exist_ok=True)
+    rng = random.Random(seed)
     texts: list[str] = []
     ids, langs, srcs, lens = [], [], [], []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         r = rng.random()
         if i > 100 and r < 0.002:
             text = texts[rng.randrange(len(texts))]
@@ -366,13 +370,31 @@ def ensure_docs500k() -> None:
                 "n_chars": pa.array(lens, pa.int64()),
             }
         ),
-        f"{DOCS500K}/documents.parquet",
+        f"{dest}/documents.parquet",
         row_group_size=65536,
     )
     for t in TPCH_TABLES + ["events", "embeddings"]:
-        dst = f"{DOCS500K}/{t}.parquet"
+        dst = f"{dest}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def ensure_docs500k() -> None:
+    if not os.path.exists(os.path.join(DOCS500K, "documents.parquet")):
+        _gen_docs(DOCS500K, N_DOCS, 4343)
+
+
+#: r10 (VERDICT r9 #6): second point on the minhash amortization curve —
+#: 2M docs (4x the 500k axis, 40x the llm-sf1 gate). Wall-curve only:
+#: the exact oracle is the O(n^2) brute-force pair join no engine can run
+#: at this size (>560 s at 5k docs already, r6 BENCH_NOTES).
+N_DOCS_2M = 2_000_000
+DOCS2M = os.path.join(HERE, "data", "llm_2m")
+
+
+def ensure_docs2m() -> None:
+    if not os.path.exists(os.path.join(DOCS2M, "documents.parquet")):
+        _gen_docs(DOCS2M, N_DOCS_2M, 9191)
 
 
 def _hash_one(spec, name, spark, sf_dir, con, out):
@@ -726,7 +748,7 @@ def main() -> None:
     con = duck_connection(EVENTS100M)
     _warm(EVENTS100M, ["events"], con)
     century: dict[str, dict] = {}
-    for name in CB_CENTURY:
+    for name in CB_CENTURY + EVENTS_CENTURY:
         _hash_one(registry[name], name, spark, EVENTS100M, con, century)
     for name, rec in century.items():
         out[f"{name}_100m"] = rec
@@ -740,8 +762,9 @@ def main() -> None:
 
     ensure_fixture()
     mh = registry["dedup_minhash_lsh"]
+    ensure_docs2m()
     curve = {}
-    for label, d in [("50k", LLM50K), ("500k", DOCS500K)]:
+    for label, d in [("50k", LLM50K), ("500k", DOCS500K), ("2m", DOCS2M)]:
         t0 = time.perf_counter()
         n = mh.spark(spark, d).count()
         curve[label] = {"wall_sec": round(time.perf_counter() - t0, 2), "pairs": n}
@@ -751,7 +774,7 @@ def main() -> None:
     hash_spec_names = (
         TPCH_QUERIES + TPCH_DECADE_EXTRA + DOC_QUERIES_ORACLED + CB_QUERIES
         + EVENTS_DECADE_NEW + ANN_QUERIES_ORACLED + ANN_QUERIES_NUMPY + DML_DECADE
-        + [f"{n}_100m" for n in CB_CENTURY]
+        + [f"{n}_100m" for n in CB_CENTURY + EVENTS_CENTURY]
         + [f"{n}_2m" for n in ANN_CENTURY]
     )
     summary = {
