@@ -434,6 +434,103 @@ def test_capture_replay_multi_statement(client):
     assert anyn["success"] is True and len(anyn["data"]["resultIds"].split(",")) == 2
 
 
+def test_capture_replay_async_polling(client):
+    """Replay a recorded execute_async exchange: submission returns code
+    333334 with the queryId immediately; the client polls
+    GET /monitoring/queries/<qid> until SUCCEEDED exactly as the
+    connector's get_query_status does, then fetches the Arrow result via
+    GET /queries/<qid>/result."""
+    import time
+
+    cap = _capture("async_polling_exchange.json")
+    r = client.post(cap["login"]["path"], json=cap["login"]["body"])
+    token = r.get_json()["data"]["token"]
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    exp = cap["expect"]
+    sub = client.post(cap["query"]["path"], json=cap["query"]["body"], headers=hdr).get_json()
+    assert sub["success"] is True and sub["code"] == exp["submit_code"]
+    qid = sub["data"]["queryId"]
+    assert qid == exp["query_id"]
+    # poll monitoring until terminal (the connector sleeps between polls)
+    status = None
+    for _ in range(200):
+        mon = client.get(f"/monitoring/queries/{qid}", headers=hdr).get_json()
+        status = mon["data"]["queries"][0]["status"]
+        if status not in ("RUNNING", "RESUMING_WAREHOUSE", "QUEUED"):
+            break
+        time.sleep(0.05)
+    assert status == exp["terminal_status"]
+    res = client.get(f"/queries/{qid}/result", headers=hdr).get_json()
+    assert res["success"] is True
+    tbl = _decode(res)
+    assert tbl.num_rows == exp["returned"]
+    rows = tbl.to_pylist()
+    assert rows[0] == exp["first_row"] and rows[-1] == exp["last_row"]
+    # an id the server never saw reports NO_DATA, per the monitoring contract
+    mon = client.get("/monitoring/queries/never-submitted-id", headers=hdr).get_json()
+    assert mon["data"]["queries"][0]["status"] == exp["unknown_query_status"]
+
+
+def test_capture_replay_put_stage(client):
+    """Replay a recorded SnowSQL PUT/stage negotiation: CREATE STAGE ->
+    PUT (AUTO_COMPRESS default gzips, .gz suffix) -> LIST -> COPY INTO ->
+    verification SELECT, all through the plain query-request surface the
+    public connector submits PUT statements on."""
+    cap = _capture("put_stage_exchange.json")
+    with open(cap["source_file"], "w") as f:
+        f.write(cap["source_content"])
+    token = _login(client)
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    exp = cap["expect"]
+    results = []
+    for stmt in cap["statements"]:
+        out = client.post("/queries/v1/query-request", json=stmt, headers=hdr).get_json()
+        assert out["success"] is True, (stmt, out)
+        results.append(_decode(out).to_pylist())
+    put_row = results[1][0]
+    for k, v in exp["put_row"].items():
+        assert put_row[k] == v, (k, put_row)
+    assert any(exp["list_contains"] in r["name"] for r in results[2])
+    assert results[5][0] == exp["final_row"]
+
+
+def test_capture_replay_arrow_chunked(client):
+    """Replay a recorded large-result exchange: 25k rows come back as a
+    10k-row inline rowsetBase64 plus chunks[] URL entries fetched in order
+    and concatenated — the connector's chunk-downloader contract. The
+    reassembled table must be value-complete and an out-of-range chunk
+    index must 404."""
+    cap = _capture("arrow_chunked_exchange.json")
+    r = client.post(cap["login"]["path"], json=cap["login"]["body"])
+    token = r.get_json()["data"]["token"]
+    hdr = {"Authorization": f'Snowflake Token="{token}"'}
+    exp = cap["expect"]
+    out = client.post(cap["query"]["path"], json=cap["query"]["body"], headers=hdr).get_json()
+    assert out["success"] is True
+    data = out["data"]
+    assert data["returned"] == exp["returned"]
+    assert [c["name"].lower() for c in data["rowtype"]] == exp["rowtype_names"]
+    inline = _decode(out)
+    assert inline.num_rows == exp["inline_rows"]
+    chunk_entries = data["chunks"]
+    assert [c["rowCount"] for c in chunk_entries] == exp["chunk_row_counts"]
+    tables = [inline]
+    for entry in chunk_entries:
+        cr = client.get(entry["url"], headers=hdr).get_json()
+        assert cr["success"] is True
+        t = _decode(cr)
+        tables.append(t)
+    full = pa.concat_tables(tables)
+    assert full.num_rows == exp["returned"]
+    import pyarrow.compute as pc
+
+    assert pc.sum(full.column("n")).as_py() == exp["total_sum_n"]
+    # rows are a partition of the full result, in order
+    assert full.column("n").to_pylist() == list(range(exp["returned"]))
+    bad = client.get(f"/results/{data['queryId']}/chunk/99", headers=hdr)
+    assert bad.status_code == exp["unknown_chunk_http"]
+
+
 # -- json_rowset timestamp encodings (ADVICE r9) ------------------------------
 
 
