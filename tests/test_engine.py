@@ -4527,3 +4527,85 @@ def test_prune_stale_resident_variants(tmp_path):
     assert "lineitem-100-1" not in _os.listdir(parent)
     # nonexistent parent: no raise
     _prune_stale_variants(str(tmp_path / "nope"), "x", "y")
+
+
+# -- persisted-result reuse (USE_CACHED_RESULT, r10) --------------------------
+
+
+def test_result_reuse_repeated_select(engine):
+    """A repeated identical SELECT is served from the retained result:
+    values identical, the query log records a result_reuse entry, and the
+    reused result stays RESULT_SCAN-addressable under its new query id."""
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = TRUE")
+    sql = "SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+    h0 = engine.result_cache_hits
+    first = engine.execute(sql)
+    again = engine.execute(sql)
+    assert engine.result_cache_hits == h0 + 1
+    assert again.to_pylist() == first.to_pylist()
+    assert engine.query_log[-1].get("result_reuse") is True
+    qid = engine.query_log[-1]["query_id"]
+    scanned = engine.execute(f"SELECT * FROM table(RESULT_SCAN('{qid}'))")
+    assert scanned.to_pylist() == first.to_pylist()
+
+
+def test_result_reuse_invalidated_by_dml(engine):
+    """Any non-read-only statement bumps the data version: the same SELECT
+    re-executes afterward (no stale serve)."""
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = TRUE")
+    engine.execute("CREATE OR REPLACE TEMP TABLE rr_inv AS SELECT 1 AS v")
+    sql = "SELECT SUM(v) AS s FROM rr_inv"
+    assert engine.execute(sql).to_pylist() == [{"s": 1}]
+    engine.execute(sql)  # now cached
+    h = engine.result_cache_hits
+    engine.execute("INSERT INTO rr_inv VALUES (41)")
+    out = engine.execute(sql)
+    assert out.to_pylist() == [{"s": 42}]
+    assert engine.result_cache_hits == h  # recomputed, not served stale
+
+
+def test_result_reuse_excludes_nondeterministic_and_variables(engine):
+    """Execution-time functions and session-variable references never
+    cache; two RANDOM() calls stay independent draws."""
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = TRUE")
+    h = engine.result_cache_hits
+    engine.execute("SELECT RANDOM() AS r")
+    engine.execute("SELECT RANDOM() AS r")
+    engine.execute("SET rr_x = 7")
+    engine.execute("SELECT $rr_x AS v")
+    engine.execute("SELECT $rr_x AS v")
+    assert engine.result_cache_hits == h
+    # CURRENT_TIMESTAMP is execution-time: never reused
+    engine.execute("SELECT CURRENT_TIMESTAMP() AS t")
+    engine.execute("SELECT CURRENT_TIMESTAMP() AS t")
+    assert engine.result_cache_hits == h
+
+
+def test_result_reuse_session_parameter_off(engine):
+    """ALTER SESSION SET USE_CACHED_RESULT = FALSE disables reuse (the
+    Snowflake opt-out); re-enabling restores it under a fresh version."""
+    sql = "SELECT COUNT(*) AS c FROM region"
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = FALSE")
+    h = engine.result_cache_hits
+    engine.execute(sql)
+    engine.execute(sql)
+    assert engine.result_cache_hits == h
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = TRUE")
+    engine.execute(sql)
+    engine.execute(sql)
+    assert engine.result_cache_hits == h + 1
+
+
+def test_result_reuse_stream_reads_never_cached(engine):
+    """Reading a STREAM re-reads the live delta — never served from the
+    result cache even when the text repeats."""
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = TRUE")
+    engine.execute("CREATE OR REPLACE ICEBERG TABLE rr_src AS SELECT 1 AS v")
+    engine.execute("CREATE OR REPLACE STREAM rr_stream ON TABLE rr_src")
+    h = engine.result_cache_hits
+    a = engine.execute("SELECT COUNT(*) AS c FROM rr_stream")
+    b = engine.execute("SELECT COUNT(*) AS c FROM rr_stream")
+    assert a.to_pylist() == b.to_pylist() == [{"c": 0}]
+    assert engine.result_cache_hits == h
+    engine.execute("DROP STREAM rr_stream")
+    engine.execute("DROP TABLE rr_src")

@@ -362,6 +362,24 @@ _RESULT_SCAN_RE = re.compile(
 _CREATE_FF_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(\w+)\s+(.*)$", re.I | re.S
 )
+#: statement heads that cannot change engine-visible data — anything else
+#: bumps the result-reuse data version (SET/CALL/PUT/REMOVE included: session
+#: variables substitute into later statements, procedures and stage writes
+#: mutate state the cache key cannot see)
+_READ_ONLY_HEAD_RE = re.compile(
+    r"^\s*(SELECT|WITH|SHOW|DESC|DESCRIBE|EXPLAIN|LIST|LS|USE|GET)\b", re.I
+)
+#: execution-time functions whose results may differ per run — Snowflake's
+#: documented result-reuse exclusion (plus our stage/remote-read surfaces,
+#: whose backing bytes can change without a version bump)
+_NONDET_FN_RE = re.compile(
+    r"(?i)\b(?:(?:RANDOM|RAND|UNIFORM|NORMAL|ZIPF|RANDSTR|UUID_STRING|"
+    r"CURRENT_TIMESTAMP|CURRENT_TIME|CURRENT_DATE|LOCALTIME|LOCALTIMESTAMP|"
+    r"SYSDATE|GETDATE|SYSTIMESTAMP|LAST_QUERY_ID|RESULT_SCAN|TO_QUERY)\s*\("
+    r"|NEXTVAL\b)"  # sequence state advances per evaluation, no parens
+)
+_RESULT_CACHE_MAX_BYTES = 16 * 1024 * 1024
+_RESULT_CACHE_MAX_ENTRIES = 32
 _STAGE_REF_RE = re.compile(
     r"@(\w+)((?:/[\w.\-*]+)*)\s*(?:\(\s*FILE_FORMAT\s*=>\s*([\w']+)\s*\))?", re.I
 )
@@ -478,6 +496,21 @@ class Engine:
         self.qualified_tables: set[tuple[str, str, str]] = set()
         #: SQL text -> analyzed DataFrame (prepared-statement cache)
         self._prepared: dict[str, DataFrame] = {}
+        #: Snowflake persisted-result reuse (USE_CACHED_RESULT, default
+        #: TRUE): a repeated identical SELECT in an unchanged session/data
+        #: context returns the retained result without re-execution, like
+        #: Snowflake's 24h query-result reuse. Key = (data version, current
+        #: db/schema, session params, statement text); ANY statement whose
+        #: head is not read-only bumps the version and clears the cache
+        #: (process-local semantics — Snowflake's cache is global with
+        #: centralized invalidation; a multi-process deployment would key
+        #: on the warehouse catalog version instead). Statements containing
+        #: execution-time functions (CURRENT_TIMESTAMP, RANDOM, ...),
+        #: stage/remote reads, or reads of STREAM / dynamic / snapshot
+        #: tables are never cached — same exclusions Snowflake documents.
+        self._result_cache: dict[tuple, pa.Table] = {}
+        self._data_version = 0
+        self.result_cache_hits = 0
         #: dynamic tables currently mid-refresh (re-entrancy guard)
         self._refreshing: set[str] = set()
         #: bare name -> (target_lag_seconds, last_refresh_ms); -1 lag means
@@ -560,7 +593,11 @@ class Engine:
 
         if scripting.is_script(sql):
             # Snowflake Scripting block / EXECUTE IMMEDIATE: one unit — the
-            # ';'-splitter must not cut through BEGIN ... END
+            # ';'-splitter must not cut through BEGIN ... END. Scripts run
+            # arbitrary DML through their own dispatcher, so the result
+            # cache invalidates unconditionally.
+            self._data_version += 1
+            self._result_cache.clear()
             try:
                 value = scripting.ScriptRunner(self).run(sql)
             except scripting.ScriptError as e:
@@ -574,6 +611,29 @@ class Engine:
         for stmt in split_statements(sql):
             t0 = time.perf_counter()
             self._streams_consumed.clear()
+            ck = self._result_cache_key(stmt)
+            cached = self._result_cache.get(ck) if ck is not None else None
+            if cached is not None:
+                # persisted-result reuse: logged as a fresh query and kept
+                # RESULT_SCAN-addressable under its new id, like Snowflake's
+                # QUERY_RESULT_REUSE entries
+                self.result_cache_hits += 1
+                result = cached
+                dur = time.perf_counter() - t0
+                qid = uuid.uuid4().hex
+                entry = {"sql": stmt[:200], "duration_sec": round(dur, 4),
+                         "estimated_cost_usd": 0.0, "query_id": qid,
+                         "result_reuse": True}
+                if self.session_params.get("QUERY_TAG"):
+                    entry["query_tag"] = self.session_params["QUERY_TAG"]
+                self.query_log.append(entry)
+                self._results[qid] = result
+                self._last_qid = qid
+                while len(self._results) > 20:
+                    old = next(iter(self._results))
+                    self._results.pop(old)
+                    self._stmt_pre_snapshots.pop(old, None)
+                continue
             # BEFORE(STATEMENT => qid) support: history-changing statements
             # record each snapshot table's pre-statement snapshot id (a
             # metadata-json read per table — no data scan)
@@ -592,6 +652,16 @@ class Engine:
                     except Exception:  # noqa: BLE001 - table mid-drop
                         continue
             result = self._execute_one(stmt)
+            if not _READ_ONLY_HEAD_RE.match(stmt):
+                # anything that can change engine-visible state invalidates
+                # every retained result (version key + explicit clear so
+                # stale tables are not pinned in memory)
+                self._data_version += 1
+                self._result_cache.clear()
+            elif ck is not None and result.nbytes <= _RESULT_CACHE_MAX_BYTES:
+                self._result_cache[ck] = result
+                while len(self._result_cache) > _RESULT_CACHE_MAX_ENTRIES:
+                    self._result_cache.pop(next(iter(self._result_cache)))
             # Snowflake stream consumption: only a DML that read the stream
             # advances its bookmark; a plain SELECT re-reads the same delta
             if re.match(r"^\s*(INSERT|MERGE|CREATE)\b", stmt, re.I):
@@ -623,6 +693,9 @@ class Engine:
         stmts = split_statements(sql)
         for stmt in stmts[:-1]:
             self._execute_one(stmt)
+            if not _READ_ONLY_HEAD_RE.match(stmt):
+                self._data_version += 1
+                self._result_cache.clear()
         return self._run_select(stmts[-1])
 
     def prepare(self, sql: str) -> DataFrame:
@@ -641,6 +714,41 @@ class Engine:
 
     def invalidate_prepared(self) -> None:
         self._prepared.clear()
+
+    def _result_cache_key(self, stmt: str) -> tuple | None:
+        """Result-reuse eligibility (Snowflake USE_CACHED_RESULT semantics):
+        None when the statement must execute; otherwise the cache key.
+
+        Cacheable = a SELECT/WITH with no execution-time function, no stage
+        or remote read, and no reference to a STREAM (re-reads the delta),
+        dynamic table (refresh-on-read past TARGET_LAG), or snapshot table
+        (another process may commit between runs — DML here is
+        cross-process via the warehouse guard, so process-local version
+        bumps cannot see it). The key carries the data version, session
+        database/schema, and every session parameter, so USE/ALTER SESSION
+        changes address a different slot."""
+        if self.session_params.get("USE_CACHED_RESULT", "TRUE").strip("'\"").upper() in (
+            "FALSE", "OFF", "0",
+        ):
+            return None
+        s = stmt.strip()
+        if not re.match(r"(?i)^(SELECT|WITH)\b", s):
+            return None
+        if _NONDET_FN_RE.search(s) or "@" in s or "$" in s:
+            # '@' = stage read (backing files change without a version
+            # bump); '$' = session variable / positional column substitution
+            return None
+        low = s.lower()
+        for name in (*self.streams, *self._dynamic_meta, *self.snap_tables):
+            if re.search(rf"\b{re.escape(name.lower())}\b", low):
+                return None
+        return (
+            self._data_version,
+            self.current_database,
+            self.current_schema,
+            tuple(sorted(self.session_params.items())),
+            low,
+        )
 
     # -- statement dispatch --------------------------------------------------
 
