@@ -73,6 +73,20 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_in = os.getloadavg()
+
+    def _spin() -> float:
+        # single-core calibration: this box shows multi-minute "machine
+        # epochs" (co-tenant/frequency state invisible to loadavg — r10
+        # measured the same code at Σ26 4.4 vs 8.4 an hour apart while
+        # loadavg read ~0.5 both times; the spin probe read 0.29 vs 0.41).
+        # Recording it makes a degraded-epoch artifact self-identifying.
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        return round(time.perf_counter() - t0, 4)
+
+    spin_in = _spin()
     # COLD PASS over the whole suite first: records each query's true first
     # execution (plan + codegen compile + first-touch), and — completing
     # before any timed run — gives the JVM's background C2 compiler the
@@ -142,6 +156,8 @@ def main() -> None:
                 "runs_per_query": runs,
                 "load_avg_in": [round(x, 2) for x in load_in],
                 "load_avg_out": [round(x, 2) for x in os.getloadavg()],
+                "spin_calib_in": spin_in,
+                "spin_calib_out": _spin(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
