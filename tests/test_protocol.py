@@ -612,3 +612,21 @@ def test_multi_statement_degenerate_inputs(client):
     assert r2.status_code == 200
     body2 = r2.get_json()
     assert body2["success"] is False and body2["code"] == "000008"
+
+
+def test_result_reuse_through_protocol(client):
+    """Persisted-result reuse reaches the REST surface: the second identical
+    query-request returns the same values and the engine logs it as
+    result_reuse (the connector sees an ordinary successful response)."""
+    token = _login(client)
+    sql = "SELECT r_regionkey, COUNT(*) AS c FROM region GROUP BY r_regionkey ORDER BY r_regionkey"
+    a = _query(client, token, sql)
+    b = _query(client, token, sql)
+    assert a["success"] and b["success"]
+    assert _decode(a).to_pylist() == _decode(b).to_pylist()
+    # the reuse is visible in the monitoring/query-log surface
+    hist = client.get(
+        "/monitoring/queries", headers={"Authorization": f'Snowflake Token="{token}"'}
+    ).get_json()
+    logged = [q for q in hist["data"]["queries"] if q.get("sql", "").startswith("SELECT r_regionkey")]
+    assert any(q.get("result_reuse") for q in logged)
