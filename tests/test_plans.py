@@ -596,3 +596,30 @@ def test_bucketed_facts_join_exchange_free(spark):
         assert n_exchanges <= 2, p[:3000]
     finally:
         ensure_views(spark, "/root/testdata/sf0.001")
+
+
+def test_bucket_width_keys_on_source_bytes(tmp_path):
+    """r10 (VERDICT r9 #3): bucket width derives from SOURCE bytes
+    uniformly — 8 buckets for sub-4MB sources (the sf0.1 scale where 32
+    tiny tasks cost more scheduling than they buy in scan width; the
+    measured dedup_exact regression), 32 from 4 MB up (sf1 documents and
+    every SF-scaled fact), 0 under the 256 KB floor (gate fixtures stay
+    unbucketed). Pure-function pin so a future 'work volume' special case
+    has to bring fresh interleaved A/B evidence."""
+    import os
+
+    from universql_spark.session import BUCKET_WIDE_BYTES, _bucket_count
+
+    assert BUCKET_WIDE_BYTES == {}  # no per-table special cases (r10 A/B)
+
+    def fake(size, table="documents"):
+        d = tmp_path / f"s{table}{size}"
+        d.mkdir()
+        p = d / f"{table}.parquet"
+        p.write_bytes(b"\0" * size)
+        return str(d)
+
+    assert _bucket_count(fake(100 * 1024), "documents") == 0  # under floor
+    assert _bucket_count(fake(600 * 1024), "documents") == 8  # sf0.1 scale
+    assert _bucket_count(fake(6 * 1024 * 1024), "documents") == 32  # sf1
+    assert _bucket_count(fake(600 * 1024, "region"), "region") == 0  # not a fact
