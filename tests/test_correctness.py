@@ -68,3 +68,22 @@ def test_portable_xxh64_matches_spark(spark):
     assert row.d == spark_xxhash64_int_int(3, 7)
     assert row.e == spark_xxhash64_int_long(5, -17)
     assert row.f == spark_xxhash64_longs([1, -2, 9007199254740993, 0])
+
+
+def test_hits_view_equals_inline_cte(spark, sf_dir):
+    """The pre-analyzed `hits` temp view (r10: register_testdata stores the
+    analyzed derivation once so cb replans skip re-parse/re-analyze) is
+    value- and schema-identical to inlining the same text as a CTE — the
+    form the DuckDB oracles still use. Guards the one assumption the r10
+    optimization leans on: view substitution == CTE inlining."""
+    from universql_spark.queries import clickbench, ensure_views
+    from universql_spark.session import HITS_SELECT
+
+    ensure_views(spark, sf_dir)
+    body = "SELECT k, r, s, b, COUNT(*) AS c, MIN(d) AS d0 FROM {src} GROUP BY k, r, s, b"
+    via_view = spark.sql(body.format(src="hits"))
+    via_cte = spark.sql(f"WITH {clickbench.HITS} {body.format(src='hits')}")
+    assert via_view.schema == via_cte.schema
+    assert sorted(map(tuple, via_view.collect())) == sorted(map(tuple, via_cte.collect()))
+    # the registered view text IS the CTE body (one definition, two dialect forms)
+    assert HITS_SELECT in clickbench.HITS
