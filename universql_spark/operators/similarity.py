@@ -83,16 +83,35 @@ def brute_force_topk(
     queries MUST be broadcast-sized (it is the probe set, not the corpus).
     Ranking key is round(cos, 4) with id tiebreak — deliberately coarse so
     float noise can't flip the top-k boundary between engines.
+
+    Scoring + top-k run as ONE spark.sql over the two inputs (registered as
+    temp views), the same r6 move ivf_topk ships: the equivalent DataFrame
+    chain (2x _with_norm select -> join -> select -> window -> filter) is
+    SIX eagerly-analyzed Dataset creations, each re-analyzing the growing
+    HOF expression tree (~25-40 ms/pass of driver latency measured at r10
+    session 3 — creation was ~40% of this spec's replan wall). Expression
+    text is identical to the chain's, so plan and values are unchanged
+    (plans/r10/ann_cosine_topk_{before,after}.txt byte-match modulo ids).
     """
-    q = _with_norm(queries, id_col, vec_col, "q")
-    c = _with_norm(corpus, id_col, vec_col, "n")
-    cos = F.expr(_dot_sql("q_vec", "n_vec")) / (F.col("q_nrm") * F.col("n_nrm"))
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cos, 4).alias("cos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    spark = corpus.sparkSession
+    corpus.createOrReplaceTempView("__bft_corpus")
+    queries.createOrReplaceTempView("__bft_queries")
+    vs = _as_double_sql(f"`{vec_col}`")
+    out = spark.sql(f"""
+WITH q AS (SELECT `{id_col}` AS q_id, {vs} AS q_vec, {_norm_sql(vs)} AS q_nrm
+           FROM __bft_queries),
+     c AS (SELECT `{id_col}` AS n_id, {vs} AS n_vec, {_norm_sql(vs)} AS n_nrm
+           FROM __bft_corpus),
+     s AS (
+  SELECT /*+ BROADCAST(q) */ q.q_id, c.n_id,
+         round({_dot_sql("q.q_vec", "c.n_vec")} / (q.q_nrm * c.n_nrm), 4) AS cos
+  FROM c JOIN q ON q.q_id <> c.n_id
+)
+SELECT q_id, n_id, cos, rank FROM (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM s
+) WHERE rank <= {int(k)}""")
     # rank makes row identity deterministic without a global sort; sort=False
     # skips the final range exchange + sampling job (pure fixed cost)
     return out.orderBy("q_id", "rank") if sort else out
