@@ -444,11 +444,16 @@ def lsh_bucketed_pairs(
 # ---------------------------------------------------------------------------
 
 
-#: probe-cell Columns, keyed on (session, quantizer values, vec_col).
-#: The quantizer is fixed once trained (FAISS keeps it resident the same
-#: way), so the Column is reusable across query batches verbatim; Columns
-#: are plain expression trees, valid for any DataFrame of the same session.
-_PROBE_EXPR_CACHE: dict[tuple, "F.Column"] = {}
+#: probe-side projection Columns, keyed on (session, quantizer values,
+#: n_probe, id_col, vec_col). The quantizer is fixed once trained (FAISS
+#: keeps it resident the same way), so the whole probe projection —
+#: centroid-distance struct array, slice/sort, the explode lambda — is
+#: reusable across query batches verbatim; Columns are plain expression
+#: trees, valid for any DataFrame of the same session. r10: the cache
+#: holds the full 4-column list, not just the cell array — each HOF
+#: lambda costs ~25-50 ms of Py4J plumbing to construct, and rebuilding
+#: the non-cached parts per query batch was ~60% of ivf creation wall.
+_PROBE_EXPR_CACHE: dict[tuple, list] = {}
 
 
 def _probe_clusters(
@@ -466,17 +471,18 @@ def _probe_clusters(
     linearly into the thousands-of-cells regime a 100 TB corpus needs.
     dist2 arithmetic ((x-y)^2 summed left-to-right) is unchanged, so cell
     assignments are bit-identical to the inline form; both forms evaluate
-    through the same interpreted HOF path. The built Column is additionally
-    memoized per quantizer (_PROBE_EXPR_CACHE)."""
-    v = _as_double(F.col(vec_col))
-    vd = F.expr(_as_double_sql(vec_col))
+    through the same interpreted HOF path. The built projection is
+    additionally memoized per quantizer (_PROBE_EXPR_CACHE)."""
     ckey = (
         id(queries.sparkSession),
         tuple(tuple(c) for c in centroids),
+        n_probe,
+        id_col,
         vec_col,
     )
-    cells = _PROBE_EXPR_CACHE.get(ckey)
-    if cells is None:
+    cols = _PROBE_EXPR_CACHE.get(ckey)
+    if cols is None:
+        vd = F.expr(_as_double_sql(vec_col))
         import json  # noqa: PLC0415
 
         # the centroid matrix enters as ONE string literal parsed by
@@ -501,15 +507,16 @@ def _probe_clusters(
         cells = F.transform(
             cmat, lambda c, i: F.struct(_d2(c).alias("d"), i.alias("c"))
         )
+        nearest = F.slice(F.array_sort(cells), 1, n_probe)
+        cols = [
+            F.col(id_col).alias("q_id"),
+            F.expr(_as_double_sql(vec_col)).alias("q_vec"),
+            F.expr(_norm_sql(_as_double_sql(vec_col))).alias("q_nrm"),
+            F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
+        ]
         _PROBE_EXPR_CACHE.clear()  # one live quantizer, like the index cache
-        _PROBE_EXPR_CACHE[ckey] = cells
-    nearest = F.slice(F.array_sort(cells), 1, n_probe)
-    return queries.select(
-        F.col(id_col).alias("q_id"),
-        v.alias("q_vec"),
-        F.expr(_norm_sql(_as_double_sql(vec_col))).alias("q_nrm"),
-        F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
-    )
+        _PROBE_EXPR_CACHE[ckey] = cols
+    return queries.select(cols)
 
 
 #: trained coarse quantizers, keyed on (corpus plan semantic hash, params).
@@ -633,7 +640,6 @@ def ivf_topk(
     centroids = ivf_train_sample(
         corpus, n_cells, iters, id_col=id_col, vec_col=vec_col
     )
-    v = _as_double(F.col(vec_col))
     from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
 
     try:

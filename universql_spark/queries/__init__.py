@@ -75,6 +75,23 @@ def _has_nonnullable(dt: T.DataType) -> bool:
     return False
 
 
+def _toplevel_guard_cols(schema: T.StructType) -> list:
+    """The guard projection that relaxes top-level non-nullable fields
+    (see relax_nullability). Columns are plain expression trees keyed only
+    on field (name, nullable) flags, so a caller whose output schema is
+    fixed per (session, sf_dir) may build them once and reuse them across
+    plan creations — the register() wrapper memoizes exactly that."""
+    from pyspark.sql import functions as F
+
+    guard = F.spark_partition_id() >= 0
+    return [
+        F.when(guard, F.col(f"`{f.name}`")).alias(f.name)
+        if not f.nullable
+        else F.col(f"`{f.name}`")
+        for f in schema.fields
+    ]
+
+
 def relax_nullability(df: DataFrame) -> DataFrame:
     """Mark every output field nullable (recursively), preserving values/order.
 
@@ -93,8 +110,6 @@ def relax_nullability(df: DataFrame) -> DataFrame:
         return df
     if df.isStreaming or not _has_nonnullable(df.schema):
         return df
-    from pyspark.sql import functions as F
-
     # Top-level-only divergence (the usual case): wrap each non-nullable
     # column in a CASE guarded by a NON-FOLDABLE always-true condition.
     # Nullability comes from the ANALYZED plan (no else branch -> nullable)
@@ -105,17 +120,11 @@ def relax_nullability(df: DataFrame) -> DataFrame:
     # analysis.) An earlier union-with-empty-relation form cost ~30 ms per
     # query in the bench replan tier from the extra empty stage.
     if not any(_has_nonnullable(f.dataType) for f in df.schema.fields):
-        guard = F.spark_partition_id() >= 0
-        return df.select(
-            [
-                F.when(guard, F.col(f"`{f.name}`")).alias(f.name)
-                if not f.nullable
-                else F.col(f"`{f.name}`")
-                for f in df.schema.fields
-            ]
-        )
+        return df.select(_toplevel_guard_cols(df.schema))
     # Nested non-nullable fields (struct/array/map internals): union with an
     # empty typed relation — Union ORs child nullability recursively.
+    from pyspark.sql import functions as F
+
     relaxed = _relax_type(df.schema)
     empty = df.sparkSession.range(0).select(
         [F.lit(None).cast(f.dataType).alias(f.name) for f in relaxed.fields]
@@ -159,20 +168,36 @@ def register(
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         # A spec's output schema is deterministic per (session, sf_dir), so
-        # whether relax_nullability is a no-op is too. Memoize the decision:
-        # the schema fetch + wrapper rebuild costs ~5-10 ms of driver
-        # latency per call (Py4J schema json + an extra select analysis),
-        # which the full-replan bench tier pays per query per run.
-        relax_memo: dict[tuple[int, str], bool] = {}
+        # the relax_nullability OUTCOME is too — not just whether it fires
+        # (the r9 memo) but, for the common top-level case, the exact guard
+        # projection. Memoize it: per call that saves the Py4J schema fetch,
+        # the nullability walk and the per-field Column construction
+        # (~15-45 ms of driver latency measured at r10 on the 20 bench
+        # specs whose output carries a non-nullable count/rank column),
+        # leaving one cheap select over prebuilt expression trees.
+        # Sentinels: False = raw output already all-nullable (skip);
+        # list = cached top-level guard columns; "nested" = rare recursive
+        # case, rebuild each call.
+        relax_memo: dict[tuple[int, str], object] = {}
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_views(spark, sf_dir)
             df = fn(spark, sf_dir)
             key = (id(spark), sf_dir)
-            if relax_memo.get(key) is False:
+            mode = relax_memo.get(key)
+            if mode is False:
                 return df
+            if isinstance(mode, list):
+                return df.select(mode)
+            if mode == "nested":
+                return relax_nullability(df)
             out = relax_nullability(df)
-            relax_memo[key] = out is not df
+            if out is df:
+                relax_memo[key] = False
+            elif any(_has_nonnullable(f.dataType) for f in df.schema.fields):
+                relax_memo[key] = "nested"
+            else:
+                relax_memo[key] = _toplevel_guard_cols(df.schema)
             return out
 
         REGISTRY[name] = QuerySpec(

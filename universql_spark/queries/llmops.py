@@ -382,8 +382,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 10 query vectors: broadcast probe set,
     one corpus pass, per-query window top-k."""
     emb = spark.table("embeddings")
-    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    # row_number() is already IntegerType; the historical .cast("int") was a
+    # type no-op whose only effect was an extra eagerly-analyzed Dataset
+    # creation per replan (r10 creation audit)
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False)
 
 
 @register(
@@ -402,8 +404,7 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch via mapInPandas) — same oracle, proving the vectorized path is
     value-identical at round-4 precision."""
     emb = spark.table("embeddings")
-    out = similarity.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    return similarity.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @register(
@@ -426,8 +427,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_probe < n_cells, the actual 100 TB configuration) is covered by the
     recall floor in tests/test_operators.py."""
     emb = spark.table("embeddings")
-    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5, sort=False)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5, sort=False)
 
 
 @register(
