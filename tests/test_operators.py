@@ -770,3 +770,44 @@ def test_maxsim_dominates_single_slice_cosine(emb):
     diag_map = {(r.q_id, r.d_id): r.diag for r in diag.collect()}
     for key, ms in out.items():
         assert ms >= round(diag_map[key], 4) - 1e-6, (key, ms, diag_map[key])
+
+
+def test_token_count_sql_equals_column(spark):
+    """The SQL-string twin of textops.token_count must parse to the same
+    expression semantics as the Column form on every edge (empty string,
+    run-of-spaces squashing, leading/trailing whitespace, single token)."""
+    from universql_spark.operators import textops
+
+    rows = [
+        ("",), ("   ",), ("one",), ("two words",), ("a  b   c",),
+        ("  padded  both  ends  ",), ("tab\tis not space",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    col_form = df.select(textops.token_count(F.col("text")).alias("n")).collect()
+    sql_form = df.select(F.expr(textops.token_count_sql("text")).alias("n")).collect()
+    assert [r.n for r in col_form] == [r.n for r in sql_form]
+
+
+def test_brute_force_topk_corpus_view_equals_default(emb):
+    """corpus_view (a pre-registered view name) must produce exactly the
+    rows the default registration path produces."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    emb.createOrReplaceTempView("__bft_cv_test")
+    via_view = similarity.brute_force_topk(
+        emb, probes, k=4, sort=False, corpus_view="__bft_cv_test"
+    ).collect()
+    default = similarity.brute_force_topk(emb, probes, k=4, sort=False).collect()
+    assert sorted(map(tuple, via_view)) == sorted(map(tuple, default))
+
+
+def test_ivf_index_view_memo_survives_repeat_calls(emb):
+    """Repeat ivf_topk calls reuse the registered index view (the memo path)
+    and must stay value-identical call over call, including after another
+    operator overwrites unrelated temp views."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    first = similarity.ivf_topk(emb, probes, n_cells=4, n_probe=4, k=3, sort=False).collect()
+    # interleave a brute-force call (registers __bft_* views) to prove the
+    # ivf view registration is independent of other operators' registrations
+    similarity.brute_force_topk(emb, probes, k=3, sort=False).collect()
+    second = similarity.ivf_topk(emb, probes, n_cells=4, n_probe=4, k=3, sort=False).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))

@@ -154,12 +154,19 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     Representative = min(id): deterministic survivor selection. The shuffle
     carries only (hash, id) — at 100 TB the payload columns never move.
+
+    Built from SQL-string expressions (one JVM parse each) rather than
+    Column-by-Column: the F.md5(F.lower(...)) chain plus per-column
+    alias/agg calls cost ~220 Py4J round-trips per plan creation (r10
+    census) for the identical expression tree.
     """
-    h = F.md5(F.lower(F.trim(F.col(text_col))))
     return (
-        docs.select(h.alias("content_hash"), F.col(id_col).alias("id"))
+        docs.selectExpr(
+            f"md5(lower(trim({text_col}))) AS content_hash",
+            f"{id_col} AS id",
+        )
         .groupBy("content_hash")
-        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .agg(F.expr("min(id) AS keep_id"), F.expr("count(*) AS n_copies"))
     )
 
 
@@ -357,6 +364,10 @@ _SIGSH_HANDLE: list = []
 _SIG_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 _SIG_INDEX_PATH: str | None = None
 
+#: ikey currently registered as the __minhash_sigsh temp view (None =
+#: never); lets repeat calls skip re-registering the unchanged cached index
+_SIG_VIEW_KEY: tuple | None = None
+
 
 def _data_version(docs: DataFrame) -> int:
     """Content-version fingerprint of a corpus: its leaf input files plus
@@ -436,7 +447,10 @@ def minhash_lsh_pairs(
     # shingle set -> banded self-join -> exact verify).
     spark = docs.sparkSession
     try:
-        ikey = (docs.semanticHash(), _data_version(docs), n, num_perm, text_col, id_col)
+        # session id in the key: the cached read-back DataFrame (and the
+        # __minhash_sigsh view) belong to the session that built them
+        ikey = (id(spark), docs.semanticHash(), _data_version(docs),
+                n, num_perm, text_col, id_col)
     except Exception:
         ikey = None
     sigsh = _SIG_INDEX_CACHE.get(ikey) if (materialize and ikey is not None) else None
@@ -508,7 +522,10 @@ FROM hs GROUP BY id""")
         # statement replaces 7 DataFrame creations' worth of Py4J/plan
         # re-canonicalization (the r6 minhash SQL-rewrite lesson applied to
         # the candidate/verify phase too).
-        sigsh.createOrReplaceTempView("__minhash_sigsh")
+        global _SIG_VIEW_KEY
+        if ikey is None or _SIG_VIEW_KEY != ikey:
+            sigsh.createOrReplaceTempView("__minhash_sigsh")
+            _SIG_VIEW_KEY = ikey
         out = spark.sql(f"""
 WITH banded AS (
   SELECT id, band, bh FROM __minhash_sigsh

@@ -77,6 +77,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sort: bool = True,
+    corpus_view: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -94,14 +95,20 @@ def brute_force_topk(
     (plans/r10/ann_cosine_topk_{before,after}.txt byte-match modulo ids).
     """
     spark = corpus.sparkSession
-    corpus.createOrReplaceTempView("__bft_corpus")
+    # corpus_view: name of an ALREADY-REGISTERED view equal to `corpus`
+    # (e.g. the session's stable "embeddings" view) — skips one
+    # createOrReplaceTempView per plan creation. The SQL resolves the name
+    # to the same relation, so plan and values are unchanged.
+    if corpus_view is None:
+        corpus_view = "__bft_corpus"
+        corpus.createOrReplaceTempView(corpus_view)
     queries.createOrReplaceTempView("__bft_queries")
     vs = _as_double_sql(f"`{vec_col}`")
     out = spark.sql(f"""
 WITH q AS (SELECT `{id_col}` AS q_id, {vs} AS q_vec, {_norm_sql(vs)} AS q_nrm
            FROM __bft_queries),
      c AS (SELECT `{id_col}` AS n_id, {vs} AS n_vec, {_norm_sql(vs)} AS n_nrm
-           FROM __bft_corpus),
+           FROM {corpus_view}),
      s AS (
   SELECT /*+ BROADCAST(q) */ q.q_id, c.n_id,
          round({_dot_sql("q.q_vec", "c.n_vec")} / (q.q_nrm * c.n_nrm), 4) AS cos
@@ -546,6 +553,10 @@ _IVF_INDEX_CACHE: dict[tuple, "DataFrame"] = {}
 #: repeated processes don't accumulate dirs under /tmp)
 _IVF_INDEX_PATH: str | None = None
 
+#: ikey currently registered as the __ivf_index temp view (None = never);
+#: lets query batches skip re-registering the unchanged cached index
+_IVF_VIEW_KEY: tuple | None = None
+
 
 def _cleanup_index_dir() -> None:
     import shutil  # noqa: PLC0415
@@ -559,6 +570,24 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_index_dir)
 
 
+def _corpus_fingerprint(corpus: DataFrame) -> tuple | None:
+    """(session id, semantic plan hash, data version) of a corpus — the
+    shared cache-key prefix for the quantizer/index caches. Computed ONCE
+    per ivf_topk call and passed down (each component is a Py4J round
+    trip + a file-index listing; ivf_topk used to derive it twice). The
+    session id scopes cached DataFrames to the session that built them —
+    a cached index DataFrame is not usable from a different session."""
+    from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
+
+    try:
+        # _data_version: an in-place corpus rewrite keeps a catalog table's
+        # plan hash — stale centroids would silently skew every probe
+        # (same ADVICE-r7 fix as the MinHash signature index)
+        return (id(corpus.sparkSession), corpus.semanticHash(), _data_version(corpus))
+    except Exception:
+        return None
+
+
 def ivf_train_sample(
     corpus: DataFrame,
     n_cells: int,
@@ -566,6 +595,7 @@ def ivf_train_sample(
     n_train: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fingerprint: tuple | None = None,
 ) -> list[list[float]]:
     """Coarse-quantizer training on a bounded deterministic sample (lowest
     n_train ids), numpy Lloyd's on the driver — the FAISS train()
@@ -577,16 +607,13 @@ def ivf_train_sample(
     to the lowest index, empty cells keep their centroid)."""
     import numpy as np  # noqa: PLC0415
 
-    from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
-
-    try:
-        # _data_version: an in-place corpus rewrite keeps a catalog table's
-        # plan hash — stale centroids would silently skew every probe
-        # (same ADVICE-r7 fix as the MinHash signature index)
-        key = (corpus.semanticHash(), _data_version(corpus),
-               n_cells, iters, n_train, id_col, vec_col)
-    except Exception:
-        key = None
+    if fingerprint is None:
+        fingerprint = _corpus_fingerprint(corpus)
+    key = (
+        fingerprint + (n_cells, iters, n_train, id_col, vec_col)
+        if fingerprint is not None
+        else None
+    )
     if key is not None and key in _IVF_TRAIN_CACHE:
         return _IVF_TRAIN_CACHE[key]
     tbl = corpus.orderBy(id_col).limit(n_train).select(vec_col).toArrow()
@@ -637,16 +664,16 @@ def ivf_topk(
     """
     from universql_spark.operators.cluster import _assign  # noqa: PLC0415
 
+    fingerprint = _corpus_fingerprint(corpus)
     centroids = ivf_train_sample(
-        corpus, n_cells, iters, id_col=id_col, vec_col=vec_col
+        corpus, n_cells, iters, id_col=id_col, vec_col=vec_col,
+        fingerprint=fingerprint,
     )
-    from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
-
-    try:
-        ikey = (corpus.semanticHash(), _data_version(corpus),
-                n_cells, iters, id_col, vec_col)
-    except Exception:
-        ikey = None
+    ikey = (
+        fingerprint + (n_cells, iters, id_col, vec_col)
+        if fingerprint is not None
+        else None
+    )
     index = _IVF_INDEX_CACHE.get(ikey) if ikey is not None else None
     if index is None:
         vs = _as_double_sql(vec_col)
@@ -683,7 +710,13 @@ def ivf_topk(
     # (~0.15 s/query batch of pure driver latency — r6 bench audit); the
     # BROADCAST hint is the same planner directive as F.broadcast.
     spark = corpus.sparkSession
-    index.createOrReplaceTempView("__ivf_index")
+    # the cached index is the SAME DataFrame object across query batches;
+    # re-registering it under the same name every batch is a pure catalog
+    # round trip — register only when the live index (or session) changes
+    global _IVF_VIEW_KEY
+    if ikey is None or _IVF_VIEW_KEY != ikey:
+        index.createOrReplaceTempView("__ivf_index")
+        _IVF_VIEW_KEY = ikey
     probes.createOrReplaceTempView("__ivf_probes")
     out = spark.sql(f"""
 WITH s AS (

@@ -44,6 +44,18 @@ def token_count(text: Column) -> Column:
     )
 
 
+def token_count_sql(col: str) -> str:
+    """SQL-string twin of token_count for string-expression call sites:
+    one F.expr/selectExpr parse instead of ~10 Column-building Py4J round
+    trips. Same expression tree after parsing (pinned by
+    test_token_count_sql_equals_column), so values are identical."""
+    squashed = f"regexp_replace(trim({col}), ' +', ' ')"
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE length({squashed}) - length(replace({squashed}, ' ', '')) + 1 END"
+    )
+
+
 def quality_score(text: Column) -> Column:
     """[0,1] quality heuristic: length band + word-length band + alpha ratio.
 

@@ -385,7 +385,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number() is already IntegerType; the historical .cast("int") was a
     # type no-op whose only effect was an extra eagerly-analyzed Dataset
     # creation per replan (r10 creation audit)
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False)
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False,
+        corpus_view="embeddings",
+    )
 
 
 @register(
@@ -450,9 +453,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.ivf_topk(
         emb, probes, n_cells=8, n_probe=2, k=5, sort=False
     ).select("q_id", "n_id", F.lit(1).alias("hit"))
-    exact = similarity.brute_force_topk(emb, probes, k=5, sort=False).select(
-        "q_id", "n_id"
-    )
+    exact = similarity.brute_force_topk(
+        emb, probes, k=5, sort=False, corpus_view="embeddings"
+    ).select("q_id", "n_id")
     return (
         exact.join(approx, ["q_id", "n_id"], "left")
         .groupBy("q_id")
@@ -593,9 +596,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.pq_topk(emb, probes, k=5, rerank=None).select(
         "q_id", "n_id", F.lit(1).alias("hit")
     )
-    exact = similarity.brute_force_topk(emb, probes, k=5, sort=False).select(
-        "q_id", "n_id"
-    )
+    exact = similarity.brute_force_topk(
+        emb, probes, k=5, sort=False, corpus_view="embeddings"
+    ).select("q_id", "n_id")
     return (
         exact.join(approx, ["q_id", "n_id"], "left")
         .groupBy("q_id")
@@ -641,10 +644,12 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token counts feed budget joins, never presentation, and the
     gate compares order-insensitively."""
     d = spark.table("documents")
-    return d.select(
+    # string expressions (one JVM parse) — the Column-by-Column form cost
+    # ~180 Py4J round-trips per plan creation (r10 census) for the same tree
+    return d.selectExpr(
         "doc_id",
-        textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " +"))).cast("long").alias("n_distinct"),
+        f"CAST(({textops.token_count_sql('text')}) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(split(lower(trim(text)), ' +'))) AS BIGINT) AS n_distinct",
     )
 
 
@@ -953,10 +958,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost a range exchange + input-sampling job (~0.1 s at sf0.1, pure fixed
     cost at any scale)."""
     ev = spark.table("events")
+    # string expressions parse to the same window()/count tree in one JVM
+    # call each; the Column form cost ~90 Py4J round-trips per creation
     return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("c"))
-        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"), "event_type", "c")
+        ev.groupBy(F.expr("window(ts, '10 minutes') AS w"), "event_type")
+        .agg(F.expr("count(*) AS c"))
+        .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS win_start", "event_type", "c")
     )
 
 
@@ -2640,7 +2647,8 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     full5 = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False
+        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False,
+        corpus_view="embeddings",
     ).select("q_id", "n_id")
     trunc5 = brute_force_topk(
         trunc, trunc.filter(F.col("vec_id") < 10), k=5, sort=False
