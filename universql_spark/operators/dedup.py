@@ -149,7 +149,12 @@ def with_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ---------------------------------------------------------------------------
 
 
-def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_view: str | None = None,
+) -> DataFrame:
     """Group rows by md5 of normalized content; keep count + representative.
 
     Representative = min(id): deterministic survivor selection. The shuffle
@@ -158,8 +163,18 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     Built from SQL-string expressions (one JVM parse each) rather than
     Column-by-Column: the F.md5(F.lower(...)) chain plus per-column
     alias/agg calls cost ~220 Py4J round-trips per plan creation (r10
-    census) for the identical expression tree.
+    census) for the identical expression tree. When the input is already a
+    registered relation, pass ``source_view`` and the whole pipeline is ONE
+    spark.sql statement (one eagerly-analyzed plan creation instead of
+    three — the optimizer collapses the chain's projection into the same
+    aggregate, so the physical plan is identical either way).
     """
+    if source_view is not None:
+        return docs.sparkSession.sql(
+            f"""SELECT md5(lower(trim({text_col}))) AS content_hash,
+       min({id_col}) AS keep_id, count(*) AS n_copies
+FROM {source_view} GROUP BY md5(lower(trim({text_col})))"""
+        )
     return (
         docs.selectExpr(
             f"md5(lower(trim({text_col}))) AS content_hash",
@@ -380,7 +395,20 @@ def _data_version(docs: DataFrame) -> int:
     one (cached) file-index listing + local stats — sub-ms at bench scale,
     one metadata round-trip per index build at cluster scale."""
     try:
-        files = docs.inputFiles()
+        # inputFiles() iterates the returned String[] one py4j round trip
+        # per element (~80 round trips on the bucketed resident layout);
+        # joining JVM-side fetches the same listing in three calls.
+        # (genericWrapArray because py4j's reflection cannot match a
+        # JavaArray against varargs/array params like String.join's.)
+        try:
+            jarr = docs._jdf.inputFiles()
+            joined = (
+                docs.sparkSession._jvm.scala.Predef.genericWrapArray(jarr)
+                .mkString("\x00")
+            )
+            files = joined.split("\x00") if joined else []
+        except Exception:
+            files = docs.inputFiles()
     except Exception:
         return 0
     sig = []

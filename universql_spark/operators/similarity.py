@@ -521,8 +521,23 @@ def _probe_clusters(
             F.expr(_norm_sql(_as_double_sql(vec_col))).alias("q_nrm"),
             F.explode(F.transform(nearest, lambda s: s["c"])).alias("cluster"),
         ]
+        # store the JVM column seq, not the Python list: py4j re-converts a
+        # list argument element-by-element on every select call (~36 round
+        # trips for this 4-column projection), while a cached immutable seq
+        # is one call — identical expression trees, identical plan
+        try:
+            from pyspark.sql.classic.column import _to_seq  # noqa: PLC0415
+
+            cols = (
+                "jseq",
+                _to_seq(queries.sparkSession.sparkContext, [c._jc for c in cols]),
+            )
+        except Exception:
+            pass
         _PROBE_EXPR_CACHE.clear()  # one live quantizer, like the index cache
         _PROBE_EXPR_CACHE[ckey] = cols
+    if isinstance(cols, tuple) and cols[0] == "jseq":
+        return type(queries)(queries._jdf.select(cols[1]), queries.sparkSession)
     return queries.select(cols)
 
 

@@ -175,8 +175,18 @@ def register(
         # (~15-45 ms of driver latency measured at r10 on the 20 bench
         # specs whose output carries a non-nullable count/rank column),
         # leaving one cheap select over prebuilt expression trees.
+        # The cached projection is stored as the JVM COLUMN SEQ, not the
+        # Python Column list: py4j converts a Python list argument
+        # element-by-element on EVERY call (one ArrayList.add round trip
+        # per column), so df.select(list_of_columns) costs ~2+3N round
+        # trips per creation while jdf.select(cached_seq) costs one — the
+        # seq is immutable on the JVM side and the resulting plan is
+        # byte-identical (same Column expression trees; r10 census:
+        # 21 -> 3 round trips on a 2-column guard).
         # Sentinels: False = raw output already all-nullable (skip);
-        # list = cached top-level guard columns; "nested" = rare recursive
+        # ("jseq", seq) = cached JVM guard-column seq; list = cached
+        # Python guard columns (fallback when classic py4j internals are
+        # unavailable, e.g. Spark Connect); "nested" = rare recursive
         # case, rebuild each call.
         relax_memo: dict[tuple[int, str], object] = {}
 
@@ -187,6 +197,8 @@ def register(
             mode = relax_memo.get(key)
             if mode is False:
                 return df
+            if isinstance(mode, tuple) and mode[0] == "jseq":
+                return type(df)(df._jdf.select(mode[1]), spark)
             if isinstance(mode, list):
                 return df.select(mode)
             if mode == "nested":
@@ -197,7 +209,16 @@ def register(
             elif any(_has_nonnullable(f.dataType) for f in df.schema.fields):
                 relax_memo[key] = "nested"
             else:
-                relax_memo[key] = _toplevel_guard_cols(df.schema)
+                cols = _toplevel_guard_cols(df.schema)
+                try:
+                    from pyspark.sql.classic.column import _to_seq  # noqa: PLC0415
+
+                    relax_memo[key] = (
+                        "jseq",
+                        _to_seq(spark.sparkContext, [c._jc for c in cols]),
+                    )
+                except Exception:
+                    relax_memo[key] = cols
             return out
 
         REGISTRY[name] = QuerySpec(

@@ -102,7 +102,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor map feeds dedup joins, never presentation; the global sort
     cost a range exchange + input-sampling job (pure fixed cost at any
     scale)."""
-    return dedup.exact_groups(spark.table("documents"))
+    return dedup.exact_groups(
+        spark.table("documents"), source_view="documents"
+    )
 
 
 register_sql(
@@ -384,9 +386,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     # row_number() is already IntegerType; the historical .cast("int") was a
     # type no-op whose only effect was an extra eagerly-analyzed Dataset
-    # creation per replan (r10 creation audit)
+    # creation per replan (r10 creation audit). The probe filter is the SQL
+    # string form: it parses to the identical col<10 predicate in ONE JVM
+    # call, where the F.col(...)<10 Column build cost ~25 Py4J round trips
+    # per creation (r10 census) — same tree, same plan.
     return similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False,
+        emb, emb.filter("vec_id < 10"), k=5, sort=False,
         corpus_view="embeddings",
     )
 
@@ -407,7 +412,7 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch via mapInPandas) — same oracle, proving the vectorized path is
     value-identical at round-4 precision."""
     emb = spark.table("embeddings")
-    return similarity.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.brute_force_topk_pandas(emb, emb.filter("vec_id < 10"), k=5)
 
 
 @register(
@@ -430,7 +435,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_probe < n_cells, the actual 100 TB configuration) is covered by the
     recall floor in tests/test_operators.py."""
     emb = spark.table("embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=8, n_probe=8, k=5, sort=False)
+    return similarity.ivf_topk(emb, emb.filter("vec_id < 10"), n_cells=8, n_probe=8, k=5, sort=False)
 
 
 @register(
@@ -449,7 +454,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the independent numpy replication
     (tests/compare.py py_oracle_ann_ivf_recall)."""
     emb = spark.table("embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
+    probes = emb.filter("vec_id < 10")
     approx = similarity.ivf_topk(
         emb, probes, n_cells=8, n_probe=2, k=5, sort=False
     ).select("q_id", "n_id", F.lit(1).alias("hit"))
@@ -529,7 +534,7 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hamming, n_id) integer ranking — the oracle reproduces the row set
     exactly with zero float tolerance."""
     emb = spark.table("embeddings")
-    return similarity.hamming_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, sort=False)
+    return similarity.hamming_topk(emb, emb.filter("vec_id < 10"), k=5, dim=64, sort=False)
 
 
 _DUCK_SIG_CTE = """sig AS (
@@ -566,7 +571,7 @@ def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (recall vs brute force is asserted in tests)."""
     emb = spark.table("embeddings")
     return similarity.hamming_rerank_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=50, dim=64, sort=False
+        emb, emb.filter("vec_id < 10"), k=5, shortlist=50, dim=64, sort=False
     )
 
 
@@ -580,7 +585,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy re-derivation (tools_golden_oracles.py); tests pin
     lossless-case equality with brute force and recall >= 0.6."""
     emb = spark.table("embeddings")
-    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, rerank=10)
+    return similarity.pq_topk(emb, emb.filter("vec_id < 10"), k=5, rerank=10)
 
 
 @register("ann_pq_recall", GOLDEN.get("ann_pq_recall"), category="similarity")
@@ -592,7 +597,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment tunes. Golden oracle from the independent numpy PQ
     re-derivation (tests/compare.py py_oracle_ann_pq_recall)."""
     emb = spark.table("embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
+    probes = emb.filter("vec_id < 10")
     approx = similarity.pq_topk(emb, probes, k=5, rerank=None).select(
         "q_id", "n_id", F.lit(1).alias("hit")
     )
@@ -957,13 +962,14 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards/sinks keyed by window, never presentation; the global sort
     cost a range exchange + input-sampling job (~0.1 s at sf0.1, pure fixed
     cost at any scale)."""
-    ev = spark.table("events")
-    # string expressions parse to the same window()/count tree in one JVM
-    # call each; the Column form cost ~90 Py4J round-trips per creation
-    return (
-        ev.groupBy(F.expr("window(ts, '10 minutes') AS w"), "event_type")
-        .agg(F.expr("count(*) AS c"))
-        .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS win_start", "event_type", "c")
+    # ONE spark.sql statement over the registered events view — the same
+    # window()/count tree the groupBy/agg/selectExpr chain built, in one
+    # eagerly-analyzed plan creation instead of three (the chain cost ~90
+    # Py4J round-trips per replan; r10 census). Physical plan identical.
+    return spark.sql(
+        """SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS win_start, event_type, c
+FROM (SELECT window(ts, '10 minutes') AS w, event_type, count(*) AS c
+      FROM events GROUP BY window(ts, '10 minutes'), event_type)"""
     )
 
 
@@ -2647,11 +2653,11 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     full5 = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, sort=False,
+        emb, emb.filter("vec_id < 10"), k=5, sort=False,
         corpus_view="embeddings",
     ).select("q_id", "n_id")
     trunc5 = brute_force_topk(
-        trunc, trunc.filter(F.col("vec_id") < 10), k=5, sort=False
+        trunc, trunc.filter("vec_id < 10"), k=5, sort=False
     ).select(F.col("q_id").alias("t_q"), F.col("n_id").alias("t_n"))
     return (
         full5.join(
