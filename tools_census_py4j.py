@@ -14,6 +14,7 @@ Usage: python tools_census_py4j.py   (sf dir via SPARK_GRAFT_SF_DIR)
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -69,6 +70,15 @@ def main() -> None:
 
     rows = []
     for name, spec in bench.items():
+        # Flush pending proxy finalizers BEFORE counting: every collected
+        # JavaObject proxy sends one synchronous `memory del` command
+        # (py4j GatewayClient.garbage_collect_object), so a Python GC cycle
+        # firing mid-creation lands 400-550 spurious round trips on
+        # whichever spec it interrupts (observed moving between cb_q27 and
+        # text_tfidf_topk across runs). gc.collect() + one drain creation
+        # makes the per-spec counts reproducible.
+        gc.collect()
+        spec.spark(spark, sf_dir)  # drain DELs triggered by the collect
         COUNT["n"] = 0
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir)
