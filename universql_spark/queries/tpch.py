@@ -69,8 +69,19 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q1_SQL)
 
 
+# Join order: lineitem FIRST (stream side), dims joined into it — inner
+# joins commute so values are identical in any order, but Spark (no CBO)
+# plans the FROM clause left-deep, so the textual order decides which side
+# each broadcast hash relation is BUILT from. customer-first made the
+# 600k-row lineitem the build side of its join (a single-threaded driver
+# build, ~40% of the replan wall — r10 s7 A/B); lineitem-first builds the
+# filtered orders (~75k) and customer (~3k) instead: q3 replan 503->286 ms
+# median. At 100 TB the order is ALSO right: lineitem<->orders runs first
+# over the co-bucketed layout (exchange-free SMJ) before any dim join.
+# DuckDB's optimizer reorders joins itself, so the shared oracle text is
+# plan-neutral there (A/B'd flat).
 _Q3_SQL = f"""SELECT l_orderkey, {dsum(REVENUE)} AS revenue, CAST(o_orderdate AS DATE) AS odate
-FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
@@ -86,10 +97,12 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: 3-way join.
 
-    customer (filtered on segment) joins into orders with no hint — customer
-    is SF-scaled, so AQE broadcasts it at small SF and shuffle-joins at
-    100 TB; the orders<->lineitem join is fact-to-fact and stays a shuffle
-    join on l_orderkey. The same plan survives 100 TB.
+    lineitem streams; orders (date-filtered) and customer (segment-filtered)
+    join into it with no hint — both are SF-scaled, so AQE broadcasts them
+    at small SF and shuffle-joins at 100 TB, where lineitem<->orders runs
+    first over the co-bucketed orderkey layout (exchange-free). The same
+    plan survives 100 TB; see the _Q3_SQL comment for the build-side
+    rationale behind the textual join order.
     """
     return spark.sql(_Q3_SQL)
 
@@ -125,9 +138,16 @@ def tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BROADCAST hint on the FIXED-cardinality dims only (region: 5 rows,
 # nation: 25 at every TPC-H SF) — Spark honors it, DuckDB parses it as a
 # comment; SF-scaled tables stay unhinted (AQE decides).
+# lineitem-first for the same build-side reason as _Q3_SQL: the old
+# customer-first text built the broadcast hash relation from ALL 600k
+# lineitem rows (the largest single-threaded build in the bench — "Fresh-
+# plan overhead attributed", OPTIMIZATION_r10.md); lineitem-first builds
+# the date-filtered orders (~23k rows) and customer (15k) instead:
+# q5 replan 625->444 ms median (r10 s7 A/B). Values identical (inner
+# joins commute); same left-deep/bucketing rationale as _Q3_SQL.
 _Q5_SQL = f"""SELECT /*+ BROADCAST(nation, region) */ n_name, {dsum(REVENUE)} AS revenue
-FROM customer JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -146,9 +166,10 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: 6-table star join.
 
     region/nation (fixed 5/25 rows) carry the explicit broadcast hint;
-    supplier and customer join with no hint (SF-scaled — AQE picks
-    broadcast when they fit). The lineitem<->orders join is fact-to-fact
-    on l_orderkey — the correct physical shape at 100 TB.
+    supplier, customer and orders join with no hint (SF-scaled — AQE picks
+    broadcast when they fit). lineitem streams (see _Q5_SQL comment): the
+    lineitem<->orders join is fact-to-fact on l_orderkey and runs first
+    over the co-bucketed layout — the correct physical shape at 100 TB.
     """
     return spark.sql(_Q5_SQL)
 
