@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Interleaved A/B: current join order (build side = 600k-row lineitem)
-vs lineitem-first order (build sides = filtered orders / customer).
-Inner joins commute, so values are identical; the lever is the size of
-the single-threaded driver-side broadcast hash-relation build.
+"""Interleaved A/B: customer-first join order (build side = 600k-row
+lineitem) vs lineitem-first order (build sides = filtered orders /
+customer). Inner joins commute, so values are identical; the lever is the
+size of the single-threaded driver-side broadcast hash-relation build.
 Methodology: same session, ABBA order alternation per round, creation
-wall + noop-sink total per rep."""
+wall + noop-sink total per rep.
+
+The A side is the pre-a1fb02a customer-first SQL text INLINED below
+(ADVICE r10: commit a1fb02a rewrote _Q3_SQL/_Q5_SQL in tpch.py to the
+lineitem-first form, so importing them as the baseline would compare the
+optimized query against itself); the B side imports the shipped
+constants, so the tool keeps measuring HEAD against the historical
+baseline."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,23 +20,18 @@ from universql_spark.session import get_spark
 from universql_spark.queries import load_all
 from universql_spark.queries.tpch import _Q3_SQL, _Q5_SQL, dsum, REVENUE
 
-sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
-spark = get_spark("ab_reorder", sf_dir=sf_dir)
-spark.sparkContext.setLogLevel("ERROR")
-load_all()
-from universql_spark.queries import ensure_views
-ensure_views(spark, sf_dir)
-
-Q3_B = f"""SELECT l_orderkey, {dsum(REVENUE)} AS revenue, CAST(o_orderdate AS DATE) AS odate
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON c_custkey = o_custkey
+# pre-a1fb02a baselines: customer-first FROM order (left-deep planning made
+# the 600k-row lineitem the broadcast build side)
+Q3_A = f"""SELECT l_orderkey, {dsum(REVENUE)} AS revenue, CAST(o_orderdate AS DATE) AS odate
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
-Q5_B = f"""SELECT /*+ BROADCAST(nation, region) */ n_name, {dsum(REVENUE)} AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON c_custkey = o_custkey
+Q5_A = f"""SELECT /*+ BROADCAST(nation, region) */ n_name, {dsum(REVENUE)} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -37,7 +39,14 @@ WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
-CASES = {"q3": (_Q3_SQL, Q3_B), "q5": (_Q5_SQL, Q5_B)}
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+spark = get_spark("ab_reorder", sf_dir=sf_dir)
+spark.sparkContext.setLogLevel("ERROR")
+load_all()
+from universql_spark.queries import ensure_views
+ensure_views(spark, sf_dir)
+
+CASES = {"q3": (Q3_A, _Q3_SQL), "q5": (Q5_A, _Q5_SQL)}
 
 # value check first
 for name, (a, b) in CASES.items():
