@@ -475,9 +475,12 @@ def minhash_lsh_pairs(
     # shingle set -> banded self-join -> exact verify).
     spark = docs.sparkSession
     try:
-        # session id in the key: the cached read-back DataFrame (and the
+        # session UID in the key: the cached read-back DataFrame (and the
         # __minhash_sigsh view) belong to the session that built them
-        ikey = (id(spark), docs.semanticHash(), _data_version(docs),
+        # (session_uid, not id(spark) — object-id reuse, VERDICT r10 #7)
+        from universql_spark.session import session_uid  # noqa: PLC0415
+
+        ikey = (session_uid(spark), docs.semanticHash(), _data_version(docs),
                 n, num_perm, text_col, id_col)
     except Exception:
         ikey = None

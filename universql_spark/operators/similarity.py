@@ -480,8 +480,12 @@ def _probe_clusters(
     assignments are bit-identical to the inline form; both forms evaluate
     through the same interpreted HOF path. The built projection is
     additionally memoized per quantizer (_PROBE_EXPR_CACHE)."""
+    from universql_spark.session import session_uid  # noqa: PLC0415
+
+    # session_uid, not id(session): object-id reuse after a session
+    # teardown could serve a stale JVM column seq (VERDICT r10 item 7)
     ckey = (
-        id(queries.sparkSession),
+        session_uid(queries.sparkSession),
         tuple(tuple(c) for c in centroids),
         n_probe,
         id_col,
@@ -593,12 +597,14 @@ def _corpus_fingerprint(corpus: DataFrame) -> tuple | None:
     session id scopes cached DataFrames to the session that built them —
     a cached index DataFrame is not usable from a different session."""
     from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
+    from universql_spark.session import session_uid  # noqa: PLC0415
 
     try:
         # _data_version: an in-place corpus rewrite keeps a catalog table's
         # plan hash — stale centroids would silently skew every probe
-        # (same ADVICE-r7 fix as the MinHash signature index)
-        return (id(corpus.sparkSession), corpus.semanticHash(), _data_version(corpus))
+        # (same ADVICE-r7 fix as the MinHash signature index).
+        # session_uid, not id(session): VERDICT r10 item 7.
+        return (session_uid(corpus.sparkSession), corpus.semanticHash(), _data_version(corpus))
     except Exception:
         return None
 

@@ -49,7 +49,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from universql_spark.session import register_testdata
+from universql_spark.session import register_testdata, session_uid
 
 
 def _relax_type(dt: T.DataType) -> T.DataType:
@@ -146,11 +146,14 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # Views are session-scoped; re-register only when sf_dir changes.
-_registered: dict[int, str] = {}
+# Keyed on session_uid (session-lifetime UUID), not id(spark): CPython
+# reuses object ids, so a torn-down session + new session could alias
+# (VERDICT r10 item 7).
+_registered: dict[str, str] = {}
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    key = id(spark)
+    key = session_uid(spark)
     if _registered.get(key) != sf_dir:
         register_testdata(spark, sf_dir)
         _registered[key] = sf_dir
@@ -187,13 +190,16 @@ def register(
         # ("jseq", seq) = cached JVM guard-column seq; list = cached
         # Python guard columns (fallback when classic py4j internals are
         # unavailable, e.g. Spark Connect); "nested" = rare recursive
-        # case, rebuild each call.
-        relax_memo: dict[tuple[int, str], object] = {}
+        # case, rebuild each call. Keyed on session_uid, not id(spark)
+        # (id reuse could serve a stale JVM seq from a dead gateway —
+        # VERDICT r10 item 7); session_uid is memoized on the wrapper, so
+        # the lookup stays zero Py4J round trips per creation.
+        relax_memo: dict[tuple[str, str], object] = {}
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_views(spark, sf_dir)
             df = fn(spark, sf_dir)
-            key = (id(spark), sf_dir)
+            key = (session_uid(spark), sf_dir)
             mode = relax_memo.get(key)
             if mode is False:
                 return df
