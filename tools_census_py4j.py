@@ -79,10 +79,19 @@ def main() -> None:
         # makes the per-spec counts reproducible.
         gc.collect()
         spec.spark(spark, sf_dir)  # drain DELs triggered by the collect
-        COUNT["n"] = 0
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir)
-        w = time.perf_counter() - t0
+        # r11: ALSO freeze the collector during the counted creation — the
+        # drain pass allocates, so the threshold-triggered automatic gc
+        # could still fire mid-count (observed: one spec per run reading
+        # ~500 spurious `memory del` round trips, r10 saw it on cb_q27/
+        # text_tfidf_topk, r11 on cb_q18)
+        gc.disable()
+        try:
+            COUNT["n"] = 0
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir)
+            w = time.perf_counter() - t0
+        finally:
+            gc.enable()
         rows.append((COUNT["n"], round(w * 1000, 1), name))
     rows.sort(reverse=True)
     for n, w, q in rows:

@@ -72,7 +72,7 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFra
 
 def brute_force_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: "DataFrame | str",
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -102,11 +102,20 @@ def brute_force_topk(
     if corpus_view is None:
         corpus_view = "__bft_corpus"
         corpus.createOrReplaceTempView(corpus_view)
-    queries.createOrReplaceTempView("__bft_queries")
+    # queries may be passed as SQL SOURCE TEXT (a subquery or view name,
+    # r11): a DataFrame probe set costs its own eagerly-analyzed creation
+    # plus a createOrReplaceTempView per call (~10 ms / ~12 Py4J round
+    # trips); text inlines into the one spark.sql below and parses in the
+    # same JVM call. Same relation, same plan.
+    if isinstance(queries, str):
+        queries_src = f"({queries})"
+    else:
+        queries.createOrReplaceTempView("__bft_queries")
+        queries_src = "__bft_queries"
     vs = _as_double_sql(f"`{vec_col}`")
     out = spark.sql(f"""
 WITH q AS (SELECT `{id_col}` AS q_id, {vs} AS q_vec, {_norm_sql(vs)} AS q_nrm
-           FROM __bft_queries),
+           FROM {queries_src}),
      c AS (SELECT `{id_col}` AS n_id, {vs} AS n_vec, {_norm_sql(vs)} AS n_nrm
            FROM {corpus_view}),
      s AS (
@@ -576,6 +585,16 @@ _IVF_INDEX_PATH: str | None = None
 #: lets query batches skip re-registering the unchanged cached index
 _IVF_VIEW_KEY: tuple | None = None
 
+#: (ikey, queries semanticHash, queries data version, n_probe) currently
+#: registered as the __ivf_probes temp view (r11): for a repeated query
+#: batch over the same quantizer the probes PROJECTION is semantically
+#: identical call to call, yet each call re-ran the jseq select (eager
+#: analysis of the centroid-literal HOF tree, ~23 ms) plus a view
+#: re-registration (~6 ms). Key the registration like the index view and
+#: both vanish from the steady-state creation path; the data-version
+#: component invalidates on an in-place rewrite exactly like the index.
+_IVF_PROBES_VIEW_KEY: tuple | None = None
+
 
 def _cleanup_index_dir() -> None:
     import shutil  # noqa: PLC0415
@@ -724,7 +743,6 @@ def ivf_topk(
             index = spark.read.parquet(_IVF_INDEX_PATH)
             _IVF_INDEX_CACHE.clear()
             _IVF_INDEX_CACHE[ikey] = index
-    probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
     # scoring + top-k as ONE spark.sql over the two relations: the
     # equivalent DataFrame chain (join -> filter -> select -> window ->
     # filter) is 5 plan creations, each re-canonicalizing both subtrees
@@ -734,11 +752,27 @@ def ivf_topk(
     # the cached index is the SAME DataFrame object across query batches;
     # re-registering it under the same name every batch is a pure catalog
     # round trip — register only when the live index (or session) changes
-    global _IVF_VIEW_KEY
+    global _IVF_VIEW_KEY, _IVF_PROBES_VIEW_KEY
     if ikey is None or _IVF_VIEW_KEY != ikey:
         index.createOrReplaceTempView("__ivf_index")
         _IVF_VIEW_KEY = ikey
-    probes.createOrReplaceTempView("__ivf_probes")
+    # same move for the probes view (see _IVF_PROBES_VIEW_KEY): rebuild the
+    # probe projection only when the quantizer, the query-batch SEMANTICS,
+    # or the underlying data version changes
+    try:
+        from universql_spark.operators.dedup import _data_version  # noqa: PLC0415
+
+        pkey = (
+            (ikey, queries.semanticHash(), _data_version(queries), n_probe)
+            if ikey is not None
+            else None
+        )
+    except Exception:
+        pkey = None
+    if pkey is None or _IVF_PROBES_VIEW_KEY != pkey:
+        probes = _probe_clusters(queries, centroids, n_probe, id_col, vec_col)
+        probes.createOrReplaceTempView("__ivf_probes")
+        _IVF_PROBES_VIEW_KEY = pkey
     out = spark.sql(f"""
 WITH s AS (
   SELECT /*+ BROADCAST(p) */ p.q_id, i.n_id,

@@ -386,12 +386,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     # row_number() is already IntegerType; the historical .cast("int") was a
     # type no-op whose only effect was an extra eagerly-analyzed Dataset
-    # creation per replan (r10 creation audit). The probe filter is the SQL
-    # string form: it parses to the identical col<10 predicate in ONE JVM
-    # call, where the F.col(...)<10 Column build cost ~25 Py4J round trips
-    # per creation (r10 census) — same tree, same plan.
+    # creation per replan (r10 creation audit). The probe set is SQL source
+    # text (r11): the former emb.filter("vec_id < 10") DataFrame cost an
+    # eager analysis + a temp-view registration per creation (~10 ms); as
+    # text it inlines into the operator's single spark.sql — same relation,
+    # same plan.
     return similarity.brute_force_topk(
-        emb, emb.filter("vec_id < 10"), k=5, sort=False,
+        emb, "SELECT * FROM embeddings WHERE vec_id < 10", k=5, sort=False,
         corpus_view="embeddings",
     )
 
@@ -749,13 +750,27 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values and plan are unchanged. No final ORDER BY: the gate compares
     # order-insensitively, and the global sort would add a range exchange +
     # sampling job that re-runs the window stage (pure fixed cost).
+    # dfq from array_distinct (r11): the bucketed layout makes the tf
+    # aggregation exchange-free, so nothing sits between tf and its two
+    # consumers that ReuseExchange could deduplicate — the document-
+    # frequency side physically re-tokenizes documents (verified against
+    # every single-tokenize shape: DISTRIBUTE BY/REPARTITION exchanges get
+    # elided or pruned apart by column pruning, a window-dfreq form and a
+    # localCheckpoint CTE-materialization both measured slower;
+    # OPTIMIZATION_r11.md). Given two passes, make the second one cheap:
+    # exploding array_distinct(tokens) yields each doc's distinct terms
+    # directly — identical dfreq by definition ("docs containing term") —
+    # and drops the full-token (doc_id, term) dedup hash-aggregate from
+    # the serialized broadcast-build chain (A/B median 266 -> 256 ms).
     return spark.sql("""
 WITH tok AS (
   SELECT doc_id, explode(split(lower(trim(text)), ' +')) AS term FROM documents
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
 ), dfq AS (
-  SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+  SELECT term, COUNT(*) AS dfreq FROM (
+    SELECT explode(array_distinct(split(lower(trim(text)), ' +'))) AS term
+    FROM documents) GROUP BY term
 ), nd AS (
   SELECT COUNT(*) AS n_docs FROM documents
 ), scored AS (

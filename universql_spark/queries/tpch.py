@@ -80,7 +80,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the co-bucketed layout (exchange-free SMJ) before any dim join.
 # DuckDB's optimizer reorders joins itself, so the shared oracle text is
 # plan-neutral there (A/B'd flat).
-_Q3_SQL = f"""SELECT l_orderkey, {dsum(REVENUE)} AS revenue, CAST(o_orderdate AS DATE) AS odate
+# MERGE(orders) (r11): lineitem and orders are co-bucketed AND sorted on
+# orderkey with exactly one file per bucket, and the session now exposes
+# that sort order from the scan (session.py bucketedTableScan.outputOrdering)
+# — so this join runs as a ZERO-exchange, ZERO-sort SMJ inside the scan
+# stage instead of broadcasting the ~110k date-filtered orders rows (whose
+# broadcast COLLECT job alone was 70-120 ms of every fresh plan; guide
+# §3.1/§2.4). Interleaved A/B at sf0.1: median 375 -> 323 ms. DuckDB parses
+# the hint as a comment, so the shared oracle text stays identical.
+_Q3_SQL = f"""SELECT /*+ MERGE(orders) */ l_orderkey, {dsum(REVENUE)} AS revenue, CAST(o_orderdate AS DATE) AS odate
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
@@ -234,7 +242,13 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q18_SQL = f"""SELECT c_custkey, o_orderkey, {dsum('l_quantity')} AS total_qty
+# MERGE(orders) (r11): same zero-exchange/zero-sort SMJ move as _Q3_SQL —
+# the unfiltered orders side here is 150k rows, the bench's LARGEST
+# broadcast build (collectTime 90 ms + buildTime 52 ms per fresh plan);
+# over the sorted co-bucketed layout the SMJ runs inside the scan stage and
+# the (c_custkey, o_orderkey) aggregate stays exchange-free (hash(orderkey)
+# satisfies the grouping). Interleaved A/B at sf0.1: median 325 -> 265 ms.
+_Q18_SQL = f"""SELECT /*+ MERGE(orders) */ c_custkey, o_orderkey, {dsum('l_quantity')} AS total_qty
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, o_orderkey HAVING SUM(l_quantity) > 150

@@ -165,6 +165,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # The engine writes its bucketed facts as exactly ONE sorted file
+        # per bucket (_bucketed_table repartitions on the bucket key before
+        # bucketBy().sortBy()), but Spark 3+ stopped reporting bucket sort
+        # order from scans by default (file listing at planning was deemed
+        # too expensive for arbitrary tables, SPARK-28169 lineage). For a
+        # layout the engine itself guarantees, the listing is already
+        # cached and the order is real: enabling this makes every
+        # orderkey-equi SMJ over the co-bucketed facts ZERO-sort as well as
+        # zero-exchange (r11: tpch_q18 median -18%, tpch_q3 -14% with the
+        # MERGE(orders) hint). Correctness-safe by construction: Spark
+        # still verifies <=1 file per bucket before claiming the order.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.warehouse.dir", "/tmp/universql_spark_warehouse")
     )
     if small:
@@ -177,6 +189,10 @@ def get_spark(
         # then); these two are runtime-settable, so apply unconditionally
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(small_parts))
+    try:  # runtime-settable: cover getOrCreate returning an existing session
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    except Exception:  # noqa: BLE001 - advisory
+        pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
@@ -481,7 +497,14 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # instead of re-decoding parquet per replan (measured -10% on
             # tpch_q5/q18 at sf0.1). The size gate keeps the policy honest
             # at scale: a dim too big to broadcast is too big to pin.
-            df = df.cache()
+            # coalesce(1) (r11): every fresh star-join plan runs one
+            # broadcast COLLECT job per dim; over the 8-32-partition cached
+            # relation each job schedules 8-32 tasks to fetch a handful of
+            # MBs (q3 broadcast collectTime 119 -> 72 ms, q18 90 -> 62 ms
+            # single-partitioned). A dim under the broadcast threshold is
+            # single-task-scan-sized by definition, so the cache holds it
+            # as ONE partition and every collect is a 1-task job.
+            df = df.coalesce(1).cache()
         df.createOrReplaceTempView(name)
         out[name] = df
     spark.sql(HITS_SELECT).createOrReplaceTempView("hits")
