@@ -120,11 +120,18 @@ def get_spark(
     n = cpus or default_cpus()
     data_bytes = _dir_bytes(sf_dir) if sf_dir is not None else None
     small = data_bytes is not None and data_bytes < SMALL_DATA_BYTES
-    # static-mode shuffle width scales with the data: 8 partitions for the
-    # sub-64MB fixtures (less scheduling than work), full core count above
-    # (measured: TPC-H q5 at SF1 ~300 MB is 19% faster at 32 than 8; AQE's
-    # per-exchange replan is still a net loss until the 512 MB threshold)
-    small_parts = n if (data_bytes or 0) >= 64 * 1024 * 1024 else 8
+    # static-mode shuffle width: 8 partitions across the whole sub-512MB
+    # band. r6 keyed this on input size (>=64 MB -> core count) off a
+    # measurement — q5 at SF1 19% faster at 32 — that the r9-r11 layout
+    # work made obsolete: with the fact joins running as zero-exchange SMJs
+    # over the co-bucketed tables, every static-mode shuffle left is a
+    # post-partial-aggregation exchange of at most a few MB, where 32
+    # reduce tasks are pure scheduling overhead. r11 re-measurement on the
+    # 220 MB sf1 fixture (14-query pooled interleaved A/B, 32 cores):
+    # static-8 Σ 6.45 s vs static-32 6.96 s vs AQE 7.96 s — 8 wins or ties
+    # EVERY query including q1/q18/minhash, and 30-45% on the small-shuffle
+    # cb/dedup paths. Above SMALL_DATA_BYTES, AQE owns partition sizing.
+    small_parts = 8
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
